@@ -1,0 +1,202 @@
+"""Deterministic synthetic spatial tables — single-sourced for Spark & oracle.
+
+BASELINE.json's ``input_hint`` mandates a tiles table
+``(image_id, bytes, w, h, fmt, caption, phash)``; no external data may be
+used, so the table is synthesized deterministically (FIXTURES.md §1) from
+the driver's TPC-H-ish parquet: each ``orders.o_orderkey`` (dense, unique
+0..N−1) seeds one tile. Zones (axis-aligned rectangles standing in for
+polygons) and kNN query points come from ``range()``.
+
+**Parity by construction**: every derived column is authored ONCE as a SQL
+expression string (portable across Spark SQL and DuckDB 1.0) and used
+verbatim on both sides — Spark via ``F.expr``, the correctness oracle via
+string splicing into DuckDB SQL. All randomness is integer Lehmer-LCG
+arithmetic (``(x*a) % 2147483647``), so both engines produce bit-identical
+doubles; no engine-specific hash function is ever relied on.
+
+This mirrors the reference's generated-fixture discipline
+(``tests/fixtures/data_generators.py:1-40`` — seeded, programmatic, never
+checked-in blobs).
+
+Skew is intentional: 20% of tiles cluster around 3 hotspot centers
+(FIXTURES.md §1 georeferencing) so hot-cell handling (AQE skew join /
+salting, SURVEY.md O10) is exercised, not just simulated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# -- geography ---------------------------------------------------------------
+LON0, LON_SPAN = 139.5, 0.6
+LAT0, LAT_SPAN = 35.4, 0.5
+HOTSPOTS = [(139.62, 35.48), (139.85, 35.70), (140.02, 35.82)]
+
+# -- Lehmer LCG --------------------------------------------------------------
+M31 = 2147483647
+
+
+def lcg(x: str, a: int) -> str:
+    """Two-step Lehmer mix: small seeds (0, 1, 2, …) must still scatter,
+    so a single multiply is not enough. All intermediates < 2**48."""
+    step1 = f"((({x}) % {M31}) * {a} % {M31} + 999983)"
+    return f"({step1} * 69621 % {M31})"
+
+
+def u01(x: str, a: int) -> str:
+    """Uniform double in [0,1) — identical bits in Spark and DuckDB."""
+    return f"({lcg(x, a)} / 2147483647e0)"
+
+
+def dlit(x: float) -> str:
+    """Float literal that parses as DOUBLE in BOTH Spark SQL (which types
+    bare decimal literals as DECIMAL) and DuckDB: exponent notation."""
+    return f"{x!r}e0"
+
+
+def _hs_case(i: str, coords: list[float]) -> str:
+    return (
+        f"(CASE ({i}) % 3 WHEN 0 THEN {dlit(coords[0])} WHEN 1 THEN {dlit(coords[1])} "
+        f"ELSE {dlit(coords[2])} END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tiles — one per orders row; i := o_orderkey
+# ---------------------------------------------------------------------------
+
+TILE_KINDS = ["aerial", "street", "marine", "park", "urban", "rural", "mixed"]
+
+
+def tile_exprs(i: str = "i") -> dict[str, str]:
+    """Column-name → portable SQL expression for the tiles table."""
+    hot = f"(({i}) % 5 = 0)"
+    hs_lon = _hs_case(i, [h[0] for h in HOTSPOTS])
+    hs_lat = _hs_case(i, [h[1] for h in HOTSPOTS])
+    u_lon = u01(i, 48271)
+    u_lat = u01(i, 16807)
+    lon = (
+        f"(CASE WHEN {hot} THEN {hs_lon} + ({u_lon} - 0.5e0) * 0.02e0 "
+        f"ELSE {dlit(LON0)} + {u_lon} * {dlit(LON_SPAN)} END)"
+    )
+    lat = (
+        f"(CASE WHEN {hot} THEN {hs_lat} + ({u_lat} - 0.5e0) * 0.02e0 "
+        f"ELSE {dlit(LAT0)} + {u_lat} * {dlit(LAT_SPAN)} END)"
+    )
+    kind = "(CASE " + " ".join(
+        f"WHEN ({i}) % 7 = {n} THEN '{k}'" for n, k in enumerate(TILE_KINDS)
+    ) + " ELSE 'mixed' END)"
+    size_case = "(CASE {m} WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 ELSE 128 END)"
+    # ~3.2% of rows (i ≡ 1 mod 31) duplicate the phash of row i-1 — the
+    # clone-group analog of code_similarity.py:311-434 fingerprint groups.
+    phash_base = f"(CASE WHEN ({i}) % 31 = 1 THEN ({i}) - 1 ELSE ({i}) END)"
+    return {
+        "image_id": f"('img_' || lpad(CAST({i} AS STRING), 12, '0'))",
+        "w": f"CAST({size_case.format(m=lcg(i, 7919) + ' % 4')} AS INT)",
+        "h": f"CAST({size_case.format(m=lcg(i, 104729) + ' % 4')} AS INT)",
+        "fmt": f"(CASE WHEN ({i}) % 4 = 0 THEN 'jpeg' ELSE 'png' END)",
+        "caption": (
+            f"('tile ' || CAST({i} AS STRING) || ' kind=' || {kind})"
+        ),
+        "phash": f"(({phash_base} % 10000019) * 2654435761)",
+        "lon": lon,
+        "lat": lat,
+        "tile_kind": kind,
+    }
+
+
+def tiles_sql(from_clause: str = "orders", i: str = "o_orderkey") -> str:
+    """Full DuckDB-runnable SELECT producing the tiles table."""
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in tile_exprs(i).items())
+    return f"SELECT\n  {i} AS i,\n  {cols}\nFROM {from_clause}"
+
+
+def tiles_df(spark: SparkSession, sf_dir: str, with_bytes: bool = False) -> DataFrame:
+    """Spark-side tiles table from the SAME expressions.
+
+    ``with_bytes=True`` attaches the synthetic raster payload (pandas-UDF
+    generated, see sources/codec.py) for the pixel pipeline; SQL-compared
+    queries never touch ``bytes``.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.select(
+        F.col("o_orderkey").alias("i"),
+        *[F.expr(f"{e} AS {n}") for n, e in tile_exprs("o_orderkey").items()],
+    )
+    if with_bytes:
+        from .sources.codec import attach_bytes
+
+        df = attach_bytes(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# zones — 200 axis-aligned rectangle polygons; j := 0..199
+# ---------------------------------------------------------------------------
+
+N_ZONES = 200
+
+
+def zone_exprs(j: str = "j") -> dict[str, str]:
+    hs_lon = _hs_case(j, [h[0] for h in HOTSPOTS])
+    hs_lat = _hs_case(j, [h[1] for h in HOTSPOTS])
+    cx = f"(CASE WHEN ({j}) < 3 THEN {hs_lon} ELSE {dlit(LON0)} + {u01(f'2*({j})+1', 48271)} * {dlit(LON_SPAN)} END)"
+    cy = f"(CASE WHEN ({j}) < 3 THEN {hs_lat} ELSE {dlit(LAT0)} + {u01(f'2*({j})+1', 16807)} * {dlit(LAT_SPAN)} END)"
+    hw = f"(CASE WHEN ({j}) < 3 THEN 0.05e0 ELSE 0.004e0 + {u01(f'({j})+777', 69621)} * 0.03e0 END)"
+    hh = f"(CASE WHEN ({j}) < 3 THEN 0.05e0 ELSE 0.004e0 + {u01(f'({j})+777', 40692)} * 0.025e0 END)"
+    return {
+        "polygon_id": f"('zone_' || lpad(CAST({j} AS STRING), 5, '0'))",
+        "zkind": f"(CASE ({j}) % 3 WHEN 0 THEN 'district' WHEN 1 THEN 'park' ELSE 'water' END)",
+        "xmin": f"({cx} - {hw})",
+        "xmax": f"({cx} + {hw})",
+        "ymin": f"({cy} - {hh})",
+        "ymax": f"({cy} + {hh})",
+    }
+
+
+def zones_sql() -> str:
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in zone_exprs("j").items())
+    return f"SELECT\n  j,\n  {cols}\nFROM range({N_ZONES}) AS t(j)"
+
+
+def zones_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_ZONES).select(
+        F.col("id").alias("j"),
+        *[F.expr(f"{e} AS {n}") for n, e in zone_exprs("id").items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# query points — 50 kNN probes; q := 0..49
+# ---------------------------------------------------------------------------
+
+N_QUERY_POINTS = 50
+
+
+def qpoint_exprs(q: str = "q") -> dict[str, str]:
+    return {
+        "query_id": f"CAST({q} AS BIGINT)",
+        "qlon": f"({dlit(LON0)} + {u01(f'3*({q})+7', 48271)} * {dlit(LON_SPAN)})",
+        "qlat": f"({dlit(LAT0)} + {u01(f'3*({q})+7', 16807)} * {dlit(LAT_SPAN)})",
+    }
+
+
+def qpoints_sql() -> str:
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in qpoint_exprs("q").items())
+    return f"SELECT\n  {cols}\nFROM range({N_QUERY_POINTS}) AS t(q)"
+
+
+def qpoints_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_QUERY_POINTS).select(
+        *[F.expr(f"{e} AS {n}") for n, e in qpoint_exprs("id").items()]
+    )
+
+
+# DuckDB oracle preamble: CTEs reusable by every spatial oracle query.
+def oracle_ctes() -> str:
+    return (
+        f"WITH tiles AS (\n{tiles_sql()}\n),\n"
+        f"zones AS (\n{zones_sql()}\n),\n"
+        f"qpoints AS (\n{qpoints_sql()}\n)"
+    )
