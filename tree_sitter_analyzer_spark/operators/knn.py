@@ -1,0 +1,149 @@
+"""Grid-bucketed kNN join via cell ring expansion — no cross join, ever.
+
+Re-expresses the reference's cascade search (``_ast_cache_search.py:23-98``:
+exact → FTS → LIKE → fuzzy tiers, each tier only filling the remaining
+budget) and its BFS frontier loop (``edge_store.py:592-631``) as an
+iterative cell-disk expansion (SURVEY.md J6/T2):
+
+    round r: candidates = tiles in the Chebyshev disk of radius r around
+    each unfinished query's cell; a query finishes when ≥k candidates lie
+    within euclidean distance r·s (s = cell size). Doubling r each round
+    bounds the loop at O(log(domain/s)) Spark jobs.
+
+Exactness: for a query in cell (qix, qiy), any point OUTSIDE disk r is
+> r·s away, and any point WITHIN r·s is inside the disk. So once ≥k
+candidates sit within r·s, the top-k among { candidates with dist ≤ r·s }
+is the global top-k. Over-fetch → exact re-rank → row_number ≤ k is the
+reference's BM25 over-fetch + re-rank + truncate contract
+(``_ast_cache_query.py:155-267``, SURVEY.md T1/O5).
+
+Scale design (10^12 tiles, modest query set):
+- The query side (disk cells) is broadcast; the tile table is probed
+  map-side — no shuffle of the big side. With a *massive* query set the
+  same loop degrades gracefully to a shuffled equi-join on ``cell``.
+- Per round, only unfinished queries re-expand (left_anti on finished),
+  so dense regions finish in round 1 and sparse stragglers alone pay for
+  wide disks — the reference's early-exit tier semantics.
+- ``row_number`` windows partition by query_id: parallelism = #queries,
+  never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import grid
+from .pip_join import tile_cells
+
+DEFAULT_KNN_RES = 7
+
+# Authored once; the oracle splices the same text (operand order matters
+# for bit-identical doubles).
+DIST2_SQL = "((lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat))"
+DIST2_ORACLE_SQL = (
+    "((t.lon - q.qlon) * (t.lon - q.qlon) + (t.lat - q.qlat) * (t.lat - q.qlat))"
+)
+
+
+def knn_join(
+    tiles: DataFrame,
+    qpoints: DataFrame,
+    k: int = 5,
+    res: int = DEFAULT_KNN_RES,
+    max_radius: int = 64,
+) -> DataFrame:
+    """Exact k nearest tiles per query point.
+
+    Returns (query_id, rank, image_id, dist2_nano) with deterministic
+    (dist2, image_id) tie-breaking; ``dist2_nano = floor(dist2 * 1e12)``
+    keeps the compared output integer-typed (cross-engine hash safety).
+    """
+    s = grid.cell_size(res)
+    t = tile_cells(tiles, res).select("image_id", "lon", "lat", "cell")
+    t = t.persist()
+
+    q = qpoints.select(
+        "query_id",
+        "qlon",
+        "qlat",
+        grid.ix_col("qlon", res).alias("qix"),
+        grid.iy_col("qlat", res).alias("qiy"),
+    )
+
+    results: DataFrame | None = None
+    remaining = q
+    r = 1
+    while r <= max_radius:
+        qcells = (
+            remaining.withColumn("off", F.explode(grid.disk_offsets_expr(r)))
+            .withColumn(
+                "cell",
+                F.expr(grid.cell_from_ixiy_sql("qix + off.dx", "qiy + off.dy", res)),
+            )
+            .drop("off", "qix", "qiy")
+        )
+        bound2 = (r * s) * (r * s)
+        cand = (
+            t.join(F.broadcast(qcells), "cell")
+            .withColumn("dist2", F.expr(DIST2_SQL))
+            .where(F.col("dist2") <= F.lit(bound2))
+        )
+        finished = (
+            cand.groupBy("query_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= k)
+            .select("query_id")
+        )
+        win = Window.partitionBy("query_id").orderBy("dist2", "image_id")
+        topk = (
+            cand.join(F.broadcast(finished), "query_id")
+            .withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "image_id", "dist2")
+        )
+        results = topk if results is None else results.unionByName(topk)
+        remaining = remaining.join(finished, "query_id", "left_anti")
+        # Driver-side loop control only; the per-round data never moves to
+        # the driver (T5: the count is the cheap action, not a collect).
+        if remaining.isEmpty():
+            remaining = None
+            break
+        r *= 2
+
+    if remaining is not None and not remaining.isEmpty():
+        # Degenerate tail (query farther than max_radius·s from the kth
+        # neighbor — e.g. k > #tiles in the region). Exact fallback for the
+        # stragglers only; the broadcast side is the tiny remainder.
+        win = Window.partitionBy("query_id").orderBy("dist2", "image_id")
+        tail = (
+            t.crossJoin(F.broadcast(remaining.select("query_id", "qlon", "qlat")))
+            .withColumn("dist2", F.expr(DIST2_SQL))
+            .withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "image_id", "dist2")
+        )
+        results = tail if results is None else results.unionByName(tail)
+
+    out = results.withColumn(
+        "dist2_nano", F.expr("CAST(floor(dist2 * 1e12) AS BIGINT)")
+    ).select("query_id", "rank", "image_id", "dist2_nano")
+    t.unpersist()
+    return out
+
+
+def knn_oracle_sql(k: int = 5) -> str:
+    """Naive exact oracle (cross join + window) — fine at sf0.01."""
+    return f"""
+SELECT query_id, rank, image_id, dist2_nano FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {DIST2_ORACLE_SQL}, t.image_id
+         ) AS rank,
+         t.image_id,
+         CAST(floor({DIST2_ORACLE_SQL} * 1e12) AS BIGINT) AS dist2_nano
+  FROM qpoints q CROSS JOIN tiles t
+) WHERE rank <= {k}
+"""

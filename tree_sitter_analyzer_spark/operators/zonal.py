@@ -1,0 +1,115 @@
+"""Zonal statistics and tile-manifest aggregations.
+
+The reference's aggregation surface (SURVEY.md A1-A11) over the spatial
+data model: per-zone roll-ups play the role of ``get_stats`` group-bys
+(``_ast_cache_query.py:297-385``), phash duplicate groups re-express
+fingerprint-based clone detection (``code_similarity.py:311-434``), and
+per-cell manifests are the golden-corpus count files (tests/golden).
+
+Everything here is built-in hash aggregation: partial (map-side) combine →
+final merge, no UDF, no collect. Integer outputs are preferred in compared
+results (cross-engine float-hash safety); money-style sums go through
+DECIMAL so summation order can't perturb low bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import grid
+from .pip_join import pip_join, tile_cells
+
+
+def zonal_stats(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
+    """Per-zone tile statistics over the verified PIP join (SURVEY.md A1/A2).
+
+    One shuffle total: the PIP join itself is map-side (broadcast cover),
+    so the only exchange is the final groupBy(polygon_id) — which AQE
+    coalesces, since there are only ~#zones groups.
+    """
+    matched = pip_join(tiles, zones, res=res)
+    return (
+        matched.groupBy("polygon_id", "zkind")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+            F.sum(F.when(F.col("fmt") == "jpeg", 1).otherwise(0)).alias("n_jpeg"),
+            F.sum("w").alias("sum_w"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
+def cell_manifest(tiles: DataFrame, res: int = 9) -> DataFrame:
+    """Per-cell tile counts — the golden tile-manifest query (FIXTURES.md §3).
+
+    The flagship minimum-slice query from SURVEY.md §7 M1: "how many tiles
+    land in cell X". min/max image_id pin deterministic content without
+    hashing a float or an array.
+    """
+    return (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.min("image_id").alias("first_image_id"),
+            F.max("image_id").alias("last_image_id"),
+        )
+    )
+
+
+def phash_dup_groups(tiles: DataFrame) -> DataFrame:
+    """Near-duplicate image groups by perceptual hash (SURVEY.md A3).
+
+    groupBy(phash) → groups with ≥2 members are clone groups; min/max ids
+    and count characterize each group deterministically.
+    """
+    return (
+        tiles.groupBy("phash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("image_id").alias("min_image_id"),
+            F.max("image_id").alias("max_image_id"),
+        )
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def top_tiles_per_zone(
+    tiles: DataFrame, zones: DataFrame, n: int = 5, res: int = 9
+) -> DataFrame:
+    """Top-N largest tiles per zone (SURVEY.md A6 hotspots pattern).
+
+    row_number over (zone) ordered by (pixels desc, image_id) — per-group
+    top-k via window, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    matched = pip_join(tiles, zones, res=res).withColumn(
+        "pixels", (F.col("w").cast("bigint") * F.col("h")).cast("bigint")
+    )
+    win = Window.partitionBy("polygon_id").orderBy(
+        F.desc("pixels"), F.col("image_id")
+    )
+    return (
+        matched.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= n)
+        .select("polygon_id", "rn", "image_id", "pixels")
+    )
+
+
+def zone_assignment(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
+    """Raster→vector zonal assignment: each tile gets its (unique best)
+    zone id written back as a column — the cross-file-resolution backfill
+    analog (``_ast_cache_query.py:407-445``, SURVEY.md J9).
+
+    Overlapping zones are resolved deterministically: smallest polygon_id
+    wins (the reference resolves ambiguous callees by confidence then
+    name). Tiles in no zone keep NULL — like unresolved references.
+    """
+    matched = pip_join(tiles, zones, res=res).select("image_id", "polygon_id")
+    best = matched.groupBy("image_id").agg(F.min("polygon_id").alias("zone_id"))
+    # `best` scales with the tile count — NOT broadcastable; this is the
+    # one legitimate big-side shuffle (keyed MERGE-back), AQE-coalesced.
+    return tiles.join(best, "image_id", "left")

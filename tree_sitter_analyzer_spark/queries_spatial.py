@@ -1,0 +1,180 @@
+"""Spatial query suite: tiling, PIP, kNN, zonal — each with a DuckDB oracle.
+
+These are the headline capabilities of the north rule. Spark side runs the
+scale-designed operators (two-phase cell join, ring-expansion kNN); the
+oracle runs a naive-but-exact equivalent (range-predicate join, cross-join
+kNN) — correctness is "the clever plan equals the naive plan", the same
+old-path/new-path parity discipline as the reference's
+``test_b1_reader_edge_parity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import grid, synth
+from .operators import knn, pip_join, zonal
+from .registry import register
+
+_CTES = synth.oracle_ctes()
+
+
+def _tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.tiles_df(spark, sf_dir)
+
+
+# --- M1: tile manifest (flagship minimum slice) ----------------------------
+
+@register(
+    "tile_manifest",
+    f"""{_CTES}
+SELECT {grid.cell_sql('lon', 'lat', 9)} AS cell,
+       count(*) AS n_tiles,
+       min(image_id) AS first_image_id,
+       max(image_id) AS last_image_id
+FROM tiles
+GROUP BY 1
+""",
+    doc="Per res-9 cell tile counts (golden manifest, SURVEY.md §7 M1 / A1).",
+)
+def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.cell_manifest(_tiles(spark, sf_dir), res=9)
+
+
+# --- M2: point-in-polygon join ----------------------------------------------
+
+@register(
+    "pip_join",
+    f"""{_CTES}
+SELECT z.polygon_id, t.image_id, z.zkind, t.tile_kind, t.caption
+FROM {pip_join.pip_oracle_join_sql()}
+""",
+    doc="Two-phase cell-join + exact verify PIP (SURVEY.md J2/O4). Caption "
+    "carried through to pin caption-equality preservation.",
+)
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return pip_join.pip_join(t, z, res=9).select(
+        "polygon_id", "image_id", "zkind", "tile_kind", "caption"
+    )
+
+
+@register(
+    "pip_semi",
+    f"""{_CTES}
+SELECT image_id, caption, phash FROM tiles t
+WHERE EXISTS (SELECT 1 FROM zones z WHERE t.lon >= z.xmin AND t.lon < z.xmax
+              AND t.lat >= z.ymin AND t.lat < z.ymax)
+""",
+    doc="Tiles inside ≥1 zone — left_semi (SURVEY.md J2/U4).",
+)
+def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return pip_join.pip_join(t, z, res=9, how="semi").select(
+        "image_id", "caption", "phash"
+    )
+
+
+@register(
+    "pip_anti",
+    f"""{_CTES}
+SELECT image_id, caption, phash FROM tiles t
+WHERE NOT EXISTS (SELECT 1 FROM zones z WHERE t.lon >= z.xmin AND t.lon < z.xmax
+                  AND t.lat >= z.ymin AND t.lat < z.ymax)
+""",
+    doc="Tiles inside no zone — left_anti (SURVEY.md J3/U3, dead-code analog).",
+)
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return pip_join.pip_join(t, z, res=9, how="anti").select(
+        "image_id", "caption", "phash"
+    )
+
+
+# --- M3: kNN ----------------------------------------------------------------
+
+@register(
+    "knn",
+    _CTES + "\n" + knn.knn_oracle_sql(k=5),
+    doc="Exact k=5 nearest tiles per query point via ring expansion "
+    "(SURVEY.md J6/T1/T2) — oracle is the naive cross join.",
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    q = synth.qpoints_df(spark)
+    return knn.knn_join(t, q, k=5)
+
+
+# --- M4: zonal aggregations ---------------------------------------------------
+
+@register(
+    "zonal_stats",
+    f"""{_CTES}
+SELECT z.polygon_id, z.zkind,
+       count(*) AS n_tiles,
+       count(DISTINCT t.phash) AS n_distinct_phash,
+       sum(CASE WHEN t.fmt = 'jpeg' THEN 1 ELSE 0 END) AS n_jpeg,
+       sum(t.w) AS sum_w,
+       max(t.h) AS max_h
+FROM {pip_join.pip_oracle_join_sql()}
+GROUP BY 1, 2
+""",
+    doc="Per-zone roll-up over the verified PIP join (SURVEY.md A1/A2/A7).",
+)
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.zonal_stats(_tiles(spark, sf_dir), synth.zones_df(spark), res=9)
+
+
+@register(
+    "phash_dups",
+    f"""{_CTES}
+SELECT phash, count(*) AS group_size,
+       min(image_id) AS min_image_id, max(image_id) AS max_image_id
+FROM tiles GROUP BY phash HAVING count(*) >= 2
+""",
+    doc="Perceptual-hash duplicate groups — clone detection (SURVEY.md A3).",
+)
+def q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.phash_dup_groups(_tiles(spark, sf_dir))
+
+
+@register(
+    "top_tiles_per_zone",
+    f"""{_CTES}
+SELECT polygon_id, rn, image_id, pixels FROM (
+  SELECT z.polygon_id,
+         row_number() OVER (PARTITION BY z.polygon_id
+                            ORDER BY CAST(t.w AS BIGINT) * t.h DESC, t.image_id) AS rn,
+         t.image_id,
+         CAST(t.w AS BIGINT) * t.h AS pixels
+  FROM {pip_join.pip_oracle_join_sql()}
+) WHERE rn <= 5
+""",
+    doc="Top-5 largest tiles per zone — per-group top-k window (SURVEY.md A6/W1).",
+)
+def q_top_tiles_per_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.top_tiles_per_zone(
+        _tiles(spark, sf_dir), synth.zones_df(spark), n=5, res=9
+    )
+
+
+@register(
+    "zone_assignment",
+    f"""{_CTES}
+SELECT t.image_id, t.caption,
+       (SELECT min(z.polygon_id) FROM zones z
+        WHERE t.lon >= z.xmin AND t.lon < z.xmax
+          AND t.lat >= z.ymin AND t.lat < z.ymax) AS zone_id
+FROM tiles t
+""",
+    doc="Raster→vector zonal assignment MERGE-back (SURVEY.md J9): every "
+    "tile, with its deterministic best zone or NULL.",
+)
+def q_zone_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.zone_assignment(
+        _tiles(spark, sf_dir), synth.zones_df(spark), res=9
+    ).select("image_id", "caption", "zone_id")
