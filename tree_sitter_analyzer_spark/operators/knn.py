@@ -72,8 +72,10 @@ def knn_join(
         grid.iy_col("qlat", res).alias("qiy"),
     )
 
-    results: DataFrame | None = None
-    remaining = q
+    results: list[DataFrame] = []
+    cached: list[DataFrame] = []
+    win = Window.partitionBy("query_id").orderBy("dist2", "image_id")
+    remaining = q.persist()
     r = 1
     while r <= max_radius:
         qcells = (
@@ -85,29 +87,34 @@ def knn_join(
             .drop("off", "qix", "qiy")
         )
         bound2 = (r * s) * (r * s)
+        # One pass over the (cached) tile index per round; candidates are
+        # tiny (disk cells × local density) and are cached so the count,
+        # the re-rank, and the anti-join all reuse one materialization —
+        # the reference's "don't recompute the frontier" BFS discipline.
         cand = (
             t.join(F.broadcast(qcells), "cell")
             .withColumn("dist2", F.expr(DIST2_SQL))
             .where(F.col("dist2") <= F.lit(bound2))
+            .persist()
         )
-        finished = (
-            cand.groupBy("query_id")
-            .agg(F.count("*").alias("n"))
-            .where(F.col("n") >= k)
-            .select("query_id")
-        )
-        win = Window.partitionBy("query_id").orderBy("dist2", "image_id")
-        topk = (
-            cand.join(F.broadcast(finished), "query_id")
-            .withColumn("rank", F.row_number().over(win))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "image_id", "dist2")
-        )
-        results = topk if results is None else results.unionByName(topk)
-        remaining = remaining.join(finished, "query_id", "left_anti")
-        # Driver-side loop control only; the per-round data never moves to
-        # the driver (T5: the count is the cheap action, not a collect).
-        if remaining.isEmpty():
+        cached.append(cand)
+        # Loop control: per-query candidate counts — bounded by #queries,
+        # a legitimate driver-side decision table (≤ one row per query).
+        counts = {
+            row["query_id"]: row["n"]
+            for row in cand.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        done_ids = [qid for qid, n in counts.items() if n >= k]
+        if done_ids:
+            topk = (
+                cand.where(F.col("query_id").isin(done_ids))
+                .withColumn("rank", F.row_number().over(win))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "image_id", "dist2")
+            )
+            results.append(topk)
+            remaining = remaining.where(~F.col("query_id").isin(done_ids)).persist()
+        if len(done_ids) == len(counts) and remaining.isEmpty():
             remaining = None
             break
         r *= 2
@@ -116,7 +123,6 @@ def knn_join(
         # Degenerate tail (query farther than max_radius·s from the kth
         # neighbor — e.g. k > #tiles in the region). Exact fallback for the
         # stragglers only; the broadcast side is the tiny remainder.
-        win = Window.partitionBy("query_id").orderBy("dist2", "image_id")
         tail = (
             t.crossJoin(F.broadcast(remaining.select("query_id", "qlon", "qlat")))
             .withColumn("dist2", F.expr(DIST2_SQL))
@@ -124,11 +130,19 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "image_id", "dist2")
         )
-        results = tail if results is None else results.unionByName(tail)
+        results.append(tail)
 
-    out = results.withColumn(
+    import functools
+
+    combined = functools.reduce(lambda a, b: a.unionByName(b), results)
+    out = combined.withColumn(
         "dist2_nano", F.expr("CAST(floor(dist2 * 1e12) AS BIGINT)")
     ).select("query_id", "rank", "image_id", "dist2_nano")
+    # Materialize before unpersisting the cached per-round candidates the
+    # plan depends on (lazy evaluation would otherwise recompute them).
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     t.unpersist()
     return out
 

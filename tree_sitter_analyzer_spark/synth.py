@@ -112,15 +112,42 @@ def tiles_sql(from_clause: str = "orders", i: str = "o_orderkey") -> str:
     return f"SELECT\n  {i} AS i,\n  {cols}\nFROM {from_clause}"
 
 
-def tiles_df(spark: SparkSession, sf_dir: str, with_bytes: bool = False) -> DataFrame:
+def tiles_df(
+    spark: SparkSession,
+    sf_dir: str,
+    with_bytes: bool = False,
+    amplify: int | None = None,
+) -> DataFrame:
     """Spark-side tiles table from the SAME expressions.
 
     ``with_bytes=True`` attaches the synthetic raster payload (pandas-UDF
     generated, see sources/codec.py) for the pixel pipeline; SQL-compared
     queries never touch ``bytes``.
+
+    ``amplify=k`` (or env SPARK_GRAFT_AMPLIFY) fans each seed row into k
+    distinct tiles (i = o_orderkey·k + rep) — used ONLY by the scaling
+    bench so task compute dominates scheduling overhead; correctness runs
+    always use k=1 (the driver never sets the env).
     """
+    import os
+
+    if amplify is None:
+        amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    df = orders.select(
+    # The seed parquet is one small file → one input split. Real tile data
+    # would arrive pre-partitioned; the synthetic table must be spread
+    # explicitly or every downstream map-side operator runs on one task.
+    parallelism = spark.sparkContext.defaultParallelism
+    # Repartition BEFORE any fan-out: the explode must run on all cores,
+    # not on the single input split of the small seed file.
+    seed = orders.select("o_orderkey").repartition(parallelism, "o_orderkey")
+    if amplify > 1:
+        seed = seed.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
+        ).select(
+            (F.col("o_orderkey") * amplify + F.col("rep")).alias("o_orderkey")
+        )
+    df = seed.select(
         F.col("o_orderkey").alias("i"),
         *[F.expr(f"{e} AS {n}") for n, e in tile_exprs("o_orderkey").items()],
     )
