@@ -31,6 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # heaviest pipeline ops. Kept in one place so the scaling mode and the
 # driver's per-round bench measure the same thing.
 HEADLINE = [
+    "ingest_summary",
     "tile_manifest",
     "pip_join",
     "knn",
@@ -82,7 +83,7 @@ def run_scaling() -> None:
     # Amplify the input so task compute dominates scheduling overhead —
     # the in-sandbox stand-in for the north rule's N vs 4N cluster runs.
     # Identical (amplified) input at both parallelism levels.
-    amp = os.environ.get("SPARK_GRAFT_AMPLIFY", "40")
+    amp = os.environ.get("SPARK_GRAFT_AMPLIFY", "8")
     env = dict(os.environ, SPARK_GRAFT_AMPLIFY=amp)
     results = {}
     for cpus in (8, 32):

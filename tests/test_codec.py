@@ -1,0 +1,92 @@
+"""Codec + pixel-invariant tests (FIXTURES.md §4/§5; input_hint gates).
+
+Property tests mirror the reference's encode/decode round-trip suite
+(tests/property/test_encoding_micro.py): lossless exactness, lossy PSNR
+floor, phash determinism, grid hierarchy consistency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tree_sitter_analyzer_spark import grid
+from tree_sitter_analyzer_spark.sources import codec
+
+
+@given(st.integers(0, 10**9), st.sampled_from([16, 32, 64, 128]),
+       st.sampled_from([16, 32, 64, 128]))
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_exact(seed, w, h):
+    px = codec.synth_pixels(f"img_{seed:012d}", w, h)
+    out = codec.decode_px(codec.encode_px(px, "png"))
+    assert np.array_equal(px, out)
+
+
+@given(st.integers(0, 10**9), st.sampled_from([16, 32, 64, 128]),
+       st.sampled_from([16, 32, 64, 128]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_psnr_gate(seed, w, h):
+    px = codec.synth_pixels(f"img_{seed:012d}", w, h)
+    out = codec.decode_px(codec.encode_px(px, "jpeg"))
+    assert np.abs(px.astype(int) - out.astype(int)).max() <= 3
+    assert codec.psnr(px, out) >= 40.0
+
+
+def test_pixels_deterministic_across_calls():
+    a = codec.synth_pixels("img_000000000042", 64, 32)
+    b = codec.synth_pixels("img_000000000042", 64, 32)
+    assert np.array_equal(a, b)
+
+
+def test_phash_is_int64_and_deterministic():
+    px = codec.synth_pixels("img_000000000007", 128, 128)
+    v1, v2 = codec.phash64(px), codec.phash64(px)
+    assert v1 == v2
+    assert -(1 << 63) <= v1 < (1 << 63)
+
+
+@given(
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.floats(min_value=-89.9, max_value=89.9),
+    st.integers(1, 12),
+)
+@settings(max_examples=100, deadline=None)
+def test_grid_parent_consistency(lon, lat, res):
+    """cell_to_parent(latlng_to_cell(p, r), r-1) == latlng_to_cell(p, r-1)."""
+    child = grid.np_cell(np.array([lon]), np.array([lat]), res)
+    parent_direct = grid.np_cell(np.array([lon]), np.array([lat]), res - 1)
+    parent_derived = grid.np_parent(child, res, res - 1)
+    assert parent_direct[0] == parent_derived[0]
+
+
+def test_ingest_pipeline_invariants(spark):
+    """Full extraction at sf0.001: zero decode failures, zero PSNR or
+    caption violations — the audit job with target 0 (SURVEY.md §5.9)."""
+    from tree_sitter_analyzer_spark.operators import ingest
+
+    ext = ingest.extract_tiles(spark, "/root/testdata/sf0.001", amplify=1)
+    summary = ingest.ingest_summary(ext).collect()
+    assert len(summary) == 2  # png + jpeg
+    for row in summary:
+        assert row["n_decode_fail"] == 0, row
+        assert row["n_psnr_violations"] == 0, row
+        assert row["n_caption_violations"] == 0, row
+        if row["fmt"] == "jpeg":
+            assert row["min_psnr_db"] >= 40.0
+
+
+def test_spark_cell_matches_numpy_oracle(spark):
+    """Spark-computed cell ids == numpy oracle on the same tiles."""
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators.pip_join import tile_cells
+
+    pdf = (
+        tile_cells(synth.tiles_df(spark, "/root/testdata/sf0.001"), res=9)
+        .select("lon", "lat", "cell")
+        .toPandas()
+    )
+    expected = grid.np_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9)
+    assert np.array_equal(pdf["cell"].to_numpy(), expected)
