@@ -1,1 +1,297 @@
-"""Placeholder — filled in as operators land."""
+"""Relational operator suite over the TPC-H-ish tables.
+
+Covers the reference's relational surface classes (SURVEY.md §2.3-2.7) on
+the star-schema side: multi-way joins, grouped aggregation with exact
+decimal arithmetic, analytic windows, sessionization, set ops, rollup,
+and the snapshot-diff (AST-diff analog, U5).
+
+Cross-engine float discipline: money aggregates go through
+DECIMAL(20,4) so summation order can't perturb results; timestamps are
+emitted as 'yyyy-MM-dd' strings (Spark is session-TZ, DuckDB is naive —
+strings are unambiguous).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import synth
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1/A2: grouped aggregation with exact decimals (TPC-H Q1 shape) -------
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100e0) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary: partial+final hash agg, decimal-"
+    "exact sums (SURVEY.md A1/A2/F3).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Money as integer cents (floor of the SAME double expression on both
+    # engines): integer sums are order-independent → bit-exact parity.
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100e0) AS BIGINT)")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)"
+                )
+            ).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- J1/J4: multi-way star join (TPC-H Q3/Q5 shape) --------------------------
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    doc="4-way dim join + agg: broadcast dims, fact never shuffled twice "
+    "(SURVEY.md J1; Catalyst picks broadcast for nation/region/customer).",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              n.n_regionkey == F.col("r_regionkey"))
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- J3/U3: anti join --------------------------------------------------------
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="left_anti set difference (SURVEY.md J3/U3 — dead-code analog).",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- A6/W2: top-k per group with deterministic tie-breaks ---------------------
+
+@register(
+    "top_orders_per_segment",
+    """
+SELECT c_mktsegment, rn, o_orderkey, total_cents FROM (
+  SELECT c.c_mktsegment,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY CAST(floor(o.o_totalprice * 100) AS BIGINT) DESC,
+                                     o.o_orderkey) AS rn,
+         o.o_orderkey,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rn <= 3
+""",
+    doc="Top-3 orders per market segment: over-fetch-free per-group top-k "
+    "window with multi-key deterministic ordering (SURVEY.md A6/T1/W2).",
+)
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).withColumn(
+        "total_cents", F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+    )
+    win = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_cents"), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "total_cents")
+    )
+
+
+# --- W4: analytic lag window (sessionization) ---------------------------------
+
+@register(
+    "event_sessions",
+    """
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM (
+    SELECT user_id, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN epoch_us(ts) -
+                       epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+  ) GROUP BY user_id, session_id
+) GROUP BY user_id
+""",
+    doc="Sessionization via lag + running sum over gaps >30min "
+    "(SURVEY.md W4; guide 'Common OLAP patterns').",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    byts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = byts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(byts)
+    # parquet naive timestamps load as TIMESTAMP_NTZ; cast through
+    # TIMESTAMP (session TZ pinned to UTC) for unix_micros parity with
+    # DuckDB's epoch_us.
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    is_new = (
+        F.when(prev.isNull(), 1)
+        .when(micros(F.col("ts")) - micros(prev) > 1800 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    sessions = (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+
+
+# --- A11: rollup --------------------------------------------------------------
+
+@register(
+    "orders_rollup",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    doc="Hierarchical rollup (status → priority → grand total) — the "
+    "grouping-sets surface the reference lacks (SURVEY.md A11).",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+# --- U5: snapshot diff (AST-diff analog) ---------------------------------------
+
+# v2 of the tiles table, derived arithmetically: rows i%20==3 get new
+# pixels (phash+1), rows i%50==7 are deleted, and 1%-of-range new rows
+# appear — mirroring IncrementalSync's new/modified/deleted classes.
+_DIFF_V2 = """
+SELECT i, image_id,
+       CASE WHEN i % 20 = 3 THEN phash + 1 ELSE phash END AS phash
+FROM tiles WHERE i % 50 <> 7
+"""
+
+@register(
+    "snapshot_diff",
+    f"""{synth.oracle_ctes()},
+v2 AS ({_DIFF_V2})
+SELECT coalesce(a.image_id, b.image_id) AS image_id,
+       CASE WHEN b.image_id IS NULL THEN 'removed'
+            WHEN a.image_id IS NULL THEN 'added'
+            WHEN a.phash <> b.phash THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM tiles a FULL OUTER JOIN v2 b ON a.image_id = b.image_id
+WHERE NOT (b.image_id IS NOT NULL AND a.image_id IS NOT NULL AND a.phash = b.phash)
+""",
+    doc="Snapshot diff via full outer join: added/removed/changed "
+    "(SURVEY.md U5 — ast_diff.py:318-474 analog; Iceberg snapshot diff).",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth.tiles_df(spark, sf_dir).select("i", "image_id", "phash")
+    v2 = (
+        t.where(F.expr("i % 50 <> 7"))
+        .withColumn(
+            "phash",
+            F.expr("CASE WHEN i % 20 = 3 THEN phash + 1 ELSE phash END"),
+        )
+    )
+    a = t.alias("a")
+    b = v2.alias("b")
+    joined = a.join(b, F.col("a.image_id") == F.col("b.image_id"), "full_outer")
+    change = (
+        F.when(F.col("b.image_id").isNull(), "removed")
+        .when(F.col("a.image_id").isNull(), "added")
+        .when(F.col("a.phash") != F.col("b.phash"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.image_id"), F.col("b.image_id")).alias("image_id"),
+            change.alias("change"),
+        )
+        .where(F.col("change") != "unchanged")
+    )
