@@ -1,0 +1,285 @@
+"""Document deduplication suite: exact, fingerprint, Jaccard, MinHash-LSH,
+SimHash.
+
+Re-expresses the reference's clone detection (``code_similarity.py``:
+fingerprint grouping :124-166, cached similarity :311-434) as the dedup
+stack a 100 TB training-data pipeline needs (task brief):
+
+- exact / fingerprint dedup — groupBy(hash) clone groups (A3);
+- token-set Jaccard — the exact similarity measure;
+- MinHash-LSH — candidate generation by banded signature equality, exact
+  Jaccard verification on survivors: the SAME two-phase cheap-index →
+  exact-verify shape as the PIP join (SURVEY.md O4) and the reference's
+  BM25→rerank (T1/T6);
+- SimHash — bitwise near-dup with hamming-distance threshold.
+
+Scale notes: everything keys on (lang, hash/bucket) so shuffles partition
+by content, never all-pairs. The only O(n²) piece is *within candidate
+buckets* (LSH guarantee). Exact pairwise Jaccard joins carry a same-lang
+restriction as the blocking key — swap for LSH buckets beyond ~10^7 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5int_duck, md5int_spark
+
+M31 = 2147483647
+# Fixed MinHash permutation constants (a·h + b mod M31) — identical on
+# both engines; a < 2^15 keeps a·h < 2^47 (h is a 32-bit md5 prefix).
+MINHASH_AB = [
+    (12613, 45405), (28433, 9941), (19793, 30071), (941, 60317),
+    (22193, 3343), (14591, 51511), (30803, 7121), (17291, 23203),
+]
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w) — distinct word set per document."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    ).where(F.col("w") != "")
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Raw-text md5 groups ≥2 (the strictest clone class)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def fingerprint_dups(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint groups: md5 of the sorted distinct
+    word set — the AST-skeleton-hash analog (code_similarity.py:124-166):
+    word order and repetition are normalized away before hashing."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def token_jaccard_pairs(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
+    """Exact word-set Jaccard over same-lang pairs, ≥ threshold.
+
+    jac_milli = floor(1000·|A∩B| / |A∪B|) — integer output for
+    cross-engine hash parity. lang is the blocking key (SURVEY.md O4:
+    narrow candidates before the expensive op).
+    """
+    w = _words(docs)
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac_milli",
+            F.expr("CAST(floor(1000e0 * c / (na + nb - c)) AS BIGINT)"),
+        )
+        .where(F.col("jac_milli") >= threshold_milli)
+        .select("doc_a", "doc_b", "jac_milli")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, i, mh): MinHash signature rows, one per hash func."""
+    w = _words(docs).withColumn("h", F.expr(md5int_spark("w")))
+    hashes = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+    exploded = w.withColumn("hf", F.explode(hashes))
+    return exploded.groupBy("doc_id", "lang", F.col("hf.i").alias("i")).agg(
+        F.min((F.col("hf.a") * F.col("h") + F.col("hf.b")) % M31).alias("mh")
+    )
+
+
+def minhash_lsh_dups(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature-band bucket join (candidate
+    gen) → exact Jaccard verify (two-phase O4 pattern).
+
+    Band config B=8, R=1: a pair is a candidate iff ANY of the 8 minhash
+    values collide — P(candidate) = 1−(1−j)^8, >99% for j≥0.5. Exact
+    verify then removes false positives, so the output equals
+    token_jaccard_pairs restricted to LSH-candidates (and at j≥0.5 the
+    miss probability is negligible; the oracle computes the identical
+    LSH, so parity is exact by construction either way).
+    """
+    sig = minhash_signatures(docs)
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.i") == F.col("s2.i"))
+            & (F.col("s1.mh") == F.col("s2.mh"))
+            & (F.col("s1.lang") == F.col("s2.lang"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    exact = token_jaccard_pairs(docs, threshold_milli)
+    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
+def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, lang, simhash): per-doc SimHash over word hashes."""
+    w = _words(docs).withColumn("h", F.expr(md5int_spark("w")))
+    bit_aggs = [
+        F.sum(F.expr(f"CASE WHEN (shiftright(h, {k}) & 1) = 1 THEN 1 ELSE -1 END"))
+        .alias(f"b{k}")
+        for k in range(bits)
+    ]
+    sums = w.groupBy("doc_id", "lang").agg(*bit_aggs)
+    sim = F.expr(
+        " + ".join(f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits))
+    )
+    return sums.select("doc_id", "lang", sim.alias("simhash"))
+
+
+def simhash_dups(docs: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k within a
+    lang block. At scale, block on simhash byte-prefixes instead of lang
+    (pigeonhole: hamming ≤ 3 over 4 chunks → ≥1 exact chunk match)."""
+    s = simhash_docs(docs, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(a.simhash ^ b.simhash)"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same semantics, engine spellings via functions/)
+# ---------------------------------------------------------------------------
+
+WORDS_CTE = """
+words AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+words_nonempty AS (SELECT * FROM words WHERE w <> '')
+"""
+
+
+def token_jaccard_oracle(threshold_milli: int = 500) -> str:
+    return f"""
+WITH {WORDS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM words_nonempty GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM words_nonempty a JOIN words_nonempty b
+    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) AS jac_milli
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) >= {threshold_milli}
+"""
+
+
+def minhash_lsh_oracle(threshold_milli: int = 500) -> str:
+    ab_values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))
+    return f"""
+WITH {WORDS_CTE},
+hashed AS (SELECT doc_id, lang, w, {md5int_duck('w')} AS h FROM words_nonempty),
+hfuncs(i, a, b) AS (VALUES {ab_values}),
+sig AS (
+  SELECT doc_id, lang, i, min((a * h + b) % {M31}) AS mh
+  FROM hashed CROSS JOIN hfuncs GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+  FROM sig s1 JOIN sig s2
+    ON s1.i = s2.i AND s1.mh = s2.mh AND s1.lang = s2.lang
+   AND s1.doc_id < s2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM words_nonempty GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM words_nonempty a JOIN words_nonempty b
+    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) AS jac_milli
+FROM inter i
+JOIN cand ON cand.doc_a = i.doc_a AND cand.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) >= {threshold_milli}
+"""
+
+
+def simhash_oracle(max_hamming: int = 3, bits: int = 16) -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits)
+    )
+    return f"""
+WITH {WORDS_CTE},
+hashed AS (SELECT doc_id, lang, w, {md5int_duck('w')} AS h FROM words_nonempty),
+sums AS (
+  SELECT doc_id, lang,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id, lang
+),
+sh AS (SELECT doc_id, lang, {sim} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,168 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Re-expresses the reference's semantic search (``semantic_search.py:26-60,
+132-163``: BM25 prefilter → token-cosine rerank) for `array<float>`
+embeddings:
+
+- ``ann_brute_topk`` — exact cosine top-k, the correctness baseline.
+  Embeddings are quantized to integers (floor(x·1000)) BEFORE the dot
+  product, so both Spark and the DuckDB oracle compute bit-identical
+  scores: integer dot products are summation-order-independent (the
+  float-reduction nondeterminism problem is designed out).
+- ``ann_lsh_topk`` — the scale path: random-hyperplane (sign) LSH over
+  md5-seeded ±1 planes bucketizes vectors; top-k is searched only within
+  buckets at increasing hamming radius. Candidate gen → exact rerank,
+  the O4 two-phase pattern again. Verified by a recall test vs brute
+  force (tests/test_similarity.py), not by SQL oracle.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` higher-order
+functions) — no UDF in the hot path.
+
+Scale: brute force is O(Q·N) — correct baseline, usable when Q is small
+(it's a broadcast of Q against an N-row scan, no shuffle). LSH buckets
+cut the scan to matching buckets; at 10^12 rows add IVF-style coarse
+centroids per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import md5int_spark
+
+QUANT = 1000
+
+_QVEC = f"transform(embedding, x -> CAST(floor(x * {QUANT}e0) AS BIGINT))"
+_DOT = "aggregate(zip_with(qa, ca, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def _norm_sql(vec: str) -> str:
+    return f"aggregate(transform({vec}, x -> x * x), 0L, (acc, x) -> acc + x)"
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.expr(_QVEC).alias("qv"),
+        F.expr(_norm_sql(_QVEC)).alias("nrm"),
+    )
+
+
+def ann_brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Exact cosine top-k of every vector against the first ``n_queries``
+    vectors (vec_id < n_queries), self excluded.
+
+    cos_micro = floor(1e6 · dot / sqrt(na·nb)) over quantized ints —
+    deterministic across engines. Ties broken by vec_id.
+    """
+    q = _quantized(emb)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = q.select(
+        F.col("vec_id"), F.col("qv").alias("ca"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr("CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn)) AS BIGINT)"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+    )
+
+
+def ann_brute_oracle(n_queries: int = 5, k: int = 5) -> str:
+    qvec = f"list_transform(embedding, x -> CAST(floor(x * {QUANT}e0) AS DOUBLE))"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         {qvec} AS qv,
+         list_dot_product({qvec}, {qvec}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT c.vec_id AS vec_id, s.vec_id AS query_id,
+         CAST(floor(1e6 * list_dot_product(s.qv, c.qv)
+              / sqrt(s.nrm * c.nrm)) AS BIGINT) AS cos_micro
+  FROM q c CROSS JOIN (SELECT * FROM q WHERE vec_id < {n_queries}) s
+  WHERE c.vec_id <> s.vec_id
+)
+SELECT query_id, rank, vec_id, cos_micro FROM (
+  SELECT query_id, vec_id, cos_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_micro DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --- LSH variant (Spark-only; recall-tested vs brute) -----------------------
+
+N_PLANES = 12
+
+
+def _sig_expr(dim: int) -> str:
+    """Sign-LSH signature: bit p = sign(dot(v, plane_p)) where plane_p's
+    ±1 components are md5-derived from (p, dim index) — deterministic,
+    no stored plane matrix, fully JVM-side."""
+    bits = []
+    for p in range(N_PLANES):
+        plane_hash = md5int_spark(f"concat('p{p}_', d)")
+        comp = (
+            f"aggregate(zip_with(qv, sequence(0, size(qv) - 1), "
+            f"(x, d) -> CASE WHEN {plane_hash} % 2 = 0 "
+            f"THEN x ELSE -x END), 0L, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {comp} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, max_hamming: int = 2
+) -> DataFrame:
+    """Sign-LSH bucketed ANN: candidates = vectors whose signature is
+    within ``max_hamming`` bits of the query signature; exact quantized
+    cosine reranks. Recall vs brute measured in tests (≈1.0 at these
+    parameters on the synthetic embeddings)."""
+    q = _quantized(emb)
+    dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
+    sig = q.withColumn("sig", F.expr(_sig_expr(dim_probe)))
+    queries = sig.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+        F.col("sig").alias("qsig"),
+    )
+    cands = sig.select(
+        "vec_id", F.col("qv").alias("ca"), F.col("nrm").alias("cn"), "sig"
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.expr("bit_count(sig ^ qsig)") <= max_hamming)
+        )
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr("CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn)) AS BIGINT)"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+    )

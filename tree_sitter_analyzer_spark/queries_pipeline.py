@@ -10,8 +10,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import ingest
+from .operators import dedup, ingest, similarity, textstats
 from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 @register(
@@ -24,3 +32,112 @@ from .registry import register
 def q_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = ingest.extract_tiles(spark, sf_dir, res=9)
     return ingest.ingest_summary(ext)
+
+
+# --- Dedup suite (SURVEY.md A3; task-brief training-data ops) ----------------
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_md5, count(*) AS group_size,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+""",
+    doc="Exact-text dup groups by md5 (A3 clone detection, strictest tier).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dups(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_fingerprint",
+    """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint,
+       count(*) AS group_size,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+""",
+    doc="Normalized-content fingerprint groups (sorted word set ≈ AST "
+    "skeleton hash, code_similarity.py:124-166).",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dups(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard",
+    dedup.token_jaccard_oracle(500),
+    doc="Exact token-set Jaccard ≥0.5 pairs within lang blocks (similarity "
+    "join, SURVEY.md J12).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.token_jaccard_pairs(_docs(spark, sf_dir), 500)
+
+
+@register(
+    "minhash_lsh",
+    dedup.minhash_lsh_oracle(500),
+    doc="MinHash-LSH near-dup detection: banded signature candidates → "
+    "exact Jaccard verify (two-phase O4; scale path for dedup).",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dups(_docs(spark, sf_dir), 500)
+
+
+@register(
+    "simhash_dups",
+    dedup.simhash_oracle(3, 16),
+    doc="SimHash near-dup pairs (hamming ≤3 over 16-bit signatures).",
+)
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dups(_docs(spark, sf_dir), 3, 16)
+
+
+# --- Similarity search (SURVEY.md T6) ----------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    similarity.ann_brute_oracle(5, 5),
+    doc="Exact quantized-cosine top-5 per query vector (brute baseline; "
+    "integer dot products → cross-engine bit parity).",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_brute_topk(_emb(spark, sf_dir), 5, 5)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate — recall vs brute asserted in tests/test_similarity.py
+    doc="Sign-LSH bucketed ANN top-5 (scale path; hamming-radius probe + "
+    "exact rerank).",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir), 5, 5)
+
+
+# --- Text analysis (SURVEY.md P4/A5/F1) ---------------------------------------
+
+@register(
+    "text_stats",
+    textstats.text_stats_oracle(),
+    doc="Per-doc token counts, quality score+grade, langid heuristic.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_quality_rollup",
+    f"""
+WITH stats AS ({textstats.text_stats_oracle()})
+SELECT lang, grade, count(*) AS n_docs, sum(quality) AS sum_quality,
+       min(quality) AS min_quality, max(quality) AS max_quality
+FROM stats GROUP BY lang, grade
+""",
+    doc="Per-(lang, grade) quality roll-up (health report analog, A5).",
+)
+def q_doc_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.zone_quality_rollup(
+        textstats.text_stats(_docs(spark, sf_dir))
+    )
