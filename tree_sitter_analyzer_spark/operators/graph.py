@@ -1,0 +1,124 @@
+"""Graph traversal operators: BFS k-hop and reachability closure.
+
+Re-expresses the reference's edge-table traversals — BFS callers/callees
+(``edge_store.py:592-631``), bidirectional path search (``call_path.py:
+210-276``), inheritance transitive closure (``class_hierarchy.py:222-328``)
+— as iterated self-joins over a synthetic edge table (SURVEY.md J6-J8).
+
+The edge table is derived arithmetically (same LCG discipline as synth.py)
+so the DuckDB recursive-CTE oracle computes the identical graph.
+
+Scale: each BFS round is one hash join frontier⋈edges; the frontier is
+usually small → broadcast. The visited set accumulates via anti-join —
+the reference's visited-dict, made distributed. Rounds are bounded
+(max_depth or fixpoint on a layered DAG), so the job count is bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..synth import lcg
+
+# BFS graph: V vertices, E edges, arbitrary topology (cycles allowed).
+V_BFS, E_BFS = 2000, 6000
+# Reachability DAG: layered (layer = v // 100), edges go 1-2 layers down →
+# fixpoint in ≤ ~20 rounds.
+V_DAG, E_DAG = 2000, 5000
+
+BFS_EDGE_EXPRS = {
+    "src": f"({lcg('e', 48271)} % {V_BFS})",
+    "dst": f"({lcg('e', 16807)} % {V_BFS})",
+}
+DAG_EDGE_EXPRS = {
+    "src": f"({lcg('e', 40692)} % {V_DAG - 200})",
+    "dst": f"(({lcg('e', 40692)} % {V_DAG - 200}) + 100 + ({lcg('e', 69621)} % 100))",
+}
+
+
+def edges_df(spark: SparkSession, kind: str = "bfs") -> DataFrame:
+    exprs, n = (BFS_EDGE_EXPRS, E_BFS) if kind == "bfs" else (DAG_EDGE_EXPRS, E_DAG)
+    base = spark.range(n).withColumnRenamed("id", "e")
+    return base.select(
+        *[F.expr(f"{expr} AS {name}") for name, expr in exprs.items()]
+    ).dropDuplicates(["src", "dst"])
+
+
+def edges_sql(kind: str = "bfs") -> str:
+    exprs, n = (BFS_EDGE_EXPRS, E_BFS) if kind == "bfs" else (DAG_EDGE_EXPRS, E_DAG)
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in exprs.items())
+    return f"SELECT DISTINCT * FROM (SELECT {cols} FROM range({n}) AS t(e))"
+
+
+def bfs_khop(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int = 4,
+) -> DataFrame:
+    """Vertices reachable within ``max_depth`` hops of the seed set, each
+    labeled with its minimum depth (BFS first-discovery = min depth).
+
+    The loop is the reference's ``_bfs_call_edges`` frontier expansion:
+    per round, frontier ⋈ edges → next frontier, minus visited
+    (anti-join), depth literal attached per round (SURVEY.md J6).
+    """
+    seed_df = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "v BIGINT, depth INT"
+    )
+    visited = seed_df
+    frontier = seed_df.select("v")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"))
+            .dropDuplicates(["v"])
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # cut the growing lineage
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("v")
+    return visited
+
+
+def reach_fixpoint(spark: SparkSession, edges: DataFrame, root: int) -> DataFrame:
+    """Transitive closure from a root on the layered DAG — loop to
+    fixpoint (class_hierarchy.py:222-328 descendants analog, J8)."""
+    return bfs_khop(spark, edges, [root], max_depth=64)
+
+
+def bfs_oracle(seeds: list[int], max_depth: int = 4) -> str:
+    seed_rows = ", ".join(f"(CAST({s} AS BIGINT), 0)" for s in seeds)
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql("bfs")}),
+walk(v, d) AS (
+  SELECT * FROM (VALUES {seed_rows}) AS s(v, d)
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {max_depth}
+)
+SELECT v, CAST(min(d) AS INT) AS depth FROM walk GROUP BY v
+"""
+
+
+def reach_oracle(root: int) -> str:
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql("dag")}),
+walk(v, d) AS (
+  SELECT CAST({root} AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+)
+SELECT v, CAST(min(d) AS INT) AS depth FROM walk GROUP BY v
+"""
+
+
+def union_all(frames: list[DataFrame]) -> DataFrame:
+    return functools.reduce(lambda a, b: a.unionByName(b), frames)

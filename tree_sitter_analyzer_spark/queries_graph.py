@@ -1,1 +1,36 @@
-"""Placeholder — filled in as operators land."""
+"""Graph query suite: BFS k-hop and transitive reachability.
+
+The reference's traversal surface (J6-J8) over an arithmetic synthetic
+edge table; oracles are DuckDB recursive CTEs — a genuinely different
+evaluation strategy (semi-naive recursion) validating the iterated
+self-join plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import graph
+from .registry import register
+
+_SEEDS = [0, 1, 2]
+
+
+@register(
+    "bfs_khop",
+    graph.bfs_oracle(_SEEDS, 4),
+    doc="BFS ≤4 hops from seeds {0,1,2} with min-depth labels "
+    "(edge_store.py:592-631 analog; SURVEY.md J6). Oracle: recursive CTE.",
+)
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.bfs_khop(spark, graph.edges_df(spark, "bfs"), _SEEDS, 4)
+
+
+@register(
+    "reachability",
+    graph.reach_oracle(0),
+    doc="Transitive closure from vertex 0 on a layered DAG — fixpoint "
+    "iterated self-join (class_hierarchy.py:222-328; SURVEY.md J8).",
+)
+def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.reach_fixpoint(spark, graph.edges_df(spark, "dag"), 0)
