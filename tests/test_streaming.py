@@ -1,0 +1,153 @@
+"""Structured Streaming tests: standing queries (SURVEY.md I2), watermarked
+tumbling windows (I3/I4), incremental MERGE classification (I1).
+
+The standing-query test mirrors hyphae_subscribe (watch_push_bridge.py:
+30-99): a registered query re-evaluated per change batch, emitting deltas.
+File source + memory sink drive it synchronously (processAllAvailable).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from tree_sitter_analyzer_spark import synth
+from tree_sitter_analyzer_spark.streaming.incremental import (
+    classify_changes,
+    merge_delta,
+    merge_upsert,
+)
+
+from .conftest import SF_TINY
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    # FileStreamSource requires a directory of files
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{SF_TINY}/events.parquet", f"{src}/part-0.parquet")
+    schema = spark.read.parquet(f"{SF_TINY}/events.parquet").schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window"]["start"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(f"{SF_TINY}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expected = {(r["window"]["start"], r["event_type"]): r["n"] for r in batch}
+    assert got == expected and len(got) > 0
+
+
+def test_standing_query_emits_deltas(spark, tmp_path):
+    """Two micro-batches of tile rows; the standing zonal count is
+    recomputed per batch via foreachBatch and deltas accumulate — the
+    subscription push loop, batch-driven."""
+    import glob
+    import os
+
+    src = str(tmp_path / "tiles_src")
+    os.makedirs(src)
+    tiles = synth.tiles_df(spark, SF_TINY).select("image_id", "lon", "lat")
+    first, second = tiles.where("i % 2 = 0" if False else "1=1").limit(0), None
+    # write batch 1 (half) and keep batch 2 for later
+    half = tiles.where(F.expr("pmod(crc32(image_id), 2) = 0"))
+    rest = tiles.join(half.select("image_id"), "image_id", "left_anti")
+
+    half.write.mode("append").parquet(src)
+    snapshots = []
+
+    def on_batch(df, epoch_id):
+        # standing query: tiles per res-7 cell (compiled plan re-run)
+        from tree_sitter_analyzer_spark import grid
+
+        counts = (
+            df.withColumn("cell", grid.cell_col("lon", "lat", 7))
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        snapshots.append({r["cell"]: r["count"] for r in counts})
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rest.write.mode("append").parquet(src)
+    q2 = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    assert len(snapshots) >= 2
+    total_last = sum(snapshots[-1].values())
+    assert total_last == tiles.count()  # final standing result sees all rows
+    assert len(glob.glob(f"{src}/*.parquet")) >= 2
+
+
+def test_incremental_classify_and_merge(spark):
+    t = synth.tiles_df(spark, SF_TINY).select("i", "image_id", "phash")
+    v2 = (
+        t.where(F.expr("i % 50 <> 7"))
+        .withColumn("phash", F.expr(
+            "CASE WHEN i % 20 = 3 THEN phash + 1 ELSE phash END"))
+    )
+    classes = {
+        r["change"]: r["n"]
+        for r in classify_changes(t, v2, "image_id", "phash")
+        .groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    n = t.count()
+    assert classes["deleted"] == n - v2.count()
+    assert classes.get("new", 0) == 0
+    assert classes["modified"] > 0
+    assert classes["modified"] + classes["unchanged"] == v2.count()
+
+    # snapshot-mode merge reproduces v2 exactly
+    merged = merge_upsert(t.select("image_id", "phash"),
+                          v2.select("image_id", "phash"), "image_id")
+    # snapshot-mode keeps deleted keys (they're absent from incoming only
+    # in delta mode); emulate full sync: deletions applied explicitly
+    dels = t.join(v2.select("image_id"), "image_id", "left_anti").select("image_id")
+    synced = merge_delta(t.select("image_id", "phash"),
+                         v2.select("image_id", "phash"), dels, "image_id")
+    assert synced.count() == v2.count()
+    assert (
+        synced.exceptAll(v2.select("image_id", "phash")).count() == 0
+    )

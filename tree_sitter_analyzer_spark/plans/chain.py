@@ -1,0 +1,160 @@
+"""Chain-style query API — the engine's ``codegraph_query`` surface.
+
+The reference's chain DSL (``codegraph_query_tool.py:218-330``) folds steps
+eagerly over a mutable ``_QueryState``; each step fully materializes. Here
+every step is a **lazy DataFrame transformation** — the whole chain becomes
+one Catalyst-optimized plan, and nothing executes until ``answer()``
+(SURVEY.md §3.1: "lazy beats the reference's eager fold").
+
+    Engine(spark, sf_dir).tiles()
+        .filter(fmt="png", kind="aerial")
+        .within_zones(kind="park")
+        .near(lon, lat, k=10)
+        .sort(by="phash")
+        .take(50)
+        .answer()
+
+``answer()`` returns the reference's response-envelope contract
+(codegraph_query_tool.py:300-329): results capped at ``take`` with the
+TRUE total match count and a ``was_truncated`` flag (hyphae/evaluator.py:
+83-144, SURVEY.md T5) plus verdict/stats fields.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import synth
+from ..operators import knn as knn_ops
+from ..operators import pip_join as pip_ops
+
+# Whitelisted filter keys → typed dispatch, mirroring the key=value filter
+# grammar of core/query_filter.py:48-157 (P1/P2).
+_FILTER_COLS = {
+    "fmt": "fmt",
+    "kind": "tile_kind",
+    "image_id": "image_id",
+    "caption": "caption",
+    "min_w": "w",
+    "min_h": "h",
+}
+
+
+class Chain:
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self._spark = spark
+        self._df = df
+        self._limit: int | None = None
+
+    # -- filters (P1-P3) ------------------------------------------------
+
+    def filter(self, **kwargs: Any) -> "Chain":
+        """key=value predicates AND-ed; list values OR-ed within a key;
+        ``key__like`` = wildcard match (* → .*), as in query_filter.py:
+        117-120."""
+        df = self._df
+        for key, val in kwargs.items():
+            if key.endswith("__like"):
+                col = _FILTER_COLS[key[:-6]]
+                pat = str(val).replace("*", ".*")
+                df = df.where(F.col(col).rlike(f"^{pat}$"))
+            elif key.startswith("min_"):
+                df = df.where(F.col(_FILTER_COLS[key]) >= val)
+            elif isinstance(val, (list, tuple)):
+                df = df.where(F.col(_FILTER_COLS[key]).isin(list(val)))
+            else:
+                df = df.where(F.col(_FILTER_COLS[key]) == val)
+        return self._next(df)
+
+    def exclude(self, **kwargs: Any) -> "Chain":
+        """Negated filter (P3)."""
+        pos = Chain(self._spark, self._df).filter(**kwargs)._df
+        return self._next(self._df.join(pos.select("image_id"), "image_id",
+                                        "left_anti"))
+
+    # -- spatial steps (J2/J6) -------------------------------------------
+
+    def within_zones(self, zones: DataFrame | None = None, **zone_filter: Any
+                     ) -> "Chain":
+        """Keep tiles inside matching zones (PIP semi-join)."""
+        z = zones if zones is not None else synth.zones_df(self._spark)
+        for k, v in zone_filter.items():
+            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
+            z = z.where(F.col(col) == v)
+        return self._next(pip_ops.pip_join(self._df, z, how="semi"))
+
+    def outside_zones(self, zones: DataFrame | None = None, **zone_filter: Any
+                      ) -> "Chain":
+        z = zones if zones is not None else synth.zones_df(self._spark)
+        for k, v in zone_filter.items():
+            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
+            z = z.where(F.col(col) == v)
+        return self._next(pip_ops.pip_join(self._df, z, how="anti"))
+
+    def near(self, lon: float, lat: float, k: int = 10) -> "Chain":
+        """k nearest tiles to a point (ring-expansion kNN), joined back to
+        full tile rows."""
+        q = self._spark.createDataFrame(
+            [(0, float(lon), float(lat))], "query_id BIGINT, qlon DOUBLE, qlat DOUBLE"
+        )
+        hits = knn_ops.knn_join(self._df, q, k=k).select("image_id", "rank")
+        return self._next(self._df.join(hits, "image_id").drop("rank"))
+
+    # -- ordering / truncation (T3-T5) ------------------------------------
+
+    def sort(self, by: str, desc: bool = False) -> "Chain":
+        col = F.col(by)
+        nxt = self._next(self._df.orderBy(col.desc() if desc else col,
+                                          "image_id"))
+        nxt._limit = self._limit
+        return nxt
+
+    def take(self, n: int) -> "Chain":
+        nxt = self._next(self._df)
+        nxt._limit = n
+        return nxt
+
+    # -- terminal ----------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        return self._df if self._limit is None else self._df.limit(self._limit)
+
+    def answer(self, compact: bool = False) -> dict[str, Any]:
+        """Execute: capped rows + true totals envelope (T5 contract)."""
+        total = self._df.count()
+        rows_df = self.df()
+        if compact:
+            rows_df = rows_df.select("image_id", "lon", "lat", "tile_kind")
+        rows = [r.asDict() for r in rows_df.collect()]
+        truncated = self._limit is not None and total > self._limit
+        return {
+            "verdict": "ok",
+            "results": rows,
+            "stats": {
+                "total_matches": total,
+                "returned": len(rows),
+                "was_truncated": truncated,
+            },
+            "agent_summary": (
+                f"{total} tiles matched; returned {len(rows)}"
+                + (" (truncated)" if truncated else "")
+            ),
+        }
+
+    def _next(self, df: DataFrame) -> "Chain":
+        return Chain(self._spark, df)
+
+
+class Engine:
+    """Entry point: ``Engine(spark, sf_dir).tiles()...``"""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def tiles(self, with_bytes: bool = False) -> Chain:
+        return Chain(self._spark, synth.tiles_df(self._spark, self._sf_dir,
+                                                 with_bytes=with_bytes))

@@ -295,3 +295,56 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("change") != "unchanged")
     )
+
+
+# --- I1: incremental MERGE (CDC) ------------------------------------------------
+
+# Deterministic update set (same arithmetic both engines):
+#   upserts: rows i%20==3 get phash+1 (modified) and rows i%100==11 spawn a
+#   brand-new id (i + 10000000); deletes: rows i%50==7.
+_UPSERTS = """
+SELECT ('img_' || lpad(CAST(i AS STRING), 12, '0')) AS image_id, phash + 1 AS phash
+FROM tiles WHERE i % 20 = 3
+UNION ALL
+SELECT ('img_' || lpad(CAST(i + 10000000 AS STRING), 12, '0')) AS image_id,
+       phash + 7 AS phash
+FROM tiles WHERE i % 100 = 11
+"""
+_DELETES = "SELECT image_id FROM tiles WHERE i % 50 = 7"
+
+
+@register(
+    "incremental_merge",
+    f"""{synth.oracle_ctes()},
+ups AS ({_UPSERTS}),
+dels AS ({_DELETES})
+SELECT image_id, phash FROM tiles
+WHERE image_id NOT IN (SELECT image_id FROM ups)
+  AND image_id NOT IN (SELECT image_id FROM dels)
+UNION ALL
+SELECT image_id, phash FROM ups
+""",
+    doc="Delta-mode MERGE (upserts + deletes onto the tile snapshot) — "
+    "IncrementalSync re-expressed (incremental_sync.py:78-330, SURVEY.md "
+    "I1/O7); anti-join + union emulating Iceberg MERGE INTO.",
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.incremental import merge_delta
+
+    t = synth.tiles_df(spark, sf_dir).select("i", "image_id", "phash")
+    ups = (
+        t.where(F.expr("i % 20 = 3"))
+        .select("image_id", (F.col("phash") + 1).alias("phash"))
+        .unionByName(
+            t.where(F.expr("i % 100 = 11")).select(
+                F.expr("'img_' || lpad(CAST(i + 10000000 AS STRING), 12, '0')").alias(
+                    "image_id"
+                ),
+                (F.col("phash") + 7).alias("phash"),
+            )
+        )
+    )
+    dels = t.where(F.expr("i % 50 = 7")).select("image_id")
+    return merge_delta(
+        t.select("image_id", "phash"), ups, dels, "image_id"
+    )
