@@ -45,16 +45,17 @@ def cell_manifest(tiles: DataFrame, res: int = 9) -> DataFrame:
     """Per-cell tile counts — the golden tile-manifest query (FIXTURES.md §3).
 
     The flagship minimum-slice query from SURVEY.md §7 M1: "how many tiles
-    land in cell X". min/max image_id pin deterministic content without
-    hashing a float or an array.
+    land in cell X". min/max of the integer id pin deterministic content
+    (id order == image_id lpad order) while keeping the aggregation
+    buffers fixed-width → HashAggregate, not SortAggregate.
     """
     return (
         tile_cells(tiles, res)
         .groupBy("cell")
         .agg(
             F.count("*").alias("n_tiles"),
-            F.min("image_id").alias("first_image_id"),
-            F.max("image_id").alias("last_image_id"),
+            F.min("i").alias("first_i"),
+            F.max("i").alias("last_i"),
         )
     )
 

@@ -31,8 +31,8 @@ def _tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""{_CTES}
 SELECT {grid.cell_sql('lon', 'lat', 9)} AS cell,
        count(*) AS n_tiles,
-       min(image_id) AS first_image_id,
-       max(image_id) AS last_image_id
+       min(i) AS first_i,
+       max(i) AS last_i
 FROM tiles
 GROUP BY 1
 """,
