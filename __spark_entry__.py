@@ -37,3 +37,13 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable equivalents; keys without an oracle are omitted
     (driver records a weaker rows-only check for those)."""
     return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+if __name__ == "__main__":
+    # spark-submit entry: run the flagship query and print a result sample
+    # + row count (M9 packaging smoke).
+    spark = SparkSession.builder.getOrCreate()
+    df = entry(spark)
+    print(f"rows={df.count()}")
+    df.show(5)
+    spark.stop()

@@ -90,3 +90,43 @@ def test_spark_cell_matches_numpy_oracle(spark):
     )
     expected = grid.np_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9)
     assert np.array_equal(pdf["cell"].to_numpy(), expected)
+
+
+def test_crop_stats_window(spark):
+    """P7 partial read: crop window stats match a local numpy crop."""
+    import pandas as pd
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.sources import codec as c
+
+    df = synth.tiles_df(spark, "/root/testdata/sf0.001").limit(20)
+    df = c.attach_bytes(df)
+    out = c.crop_stats(df, 2, 2, 10, 10).select(
+        "image_id", "w", "h", "fmt", "crop_w", "crop_h", "crop_mean"
+    ).toPandas()
+    assert len(out) == 20
+    for _, r in out.iterrows():
+        px = c.synth_pixels(r["image_id"], int(r["w"]), int(r["h"]))
+        dec = c.decode_px(c.encode_px(px, r["fmt"]))
+        win = dec[2:10, 2:10]
+        assert r["crop_w"] == win.shape[1] and r["crop_h"] == win.shape[0]
+        assert abs(r["crop_mean"] - float(win.mean())) < 1e-9
+
+
+def test_canonical_sink_deterministic(spark, tmp_path):
+    """S8 golden-master discipline: two writes of the same frame produce
+    byte-identical single-file CSV."""
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.sources.sinks import write_canonical
+    import glob
+
+    df = synth.tiles_df(spark, "/root/testdata/sf0.001").select(
+        "image_id", "fmt", "phash"
+    )
+    outs = []
+    for i in (1, 2):
+        p = str(tmp_path / f"m{i}")
+        env = write_canonical(df, p, ["image_id"], fmt="csv", single_file=True)
+        assert env["rows"] == 1500
+        [f] = glob.glob(p + "/part-*.csv")
+        outs.append(open(f, "rb").read())
+    assert outs[0] == outs[1]

@@ -235,3 +235,36 @@ def synth_decode_stats_fused(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def crop_stats(df: DataFrame, x0: int, y0: int, x1: int, y1: int) -> DataFrame:
+    """Partial read (SURVEY.md P7 — read_partial_tool's [line,col]-range
+    slicing, pixel form): decode only the requested pixel window and emit
+    its stats. Out-of-range windows clamp to the image (the reference
+    clamps line ranges the same way)."""
+    extra = [
+        StructField("crop_w", LongType()),
+        StructField("crop_h", LongType()),
+        StructField("crop_mean", DoubleType()),
+    ]
+    schema = StructType(list(df.schema.fields) + extra)
+
+    def gen(batches):
+        for pdf in batches:
+            cw, ch, cm = [], [], []
+            for buf in pdf["bytes"]:
+                px = decode_px(buf)
+                h, w = px.shape[:2]
+                ax0, ay0 = min(x0, w), min(y0, h)
+                ax1, ay1 = min(x1, w), min(y1, h)
+                win = px[ay0:ay1, ax0:ax1]
+                cw.append(int(win.shape[1]))
+                ch.append(int(win.shape[0]))
+                cm.append(float(win.mean()) if win.size else 0.0)
+            pdf = pdf.copy()
+            pdf["crop_w"] = pd.array(cw, dtype="int64")
+            pdf["crop_h"] = pd.array(ch, dtype="int64")
+            pdf["crop_mean"] = cm
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)

@@ -1,0 +1,60 @@
+"""Sinks: canonical, deterministic writers (SURVEY.md S8/S9).
+
+The reference ships format-specific encoders (TOON/markdown/CSV/mermaid)
+with golden-master byte-diff tests; the engine's analog is a canonical
+write discipline: explicit column order, deterministic row order, single
+file for golden-master artifacts, path+metrics response envelopes for big
+results (S9: "large results written to disk, response returns the path").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_canonical(
+    df: DataFrame,
+    path: str,
+    order_by: list[str],
+    fmt: str = "parquet",
+    single_file: bool = False,
+) -> dict[str, Any]:
+    """Deterministic write: sorted by ``order_by`` (total order required —
+    callers pass a unique key suffix), canonical column order (sorted
+    names), golden-master-stable.
+
+    Returns the S9 envelope: path + row count, never the rows.
+    """
+    cols = sorted(df.columns)
+    out = df.select(*cols).orderBy(*order_by)
+    n = out.count()
+    writer = out.coalesce(1) if single_file else out
+    if fmt == "parquet":
+        writer.write.mode("overwrite").parquet(path)
+    elif fmt == "csv":
+        writer.write.mode("overwrite").option("header", True).csv(path)
+    elif fmt == "json":
+        writer.write.mode("overwrite").json(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+    return {"path": path, "rows": n, "format": fmt, "columns": cols}
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> dict[str, Any]:
+    """Hive-partitioned layout — the storage-side analog of partition
+    pruning (O1/O2): downstream reads with a partition-column predicate
+    scan only matching directories."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return {
+        "path": path,
+        "format": "parquet",
+        "partitioned_by": partition_cols,
+        "n_partition_dirs": sum(
+            1 for d in os.listdir(path) if "=" in d
+        ),
+    }
