@@ -62,7 +62,10 @@ def knn_join(
     """
     s = grid.cell_size(res)
     t = tile_cells(tiles, res).select("image_id", "lon", "lat", "cell")
-    t = t.persist()
+    # NOT persisted: the common case finishes in round 1, where the tile
+    # side is scanned exactly once (into the cached candidate set) — a
+    # cache materialization would cost one extra full pass. Multi-round
+    # stragglers rescan, but they carry tiny disk fan-outs.
 
     q = qpoints.select(
         "query_id",
@@ -143,7 +146,6 @@ def knn_join(
     out = out.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()
-    t.unpersist()
     return out
 
 
