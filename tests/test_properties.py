@@ -1,0 +1,103 @@
+"""Property-based tests (FIXTURES.md §5; reference tests/property/):
+random-rectangle PIP vs a pure-numpy oracle, repartition invariance,
+grid totality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tree_sitter_analyzer_spark import grid, synth
+from tree_sitter_analyzer_spark.operators import pip_join
+
+from .conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def tiles_pdf(spark):
+    return synth.tiles_df(spark, SF_TINY).select("image_id", "lon", "lat").toPandas()
+
+
+rect = st.tuples(
+    st.floats(139.4, 140.1), st.floats(35.3, 35.9),
+    st.floats(0.001, 0.08), st.floats(0.001, 0.08),
+)
+
+
+@given(rect)
+@settings(max_examples=10, deadline=None)
+def test_random_rect_pip_matches_numpy(spark, tiles_pdf, r):
+    """Two-phase cell-join PIP on a random rectangle == numpy predicate
+    (the miswire-audit target-0 invariant, SURVEY.md §5.9)."""
+    cx, cy, hw, hh = r
+    zone = spark.createDataFrame(
+        [("z0", "x", cx - hw, cx + hw, cy - hh, cy + hh)],
+        "polygon_id STRING, zkind STRING, xmin DOUBLE, xmax DOUBLE, "
+        "ymin DOUBLE, ymax DOUBLE",
+    )
+    tiles = synth.tiles_df(spark, SF_TINY)
+    got = {
+        row["image_id"]
+        for row in pip_join.pip_join(tiles, zone, res=9).select("image_id").collect()
+    }
+    lon, lat = tiles_pdf["lon"].to_numpy(), tiles_pdf["lat"].to_numpy()
+    mask = (
+        (lon >= cx - hw) & (lon < cx + hw) & (lat >= cy - hh) & (lat < cy + hh)
+    )
+    expected = set(tiles_pdf["image_id"].to_numpy()[mask])
+    assert got == expected
+
+
+@pytest.mark.parametrize("n", [1, 4, 17])
+def test_pip_join_invariant_under_repartition(spark, n):
+    tiles = synth.tiles_df(spark, SF_TINY).repartition(n)
+    zones = synth.zones_df(spark)
+    rows = (
+        pip_join.pip_join(tiles, zones, res=9)
+        .groupBy()
+        .count()
+        .collect()[0]["count"]
+    )
+    baseline = (
+        pip_join.pip_join(synth.tiles_df(spark, SF_TINY), zones, res=9).count()
+    )
+    assert rows == baseline
+
+
+@given(
+    st.floats(min_value=-179.99, max_value=179.99),
+    st.floats(min_value=-89.99, max_value=89.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_grid_totality_and_bounds(lon, lat):
+    """Every point maps to exactly one valid cell at every res (mapping
+    totality, cf. test_element_type_mapping_property.py)."""
+    for res in (0, 7, 9, 12):
+        c = int(grid.np_cell(np.array([lon]), np.array([lat]), res)[0])
+        assert c // grid.RES_MUL == res
+        ix = (c - res * grid.RES_MUL) // grid.IX_MUL
+        iy = c % grid.IX_MUL
+        assert 0 <= ix < 360 * (1 << res) + 1
+        assert 0 <= iy < 180 * (1 << res) + 1
+
+
+def test_zone_cover_is_exact_cover(spark):
+    """Every tile the exact predicate admits is in a cover cell (no false
+    negatives from the candidate phase — the LSH-guarantee direction)."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    from pyspark.sql import functions as F
+
+    exact = (
+        tiles.crossJoin(F.broadcast(zones))
+        .where(F.expr(pip_join.PIP_PREDICATE))
+        .select("image_id", "polygon_id")
+    )
+    two_phase = pip_join.pip_join(tiles, zones, res=9).select(
+        "image_id", "polygon_id"
+    )
+    assert exact.exceptAll(two_phase).count() == 0
+    assert two_phase.exceptAll(exact).count() == 0

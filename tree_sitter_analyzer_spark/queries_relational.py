@@ -348,3 +348,59 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_delta(
         t.select("image_id", "phash"), ups, dels, "image_id"
     )
+
+
+# --- F5: JSON extraction ---------------------------------------------------------
+
+@register(
+    "event_props_stats",
+    """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured JSON column extraction + agg (SURVEY.md F5 — "
+    "json_extract of the metadata blob, _ast_cache_query.py:90-94).",
+)
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --- F6: time bucketing -----------------------------------------------------------
+
+@register(
+    "monthly_order_stats",
+    """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY 1
+""",
+    doc="Calendar bucketing (SURVEY.md F6/I4): monthly order roll-up; "
+    "month emitted as a string for cross-engine hash parity.",
+)
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)")).alias(
+                "total_cents"
+            ),
+        )
+    )

@@ -178,3 +178,78 @@ def q_zone_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.zone_assignment(
         _tiles(spark, sf_dir), synth.zones_df(spark), res=9
     ).select("image_id", "caption", "zone_id")
+
+
+# --- W1: positional pseudo-classes -------------------------------------------
+
+@register(
+    "first_tile_per_cell",
+    f"""{_CTES}
+SELECT cell, image_id FROM (
+  SELECT {grid.cell_sql('lon', 'lat', 8)} AS cell, image_id,
+         row_number() OVER (PARTITION BY {grid.cell_sql('lon', 'lat', 8)}
+                            ORDER BY i) AS rn
+  FROM tiles
+) WHERE rn = 1
+""",
+    doc=":first-child positional window (hyphae/evaluator.py:316-344, "
+    "SURVEY.md W1): the first tile per res-8 cell in id order.",
+)
+def q_first_tile_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=8)
+    win = Window.partitionBy("cell").orderBy("i")
+    return (
+        t.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("cell", "image_id")
+    )
+
+
+# --- J5: containment via the cell hierarchy ------------------------------------
+
+@register(
+    "parent_cell_rollup",
+    f"""{_CTES}
+SELECT {grid.parent_sql(grid.cell_sql('lon', 'lat', 9), 9, 7)} AS parent_cell,
+       count(*) AS n_tiles,
+       count(DISTINCT {grid.cell_sql('lon', 'lat', 9)}) AS n_child_cells
+FROM tiles
+GROUP BY 1
+""",
+    doc="Containment combinator via cell hierarchy (SURVEY.md J5): res-9 "
+    "tiles rolled up to their res-7 parent — exercises parent_sql on both "
+    "engines (hierarchy consistency in SQL, not just numpy).",
+)
+def q_parent_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=9)
+    return (
+        t.withColumn("parent_cell", F.expr(grid.parent_sql("cell", 9, 7)))
+        .groupBy("parent_cell")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.countDistinct("cell").alias("n_child_cells"),
+        )
+    )
+
+
+# --- U1/U2: selector-list union with dedup -------------------------------------
+
+@register(
+    "union_hot_or_large",
+    f"""{_CTES}
+SELECT image_id, tile_kind, w, h FROM tiles WHERE i % 5 = 0
+UNION
+SELECT image_id, tile_kind, w, h FROM tiles WHERE w = 128 AND h = 128
+""",
+    doc="Selector-list union with dedup (hyphae/evaluator.py:100-136, "
+    "SURVEY.md U1/U2): hotspot tiles ∪ 128×128 tiles, UNION DISTINCT.",
+)
+def q_union_hot_or_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    a = t.where(F.expr("i % 5 = 0")).select("image_id", "tile_kind", "w", "h")
+    b = t.where((F.col("w") == 128) & (F.col("h") == 128)).select(
+        "image_id", "tile_kind", "w", "h"
+    )
+    return a.unionByName(b).dropDuplicates(["image_id"])
