@@ -253,3 +253,41 @@ def q_union_hot_or_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "tile_kind", "w", "h"
     )
     return a.unionByName(b).dropDuplicates(["image_id"])
+
+
+# --- A4: density heatmap with risk bands ---------------------------------------
+
+@register(
+    "cell_density_heatmap",
+    f"""{_CTES},
+per_cell AS (
+  SELECT {grid.cell_sql('lon', 'lat', 8)} AS cell, count(*) AS n
+  FROM tiles GROUP BY 1
+)
+SELECT CASE WHEN n >= 20 THEN 'critical' WHEN n >= 10 THEN 'high'
+            WHEN n >= 4 THEN 'medium' ELSE 'low' END AS band,
+       count(*) AS n_cells,
+       sum(n) AS n_tiles,
+       max(n) AS max_tiles
+FROM per_cell GROUP BY 1
+""",
+    doc="Density heatmap with banding (complexity_heatmap.py:193-199 "
+    "risk bands, SURVEY.md A4): per-cell counts → low/med/high/critical "
+    "bands → band histogram.",
+)
+def q_cell_density_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=8)
+    per_cell = t.groupBy("cell").agg(F.count("*").alias("n"))
+    band = F.expr(
+        "CASE WHEN n >= 20 THEN 'critical' WHEN n >= 10 THEN 'high' "
+        "WHEN n >= 4 THEN 'medium' ELSE 'low' END"
+    )
+    return (
+        per_cell.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n").alias("n_tiles"),
+            F.max("n").alias("max_tiles"),
+        )
+    )

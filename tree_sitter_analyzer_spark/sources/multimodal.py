@@ -1,0 +1,149 @@
+"""Multimodal payload plumbing: image resize, audio/video stubs.
+
+Task brief: treat image/audio/video as opaque ``binary`` columns with
+typed metadata; decode / feature-extract / resize / frame-sample as
+pandas UDFs over ``mapInPandas``. The image path is fully real (the
+deterministic codec decodes to pixels); audio/video decoders do not exist
+in this container, so those decode steps are clearly-marked
+``NotImplementedError`` stubs while the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested
+(tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .codec import HEADER, MAGIC_JPG, MAGIC_PNG, decode_px, encode_px
+
+
+# ---------------------------------------------------------------------------
+# Image: real resize (box downsample) — the thumbnail/training-resize op.
+# ---------------------------------------------------------------------------
+
+def resize_tiles(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → box-resample to (out_w, out_h) → re-encode lossless.
+
+    Nearest-neighbor index sampling (pure numpy) — deterministic across
+    executors, no interpolation-library variance (the pinned-libjpeg
+    lesson, SURVEY.md §7.3).
+    """
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("resized_bytes", BinaryType()),
+            StructField("resized_w", IntegerType()),
+            StructField("resized_h", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out, ws, hs = [], [], []
+            for buf in pdf["bytes"]:
+                px = decode_px(buf)
+                h, w = px.shape[:2]
+                yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                small = px[yi][:, xi]
+                out.append(encode_px(small, "png"))
+                ws.append(out_w)
+                hs.append(out_h)
+            pdf = pdf.copy()
+            pdf["resized_bytes"] = out
+            pdf["resized_w"] = pd.array(ws, dtype="int32")
+            pdf["resized_h"] = pd.array(hs, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio / video: typed-metadata schema + stubbed decode.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", IntegerType()),  # enum id, not a string blob
+    ]
+)
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_milli", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("codec", IntegerType()),
+    ]
+)
+
+
+def decode_audio(buf: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "audio decode requires libsndfile/ffmpeg — not present in this "
+        "container; plug the real decoder in here. The Spark plumbing "
+        "(schema, batching, feature UDF signature) is exercised with the "
+        "deterministic fake below."
+    )
+
+
+def decode_video_frames(buf: bytes, every_n: int) -> np.ndarray:
+    raise NotImplementedError(
+        "video decode requires ffmpeg — not present in this container; "
+        "plug the real frame sampler in here."
+    )
+
+
+def _fake_samples(media_id: int, n: int) -> np.ndarray:
+    """Deterministic stand-in waveform so the feature-extraction pipeline
+    is testable end-to-end without a codec library."""
+    rng = np.random.Generator(np.random.Philox(int(media_id)))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+    """Per-clip features: RMS energy + zero-crossing count over the first
+    second. ``use_fake_decoder=False`` routes through ``decode_audio``
+    (raises until a real codec is plugged in)."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rms_milli", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rms, zc = [], []
+            for mid, sr in zip(pdf["media_id"], pdf["sample_rate"]):
+                if use_fake_decoder:
+                    x = _fake_samples(int(mid), int(sr))
+                else:  # pragma: no cover - requires real codec
+                    x = decode_audio(b"")
+                rms.append(int(np.sqrt(np.mean(x * x)) * 1000))
+                zc.append(int(np.sum(np.abs(np.diff(np.signbit(x))))))
+            pdf = pdf.copy()
+            pdf["rms_milli"] = pd.array(rms, dtype="int64")
+            pdf["zero_crossings"] = pd.array(zc, dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
