@@ -210,9 +210,40 @@ def run_scaling() -> None:
     print(json.dumps(report))
 
 
+def run_weak_scaling() -> None:
+    """Weak-scaling lens: fixed work PER CORE (amplify scales with cores),
+    so perfect scaling = constant wall time. Complements the strong-scaling
+    run; on a box whose vCPUs oversubscribe physical cores this shows how
+    much of the wall-time growth is hypervisor contention."""
+    results = {}
+    for cpus, amp in ((8, 4), (32, 16)):
+        env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(amp))
+        out = subprocess.run(
+            [sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    w8, w32 = results[8]["value"], results[32]["value"]
+    eff = round(w8 / w32, 3)
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Weak-scaling run {time.strftime('%Y-%m-%d %H:%M')} — "
+            f"fixed work per core (local[8]@amplify=4 vs local[32]@amplify=16)\n\n"
+            f"| parallelism | tiles | pipeline wall (s) |\n|---|---|---|\n"
+            f"| local[8] | {results[8]['tiles']} | {w8} |\n"
+            f"| local[32] | {results[32]['tiles']} | {w32} |\n\n"
+            f"Weak-scaling efficiency (wall8/wall32, 1.0 = perfect): **{eff}**\n"
+        )
+    print(json.dumps({"weak_wall_8": w8, "weak_wall_32": w32,
+                      "weak_efficiency": eff}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--weak-scaling" in sys.argv:
+        run_weak_scaling()
     elif "--pipeline" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv \
             else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

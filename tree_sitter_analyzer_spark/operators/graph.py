@@ -122,3 +122,49 @@ SELECT v, CAST(min(d) AS INT) AS depth FROM walk GROUP BY v
 
 def union_all(frames: list[DataFrame]) -> DataFrame:
     return functools.reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def bidirectional_shortest_path(
+    spark: SparkSession, edges: DataFrame, src: int, dst: int, max_depth: int = 20
+) -> DataFrame:
+    """Meet-in-the-middle shortest path length (call_path.py:210-276,
+    SURVEY.md J7): forward BFS from ``src`` and backward BFS from ``dst``
+    (reversed edges) expand alternately; the first round where the
+    frontiers' visited sets intersect yields the minimum hop count.
+
+    Returns one row (src, dst, path_len) or zero rows if unreachable
+    within max_depth. Each side's frontier stays small → broadcast joins,
+    same scaling shape as bfs_khop but half the depth per side.
+    """
+    fwd = bfs_khop(spark, edges, [src], max_depth=(max_depth + 1) // 2)
+    rev_edges = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    bwd = bfs_khop(spark, rev_edges, [dst], max_depth=(max_depth + 1) // 2)
+    meet = (
+        fwd.select("v", F.col("depth").alias("d_fwd"))
+        .join(bwd.select("v", F.col("depth").alias("d_bwd")), "v")
+        .select((F.col("d_fwd") + F.col("d_bwd")).alias("path_len"))
+        .agg(F.min("path_len").alias("path_len"))
+        .where(F.col("path_len").isNotNull())
+    )
+    return meet.select(
+        F.lit(src).alias("src"), F.lit(dst).alias("dst"),
+        F.col("path_len").cast("int").alias("path_len"),
+    )
+
+
+def shortest_path_oracle(src: int, dst: int, max_depth: int = 20) -> str:
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql("dag")}),
+walk(v, d) AS (
+  SELECT CAST({src} AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {max_depth}
+)
+SELECT CAST({src} AS BIGINT) AS src, CAST({dst} AS BIGINT) AS dst,
+       CAST(min(d) AS INT) AS path_len
+FROM walk WHERE v = {dst}
+HAVING min(d) IS NOT NULL
+"""

@@ -34,3 +34,15 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.reach_fixpoint(spark, graph.edges_df(spark, "dag"), 0)
+
+
+@register(
+    "shortest_path",
+    graph.shortest_path_oracle(0, 1813, 20),
+    doc="Bidirectional meet-in-the-middle shortest path 0→1813 on the DAG "
+    "(call_path.py:210-276, SURVEY.md J7). Oracle: recursive CTE min depth.",
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.bidirectional_shortest_path(
+        spark, graph.edges_df(spark, "dag"), 0, 1813, 20
+    )

@@ -291,3 +291,85 @@ def q_cell_density_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_tiles"),
         )
     )
+
+
+# --- T2: cascade search with early exit ------------------------------------------
+
+CASCADE_TERM = "tile 12"
+
+
+@register(
+    "cascade_search",
+    f"""{_CTES},
+tiered AS (
+  SELECT i, image_id, caption,
+         CASE WHEN caption = '{CASCADE_TERM}' THEN 0
+              WHEN caption LIKE '{CASCADE_TERM}%' THEN 1
+              WHEN caption LIKE '%{CASCADE_TERM}%' THEN 2
+              ELSE 3 END AS tier
+  FROM tiles
+)
+SELECT tier, i, image_id FROM (
+  SELECT tier, i, image_id,
+         row_number() OVER (ORDER BY tier, i) AS rn
+  FROM tiered WHERE tier < 3
+) WHERE rn <= 20
+""",
+    doc="Cascade search with early exit (_ast_cache_search.py:23-98, "
+    "SURVEY.md T2): exact → prefix → contains tiers fill a budget of 20; "
+    "Spark evaluates tiers lazily and stops generating once filled.",
+)
+def q_cascade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir).select("i", "image_id", "caption")
+    budget = 20
+    collected: list[DataFrame] = []
+    remaining = budget
+    tiers = [
+        (0, F.col("caption") == CASCADE_TERM),
+        (1, F.col("caption").startswith(CASCADE_TERM)),
+        (2, F.col("caption").contains(CASCADE_TERM)),
+    ]
+    excluded = None
+    for tier_id, pred in tiers:
+        if remaining <= 0:
+            break  # early exit: later tiers never evaluated (T2)
+        cand = t.where(pred)
+        if excluded is not None:
+            cand = cand.join(excluded, "i", "left_anti")
+        hits = (
+            cand.orderBy("i")
+            .limit(remaining)
+            .select(F.lit(tier_id).alias("tier"), "i", "image_id")
+        )
+        hits = hits.localCheckpoint(eager=True)
+        n = hits.count()
+        collected.append(hits)
+        remaining -= n
+        excluded = (
+            hits.select("i")
+            if excluded is None
+            else excluded.unionByName(hits.select("i"))
+        )
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b), collected)
+
+
+# --- A8: gap analysis (zones with no tiles) ---------------------------------------
+
+@register(
+    "empty_zones",
+    f"""{_CTES}
+SELECT z.polygon_id, z.zkind FROM zones z
+WHERE NOT EXISTS (
+  SELECT 1 FROM tiles t WHERE t.lon >= z.xmin AND t.lon < z.xmax
+    AND t.lat >= z.ymin AND t.lat < z.ymax)
+""",
+    doc="Coverage-gap analysis (test_gap_analyzer analog, SURVEY.md A8): "
+    "zones containing zero tiles — left_anti from the zone side.",
+)
+def q_empty_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    covered = pip_join.pip_join(t, z, res=9).select("polygon_id").dropDuplicates()
+    return z.join(covered, "polygon_id", "left_anti").select("polygon_id", "zkind")
