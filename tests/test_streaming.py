@@ -151,3 +151,51 @@ def test_incremental_classify_and_merge(spark):
     assert (
         synced.exceptAll(v2.select("image_id", "phash")).count() == 0
     )
+
+
+def test_stateful_grade_regression_alerts(spark, tmp_path):
+    """I5 homeostasis: per-zone grade state across micro-batches —
+    regression emits an alert; cooldown suppresses an immediate repeat."""
+    import os
+
+    from tree_sitter_analyzer_spark.streaming.homeostasis import grade_regressions
+
+    src = str(tmp_path / "grades")
+    os.makedirs(src)
+    schema = "zone_id string, grade int"
+
+    def write_batch(rows, n):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    alerts = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            grade_regressions(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: alerts.extend(
+                    r.asDict() for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch([("z1", 80), ("z2", 90)], 1)
+    run_once()  # establishes baseline state, no alerts
+    baseline_alerts = len(alerts)
+
+    write_batch([("z1", 60), ("z2", 90)], 2)
+    run_once()  # z1 regressed 80 → 60
+    assert len(alerts) == baseline_alerts + 1
+    assert alerts[-1]["zone_id"] == "z1"
+    assert alerts[-1]["prev_grade"] == 80 and alerts[-1]["new_grade"] == 60
+
+    write_batch([("z1", 50)], 3)
+    run_once()  # still in cooldown → suppressed
+    assert len(alerts) == baseline_alerts + 1
