@@ -128,12 +128,19 @@ def run_pipeline_job(cpus: int) -> dict:
 
 
 def _control_work(n: int) -> int:
-    # Module-level so multiprocessing can pickle it.
+    # Module-level so multiprocessing can pickle it. The kernel MUST match
+    # the fused extractor (codec.synth_decode_stats_fused) op-for-op —
+    # synth → encode → decode → phash → psnr → mean/std — or the control
+    # misstates the hardware ceiling for the actual workload.
     from tree_sitter_analyzer_spark.sources import codec
 
     for i in range(n):
-        px = codec.synth_pixels(f"img_{i:012d}", 64, 64)
-        codec.phash64(codec.decode_px(codec.encode_px(px, "jpeg")))
+        orig = codec.synth_pixels(f"img_{i:012d}", 64, 64)
+        px = codec.decode_px(codec.encode_px(orig, "jpeg"))
+        codec.phash64(px)
+        codec.psnr(orig, px)
+        float(px.mean())
+        float(px.std())
     return n
 
 

@@ -93,3 +93,29 @@ def test_simhash_separates_similarity(spark):
     close_avg = close.agg(F.avg("jac_milli")).collect()[0][0]
     assert close.count() > 0
     assert close_avg > base_avg + 50, (close_avg, base_avg)
+
+
+def test_ivf_unprobed_equals_brute(spark):
+    """n_probe = n_centroids → every bucket probed → exact brute result
+    (ranking identical, including ranks)."""
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ann_brute_topk(_emb(spark), 5, 5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ann_ivf_topk(
+            _emb(spark), 5, 5, n_centroids=16, n_probe=16
+        ).collect()
+    }
+    assert full == brute
+
+
+def test_ivf_probe_recall(spark):
+    brute = _brute_pairs(spark)
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ann_ivf_topk(_emb(spark), 5, 5).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall}"

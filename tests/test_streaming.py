@@ -75,8 +75,7 @@ def test_standing_query_emits_deltas(spark, tmp_path):
     src = str(tmp_path / "tiles_src")
     os.makedirs(src)
     tiles = synth.tiles_df(spark, SF_TINY).select("image_id", "lon", "lat")
-    first, second = tiles.where("i % 2 = 0" if False else "1=1").limit(0), None
-    # write batch 1 (half) and keep batch 2 for later
+    # batch 1 = a deterministic half of the tiles; batch 2 = the rest
     half = tiles.where(F.expr("pmod(crc32(image_id), 2) = 0"))
     rest = tiles.join(half.select("image_id"), "image_id", "left_anti")
 

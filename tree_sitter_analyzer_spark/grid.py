@@ -75,8 +75,6 @@ def parent_sql(cell: str, res: int, parent_res: int) -> str:
         raise ValueError("parent_res must be <= res")
     d = 1 << (res - parent_res)
     ix = f"CAST(floor(((({cell}) - {res * RES_MUL}) / {IX_MUL}) / {d}) AS BIGINT)"
-    iy = f"(({cell}) % {IX_MUL} - (({cell}) % {IX_MUL}) % {d}) / {d}"
-    # iy above stays exact integer math; wrap in CAST for a BIGINT result.
     iy = f"CAST(floor((({cell}) % {IX_MUL}) / {d}) AS BIGINT)"
     return f"({parent_res} * {RES_MUL} + {ix} * {IX_MUL} + {iy})"
 

@@ -166,3 +166,103 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos_micro")
     )
+
+
+# --- IVF variant (coarse quantizer buckets; Spark-only, recall-tested) -------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _assignments(emb: DataFrame, n_centroids: int) -> tuple[DataFrame, DataFrame]:
+    """(centroids, vector→centroid assignment) by max quantized cosine.
+
+    Centroids are the first ``n_centroids`` vectors — a deterministic
+    stand-in for a k-means coarse quantizer (swap in Spark ML KMeans on a
+    sampled fraction at production scale; the bucketing/probing mechanics
+    are identical)."""
+    q = _quantized(emb)
+    cents = (
+        q.where(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("qa"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    scored = (
+        q.select(F.col("vec_id"), F.col("qv").alias("ca"), F.col("nrm").alias("cn"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos", F.expr("dot / sqrt(CAST(qn AS DOUBLE) * cn)")
+        )
+    )
+    win = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "centroid_id")
+    assign = (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    return cents, assign
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN: vectors bucketed by nearest coarse centroid; each query
+    probes its ``n_probe`` closest centroids' buckets only, then exact
+    quantized-cosine rerank (candidate-gen → verify, SURVEY.md O4).
+
+    ``n_probe == n_centroids`` degenerates to exact brute force (asserted
+    in tests); recall at the default probe width is measured vs brute.
+    At 10^12 rows: partition the table by centroid_id (Iceberg bucket) so
+    a probe reads only matching partitions.
+    """
+    q = _quantized(emb)
+    cents, assign = _assignments(emb, n_centroids)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    # which buckets each query probes
+    probe_scored = (
+        queries.crossJoin(F.broadcast(cents.withColumnRenamed("qa", "ca")
+                                      .withColumnRenamed("qn", "cn")))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("cos", F.expr("dot / sqrt(CAST(qn AS DOUBLE) * cn)"))
+    )
+    pwin = Window.partitionBy("query_id").orderBy(F.desc("cos"), "centroid_id")
+    probes = (
+        probe_scored.withColumn("rk", F.row_number().over(pwin))
+        .where(F.col("rk") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand_ids = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .select("query_id", "vec_id")
+    )
+    cands = cand_ids.join(
+        q.select("vec_id", F.col("qv").alias("ca"), F.col("nrm").alias("cn")),
+        "vec_id",
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr("CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn)) AS BIGINT)"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_micro")
+    )

@@ -141,3 +141,14 @@ def q_doc_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.zone_quality_rollup(
         textstats.text_stats(_docs(spark, sf_dir))
     )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate — exactness when unprobed + recall vs brute in tests
+    doc="IVF-bucketed ANN top-5 (coarse-quantizer buckets + probe-P "
+    "search + exact rerank; the 10^12-row scale path with Iceberg "
+    "bucket-partitioning by centroid).",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir), 5, 5)
