@@ -101,3 +101,36 @@ def test_zone_cover_is_exact_cover(spark):
     )
     assert exact.exceptAll(two_phase).count() == 0
     assert two_phase.exceptAll(exact).count() == 0
+
+
+def test_convex_pip_matches_numpy(spark):
+    """Convex-hexagon two-phase PIP == numpy half-plane oracle on every
+    tile × polygon pair (the full-fidelity miswire audit for polygons)."""
+    import pandas as pd
+
+    from tree_sitter_analyzer_spark.operators.pip_join import pip_convex_join
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    pz = synth.poly_zones_df(spark)
+    got = {
+        (r["polygon_id"], r["image_id"])
+        for r in pip_convex_join(tiles, pz, res=9)
+        .select("polygon_id", "image_id")
+        .collect()
+    }
+    tp = tiles.select("image_id", "lon", "lat").toPandas()
+    zp = pz.toPandas()
+    k = 6
+    expected = set()
+    lon, lat = tp["lon"].to_numpy(), tp["lat"].to_numpy()
+    for _, z in zp.iterrows():
+        inside = np.ones(len(tp), dtype=bool)
+        for m in range(k):
+            n = (m + 1) % k
+            cross = (z[f"x{n}"] - z[f"x{m}"]) * (lat - z[f"y{m}"]) - (
+                z[f"y{n}"] - z[f"y{m}"]
+            ) * (lon - z[f"x{m}"])
+            inside &= cross >= 0
+        for iid in tp["image_id"].to_numpy()[inside]:
+            expected.add((z["polygon_id"], iid))
+    assert got == expected and len(got) > 0

@@ -105,3 +105,46 @@ def pip_oracle_join_sql() -> str:
         "tiles t JOIN zones z ON t.lon >= z.xmin AND t.lon < z.xmax "
         "AND t.lat >= z.ymin AND t.lat < z.ymax"
     )
+
+
+def poly_cover(poly_zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Covering cell set of a convex polygon via its bounding box —
+    LEAST/GREATEST over the vertex columns (superset cover; the exact
+    half-plane verify removes bbox-only candidates). A tighter cover
+    (edge-walk rasterization) drops in here without touching callers."""
+    from .. import synth
+
+    k = len([c for c in poly_zones.columns if c.startswith("x")])
+    xs = ", ".join(f"x{m}" for m in range(k))
+    ys = ", ".join(f"y{m}" for m in range(k))
+    z = (
+        poly_zones.withColumn("_xmin", F.expr(f"LEAST({xs})"))
+        .withColumn("_xmax", F.expr(f"GREATEST({xs})"))
+        .withColumn("_ymin", F.expr(f"LEAST({ys})"))
+        .withColumn("_ymax", F.expr(f"GREATEST({ys})"))
+    )
+    ix_min = grid.ix_col("_xmin", res)
+    ix_max = grid.ix_col("_xmax", res)
+    iy_min = grid.iy_col("_ymin", res)
+    iy_max = grid.iy_col("_ymax", res)
+    return (
+        z.withColumn("ix", F.explode(F.sequence(ix_min, ix_max)))
+        .withColumn("iy", F.explode(F.sequence(iy_min, iy_max)))
+        .withColumn("cell", F.expr(grid.cell_from_ixiy_sql("ix", "iy", res)))
+        .drop("ix", "iy", "_xmin", "_xmax", "_ymin", "_ymax")
+    )
+
+
+def pip_convex_join(
+    tiles: DataFrame, poly_zones: DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Two-phase PIP against TRUE convex polygons: bbox-cell candidates →
+    exact half-plane verification (cross-product signs, pure arithmetic —
+    still no UDF, still DuckDB-checkable)."""
+    from .. import synth
+
+    t = tile_cells(tiles, res)
+    zc = F.broadcast(poly_cover(poly_zones, res))
+    return t.join(zc, "cell").where(
+        F.expr(synth.convex_pip_predicate("lon", "lat"))
+    )

@@ -373,3 +373,24 @@ def q_empty_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = synth.zones_df(spark)
     covered = pip_join.pip_join(t, z, res=9).select("polygon_id").dropDuplicates()
     return z.join(covered, "polygon_id", "left_anti").select("polygon_id", "zkind")
+
+
+# --- M2b: TRUE convex-polygon PIP ------------------------------------------------
+
+@register(
+    "pip_convex",
+    f"""{_CTES},
+pz AS ({synth.poly_zones_sql()})
+SELECT z.polygon_id, t.image_id, t.tile_kind
+FROM tiles t JOIN pz z ON {synth.convex_pip_predicate('t.lon', 't.lat')}
+""",
+    doc="Point-in-CONVEX-POLYGON join (hexagon zones): bbox-cell candidate "
+    "phase + exact half-plane verify — the north rule's polygon layer "
+    "beyond rectangles, still UDF-free and oracle-checkable.",
+)
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    pz = synth.poly_zones_df(spark)
+    return pip_join.pip_convex_join(t, pz, res=9).select(
+        "polygon_id", "image_id", "tile_kind"
+    )

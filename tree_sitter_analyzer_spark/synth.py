@@ -227,3 +227,64 @@ def oracle_ctes() -> str:
         f"zones AS (\n{zones_sql()}\n),\n"
         f"qpoints AS (\n{qpoints_sql()}\n)"
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon zones — 100 convex hexagons; true polygon geometry (not rects).
+# Vertex directions are PYTHON-computed literal doubles (no SQL trig — cos/
+# sin could differ by ulps across engines; literals parse identically).
+# ---------------------------------------------------------------------------
+
+N_POLY_ZONES = 100
+_HEX_K = 6
+
+import math as _math
+
+# unit directions for a slightly irregular hexagon, fixed at import time
+_HEX_DIRS = [
+    (_math.cos(2 * _math.pi * m / _HEX_K + 0.3), _math.sin(2 * _math.pi * m / _HEX_K + 0.3))
+    for m in range(_HEX_K)
+]
+
+
+def poly_zone_exprs(j: str = "j") -> dict[str, str]:
+    """Convex hexagon per zone: center from the LCG, per-vertex radius
+    jitter (0.6–1.0 of base) keeps it convex (radial polygons around a
+    center are always convex when angles are sorted)."""
+    cx = f"({dlit(LON0)} + {u01(f'7*({j})+13', 48271)} * {dlit(LON_SPAN)})"
+    cy = f"({dlit(LAT0)} + {u01(f'7*({j})+13', 16807)} * {dlit(LAT_SPAN)})"
+    base_r = f"(0.006e0 + {u01(f'({j})+555', 69621)} * 0.025e0)"
+    cols: dict[str, str] = {
+        "polygon_id": f"('hex_' || lpad(CAST({j} AS STRING), 5, '0'))",
+    }
+    for m, (ux, uy) in enumerate(_HEX_DIRS):
+        r_m = f"({base_r} * (0.6e0 + {u01(f'({j})*11+{m}', 40692)} * 0.4e0))"
+        cols[f"x{m}"] = f"({cx} + {r_m} * {dlit(ux)})"
+        cols[f"y{m}"] = f"({cy} + {r_m} * {dlit(uy)})"
+    return cols
+
+
+def poly_zones_sql() -> str:
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in poly_zone_exprs("j").items())
+    return f"SELECT\n  j,\n  {cols}\nFROM range({N_POLY_ZONES}) AS t(j)"
+
+
+def poly_zones_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_POLY_ZONES).select(
+        F.col("id").alias("j"),
+        *[F.expr(f"{e} AS {n}") for n, e in poly_zone_exprs("id").items()],
+    )
+
+
+def convex_pip_predicate(px: str, py: str, k: int = _HEX_K) -> str:
+    """Point-in-convex-polygon: the point lies on the interior side of
+    every directed edge (counterclockwise vertices → cross product ≥ 0).
+    Pure arithmetic — identical in Spark SQL and DuckDB. Half-open
+    semantics via >= 0 on all edges (boundary points included)."""
+    terms = []
+    for m in range(k):
+        n = (m + 1) % k
+        terms.append(
+            f"((x{n} - x{m}) * (({py}) - y{m}) - (y{n} - y{m}) * (({px}) - x{m}) >= 0e0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
