@@ -119,3 +119,29 @@ def test_ivf_probe_recall(spark):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_gini_udaf_matches_numpy(spark):
+    """X4 grouped-agg pandas UDAF vs local numpy oracle per zone."""
+    import numpy as np
+
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators.custom_agg import (
+        gini_np,
+        zone_area_inequality,
+    )
+    from tree_sitter_analyzer_spark.operators.pip_join import pip_join
+
+    matched = pip_join(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark), res=9
+    )
+    got = {
+        r["polygon_id"]: (r["n_tiles"], r["area_gini"])
+        for r in zone_area_inequality(matched).collect()
+    }
+    pdf = matched.select("polygon_id", "w", "h").toPandas()
+    pdf["pixels"] = pdf["w"].astype(float) * pdf["h"]
+    for pid, grp in pdf.groupby("polygon_id"):
+        n, g = got[pid]
+        assert n == len(grp)
+        assert abs(g - gini_np(grp["pixels"].to_numpy())) < 1e-12

@@ -1,0 +1,52 @@
+"""Custom aggregation surface (SURVEY.md X4): grouped-agg pandas UDF.
+
+The reference's UDAF-like accumulators (complexity node-walk counting,
+``complexity_heatmap.py:207-220``) mostly decompose into per-row metrics +
+built-in aggs — the preferred path everywhere else in this engine. This
+module covers the residual class: aggregates with no built-in equivalent,
+via ``pandas_udf`` GROUPED_AGG (Arrow-batched per group).
+
+Example: Gini coefficient of tile pixel-area distribution per zone — an
+inequality measure needing a full sorted pass over the group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def gini_np(values: np.ndarray) -> float:
+    """Gini coefficient via the sorted-rank identity; 0 = equal, →1 =
+    concentrated. Shared by the UDAF and the test oracle."""
+    x = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(x)
+    if n == 0 or x.sum() == 0:
+        return 0.0
+    ranks = np.arange(1, n + 1)
+    return float((2.0 * (ranks * x).sum() / (n * x.sum())) - (n + 1.0) / n)
+
+
+@pandas_udf("double")
+def gini_udaf(v: pd.Series) -> float:  # GROUPED_AGG: Series in, scalar out
+    return gini_np(v.to_numpy())
+
+
+def zone_area_inequality(matched: DataFrame) -> DataFrame:
+    """Per-zone Gini of tile pixel areas over a PIP join result —
+    the weighted-score roll-up shape of health_scorer.py with a custom
+    aggregate in place of the built-ins."""
+    with_area = matched.withColumn(
+        "pixels", (F.col("w").cast("double") * F.col("h"))
+    )
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg — run them side by side and join on the group key (the count
+    # side is a broadcast-sized frame).
+    gini = with_area.groupBy("polygon_id").agg(
+        gini_udaf(F.col("pixels")).alias("area_gini")
+    )
+    counts = with_area.groupBy("polygon_id").agg(F.count("*").alias("n_tiles"))
+    return counts.join(gini, "polygon_id")

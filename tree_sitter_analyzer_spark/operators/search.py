@@ -1,0 +1,144 @@
+"""Ranked text search: token-overlap prefilter → cosine rerank (T1/T6).
+
+Re-expresses the reference's two-phase semantic search
+(``semantic_search.py:26-60``: BM25 narrows the pool, token-vector cosine
+reranks) over document text:
+
+1. candidate phase — inverted-index style: explode query terms, join on
+   token equality, score candidates by matched-term count with an
+   IDF-like weight (rarer tokens score higher);
+2. over-fetch k·4 candidates (the reference's ``k*4 (min k+50)`` rule,
+   ``_ast_cache_query.py:169-175``);
+3. exact rerank — quantized cosine over full token-count vectors
+   (intersection-weighted dot product), then ``row_number() <= k``.
+
+Everything is joins + window functions — token-equality joins ARE the
+inverted index at scale (shuffle co-partitions by token; hot tokens are
+the skew case → stopword-style frequency cap, the reference's noise
+blacklist P5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Tokens appearing in more than this fraction of docs carry no signal —
+# the noise-symbol suppression analog (_codegraph_query_selection.py:24-47).
+MAX_DOC_FREQ = 0.5
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) term frequencies."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def search_captions(
+    docs: DataFrame, query: str, k: int = 10, overfetch: int = 4
+) -> DataFrame:
+    """Top-k docs for a whitespace query string.
+
+    Returns (rank, doc_id, n_matched, score_micro) — integers only, fully
+    deterministic (ties → doc_id).
+    """
+    n_docs = docs.count()
+    toks = _doc_tokens(docs)
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    toks = toks.join(df, "tok").where(F.col("df") <= int(MAX_DOC_FREQ * n_docs))
+
+    q_terms = sorted(set(t for t in query.split() if t))
+    qdf = docs.sparkSession.createDataFrame(
+        [(t,) for t in q_terms], "tok string"
+    )
+
+    # phase 1: candidate scoring by rarity-weighted matched-term count.
+    cand = (
+        toks.join(F.broadcast(qdf), "tok")
+        # reciprocal-df weight instead of ln-IDF: same monotonicity, but
+        # pure rational arithmetic — ln() can differ by 1 ulp between the
+        # JVM and libm, which would break cross-engine floor() parity.
+        .withColumn("idf_milli", F.expr("CAST(floor(1000000e0 / df) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum(F.col("idf_milli") * F.col("tf")).alias("prescore"),
+        )
+    )
+    pool = cand.orderBy(F.desc("prescore"), "doc_id").limit(max(k * overfetch, k + 50))
+
+    # phase 2: exact rerank — cosine between the query's term-count vector
+    # (all 1s) and the doc's tf vector restricted to query terms, against
+    # the doc's full tf norm. Quantized to micro units.
+    doc_norm = toks.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    dots = (
+        toks.join(F.broadcast(qdf), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dot"))
+    )
+    reranked = (
+        pool.join(dots, "doc_id")
+        .join(doc_norm, "doc_id")
+        .withColumn(
+            "score_micro",
+            F.expr(
+                f"CAST(floor(1e6 * dot / sqrt(CAST(norm2 AS DOUBLE) * {len(q_terms)}e0)) AS BIGINT)"
+            ),
+        )
+    )
+    win = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "n_matched", "score_micro")
+    )
+
+
+def search_captions_oracle(query: str, k: int = 10, overfetch: int = 4) -> str:
+    q_terms = sorted(set(t for t in query.split() if t))
+    q_values = ", ".join(f"('{t}')" for t in q_terms)
+    pool_n = max(k * overfetch, k + 50)
+    return f"""
+WITH toks_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+toks0 AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks_raw WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks0 GROUP BY tok),
+toks AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df FROM toks0 t JOIN dfreq d USING (tok)
+  WHERE d.df <= (SELECT CAST({MAX_DOC_FREQ}e0 * n_docs AS BIGINT) FROM n)
+),
+qterms(tok) AS (VALUES {q_values}),
+cand AS (
+  SELECT doc_id, count(*) AS n_matched,
+         sum(CAST(floor(1000000e0 / df) AS BIGINT) * tf) AS prescore
+  FROM toks JOIN qterms USING (tok) GROUP BY doc_id
+),
+pool AS (SELECT * FROM cand ORDER BY prescore DESC, doc_id LIMIT {pool_n}),
+doc_norm AS (SELECT doc_id, sum(tf * tf) AS norm2 FROM toks GROUP BY doc_id),
+dots AS (
+  SELECT doc_id, sum(tf) AS dot FROM toks JOIN qterms USING (tok) GROUP BY doc_id
+)
+SELECT rank, doc_id, n_matched, score_micro FROM (
+  SELECT p.doc_id, p.n_matched,
+         CAST(floor(1e6 * d.dot / sqrt(CAST(nm.norm2 AS DOUBLE) * {len(q_terms)}e0)) AS BIGINT)
+           AS score_micro,
+         row_number() OVER (
+           ORDER BY CAST(floor(1e6 * d.dot / sqrt(CAST(nm.norm2 AS DOUBLE) * {len(q_terms)}e0)) AS BIGINT) DESC,
+                    p.doc_id) AS rank
+  FROM pool p JOIN dots d USING (doc_id) JOIN doc_norm nm USING (doc_id)
+) WHERE rank <= {k}
+"""

@@ -152,3 +152,22 @@ def q_doc_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(_emb(spark, sf_dir), 5, 5)
+
+
+# --- T1/T6: ranked text search ---------------------------------------------------
+
+from .operators import search as search_ops
+
+SEARCH_QUERY = "spark filter window join"
+
+
+@register(
+    "caption_search",
+    search_ops.search_captions_oracle(SEARCH_QUERY, 10),
+    doc="Two-phase ranked search (semantic_search.py:26-60, SURVEY.md "
+    "T1/T6): token-overlap candidate phase with doc-freq weighting and "
+    "noise-token suppression → over-fetch ×4 → exact cosine rerank → "
+    "top-10.",
+)
+def q_caption_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.search_captions(_docs(spark, sf_dir), SEARCH_QUERY, 10)
