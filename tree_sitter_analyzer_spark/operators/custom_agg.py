@@ -30,9 +30,14 @@ def gini_np(values: np.ndarray) -> float:
     return float((2.0 * (ranks * x).sum() / (n * x.sum())) - (n + 1.0) / n)
 
 
-@pandas_udf("double")
-def gini_udaf(v: pd.Series) -> float:  # GROUPED_AGG: Series in, scalar out
+def _gini_series(v: pd.Series) -> float:  # GROUPED_AGG: Series in, scalar out
     return gini_np(v.to_numpy())
+
+
+def gini_udaf_col():
+    # Built lazily: a module-level @pandas_udf would re-register on worker
+    # import, where no SparkContext exists.
+    return pandas_udf(_gini_series, "double")
 
 
 def zone_area_inequality(matched: DataFrame) -> DataFrame:
@@ -46,7 +51,7 @@ def zone_area_inequality(matched: DataFrame) -> DataFrame:
     # one agg — run them side by side and join on the group key (the count
     # side is a broadcast-sized frame).
     gini = with_area.groupBy("polygon_id").agg(
-        gini_udaf(F.col("pixels")).alias("area_gini")
+        gini_udaf_col()(F.col("pixels")).alias("area_gini")
     )
     counts = with_area.groupBy("polygon_id").agg(F.count("*").alias("n_tiles"))
     return counts.join(gini, "polygon_id")
