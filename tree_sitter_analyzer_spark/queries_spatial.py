@@ -394,3 +394,34 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join.pip_convex_join(t, pz, res=9).select(
         "polygon_id", "image_id", "tile_kind"
     )
+
+
+# --- S7: budgeted batch read (byte cap via running-sum window) ---------------------
+
+@register(
+    "byte_budget_batch",
+    f"""{_CTES}
+SELECT i, image_id, caption_bytes, running_bytes FROM (
+  SELECT i, image_id,
+         strlen(caption) AS caption_bytes,
+         sum(strlen(caption)) OVER (ORDER BY i
+           ROWS UNBOUNDED PRECEDING) AS running_bytes
+  FROM tiles
+) WHERE running_bytes <= 4096
+""",
+    doc="Budgeted batch read (batch_executor.py:13-20 hard byte caps, "
+    "SURVEY.md S7): rows admitted in id order until the cumulative payload "
+    "hits the byte budget — running-sum window, exact cutoff.",
+)
+def q_byte_budget_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _tiles(spark, sf_dir).withColumn(
+        "caption_bytes", F.expr("octet_length(caption)")
+    )
+    run = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.withColumn("running_bytes", F.sum("caption_bytes").over(run))
+        .where(F.col("running_bytes") <= 4096)
+        .select("i", "image_id", "caption_bytes", "running_bytes")
+    )
