@@ -49,3 +49,26 @@ def test_cell_histogram_shape(spark):
     hist = skew.cell_histogram(t).collect()
     assert sum(r["n_tiles"] for r in hist) == 1500
     assert len(hist) >= 2  # multiple magnitude buckets = real spread
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """A10: the HLL++ sketch path stays within its declared error of the
+    exact per-zone distinct counts."""
+    from tree_sitter_analyzer_spark.operators.zonal import (
+        zonal_stats,
+        zonal_stats_approx,
+    )
+
+    zones = synth.zones_df(spark)
+    tiles = synth.tiles_df(spark, SF_TINY)
+    exact = {
+        r["polygon_id"]: r["n_distinct_phash"]
+        for r in zonal_stats(tiles, zones).collect()
+    }
+    approx = {
+        r["polygon_id"]: r["n_distinct_phash_approx"]
+        for r in zonal_stats_approx(tiles, zones, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for pid, ex in exact.items():
+        assert abs(approx[pid] - ex) <= max(2, 0.1 * ex), (pid, ex, approx[pid])

@@ -114,3 +114,19 @@ def zone_assignment(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFra
     # `best` scales with the tile count — NOT broadcastable; this is the
     # one legitimate big-side shuffle (keyed MERGE-back), AQE-coalesced.
     return tiles.join(best, "image_id", "left")
+
+
+def zonal_stats_approx(tiles: DataFrame, zones: DataFrame, res: int = 9,
+                       rsd: float = 0.02) -> DataFrame:
+    """zonal_stats with approx_count_distinct (SURVEY.md A10): at 10^12
+    rows the exact per-zone distinct forces a full expand+shuffle of every
+    matched row; HyperLogLog++ keeps it one pass with bounded sketch
+    state. rsd=2% default."""
+    matched = pip_join(tiles, zones, res=res)
+    return (
+        matched.groupBy("polygon_id", "zkind")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.approx_count_distinct("phash", rsd).alias("n_distinct_phash_approx"),
+        )
+    )
