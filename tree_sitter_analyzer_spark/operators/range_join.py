@@ -1,0 +1,55 @@
+"""Interval / range joins via bucket binning (SURVEY.md J12).
+
+Spark has no native band join; the engine pattern is the same trick as the
+grid cells: bin the range key (``bucket = floor(x / width)``), equi-join
+on the bucket (candidates), exact range predicate verifies (O4 again —
+the grid IS a 2-D range join).
+
+A row within ±W of a target can only live in the target's bucket or an
+adjacent one when bucket width = W, so each left row joins ≤3 buckets —
+explode 3 bucket keys on the smaller side, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_events_orders(
+    events: DataFrame, orders: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """Pairs (order, event) whose timestamps lie within ``window_s``
+    seconds of each other. Buckets of width = window on epoch seconds;
+    the orders side explodes into (b-1, b, b+1).
+    """
+    ev = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
+    ).withColumn("bucket", F.expr(f"CAST(floor(ev_us / ({window_s}e0 * 1e6)) AS BIGINT)"))
+    od = orders.select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(od_us / ({window_s}e0 * 1e6)) AS BIGINT) - 1, "
+                f"CAST(floor(od_us / ({window_s}e0 * 1e6)) AS BIGINT) + 1)"
+            )
+        ),
+    )
+    return (
+        ev.join(od, "bucket")
+        .where(F.expr(f"abs(ev_us - od_us) <= {window_s}e0 * 1e6"))
+        .select("o_orderkey", "event_id")
+        .dropDuplicates(["o_orderkey", "event_id"])
+    )
+
+
+def interval_join_oracle(window_s: int = 3600) -> str:
+    return f"""
+SELECT DISTINCT o.o_orderkey, e.event_id
+FROM orders o JOIN events e
+  ON abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= {window_s}e0 * 1e6
+"""

@@ -404,3 +404,56 @@ def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- J12: interval / range join ---------------------------------------------------
+
+@register(
+    "interval_join",
+    None,  # set below to keep operator module single-sourced
+    doc="Interval join (orders ↔ events within ±1 h): bucket-binned "
+    "candidates + exact range verify — the band-join pattern Spark lacks "
+    "natively (SURVEY.md J12; same trick as the grid cells).",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.range_join import interval_join_events_orders
+
+    return interval_join_events_orders(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"), 3600
+    )
+
+
+from .operators.range_join import interval_join_oracle as _ijo
+from .registry import REGISTRY as _REG
+
+_REG["interval_join"].oracle = _ijo(3600)
+
+
+# --- pivot -------------------------------------------------------------------------
+
+@register(
+    "order_status_pivot",
+    """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Pivot: order counts by priority × status (guide 'pivot/unpivot'; "
+    "Spark .pivot() vs portable conditional-agg oracle).",
+)
+def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("bigint").alias("F"),
+            F.col("O").cast("bigint").alias("O"),
+            F.col("P").cast("bigint").alias("P"),
+        )
+    )
