@@ -145,3 +145,28 @@ def test_gini_udaf_matches_numpy(spark):
         n, g = got[pid]
         assert n == len(grp)
         assert abs(g - gini_np(grp["pixels"].to_numpy())) < 1e-12
+
+
+def test_grouped_map_zscore_matches_numpy(spark):
+    """Grouped-map applyInPandas vs a local per-group numpy oracle."""
+    import numpy as np
+
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators.custom_agg import per_zone_zscore
+    from tree_sitter_analyzer_spark.operators.pip_join import pip_join
+
+    matched = pip_join(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark), res=9
+    )
+    got = {
+        (r["polygon_id"], r["image_id"]): r["area_z_milli"]
+        for r in per_zone_zscore(matched).collect()
+    }
+    pdf = matched.select("polygon_id", "image_id", "w", "h").toPandas()
+    pdf["area"] = pdf["w"].astype(float) * pdf["h"]
+    for pid, grp in pdf.groupby("polygon_id"):
+        a = grp["area"].to_numpy()
+        mu, sd = a.mean(), a.std()
+        z = np.zeros(len(a)) if sd == 0 else (a - mu) / sd
+        for iid, zz in zip(grp["image_id"], z):
+            assert got[(pid, iid)] == int(np.floor(zz * 1000))

@@ -55,3 +55,35 @@ def zone_area_inequality(matched: DataFrame) -> DataFrame:
     )
     counts = with_area.groupBy("polygon_id").agg(F.count("*").alias("n_tiles"))
     return counts.join(gini, "polygon_id")
+
+
+def per_zone_zscore(matched: DataFrame) -> DataFrame:
+    """Grouped-map applyInPandas (the last UDF family, cf. guide): per
+    zone, z-score each tile's pixel area against the zone distribution —
+    whole-group-in/whole-group-out transforms that window functions can't
+    express when the per-row output needs group-level numpy work.
+
+    Output adds ``area_z_milli`` (int for determinism: floor(1000·z))."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("polygon_id", matched.schema["polygon_id"].dataType),
+            StructField("image_id", matched.schema["image_id"].dataType),
+            StructField("area_z_milli", LongType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        area = (pdf["w"].astype("float64") * pdf["h"]).to_numpy()
+        mu, sd = area.mean(), area.std()
+        z = np.zeros(len(area)) if sd == 0 else (area - mu) / sd
+        return pd.DataFrame(
+            {
+                "polygon_id": pdf["polygon_id"],
+                "image_id": pdf["image_id"],
+                "area_z_milli": np.floor(z * 1000).astype("int64"),
+            }
+        )
+
+    return matched.groupBy("polygon_id").applyInPandas(zscore, schema)
