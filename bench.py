@@ -169,18 +169,25 @@ def run_scaling() -> None:
     # Identical (amplified) input at both parallelism levels.
     amp = os.environ.get("SPARK_GRAFT_AMPLIFY", "16")
     env = dict(os.environ, SPARK_GRAFT_AMPLIFY=amp)
+    # Best-of-2 at each level (pipeline AND control): the box shows ±10-20%
+    # co-tenant noise between identical runs; min-wall measures the engine.
     results = {}
     for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
-            capture_output=True, text=True, check=True, env=env,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for _attempt in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[cpus] = best
     thr8 = results[8]["tiles_plus_join_rows_per_sec"]
     thr32 = results[32]["tiles_plus_join_rows_per_sec"]
-    ctl8 = _mp_control(8)
-    ctl32 = _mp_control(32)
+    ctl8 = max(_mp_control(8), _mp_control(8))
+    ctl32 = max(_mp_control(32), _mp_control(32))
     speedup = round(thr32 / thr8, 3)
     ctl_speedup = round(ctl32 / ctl8, 3)
     eff = round(speedup / 4.0, 3)

@@ -185,7 +185,7 @@ def simhash_dups(docs: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataF
         )
         .withColumn(
             "hamming",
-            F.expr("bit_count(a.simhash ^ b.simhash)"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"),
         )
         .where(F.col("hamming") <= max_hamming)
         .select(
@@ -279,7 +279,7 @@ sums AS (
 ),
 sh AS (SELECT doc_id, lang, {sim} AS simhash FROM sums)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """

@@ -149,7 +149,8 @@ def bidirectional_shortest_path(
         .where(F.col("path_len").isNotNull())
     )
     return meet.select(
-        F.lit(src).alias("src"), F.lit(dst).alias("dst"),
+        F.lit(src).cast("bigint").alias("src"),
+        F.lit(dst).cast("bigint").alias("dst"),
         F.col("path_len").cast("int").alias("path_len"),
     )
 

@@ -140,7 +140,7 @@ def knn_join(
     combined = functools.reduce(lambda a, b: a.unionByName(b), results)
     out = combined.withColumn(
         "dist2_nano", F.expr("CAST(floor(dist2 * 1e12) AS BIGINT)")
-    ).select("query_id", "rank", "image_id", "dist2_nano")
+    ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "image_id", "dist2_nano")
     # Materialize before unpersisting the cached per-round candidates the
     # plan depends on (lazy evaluation would otherwise recompute them).
     out = out.localCheckpoint(eager=True)

@@ -99,7 +99,7 @@ def search_captions(
     return (
         reranked.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
-        .select("rank", "doc_id", "n_matched", "score_micro")
+        .select(F.col("rank").cast("bigint").alias("rank"), "doc_id", "n_matched", "score_micro")
     )
 
 

@@ -79,7 +79,7 @@ def ann_brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cos_micro")
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id", "cos_micro")
     )
 
 
@@ -164,7 +164,7 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cos_micro")
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id", "cos_micro")
     )
 
 
@@ -264,5 +264,5 @@ def ann_ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cos_micro")
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id", "cos_micro")
     )

@@ -57,10 +57,10 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
     return (
         docs.withColumn("ws", F.expr("filter(split(text, ' '), x -> x <> '')"))
-        .withColumn("n_tokens", F.expr("size(ws)"))
-        .withColumn("n_distinct_tokens", F.expr("size(array_distinct(ws))"))
-        .withColumn("n_alpha_tokens", F.expr("regexp_count(text, '[a-z]+')"))
-        .withColumn("n_stop", F.expr(_count_words_sql(STOPWORDS)))
+        .withColumn("n_tokens", F.expr("CAST(size(ws) AS BIGINT)"))
+        .withColumn("n_distinct_tokens", F.expr("CAST(size(array_distinct(ws)) AS BIGINT)"))
+        .withColumn("n_alpha_tokens", F.expr("CAST(regexp_count(text, '[a-z]+') AS BIGINT)"))
+        .withColumn("n_stop", F.expr(f"CAST({_count_words_sql(STOPWORDS)} AS BIGINT)"))
         .selectExpr("*", *ev)
         .withColumn(
             "quality",

@@ -96,7 +96,7 @@ def top_tiles_per_zone(
     return (
         matched.withColumn("rn", F.row_number().over(win))
         .where(F.col("rn") <= n)
-        .select("polygon_id", "rn", "image_id", "pixels")
+        .select("polygon_id", F.col("rn").cast("bigint").alias("rn"), "image_id", "pixels")
     )
 
 

@@ -131,7 +131,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_rollup",
     f"""
 WITH stats AS ({textstats.text_stats_oracle()})
-SELECT lang, grade, count(*) AS n_docs, sum(quality) AS sum_quality,
+SELECT lang, grade, count(*) AS n_docs, CAST(sum(quality) AS BIGINT) AS sum_quality,
        min(quality) AS min_quality, max(quality) AS max_quality
 FROM stats GROUP BY lang, grade
 """,

@@ -31,9 +31,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(floor(l_extendedprice * 100e0) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100e0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -70,7 +70,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
 SELECT n.n_name AS nation,
-       sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -155,7 +155,7 @@ def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("rn", F.row_number().over(win))
         .where(F.col("rn") <= 3)
-        .select("c_mktsegment", "rn", "o_orderkey", "total_cents")
+        .select("c_mktsegment", F.col("rn").cast("bigint").alias("rn"), "o_orderkey", "total_cents")
     )
 
 
@@ -164,7 +164,7 @@ def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_sessions",
     """
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
   SELECT user_id, session_id, count(*) AS n_events
   FROM (
     SELECT user_id, event_id,
@@ -218,7 +218,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """,
@@ -357,7 +357,7 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -382,7 +382,7 @@ def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
        count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY 1
 """,
@@ -435,9 +435,9 @@ _REG["interval_join"].oracle = _ijo(3600)
     "order_status_pivot",
     """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
 FROM orders GROUP BY o_orderpriority
 """,
     doc="Pivot: order counts by priority × status (guide 'pivot/unpivot'; "

@@ -117,8 +117,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT z.polygon_id, z.zkind,
        count(*) AS n_tiles,
        count(DISTINCT t.phash) AS n_distinct_phash,
-       sum(CASE WHEN t.fmt = 'jpeg' THEN 1 ELSE 0 END) AS n_jpeg,
-       sum(t.w) AS sum_w,
+       CAST(sum(CASE WHEN t.fmt = 'jpeg' THEN 1 ELSE 0 END) AS BIGINT) AS n_jpeg,
+       CAST(sum(t.w) AS BIGINT) AS sum_w,
        max(t.h) AS max_h
 FROM {pip_join.pip_oracle_join_sql()}
 GROUP BY 1, 2
@@ -267,7 +267,7 @@ per_cell AS (
 SELECT CASE WHEN n >= 20 THEN 'critical' WHEN n >= 10 THEN 'high'
             WHEN n >= 4 THEN 'medium' ELSE 'low' END AS band,
        count(*) AS n_cells,
-       sum(n) AS n_tiles,
+       CAST(sum(n) AS BIGINT) AS n_tiles,
        max(n) AS max_tiles
 FROM per_cell GROUP BY 1
 """,
@@ -404,8 +404,8 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT i, image_id, caption_bytes, running_bytes FROM (
   SELECT i, image_id,
          strlen(caption) AS caption_bytes,
-         sum(strlen(caption)) OVER (ORDER BY i
-           ROWS UNBOUNDED PRECEDING) AS running_bytes
+         CAST(sum(strlen(caption)) OVER (ORDER BY i
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_bytes
   FROM tiles
 ) WHERE running_bytes <= 4096
 """,
@@ -421,7 +421,8 @@ def q_byte_budget_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        t.withColumn("running_bytes", F.sum("caption_bytes").over(run))
+        t.withColumn("caption_bytes", F.col("caption_bytes").cast("bigint"))
+        .withColumn("running_bytes", F.sum("caption_bytes").over(run))
         .where(F.col("running_bytes") <= 4096)
         .select("i", "image_id", "caption_bytes", "running_bytes")
     )
