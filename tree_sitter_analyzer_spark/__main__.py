@@ -1,0 +1,100 @@
+"""CLI entry point — `python -m tree_sitter_analyzer_spark`.
+
+Mirrors the reference's CLI surface (``api.py:85-127``, cli/commands): the
+same named queries callable from the shell, results as JSON/CSV envelopes
+with capped rows + true totals (T5). CLI and Python API route through the
+identical registry, so they cannot drift (the facade-map contract
+discipline, ``mcp/facade_map.py:8-12``).
+
+    python -m tree_sitter_analyzer_spark list
+    python -m tree_sitter_analyzer_spark run zonal_stats --sf-dir /root/testdata/sf0.001
+    python -m tree_sitter_analyzer_spark run pip_join --limit 5 --format csv
+    python -m tree_sitter_analyzer_spark sql "SELECT count(*) AS n FROM tiles"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tree_sitter_analyzer_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run a named query")
+    runp.add_argument("name")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--format", choices=["json", "csv"], default="json")
+    runp.add_argument("--cpus", type=int, default=8)
+
+    sqlp = sub.add_parser("sql", help="run gated ad-hoc SQL over the views")
+    sqlp.add_argument("query")
+    sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sqlp.add_argument("--limit", type=int, default=20)
+    sqlp.add_argument("--cpus", type=int, default=8)
+
+    args = p.parse_args(argv)
+
+    from .registry import load_all
+
+    registry = load_all()
+
+    if args.cmd == "list":
+        for name, q in sorted(registry.items()):
+            oracle = "oracle" if q.oracle else "rows-only"
+            print(f"{name:28s} [{oracle}] {q.doc}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(cpus=args.cpus)
+    try:
+        if args.cmd == "sql":
+            from .plans.sql_surface import register_views, run_user_sql
+
+            register_views(spark, args.sf_dir)
+            env = run_user_sql(spark, args.query, max_rows=args.limit)
+            print(json.dumps(env, default=str))
+            return 0
+
+        if args.name not in registry:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = registry[args.name].spark_fn(spark, args.sf_dir)
+        total = df.count()
+        rows = [r.asDict() for r in df.limit(args.limit).collect()]
+        if args.format == "csv":
+            import csv
+
+            w = csv.DictWriter(sys.stdout, fieldnames=sorted(rows[0]) if rows else [])
+            w.writeheader()
+            for r in rows:
+                w.writerow({k: r[k] for k in sorted(r)})
+        else:
+            print(
+                json.dumps(
+                    {
+                        "verdict": "ok",
+                        "query": args.name,
+                        "results": rows,
+                        "stats": {
+                            "total_matches": total,
+                            "returned": len(rows),
+                            "was_truncated": total > len(rows),
+                        },
+                    },
+                    default=str,
+                )
+            )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
