@@ -121,6 +121,41 @@ def test_ivf_probe_recall(spark):
     assert recall >= 0.5, f"IVF recall {recall}"
 
 
+def test_neardup_lsh_full_radius_equals_exact(spark):
+    """Embedding near-dup: max_hamming = N_PLANES disables LSH pruning →
+    must equal the exact all-pairs result, scores included."""
+    # sf0.001 max pairwise cos_micro ≈ 512k; 350k keeps a non-trivial set
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"], r["cos_micro"])
+        for r in similarity.embedding_neardup_pairs(_emb(spark)).collect()
+    }
+    assert exact, "threshold too high — no near-dup pairs in tiny corpus"
+    full = {
+        (r["vec_id_a"], r["vec_id_b"], r["cos_micro"])
+        for r in similarity.embedding_neardup_pairs(
+            _emb(spark), max_hamming=similarity.N_PLANES
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_neardup_lsh_pruned_is_subset(spark):
+    """Pruned near-dup output ⊆ exact output (LSH never invents pairs,
+    never alters a surviving pair's score), and actually prunes."""
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"], r["cos_micro"])
+        for r in similarity.embedding_neardup_pairs(_emb(spark)).collect()
+    }
+    pruned = {
+        (r["vec_id_a"], r["vec_id_b"], r["cos_micro"])
+        for r in similarity.embedding_neardup_pairs(
+            _emb(spark), max_hamming=4
+        ).collect()
+    }
+    assert pruned <= exact
+    assert len(pruned) < len(exact)  # hamming ≤4/12 prunes on this corpus
+
+
 def test_gini_udaf_matches_numpy(spark):
     """X4 grouped-agg pandas UDAF vs local numpy oracle per zone."""
     import numpy as np

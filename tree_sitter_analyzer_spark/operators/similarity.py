@@ -108,6 +108,77 @@ SELECT query_id, rank, vec_id, cos_micro FROM (
 """
 
 
+# --- Embedding-cosine near-duplicate pairs (task-brief dedup tier) ----------
+
+NEARDUP_THRESHOLD_MICRO = 350_000
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold_micro: int = NEARDUP_THRESHOLD_MICRO,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: all (a, b), a < b, with
+    quantized cosine >= ``threshold_micro`` / 1e6 (A3 clone detection's
+    similarity-join tier; the task brief's "embedding-cosine near-dup").
+
+    ``max_hamming=None`` — exact all-pairs verify (the oracle-gated
+    baseline; O(N^2), correct and fine when the candidate pool is small).
+    ``max_hamming=h`` — sign-LSH pruning: only pairs whose ``N_PLANES``-bit
+    signatures differ in <= h bits are verified. At 10^12 rows the exact
+    tier is impossible; the LSH tier groups by signature bucket so the
+    self-join touches hash-equal (or hamming-near) buckets only — the same
+    candidate-gen -> exact-verify shape as the PIP join (SURVEY.md O4).
+    ``h = N_PLANES`` degenerates to exact (asserted in tests).
+    """
+    q = _quantized(emb)
+    if max_hamming is not None:
+        dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
+        q = q.withColumn("sig", F.expr(_sig_expr(dim_probe)))
+    a = q.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+        *([F.col("sig").alias("sig_a")] if max_hamming is not None else []),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("qv").alias("ca"),
+        F.col("nrm").alias("cn"),
+        *([F.col("sig").alias("sig_b")] if max_hamming is not None else []),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    if max_hamming is not None:
+        pairs = pairs.where(F.expr("bit_count(sig_a ^ sig_b)") <= max_hamming)
+    return (
+        pairs.withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr("CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn)) AS BIGINT)"),
+        )
+        .where(F.col("cos_micro") >= threshold_micro)
+        .select("vec_id_a", "vec_id_b", "cos_micro")
+    )
+
+
+def embedding_neardup_oracle(threshold_micro: int = NEARDUP_THRESHOLD_MICRO) -> str:
+    qvec = f"list_transform(embedding, x -> CAST(floor(x * {QUANT}e0) AS DOUBLE))"
+    return f"""
+WITH q AS (
+  SELECT vec_id, {qvec} AS qv, list_dot_product({qvec}, {qvec}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(floor(1e6 * list_dot_product(a.qv, b.qv)
+              / sqrt(a.nrm * b.nrm)) AS BIGINT) AS cos_micro
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cos_micro FROM scored
+WHERE cos_micro >= {threshold_micro}
+"""
+
+
 # --- LSH variant (Spark-only; recall-tested vs brute) -----------------------
 
 N_PLANES = 12

@@ -94,6 +94,19 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dups(_docs(spark, sf_dir), 3, 16)
 
 
+@register(
+    "dedup_embedding",
+    similarity.embedding_neardup_oracle(),
+    doc="Embedding-cosine near-dup pairs (quantized cosine ≥0.35, a<b): "
+    "the semantic dedup tier over array<float> embeddings. Exact verify "
+    "here; the sign-LSH-pruned variant (same function, max_hamming=h) is "
+    "the 10^12-row path, tested equal-at-full-radius in "
+    "tests/test_similarity.py.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
 # --- Similarity search (SURVEY.md T6) ----------------------------------------
 
 @register(
