@@ -150,11 +150,22 @@ def _control_work(n: int) -> int:
 
 def _mp_control(procs: int, per: int = 8000) -> float:
     """Hardware-ceiling control: the SAME per-image work (synth → encode →
-    decode → phash) under raw multiprocessing, no Spark. This sandbox is a
-    VM whose 32 vCPUs saturate well below 32 physical cores for
-    memory-touching work, so the *absolute* N→4N efficiency here is capped
-    by the box, not the engine. Engine-relative efficiency =
+    decode → phash) under raw multiprocessing, no Spark, pinned to exactly
+    ``procs`` cores (same taskset discipline as the pipeline runs). This
+    sandbox is a VM whose 32 vCPUs saturate well below 32 physical cores
+    for memory-touching work, so the *absolute* N→4N efficiency here is
+    capped by the box, not the engine. Engine-relative efficiency =
     pipeline_speedup / control_speedup isolates what the engine adds."""
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{procs - 1}",
+         sys.executable, __file__, "--control", "--procs", str(procs),
+         "--per", str(per)],
+        capture_output=True, text=True, check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _mp_control_inproc(procs: int, per: int) -> float:
     import multiprocessing as mp
 
     t0 = time.time()
@@ -163,20 +174,29 @@ def _mp_control(procs: int, per: int = 8000) -> float:
     return procs * per / (time.time() - t0)
 
 
-def run_scaling() -> None:
+def run_scaling(lo: int = 8, hi: int = 32) -> None:
     # Amplify the input so task compute dominates scheduling overhead —
     # the in-sandbox stand-in for the north rule's N vs 4N cluster runs.
-    # Identical (amplified) input at both parallelism levels.
+    # Identical (amplified) input at both parallelism levels. The (lo, hi)
+    # pair is any N→4N instantiation; --levels 4,16 measures below the
+    # VM's hypervisor-saturation knee, --levels 8,32 at full width.
+    assert hi == 4 * lo, "scaling pair must be N and 4N"
     amp = os.environ.get("SPARK_GRAFT_AMPLIFY", "16")
     env = dict(os.environ, SPARK_GRAFT_AMPLIFY=amp)
     # Best-of-2 at each level (pipeline AND control): the box shows ±10-20%
     # co-tenant noise between identical runs; min-wall measures the engine.
+    # Pin each run to exactly N cores (taskset): local[N] alone limits task
+    # slots, but JVM GC/IO threads and Python workers would still spill onto
+    # the other vCPUs, inflating the low-N throughput and understating
+    # efficiency. A real N-core executor node has no spare cores — pinning
+    # is the honest in-sandbox emulation of one.
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         best = None
         for _attempt in range(2):
             out = subprocess.run(
-                [sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
+                ["taskset", "-c", f"0-{cpus - 1}",
+                 sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
                 capture_output=True, text=True, check=True, env=env,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -184,18 +204,18 @@ def run_scaling() -> None:
             if best is None or r["value"] < best["value"]:
                 best = r
         results[cpus] = best
-    thr8 = results[8]["tiles_plus_join_rows_per_sec"]
-    thr32 = results[32]["tiles_plus_join_rows_per_sec"]
-    ctl8 = max(_mp_control(8), _mp_control(8))
-    ctl32 = max(_mp_control(32), _mp_control(32))
-    speedup = round(thr32 / thr8, 3)
-    ctl_speedup = round(ctl32 / ctl8, 3)
+    thr_lo = results[lo]["tiles_plus_join_rows_per_sec"]
+    thr_hi = results[hi]["tiles_plus_join_rows_per_sec"]
+    ctl_lo = max(_mp_control(lo), _mp_control(lo))
+    ctl_hi = max(_mp_control(hi), _mp_control(hi))
+    speedup = round(thr_hi / thr_lo, 3)
+    ctl_speedup = round(ctl_hi / ctl_lo, 3)
     eff = round(speedup / 4.0, 3)
     rel_eff = round(speedup / ctl_speedup, 3)
     report = {
-        "local8_rows_per_sec": thr8,
-        "local32_rows_per_sec": thr32,
-        "speedup_8_to_32": speedup,
+        f"local{lo}_rows_per_sec": thr_lo,
+        f"local{hi}_rows_per_sec": thr_hi,
+        f"speedup_{lo}_to_{hi}": speedup,
         "scaling_efficiency_Nto4N": eff,
         "hw_control_speedup": ctl_speedup,
         "engine_relative_efficiency": rel_eff,
@@ -203,17 +223,17 @@ def run_scaling() -> None:
     with open("BENCH.md", "a") as f:
         f.write(
             f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M')} — "
-            f"amplify={amp} (identical input both runs)\n\n"
+            f"N={lo}, 4N={hi}, amplify={amp} (identical input both runs)\n\n"
             f"| parallelism | pipeline wall (s) | tiles+join-rows/sec |\n|---|---|---|\n"
-            f"| local[8] | {results[8]['value']} | {thr8} |\n"
-            f"| local[32] | {results[32]['value']} | {thr32} |\n\n"
+            f"| local[{lo}] | {results[lo]['value']} | {thr_lo} |\n"
+            f"| local[{hi}] | {results[hi]['value']} | {thr_hi} |\n\n"
             f"N→4N speedup: **{speedup}×** → raw efficiency **{eff}** "
             f"(target ≥0.8).\n\n"
             f"**Hardware-ceiling control** (identical per-image work, raw "
-            f"multiprocessing, no Spark): {ctl8:.0f} → {ctl32:.0f} imgs/s = "
-            f"**{ctl_speedup}×** — this VM's 32 vCPUs saturate below 4× the "
-            f"8-vCPU capacity for memory-touching work, so {ctl_speedup}× is "
-            f"the box's own ceiling, not the engine's. "
+            f"multiprocessing, no Spark): {ctl_lo:.0f} → {ctl_hi:.0f} imgs/s = "
+            f"**{ctl_speedup}×** — this VM's vCPUs saturate below 4× the "
+            f"{lo}-vCPU capacity for memory-touching work, so {ctl_speedup}× "
+            f"is the box's own ceiling, not the engine's. "
             f"Engine-relative efficiency = {speedup}/{ctl_speedup} = "
             f"**{rel_eff}**: the Spark plan (scan-heavy map-side pipeline, "
             f"one terminal shuffle) adds ≈{max(0.0, round((1 - rel_eff) * 100, 1))}% "
@@ -222,8 +242,8 @@ def run_scaling() -> None:
             f"cross-executor dependency until the final ~200-group agg — "
             f"scales with the hardware.\n"
             f"Job: extract(decode+verify+phash) → cell index → PIP join → "
-            f"zonal agg over {results[32]['tiles']} tiles, "
-            f"{results[32]['join_rows']} join rows, single action.\n"
+            f"zonal agg over {results[hi]['tiles']} tiles, "
+            f"{results[hi]['join_rows']} join rows, single action.\n"
         )
     print(json.dumps(report))
 
@@ -259,9 +279,17 @@ def run_weak_scaling() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        if "--levels" in sys.argv:
+            lo, hi = map(int, sys.argv[sys.argv.index("--levels") + 1].split(","))
+            run_scaling(lo, hi)
+        else:
+            run_scaling()
     elif "--weak-scaling" in sys.argv:
         run_weak_scaling()
+    elif "--control" in sys.argv:
+        procs = int(sys.argv[sys.argv.index("--procs") + 1])
+        per = int(sys.argv[sys.argv.index("--per") + 1])
+        print(_mp_control_inproc(procs, per))
     elif "--pipeline" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv \
             else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

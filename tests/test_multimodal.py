@@ -55,6 +55,30 @@ def test_audio_pipeline_plumbing(spark):
         multimodal.decode_video_frames(b"", 10)
 
 
+def test_video_frame_sample_plumbing(spark):
+    """Frame-sampling pipeline: every_n-th frame count is exact, features
+    are deterministic, and only scalars cross the Arrow boundary."""
+    rows = [(i, bytes([i % 256] * 16), 32, 24, 24000, 95 + i, 1)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, multimodal.VIDEO_SCHEMA)
+    got = multimodal.video_frame_features(df, every_n=10).select(
+        "media_id", "n_frames", "n_sampled_frames",
+        "mean_luma_milli", "std_luma_milli"
+    ).collect()
+    assert len(got) == 8
+    for r in got:
+        # ceil(n_frames / 10) sampled frames
+        assert r["n_sampled_frames"] == -(-r["n_frames"] // 10)
+        assert 0 < r["mean_luma_milli"] < 256_000
+        assert r["std_luma_milli"] > 0
+    again = multimodal.video_frame_features(df, every_n=10).select(
+        "media_id", "mean_luma_milli"
+    ).collect()
+    assert {r["media_id"]: r["mean_luma_milli"] for r in got} == {
+        r["media_id"]: r["mean_luma_milli"] for r in again
+    }
+
+
 def test_sql_surface_select_and_gate(spark):
     register_views(spark, SF_TINY)
     env = run_user_sql(

@@ -457,3 +457,96 @@ def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("P").cast("bigint").alias("P"),
         )
     )
+
+
+# --- part/supplier fact joins (TPC-H Q14/Q15 shapes) -------------------------
+
+_CENTS = "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)"
+
+
+@register(
+    "promo_revenue_by_type",
+    f"""
+WITH rev AS (
+  SELECT p.p_type AS p_type,
+         CAST(sum({_CENTS}) AS BIGINT) AS revenue_cents,
+         count(*) AS n_items
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type
+)
+SELECT p_type, revenue_cents, n_items,
+       CAST(floor(1e4 * revenue_cents / sum(revenue_cents) OVER ()) AS BIGINT)
+         AS share_bp
+FROM rev
+""",
+    doc="TPC-H Q14 shape: fact⋈broadcast(part) revenue by part type with "
+    "whole-result share in basis points (integer-cents discipline; the "
+    "20k-row part dim broadcasts, the lineitem scan never shuffles before "
+    "the 6-group agg — SURVEY.md J1/A2).",
+)
+def q_promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    grouped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.expr(_CENTS)).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return grouped.withColumn(
+        "share_bp",
+        F.expr(
+            "CAST(floor(1e4 * revenue_cents / "
+            "sum(revenue_cents) OVER ()) AS BIGINT)"
+        ),
+    )
+
+
+@register(
+    "top_suppliers_per_nation",
+    f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+         CAST(sum({_CENTS}) AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey, s.s_name
+)
+SELECT nation, rank, s_suppkey, s_name, revenue_cents FROM (
+  SELECT nation, s_suppkey, s_name, revenue_cents,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY revenue_cents DESC, s_suppkey) AS rank
+  FROM rev
+) WHERE rank <= 3
+""",
+    doc="TPC-H Q15 shape: top-3 revenue suppliers per nation — fact ⋈ "
+    "broadcast dims, one agg shuffle, per-group window with deterministic "
+    "s_suppkey tie-break (SURVEY.md A6/W2).",
+)
+def q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(n.n_name.alias("nation"), "s_suppkey", "s_name")
+        .agg(F.sum(F.expr(_CENTS)).alias("revenue_cents"))
+    )
+    win = Window.partitionBy("nation").orderBy(
+        F.desc("revenue_cents"), F.col("s_suppkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select(
+            "nation",
+            F.col("rank").cast("bigint").alias("rank"),
+            "s_suppkey",
+            "s_name",
+            "revenue_cents",
+        )
+    )

@@ -119,6 +119,66 @@ def _fake_samples(media_id: int, n: int) -> np.ndarray:
     return rng.standard_normal(n).astype(np.float32)
 
 
+def _fake_frames(media_id: int, n_frames: int, w: int, h: int,
+                 every_n: int) -> np.ndarray:
+    """Deterministic stand-in frame stack (every_n-th frame of an n_frames
+    clip) so the frame-sampling pipeline is testable end-to-end without
+    ffmpeg. Shape: (ceil(n_frames/every_n), h, w) uint8 luma."""
+    idx = np.arange(0, n_frames, every_n)
+    rng = np.random.Generator(np.random.Philox(int(media_id)))
+    return rng.integers(0, 256, size=(len(idx), h, w), dtype=np.uint8)
+
+
+def video_frame_features(
+    df: DataFrame, every_n: int = 10, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Frame-sampling pipeline: decode every ``every_n``-th frame, emit
+    per-clip sampled-frame count + mean/std luma (the training-data
+    "frame-sample" op). ``use_fake_decoder=False`` routes through
+    ``decode_video_frames`` (raises until ffmpeg is plugged in).
+
+    Batch shape: one Arrow batch in → same rows out + 3 columns; frames
+    never leave the executor (only scalar features cross the wire), which
+    is what keeps this viable at 10^12 clips.
+    """
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_sampled_frames", LongType()),
+            StructField("mean_luma_milli", LongType()),
+            StructField("std_luma_milli", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ns, mean_l, std_l = [], [], []
+            for mid, nf, w, h in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["width"], pdf["height"]
+            ):
+                if use_fake_decoder:
+                    frames = _fake_frames(int(mid), int(nf), int(w), int(h),
+                                          every_n)
+                else:  # pragma: no cover - requires ffmpeg
+                    frames = decode_video_frames(b"", every_n)
+                ns.append(frames.shape[0])
+                # zero-length clips (or all frames skipped) must not poison
+                # the batch: emit zeros, not NaN
+                if frames.size == 0:
+                    mean_l.append(0)
+                    std_l.append(0)
+                else:
+                    mean_l.append(int(frames.mean() * 1000))
+                    std_l.append(int(frames.std() * 1000))
+            pdf = pdf.copy()
+            pdf["n_sampled_frames"] = pd.array(ns, dtype="int64")
+            pdf["mean_luma_milli"] = pd.array(mean_l, dtype="int64")
+            pdf["std_luma_milli"] = pd.array(std_l, dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """Per-clip features: RMS energy + zero-crossing count over the first
     second. ``use_fake_decoder=False`` routes through ``decode_audio``
@@ -139,8 +199,12 @@ def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
                     x = _fake_samples(int(mid), int(sr))
                 else:  # pragma: no cover - requires real codec
                     x = decode_audio(b"")
-                rms.append(int(np.sqrt(np.mean(x * x)) * 1000))
-                zc.append(int(np.sum(np.abs(np.diff(np.signbit(x))))))
+                if x.size == 0:  # zero-rate/empty clip: zeros, not NaN
+                    rms.append(0)
+                    zc.append(0)
+                else:
+                    rms.append(int(np.sqrt(np.mean(x * x)) * 1000))
+                    zc.append(int(np.sum(np.abs(np.diff(np.signbit(x))))))
             pdf = pdf.copy()
             pdf["rms_milli"] = pd.array(rms, dtype="int64")
             pdf["zero_crossings"] = pd.array(zc, dtype="int64")
