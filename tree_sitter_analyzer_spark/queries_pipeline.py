@@ -184,3 +184,35 @@ SEARCH_QUERY = "spark filter window join"
 )
 def q_caption_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.search_captions(_docs(spark, sf_dir), SEARCH_QUERY, 10)
+
+
+# --- Multimodal: thumbnail/resize pass surfaced through the driver gate ------
+
+@register(
+    "thumbnail_stats",
+    None,  # binary resize output is not SQL-expressible; invariants pinned
+    # in tests/test_multimodal.py (exact nearest-neighbor resample parity)
+    doc="Training-resize pass: decode → 8×8 box resample → re-encode "
+    "(mapInPandas, scalar+binary out), rolled up per fmt. Rows-only for "
+    "the driver; pixel-exactness is pytest-gated.",
+)
+def q_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from . import synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(synth.tiles_df(spark, sf_dir).limit(2000))
+    resized = multimodal.resize_tiles(tiles, 8, 8)
+    return (
+        resized.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.avg(F.octet_length("resized_bytes")).cast("bigint")
+             .alias("avg_thumb_bytes"),
+            F.min(F.octet_length("resized_bytes")).cast("bigint")
+             .alias("min_thumb_bytes"),
+            F.max(F.octet_length("resized_bytes")).cast("bigint")
+             .alias("max_thumb_bytes"),
+        )
+    )

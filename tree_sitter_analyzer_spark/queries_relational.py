@@ -550,3 +550,55 @@ def q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+# --- W4: rolling time-range frame (30-day activity window) -------------------
+
+@register(
+    "rolling_order_activity",
+    """
+SELECT o_custkey, o_orderkey, day,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS orders_30d,
+       CAST(sum(price_cents) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS spend_30d_cents
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400e0) AS BIGINT)
+           AS day,
+         CAST(floor(o_totalprice * 100e0) AS BIGINT) AS price_cents
+  FROM orders
+)
+""",
+    doc="W4 rolling frame: per-customer 30-day trailing order count + "
+    "spend via RANGE BETWEEN over epoch-days (the activation table's "
+    "mod_count_30d, _ast_cache_schema.py:99-120, as a real analytic "
+    "window — one shuffle on o_custkey, frame evaluated in-partition).",
+)
+def q_rolling_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "CAST(floor(unix_micros(CAST(o_orderdate AS TIMESTAMP)) / 86400e6)"
+            " AS BIGINT)"
+        ).alias("day"),
+        F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)").alias("price_cents"),
+    )
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.count("*").over(win).cast("bigint").alias("orders_30d"),
+        F.sum("price_cents").over(win).cast("bigint").alias("spend_30d_cents"),
+    )
