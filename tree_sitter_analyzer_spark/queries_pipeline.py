@@ -171,7 +171,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import search as search_ops
 
-SEARCH_QUERY = "spark filter window join"
+# "dup" is the only informative token in the synthetic vocabulary (df ≈ 5%);
+# the other three sit above the 50% doc-freq noise cap at every sf, so this
+# query exercises BOTH the noise suppression (3 tokens dropped) and the
+# ranked candidate→rerank path (real top-k over the dup-containing docs).
+# The previous all-common-token query returned 0 rows at sf≥0.01 — a
+# trivially-matching empty result.
+SEARCH_QUERY = "dup filter window join"
 
 
 @register(
