@@ -53,3 +53,50 @@ SELECT DISTINCT o.o_orderkey, e.event_id
 FROM orders o JOIN events e
   ON abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= {window_s}e0 * 1e6
 """
+
+
+def event_pairs_within(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Self-interval join: event pairs (a < b by event_id) whose timestamps
+    lie within ``window_s`` seconds. Same bucket-bin trick — each left row
+    probes its own + adjacent buckets, never a cross join; at 10^12 rows
+    the bucket key is also the shuffle key, so candidate pairs are
+    generated within co-partitioned buckets only.
+    """
+    base = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    a = base.select(
+        F.col("event_id").alias("event_id_a"), F.col("us").alias("us_a")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(us_a / ({window_s}e0 * 1e6)) AS BIGINT) - 1, "
+                f"CAST(floor(us_a / ({window_s}e0 * 1e6)) AS BIGINT) + 1)"
+            )
+        ),
+    )
+    b = base.select(
+        F.col("event_id").alias("event_id_b"), F.col("us").alias("us_b")
+    ).withColumn(
+        "bucket", F.expr(f"CAST(floor(us_b / ({window_s}e0 * 1e6)) AS BIGINT)")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("event_id_a") < F.col("event_id_b"))
+            & F.expr(f"abs(us_a - us_b) <= {window_s}e0 * 1e6")
+        )
+        .select("event_id_a", "event_id_b")
+        .dropDuplicates(["event_id_a", "event_id_b"])
+    )
+
+
+def event_pairs_oracle(window_s: int = 60) -> str:
+    return f"""
+SELECT DISTINCT a.event_id AS event_id_a, b.event_id AS event_id_b
+FROM events a JOIN events b
+  ON a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {window_s}e0 * 1e6
+"""

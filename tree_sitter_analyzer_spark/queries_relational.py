@@ -411,22 +411,22 @@ def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "interval_join",
     None,  # set below to keep operator module single-sourced
-    doc="Interval join (orders ↔ events within ±1 h): bucket-binned "
+    doc="Self-interval join (event pairs within ±60 s): bucket-binned "
     "candidates + exact range verify — the band-join pattern Spark lacks "
-    "natively (SURVEY.md J12; same trick as the grid cells).",
+    "natively (SURVEY.md J12; same trick as the grid cells). The earlier "
+    "orders↔events pairing was vacuous: the two tables occupy disjoint "
+    "epochs (1995-2001 vs 2024), so it matched zero rows at every sf.",
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.range_join import interval_join_events_orders
+    from .operators.range_join import event_pairs_within
 
-    return interval_join_events_orders(
-        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"), 3600
-    )
+    return event_pairs_within(_t(spark, sf_dir, "events"), 60)
 
 
-from .operators.range_join import interval_join_oracle as _ijo
+from .operators.range_join import event_pairs_oracle as _epo
 from .registry import REGISTRY as _REG
 
-_REG["interval_join"].oracle = _ijo(3600)
+_REG["interval_join"].oracle = _epo(60)
 
 
 # --- pivot -------------------------------------------------------------------------

@@ -375,6 +375,42 @@ def q_empty_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.join(covered, "polygon_id", "left_anti").select("polygon_id", "zkind")
 
 
+@register(
+    "sparse_zones",
+    f"""{_CTES}
+SELECT z.polygon_id, z.zkind, coalesce(c.n_tiles, 0) AS n_tiles
+FROM zones z LEFT JOIN (
+  SELECT z.polygon_id AS polygon_id, count(*) AS n_tiles
+  FROM {pip_join.pip_oracle_join_sql()}
+  GROUP BY 1
+) c ON z.polygon_id = c.polygon_id
+WHERE coalesce(c.n_tiles, 0) < 10
+""",
+    doc="Coverage-gap analysis, graded tier (SURVEY.md A8): zones with "
+    "fewer than 10 tiles (including zero) — zones ⟕ PIP counts with "
+    "coalesce. Complements empty_zones, which is legitimately empty on "
+    "this corpus (the synthetic zone layer covers the tile extent), with "
+    "a gap query that returns real rows at every sf.",
+)
+def q_sparse_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    counts = (
+        pip_join.pip_join(t, z, res=9)
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("n_tiles"))
+    )
+    return (
+        z.join(counts, "polygon_id", "left")
+        .select(
+            "polygon_id",
+            "zkind",
+            F.coalesce(F.col("n_tiles"), F.lit(0)).cast("bigint").alias("n_tiles"),
+        )
+        .where(F.col("n_tiles") < 10)
+    )
+
+
 # --- M2b: TRUE convex-polygon PIP ------------------------------------------------
 
 @register(
