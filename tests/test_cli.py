@@ -38,3 +38,17 @@ def test_cli_run_matches_api(spark):
 def test_cli_sql_gate():
     env = json.loads(run_cli("sql", "SELECT count(*) AS n FROM tiles"))
     assert env["results"][0]["n"] == 1500
+
+
+def test_cli_compact_format_is_lossless_and_smaller():
+    """S8 TOON analog: compact envelope carries identical data as JSON in
+    columnar form, with fewer characters for multi-row payloads."""
+    full = json.loads(run_cli("run", "zonal_stats", "--limit", "20"))
+    comp = json.loads(run_cli("run", "zonal_stats", "--limit", "20",
+                              "--format", "compact"))
+    assert comp["cols"] == sorted(full["results"][0])
+    rebuilt = [dict(zip(comp["cols"], row)) for row in comp["rows"]]
+    full_sorted = [{k: r[k] for k in comp["cols"]} for r in full["results"]]
+    assert rebuilt == full_sorted
+    assert comp["stats"] == full["stats"]
+    assert len(json.dumps(comp)) < len(json.dumps(full))

@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("name")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     runp.add_argument("--limit", type=int, default=20)
-    runp.add_argument("--format", choices=["json", "csv"], default="json")
+    runp.add_argument("--format", choices=["json", "csv", "compact"], default="json")
     runp.add_argument("--cpus", type=int, default=8)
 
     sqlp = sub.add_parser("sql", help="run gated ad-hoc SQL over the views")
@@ -68,7 +68,30 @@ def main(argv: list[str] | None = None) -> int:
         df = registry[args.name].spark_fn(spark, args.sf_dir)
         total = df.count()
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
-        if args.format == "csv":
+        if args.format == "compact":
+            # Token-compact tabular envelope (the reference's TOON encoder,
+            # toon_encoder.py / SURVEY.md S8): one column header + row
+            # arrays, ~40-60% fewer chars than repeated-key JSON for the
+            # same payload — the agent-context-budget discipline
+            # (README.md:250-256 of the reference) applied to this CLI.
+            cols = sorted(rows[0]) if rows else []
+            print(
+                json.dumps(
+                    {
+                        "verdict": "ok",
+                        "query": args.name,
+                        "cols": cols,
+                        "rows": [[r[c] for c in cols] for r in rows],
+                        "stats": {
+                            "total_matches": total,
+                            "returned": len(rows),
+                            "was_truncated": total > len(rows),
+                        },
+                    },
+                    default=str,
+                )
+            )
+        elif args.format == "csv":
             import csv
 
             w = csv.DictWriter(sys.stdout, fieldnames=sorted(rows[0]) if rows else [])
