@@ -134,3 +134,67 @@ def test_convex_pip_matches_numpy(spark):
         for iid in tp["image_id"].to_numpy()[inside]:
             expected.add((z["polygon_id"], iid))
     assert got == expected and len(got) > 0
+
+
+def test_compact_cover_invariants(spark):
+    """Compaction is lossless and canonical: (a) expanding every compacted
+    cell back to res 9 reproduces the original cover exactly (disjointness
+    + completeness in one check, since exceptAll is multiset-aware), and
+    (b) no polygon retains a complete 4-child block at any level (maximal
+    compaction — the h3 compact_cells contract)."""
+    from pyspark.sql import functions as F
+
+    zones = synth.zones_df(spark)
+    cover9 = pip_join.zone_cover(zones, res=9).select("polygon_id", "cell")
+    comp = pip_join.compact_cover(zones, res=9, min_res=7)
+
+    # (a) re-expand: a res-r cell covers 4^(9-r) res-9 children.
+    def children_to9(df, r):
+        d = 9 - r
+        if d == 0:
+            return df.select("polygon_id", "cell")
+        ix = grid.cell_to_ix(F.col("cell"), r)
+        iy = grid.cell_to_iy(F.col("cell"))
+        return (
+            df.where(F.col("res") == r)
+            .withColumn("cix", F.explode(F.sequence(ix * (1 << d), (ix + 1) * (1 << d) - 1)))
+            .withColumn("ciy_base", iy * (1 << d))
+            .withColumn("ciy", F.explode(F.sequence(F.col("ciy_base"), F.col("ciy_base") + (1 << d) - 1)))
+            .select(
+                "polygon_id",
+                F.expr(grid.cell_from_ixiy_sql("cix", "ciy", 9)).alias("cell"),
+            )
+        )
+
+    expanded = (
+        children_to9(comp.where("res = 9"), 9)
+        .unionByName(children_to9(comp, 8))
+        .unionByName(children_to9(comp, 7))
+    )
+    assert expanded.exceptAll(cover9).count() == 0
+    assert cover9.exceptAll(expanded).count() == 0
+
+    # (b) maximality: no (polygon, parent) group of size 4 survives.
+    for r in (9, 8):
+        quads = (
+            comp.where(F.col("res") == r)
+            .withColumn("p", F.expr(grid.parent_sql("cell", r, r - 1)))
+            .groupBy("polygon_id", "p")
+            .count()
+            .where("count = 4")
+        )
+        assert quads.count() == 0, f"incomplete compaction at res {r}"
+
+
+def test_pip_compact_equals_pip_join(spark):
+    """The mixed-res compacted-cover join returns the exact same multiset
+    of (tile, zone) rows as the single-res join — the disjoint-cover
+    guarantee (each pair matches on exactly one cell, no dup rows)."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    a = pip_join.pip_join(tiles, zones, res=9).select("image_id", "polygon_id")
+    b = pip_join.pip_join_compact(tiles, zones, res=9, min_res=7).select(
+        "image_id", "polygon_id"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

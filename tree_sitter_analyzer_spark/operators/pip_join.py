@@ -148,3 +148,276 @@ def pip_convex_join(
     return t.join(zc, "cell").where(
         F.expr(synth.convex_pip_predicate("lon", "lat"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-resolution cover compaction (H3 ``compact_cells`` analog).
+#
+# The quadtree grid gives every res-r cell exactly 4 children at res r+1
+# (grid.py parent scheme), so a cover set compacts bottom-up: any parent
+# whose 4 children are all present replaces them. Interior runs of a large
+# polygon shrink ~4x per level; at 10^12-tile scale this is what keeps the
+# broadcast cover table small when polygons span thousands of res-9 cells
+# (same candidate-narrowing philosophy as SURVEY.md O4 — make the cheap
+# index phase cheaper without touching the exact verify).
+# ---------------------------------------------------------------------------
+
+MIN_COMPACT_RES = 7
+
+
+def compact_cover(
+    zones: DataFrame, res: int = DEFAULT_RES, min_res: int = MIN_COMPACT_RES
+) -> DataFrame:
+    """Compact each zone's res-``res`` cover into mixed-res cells.
+
+    Output: (polygon_id, cell, res) — disjoint cells whose union is exactly
+    the original cover. Pure DataFrame ops: one groupBy + anti-join per
+    level, all on the small polygon side (never the tile table).
+    """
+    if min_res >= res:
+        raise ValueError("min_res must be < res")
+    cur = (
+        zone_cover(zones, res)
+        .select("polygon_id", "cell")
+        .withColumn("res", F.lit(res).cast("bigint"))
+    )
+    frags: list[DataFrame] = []
+    for r in range(res, min_res, -1):
+        withp = cur.withColumn("p", F.expr(grid.parent_sql("cell", r, r - 1)))
+        full = (
+            withp.groupBy("polygon_id", "p")
+            .agg(F.count("*").alias("nchild"))
+            .where("nchild = 4")
+            .select("polygon_id", "p")
+        )
+        frags.append(withp.join(full, ["polygon_id", "p"], "left_anti").drop("p"))
+        cur = full.select(
+            "polygon_id",
+            F.col("p").alias("cell"),
+            F.lit(r - 1).cast("bigint").alias("res"),
+        )
+    out = frags[0]
+    for f in frags[1:]:
+        out = out.unionByName(f)
+    return out.unionByName(cur)
+
+
+def compact_cover_oracle_sql(
+    res: int = DEFAULT_RES, min_res: int = MIN_COMPACT_RES
+) -> str:
+    """DuckDB CTE chain computing the identical compaction (appended to the
+    synth CTEs; DuckDB's scalar generate_series returns a list → unnest)."""
+    ctes = [
+        f"""covx AS (
+  SELECT polygon_id,
+         unnest(generate_series({grid.ix_sql('xmin', res)}, {grid.ix_sql('xmax', res)})) AS ix,
+         ymin, ymax
+  FROM zones
+)""",
+        f"""covy AS (
+  SELECT polygon_id, ix,
+         unnest(generate_series({grid.iy_sql('ymin', res)}, {grid.iy_sql('ymax', res)})) AS iy
+  FROM covx
+)""",
+        f"""lev{res} AS (
+  SELECT polygon_id, {grid.cell_from_ixiy_sql('ix', 'iy', res)} AS cell FROM covy
+)""",
+    ]
+    for r in range(res, min_res, -1):
+        ctes.append(
+            f"""q{r} AS (
+  SELECT polygon_id, {grid.parent_sql('cell', r, r - 1)} AS p, count(*) AS n
+  FROM lev{r} GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""lev{r - 1} AS (
+  SELECT polygon_id, p AS cell FROM q{r} WHERE n = 4
+)"""
+        )
+        ctes.append(
+            f"""kept{r} AS (
+  SELECT c.polygon_id, c.cell, CAST({r} AS BIGINT) AS res
+  FROM lev{r} c
+  LEFT JOIN lev{r - 1} w
+    ON w.polygon_id = c.polygon_id AND w.cell = {grid.parent_sql('c.cell', r, r - 1)}
+  WHERE w.cell IS NULL
+)"""
+        )
+    selects = [
+        f"SELECT polygon_id, cell, res FROM kept{r}" for r in range(res, min_res, -1)
+    ]
+    selects.append(
+        f"SELECT polygon_id, cell, CAST({min_res} AS BIGINT) AS res FROM lev{min_res}"
+    )
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def pip_join_compact(
+    tiles: DataFrame,
+    zones: DataFrame,
+    res: int = DEFAULT_RES,
+    min_res: int = MIN_COMPACT_RES,
+) -> DataFrame:
+    """PIP join against the compacted mixed-res cover.
+
+    Each tile carries its cell at every res in [min_res, res] (explode of a
+    small array — one scan of the tile table, rows x(res-min_res+1) but
+    columns stay narrow); the compacted cover is disjoint, so a (tile,
+    zone) pair still matches on exactly one cell — no dedup shuffle. The
+    tradeoff vs :func:`pip_join` is (res-min_res+1)x candidate rows for a
+    ~4x-per-level smaller broadcast table — the right trade when polygons
+    are large relative to the cell size."""
+    cover = compact_cover(zones, res, min_res).join(
+        zones.select("polygon_id", "zkind", "xmin", "xmax", "ymin", "ymax"),
+        "polygon_id",
+    )
+    cells = F.array(
+        *[F.expr(grid.cell_sql("lon", "lat", r)) for r in range(min_res, res + 1)]
+    )
+    t = tiles.withColumn("cell", F.explode(cells))
+    return t.join(F.broadcast(cover), "cell").where(F.expr(PIP_PREDICATE))
+
+
+# ---------------------------------------------------------------------------
+# Geometry-violation audit (the reference's miswire audit, SURVEY.md §5.9):
+# count candidate pairs, verified matches, and — the target-0 number —
+# exact matches MISSED by the candidate phase (a cover bug would show here).
+# ---------------------------------------------------------------------------
+
+def pip_audit(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Per-zkind audit of the two-phase PIP join.
+
+    n_candidates: cell-equality candidate pairs (phase-1 output size);
+    n_matches:    candidates surviving the exact predicate;
+    n_missed:     exact pairs absent from the candidate set (target 0 —
+                  proves the cover is complete, not just precise).
+
+    The exact side is a broadcast-nested-loop over the small zone table; at
+    10^12-tile scale this audit runs on a sampled partition subset as a QA
+    job (the candidate/verified counters remain exact at any scale)."""
+    t = tile_cells(tiles, res)
+    zc = F.broadcast(zone_cover(zones, res))
+    cand = t.join(zc, "cell")
+    agg_c = cand.groupBy("zkind").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.expr(PIP_PREDICATE), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+    )
+    exact = tiles.join(
+        F.broadcast(zones), F.expr(PIP_PREDICATE), "inner"
+    ).select("zkind", "polygon_id", "image_id")
+    missed = exact.join(
+        cand.select("polygon_id", "image_id"), ["polygon_id", "image_id"], "left_anti"
+    )
+    agg_m = missed.groupBy("zkind").agg(F.count("*").alias("nm"))
+    return (
+        agg_c.join(agg_m, "zkind", "left")
+        .select(
+            "zkind",
+            "n_candidates",
+            "n_matches",
+            F.coalesce(F.col("nm"), F.lit(0)).cast("bigint").alias("n_missed"),
+        )
+    )
+
+
+def pip_audit_oracle_sql(res: int = DEFAULT_RES) -> str:
+    """DuckDB equivalent: same candidate phase (portable cell SQL), same
+    exact phase, same missed-pair anti-join."""
+    return f"""tc AS (
+  SELECT image_id, lon, lat, {grid.cell_sql('lon', 'lat', res)} AS cell FROM tiles
+),
+zcx AS (
+  SELECT polygon_id, zkind, xmin, xmax, ymin, ymax,
+         unnest(generate_series({grid.ix_sql('xmin', res)}, {grid.ix_sql('xmax', res)})) AS ix
+  FROM zones
+),
+zcy AS (
+  SELECT polygon_id, zkind, xmin, xmax, ymin, ymax, ix,
+         unnest(generate_series({grid.iy_sql('ymin', res)}, {grid.iy_sql('ymax', res)})) AS iy
+  FROM zcx
+),
+zc AS (
+  SELECT polygon_id, zkind, xmin, xmax, ymin, ymax,
+         {grid.cell_from_ixiy_sql('ix', 'iy', res)} AS cell
+  FROM zcy
+),
+cand AS (
+  SELECT zc.zkind, zc.polygon_id, tc.image_id,
+         CASE WHEN tc.lon >= zc.xmin AND tc.lon < zc.xmax
+               AND tc.lat >= zc.ymin AND tc.lat < zc.ymax THEN 1 ELSE 0 END AS ok
+  FROM tc JOIN zc USING (cell)
+),
+exact AS (
+  SELECT z.zkind, z.polygon_id, t.image_id
+  FROM tiles t JOIN zones z
+    ON t.lon >= z.xmin AND t.lon < z.xmax AND t.lat >= z.ymin AND t.lat < z.ymax
+),
+missed AS (
+  SELECT e.zkind FROM exact e
+  LEFT JOIN cand c ON c.polygon_id = e.polygon_id AND c.image_id = e.image_id
+  WHERE c.image_id IS NULL
+),
+agg_c AS (
+  SELECT zkind, count(*) AS n_candidates, CAST(sum(ok) AS BIGINT) AS n_matches
+  FROM cand GROUP BY 1
+),
+agg_m AS (SELECT zkind, count(*) AS nm FROM missed GROUP BY 1)
+SELECT a.zkind, a.n_candidates, a.n_matches,
+       CAST(coalesce(m.nm, 0) AS BIGINT) AS n_missed
+FROM agg_c a LEFT JOIN agg_m m USING (zkind)"""
+
+
+# ---------------------------------------------------------------------------
+# Spatial self-join: zone pairs whose rectangles intersect. Candidates =
+# pairs sharing a cover cell; exact verify = rectangle-overlap predicate;
+# dedup because large overlaps share many cells (the one PIP variant where
+# a post-join distinct IS required — called out so the shuffle is a choice,
+# not an accident).
+# ---------------------------------------------------------------------------
+
+ZONE_OVERLAP_PREDICATE = (
+    "a_xmin < b_xmax AND b_xmin < a_xmax AND a_ymin < b_ymax AND b_ymin < a_ymax"
+)
+
+
+def zone_overlap_join(zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """All unordered zone pairs (a < b) with overlapping rectangles.
+
+    Scale shape: cover self-join on cell — at millions of polygons both
+    sides stay partitioned by cell (co-located, no broadcast needed) and
+    the distinct keys the shuffle; here the whole thing is broadcast-small."""
+    cov = zone_cover(zones, res).select("polygon_id", "cell")
+    a = cov.toDF("pa", "cell")
+    b = cov.toDF("pb", "cell")
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .dropDuplicates(["pa", "pb"])
+    )
+    za = zones.select(
+        F.col("polygon_id").alias("pa"),
+        F.col("xmin").alias("a_xmin"),
+        F.col("xmax").alias("a_xmax"),
+        F.col("ymin").alias("a_ymin"),
+        F.col("ymax").alias("a_ymax"),
+    )
+    zb = zones.select(
+        F.col("polygon_id").alias("pb"),
+        F.col("xmin").alias("b_xmin"),
+        F.col("xmax").alias("b_xmax"),
+        F.col("ymin").alias("b_ymin"),
+        F.col("ymax").alias("b_ymax"),
+    )
+    return (
+        pairs.join(F.broadcast(za), "pa")
+        .join(F.broadcast(zb), "pb")
+        .where(F.expr(ZONE_OVERLAP_PREDICATE))
+        .select(
+            F.col("pa").alias("polygon_a"),
+            F.col("pb").alias("polygon_b"),
+        )
+    )

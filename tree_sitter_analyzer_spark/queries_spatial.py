@@ -462,3 +462,72 @@ def q_byte_budget_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("running_bytes") <= 4096)
         .select("i", "image_id", "caption_bytes", "running_bytes")
     )
+
+
+# --- Cover compaction + mixed-res PIP + audit + overlap self-join -----------
+
+@register(
+    "compact_cover",
+    f"""{_CTES},
+{pip_join.compact_cover_oracle_sql(res=9, min_res=7)}
+""",
+    doc="Mixed-resolution cover compaction (H3 compact_cells analog): "
+    "complete 2x2 quadtree blocks merged bottom-up res 9→7. Shrinks the "
+    "broadcast cover table ~4x per level over polygon interiors — the "
+    "knob that keeps phase-1 candidates cheap at 10^12 tiles.",
+)
+def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = synth.zones_df(spark)
+    return pip_join.compact_cover(z, res=9, min_res=7)
+
+
+@register(
+    "pip_compact",
+    f"""{_CTES}
+SELECT z.polygon_id, t.image_id, z.zkind, t.tile_kind, t.caption
+FROM {pip_join.pip_oracle_join_sql()}
+""",
+    doc="PIP join against the COMPACTED mixed-res cover: tile explodes its "
+    "res 7-9 cell chain (one scan), cover is disjoint so each (tile,zone) "
+    "pair matches exactly one cell — same rows as pip_join, smaller "
+    "broadcast side (SURVEY.md J2/O4 with the compaction trade).",
+)
+def q_pip_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return pip_join.pip_join_compact(t, z, res=9, min_res=7).select(
+        "polygon_id", "image_id", "zkind", "tile_kind", "caption"
+    )
+
+
+@register(
+    "pip_audit",
+    f"""{_CTES},
+{pip_join.pip_audit_oracle_sql(res=9)}
+""",
+    doc="Geometry-violation audit (the miswire audit, SURVEY.md §5.9): "
+    "per-zkind candidate count, verified matches, and exact matches MISSED "
+    "by the candidate phase (target 0 — cover completeness, both engines).",
+)
+def q_pip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return pip_join.pip_audit(t, z, res=9)
+
+
+@register(
+    "zone_overlap",
+    f"""{_CTES}
+SELECT a.polygon_id AS polygon_a, b.polygon_id AS polygon_b
+FROM zones a JOIN zones b
+  ON a.polygon_id < b.polygon_id
+ AND a.xmin < b.xmax AND b.xmin < a.xmax
+ AND a.ymin < b.ymax AND b.ymin < a.ymax
+""",
+    doc="Spatial self-join: zone pairs with intersecting rectangles — "
+    "shared-cover-cell candidates, exact overlap verify, explicit distinct "
+    "(the one PIP variant needing a post-join dedup shuffle).",
+)
+def q_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = synth.zones_df(spark)
+    return pip_join.zone_overlap_join(z, res=9)
