@@ -337,3 +337,111 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id", "cos_micro")
     )
+
+
+# --- DuckDB oracles for the approximate variants ----------------------------
+#
+# Both LSH and IVF are fully deterministic (md5-seeded planes, first-N
+# centroids, integer dot products, centroid-id tie-breaks), so the oracle
+# can replicate the *approximate* plan exactly rather than settle for a
+# rows-only check: same signatures, same probe sets, same rerank.
+
+_QVEC_DUCK = f"list_transform(embedding, x -> CAST(floor(x * {QUANT}e0) AS BIGINT))"
+_QVEC_DUCK_D = f"list_transform(embedding, x -> CAST(floor(x * {QUANT}e0) AS DOUBLE))"
+
+
+def ann_lsh_oracle(n_queries: int = 5, k: int = 5, max_hamming: int = 2) -> str:
+    from ..functions import md5int_duck
+
+    parts = []
+    for p in range(N_PLANES):
+        h = md5int_duck(f"'p{p}_' || d")
+        parts.append(f"sum(CASE WHEN {h} % 2 = 0 THEN qx ELSE -qx END) AS c{p}")
+    comps = ",\n         ".join(parts)
+    sig = " + ".join(
+        f"(CASE WHEN c{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES)
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest({_QVEC_DUCK}) AS qx,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id,
+         {comps}
+  FROM ex GROUP BY vec_id
+),
+sigs AS (SELECT vec_id, {sig} AS sig FROM comps),
+q AS (
+  SELECT e.vec_id, {_QVEC_DUCK_D} AS qv,
+         list_dot_product({_QVEC_DUCK_D}, {_QVEC_DUCK_D}) AS nrm, s.sig
+  FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+),
+scored AS (
+  SELECT c.vec_id AS vec_id, s.vec_id AS query_id,
+         CAST(floor(1e6 * list_dot_product(s.qv, c.qv)
+              / sqrt(s.nrm * c.nrm)) AS BIGINT) AS cos_micro
+  FROM q c JOIN (SELECT * FROM q WHERE vec_id < {n_queries}) s
+    ON c.vec_id <> s.vec_id AND bit_count(xor(c.sig, s.sig)) <= {max_hamming}
+)
+SELECT query_id, rank, vec_id, cos_micro FROM (
+  SELECT query_id, vec_id, cos_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_micro DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_oracle(
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QVEC_DUCK_D} AS qv,
+         list_dot_product({_QVEC_DUCK_D}, {_QVEC_DUCK_D}) AS nrm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS centroid_id, qv, nrm FROM q WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.qv, c.qv) / sqrt(v.nrm * c.nrm) DESC,
+                      c.centroid_id) AS rk
+    FROM q v CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT s.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(s.qv, c.qv) / sqrt(s.nrm * c.nrm) DESC,
+                      c.centroid_id) AS rk
+    FROM (SELECT * FROM q WHERE vec_id < {n_queries}) s CROSS JOIN cents c
+  ) WHERE rk <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM assign a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         CAST(floor(1e6 * list_dot_product(s.qv, c.qv)
+              / sqrt(s.nrm * c.nrm)) AS BIGINT) AS cos_micro
+  FROM cand
+  JOIN q c ON c.vec_id = cand.vec_id
+  JOIN q s ON s.vec_id = cand.query_id
+)
+SELECT query_id, rank, vec_id, cos_micro FROM (
+  SELECT query_id, vec_id, cos_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_micro DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -121,9 +121,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    None,  # approximate — recall vs brute asserted in tests/test_similarity.py
+    similarity.ann_lsh_oracle(5, 5),
     doc="Sign-LSH bucketed ANN top-5 (scale path; hamming-radius probe + "
-    "exact rerank).",
+    "exact rerank). Deterministic md5-seeded planes make even the "
+    "approximate plan fully oracle-able; recall vs brute additionally "
+    "asserted in tests/test_similarity.py.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(_emb(spark, sf_dir), 5, 5)
@@ -158,10 +160,11 @@ def q_doc_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,  # approximate — exactness when unprobed + recall vs brute in tests
+    similarity.ann_ivf_oracle(5, 5),
     doc="IVF-bucketed ANN top-5 (coarse-quantizer buckets + probe-P "
     "search + exact rerank; the 10^12-row scale path with Iceberg "
-    "bucket-partitioning by centroid).",
+    "bucket-partitioning by centroid). Deterministic first-N centroids "
+    "make the approximate plan oracle-able; recall vs brute in tests.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(_emb(spark, sf_dir), 5, 5)
