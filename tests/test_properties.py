@@ -198,3 +198,35 @@ def test_pip_compact_equals_pip_join(spark):
     )
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_zonal_weighted_refpoint_dedup(spark):
+    """The reference-point method yields each (tile, zone) overlap pair
+    exactly once: the cell-join pair set equals the naive rectangle-join
+    pair set as a multiset (no dup from footprints spanning cells)."""
+    from pyspark.sql import functions as F
+    from tree_sitter_analyzer_spark.operators import zonal
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    naive = (
+        zonal.tile_footprints(tiles)
+        .crossJoin(F.broadcast(zones))
+        .where(F.expr(zonal.FP_OVERLAP_PREDICATE))
+        .select("image_id", "polygon_id")
+    )
+    t = zonal.tile_footprints(tiles)
+    t = (
+        t.withColumn("ix", F.explode(F.sequence(grid.ix_col("fx_min", 9), grid.ix_col("fx_max", 9))))
+        .withColumn("iy", F.explode(F.sequence(grid.iy_col("fy_min", 9), grid.iy_col("fy_max", 9))))
+        .withColumn("cell", F.expr(grid.cell_from_ixiy_sql("ix", "iy", 9)))
+    )
+    refpoint = grid.cell_sql("GREATEST(xmin, fx_min)", "GREATEST(ymin, fy_min)", 9)
+    cellwise = (
+        t.join(F.broadcast(pip_join.zone_cover(zones, 9)), "cell")
+        .where(F.expr(zonal.FP_OVERLAP_PREDICATE))
+        .where(F.expr(f"cell = {refpoint}"))
+        .select("image_id", "polygon_id")
+    )
+    assert naive.exceptAll(cellwise).count() == 0
+    assert cellwise.exceptAll(naive).count() == 0

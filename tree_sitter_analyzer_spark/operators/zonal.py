@@ -130,3 +130,97 @@ def zonal_stats_approx(tiles: DataFrame, zones: DataFrame, res: int = 9,
             F.approx_count_distinct("phash", rsd).alias("n_distinct_phash_approx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Area-weighted raster<->vector zonal statistics (the north rule's
+# "raster↔vector zonal assignment" beyond point-in-polygon): each tile is a
+# footprint RECTANGLE (centroid ± pixel-extent), and a zone accumulates the
+# FRACTION of each overlapping tile's area inside it. Weights are emitted
+# as floor(1e6·frac) bigints so sums are integer-exact across engines.
+# ---------------------------------------------------------------------------
+
+FP_EPS = "2e-5"  # degrees per pixel of footprint half-extent
+
+FP_EXPRS = {
+    "fx_min": f"(lon - w * {FP_EPS})",
+    "fx_max": f"(lon + w * {FP_EPS})",
+    "fy_min": f"(lat - h * {FP_EPS})",
+    "fy_max": f"(lat + h * {FP_EPS})",
+}
+
+# Strict overlap (touching edges excluded) and the fractional-area weight —
+# one SQL text evaluated by both Spark and DuckDB.
+FP_OVERLAP_PREDICATE = (
+    "fx_max > xmin AND xmax > fx_min AND fy_max > ymin AND ymax > fy_min"
+)
+WEIGHT_MICRO_SQL = (
+    "CAST(floor(1e6 * ((LEAST(xmax, fx_max) - GREATEST(xmin, fx_min)) * "
+    "(LEAST(ymax, fy_max) - GREATEST(ymin, fy_min))) / "
+    "((fx_max - fx_min) * (fy_max - fy_min))) AS BIGINT)"
+)
+
+
+def tile_footprints(tiles: DataFrame) -> DataFrame:
+    out = tiles
+    for name, expr in FP_EXPRS.items():
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
+def zonal_weighted(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
+    """Per-zone fractional-coverage stats over the footprint-rectangle join.
+
+    Scale design: footprint cover cells fan out JVM-side (a footprint spans
+    ~1-4 res-9 cells at these extents); the zone cover is broadcast, so the
+    tile scan never shuffles. Duplicate (tile, zone) candidates from shared
+    cells are eliminated WITHOUT a distinct: a pair is reported only in the
+    cell containing the intersection's lower-left corner (the reference-
+    point method — pure arithmetic, each pair survives in exactly one
+    cell). The terminal groupBy is the job's only exchange.
+    """
+    from .pip_join import zone_cover
+
+    t = tile_footprints(tiles)
+    t = (
+        t.withColumn(
+            "ix", F.explode(F.sequence(grid.ix_col("fx_min", res), grid.ix_col("fx_max", res)))
+        )
+        .withColumn(
+            "iy", F.explode(F.sequence(grid.iy_col("fy_min", res), grid.iy_col("fy_max", res)))
+        )
+        .withColumn("cell", F.expr(grid.cell_from_ixiy_sql("ix", "iy", res)))
+    )
+    refpoint = grid.cell_sql("GREATEST(xmin, fx_min)", "GREATEST(ymin, fy_min)", res)
+    j = (
+        t.join(F.broadcast(zone_cover(zones, res)), "cell")
+        .where(F.expr(FP_OVERLAP_PREDICATE))
+        .where(F.expr(f"cell = {refpoint}"))
+        .withColumn("weight_micro", F.expr(WEIGHT_MICRO_SQL))
+    )
+    return j.groupBy("polygon_id", "zkind").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("weight_micro").cast("bigint").alias("sum_weight_micro"),
+        F.sum(F.when(F.col("weight_micro") == 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fully_inside"),
+    )
+
+
+def zonal_weighted_oracle_sql() -> str:
+    fp_cols = ",\n         ".join(f"{e} AS {n}" for n, e in FP_EXPRS.items())
+    return f"""tf AS (
+  SELECT image_id, lon, lat, w, h,
+         {fp_cols}
+  FROM tiles
+),
+pairs AS (
+  SELECT z.polygon_id, z.zkind, {WEIGHT_MICRO_SQL} AS weight_micro
+  FROM tf JOIN zones z
+    ON {FP_OVERLAP_PREDICATE}
+)
+SELECT polygon_id, zkind, count(*) AS n_tiles,
+       CAST(sum(weight_micro) AS BIGINT) AS sum_weight_micro,
+       CAST(sum(CASE WHEN weight_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_inside
+FROM pairs GROUP BY 1, 2"""

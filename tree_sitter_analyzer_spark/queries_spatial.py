@@ -531,3 +531,19 @@ FROM zones a JOIN zones b
 def q_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = synth.zones_df(spark)
     return pip_join.zone_overlap_join(z, res=9)
+
+
+@register(
+    "zonal_weighted",
+    f"""{_CTES},
+{zonal.zonal_weighted_oracle_sql()}
+""",
+    doc="Area-weighted raster↔vector zonal stats: tiles as footprint "
+    "rectangles, per-zone sum of fractional overlap (micro-int weights). "
+    "Dedup-free candidate join via the reference-point method — a pair is "
+    "counted only in the intersection's lower-left cell.",
+)
+def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return zonal.zonal_weighted(t, z, res=9)
