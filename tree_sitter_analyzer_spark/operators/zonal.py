@@ -224,3 +224,96 @@ SELECT polygon_id, zkind, count(*) AS n_tiles,
        CAST(sum(CASE WHEN weight_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_fully_inside
 FROM pairs GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Two-level assignment with fallback (the reference's exact/fallback match:
+# edge semi-joins match on (name,file) with a name-only fallback for
+# unresolved targets, hyphae/evaluator.py:227-272; J10 carries a confidence
+# column). Here: exact PIP where possible, nearest-zone-centroid for tiles
+# in no zone, with the distance as the confidence column.
+# ---------------------------------------------------------------------------
+
+_CENTROID_STRUCT = (
+    "named_struct('cx', (xmin + xmax) / 2e0, 'cy', (ymin + ymax) / 2e0, "
+    "'polygon_id', polygon_id)"
+)
+_D_NANO = (
+    "CAST(floor(1e9 * ((lon - z.cx) * (lon - z.cx) + "
+    "(lat - z.cy) * (lat - z.cy))) AS BIGINT)"
+)
+
+
+def zone_assignment_full(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
+    """Every tile assigned a zone: PIP winner (smallest polygon_id) with
+    method='pip', else nearest zone centroid with method='nearest' and
+    dist2_nano as confidence.
+
+    Scale design: the fallback argmin is a higher-order ``aggregate`` fold
+    over the broadcast zone array — evaluated entirely map-side inside the
+    projection (no shuffle, no window over the trillion-row side; the fold
+    is order-independent so collect_list's nondeterministic order is
+    harmless). At millions of zones, swap the fold for cell-ring expansion
+    (operators/knn.py); the two-level union shape is unchanged."""
+    matched = pip_join(tiles, zones, res=res).select("image_id", "polygon_id")
+    pipm = matched.groupBy("image_id").agg(F.min("polygon_id").alias("zone_id"))
+    pip_part = pipm.select(
+        "image_id",
+        "zone_id",
+        F.lit("pip").alias("method"),
+        F.lit(0).cast("bigint").alias("dist2_nano"),
+    )
+    unmatched = pip_join(tiles, zones, res=res, how="anti").select(
+        "image_id", "lon", "lat"
+    )
+    zarr = zones.select(F.collect_list(F.expr(_CENTROID_STRUCT)).alias("zs"))
+    fold = (
+        "aggregate(zs, named_struct('d', CAST(9000000000000000000 AS BIGINT), "
+        f"'pid', CAST(NULL AS STRING)), (acc, z) -> CASE WHEN {_D_NANO} < acc.d "
+        f"OR ({_D_NANO} = acc.d AND z.polygon_id < acc.pid) "
+        f"THEN named_struct('d', {_D_NANO}, 'pid', z.polygon_id) ELSE acc END)"
+    )
+    near = (
+        unmatched.crossJoin(F.broadcast(zarr))
+        .withColumn("best", F.expr(fold))
+        .select(
+            "image_id",
+            F.col("best.pid").alias("zone_id"),
+            F.lit("nearest").alias("method"),
+            F.col("best.d").alias("dist2_nano"),
+        )
+    )
+    return pip_part.unionByName(near)
+
+
+def zone_assignment_full_oracle_sql() -> str:
+    return """cents AS (
+  SELECT polygon_id, (xmin + xmax) / 2e0 AS cx, (ymin + ymax) / 2e0 AS cy
+  FROM zones
+),
+pipm AS (
+  SELECT t.image_id, min(z.polygon_id) AS zone_id
+  FROM tiles t JOIN zones z
+    ON t.lon >= z.xmin AND t.lon < z.xmax AND t.lat >= z.ymin AND t.lat < z.ymax
+  GROUP BY 1
+),
+unm AS (
+  SELECT image_id, lon, lat FROM tiles
+  WHERE image_id NOT IN (SELECT image_id FROM pipm)
+),
+scored AS (
+  SELECT u.image_id, c.polygon_id,
+         CAST(floor(1e9 * ((u.lon - c.cx) * (u.lon - c.cx) +
+              (u.lat - c.cy) * (u.lat - c.cy))) AS BIGINT) AS d
+  FROM unm u CROSS JOIN cents c
+),
+nearest AS (
+  SELECT image_id, polygon_id AS zone_id, d FROM (
+    SELECT image_id, polygon_id, d,
+           row_number() OVER (PARTITION BY image_id ORDER BY d, polygon_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT image_id, zone_id, 'pip' AS method, CAST(0 AS BIGINT) AS dist2_nano FROM pipm
+UNION ALL
+SELECT image_id, zone_id, 'nearest' AS method, d AS dist2_nano FROM nearest"""

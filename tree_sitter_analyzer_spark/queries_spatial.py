@@ -547,3 +547,19 @@ def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tiles(spark, sf_dir)
     z = synth.zones_df(spark)
     return zonal.zonal_weighted(t, z, res=9)
+
+
+@register(
+    "zone_assignment_full",
+    f"""{_CTES},
+{zonal.zone_assignment_full_oracle_sql()}
+""",
+    doc="Two-level assignment (the reference's exact/fallback match, J2 "
+    "J10): PIP winner where a tile is inside >=1 zone, nearest-centroid "
+    "fallback otherwise, distance carried as confidence. Fallback argmin "
+    "is a map-side higher-order fold over the broadcast zone array.",
+)
+def q_zone_assignment_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return zonal.zone_assignment_full(t, z, res=9)
