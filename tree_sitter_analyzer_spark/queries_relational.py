@@ -602,3 +602,37 @@ def q_rolling_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(win).cast("bigint").alias("orders_30d"),
         F.sum("price_cents").over(win).cast("bigint").alias("spend_30d_cents"),
     )
+
+
+_CTES = synth.oracle_ctes()
+
+
+@register(
+    "fmt_kind_cube",
+    f"""{_CTES}
+SELECT coalesce(fmt, 'ALL') AS fmt_g,
+       coalesce(tile_kind, 'ALL') AS kind_g,
+       count(*) AS n_tiles,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels
+FROM tiles
+GROUP BY CUBE(fmt, tile_kind)
+""",
+    doc="Full cube over (fmt, tile_kind): all four grouping sets in one "
+    "pass (SURVEY.md A11 — cube completes the grouping-sets surface next "
+    "to orders_rollup and order_status_pivot).",
+)
+def q_fmt_kind_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth.tiles_df(spark, sf_dir)
+    return (
+        t.cube("fmt", "tile_kind")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(F.expr("CAST(w AS BIGINT) * h")).cast("bigint").alias("sum_pixels"),
+        )
+        .select(
+            F.coalesce("fmt", F.lit("ALL")).alias("fmt_g"),
+            F.coalesce("tile_kind", F.lit("ALL")).alias("kind_g"),
+            "n_tiles",
+            "sum_pixels",
+        )
+    )
