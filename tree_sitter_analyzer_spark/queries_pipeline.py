@@ -225,3 +225,15 @@ def q_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("max_thumb_bytes"),
         )
     )
+
+
+@register(
+    "winnow_dups",
+    dedup.winnow_oracle(),
+    doc="Rolling-hash document fingerprinting (winnowed k-grams, the MOSS "
+    "scheme): pairs sharing >=5 winnowed fingerprints, stop-fingerprints "
+    "(df>10) suppressed so no bucket exceeds maxdf^2 pairs at any corpus "
+    "size.",
+)
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_dups(_docs(spark, sf_dir))
