@@ -102,3 +102,51 @@ def test_aggregations_are_partial_final(spark, qname):
     q = load_all()[qname]
     plan = plan_of(q.spark_fn(spark, SF_TINY), "simple")
     assert "partial_count" in plan
+
+
+def test_pip_compact_is_broadcast_no_dedup(spark):
+    """The compacted-cover join keeps the tile side shuffle-free AND needs
+    no dedup: broadcast hash join, no sort-merge, no HashAggregate/
+    dropDuplicates between the join and the caller (disjoint cover ⇒ one
+    match per pair by construction)."""
+    df = pip_join.pip_join_compact(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark), res=9, min_res=7
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zonal_weighted_single_terminal_exchange(spark):
+    """Reference-point dedup means NO distinct: the only exchange in the
+    weighted-zonal plan is the terminal groupBy(polygon_id) hash
+    aggregation; the candidate join is broadcast."""
+    df = zonal.zonal_weighted(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark), res=9
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two exchanges: the deliberate seed-spread repartition inside
+    # tiles_df (one-file synthetic parquet) and the terminal agg — nothing
+    # between the candidate join and the roll-up (no distinct).
+    n_exchanges = plan.count(") Exchange\n")
+    assert n_exchanges == 2, f"expected 2 shuffles, plan has {n_exchanges}"
+
+
+def test_zone_assignment_full_fallback_is_map_side(spark):
+    """The nearest-centroid fallback adds no exchange beyond
+    zone_assignment's keyed merge-back: the fold over the broadcast zone
+    array appears as a nested-loop/broadcast product with a projection,
+    never a shuffle keyed on the tile side followed by a window."""
+    df = zonal.zone_assignment_full(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark), res=9
+    )
+    plan = plan_of(df)
+    assert "Window" not in plan  # argmin is a fold, not a ranking window
+    base = zonal.zone_assignment(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark), res=9
+    )
+    assert plan.count("Exchange hashpartitioning") <= plan_of(base).count(
+        "Exchange hashpartitioning"
+    ) + 1  # anti-join reuses the broadcast; at most the union's partial agg
