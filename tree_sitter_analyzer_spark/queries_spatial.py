@@ -563,3 +563,33 @@ def q_zone_assignment_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tiles(spark, sf_dir)
     z = synth.zones_df(spark)
     return zonal.zone_assignment_full(t, z, res=9)
+
+
+@register(
+    "tiles_indexed",
+    f"""{_CTES}
+{' UNION ALL '.join(
+    f"SELECT image_id, CAST({r} AS BIGINT) AS res, "
+    f"{grid.cell_sql('lon', 'lat', r)} AS cell FROM tiles"
+    for r in range(7, 13)
+)}
+""",
+    doc="The flattened, join-ready index projection (ast_symbol_rows "
+    "analog, SURVEY.md §1.2): every tile exploded to its res 7-12 cell "
+    "chain — one narrow pass, JVM-side array+explode fan-out (X5).",
+)
+def q_tiles_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    chain = F.array(
+        *[
+            F.expr(
+                f"named_struct('res', CAST({r} AS BIGINT), "
+                f"'cell', {grid.cell_sql('lon', 'lat', r)})"
+            )
+            for r in range(7, 13)
+        ]
+    )
+    return (
+        t.withColumn("rc", F.explode(chain))
+        .select("image_id", F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"))
+    )
