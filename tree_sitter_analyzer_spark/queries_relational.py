@@ -636,3 +636,46 @@ def q_fmt_kind_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_pixels",
         )
     )
+
+
+@register(
+    "event_hopping_counts",
+    """
+SELECT strftime(make_timestamp(CAST(ws * 1000000 AS BIGINT)), '%Y-%m-%d %H:%M')
+         AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100e0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (
+  SELECT event_type, value,
+         unnest([CAST(floor(epoch(ts) / 43200e0) AS BIGINT) * 43200,
+                 CAST(floor(epoch(ts) / 43200e0) AS BIGINT) * 43200 - 43200]) AS ws
+  FROM events
+)
+GROUP BY 1, 2
+""",
+    doc="Hopping-window aggregation (1-day window, 12-h hop — SURVEY.md I4 "
+    "in batch form): every event lands in exactly two epoch-aligned "
+    "windows; Spark's window() fan-out vs an explicit unnest oracle.",
+)
+def q_event_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 100e0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
