@@ -679,3 +679,39 @@ def q_event_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_cents",
         )
     )
+
+
+@register(
+    "median_order_per_segment",
+    """
+WITH ranked AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(floor(o.o_totalprice * 100e0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY floor(o.o_totalprice * 100e0), o.o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment, n AS n_orders, cents AS median_cents
+FROM ranked WHERE rn = CAST(ceil(n / 2e0) AS BIGINT)
+""",
+    doc="Exact lower-median order value per market segment (A5's "
+    "percentile dimension, made engine-deterministic: rank by (cents, "
+    "orderkey), pick position ceil(n/2) — no float interpolation).",
+)
+def q_median_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("segment")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.expr("rn = CAST(ceil(n / 2e0) AS BIGINT)"))
+        .select("segment", F.col("n").alias("n_orders"), F.col("cents").alias("median_cents"))
+    )
