@@ -63,3 +63,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_mermaid_export_is_deterministic_and_capped(spark):
+    """S8 mermaid sink: byte-identical across runs/partitionings, node
+    declarations before edges, capped-with-true-total envelope (T5)."""
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import pip_join
+    from tree_sitter_analyzer_spark.sources import sinks
+
+    zones = synth.zones_df(spark)
+    pairs = pip_join.zone_overlap_join(zones, res=9)
+    out1 = sinks.to_mermaid(pairs, "polygon_a", "polygon_b", max_edges=50)
+    out2 = sinks.to_mermaid(
+        pairs.repartition(7), "polygon_a", "polygon_b", max_edges=50
+    )
+    assert out1["text"] == out2["text"]  # repartition-invariant bytes
+    assert out1["text"].startswith("flowchart LR\n")
+    assert out1["was_truncated"] and out1["total_edges"] > 50
+    assert out1["rendered_edges"] == 50
+    # every rendered edge references a declared node
+    decls = {
+        line.strip().split("[")[0]
+        for line in out1["text"].splitlines()
+        if "[" in line and "-->" not in line
+    }
+    for line in out1["text"].splitlines():
+        if "-->" in line:
+            a, b = line.strip().split(" --> ")
+            assert a in decls and b in decls

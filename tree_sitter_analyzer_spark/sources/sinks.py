@@ -58,3 +58,54 @@ def write_partitioned(
             1 for d in os.listdir(path) if "=" in d
         ),
     }
+
+
+def to_mermaid(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    label: str | None = None,
+    direction: str = "LR",
+    max_edges: int = 200,
+) -> dict[str, Any]:
+    """Render a relationship DataFrame as deterministic Mermaid flowchart
+    text (the reference's mermaid/graphology exporters,
+    knowledge_graph/exporters.py:20-135, SURVEY.md S8).
+
+    Edges are sorted by (src, dst) and capped at ``max_edges`` with the
+    capped-with-true-total envelope (T5): the text never silently
+    truncates. Node ids are sanitized to mermaid-safe tokens; original
+    names are kept as display labels. The collect here is bounded by
+    max_edges — graph exports are small-result sinks by definition; big
+    relationship tables go through write_canonical instead.
+    """
+    cols = [src, dst] + ([label] if label else [])
+    ordered = edges.select(*cols).orderBy(src, dst)
+    total = ordered.count()
+    rows = ordered.limit(max_edges).collect()
+
+    def node_id(name: str) -> str:
+        return "".join(c if c.isalnum() else "_" for c in str(name))
+
+    lines = [f"flowchart {direction}"]
+    seen: set[str] = set()
+    for r in rows:
+        for name in (r[src], r[dst]):
+            nid = node_id(name)
+            if nid not in seen:
+                seen.add(nid)
+                lines.append(f'    {nid}["{name}"]')
+    for r in rows:
+        edge = (
+            f"    {node_id(r[src])} -->|{r[label]}| {node_id(r[dst])}"
+            if label
+            else f"    {node_id(r[src])} --> {node_id(r[dst])}"
+        )
+        lines.append(edge)
+    return {
+        "text": "\n".join(lines) + "\n",
+        "total_edges": total,
+        "rendered_edges": len(rows),
+        "was_truncated": total > len(rows),
+        "n_nodes": len(seen),
+    }
