@@ -27,3 +27,14 @@ def test_query_matches_oracle(spark, duck, name):
     register_views(duck, SF_TINY)
     odf = duck.sql(q.oracle).df()
     assert_frames_match(sdf, odf, name)
+
+
+def test_vacuous_at_gate_queries_have_signal_somewhere(spark, duck):
+    """Queries legitimately empty at the sf0.01 gate must be shown
+    non-vacuous at a sf where signal exists (the interval_join lesson):
+    dedup_exact finds the 8 exact-dup groups present at sf0.1."""
+    q = QUERIES["dedup_exact"]
+    sdf = q.spark_fn(spark, "/root/testdata/sf0.1").toPandas()
+    register_views(duck, "/root/testdata/sf0.1")
+    odf = duck.sql(q.oracle).df()
+    assert len(sdf) == len(odf) == 8

@@ -9,6 +9,7 @@ pass. SQL-expressible ops carry DuckDB oracles; pixel ops are rows-only
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import dedup, ingest, similarity, textstats
 from .registry import register
@@ -237,3 +238,27 @@ def q_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_dups(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_prefix",
+    """
+SELECT substr(text, 1, 64) AS prefix64, count(*) AS group_size,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+""",
+    doc="Prefix dedup (C4/RefinedWeb-style boilerplate detection): docs "
+    "sharing their first 64 chars. Unlike dedup_exact (a true 0 at small "
+    "sf), this tier has signal at every gate sf (20-22 groups).",
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.expr("substr(text, 1, 64)").alias("prefix64"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("group_size") >= 2)
+    )

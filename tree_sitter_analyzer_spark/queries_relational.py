@@ -110,16 +110,23 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J3/U3: anti join --------------------------------------------------------
 
 @register(
-    "customers_without_orders",
+    "customers_without_urgent",
     """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
 """,
-    doc="left_anti set difference (SURVEY.md J3/U3 — dead-code analog).",
+    doc="left_anti set difference (SURVEY.md J3/U3 — dead-code analog): "
+    "customers with no URGENT order. The unconditioned variant (no orders "
+    "at all) is 0 rows at every gate sf — a vacuous pass — so the "
+    "predicate keeps the anti-join observable (18 @ sf0.001, 203 @ "
+    "sf0.01).",
 )
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_customers_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

@@ -355,21 +355,31 @@ def q_cascade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(lambda a, b: a.unionByName(b), collected)
 
 
-# --- A8: gap analysis (zones with no tiles) ---------------------------------------
+# --- A8: gap analysis (zones lacking a tile kind) ----------------------------
+#
+# Was "zones with zero tiles" — which is 0 rows at EVERY sf (zones are
+# dense enough that each holds >=1 tile), so the driver gate passed
+# vacuously (the interval_join lesson, CLAUDE.md). Restricting to one tile
+# kind makes it the true test-gap analog ("prod symbols with no matching
+# test", SURVEY.md A8): 90 rows @ sf0.001, 10 @ sf0.01.
+
+GAP_KIND = "marine"
+
 
 @register(
-    "empty_zones",
+    "uncovered_zones",
     f"""{_CTES}
 SELECT z.polygon_id, z.zkind FROM zones z
 WHERE NOT EXISTS (
-  SELECT 1 FROM tiles t WHERE t.lon >= z.xmin AND t.lon < z.xmax
+  SELECT 1 FROM tiles t WHERE t.tile_kind = '{GAP_KIND}'
+    AND t.lon >= z.xmin AND t.lon < z.xmax
     AND t.lat >= z.ymin AND t.lat < z.ymax)
 """,
     doc="Coverage-gap analysis (test_gap_analyzer analog, SURVEY.md A8): "
-    "zones containing zero tiles — left_anti from the zone side.",
+    "zones containing no marine-kind tile — left_anti from the zone side.",
 )
-def q_empty_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tiles(spark, sf_dir)
+def q_uncovered_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir).where(F.col("tile_kind") == GAP_KIND)
     z = synth.zones_df(spark)
     covered = pip_join.pip_join(t, z, res=9).select("polygon_id").dropDuplicates()
     return z.join(covered, "polygon_id", "left_anti").select("polygon_id", "zkind")
