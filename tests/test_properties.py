@@ -230,3 +230,23 @@ def test_zonal_weighted_refpoint_dedup(spark):
     )
     assert naive.exceptAll(cellwise).count() == 0
     assert cellwise.exceptAll(naive).count() == 0
+
+
+def test_scanline_cover_tighter_and_complete(spark):
+    """The scanline convex cover is a subset of the bbox cover (tighter),
+    yet the join result is the identical multiset (complete) — and the
+    verify precision strictly improves."""
+    from pyspark.sql import functions as F
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    pz = synth.poly_zones_df(spark)
+    bbox = pip_join.poly_cover(pz, 9).select("polygon_id", "cell")
+    scan = pip_join.poly_cover_scanline(pz, 9).select("polygon_id", "cell")
+    assert scan.exceptAll(bbox).count() == 0  # subset
+    assert scan.count() < bbox.count()  # strictly tighter
+    a = pip_join.pip_convex_join(tiles, pz, 9).select("image_id", "polygon_id")
+    b = pip_join.pip_convex_join_scanline(tiles, pz, 9).select(
+        "image_id", "polygon_id"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

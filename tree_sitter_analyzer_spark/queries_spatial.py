@@ -437,7 +437,7 @@ FROM tiles t JOIN pz z ON {synth.convex_pip_predicate('t.lon', 't.lat')}
 def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tiles(spark, sf_dir)
     pz = synth.poly_zones_df(spark)
-    return pip_join.pip_convex_join(t, pz, res=9).select(
+    return pip_join.pip_convex_join_scanline(t, pz, res=9).select(
         "polygon_id", "image_id", "tile_kind"
     )
 
