@@ -603,3 +603,26 @@ def q_tiles_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("rc", F.explode(chain))
         .select("image_id", F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"))
     )
+
+
+@register(
+    "hot_cell_counts_salted",
+    f"""{_CTES}
+SELECT {grid.cell_sql('lon', 'lat', 7)} AS cell, count(*) AS n
+FROM tiles GROUP BY 1 HAVING count(*) >= 8
+""",
+    doc="Hot-cell counts via salted two-phase aggregation (SURVEY.md O10, "
+    "the north rule's salted-key skew handling): partial counts on (cell, "
+    "salt) bound any reducer's share of a hotspot cell to 1/16; the plain "
+    "GROUP BY oracle proves result-identity. Res 7 + threshold 8 so the "
+    "hotspot cells surface at every gate sf (22 @ sf0.001, 33 @ sf0.01).",
+)
+def q_hot_cell_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import skew
+
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=7)
+    return (
+        skew.salted_count(t, "cell", n_salts=16)
+        .withColumnRenamed("count", "n")
+        .where(F.col("n") >= 8)
+    )
