@@ -92,3 +92,20 @@ def test_mermaid_export_is_deterministic_and_capped(spark):
         if "-->" in line:
             a, b = line.strip().split(" --> ")
             assert a in decls and b in decls
+
+
+def test_mermaid_collisions_and_escaping(spark):
+    """Distinct names whose sanitized forms collide get unique ids; quotes
+    and pipes in names/labels are entity-escaped (valid Mermaid)."""
+    from tree_sitter_analyzer_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [("a.b", 'zone "X"', "p|q"), ("a_b", 'zone "X"', "r")],
+        ["s", "d", "lbl"],
+    )
+    out = sinks.to_mermaid(df, "s", "d", label="lbl")
+    text = out["text"]
+    assert out["n_nodes"] == 3  # a.b and a_b must NOT merge
+    assert "a_b__1" in text  # collision suffix
+    assert "#quot;" in text and '"zone "X""' not in text
+    assert "#124;" in text and "|p|q|" not in text

@@ -312,12 +312,22 @@ def pip_audit(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> Dat
         cand.select("polygon_id", "image_id"), ["polygon_id", "image_id"], "left_anti"
     )
     agg_m = missed.groupBy("zkind").agg(F.count("*").alias("nm"))
+    # Key the audit from the ZONE side: if a cover bug produces zero
+    # candidates for a whole zkind, that zkind must still appear (with
+    # n_candidates=0 and its missed count) — a candidate-side join would
+    # silently drop the very row that proves the worst failure.
+    all_kinds = zones.select("zkind").dropDuplicates(["zkind"])
     return (
-        agg_c.join(agg_m, "zkind", "left")
+        all_kinds.join(agg_c, "zkind", "left")
+        .join(agg_m, "zkind", "left")
         .select(
             "zkind",
-            "n_candidates",
-            "n_matches",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matches"),
             F.coalesce(F.col("nm"), F.lit(0)).cast("bigint").alias("n_missed"),
         )
     )
@@ -364,10 +374,15 @@ agg_c AS (
   SELECT zkind, count(*) AS n_candidates, CAST(sum(ok) AS BIGINT) AS n_matches
   FROM cand GROUP BY 1
 ),
-agg_m AS (SELECT zkind, count(*) AS nm FROM missed GROUP BY 1)
-SELECT a.zkind, a.n_candidates, a.n_matches,
+agg_m AS (SELECT zkind, count(*) AS nm FROM missed GROUP BY 1),
+all_kinds AS (SELECT DISTINCT zkind FROM zones)
+SELECT k.zkind,
+       CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
        CAST(coalesce(m.nm, 0) AS BIGINT) AS n_missed
-FROM agg_c a LEFT JOIN agg_m m USING (zkind)"""
+FROM all_kinds k
+LEFT JOIN agg_c a USING (zkind)
+LEFT JOIN agg_m m USING (zkind)"""
 
 
 # ---------------------------------------------------------------------------
@@ -442,8 +457,6 @@ def _edge_x_at(y: str) -> str:
 
 
 def poly_cover_scanline(poly_zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
-    from .. import synth
-
     k = len([c for c in poly_zones.columns if c.startswith("x")])
     size = grid.cell_size(res)
     edges = ", ".join(
@@ -463,8 +476,10 @@ def poly_cover_scanline(poly_zones: DataFrame, res: int = DEFAULT_RES) -> DataFr
         )
         # closed row band [c, d]: top edge included — slight over-cover,
         # never under-cover (completeness is the hard requirement).
-        .withColumn("_c", F.expr(f"iy * {size!r} - 90e0"))
-        .withColumn("_d", F.expr(f"(iy + 1) * {size!r} - 90e0"))
+        # {size!r}e0 keeps the literal in exponent form: bare decimals
+        # parse as DECIMAL in Spark (CLAUDE.md float-literal rule).
+        .withColumn("_c", F.expr(f"iy * {size!r}e0 - 90e0"))
+        .withColumn("_d", F.expr(f"(iy + 1) * {size!r}e0 - 90e0"))
     )
     x1 = _edge_x_at("GREATEST(LEAST(e.ya, e.yb), _c)")
     x2 = _edge_x_at("LEAST(GREATEST(e.ya, e.yb), _d)")

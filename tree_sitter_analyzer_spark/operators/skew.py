@@ -28,9 +28,16 @@ from pyspark.sql import functions as F
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """Two-phase count: (key, salt) partial → key final. Result is
     identical to ``df.groupBy(key).count()`` (verified in tests); the salt
-    bounds any single reducer's share of a hot key to 1/n_salts."""
+    bounds any single reducer's share of a hot key to 1/n_salts.
+
+    The salt MUST vary per row, not per key value — ``xxhash64(key)`` is
+    constant within a key and silently degenerates to a plain groupBy
+    (result-identical, so only a skew inspection catches it).
+    ``spark_partition_id`` spreads a hot key across every input partition
+    it appears in, up to n_salts buckets, and keeps the plan fully
+    deterministic."""
     partial = (
-        df.withColumn("_salt", F.pmod(F.xxhash64(key), F.lit(n_salts)))
+        df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts)))
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_c"))
     )
@@ -43,8 +50,11 @@ def salted_join_big_small(
     """Equi-join with the small side replicated n_salts× and the big side
     salted — every (key, salt) bucket lands on a different reducer, so one
     hot key spreads across n_salts tasks. Row-for-row identical to
-    ``big.join(small, key)``."""
-    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(key), F.lit(n_salts)))
+    ``big.join(small, key)``. Same per-row-salt requirement as
+    :func:`salted_count` (a key-derived salt would be a no-op)."""
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

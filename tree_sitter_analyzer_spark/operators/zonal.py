@@ -263,7 +263,10 @@ def zone_assignment_full(tiles: DataFrame, zones: DataFrame, res: int = 9) -> Da
         F.lit("pip").alias("method"),
         F.lit(0).cast("bigint").alias("dist2_nano"),
     )
-    unmatched = pip_join(tiles, zones, res=res, how="anti").select(
+    # Unmatched tiles come from the pipm aggregate already computed above —
+    # re-running pip_join(how='anti') would execute the whole candidate+
+    # verify join a second time over the trillion-row side.
+    unmatched = tiles.join(pipm, "image_id", "left_anti").select(
         "image_id", "lon", "lat"
     )
     zarr = zones.select(F.collect_list(F.expr(_CENTROID_STRUCT)).alias("zs"))

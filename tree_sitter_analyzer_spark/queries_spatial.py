@@ -398,9 +398,8 @@ WHERE coalesce(c.n_tiles, 0) < 10
 """,
     doc="Coverage-gap analysis, graded tier (SURVEY.md A8): zones with "
     "fewer than 10 tiles (including zero) — zones ⟕ PIP counts with "
-    "coalesce. Complements empty_zones, which is legitimately empty on "
-    "this corpus (the synthetic zone layer covers the tile extent), with "
-    "a gap query that returns real rows at every sf.",
+    "coalesce. Complements uncovered_zones (the kind-restricted gap "
+    "query) with a count-threshold tier that returns rows at every sf.",
 )
 def q_sparse_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tiles(spark, sf_dir)

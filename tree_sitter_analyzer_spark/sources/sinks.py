@@ -72,32 +72,49 @@ def to_mermaid(
     text (the reference's mermaid/graphology exporters,
     knowledge_graph/exporters.py:20-135, SURVEY.md S8).
 
-    Edges are sorted by (src, dst) and capped at ``max_edges`` with the
-    capped-with-true-total envelope (T5): the text never silently
-    truncates. Node ids are sanitized to mermaid-safe tokens; original
-    names are kept as display labels. The collect here is bounded by
-    max_edges — graph exports are small-result sinks by definition; big
-    relationship tables go through write_canonical instead.
+    Edges are deduplicated, sorted by every output column (so duplicate
+    (src, dst) pairs with different labels have a total order), and capped
+    at ``max_edges`` with the capped-with-true-total envelope (T5): the
+    text never silently truncates. Node ids are sanitized to mermaid-safe
+    tokens with a collision-proof suffix (distinct names never merge);
+    display labels and edge labels are Mermaid-escaped. The collect here
+    is bounded by max_edges — graph exports are small-result sinks by
+    definition; big relationship tables go through write_canonical.
     """
     cols = [src, dst] + ([label] if label else [])
-    ordered = edges.select(*cols).orderBy(src, dst)
+    ordered = edges.select(*cols).dropDuplicates(cols).orderBy(*cols)
     total = ordered.count()
     rows = ordered.limit(max_edges).collect()
 
+    ids: dict[str, str] = {}  # original name -> unique mermaid-safe id
+
     def node_id(name: str) -> str:
-        return "".join(c if c.isalnum() else "_" for c in str(name))
+        name = str(name)
+        if name not in ids:
+            base = "".join(c if c.isalnum() else "_" for c in name) or "n"
+            nid = base
+            k = 1
+            while nid in ids.values():  # sanitization collision: suffix
+                nid = f"{base}__{k}"
+                k += 1
+            ids[name] = nid
+        return ids[name]
+
+    def esc(text: str) -> str:
+        # Mermaid string/label escapes: quotes end the string, pipes end
+        # an edge label — entity-encode both.
+        return str(text).replace('"', "#quot;").replace("|", "#124;")
 
     lines = [f"flowchart {direction}"]
-    seen: set[str] = set()
     for r in rows:
         for name in (r[src], r[dst]):
+            known = str(name) in ids
             nid = node_id(name)
-            if nid not in seen:
-                seen.add(nid)
-                lines.append(f'    {nid}["{name}"]')
+            if not known:
+                lines.append(f'    {nid}["{esc(name)}"]')
     for r in rows:
         edge = (
-            f"    {node_id(r[src])} -->|{r[label]}| {node_id(r[dst])}"
+            f"    {node_id(r[src])} -->|{esc(r[label])}| {node_id(r[dst])}"
             if label
             else f"    {node_id(r[src])} --> {node_id(r[dst])}"
         )
@@ -107,5 +124,5 @@ def to_mermaid(
         "total_edges": total,
         "rendered_edges": len(rows),
         "was_truncated": total > len(rows),
-        "n_nodes": len(seen),
+        "n_nodes": len(ids),
     }
