@@ -382,3 +382,90 @@ FROM keep a JOIN keep b ON a.mh = b.mh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hamming near-dup pairs over the 64-bit perceptual hash (multi-index
+# hashing, pigeonhole banding): split phash into B=4 disjoint 16-bit
+# bands; any pair within hamming distance <= B-1 must agree exactly on
+# >= 1 band, so candidates = pairs sharing (band_idx, band_val) and the
+# exact bit_count verify prunes the rest — the image-side analog of
+# MinHash-LSH banding, O4 two-phase again.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_band_spark(b: int) -> str:
+    # Bit shifts, per-engine spelling (functions/__init__.py discipline):
+    # a double-based extraction would corrupt bits above 2^53 (phash
+    # reaches ~2.6e16). phash is always positive here (< 2^55).
+    return f"(shiftright(phash, {16 * b}) & 65535)"
+
+
+def _phash_band_duck(b: int) -> str:
+    return f"((phash >> {16 * b}) & 65535)"
+
+
+def phash_hamming_pairs(
+    tiles: DataFrame,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Image near-dup pairs: hamming(phash_a, phash_b) <= max_hamming.
+
+    Scale: candidates shuffle on (band_idx, band_val) — content-bucketed,
+    never all-pairs; hot buckets (constant-phash corpora) get the same
+    cap-or-salt treatment as the text LSH tiers. Requires
+    max_hamming < bands (pigeonhole completeness).
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
+    banded = tiles.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('b', {b}, 'v', {_phash_band_spark(b)})"
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("image_id", "phash", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a = banded.toDF("ia", "pa", "b", "v")
+    bb = banded.toDF("ib", "pb", "b", "v")
+    return (
+        a.join(bb, ["b", "v"])
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "pa", "pb")
+        .dropDuplicates(["ia", "ib"])
+        .withColumn("hamming", F.expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ia").alias("image_a"),
+            F.col("ib").alias("image_b"),
+            "hamming",
+        )
+    )
+
+
+def phash_hamming_oracle(
+    bands: int = PHASH_BANDS, max_hamming: int = PHASH_MAX_HAMMING
+) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT image_id, phash, {b} AS b, {_phash_band_duck(b)} AS v FROM tiles"
+        for b in range(bands)
+    )
+    return f"""bandrows AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.image_id AS image_a, c.image_id AS image_b,
+         a.phash AS pa, c.phash AS pb
+  FROM bandrows a JOIN bandrows c
+    ON a.b = c.b AND a.v = c.v AND a.image_id < c.image_id
+)
+SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}"""

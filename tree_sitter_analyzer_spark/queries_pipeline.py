@@ -262,3 +262,22 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("group_size") >= 2)
     )
+
+
+# --- Image near-dup: phash hamming pairs (multi-index banding) ---------------
+
+from . import synth as _synth
+
+
+@register(
+    "phash_hamming_pairs",
+    f"""{_synth.oracle_ctes()},
+{dedup.phash_hamming_oracle()}
+""",
+    doc="Image near-dup pairs: hamming(phash) <= 3 via multi-index "
+    "banding (4x16-bit bands; pigeonhole guarantees ban-share for "
+    "hamming < bands) + exact bit_count verify — the image-side "
+    "MinHash-LSH analog (task-brief near-dup tier, SURVEY.md A3/O4).",
+)
+def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.phash_hamming_pairs(_synth.tiles_df(spark, sf_dir))
