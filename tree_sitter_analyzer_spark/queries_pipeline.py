@@ -281,3 +281,42 @@ from . import synth as _synth
 )
 def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.phash_hamming_pairs(_synth.tiles_df(spark, sf_dir))
+
+
+@register(
+    "video_frame_stats",
+    None,  # frame decode is not SQL-expressible; exactness (ceil(n/every_n)
+    # sampled frames, deterministic luma) is pinned in tests/test_multimodal.py
+    doc="Video frame-sampling pass (task-brief multimodal op): synthetic "
+    "clip metadata derived from the orders keys, every-10th-frame "
+    "deterministic fake decode (real ffmpeg sampler plugs into "
+    "decode_video_frames), per-codec roll-up of sampled-frame counts and "
+    "luma stats. Rows-only for the driver; batch shape + exactness are "
+    "pytest-gated.",
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import multimodal
+
+    # Key-filtered (not .limit) so the clip set is deterministic at any
+    # partitioning; orderkeys are sparse so this is <=2000 clips.
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .where(F.col("o_orderkey") <= 8000)
+    )
+    clips = o.select(
+        F.col("o_orderkey").alias("media_id"),
+        F.expr("CAST(NULL AS BINARY)").alias("bytes"),
+        F.lit(32).alias("width").cast("int"),
+        F.lit(24).alias("height").cast("int"),
+        F.lit(24000).alias("fps_milli").cast("int"),
+        F.expr("24 + pmod(o_orderkey, 240)").cast("bigint").alias("n_frames"),
+        F.expr("CAST(pmod(o_orderkey, 3) AS INT)").alias("codec"),
+    )
+    feats = multimodal.video_frame_features(clips, every_n=10)
+    return feats.groupBy("codec").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_sampled_frames").cast("bigint").alias("n_sampled_frames"),
+        F.min("mean_luma_milli").cast("bigint").alias("min_mean_luma_milli"),
+        F.max("mean_luma_milli").cast("bigint").alias("max_mean_luma_milli"),
+    )
