@@ -320,3 +320,38 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_luma_milli").cast("bigint").alias("min_mean_luma_milli"),
         F.max("mean_luma_milli").cast("bigint").alias("max_mean_luma_milli"),
     )
+
+
+@register(
+    "audio_feature_stats",
+    None,  # sample decode is not SQL-expressible; per-clip determinism and
+    # empty-clip zero-guards are pinned in tests/test_multimodal.py
+    doc="Audio feature-extraction pass (task-brief multimodal op): "
+    "deterministic synthetic clip metadata, fake-decoded first second "
+    "(real libsndfile/ffmpeg plugs into decode_audio), RMS + "
+    "zero-crossing features rolled up per sample rate. Rows-only.",
+)
+def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import multimodal
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .where(F.col("o_orderkey") <= 8000)
+    )
+    clips = o.select(
+        F.col("o_orderkey").alias("media_id"),
+        F.expr("CAST(NULL AS BINARY)").alias("bytes"),
+        F.expr("CAST(CASE pmod(o_orderkey, 3) WHEN 0 THEN 8000 WHEN 1 "
+               "THEN 16000 ELSE 44100 END AS INT)").alias("sample_rate"),
+        F.lit(1).cast("int").alias("n_channels"),
+        F.lit(1000).cast("bigint").alias("duration_ms"),
+        F.expr("CAST(pmod(o_orderkey, 2) AS INT)").alias("codec"),
+    )
+    feats = multimodal.audio_features(clips)
+    return feats.groupBy("sample_rate").agg(
+        F.count("*").alias("n_clips"),
+        F.min("rms_milli").cast("bigint").alias("min_rms_milli"),
+        F.max("rms_milli").cast("bigint").alias("max_rms_milli"),
+        F.sum("zero_crossings").cast("bigint").alias("sum_zero_crossings"),
+    )
