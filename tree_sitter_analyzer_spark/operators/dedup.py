@@ -397,15 +397,27 @@ PHASH_BANDS = 4
 PHASH_MAX_HAMMING = 3
 
 
+# Bands cover bits 0-47 (4 x 12 bits), NOT the full 64: the synthetic
+# phash never exceeds ~2^55 (and ~2^48 at gate scales), so a band over
+# bits 48-63 is CONSTANT across the corpus — every tile shares it and the
+# "banded" join silently degenerates to the full N^2/2 all-pairs shuffle
+# (112M candidate pairs at sf0.01; caught by a bucket-size audit).
+# Banding a bit-subset keeps pigeonhole completeness for ANY phash: a
+# pair within hamming <= bands-1 overall has <= bands-1 diffs inside the
+# banded subset too, so >= 1 banded window is diff-free; diffs confined
+# to unbanded bits only make bands agree more. Precision is recovered by
+# the exact full-64-bit verify.
+_BAND_BITS = 12
+
+
 def _phash_band_spark(b: int) -> str:
     # Bit shifts, per-engine spelling (functions/__init__.py discipline):
-    # a double-based extraction would corrupt bits above 2^53 (phash
-    # reaches ~2.6e16). phash is always positive here (< 2^55).
-    return f"(shiftright(phash, {16 * b}) & 65535)"
+    # a double-based extraction would corrupt bits above 2^53.
+    return f"(shiftright(phash, {_BAND_BITS * b}) & {(1 << _BAND_BITS) - 1})"
 
 
 def _phash_band_duck(b: int) -> str:
-    return f"((phash >> {16 * b}) & 65535)"
+    return f"((phash >> {_BAND_BITS * b}) & {(1 << _BAND_BITS) - 1})"
 
 
 def phash_hamming_pairs(

@@ -135,9 +135,18 @@ def knn_join(
         )
         results.append(tail)
 
-    import functools
+    from .graph import union_all
 
-    combined = functools.reduce(lambda a, b: a.unionByName(b), results)
+    if not results:
+        # Zero query points: return an empty frame with the contract
+        # schema instead of crashing reduce() on an empty list.
+        for df in cached:
+            df.unpersist()
+        return qpoints.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, rank bigint, image_id string, dist2_nano bigint",
+        )
+    combined = union_all(results)
     out = combined.withColumn(
         "dist2_nano", F.expr("CAST(floor(dist2 * 1e12) AS BIGINT)")
     ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "image_id", "dist2_nano")

@@ -112,8 +112,6 @@ def poly_cover(poly_zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     LEAST/GREATEST over the vertex columns (superset cover; the exact
     half-plane verify removes bbox-only candidates). A tighter cover
     (edge-walk rasterization) drops in here without touching callers."""
-    from .. import synth
-
     k = len([c for c in poly_zones.columns if c.startswith("x")])
     xs = ", ".join(f"x{m}" for m in range(k))
     ys = ", ".join(f"y{m}" for m in range(k))

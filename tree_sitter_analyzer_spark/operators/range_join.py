@@ -16,45 +16,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def interval_join_events_orders(
-    events: DataFrame, orders: DataFrame, window_s: int = 3600
-) -> DataFrame:
-    """Pairs (order, event) whose timestamps lie within ``window_s``
-    seconds of each other. Buckets of width = window on epoch seconds;
-    the orders side explodes into (b-1, b, b+1).
-    """
-    ev = events.select(
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
-    ).withColumn("bucket", F.expr(f"CAST(floor(ev_us / ({window_s}e0 * 1e6)) AS BIGINT)"))
-    od = orders.select(
-        "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
-    ).withColumn(
-        "bucket",
-        F.explode(
-            F.expr(
-                f"sequence(CAST(floor(od_us / ({window_s}e0 * 1e6)) AS BIGINT) - 1, "
-                f"CAST(floor(od_us / ({window_s}e0 * 1e6)) AS BIGINT) + 1)"
-            )
-        ),
-    )
-    return (
-        ev.join(od, "bucket")
-        .where(F.expr(f"abs(ev_us - od_us) <= {window_s}e0 * 1e6"))
-        .select("o_orderkey", "event_id")
-        .dropDuplicates(["o_orderkey", "event_id"])
-    )
-
-
-def interval_join_oracle(window_s: int = 3600) -> str:
-    return f"""
-SELECT DISTINCT o.o_orderkey, e.event_id
-FROM orders o JOIN events e
-  ON abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= {window_s}e0 * 1e6
-"""
-
-
 def event_pairs_within(events: DataFrame, window_s: int = 60) -> DataFrame:
     """Self-interval join: event pairs (a < b by event_id) whose timestamps
     lie within ``window_s`` seconds. Same bucket-bin trick — each left row

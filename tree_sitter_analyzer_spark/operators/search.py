@@ -20,6 +20,8 @@ blacklist P5).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -52,7 +54,11 @@ def search_captions(
     n_docs = docs.count()
     toks = _doc_tokens(docs)
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    toks = toks.join(df, "tok").where(F.col("df") <= int(MAX_DOC_FREQ * n_docs))
+    # floor() on BOTH engines: int() here vs a bare CAST in the oracle
+    # would diverge for odd n_docs (CAST rounds in DuckDB).
+    toks = toks.join(df, "tok").where(
+        F.col("df") <= int(math.floor(MAX_DOC_FREQ * n_docs))
+    )
 
     q_terms = sorted(set(t for t in query.split() if t))
     qdf = docs.sparkSession.createDataFrame(
@@ -119,7 +125,7 @@ n AS (SELECT count(*) AS n_docs FROM documents),
 dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks0 GROUP BY tok),
 toks AS (
   SELECT t.doc_id, t.tok, t.tf, d.df FROM toks0 t JOIN dfreq d USING (tok)
-  WHERE d.df <= (SELECT CAST({MAX_DOC_FREQ}e0 * n_docs AS BIGINT) FROM n)
+  WHERE d.df <= (SELECT CAST(floor({MAX_DOC_FREQ}e0 * n_docs) AS BIGINT) FROM n)
 ),
 qterms(tok) AS (VALUES {q_values}),
 cand AS (

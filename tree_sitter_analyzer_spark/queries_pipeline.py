@@ -212,7 +212,12 @@ def q_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import synth
     from .sources import codec, multimodal
 
-    tiles = codec.attach_bytes(synth.tiles_df(spark, sf_dir).limit(2000))
+    # Key-filtered (not .limit): an order-free limit picks a
+    # partition-order-dependent subset, so per-fmt counts would vary
+    # with core count (same hazard q_video_frame_stats documents).
+    tiles = codec.attach_bytes(
+        synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
     resized = multimodal.resize_tiles(tiles, 8, 8)
     return (
         resized.groupBy("fmt")

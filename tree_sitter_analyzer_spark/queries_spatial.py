@@ -350,9 +350,9 @@ def q_cascade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             if excluded is None
             else excluded.unionByName(hits.select("i"))
         )
-    import functools
+    from .operators.graph import union_all
 
-    return functools.reduce(lambda a, b: a.unionByName(b), collected)
+    return union_all(collected)
 
 
 # --- A8: gap analysis (zones lacking a tile kind) ----------------------------
