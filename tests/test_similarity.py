@@ -205,3 +205,25 @@ def test_grouped_map_zscore_matches_numpy(spark):
         z = np.zeros(len(a)) if sd == 0 else (a - mu) / sd
         for iid, zz in zip(grp["image_id"], z):
             assert got[(pid, iid)] == int(np.floor(zz * 1000))
+
+
+def test_phash_bands_are_not_degenerate(spark):
+    """Bucket-size audit for the multi-index hamming join: no (band,
+    value) bucket may hold a large share of the corpus. Guards against
+    the constant-band regression (a band over bits the synthetic phash
+    never sets made every tile share one bucket -> full N^2 candidates)."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import dedup
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    n = tiles.count()
+    for b in range(dedup.PHASH_BANDS):
+        top = (
+            tiles.groupBy(F.expr(dedup._phash_band_spark(b)).alias("v"))
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        assert top < n * 0.2, f"band {b} degenerate: max bucket {top}/{n}"
