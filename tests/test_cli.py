@@ -52,3 +52,9 @@ def test_cli_compact_format_is_lossless_and_smaller():
     assert rebuilt == full_sorted
     assert comp["stats"] == full["stats"]
     assert len(json.dumps(comp)) < len(json.dumps(full))
+
+
+def test_cli_explain_shows_plan():
+    out = run_cli("explain", "pip_join", "--mode", "simple")
+    assert "BroadcastHashJoin" in out
+    assert "SortMergeJoin" not in out

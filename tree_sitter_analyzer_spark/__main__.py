@@ -32,6 +32,18 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--format", choices=["json", "csv", "compact"], default="json")
     runp.add_argument("--cpus", type=int, default=8)
 
+    exp = sub.add_parser(
+        "explain", help="show a registered query's physical plan"
+    )
+    exp.add_argument("name")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    exp.add_argument(
+        "--mode",
+        choices=["simple", "formatted", "extended", "cost"],
+        default="formatted",
+    )
+    exp.add_argument("--cpus", type=int, default=8)
+
     sqlp = sub.add_parser("sql", help="run gated ad-hoc SQL over the views")
     sqlp.add_argument("query")
     sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -65,6 +77,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.name not in registry:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
+        if args.cmd == "explain":
+            # The plan IS the scale contract (docs/PLANS.md); surface it
+            # on the CLI so broadcast/pushdown/exchange shapes are
+            # inspectable without writing code.
+            df = registry[args.name].spark_fn(spark, args.sf_dir)
+            jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            print(
+                df._jdf.queryExecution().explainString(
+                    jmode.fromString(args.mode)
+                )
+            )
+            return 0
         df = registry[args.name].spark_fn(spark, args.sf_dir)
         total = df.count()
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
