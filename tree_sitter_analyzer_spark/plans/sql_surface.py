@@ -26,19 +26,28 @@ _FORBIDDEN = re.compile(
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Expose the engine's tables as temp views for ad-hoc SQL."""
+    from ..operators.pip_join import pip_join
+
     synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
     tile_cells(synth.tiles_df(spark, sf_dir), 9).createOrReplaceTempView(
         "tiles_indexed"
     )
     synth.zones_df(spark).createOrReplaceTempView("zones")
     synth.qpoints_df(spark).createOrReplaceTempView("qpoints")
+    # The relationship table (the reference's unified `edges` store): PIP
+    # join rows as a lazy view — computed only when a user query reads it.
+    pip_join(
+        synth.tiles_df(spark, sf_dir), synth.zones_df(spark), res=9
+    ).select(
+        "image_id", "polygon_id", "zkind", "tile_kind", "cell"
+    ).createOrReplaceTempView("join_rows")
     for t in ("orders", "lineitem", "customer", "nation", "region",
               "documents", "embeddings", "events", "supplier", "part"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return [
-        "tiles", "tiles_indexed", "zones", "qpoints", "orders", "lineitem",
-        "customer", "nation", "region", "documents", "embeddings", "events",
-        "supplier", "part",
+        "tiles", "tiles_indexed", "zones", "qpoints", "join_rows", "orders",
+        "lineitem", "customer", "nation", "region", "documents",
+        "embeddings", "events", "supplier", "part",
     ]
 
 
