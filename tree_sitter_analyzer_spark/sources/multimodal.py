@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .codec import HEADER, MAGIC_JPG, MAGIC_PNG, decode_px, encode_px
+from .codec import decode_px, encode_px
 
 
 # ---------------------------------------------------------------------------
