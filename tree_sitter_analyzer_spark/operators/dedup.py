@@ -311,15 +311,22 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -
 
     gram_hash = md5int_spark(f"substr(text, i, {k})")
     kg = f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), i -> {gram_hash})"
+    # kg MUST be materialized as a column before the windowed transform:
+    # inlining the expression makes every window position re-evaluate the
+    # whole md5-gram array (~n^2 md5 calls per doc — measured 100s for
+    # 500 docs at the gate; 1.5s with the column materialized).
     wins = (
-        f"CASE WHEN size({kg}) >= {w} THEN "
-        f"array_distinct(transform(sequence(1, size({kg}) - {w - 1}), "
-        f"j -> array_min(slice({kg}, j, {w})))) "
-        f"ELSE slice({kg}, 1, 0) END"
+        f"CASE WHEN size(kg) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(kg) - {w - 1}), "
+        f"j -> array_min(slice(kg, j, {w})))) "
+        f"ELSE slice(kg, 1, 0) END"
     )
-    return docs.select(
-        "doc_id", F.explode(F.expr(wins)).alias("fp")
-    ).dropDuplicates(["doc_id", "fp"])
+    return (
+        docs.select("doc_id", F.expr(kg).alias("kg"))
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
 
 
 def winnow_dups(
@@ -366,13 +373,15 @@ WITH pos AS (
   FROM documents
 ),
 kg AS (SELECT doc_id, i, {md5int_duck(f'substr(text, i, {k})')} AS h FROM pos),
-npos AS (SELECT doc_id, max(i) AS n FROM kg GROUP BY 1),
 wins AS (
-  SELECT k1.doc_id, k1.i AS j, min(k2.h) AS mh
-  FROM kg k1 JOIN npos USING (doc_id)
-  JOIN kg k2 ON k2.doc_id = k1.doc_id AND k2.i BETWEEN k1.i AND k1.i + {w - 1}
-  WHERE k1.i <= npos.n - {w - 1}
-  GROUP BY 1, 2
+  -- windowed min over the next w-1 gram positions (positions are dense
+  -- 1..n, so ROWS framing equals the position window): O(n) instead of
+  -- the O(n*w) self-join formulation, ~50x faster at the sf0.01 gate.
+  SELECT doc_id, i AS j,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+  FROM kg
+  QUALIFY i <= (max(i) OVER (PARTITION BY doc_id)) - {w - 1}
 ),
 fps AS (SELECT DISTINCT doc_id, mh FROM wins),
 dfreq AS (SELECT mh, count(*) AS ndocs FROM fps GROUP BY 1),
