@@ -250,3 +250,16 @@ def test_scanline_cover_tighter_and_complete(spark):
     )
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+@given(st.floats(-179.9, 179.9), st.floats(-89.9, 89.9), st.integers(0, 12))
+@settings(max_examples=200, deadline=None)
+def test_cell_center_roundtrip(lon, lat, res):
+    """cell_to_center inverts the index: the center of a point's cell maps
+    back to the same cell, and lies within half a cell edge of the point."""
+    cell = int(grid.np_cell(np.array([lon]), np.array([lat]), res)[0])
+    clon, clat = grid.np_cell_center(np.array([cell]), res)
+    assert int(grid.np_cell(clon, clat, res)[0]) == cell
+    s = grid.cell_size(res)
+    assert abs(clon[0] - lon) <= s / 2 + 1e-12
+    assert abs(clat[0] - lat) <= s / 2 + 1e-12

@@ -141,3 +141,23 @@ def np_parent(cell: np.ndarray, res: int, parent_res: int) -> np.ndarray:
     ix = (cell - res * RES_MUL) // IX_MUL
     iy = cell % IX_MUL
     return parent_res * RES_MUL + (ix >> d) * IX_MUL + (iy >> d)
+
+
+def cell_center_lon_sql(cell: str, res: int) -> str:
+    """Center longitude of a res-``res`` cell id (h3 cell_to_latlng
+    analog). Portable SQL — exact double arithmetic (cell size is a
+    power of two)."""
+    ix = f"CAST(floor((({cell}) - {res * RES_MUL}) / {IX_MUL}) AS BIGINT)"
+    return f"(({ix} + 0.5e0) / {1 << res} - 180e0)"
+
+
+def cell_center_lat_sql(cell: str, res: int) -> str:
+    iy = f"(({cell}) % {IX_MUL})"
+    return f"(({iy} + 0.5e0) / {1 << res} - 90e0)"
+
+
+def np_cell_center(cell: np.ndarray, res: int):
+    cell = np.asarray(cell, dtype=np.int64)
+    ix = (cell - res * RES_MUL) // IX_MUL
+    iy = cell % IX_MUL
+    return (ix + 0.5) / (1 << res) - 180.0, (iy + 0.5) / (1 << res) - 90.0

@@ -625,3 +625,49 @@ def q_hot_cell_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("count", "n")
         .where(F.col("n") >= 8)
     )
+
+
+# Per-tile offsets are quantized to nano-int BEFORE aggregation: a raw
+# avg(lon) is an order-dependent float reduction whose low bits differ
+# between Spark's partial sums and DuckDB's sequential sum — floor could
+# flip on a boundary (the never-compare-raw-float-aggs rule, CLAUDE.md).
+_CELL9 = grid.cell_sql('lon', 'lat', 9)
+_OFF_LON = f"CAST(floor(1e9 * (lon - {grid.cell_center_lon_sql(_CELL9, 9)})) AS BIGINT)"
+_OFF_LAT = f"CAST(floor(1e9 * (lat - {grid.cell_center_lat_sql(_CELL9, 9)})) AS BIGINT)"
+
+
+@register(
+    "cell_centroid_drift",
+    f"""{_CTES}
+SELECT {_CELL9} AS cell,
+       count(*) AS n_tiles,
+       CAST(floor(sum({_OFF_LON}) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS drift_lon_nano,
+       CAST(floor(sum({_OFF_LAT}) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS drift_lat_nano
+FROM tiles GROUP BY 1 HAVING count(*) >= 2
+""",
+    doc="Per-cell centroid drift: mean tile offset from the cell center "
+    "(cell_to_latlng analog, F7) — how off-center the content of each "
+    "populated cell sits, in nanodegrees (cells with >=2 tiles — "
+    "non-vacuous at every sf). Per-tile offsets quantized to ints before "
+    "summation so the aggregate is order-independent.",
+)
+def q_cell_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=9)
+    off_lon = f"CAST(floor(1e9 * (lon - {grid.cell_center_lon_sql('cell', 9)})) AS BIGINT)"
+    off_lat = f"CAST(floor(1e9 * (lat - {grid.cell_center_lat_sql('cell', 9)})) AS BIGINT)"
+    return (
+        t.select("cell", F.expr(off_lon).alias("_ol"), F.expr(off_lat).alias("_oa"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("_ol").alias("_sl"),
+            F.sum("_oa").alias("_sa"),
+        )
+        .where(F.col("n_tiles") >= 2)
+        .select(
+            "cell",
+            "n_tiles",
+            F.expr("CAST(floor(_sl / CAST(n_tiles AS DOUBLE)) AS BIGINT)").alias("drift_lon_nano"),
+            F.expr("CAST(floor(_sa / CAST(n_tiles AS DOUBLE)) AS BIGINT)").alias("drift_lat_nano"),
+        )
+    )
