@@ -70,21 +70,44 @@ def bfs_khop(
         [(int(s), 0) for s in seeds], "v BIGINT, depth INT"
     )
     visited = seed_df
-    frontier = seed_df.select("v")
-    for d in range(1, max_depth + 1):
-        nxt = (
+    frontier = seed_df
+    # Two hops per round: each round is ~2 fixed-overhead Spark jobs
+    # (checkpoint + emptiness), so halving the round count halves the
+    # dominant cost of deep traversals. Correctness: every shortest path
+    # to a node at depth 2k+1/2k+2 passes through the round-k frontier
+    # (depths 2k-1, 2k) or through a node discovered in hop 1 of this
+    # round — and hop 2 expands ALL hop-1 discoveries; per-round min()
+    # keeps the first-discovery depth minimal (pinned by the recursive-
+    # CTE oracle at every depth).
+    rounds = (max_depth + 1) // 2 + 1
+    for _ in range(rounds):
+        e1 = (
             F.broadcast(frontier)
             .join(edges, frontier.v == edges.src)
-            .select(F.col("dst").alias("v"))
-            .dropDuplicates(["v"])
+            .select(F.col("dst").alias("v"), (F.col("depth") + 1).alias("depth"))
+        )
+        # Min-reduce BEFORE hop 2: dropDuplicates would keep an arbitrary
+        # depth per vertex (e1 can reach one dst from several frontier
+        # depths), making hop-2 depths nondeterministic and possibly
+        # non-minimal.
+        e1m = e1.groupBy("v").agg(F.min("depth").alias("depth"))
+        e2 = (
+            F.broadcast(e1m)
+            .join(edges, e1m.v == edges.src)
+            .select(F.col("dst").alias("v"), (e1m.depth + 1).alias("depth"))
+        )
+        nxt = (
+            e1.unionByName(e2)
+            .where(F.col("depth") <= max_depth)
+            .groupBy("v")
+            .agg(F.min("depth").alias("depth"))
             .join(visited.select("v"), "v", "left_anti")
-            .withColumn("depth", F.lit(d))
         )
         nxt = nxt.localCheckpoint(eager=True)  # cut the growing lineage
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
-        frontier = nxt.select("v")
+        frontier = nxt
     return visited
 
 
