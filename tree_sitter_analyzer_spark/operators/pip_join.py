@@ -194,10 +194,9 @@ def compact_cover(
             F.col("p").alias("cell"),
             F.lit(r - 1).cast("bigint").alias("res"),
         )
-    out = frags[0]
-    for f in frags[1:]:
-        out = out.unionByName(f)
-    return out.unionByName(cur)
+    from .graph import union_all
+
+    return union_all(frags + [cur])
 
 
 def compact_cover_oracle_sql(

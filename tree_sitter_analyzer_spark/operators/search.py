@@ -59,6 +59,10 @@ def search_captions(
     toks = toks.join(df, "tok").where(
         F.col("df") <= int(math.floor(MAX_DOC_FREQ * n_docs))
     )
+    # Three downstream subtrees (candidates, norms, query dots) read toks;
+    # without a lineage barrier each re-runs tokenize+explode+df-join
+    # (Catalyst does not CSE across action subtrees).
+    toks = toks.localCheckpoint(eager=False)
 
     q_terms = sorted(set(t for t in query.split() if t))
     qdf = docs.sparkSession.createDataFrame(
