@@ -671,3 +671,60 @@ def q_cell_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(_sa / CAST(n_tiles AS DOUBLE)) AS BIGINT)").alias("drift_lat_nano"),
         )
     )
+
+
+_SELF_D2 = "((t.lon - q.lon) * (t.lon - q.lon) + (t.lat - q.lat) * (t.lat - q.lat))"
+
+
+@register(
+    "knn_self",
+    f"""{_CTES}
+SELECT query_id, rank, image_id, dist2_nano FROM (
+  SELECT q.i AS query_id,
+         -- raw-double ordering, like the main knn oracle: the raw
+         -- expression text is identical on both engines (bit-equal
+         -- doubles), and Spark's ring expansion selects its candidate
+         -- set by the same raw order — ranking by the quantized value
+         -- here would disagree at nano-tie boundaries.
+         row_number() OVER (PARTITION BY q.i
+                            ORDER BY {_SELF_D2}, t.image_id) AS rank,
+         t.image_id,
+         CAST(floor({_SELF_D2} * 1e12) AS BIGINT) AS dist2_nano
+  FROM (SELECT * FROM tiles WHERE i <= 400) q
+  JOIN tiles t ON t.image_id <> q.image_id
+) WHERE rank <= 3
+""",
+    doc="Spatial kNN SELF-join (J12 similarity-join shape): each sampled "
+    "tile's 3 nearest OTHER tiles via the same ring-expansion machinery "
+    "(over-fetch k+1, drop self, re-rank) — the 'find tiles like this "
+    "one, nearby' query.",
+)
+def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _tiles(spark, sf_dir)
+    qt = t.where("i <= 400").select(
+        F.col("i").alias("query_id"),
+        F.col("image_id").alias("q_img"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    res = knn.knn_join(t, qt, k=4).join(
+        F.broadcast(qt.select("query_id", "q_img")), "query_id"
+    )
+    # Renumber by knn's OWN rank (raw-distance order): dropping the self
+    # row preserves relative order, so this equals ranking the others by
+    # true distance — re-sorting by the quantized dist2_nano instead
+    # would flip nano-tied pairs against the candidate selection.
+    win = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        res.where(F.col("image_id") != F.col("q_img"))
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "image_id",
+            "dist2_nano",
+        )
+    )
