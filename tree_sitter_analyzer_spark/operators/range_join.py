@@ -25,7 +25,13 @@ def event_pairs_within(events: DataFrame, window_s: int = 60) -> DataFrame:
     """
     base = events.select(
         "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        # NTZ-safe epoch: casting NTZ to TIMESTAMP re-interprets in the
+        # SESSION timezone; differences cancel only while the offset is
+        # constant (breaks across a DST boundary). timestampdiff on NTZ
+        # is pure calendar arithmetic — timezone-free.
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
     )
     a = base.select(
         F.col("event_id").alias("event_id_a"), F.col("us").alias("us_a")

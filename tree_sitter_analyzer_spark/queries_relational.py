@@ -666,9 +666,12 @@ GROUP BY 1, 2
     "windows; Spark's window() fan-out vs an explicit unnest oracle.",
 )
 def q_event_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # Keep ts as TIMESTAMP_NTZ: window() accepts NTZ (calendar-aligned,
+    # timezone-free) and date_format on NTZ renders without a zone shift.
+    # Casting to TIMESTAMP first re-interprets the naive value in the
+    # SESSION timezone — correct under UTC, wrong under any other driver
+    # session TZ (caught by a non-UTC probe).
+    e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.window("ts", "1 day", "12 hours").alias("win"), "event_type"
