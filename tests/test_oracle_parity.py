@@ -38,3 +38,21 @@ def test_vacuous_at_gate_queries_have_signal_somewhere(spark, duck):
     register_views(duck, "/root/testdata/sf0.1")
     odf = duck.sql(q.oracle).df()
     assert len(sdf) == len(odf) == 8
+
+
+def test_event_time_queries_are_session_tz_robust(spark, duck):
+    """The driver's SparkSession may not pin UTC: event-time queries must
+    match their oracles under any session timezone (NTZ discipline — no
+    TIMESTAMP_NTZ -> TIMESTAMP casts in compared results)."""
+    register_views(duck, SF_TINY)
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for name in ("event_hopping_counts", "interval_join", "event_sessions"):
+                q = QUERIES[name]
+                sdf = q.spark_fn(spark, SF_TINY).toPandas()
+                odf = duck.sql(q.oracle).df()
+                assert_frames_match(sdf, odf, f"{name}@{tz}")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
