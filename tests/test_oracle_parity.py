@@ -49,7 +49,13 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
     try:
         for tz in ("America/New_York", "Asia/Tokyo"):
             spark.conf.set("spark.sql.session.timeZone", tz)
-            for name in ("event_hopping_counts", "interval_join", "event_sessions"):
+            for name in (
+                "event_hopping_counts",
+                "interval_join",
+                "event_sessions",
+                "rolling_order_activity",
+                "monthly_order_stats",
+            ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()
                 odf = duck.sql(q.oracle).df()

@@ -134,6 +134,68 @@ def test_zonal_weighted_single_terminal_exchange(spark):
     assert n_exchanges == 2, f"expected 2 shuffles, plan has {n_exchanges}"
 
 
+def _join_lines(df) -> list[str]:
+    """Optimized-plan Join nodes (condition text included)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [ln for ln in plan.splitlines() if "Join" in ln]
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+def test_jaccard_tiers_have_no_allpairs_word_join(spark):
+    """Neither the exact prefix-filtered tier nor the MinHash-LSH tier may
+    self-join the word table all-pairs: no single join condition combines
+    a word-equality key with a doc_id inequality (the shape of the old
+    corpus-wide exact Jaccard that defeated LSH pruning). Word rows are
+    only ever joined via equi keys (doc, w) against an explicit candidate
+    set."""
+    from tree_sitter_analyzer_spark.operators import dedup
+
+    # MinHash tier: strictly zero word-equality joins carrying a doc
+    # inequality (candidates come from the band join; verify is pure equi).
+    for ln in _join_lines(dedup.minhash_lsh_dups(_docs(spark), 500)):
+        assert not ("w#" in ln and " < " in ln), f"all-pairs word join: {ln}"
+    # Exact tier: exactly ONE inequality word join — the PREFIX-row join
+    # (content-keyed on each doc's rarest tokens), and the prefix rank
+    # filter must be present upstream (rk <= n - ceil(t*n) + 1).
+    exact = dedup.token_jaccard_pairs(_docs(spark), 500)
+    opt = exact._jdf.queryExecution().optimizedPlan().toString()
+    ineq_word_joins = [
+        ln for ln in _join_lines(exact) if "w#" in ln and " < " in ln
+    ]
+    assert len(ineq_word_joins) == 1, ineq_word_joins
+    assert "row_number" in opt and "DIV 1000" in opt.replace("div 1000", "DIV 1000")
+
+
+def test_simhash_candidates_keyed_on_band_buckets(spark):
+    """simhash candidate generation must equi-join on (lang, band, value)
+    content buckets — never on lang alone with a doc inequality (the old
+    O(N^2)-per-lang shape)."""
+    from tree_sitter_analyzer_spark.operators import dedup
+
+    lines = _join_lines(dedup.simhash_dups(_docs(spark), 3, 16))
+    assert any("v#" in ln and "b#" in ln for ln in lines), lines
+    for ln in lines:
+        if "doc_a" in ln and " < " in ln:
+            assert "v#" in ln, f"inequality join not band-keyed: {ln}"
+
+
+def test_embedding_lsh_tier_is_banded_equijoin(spark):
+    """The pruned embedding near-dup tier's candidate generation must be a
+    hash equi-join on (band, value) — no BroadcastNestedLoopJoin anywhere
+    in the plan (the signature is the JOIN KEY, not a post-hoc filter).
+    The unpruned exact tier keeps its documented nested-loop baseline."""
+    from tree_sitter_analyzer_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    pruned = similarity.embedding_neardup_pairs(emb, max_hamming=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_zone_assignment_full_fallback_is_map_side(spark):
     """The nearest-centroid fallback adds no exchange beyond
     zone_assignment's keyed merge-back: the fold over the broadcast zone

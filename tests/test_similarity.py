@@ -207,6 +207,68 @@ def test_grouped_map_zscore_matches_numpy(spark):
             assert got[(pid, iid)] == int(np.floor(zz * 1000))
 
 
+def test_prefix_filter_excludes_stop_words_and_stays_exact(spark):
+    """AllPairs prefix-filter audit (the stop-word blowup VERDICT flagged):
+    on a corpus where one token appears in EVERY doc, the candidate stage
+    must not bucket all docs on the stop word — yet the output must still
+    equal the naive exact Jaccard (prefix filtering is lossless for
+    jac >= t)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en", f"the a{i} b{i}") for i in range(20)]
+    rows += [(100, "en", "the dup1 dup2"), (101, "en", "the dup1 dup2")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+
+    w = dedup._words(docs)
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = dedup.jaccard_prefix_candidates(w, sizes, 500)
+    # every doc is 3 words -> prefix = 2 rarest; "the" (df=22) is never a
+    # prefix token, so the only candidate is the true dup pair — a naive
+    # word join on "the" would have yielded all 231 pairs.
+    assert [(r["doc_a"], r["doc_b"]) for r in cand.collect()] == [(100, 101)]
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jac_milli"])
+        for r in dedup.token_jaccard_pairs(docs, 500).collect()
+    }
+    assert got == {(100, 101, 1000)}
+
+
+def test_simhash_bands_are_not_degenerate(spark):
+    """Bucket-size audit for the simhash band join (the phash-bits
+    lesson): on a DIVERSE corpus every band must spread across values — a
+    band over structurally-constant bits (wrong shift/width) would put all
+    docs in one bucket and silently restore the all-pairs join.
+
+    The audit runs on a seeded random-vocabulary corpus, not the driver
+    documents: that corpus is deliberately dense (mean pairwise Jaccard
+    ≈0.62), so its simhash values cluster GENUINELY — there, big buckets
+    mirror true dup-cluster sizes, which is the collision LSH wants."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = [
+        (i, "en", " ".join(rng.sample(vocab, 20))) for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+    s = dedup.simhash_docs(docs, 16)
+    n = s.count()
+    for shift, width in dedup.band_layout(16, dedup.SIMHASH_BANDS):
+        top = (
+            s.groupBy(
+                F.expr(f"shiftright(simhash, {shift}) & {(1 << width) - 1}").alias("v")
+            )
+            .count()
+            .agg(F.max("count").alias("m"), F.count("*").alias("nv"))
+            .first()
+        )
+        assert top["nv"] > 1, f"band@{shift} constant"
+        assert top["m"] < n * 0.5, f"band@{shift} degenerate: {top['m']}/{n}"
+
+
 def test_phash_bands_are_not_degenerate(spark):
     """Bucket-size audit for the multi-index hamming join: no (band,
     value) bucket may hold a large share of the corpus. Guards against

@@ -15,16 +15,32 @@ stack a 100 TB training-data pipeline needs (task brief):
 
 Scale notes: everything keys on (lang, hash/bucket) so shuffles partition
 by content, never all-pairs. The only O(n²) piece is *within candidate
-buckets* (LSH guarantee). Exact pairwise Jaccard joins carry a same-lang
-restriction as the blocking key — swap for LSH buckets beyond ~10^7 docs.
+buckets* (LSH/pigeonhole/prefix-filter guarantee). Exact Jaccard is only
+ever computed per candidate pair (``pair_jaccard``); candidates come from
+a prefix filter (exact tier, provably complete) or minhash bands (LSH
+tier) — no all-pairs word self-join anywhere.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import md5int_duck, md5int_spark
+
+
+def band_layout(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: ``bands`` disjoint chunks covering
+    ``bits`` signature bits, widths differing by at most 1. Shared by
+    every pigeonhole-banded hamming join (simhash, embedding sign-LSH)."""
+    base, extra = divmod(bits, bands)
+    out, shift = [], 0
+    for i in range(bands):
+        width = base + (1 if i < extra else 0)
+        out.append((shift, width))
+        shift += width
+    return out
 
 M31 = 2147483647
 # Fixed MinHash permutation constants (a·h + b mod M31) — identical on
@@ -75,26 +91,20 @@ def fingerprint_dups(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_jaccard_pairs(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
-    """Exact word-set Jaccard over same-lang pairs, ≥ threshold.
-
-    jac_milli = floor(1000·|A∩B| / |A∪B|) — integer output for
-    cross-engine hash parity. lang is the blocking key (SURVEY.md O4:
-    narrow candidates before the expensive op).
-    """
-    w = _words(docs)
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = w.alias("a"), w.alias("b")
+def pair_jaccard(
+    cand: DataFrame, w: DataFrame, sizes: DataFrame, threshold_milli: int
+) -> DataFrame:
+    """Exact Jaccard for an EXPLICIT candidate-pair set only (the O4
+    verify phase): candidates fan out to doc_a's words, equi-match doc_b's
+    words on (doc_b, w), one partial+final count per pair. The word table
+    is never self-joined all-pairs — per-pair cost is bounded by doc
+    length, total cost by |candidates|."""
+    wa = w.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = w.select(F.col("doc_id").alias("doc_b"), "w")
     inter = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -109,6 +119,59 @@ def token_jaccard_pairs(docs: DataFrame, threshold_milli: int = 500) -> DataFram
         .where(F.col("jac_milli") >= threshold_milli)
         .select("doc_a", "doc_b", "jac_milli")
     )
+
+
+def jaccard_prefix_candidates(
+    w: DataFrame, sizes: DataFrame, threshold_milli: int
+) -> DataFrame:
+    """Prefix-filtered candidate pairs for Jaccard ≥ t (AllPairs /
+    ppjoin prefix filter — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    rank each doc's tokens by global rarity (df asc, w asc — a total
+    order within a lang); a doc's PREFIX is its first
+    |X| − ⌈t·|X|⌉ + 1 tokens. Any pair with jac ≥ t has
+    |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so by the prefix lemma the prefixes share
+    ≥1 token → joining prefix rows on (lang, w) is provably complete.
+
+    Scale: a ubiquitous token lands in a doc's prefix only when the doc
+    has almost nothing rarer, so stop words no longer form near-all-docs
+    join buckets (the df-cap concern) — and no true pair is dropped,
+    unlike a hard df cap."""
+    dfreq = w.groupBy("lang", "w").agg(F.count("*").alias("ndocs"))
+    rk_win = Window.partitionBy("doc_id").orderBy("ndocs", "w")
+    # ceil(t·n) in exact integer math: (n·t_milli + 999) DIV 1000.
+    prefix = (
+        w.join(dfreq, ["lang", "w"])
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(rk_win))
+        .where(
+            F.col("rk")
+            <= F.col("n") - F.expr(f"(n * {threshold_milli} + 999) DIV 1000") + 1
+        )
+        .select("doc_id", "lang", "w")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "w")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "w")
+    return (
+        pa.join(pb, ["lang", "w"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def token_jaccard_pairs(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
+    """Exact word-set Jaccard over same-lang pairs, ≥ threshold.
+
+    jac_milli = floor(1000·|A∩B| / |A∪B|) — integer output for
+    cross-engine hash parity. Two-phase (O4): prefix-filtered candidate
+    pairs (provably complete for jac ≥ t, see
+    ``jaccard_prefix_candidates``) → exact per-pair verify
+    (``pair_jaccard``). Output is identical to the naive all-pairs word
+    self-join — the DuckDB oracle still computes that naive form."""
+    w = _words(docs)
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = jaccard_prefix_candidates(w, sizes, threshold_milli)
+    return pair_jaccard(cand, w, sizes, threshold_milli)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -132,10 +195,11 @@ def minhash_lsh_dups(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
 
     Band config B=8, R=1: a pair is a candidate iff ANY of the 8 minhash
     values collide — P(candidate) = 1−(1−j)^8, >99% for j≥0.5. Exact
-    verify then removes false positives, so the output equals
-    token_jaccard_pairs restricted to LSH-candidates (and at j≥0.5 the
-    miss probability is negligible; the oracle computes the identical
-    LSH, so parity is exact by construction either way).
+    Jaccard is then computed ONLY for the candidate pairs (``pair_jaccard``
+    — candidates fan out to word rows, never an all-pairs word self-join:
+    at 100 TB the exact tier is precisely what LSH exists to avoid). The
+    oracle computes the identical LSH candidate set, so parity is exact
+    by construction.
     """
     sig = minhash_signatures(docs)
     s1, s2 = sig.alias("s1"), sig.alias("s2")
@@ -152,8 +216,9 @@ def minhash_lsh_dups(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    exact = token_jaccard_pairs(docs, threshold_milli)
-    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    w = _words(docs)
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return pair_jaccard(cand, w, sizes, threshold_milli)
 
 
 def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
@@ -171,28 +236,57 @@ def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
     return sums.select("doc_id", "lang", sim.alias("simhash"))
 
 
-def simhash_dups(docs: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+SIMHASH_BANDS = 4
+
+
+def simhash_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k within a
-    lang block. At scale, block on simhash byte-prefixes instead of lang
-    (pigeonhole: hamming ≤ 3 over 4 chunks → ≥1 exact chunk match)."""
+    lang block.
+
+    Candidate generation is a pigeonhole band join (same shape as
+    ``phash_hamming_pairs``): the signature splits into ``bands`` disjoint
+    chunks; any pair with hamming ≤ bands−1 must agree exactly on ≥1
+    chunk, so candidates = pairs sharing (lang, band_idx, band_val) — an
+    equi-join keyed on content buckets, never all-pairs-within-lang. The
+    exact bit_count verify restores precision; output is identical to the
+    naive formulation (which the DuckDB oracle still computes)."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
     s = simhash_docs(docs, bits)
-    a, b = s.alias("a"), s.alias("b")
+    banded = s.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('b', {i}, 'v', "
+                        f"(shiftright(simhash, {shift}) & {(1 << width) - 1}))"
+                    )
+                    for i, (shift, width) in enumerate(band_layout(bits, bands))
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "lang", "simhash",
+        F.col("band.b").alias("b"), F.col("band.v").alias("v"),
+    )
+    a = banded.toDF("doc_a", "lang", "sa", "b", "v")
+    b = banded.toDF("doc_b", "lang", "sb", "b", "v")
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn(
-            "hamming",
-            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"),
-        )
+        a.join(b, ["lang", "b", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
         .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            "hamming",
-        )
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

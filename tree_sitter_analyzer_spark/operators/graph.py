@@ -78,8 +78,9 @@ def bfs_khop(
     # (depths 2k-1, 2k) or through a node discovered in hop 1 of this
     # round — and hop 2 expands ALL hop-1 discoveries; per-round min()
     # keeps the first-discovery depth minimal (pinned by the recursive-
-    # CTE oracle at every depth).
-    rounds = (max_depth + 1) // 2 + 1
+    # CTE oracle at every depth). ceil(max_depth/2) rounds cover every
+    # depth ≤ max_depth; the break-on-empty guards graphs that drain early.
+    rounds = (max_depth + 1) // 2
     for _ in range(rounds):
         e1 = (
             F.broadcast(frontier)

@@ -24,6 +24,9 @@ Scale design (10^12 tiles, modest query set):
 - Per round, only unfinished queries re-expand (left_anti on finished),
   so dense regions finish in round 1 and sparse stragglers alone pay for
   wide disks — the reference's early-exit tier semantics.
+- Loop control is DataFrame-side: done/remaining are filtered by
+  semi/anti joins, never collect()ed into driver dicts or IN-lists, so
+  the round bookkeeping itself scales to massive query sets.
 - ``row_number`` windows partition by query_id: parallelism = #queries,
   never a global sort.
 """
@@ -101,25 +104,31 @@ def knn_join(
             .persist()
         )
         cached.append(cand)
-        # Loop control: per-query candidate counts — bounded by #queries,
-        # a legitimate driver-side decision table (≤ one row per query).
-        counts = {
-            row["query_id"]: row["n"]
-            for row in cand.groupBy("query_id").agg(F.count("*").alias("n")).collect()
-        }
-        done_ids = [qid for qid, n in counts.items() if n >= k]
-        if done_ids:
+        # Loop control stays DISTRIBUTED: the done/remaining sets are
+        # DataFrames filtered by semi/anti joins, never collected into the
+        # driver (a 10^7-query set would blow up a driver-side dict and
+        # produce giant IN-list plans). The only driver-side values per
+        # round are two scalar emptiness probes on tiny persisted frames.
+        done = (
+            cand.groupBy("query_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= F.lit(k))
+            .select("query_id")
+            .persist()
+        )
+        cached.append(done)
+        if not done.isEmpty():
             topk = (
-                cand.where(F.col("query_id").isin(done_ids))
+                cand.join(done, "query_id", "left_semi")
                 .withColumn("rank", F.row_number().over(win))
                 .where(F.col("rank") <= k)
                 .select("query_id", "rank", "image_id", "dist2")
             )
             results.append(topk)
-            remaining = remaining.where(~F.col("query_id").isin(done_ids)).persist()
-        if len(done_ids) == len(counts) and remaining.isEmpty():
-            remaining = None
-            break
+            remaining = remaining.join(done, "query_id", "left_anti").persist()
+            if remaining.isEmpty():
+                remaining = None
+                break
         r *= 2
 
     if remaining is not None and not remaining.isEmpty():

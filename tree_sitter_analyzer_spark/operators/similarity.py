@@ -123,33 +123,70 @@ def embedding_neardup_pairs(
     similarity-join tier; the task brief's "embedding-cosine near-dup").
 
     ``max_hamming=None`` — exact all-pairs verify (the oracle-gated
-    baseline; O(N^2), correct and fine when the candidate pool is small).
+    baseline; O(N^2), correct and fine when the candidate pool is small —
+    documented audit-only tier).
     ``max_hamming=h`` — sign-LSH pruning: only pairs whose ``N_PLANES``-bit
-    signatures differ in <= h bits are verified. At 10^12 rows the exact
-    tier is impossible; the LSH tier groups by signature bucket so the
-    self-join touches hash-equal (or hamming-near) buckets only — the same
-    candidate-gen -> exact-verify shape as the PIP join (SURVEY.md O4).
-    ``h = N_PLANES`` degenerates to exact (asserted in tests).
+    signatures differ in <= h bits are verified. Candidates come from a
+    pigeonhole band EQUI-join (exactly like ``phash_hamming_pairs``): the
+    signature splits into h+1 disjoint bands, any pair with hamming <= h
+    shares >= 1 exact band, so candidates = pairs sharing (band_idx,
+    band_val) — the signature IS the join key, no nested-loop over N^2
+    pairs. Exact bit_count + cosine verify restores precision (the same
+    candidate-gen -> exact-verify shape as the PIP join, SURVEY.md O4).
+    ``h >= N_PLANES`` makes the hamming filter vacuous -> degenerates to
+    the exact tier (asserted in tests).
     """
+    from .dedup import band_layout
+
     q = _quantized(emb)
-    if max_hamming is not None:
-        dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
-        q = q.withColumn("sig", F.expr(_sig_expr(dim_probe)))
     a = q.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("qv").alias("qa"),
         F.col("nrm").alias("qn"),
-        *([F.col("sig").alias("sig_a")] if max_hamming is not None else []),
     )
     b = q.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("qv").alias("ca"),
         F.col("nrm").alias("cn"),
-        *([F.col("sig").alias("sig_b")] if max_hamming is not None else []),
     )
-    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
-    if max_hamming is not None:
-        pairs = pairs.where(F.expr("bit_count(sig_a ^ sig_b)") <= max_hamming)
+    if max_hamming is None or max_hamming >= N_PLANES:
+        # Exact tier (or vacuous prune): ordered-pair join, no signatures.
+        pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    else:
+        bands = max_hamming + 1
+        dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
+        sig = q.withColumn("sig", F.expr(_sig_expr(dim_probe)))
+        banded = sig.select(
+            "vec_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"named_struct('b', {i}, 'v', "
+                            f"(shiftright(sig, {shift}) & {(1 << width) - 1}))"
+                        )
+                        for i, (shift, width) in enumerate(
+                            band_layout(N_PLANES, bands)
+                        )
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            "vec_id", "sig",
+            F.col("band.b").alias("b"), F.col("band.v").alias("v"),
+        )
+        ba = banded.toDF("vec_id_a", "sig_a", "b", "v")
+        bb = banded.toDF("vec_id_b", "sig_b", "b", "v")
+        cand = (
+            ba.join(bb, ["b", "v"])
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b", "sig_a", "sig_b")
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+            .where(F.expr("bit_count(sig_a ^ sig_b)") <= max_hamming)
+            .select("vec_id_a", "vec_id_b")
+        )
+        pairs = cand.join(a, "vec_id_a").join(b, "vec_id_b")
     return (
         pairs.withColumn("dot", F.expr(_DOT))
         .withColumn(

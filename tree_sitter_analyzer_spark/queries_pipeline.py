@@ -280,8 +280,8 @@ from . import synth as _synth
 {dedup.phash_hamming_oracle()}
 """,
     doc="Image near-dup pairs: hamming(phash) <= 3 via multi-index "
-    "banding (4x16-bit bands; pigeonhole guarantees ban-share for "
-    "hamming < bands) + exact bit_count verify — the image-side "
+    "banding (4x12-bit bands over bits 0-47; pigeonhole guarantees a "
+    "shared band for hamming < bands) + exact bit_count verify — the image-side "
     "MinHash-LSH analog (task-brief near-dup tier, SURVEY.md A3/O4).",
 )
 def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -591,8 +591,12 @@ def q_rolling_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(
         "o_custkey",
         "o_orderkey",
+        # o_orderdate is TIMESTAMP_NTZ in the parquet; casting to TIMESTAMP
+        # would reinterpret it in the driver's session TZ (CLAUDE.md).
+        # timestampdiff on NTZ is TZ-free (the event_pairs_within pattern).
         F.expr(
-            "CAST(floor(unix_micros(CAST(o_orderdate AS TIMESTAMP)) / 86400e6)"
+            "CAST(floor(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) / 86400e6)"
             " AS BIGINT)"
         ).alias("day"),
         F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)").alias("price_cents"),
