@@ -66,6 +66,74 @@ def test_answer_envelope_truncation(spark):
     assert set(env["results"][0]) == {"image_id", "lon", "lat", "tile_kind"}
 
 
+def test_answer_default_cap_without_take(spark, monkeypatch):
+    """A chain whose take() was never called must still cap the driver
+    collect at DEFAULT_MAX_RESULTS and report was_truncated (the
+    reference's always-on max_results, hyphae/evaluator.py:83-144)."""
+    from tree_sitter_analyzer_spark.plans.chain import Chain
+
+    monkeypatch.setattr(Chain, "DEFAULT_MAX_RESULTS", 5)
+    env = Engine(spark, SF_TINY).tiles().answer(compact=True)
+    assert env["stats"]["returned"] == 5
+    assert env["stats"]["was_truncated"] is True
+    assert env["stats"]["total_matches"] > 5
+
+
 def test_near_returns_k(spark):
     env = Engine(spark, SF_TINY).tiles().near(139.7, 35.6, k=8).answer()
     assert env["stats"]["total_matches"] == 8
+
+
+# --- selector-text surface: string compiles to the SAME chain plans ---------
+
+
+def test_selector_matches_fluent_chain(spark):
+    """The VERDICT example string must hit the same plan as the fluent
+    calls (facade-map contract: one engine, two surfaces)."""
+    eng = Engine(spark, SF_TINY)
+    via_string = eng.select("kind=aerial :within(park) :not(fmt=jpeg) take 10")
+    via_chain = (
+        eng.tiles()
+        .filter(kind="aerial")
+        .within_zones(kind="park")
+        .exclude(fmt="jpeg")
+        .take(10)
+    )
+    s_env, c_env = via_string.answer(), via_chain.answer()
+    assert s_env["stats"] == c_env["stats"]
+    assert {r["image_id"] for r in s_env["results"]} == {
+        r["image_id"] for r in c_env["results"]
+    }
+
+
+def test_selector_wildcard_sort_near(spark):
+    eng = Engine(spark, SF_TINY)
+    got = eng.select("caption=tile 1* sort phash desc take 5").answer()
+    want = (
+        eng.tiles()
+        .filter(caption__like="tile 1*")
+        .sort(by="phash", desc=True)
+        .take(5)
+        .answer()
+    )
+    assert [r["image_id"] for r in got["results"]] == [
+        r["image_id"] for r in want["results"]
+    ]
+    near = eng.select(":near(139.7, 35.6, 8)").answer()
+    assert near["stats"]["total_matches"] == 8
+
+
+def test_selector_rejects_unknown_and_unsafe(spark):
+    import pytest
+
+    from tree_sitter_analyzer_spark.plans.selector import SelectorError
+
+    eng = Engine(spark, SF_TINY)
+    with pytest.raises(SelectorError, match="unknown filter key"):
+        eng.select("bogus=1")
+    with pytest.raises(SelectorError, match="unknown pseudo"):
+        eng.select(":drop(tiles)")
+    with pytest.raises(SelectorError):
+        eng.select("fmt=png; DROP TABLE tiles")
+    with pytest.raises(SelectorError, match="take needs a number"):
+        eng.select("fmt=png take many")

@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     exp.add_argument("--cpus", type=int, default=8)
 
+    selp = sub.add_parser(
+        "select", help="run a selector string over the tiles table"
+    )
+    selp.add_argument("selector")
+    selp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    selp.add_argument("--cpus", type=int, default=8)
+
     sqlp = sub.add_parser("sql", help="run gated ad-hoc SQL over the views")
     sqlp.add_argument("query")
     sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -66,6 +73,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(cpus=args.cpus)
     try:
+        if args.cmd == "select":
+            from .plans.chain import Engine
+            from .plans.selector import SelectorError
+
+            try:
+                env = Engine(spark, args.sf_dir).select(args.selector).answer(
+                    compact=True
+                )
+            except (SelectorError, KeyError) as exc:
+                print(
+                    json.dumps({"verdict": "error", "error": str(exc)}),
+                    file=sys.stderr,
+                )
+                return 2
+            print(json.dumps(env, default=str))
+            return 0
+
         if args.cmd == "sql":
             from .plans.sql_surface import register_views, run_user_sql
 

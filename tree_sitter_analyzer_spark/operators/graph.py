@@ -179,6 +179,90 @@ def bidirectional_shortest_path(
     )
 
 
+def shortest_path_trace(
+    spark: SparkSession, edges: DataFrame, src: int, dst: int, max_depth: int = 20
+) -> DataFrame:
+    """One witness shortest path src→dst as a vertex chain string
+    (the reference returns actual call paths, call_path.py:520-639 —
+    SURVEY.md J7 path reconstruction).
+
+    Deterministic witness: BFS min-depth labels, then a shortest-path
+    predecessor per vertex — pred(v) = min src over edges stepping
+    depth(v)−1 → depth(v) — and the path follows preds back from dst.
+    No path-set explosion: the pred table is one row per vertex, the
+    walk-back is ≤ max_depth chained one-row broadcast joins (all lazy,
+    no per-step driver round-trips). Returns (src, dst, path_len, path)
+    or zero rows if unreachable within max_depth.
+    """
+    depth = bfs_khop(spark, edges, [src], max_depth)
+    da = depth.select(F.col("v").alias("pv"), F.col("depth").alias("pd"))
+    db = depth.select(F.col("v").alias("cv"), F.col("depth").alias("cd"))
+    pred = (
+        edges.join(da, edges.src == F.col("pv"))
+        .join(db, edges.dst == F.col("cv"))
+        .where(F.col("pd") == F.col("cd") - 1)
+        .groupBy(F.col("cv").alias("v"))
+        .agg(F.min("src").alias("p"))
+    )
+    cur = depth.where(F.col("v") == dst).select(
+        "v",
+        F.col("depth").alias("path_len"),
+        F.col("v").cast("string").alias("path"),
+    )
+    for _ in range(max_depth):
+        cur = cur.join(F.broadcast(pred), "v", "left").select(
+            F.coalesce(F.col("p"), F.col("v")).alias("v"),
+            "path_len",
+            F.when(
+                F.col("p").isNotNull(),
+                F.concat(F.col("p").cast("string"), F.lit("->"), F.col("path")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    return cur.select(
+        F.lit(src).cast("bigint").alias("src"),
+        F.lit(dst).cast("bigint").alias("dst"),
+        F.col("path_len").cast("int").alias("path_len"),
+        "path",
+    )
+
+
+def shortest_path_trace_oracle(src: int, dst: int, max_depth: int = 20) -> str:
+    """Recursive-CTE witness path: identical min-depth + min-pred chain,
+    path string built walking preds back from dst (linear recursion —
+    one row per step, no path-set explosion)."""
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql("dag")}),
+walk(v, d) AS (
+  SELECT CAST({src} AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {max_depth}
+),
+depth AS (SELECT v, min(d) AS d FROM walk GROUP BY v),
+pred AS (
+  SELECT e.dst AS v, min(e.src) AS p
+  FROM edges e
+  JOIN depth du ON du.v = e.src
+  JOIN depth dv ON dv.v = e.dst
+  WHERE du.d = dv.d - 1
+  GROUP BY e.dst
+),
+rev(v, path) AS (
+  SELECT CAST({dst} AS BIGINT), CAST({dst} AS VARCHAR)
+  UNION ALL
+  SELECT p.p, CAST(p.p AS VARCHAR) || '->' || r.path
+  FROM rev r JOIN pred p ON p.v = r.v
+  WHERE r.v <> {src}
+)
+SELECT CAST({src} AS BIGINT) AS src, CAST({dst} AS BIGINT) AS dst,
+       CAST(d.d AS INT) AS path_len, r.path AS path
+FROM rev r JOIN depth d ON d.v = {dst}
+WHERE r.v = {src}
+"""
+
+
 def shortest_path_oracle(src: int, dst: int, max_depth: int = 20) -> str:
     return f"""
 WITH RECURSIVE edges AS ({edges_sql("dag")}),

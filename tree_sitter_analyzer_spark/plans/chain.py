@@ -119,17 +119,26 @@ class Chain:
 
     # -- terminal ----------------------------------------------------------
 
+    # Default result cap when ``take()`` was never called: ``answer()``
+    # must NEVER collect unbounded rows into the driver (the reference
+    # always enforces max_results, hyphae/evaluator.py:83-144; same cap
+    # discipline as run_user_sql's max_rows).
+    DEFAULT_MAX_RESULTS = 2000
+
     def df(self) -> DataFrame:
         return self._df if self._limit is None else self._df.limit(self._limit)
 
     def answer(self, compact: bool = False) -> dict[str, Any]:
-        """Execute: capped rows + true totals envelope (T5 contract)."""
+        """Execute: capped rows + true totals envelope (T5 contract).
+        Uncapped chains are capped at ``DEFAULT_MAX_RESULTS`` with
+        ``was_truncated`` set — a driver collect is never unbounded."""
         total = self._df.count()
-        rows_df = self.df()
+        limit = self._limit if self._limit is not None else self.DEFAULT_MAX_RESULTS
+        rows_df = self._df.limit(limit)
         if compact:
             rows_df = rows_df.select("image_id", "lon", "lat", "tile_kind")
         rows = [r.asDict() for r in rows_df.collect()]
-        truncated = self._limit is not None and total > self._limit
+        truncated = total > limit
         return {
             "verdict": "ok",
             "results": rows,
@@ -158,3 +167,14 @@ class Engine:
     def tiles(self, with_bytes: bool = False) -> Chain:
         return Chain(self._spark, synth.tiles_df(self._spark, self._sf_dir,
                                                  with_bytes=with_bytes))
+
+    def select(self, selector: str) -> Chain:
+        """Compile a selector string onto the tiles chain — the reference's
+        string surface (hyphae/parser.py; _codegraph_query_dsl.py), same
+        plans as the fluent API. E.g.::
+
+            engine.select("kind=aerial :within(park) :not(fmt=jpeg) take 10")
+        """
+        from .selector import apply_selector
+
+        return apply_selector(self.tiles(), selector)

@@ -37,6 +37,20 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shortest_path_trace",
+    graph.shortest_path_trace_oracle(0, 1813, 20),
+    doc="Witness shortest path 0→1813 as a vertex chain (path "
+    "reconstruction, call_path.py:520-639; SURVEY.md J7): BFS min-depth "
+    "labels + deterministic min-pred chain, walked back from the target. "
+    "Oracle: linear recursive CTE over the identical pred table.",
+)
+def q_shortest_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.shortest_path_trace(
+        spark, graph.edges_df(spark, "dag"), 0, 1813, 20
+    )
+
+
+@register(
     "shortest_path",
     graph.shortest_path_oracle(0, 1813, 20),
     doc="Bidirectional meet-in-the-middle shortest path 0→1813 on the DAG "
