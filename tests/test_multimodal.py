@@ -55,6 +55,27 @@ def test_audio_pipeline_plumbing(spark):
         multimodal.decode_video_frames(b"", 10)
 
 
+def test_real_decoder_route_fails_cleanly_and_is_recorded(spark):
+    """Decoder-path contract (the plug-point swap): with ffmpeg absent,
+    requesting the real decoder raises NotImplementedError at PLAN BUILD
+    (driver-side, no executor crash mid-job), and every feature row
+    carries an explicit decoder column so the gate records which path
+    ran."""
+    rows = [(1, b"x", 16000, 1, 1000, 1)]
+    df = spark.createDataFrame(rows, multimodal.AUDIO_SCHEMA)
+    assert multimodal.FFMPEG_PATH is None  # this container has no ffmpeg
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal.audio_features(df, use_fake_decoder=False)
+    vrows = [(1, b"x", 32, 24, 24000, 95, 1)]
+    vdf = spark.createDataFrame(vrows, multimodal.VIDEO_SCHEMA)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal.video_frame_features(vdf, use_fake_decoder=False)
+    got = multimodal.audio_features(df).select("decoder").collect()
+    assert [r["decoder"] for r in got] == ["fake"]
+    vgot = multimodal.video_frame_features(vdf).select("decoder").collect()
+    assert [r["decoder"] for r in vgot] == ["fake"]
+
+
 def test_video_frame_sample_plumbing(spark):
     """Frame-sampling pipeline: every_n-th frame count is exact, features
     are deterministic, and only scalars cross the Arrow boundary."""

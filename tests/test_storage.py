@@ -109,3 +109,50 @@ def test_mermaid_collisions_and_escaping(spark):
     assert "a_b__1" in text  # collision suffix
     assert "#quot;" in text and '"zone "X""' not in text
     assert "#124;" in text and "|p|q|" not in text
+
+
+# --- TOON / markdown table encoders (S8, golden-master byte tests) -----------
+
+GOLDEN = __file__.rsplit("/", 1)[0] + "/golden"
+
+
+def _enc_df(spark):
+    return spark.createDataFrame(
+        [(1, "png", "plain", 4), (2, "jpeg", "has,comma", 7),
+         (3, "png", 'has "quote"', 2), (4, None, " leading space", 9)],
+        "id BIGINT, fmt STRING, note STRING, n INT",
+    )
+
+
+def test_toon_table_golden_bytes(spark):
+    """TOON encoder output is byte-identical to the committed golden
+    (toon_encoder.py golden-master discipline): header `key[n]{schema}:`,
+    CSV-style quoting (delimiter/quote/edge-space), None -> empty cell."""
+    from tree_sitter_analyzer_spark.sources import toon
+
+    out = toon.toon_table(_enc_df(spark), ["id"], key="tiles")
+    assert out["text"] == open(f"{GOLDEN}/tiles.toon").read()
+    assert out["was_truncated"] is False and out["total_rows"] == 4
+
+
+def test_markdown_table_golden_bytes(spark):
+    """GFM table golden: numeric columns right-aligned, pipes escaped."""
+    from tree_sitter_analyzer_spark.sources import toon
+
+    out = toon.markdown_table(_enc_df(spark), ["id"])
+    assert out["text"] == open(f"{GOLDEN}/tiles.md").read()
+
+
+def test_toon_union_schema_and_cap(spark):
+    """Union-schema inference keeps fields later rows introduce (a
+    first-row-only header would drop them), and the collect is capped
+    with the true-total envelope."""
+    from tree_sitter_analyzer_spark.sources import toon
+
+    text = toon.encode_rows([{"a": 1, "b": 2}, {"b": 3, "c": 4}], key="u")
+    assert text == "u[2]{a,b,c}:\n  1,2,\n  ,3,4\n"
+
+    big = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = toon.toon_table(big, ["id"], max_rows=10)
+    assert out["rendered_rows"] == 10
+    assert out["total_rows"] == 100 and out["was_truncated"] is True

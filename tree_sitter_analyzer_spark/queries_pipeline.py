@@ -319,7 +319,9 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(pmod(o_orderkey, 3) AS INT)").alias("codec"),
     )
     feats = multimodal.video_frame_features(clips, every_n=10)
-    return feats.groupBy("codec").agg(
+    # "decoder" records which decode path ran (fake stand-in vs real
+    # ffmpeg) so the driver gate's rows show it explicitly.
+    return feats.groupBy("codec", "decoder").agg(
         F.count("*").alias("n_clips"),
         F.sum("n_sampled_frames").cast("bigint").alias("n_sampled_frames"),
         F.min("mean_luma_milli").cast("bigint").alias("min_mean_luma_milli"),
@@ -354,7 +356,7 @@ def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(pmod(o_orderkey, 2) AS INT)").alias("codec"),
     )
     feats = multimodal.audio_features(clips)
-    return feats.groupBy("sample_rate").agg(
+    return feats.groupBy("sample_rate", "decoder").agg(
         F.count("*").alias("n_clips"),
         F.min("rms_milli").cast("bigint").alias("min_rms_milli"),
         F.max("rms_milli").cast("bigint").alias("max_rms_milli"),

@@ -12,6 +12,8 @@ partitioning, UDF signature, Arrow batch shape — is real and tested
 
 from __future__ import annotations
 
+import shutil
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -20,11 +22,17 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from .codec import decode_px, encode_px
+
+# Real audio/video decode routes through ffmpeg; probe once, driver-side,
+# so `use_fake_decoder=False` fails CLEANLY (NotImplementedError at plan
+# build) instead of an executor-side PythonException mid-job.
+FFMPEG_PATH = shutil.which("ffmpeg")
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +149,20 @@ def video_frame_features(
     never leave the executor (only scalar features cross the wire), which
     is what keeps this viable at 10^12 clips.
     """
+    if not use_fake_decoder and FFMPEG_PATH is None:
+        raise NotImplementedError(
+            "use_fake_decoder=False requires ffmpeg on PATH (not present "
+            "in this container) — plug the real sampler into "
+            "decode_video_frames and re-run"
+        )
+    decoder_tag = "fake" if use_fake_decoder else "real"
     schema = StructType(
         list(df.schema.fields)
         + [
             StructField("n_sampled_frames", LongType()),
             StructField("mean_luma_milli", LongType()),
             StructField("std_luma_milli", LongType()),
+            StructField("decoder", StringType()),
         ]
     )
 
@@ -174,6 +190,7 @@ def video_frame_features(
             pdf["n_sampled_frames"] = pd.array(ns, dtype="int64")
             pdf["mean_luma_milli"] = pd.array(mean_l, dtype="int64")
             pdf["std_luma_milli"] = pd.array(std_l, dtype="int64")
+            pdf["decoder"] = decoder_tag
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
@@ -183,11 +200,19 @@ def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """Per-clip features: RMS energy + zero-crossing count over the first
     second. ``use_fake_decoder=False`` routes through ``decode_audio``
     (raises until a real codec is plugged in)."""
+    if not use_fake_decoder and FFMPEG_PATH is None:
+        raise NotImplementedError(
+            "use_fake_decoder=False requires ffmpeg/libsndfile (not "
+            "present in this container) — plug the real decoder into "
+            "decode_audio and re-run"
+        )
+    decoder_tag = "fake" if use_fake_decoder else "real"
     schema = StructType(
         list(df.schema.fields)
         + [
             StructField("rms_milli", LongType()),
             StructField("zero_crossings", LongType()),
+            StructField("decoder", StringType()),
         ]
     )
 
@@ -208,6 +233,7 @@ def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
             pdf = pdf.copy()
             pdf["rms_milli"] = pd.array(rms, dtype="int64")
             pdf["zero_crossings"] = pd.array(zc, dtype="int64")
+            pdf["decoder"] = decoder_tag
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
