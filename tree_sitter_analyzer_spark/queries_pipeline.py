@@ -196,6 +196,61 @@ def q_caption_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.search_captions(_docs(spark, sf_dir), SEARCH_QUERY, 10)
 
 
+# --- F1 completion: identifier tokenization (camelCase split + stemming) -----
+
+from .functions import ident_tokens_duck, ident_tokens_spark
+
+# Deterministic camelCase identifiers derived from the orders keys — the
+# same SQL text builds them on both engines, so the tokenizer itself
+# (reference FTS tokenizer semantics: camel split, separator
+# normalization, lower, suffix stemmer — semantic_search.py:142-153,
+# _ast_cache_schema.py:425-434) is what the oracle actually verifies.
+# (k % n), not pmod: DuckDB has no pmod and o_orderkey is non-negative,
+# so % is identical on both engines.
+_IDENT_NAME_SQL = (
+    "('get'"
+    " || (CASE (k % 4) WHEN 0 THEN 'Customer' WHEN 1 THEN 'Supplier'"
+    "      WHEN 2 THEN 'Order' ELSE 'Shipment' END)"
+    " || (CASE (k % 3) WHEN 0 THEN 'Value' WHEN 1 THEN 'Filters'"
+    "      ELSE 'Mapping' END)"
+    " || '_' || (CASE (k % 2) WHEN 0 THEN 'fast' ELSE 'slowed' END)"
+    " || 'Id')"
+)
+
+
+@register(
+    "ident_token_stats",
+    f"""
+WITH idents AS (
+  SELECT {_IDENT_NAME_SQL} AS name
+  FROM (SELECT o_orderkey AS k FROM orders)
+),
+toks AS (SELECT name, unnest({ident_tokens_duck('name')}) AS tok FROM idents)
+SELECT tok, count(*) AS n_occurrences,
+       count(DISTINCT name) AS n_idents
+FROM toks GROUP BY tok
+""",
+    doc="Identifier tokenization stats (F1 search-text niceties): "
+    "camelCase-split + separator-normalized + suffix-stemmed tokens "
+    "(getCustomerFilters_fastId -> get/custom/filt/fast/id) over "
+    "deterministic synthetic identifiers, rolled up per token. The "
+    "tokenizer is one SQL definition with per-engine spellings "
+    "(functions.ident_tokens_*), fully oracle-verified.",
+)
+def q_ident_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS k"
+    )
+    idents = o.selectExpr(f"{_IDENT_NAME_SQL} AS name")
+    toks = idents.select(
+        "name", F.explode(F.expr(ident_tokens_spark("name"))).alias("tok")
+    )
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("name").alias("n_idents"),
+    )
+
+
 # --- Multimodal: thumbnail/resize pass surfaced through the driver gate ------
 
 @register(
