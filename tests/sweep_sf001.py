@@ -1,0 +1,78 @@
+"""Per-round hygiene sweep (CLAUDE.md): run EVERY registered query at the
+driver's gate scale (sf0.01), compare against its DuckDB oracle the way
+the driver does (sorted columns, aligned dtypes, exact values), and flag
+vacuous results — a query that returns 0 rows at the gate passes parity
+vacuously and hides bugs (the interval_join lesson).
+
+Usage: python tests/sweep_sf001.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+# `python tests/sweep_sf001.py` puts tests/ on sys.path, not the repo root
+# where __spark_entry__ lives.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+    from tree_sitter_analyzer_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    failures, vacuous = [], []
+    for i, (name, fn) in enumerate(queries.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as exc:
+            failures.append((name, f"spark error: {exc}"))
+            print(f"{i:3d} {name:28s} SPARK-ERROR {exc}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            tag = "rows-only"
+            ok = True
+        else:
+            odf = con.sql(oracles[name]).df()
+            cols = sorted(sdf.columns)
+            try:
+                s = sdf[cols].sort_values(cols).reset_index(drop=True)
+                o = (
+                    odf[cols]
+                    .sort_values(cols)
+                    .reset_index(drop=True)
+                    .astype(s.dtypes.to_dict())
+                )
+                ok = s.equals(o) and len(s) == len(o)
+            except Exception as exc:
+                ok = False
+                failures.append((name, f"compare error: {exc}"))
+            tag = "ok" if ok else "MISMATCH"
+            if not ok and (name, f"compare error: {exc}") not in failures:
+                failures.append((name, "value mismatch"))
+        if len(sdf) == 0:
+            vacuous.append(name)
+            tag += " VACUOUS"
+        print(f"{i:3d} {name:28s} {tag:12s} rows={len(sdf):7d} {dt:6.1f}s")
+    print(f"\n{len(queries)} queries; failures={failures}; vacuous={vacuous}")
+    return 1 if failures or vacuous else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
