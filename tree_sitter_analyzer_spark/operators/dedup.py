@@ -168,15 +168,22 @@ def token_jaccard_pairs(docs: DataFrame, threshold_milli: int = 500) -> DataFram
     ``jaccard_prefix_candidates``) → exact per-pair verify
     (``pair_jaccard``). Output is identical to the naive all-pairs word
     self-join — the DuckDB oracle still computes that naive form."""
-    w = _words(docs)
+    # Five downstream subtrees read the word rows (dfreq, prefix window,
+    # both verify sides, sizes); Catalyst does not CSE across subtrees, so
+    # without a lineage barrier the tokenize+explode re-runs per subtree
+    # (the search.py lesson).
+    w = _words(docs).localCheckpoint(eager=False)
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = jaccard_prefix_candidates(w, sizes, threshold_milli)
     return pair_jaccard(cand, w, sizes, threshold_milli)
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, i, mh): MinHash signature rows, one per hash func."""
-    w = _words(docs).withColumn("h", F.expr(md5int_spark("w")))
+def minhash_signatures(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """(doc_id, lang, i, mh): MinHash signature rows, one per hash func.
+    Pass ``words`` to reuse an already-materialized word table."""
+    w = (_words(docs) if words is None else words).withColumn(
+        "h", F.expr(md5int_spark("w"))
+    )
     hashes = F.array(
         *[
             F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -201,7 +208,10 @@ def minhash_lsh_dups(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
     oracle computes the identical LSH candidate set, so parity is exact
     by construction.
     """
-    sig = minhash_signatures(docs)
+    # Lineage barrier: the word explode feeds signatures AND both verify
+    # sides — materialize once (the search.py lesson).
+    w = _words(docs).localCheckpoint(eager=False)
+    sig = minhash_signatures(docs, words=w)
     s1, s2 = sig.alias("s1"), sig.alias("s2")
     cand = (
         s1.join(
@@ -216,7 +226,6 @@ def minhash_lsh_dups(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    w = _words(docs)
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
     return pair_jaccard(cand, w, sizes, threshold_milli)
 
