@@ -84,6 +84,34 @@ def test_near_returns_k(spark):
     assert env["stats"]["total_matches"] == 8
 
 
+def test_sort_by_fanin_matches_direct_counts(spark):
+    """W3 computed sort key: tiles ordered by the number of zones
+    containing them (join-row fan-in), zero-match tiles included at
+    fan-in 0, deterministic id tie-break."""
+    from tree_sitter_analyzer_spark.operators.pip_join import pip_join
+
+    env = (
+        Engine(spark, SF_TINY).tiles().sort_by_fanin().take(2000).answer()
+    )
+    got = [(r["image_id"], r["fanin"]) for r in env["results"]]
+    direct = {
+        r["image_id"]: r["n"]
+        for r in pip_join(synth.tiles_df(spark, SF_TINY), synth.zones_df(spark))
+        .groupBy("image_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for iid, fanin in got:
+        assert fanin == direct.get(iid, 0)
+    fanins = [f for _, f in got]
+    assert fanins == sorted(fanins, reverse=True)
+    assert fanins[0] > 0 and 0 in fanins  # both matched and unmatched present
+    # ties break on image_id ascending
+    for (ia, fa), (ib, fb) in zip(got, got[1:]):
+        if fa == fb:
+            assert ia < ib
+
+
 # --- selector-text surface: string compiles to the SAME chain plans ---------
 
 
@@ -121,6 +149,26 @@ def test_selector_wildcard_sort_near(spark):
     ]
     near = eng.select(":near(139.7, 35.6, 8)").answer()
     assert near["stats"]["total_matches"] == 8
+
+
+def test_search_step_ranks_caption_matches(spark):
+    """M7 Engine.search(...): the ranked caption search composes with the
+    chain — matches carry search_rank, top hit actually contains the
+    query token, and the selector string compiles to the same plan."""
+    eng = Engine(spark, SF_TINY)
+    env = eng.tiles().search("kind=marine", k=5).answer()
+    assert env["stats"]["total_matches"] == 5
+    rows = eng.tiles().search("kind=marine", k=5).df().collect()
+    assert all("kind=marine" in r["caption"] for r in rows)
+    assert sorted(r["search_rank"] for r in rows) == [1, 2, 3, 4, 5]
+
+    via_string = eng.select(":search(482, 3)").df().collect()
+    via_fluent = eng.tiles().search("482", k=3).df().collect()
+    assert {r["image_id"] for r in via_string} == {
+        r["image_id"] for r in via_fluent
+    }
+    assert len(via_string) >= 1
+    assert all("482" in r["caption"].split() for r in via_string)
 
 
 def test_selector_rejects_unknown_and_unsafe(spark):

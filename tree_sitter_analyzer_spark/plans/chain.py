@@ -103,7 +103,54 @@ class Chain:
         hits = knn_ops.knn_join(self._df, q, k=k).select("image_id", "rank")
         return self._next(self._df.join(hits, "image_id").drop("rank"))
 
+    def search(self, query: str, k: int = 10) -> "Chain":
+        """Keep the top-k tiles whose CAPTION matches the query (M7's
+        ``Engine.search(...)`` step): the ranked two-phase search operator
+        (token candidates → df-weighted prescore → over-fetch → cosine
+        rerank, operators/search.py) applied to the current chain state,
+        joined back to full tile rows with the search rank attached —
+        composable with the spatial steps (``.search(...).within_zones(...)``)."""
+        corpus = self._df.select(
+            F.col("image_id").alias("doc_id"),
+            F.lit("und").alias("lang"),
+            F.col("caption").alias("text"),
+        )
+        from ..operators.search import search_captions
+
+        hits = search_captions(corpus, query, k=k).select(
+            F.col("doc_id").alias("image_id"), F.col("rank").alias("search_rank")
+        )
+        return self._next(self._df.join(hits, "image_id"))
+
     # -- ordering / truncation (T3-T5) ------------------------------------
+
+    def sort_by_fanin(self, zones: DataFrame | None = None, desc: bool = True,
+                      **zone_filter: Any) -> "Chain":
+        """Order tiles by their JOIN-ROW fan-in — the number of matching
+        zones containing each tile (SURVEY.md W3: computed sort keys from
+        related-row counts, the reference's sort-by-relationship-count).
+        Tiles matching no zone sort with fan-in 0; ties break on image_id.
+
+        Plan shape: one broadcast PIP candidate join → per-tile count →
+        merge-back join on image_id; the tile side never shuffles for the
+        count itself (the count aggregates the small join-row side)."""
+        z = zones if zones is not None else synth.zones_df(self._spark)
+        for k, v in zone_filter.items():
+            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
+            z = z.where(F.col(col) == v)
+        counts = (
+            pip_ops.pip_join(self._df, z)
+            .groupBy("image_id")
+            .agg(F.count("*").alias("fanin"))
+        )
+        with_counts = (
+            self._df.join(counts, "image_id", "left")
+            .withColumn("fanin", F.coalesce(F.col("fanin"), F.lit(0)))
+        )
+        order = F.col("fanin").desc() if desc else F.col("fanin")
+        nxt = self._next(with_counts.orderBy(order, "image_id"))
+        nxt._limit = self._limit
+        return nxt
 
     def sort(self, by: str, desc: bool = False) -> "Chain":
         col = F.col(by)

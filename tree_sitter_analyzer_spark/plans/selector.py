@@ -19,6 +19,7 @@ Grammar (whitespace-separated terms, all values literal-only)::
             | ':outside(' zkind ')'    -> Chain.outside_zones(kind=...)
             | ':not(' kv ')'           -> Chain.exclude(...)
             | ':near(' lon ',' lat ',' k ')' -> Chain.near(lon, lat, k)
+            | ':search(' words [',' k] ')'   -> Chain.search(words, k)
     take   := 'take' N                 -> Chain.take(N)
     sort   := 'sort' col ['desc']      -> Chain.sort(by=col, desc=...)
 
@@ -47,6 +48,10 @@ _TOKEN = re.compile(
 )
 
 _VALUE_OK = re.compile(r"^[A-Za-z0-9_.*\- ]+$")
+# :search terms additionally allow '=' (caption tokens like kind=marine);
+# safe because search words only ever become literal DataFrame rows,
+# never plan/SQL text.
+_SEARCH_OK = re.compile(r"^[A-Za-z0-9_.*=\- ]+$")
 _NUM = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
 
 
@@ -122,6 +127,16 @@ def apply_selector(chain: Chain, text: str) -> Chain:
                 if len(parts) != 3 or not all(_NUM.match(p) for p in parts):
                     raise SelectorError(f":near needs (lon,lat,k), got {arg!r}")
                 chain = chain.near(float(parts[0]), float(parts[1]), int(parts[2]))
+            elif name == "search":
+                parts = [p.strip() for p in arg.split(",")]
+                k = 10
+                if len(parts) > 1 and _NUM.match(parts[-1]):
+                    k = int(parts[-1])
+                    parts = parts[:-1]
+                query = ", ".join(parts)
+                if not query or not _SEARCH_OK.match(query.replace(",", "")):
+                    raise SelectorError(f":search needs (words[, k]), got {arg!r}")
+                chain = chain.search(query, k=k)
             else:
                 raise SelectorError(
                     f"unknown pseudo-class :{name}; "
