@@ -121,6 +121,32 @@ def test_ivf_probe_recall(spark):
     assert recall >= 0.5, f"IVF recall {recall}"
 
 
+def test_ivf_kmeans_unprobed_equals_brute_and_recalls(spark):
+    """KMeans-quantizer IVF: probing ALL buckets equals brute force
+    exactly (every bucket probed — independent of clustering quality),
+    and the default probe width keeps recall above the floor."""
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ann_brute_topk(_emb(spark), 5, 5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ann_ivf_kmeans_topk(
+            _emb(spark), 5, 5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full == brute
+    brute_pairs = _brute_pairs(spark)
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ann_ivf_kmeans_topk(
+            _emb(spark), 5, 5, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    recall = len(brute_pairs & ivf) / len(brute_pairs)
+    assert recall >= 0.5, f"KMeans-IVF recall {recall}"
+
+
 def test_neardup_lsh_full_radius_equals_exact(spark):
     """Embedding near-dup: max_hamming = N_PLANES disables LSH pruning →
     must equal the exact all-pairs result, scores included."""

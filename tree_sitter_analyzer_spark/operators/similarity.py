@@ -376,6 +376,92 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_kmeans_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN with a REAL coarse quantizer: Spark ML KMeans centroids
+    replace the deterministic first-N stand-in of ``ann_ivf_topk`` (its
+    docstring's own production prescription). Bucketing/probing mechanics
+    are identical: vectors partition by nearest centroid (the model's
+    prediction), each query probes its ``n_probe`` closest centroids'
+    buckets, exact quantized-cosine rerank on the candidates.
+
+    Spark-only (KMeans is not SQL-expressible): correctness comes from
+    the probe-all invariant — ``n_probe == n_centroids`` equals brute
+    force EXACTLY regardless of clustering quality (every bucket is
+    probed) — plus a recall floor at the default probe width; both pinned
+    in tests/test_similarity.py. At 10^12 rows: fit on a sample, store
+    centroid_id as an Iceberg bucket partition, probes prune partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(feats)
+    assign = model.transform(feats).select(
+        "vec_id", F.col("prediction").alias("centroid_id")
+    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = emb.sparkSession.createDataFrame(
+        centers, "centroid_id INT, center ARRAY<DOUBLE>"
+    )
+    q = _quantized(emb)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    # probe selection: euclidean distance query→centroid (KMeans' metric)
+    qvecs = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    dist2 = (
+        "aggregate(zip_with(qe, center, (x, c) -> (x - c) * (x - c)),"
+        " 0d, (acc, v) -> acc + v)"
+    )
+    probe_scored = qvecs.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(dist2)
+    )
+    pwin = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
+    probes = (
+        probe_scored.withColumn("rk", F.row_number().over(pwin))
+        .where(F.col("rk") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand_ids = assign.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "vec_id"
+    )
+    cands = cand_ids.join(
+        q.select("vec_id", F.col("qv").alias("ca"), F.col("nrm").alias("cn")),
+        "vec_id",
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr("CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn)) AS BIGINT)"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id", "cos_micro")
+    )
+
+
 # --- DuckDB oracles for the approximate variants ----------------------------
 #
 # Both LSH and IVF are fully deterministic (md5-seeded planes, first-N

@@ -171,6 +171,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(_emb(spark, sf_dir), 5, 5)
 
 
+@register(
+    "ann_ivf_kmeans",
+    None,  # KMeans is not SQL-expressible; the probe-all == brute-force
+    # invariant and recall floor are pinned in tests/test_similarity.py
+    doc="IVF ANN with a real Spark ML KMeans coarse quantizer (the "
+    "production variant of ann_ivf_topk): model buckets + n_probe "
+    "nearest-centroid probes + exact quantized-cosine rerank. Rows-only; "
+    "probing all buckets equals brute force exactly (pytest-gated).",
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_kmeans_topk(_emb(spark, sf_dir), 5, 5)
+
+
 # --- T1/T6: ranked text search ---------------------------------------------------
 
 from .operators import search as search_ops
