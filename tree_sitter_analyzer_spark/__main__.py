@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     selp.add_argument("selector")
     selp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     selp.add_argument("--cpus", type=int, default=8)
+    selp.add_argument(
+        "--explain", action="store_true",
+        help="print the compiled physical plan instead of executing",
+    )
 
     sqlp = sub.add_parser("sql", help="run gated ad-hoc SQL over the views")
     sqlp.add_argument("query")
@@ -78,9 +82,16 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.selector import SelectorError
 
             try:
-                env = Engine(spark, args.sf_dir).select(args.selector).answer(
-                    compact=True
-                )
+                chain = Engine(spark, args.sf_dir).select(args.selector)
+                if args.explain:
+                    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    print(
+                        chain.df()._jdf.queryExecution().explainString(
+                            jmode.fromString("formatted")
+                        )
+                    )
+                    return 0
+                env = chain.answer(compact=True)
             except (SelectorError, KeyError) as exc:
                 print(
                     json.dumps({"verdict": "error", "error": str(exc)}),
