@@ -51,6 +51,7 @@ def main() -> int:
         else:
             odf = con.sql(oracles[name]).df()
             cols = sorted(sdf.columns)
+            err = None
             try:
                 s = sdf[cols].sort_values(cols).reset_index(drop=True)
                 o = (
@@ -62,10 +63,10 @@ def main() -> int:
                 ok = s.equals(o) and len(s) == len(o)
             except Exception as exc:
                 ok = False
-                failures.append((name, f"compare error: {exc}"))
+                err = f"compare error: {exc}"
             tag = "ok" if ok else "MISMATCH"
-            if not ok and (name, f"compare error: {exc}") not in failures:
-                failures.append((name, "value mismatch"))
+            if not ok:
+                failures.append((name, err or "value mismatch"))
         if len(sdf) == 0:
             vacuous.append(name)
             tag += " VACUOUS"

@@ -185,3 +185,23 @@ def test_selector_rejects_unknown_and_unsafe(spark):
         eng.select("fmt=png; DROP TABLE tiles")
     with pytest.raises(SelectorError, match="take needs a number"):
         eng.select("fmt=png take many")
+    # non-integer numerics and unknown sort columns fail as SelectorError
+    # (a clean error envelope), never as a raw ValueError/AnalysisException
+    with pytest.raises(SelectorError, match="integer"):
+        eng.select("min_w=1.5")
+    with pytest.raises(SelectorError, match="integer k"):
+        eng.select(":near(139.7, 35.6, 2.5)")
+    with pytest.raises(SelectorError, match="unknown sort column"):
+        eng.select("fmt=png sort bogus")
+    with pytest.raises(SelectorError, match="sort needs a column"):
+        eng.select("fmt=png sort desc")
+
+
+def test_take_folds_into_later_steps(spark):
+    """Eager-fold semantics: steps after take() operate on the truncated
+    set (the user's cap is never silently discarded)."""
+    eng = Engine(spark, SF_TINY)
+    env = eng.tiles().take(10).filter(fmt="png").answer()
+    assert env["stats"]["total_matches"] <= 10
+    env2 = eng.select("take 10 fmt=png").answer()
+    assert env2["stats"]["total_matches"] == env["stats"]["total_matches"]

@@ -56,6 +56,39 @@ def test_min_interval_coalesces_bursts(spark):
     assert got[1]["removed"] == got[0]["added"]
 
 
+def test_failed_push_redelivers_and_empty_first_eval_is_silent(spark):
+    """A transient (non-DeadSession) push failure must NOT commit the
+    snapshot — the delta is redelivered on the next drive; a first
+    evaluation with an empty result pushes nothing (the result never
+    moved). Evaluation errors are isolated per subscription."""
+    reg = SubscriptionRegistry()
+    calls = []
+
+    def flaky(delta):
+        calls.append(delta)
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+
+    reg.subscribe("s", "fmt=png", flaky)
+    reg.subscribe("s-empty", "caption=nomatchever", calls.append)
+    tiles = _tiles(spark)
+    assert reg.drive(tiles, now=0.0) == []  # push failed -> not "pushed"
+    assert reg._subs[("s", "fmt=png")].last_error.startswith("push failed")
+    # empty first eval: snapshot established silently, no push
+    assert reg._subs[("s-empty", "caption=nomatchever")].last_keys == frozenset()
+    assert len(calls) == 1  # only the flaky attempt; no empty-delta push
+    pushed = reg.drive(tiles, now=1.0)
+    assert pushed == [("s", "fmt=png")]  # same delta redelivered
+    assert calls[1]["added"] == calls[0]["added"]
+
+    # a semantically-bad selector errors in isolation, not across the batch
+    reg.subscribe("s-bad", "fmt=png sort bogus", calls.append)
+    ok_before = len(calls)
+    reg.drive(tiles, now=2.0)
+    assert reg._subs[("s-bad", "fmt=png sort bogus")].last_error
+    assert len(calls) == ok_before  # nothing else pushed spuriously
+
+
 def test_dead_session_cleanup_and_unsubscribe(spark):
     reg = SubscriptionRegistry()
 

@@ -20,8 +20,6 @@ blacklist P5).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -51,13 +49,22 @@ def search_captions(
     Returns (rank, doc_id, n_matched, score_micro) — integers only, fully
     deterministic (ties → doc_id).
     """
-    n_docs = docs.count()
+    # Lazy corpus size: a 1-row aggregate cross-joined in, NOT an eager
+    # docs.count() — building a search plan must trigger no Spark jobs
+    # (the chain surface composes .search() at plan-build time; --explain
+    # must not execute). floor() on BOTH engines: bare CAST would diverge
+    # for odd n_docs (CAST rounds in DuckDB).
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     toks = _doc_tokens(docs)
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    # floor() on BOTH engines: int() here vs a bare CAST in the oracle
-    # would diverge for odd n_docs (CAST rounds in DuckDB).
-    toks = toks.join(df, "tok").where(
-        F.col("df") <= int(math.floor(MAX_DOC_FREQ * n_docs))
+    toks = (
+        toks.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("df")
+            <= F.expr(f"CAST(floor({MAX_DOC_FREQ}e0 * n_docs) AS BIGINT)")
+        )
+        .drop("n_docs")
     )
     # Three downstream subtrees (candidates, norms, query dots) read toks;
     # without a lineage barrier each re-runs tokenize+explode+df-join

@@ -48,6 +48,14 @@ class Chain:
         self._spark = spark
         self._df = df
         self._limit: int | None = None
+        self._sorted = False  # True once an explicit total order was applied
+
+    def _base(self) -> DataFrame:
+        """Input for the next step. A pending ``take()`` FOLDS into the
+        plan here (reference eager-fold semantics: steps after a take
+        operate on the truncated set — codegraph_query_tool.py:218-330 —
+        rather than silently discarding the user's cap)."""
+        return self.df()
 
     # -- filters (P1-P3) ------------------------------------------------
 
@@ -55,7 +63,7 @@ class Chain:
         """key=value predicates AND-ed; list values OR-ed within a key;
         ``key__like`` = wildcard match (* → .*), as in query_filter.py:
         117-120."""
-        df = self._df
+        df = self._base()
         for key, val in kwargs.items():
             if key.endswith("__like"):
                 col = _FILTER_COLS[key[:-6]]
@@ -71,9 +79,10 @@ class Chain:
 
     def exclude(self, **kwargs: Any) -> "Chain":
         """Negated filter (P3)."""
-        pos = Chain(self._spark, self._df).filter(**kwargs)._df
-        return self._next(self._df.join(pos.select("image_id"), "image_id",
-                                        "left_anti"))
+        base = self._base()
+        pos = Chain(self._spark, base).filter(**kwargs)._df
+        return self._next(base.join(pos.select("image_id"), "image_id",
+                                    "left_anti"))
 
     # -- spatial steps (J2/J6) -------------------------------------------
 
@@ -84,7 +93,7 @@ class Chain:
         for k, v in zone_filter.items():
             col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
             z = z.where(F.col(col) == v)
-        return self._next(pip_ops.pip_join(self._df, z, how="semi"))
+        return self._next(pip_ops.pip_join(self._base(), z, how="semi"))
 
     def outside_zones(self, zones: DataFrame | None = None, **zone_filter: Any
                       ) -> "Chain":
@@ -92,7 +101,7 @@ class Chain:
         for k, v in zone_filter.items():
             col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
             z = z.where(F.col(col) == v)
-        return self._next(pip_ops.pip_join(self._df, z, how="anti"))
+        return self._next(pip_ops.pip_join(self._base(), z, how="anti"))
 
     def near(self, lon: float, lat: float, k: int = 10) -> "Chain":
         """k nearest tiles to a point (ring-expansion kNN), joined back to
@@ -100,8 +109,9 @@ class Chain:
         q = self._spark.createDataFrame(
             [(0, float(lon), float(lat))], "query_id BIGINT, qlon DOUBLE, qlat DOUBLE"
         )
-        hits = knn_ops.knn_join(self._df, q, k=k).select("image_id", "rank")
-        return self._next(self._df.join(hits, "image_id").drop("rank"))
+        base = self._base()
+        hits = knn_ops.knn_join(base, q, k=k).select("image_id", "rank")
+        return self._next(base.join(hits, "image_id").drop("rank"))
 
     def search(self, query: str, k: int = 10) -> "Chain":
         """Keep the top-k tiles whose CAPTION matches the query (M7's
@@ -110,7 +120,8 @@ class Chain:
         rerank, operators/search.py) applied to the current chain state,
         joined back to full tile rows with the search rank attached —
         composable with the spatial steps (``.search(...).within_zones(...)``)."""
-        corpus = self._df.select(
+        base = self._base()
+        corpus = base.select(
             F.col("image_id").alias("doc_id"),
             F.lit("und").alias("lang"),
             F.col("caption").alias("text"),
@@ -120,7 +131,7 @@ class Chain:
         hits = search_captions(corpus, query, k=k).select(
             F.col("doc_id").alias("image_id"), F.col("rank").alias("search_rank")
         )
-        return self._next(self._df.join(hits, "image_id"))
+        return self._next(base.join(hits, "image_id"))
 
     # -- ordering / truncation (T3-T5) ------------------------------------
 
@@ -138,30 +149,32 @@ class Chain:
         for k, v in zone_filter.items():
             col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
             z = z.where(F.col(col) == v)
+        base = self._base()
         counts = (
-            pip_ops.pip_join(self._df, z)
+            pip_ops.pip_join(base, z)
             .groupBy("image_id")
             .agg(F.count("*").alias("fanin"))
         )
         with_counts = (
-            self._df.join(counts, "image_id", "left")
+            base.join(counts, "image_id", "left")
             .withColumn("fanin", F.coalesce(F.col("fanin"), F.lit(0)))
         )
         order = F.col("fanin").desc() if desc else F.col("fanin")
         nxt = self._next(with_counts.orderBy(order, "image_id"))
-        nxt._limit = self._limit
+        nxt._sorted = True
         return nxt
 
     def sort(self, by: str, desc: bool = False) -> "Chain":
         col = F.col(by)
-        nxt = self._next(self._df.orderBy(col.desc() if desc else col,
-                                          "image_id"))
-        nxt._limit = self._limit
+        nxt = self._next(self._base().orderBy(col.desc() if desc else col,
+                                              "image_id"))
+        nxt._sorted = True
         return nxt
 
     def take(self, n: int) -> "Chain":
         nxt = self._next(self._df)
         nxt._limit = n
+        nxt._sorted = self._sorted
         return nxt
 
     # -- terminal ----------------------------------------------------------

@@ -53,6 +53,7 @@ _VALUE_OK = re.compile(r"^[A-Za-z0-9_.*\- ]+$")
 # never plan/SQL text.
 _SEARCH_OK = re.compile(r"^[A-Za-z0-9_.*=\- ]+$")
 _NUM = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
+_INT = re.compile(r"^[0-9]+$")
 
 
 class SelectorError(ValueError):
@@ -97,8 +98,8 @@ def _parse_kv(term: str) -> tuple[str, object]:
     if "*" in value and not key.endswith("__like"):
         key = f"{key}__like"
     if key.startswith("min_") or (base in {"w", "h"}):
-        if not _NUM.match(value):
-            raise SelectorError(f"{key} needs a number, got {value!r}")
+        if not _INT.match(value):
+            raise SelectorError(f"{key} needs an integer, got {value!r}")
         return key, int(value)
     return key, value
 
@@ -124,8 +125,14 @@ def apply_selector(chain: Chain, text: str) -> Chain:
                 chain = chain.exclude(**{key: value})
             elif name == "near":
                 parts = [p.strip() for p in arg.split(",")]
-                if len(parts) != 3 or not all(_NUM.match(p) for p in parts):
-                    raise SelectorError(f":near needs (lon,lat,k), got {arg!r}")
+                if (
+                    len(parts) != 3
+                    or not all(_NUM.match(p) for p in parts[:2])
+                    or not _INT.match(parts[2])
+                ):
+                    raise SelectorError(
+                        f":near needs (lon, lat, k) with integer k, got {arg!r}"
+                    )
                 chain = chain.near(float(parts[0]), float(parts[1]), int(parts[2]))
             elif name == "search":
                 parts = [p.strip() for p in arg.split(",")]
@@ -140,7 +147,7 @@ def apply_selector(chain: Chain, text: str) -> Chain:
             else:
                 raise SelectorError(
                     f"unknown pseudo-class :{name}; "
-                    "allowed: within, outside, not, near"
+                    "allowed: within, outside, not, near, search"
                 )
         elif kind == "word" and val == "take":
             i += 1
@@ -149,9 +156,18 @@ def apply_selector(chain: Chain, text: str) -> Chain:
             chain = chain.take(int(toks[i][1]))
         elif kind == "word" and val == "sort":
             i += 1
-            if i >= len(toks) or toks[i][0] not in {"ident", "word"}:
+            if (
+                i >= len(toks)
+                or toks[i][0] != "ident"
+                or toks[i][1] in {"desc", "asc", "take", "sort"}
+            ):
                 raise SelectorError("sort needs a column name")
             col = toks[i][1]
+            if col not in chain._df.columns:
+                raise SelectorError(
+                    f"unknown sort column {col!r}; "
+                    f"allowed: {sorted(chain._df.columns)}"
+                )
             desc = False
             if i + 1 < len(toks) and toks[i + 1] == ("word", "desc"):
                 desc = True

@@ -29,10 +29,15 @@ from pyspark.sql.types import (
 
 from .codec import decode_px, encode_px
 
-# Real audio/video decode routes through ffmpeg; probe once, driver-side,
-# so `use_fake_decoder=False` fails CLEANLY (NotImplementedError at plan
-# build) instead of an executor-side PythonException mid-job.
+# Real audio/video decode routes through ffmpeg. The probe is recorded so
+# error messages can say WHY the real path is unavailable, but the guard
+# below keys on whether the decoder is IMPLEMENTED: until decode_audio /
+# decode_video_frames contain a real implementation, use_fake_decoder=False
+# must fail CLEANLY at plan build (driver-side NotImplementedError), never
+# as an executor-side PythonException mid-job — even on hosts where the
+# ffmpeg binary happens to exist.
 FFMPEG_PATH = shutil.which("ffmpeg")
+REAL_DECODERS_IMPLEMENTED = False  # flip when decode_* gain real bodies
 
 
 # ---------------------------------------------------------------------------
@@ -149,11 +154,12 @@ def video_frame_features(
     never leave the executor (only scalar features cross the wire), which
     is what keeps this viable at 10^12 clips.
     """
-    if not use_fake_decoder and FFMPEG_PATH is None:
+    if not use_fake_decoder and not REAL_DECODERS_IMPLEMENTED:
         raise NotImplementedError(
-            "use_fake_decoder=False requires ffmpeg on PATH (not present "
-            "in this container) — plug the real sampler into "
-            "decode_video_frames and re-run"
+            "real video decode is not implemented (requires ffmpeg; "
+            f"binary {'found' if FFMPEG_PATH else 'absent'} on this host) — "
+            "plug the real sampler into decode_video_frames and flip "
+            "REAL_DECODERS_IMPLEMENTED"
         )
     decoder_tag = "fake" if use_fake_decoder else "real"
     schema = StructType(
@@ -200,11 +206,12 @@ def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """Per-clip features: RMS energy + zero-crossing count over the first
     second. ``use_fake_decoder=False`` routes through ``decode_audio``
     (raises until a real codec is plugged in)."""
-    if not use_fake_decoder and FFMPEG_PATH is None:
+    if not use_fake_decoder and not REAL_DECODERS_IMPLEMENTED:
         raise NotImplementedError(
-            "use_fake_decoder=False requires ffmpeg/libsndfile (not "
-            "present in this container) — plug the real decoder into "
-            "decode_audio and re-run"
+            "real audio decode is not implemented (requires ffmpeg/"
+            f"libsndfile; ffmpeg {'found' if FFMPEG_PATH else 'absent'} on "
+            "this host) — plug the real decoder into decode_audio and flip "
+            "REAL_DECODERS_IMPLEMENTED"
         )
     decoder_tag = "fake" if use_fake_decoder else "real"
     schema = StructType(

@@ -45,6 +45,7 @@ class Subscription:
     last_keys: frozenset[str] | None = None  # None = never evaluated
     last_eval_at: float | None = None
     pushes: int = 0
+    last_error: str | None = None
 
 
 @dataclass
@@ -61,7 +62,13 @@ class SubscriptionRegistry:
         min_interval: float = 0.0,
     ) -> tuple[str, str]:
         """Register; the (session, selector) pair is the sub id (resubscribe
-        replaces the callback and resets the snapshot)."""
+        replaces the callback and resets the snapshot). Selector SYNTAX is
+        validated here so a malformed string fails at subscribe time, not
+        inside every later drive(); semantic errors (e.g. an unknown sort
+        column) surface on the first drive as ``last_error``."""
+        from ..plans.selector import _tokens
+
+        _tokens(selector)  # raises SelectorError on malformed syntax
         sub = Subscription(session_id, selector, push, min_interval)
         self._subs[(session_id, selector)] = sub
         return (session_id, selector)
@@ -98,30 +105,64 @@ class SubscriptionRegistry:
                 and now - sub.last_eval_at < sub.min_interval
             ):
                 continue  # burst coalescing: throttled, snapshot untouched
-            chain = apply_selector(Chain(table.sparkSession, table), sub.selector)
-            env = chain.answer(compact=True)
-            keys_now = frozenset(r["image_id"] for r in env["results"])
+            # Evaluation errors are isolated PER SUBSCRIPTION: one bad
+            # selector must not kill every later subscriber's batch.
+            try:
+                chain = apply_selector(
+                    Chain(table.sparkSession, table), sub.selector
+                )
+                total = chain._df.count()
+                cap = (
+                    chain._limit
+                    if chain._limit is not None
+                    else Chain.DEFAULT_MAX_RESULTS
+                )
+                keys_df = chain._df
+                if not chain._sorted:
+                    # Deterministic snapshot: an unordered limit would make
+                    # the capped key set shift between batches, producing
+                    # spurious added/removed pushes for unchanged results.
+                    keys_df = keys_df.orderBy("image_id")
+                keys_now = frozenset(
+                    r["image_id"]
+                    for r in keys_df.select("image_id").limit(cap).collect()
+                )
+            except Exception as exc:
+                sub.last_eval_at = now
+                sub.last_error = str(exc)
+                continue
             sub.last_eval_at = now
+            sub.last_error = None
             if sub.last_keys is not None:
                 added = sorted(keys_now - sub.last_keys)
                 removed = sorted(sub.last_keys - keys_now)
-                if not added and not removed:
-                    continue  # result didn't move → no notification
             else:
                 added, removed = sorted(keys_now), []
-            sub.last_keys = keys_now
+            if not added and not removed:
+                # result didn't move (or first evaluation found nothing) —
+                # no notification, but the snapshot is now established
+                sub.last_keys = keys_now
+                continue
             delta = {
                 "session_id": sub.session_id,
                 "selector": sub.selector,
                 "added": added,
                 "removed": removed,
-                "total_matches": env["stats"]["total_matches"],
+                "total_matches": total,
             }
             try:
                 sub.push(delta)
             except DeadSession:
                 dead.add(sub.session_id)
                 continue
+            except Exception as exc:
+                # Transient push failure: snapshot NOT committed, so the
+                # delta is recomputed and redelivered on the next drive.
+                sub.last_error = f"push failed: {exc}"
+                continue
+            # Commit the snapshot only after a successful push — a failed
+            # push must not silently swallow the delta.
+            sub.last_keys = keys_now
             sub.pushes += 1
             pushed.append(key)
         for session_id in dead:
