@@ -197,6 +197,35 @@ def test_selector_rejects_unknown_and_unsafe(spark):
         eng.select("fmt=png sort desc")
 
 
+def test_documents_chain_surface(spark):
+    """The same chain/selector surface over the documents table: filter
+    keys (lang, min_len), ranked text search, envelopes — and tile-only
+    spatial steps fail as clean SelectorError."""
+    import pytest
+
+    from tree_sitter_analyzer_spark.plans.selector import SelectorError
+
+    eng = Engine(spark, SF_TINY)
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    n_en = docs.where("lang = 'en'").count()
+    env = eng.select("lang=en", table="documents").answer(compact=True)
+    assert env["stats"]["total_matches"] == n_en
+    assert set(env["results"][0]) == {"doc_id", "lang"}
+    assert "documents matched" in env["agent_summary"]
+
+    hits = eng.select(":search(dup, 5)", table="documents").df().collect()
+    assert 1 <= len(hits) <= 5
+    assert all("dup" in r["text"].split() for r in hits)
+
+    long_docs = eng.documents().filter(min_len=400).df().count()
+    assert long_docs == docs.where("length(text) >= 400").count() > 0
+
+    with pytest.raises(SelectorError, match="tile-only"):
+        eng.select(":within(park)", table="documents")
+    with pytest.raises(SelectorError, match="unknown filter key"):
+        eng.select("fmt=png", table="documents")
+
+
 def test_take_folds_into_later_steps(spark):
     """Eager-fold semantics: steps after take() operate on the truncated
     set (the user's cap is never silently discarded)."""

@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     selp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     selp.add_argument("--cpus", type=int, default=8)
     selp.add_argument(
+        "--table", choices=["tiles", "documents"], default="tiles",
+        help="which table the selector runs over",
+    )
+    selp.add_argument(
         "--explain", action="store_true",
         help="print the compiled physical plan instead of executing",
     )
@@ -82,7 +86,9 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.selector import SelectorError
 
             try:
-                chain = Engine(spark, args.sf_dir).select(args.selector)
+                chain = Engine(spark, args.sf_dir).select(
+                    args.selector, table=args.table
+                )
                 if args.explain:
                     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
                     print(

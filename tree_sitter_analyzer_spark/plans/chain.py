@@ -44,6 +44,15 @@ _FILTER_COLS = {
 
 
 class Chain:
+    # Surface configuration — subclasses (e.g. DocChain) re-point these
+    # at their table's key/filters; every generic step reads them instead
+    # of hard-coding tile columns.
+    KEY = "image_id"
+    FILTER_COLS = _FILTER_COLS
+    COMPACT_COLS = ("image_id", "lon", "lat", "tile_kind")
+    SEARCH_TEXT_COL = "caption"
+    NOUN = "tiles"
+
     def __init__(self, spark: SparkSession, df: DataFrame):
         self._spark = spark
         self._df = df
@@ -66,22 +75,22 @@ class Chain:
         df = self._base()
         for key, val in kwargs.items():
             if key.endswith("__like"):
-                col = _FILTER_COLS[key[:-6]]
+                col = self.FILTER_COLS[key[:-6]]
                 pat = str(val).replace("*", ".*")
                 df = df.where(F.col(col).rlike(f"^{pat}$"))
             elif key.startswith("min_"):
-                df = df.where(F.col(_FILTER_COLS[key]) >= val)
+                df = df.where(F.col(self.FILTER_COLS[key]) >= val)
             elif isinstance(val, (list, tuple)):
-                df = df.where(F.col(_FILTER_COLS[key]).isin(list(val)))
+                df = df.where(F.col(self.FILTER_COLS[key]).isin(list(val)))
             else:
-                df = df.where(F.col(_FILTER_COLS[key]) == val)
+                df = df.where(F.col(self.FILTER_COLS[key]) == val)
         return self._next(df)
 
     def exclude(self, **kwargs: Any) -> "Chain":
         """Negated filter (P3)."""
         base = self._base()
-        pos = Chain(self._spark, base).filter(**kwargs)._df
-        return self._next(base.join(pos.select("image_id"), "image_id",
+        pos = type(self)(self._spark, base).filter(**kwargs)._df
+        return self._next(base.join(pos.select(self.KEY), self.KEY,
                                     "left_anti"))
 
     # -- spatial steps (J2/J6) -------------------------------------------
@@ -122,16 +131,16 @@ class Chain:
         composable with the spatial steps (``.search(...).within_zones(...)``)."""
         base = self._base()
         corpus = base.select(
-            F.col("image_id").alias("doc_id"),
+            F.col(self.KEY).alias("doc_id"),
             F.lit("und").alias("lang"),
-            F.col("caption").alias("text"),
+            F.col(self.SEARCH_TEXT_COL).alias("text"),
         )
         from ..operators.search import search_captions
 
         hits = search_captions(corpus, query, k=k).select(
-            F.col("doc_id").alias("image_id"), F.col("rank").alias("search_rank")
+            F.col("doc_id").alias(self.KEY), F.col("rank").alias("search_rank")
         )
-        return self._next(base.join(hits, "image_id"))
+        return self._next(base.join(hits, self.KEY))
 
     # -- ordering / truncation (T3-T5) ------------------------------------
 
@@ -167,7 +176,7 @@ class Chain:
     def sort(self, by: str, desc: bool = False) -> "Chain":
         col = F.col(by)
         nxt = self._next(self._base().orderBy(col.desc() if desc else col,
-                                              "image_id"))
+                                              self.KEY))
         nxt._sorted = True
         return nxt
 
@@ -196,7 +205,7 @@ class Chain:
         limit = self._limit if self._limit is not None else self.DEFAULT_MAX_RESULTS
         rows_df = self._df.limit(limit)
         if compact:
-            rows_df = rows_df.select("image_id", "lon", "lat", "tile_kind")
+            rows_df = rows_df.select(*self.COMPACT_COLS)
         rows = [r.asDict() for r in rows_df.collect()]
         truncated = total > limit
         return {
@@ -208,13 +217,46 @@ class Chain:
                 "was_truncated": truncated,
             },
             "agent_summary": (
-                f"{total} tiles matched; returned {len(rows)}"
+                f"{total} {self.NOUN} matched; returned {len(rows)}"
                 + (" (truncated)" if truncated else "")
             ),
         }
 
     def _next(self, df: DataFrame) -> "Chain":
-        return Chain(self._spark, df)
+        return type(self)(self._spark, df)
+
+
+class DocChain(Chain):
+    """The same chain surface over the DOCUMENTS table (text pipeline):
+    filter keys (lang, doc_id, text wildcards, min_len), ranked
+    ``.search()`` over the text column, sort/take/answer envelopes —
+    identical step semantics, different table config. Spatial steps
+    (within_zones/near/...) are tile-only and raise cleanly."""
+
+    KEY = "doc_id"
+    FILTER_COLS = {
+        "lang": "lang",
+        "doc_id": "doc_id",
+        "text": "text",
+        "min_len": "text_len",
+    }
+    COMPACT_COLS = ("doc_id", "lang")
+    SEARCH_TEXT_COL = "text"
+    NOUN = "documents"
+
+    _TILE_ONLY = "tile-only step on a documents chain (no geometry columns)"
+
+    def within_zones(self, *a: Any, **kw: Any) -> "Chain":
+        raise TypeError(self._TILE_ONLY)
+
+    def outside_zones(self, *a: Any, **kw: Any) -> "Chain":
+        raise TypeError(self._TILE_ONLY)
+
+    def near(self, *a: Any, **kw: Any) -> "Chain":
+        raise TypeError(self._TILE_ONLY)
+
+    def sort_by_fanin(self, *a: Any, **kw: Any) -> "Chain":
+        raise TypeError(self._TILE_ONLY)
 
 
 class Engine:
@@ -228,13 +270,21 @@ class Engine:
         return Chain(self._spark, synth.tiles_df(self._spark, self._sf_dir,
                                                  with_bytes=with_bytes))
 
-    def select(self, selector: str) -> Chain:
-        """Compile a selector string onto the tiles chain — the reference's
+    def documents(self) -> DocChain:
+        df = self._spark.read.parquet(f"{self._sf_dir}/documents.parquet")
+        return DocChain(
+            self._spark, df.withColumn("text_len", F.length("text"))
+        )
+
+    def select(self, selector: str, table: str = "tiles") -> Chain:
+        """Compile a selector string onto a chain — the reference's
         string surface (hyphae/parser.py; _codegraph_query_dsl.py), same
         plans as the fluent API. E.g.::
 
             engine.select("kind=aerial :within(park) :not(fmt=jpeg) take 10")
+            engine.select("lang=en :search(dup, 5)", table="documents")
         """
         from .selector import apply_selector
 
-        return apply_selector(self.tiles(), selector)
+        chain = self.tiles() if table == "tiles" else self.documents()
+        return apply_selector(chain, selector)

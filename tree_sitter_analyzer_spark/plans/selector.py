@@ -85,13 +85,14 @@ def _tokens(text: str) -> list[tuple[str, str]]:
     return out
 
 
-def _parse_kv(term: str) -> tuple[str, object]:
+def _parse_kv(term: str, filter_cols: dict | None = None) -> tuple[str, object]:
+    cols = _FILTER_COLS if filter_cols is None else filter_cols
     key, _, value = term.partition("=")
     key, value = key.strip(), value.strip()
     base = key[:-6] if key.endswith("__like") else key
-    if base not in _FILTER_COLS:
+    if base not in cols:
         raise SelectorError(
-            f"unknown filter key {key!r}; allowed: {sorted(_FILTER_COLS)}"
+            f"unknown filter key {key!r}; allowed: {sorted(cols)}"
         )
     if not _VALUE_OK.match(value):
         raise SelectorError(f"illegal characters in value {value!r}")
@@ -104,6 +105,16 @@ def _parse_kv(term: str) -> tuple[str, object]:
     return key, value
 
 
+def _step(fn, *args, **kwargs):
+    """Invoke a chain step, surfacing table-mismatch TypeErrors (e.g. a
+    tile-only spatial step on a documents chain) as SelectorError so the
+    CLI keeps its clean error envelope."""
+    try:
+        return fn(*args, **kwargs)
+    except TypeError as exc:
+        raise SelectorError(str(exc)) from exc
+
+
 def apply_selector(chain: Chain, text: str) -> Chain:
     """Compile ``text`` onto ``chain`` — same plans as the fluent calls."""
     toks = _tokens(text)
@@ -111,17 +122,17 @@ def apply_selector(chain: Chain, text: str) -> Chain:
     while i < len(toks):
         kind, val = toks[i]
         if kind == "kv":
-            key, value = _parse_kv(val)
+            key, value = _parse_kv(val, chain.FILTER_COLS)
             chain = chain.filter(**{key: value})
         elif kind == "pseudo":
             name, _, arg = val.partition("|")
             arg = arg.strip()
             if name == "within":
-                chain = chain.within_zones(kind=arg)
+                chain = _step(chain.within_zones, kind=arg)
             elif name == "outside":
-                chain = chain.outside_zones(kind=arg)
+                chain = _step(chain.outside_zones, kind=arg)
             elif name == "not":
-                key, value = _parse_kv(arg)
+                key, value = _parse_kv(arg, chain.FILTER_COLS)
                 chain = chain.exclude(**{key: value})
             elif name == "near":
                 parts = [p.strip() for p in arg.split(",")]
@@ -133,7 +144,7 @@ def apply_selector(chain: Chain, text: str) -> Chain:
                     raise SelectorError(
                         f":near needs (lon, lat, k) with integer k, got {arg!r}"
                     )
-                chain = chain.near(float(parts[0]), float(parts[1]), int(parts[2]))
+                chain = _step(chain.near, float(parts[0]), float(parts[1]), int(parts[2]))
             elif name == "search":
                 parts = [p.strip() for p in arg.split(",")]
                 k = 10
