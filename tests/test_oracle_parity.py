@@ -55,6 +55,7 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "event_sessions",
                 "rolling_order_activity",
                 "monthly_order_stats",
+                "asof_attribution",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

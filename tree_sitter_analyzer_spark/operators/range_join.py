@@ -67,3 +67,73 @@ FROM events a JOIN events b
   ON a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {window_s}e0 * 1e6
 """
+
+
+def asof_join_latest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """AS-OF join: for each left row, the LATEST right row with
+    ``right_ts <= left_ts`` in the same ``key`` group (guide's "as-of /
+    range join" pattern; the reference's nearest-preceding-snapshot
+    lookups). Spark has no native as-of; the scalable shape is the
+    union+ordered-window trick, NOT a per-group ``merge_asof`` UDF:
+
+      tag both sides → one shuffle on ``key`` → sort (ts, side) inside
+      each partition → running ``last(right_cols, ignorenulls)`` window
+      carries the most recent right row forward onto every left row.
+
+    One exchange total, frame evaluated in-partition, no range explosion
+    and no Python in the hot path. Equal timestamps count as "at or
+    before" (right sorts first at ts ties). Inner semantics: left rows
+    with no preceding right row are dropped.
+
+    Right-side ts ties within a key are pre-collapsed by the caller
+    (keep one row per (key, ts)) so the carried row is deterministic.
+    Returns left columns + every non-key right column (prefixed r_).
+    """
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"r_{c}") for c in rcols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        key,
+        "_ts",
+        "_side",
+        *lcols,
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in rcols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_r_ts"),
+    )
+    return (
+        carried.where((F.col("_side") == 1) & F.col("_r_ts").isNotNull())
+        .withColumnRenamed("_ts", left_ts)
+        .withColumnRenamed("_r_ts", f"r_{right_ts}")
+        .drop("_side")
+    )

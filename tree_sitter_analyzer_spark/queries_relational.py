@@ -436,6 +436,55 @@ from .registry import REGISTRY as _REG
 _REG["interval_join"].oracle = _epo(60)
 
 
+# --- J12: AS-OF join (attribution) -------------------------------------------------
+
+@register(
+    "asof_attribution",
+    """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS gap_micros,
+       CAST(floor(p.value * 100e0) AS BIGINT) AS value_cents
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+    doc="AS-OF join (click→purchase attribution): each purchase matched "
+    "to the user's LATEST click at-or-before it. Spark lacks a native "
+    "as-of; the engine's union+ordered-window shape runs in ONE shuffle "
+    "on user_id with the frame evaluated in-partition "
+    "(operators/range_join.asof_join_latest). The oracle is DuckDB's "
+    "NATIVE ASOF JOIN — a genuinely independent evaluation strategy.",
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.range_join import asof_join_latest
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join_latest(purchases, clicks, key="user_id")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_click_id").alias("click_id"),
+        # NTZ-to-NTZ diff is pure calendar arithmetic — timezone-free
+        F.expr("timestampdiff(MICROSECOND, r_ts, ts)").alias("gap_micros"),
+        F.expr("CAST(floor(value * 100e0) AS BIGINT)").alias("value_cents"),
+    )
+
+
 # --- pivot -------------------------------------------------------------------------
 
 @register(
