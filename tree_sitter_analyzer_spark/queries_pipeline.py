@@ -209,6 +209,91 @@ def q_caption_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.search_captions(_docs(spark, sf_dir), SEARCH_QUERY, 10)
 
 
+# --- Pipeline capstones: composed cleaning + deterministic sampling ----------
+
+@register(
+    "corpus_clean",
+    f"""
+WITH stats AS ({{TEXT_STATS}}),
+canon_e AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+canon_p AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY substr(text, 1, 64))
+SELECT s.doc_id, s.lang, s.quality, s.n_tokens
+FROM stats s
+JOIN canon_e USING (doc_id)
+JOIN canon_p USING (doc_id)
+WHERE s.quality >= 40
+""".replace("{TEXT_STATS}", "%s"),
+    doc="Composed training-data cleaning pipeline (task-brief capstone): "
+    "quality filter (score >= 40) ∘ exact-dedup (keep min-doc_id per md5 "
+    "group) ∘ prefix-dedup (keep min-doc_id per 64-char prefix). One "
+    "declarative plan — the filters and both canonical-id semi-joins fuse "
+    "under Catalyst; at 100 TB each dedup tier is one hash-keyed "
+    "partial+final agg plus a semi-join, never all-pairs.",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stats = textstats.text_stats(docs)
+    canon_exact = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    canon_prefix = docs.groupBy(F.expr("substr(text, 1, 64)")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        stats.where(F.col("quality") >= 40)
+        .join(canon_exact.select("doc_id"), "doc_id", "left_semi")
+        .join(canon_prefix.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+# Wire the text-stats oracle into the composed pipeline's oracle.
+from .registry import REGISTRY as _PREG
+
+_PREG["corpus_clean"].oracle = _PREG["corpus_clean"].oracle % textstats.text_stats_oracle()
+
+
+# Per-lang sampling rates in 1/1000 units — lang-stratified, hash-seeded.
+_SAMPLE_RATES = "CASE lang WHEN 'en' THEN 300 ELSE 100 END"
+
+
+@register(
+    "stratified_sample",
+    None,  # set below (per-engine md5 spelling)
+    doc="Deterministic lang-stratified sampling (task-brief training-mix "
+    "op): keep a doc iff md5('smp_' || doc_id) mod 1000 < rate(lang) — "
+    "seed-stable across runs, partitions, AND engines (no Bernoulli rng), "
+    "so the sample is reproducible and fully oracle-verified. Pure "
+    "column arithmetic: scales as a narrow scan filter.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import md5int_spark
+
+    seed = "concat('smp_', CAST(doc_id AS STRING))"
+    bucket = f"pmod({md5int_spark(seed)}, 1000)"
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id", "lang", f"CAST({bucket} AS BIGINT) AS sample_bucket"
+        )
+        .where(F.expr(f"sample_bucket < ({_SAMPLE_RATES})"))
+    )
+
+
+from .functions import md5int_duck as _md5d
+
+_PREG["stratified_sample"].oracle = f"""
+WITH bucketed AS (
+  SELECT doc_id, lang,
+         CAST(({_md5d("'smp_' || CAST(doc_id AS VARCHAR)")}) % 1000 AS BIGINT)
+           AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, lang, sample_bucket FROM bucketed
+WHERE sample_bucket < ({_SAMPLE_RATES})
+"""
+
+
 # --- F1 completion: identifier tokenization (camelCase split + stemming) -----
 
 from .functions import ident_tokens_duck, ident_tokens_spark
