@@ -191,6 +191,8 @@ def test_selector_rejects_unknown_and_unsafe(spark):
         eng.select("min_w=1.5")
     with pytest.raises(SelectorError, match="integer k"):
         eng.select(":near(139.7, 35.6, 2.5)")
+    with pytest.raises(SelectorError, match="k must be an integer"):
+        eng.select(":search(dup, 2.5)")
     with pytest.raises(SelectorError, match="unknown sort column"):
         eng.select("fmt=png sort bogus")
     with pytest.raises(SelectorError, match="sort needs a column"):
@@ -232,5 +234,13 @@ def test_take_folds_into_later_steps(spark):
     eng = Engine(spark, SF_TINY)
     env = eng.tiles().take(10).filter(fmt="png").answer()
     assert env["stats"]["total_matches"] <= 10
+    # capped-but-unsorted results are DETERMINISTIC (ordered by the key
+    # before the limit), so the string surface returns the identical set
     env2 = eng.select("take 10 fmt=png").answer()
     assert env2["stats"]["total_matches"] == env["stats"]["total_matches"]
+    assert {r["image_id"] for r in env2["results"]} == {
+        r["image_id"] for r in env["results"]
+    }
+    # a later take folds the earlier one: the truncated set has only 10
+    env3 = eng.tiles().take(10).take(20).answer()
+    assert env3["stats"]["total_matches"] == 10

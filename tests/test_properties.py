@@ -68,6 +68,24 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
     assert len(got) > 0
 
 
+def test_asof_join_null_right_columns_never_splice(spark):
+    """A NULL in one right column must not splice field values from two
+    different right rows (the per-column-window hazard): the carried row
+    is the latest right row AS A WHOLE, nulls included."""
+    from tree_sitter_analyzer_spark.operators.range_join import asof_join_latest
+
+    left = spark.createDataFrame([(1, 3, 100)], "k BIGINT, ts BIGINT, lid BIGINT")
+    right = spark.createDataFrame(
+        [(1, 1, None, 7), (1, 2, 3, None)],
+        "k BIGINT, ts BIGINT, a BIGINT, b BIGINT",
+    )
+    rows = asof_join_latest(left, right, key="k").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # latest right row is (ts=2, a=3, b=NULL) — b must be NULL, not 7
+    assert r["r_ts"] == 2 and r["r_a"] == 3 and r["r_b"] is None
+
+
 @pytest.mark.parametrize("seed,threshold", [(11, 500), (12, 300), (13, 700)])
 def test_prefix_filter_jaccard_matches_bruteforce(spark, seed, threshold):
     """token_jaccard_pairs (prefix-filtered AllPairs) == brute-force

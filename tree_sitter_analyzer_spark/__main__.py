@@ -56,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     selp.add_argument(
         "--explain", action="store_true",
-        help="print the compiled physical plan instead of executing",
+        help="print the compiled physical plan instead of executing "
+        "(:near is the one eager step — its iterative kNN search still "
+        "runs at chain build)",
     )
 
     sqlp = sub.add_parser("sql", help="run gated ad-hoc SQL over the views")

@@ -97,21 +97,33 @@ def asof_join_latest(
     """
     lcols = [c for c in left.columns if c not in (key, left_ts)]
     rcols = [c for c in right.columns if c not in (key, right_ts)]
+    from pyspark.sql.types import StructField, StructType
+
+    # The right row is carried as ONE struct through a single
+    # last(ignorenulls) window — per-column windows would splice fields
+    # from DIFFERENT right rows whenever a right column holds a NULL
+    # (last skips nulls per column), fabricating rows that never existed.
+    # Never mutate via StructType.add (CLAUDE.md): build fresh.
+    rstruct_type = StructType(
+        [StructField("_r_ts", right.schema[right_ts].dataType)]
+        + [StructField(f"r_{c}", right.schema[c].dataType) for c in rcols]
+    )
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}") for c in rcols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(rstruct_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"r_{c}") for c in rcols],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            F.col(right_ts).alias("_r_ts"),
+            *[F.col(c).alias(f"r_{c}") for c in rcols],
+        ).alias("_r"),
     )
     from pyspark.sql.window import Window
 
@@ -125,15 +137,15 @@ def asof_join_latest(
         "_ts",
         "_side",
         *lcols,
-        *[
-            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
-            for c in rcols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_r_ts"),
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return (
-        carried.where((F.col("_side") == 1) & F.col("_r_ts").isNotNull())
-        .withColumnRenamed("_ts", left_ts)
-        .withColumnRenamed("_r_ts", f"r_{right_ts}")
-        .drop("_side")
+        carried.where((F.col("_side") == 1) & F.col("_r").isNotNull())
+        .select(
+            key,
+            F.col("_ts").alias(left_ts),
+            *lcols,
+            *[F.col(f"_r.r_{c}").alias(f"r_{c}") for c in rcols],
+            F.col("_r._r_ts").alias(f"r_{right_ts}"),
+        )
     )

@@ -63,8 +63,14 @@ class Chain:
         """Input for the next step. A pending ``take()`` FOLDS into the
         plan here (reference eager-fold semantics: steps after a take
         operate on the truncated set — codegraph_query_tool.py:218-330 —
-        rather than silently discarding the user's cap)."""
-        return self.df()
+        rather than silently discarding the user's cap). The folded
+        subtree goes behind a lineage barrier: downstream steps (exclude's
+        anti-join, answer's count+collect) evaluate it more than once, and
+        the barrier pins ONE materialization instead of re-running the
+        limit per subtree."""
+        if self._limit is None:
+            return self._df
+        return self.df().localCheckpoint(eager=False)
 
     # -- filters (P1-P3) ------------------------------------------------
 
@@ -114,7 +120,13 @@ class Chain:
 
     def near(self, lon: float, lat: float, k: int = 10) -> "Chain":
         """k nearest tiles to a point (ring-expansion kNN), joined back to
-        full tile rows."""
+        full tile rows.
+
+        NOTE: unlike every other step, ``near`` is EAGER at chain-build —
+        the ring expansion is an iterative driver loop (operators/knn.py)
+        whose result materializes here; ``select --explain`` on a chain
+        containing ``:near`` therefore runs the kNN search before
+        printing the plan."""
         q = self._spark.createDataFrame(
             [(0, float(lon), float(lat))], "query_id BIGINT, qlon DOUBLE, qlat DOUBLE"
         )
@@ -181,7 +193,9 @@ class Chain:
         return nxt
 
     def take(self, n: int) -> "Chain":
-        nxt = self._next(self._df)
+        # A pending earlier take folds first (eager-fold): take(10).take(20)
+        # operates on the 10-row truncated set, not the unfolded frame.
+        nxt = self._next(self.df() if self._limit is not None else self._df)
         nxt._limit = n
         nxt._sorted = self._sorted
         return nxt
@@ -195,7 +209,16 @@ class Chain:
     DEFAULT_MAX_RESULTS = 2000
 
     def df(self) -> DataFrame:
-        return self._df if self._limit is None else self._df.limit(self._limit)
+        """Materializable result frame. A limit over an UNSORTED chain
+        first orders by the unique KEY: Spark's bare limit guarantees no
+        particular subset, so two evaluations (or two runs) could return
+        different rows — ordering makes every capped result deterministic
+        (and Catalyst executes orderBy+limit as TakeOrdered, not a full
+        sort)."""
+        if self._limit is None:
+            return self._df
+        df = self._df if self._sorted else self._df.orderBy(self.KEY)
+        return df.limit(self._limit)
 
     def answer(self, compact: bool = False) -> dict[str, Any]:
         """Execute: capped rows + true totals envelope (T5 contract).
@@ -203,7 +226,11 @@ class Chain:
         ``was_truncated`` set — a driver collect is never unbounded."""
         total = self._df.count()
         limit = self._limit if self._limit is not None else self.DEFAULT_MAX_RESULTS
-        rows_df = self._df.limit(limit)
+        # Same deterministic-cap rule as df(): unsorted chains order by
+        # the unique KEY before the limit, so the returned subset is
+        # stable across runs and evaluations.
+        ordered = self._df if self._sorted else self._df.orderBy(self.KEY)
+        rows_df = ordered.limit(limit)
         if compact:
             rows_df = rows_df.select(*self.COMPACT_COLS)
         rows = [r.asDict() for r in rows_df.collect()]

@@ -149,6 +149,10 @@ def apply_selector(chain: Chain, text: str) -> Chain:
                 parts = [p.strip() for p in arg.split(",")]
                 k = 10
                 if len(parts) > 1 and _NUM.match(parts[-1]):
+                    if not _INT.match(parts[-1]):
+                        raise SelectorError(
+                            f":search k must be an integer, got {parts[-1]!r}"
+                        )
                     k = int(parts[-1])
                     parts = parts[:-1]
                 query = ", ".join(parts)

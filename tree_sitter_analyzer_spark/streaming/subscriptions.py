@@ -112,20 +112,17 @@ class SubscriptionRegistry:
                     Chain(table.sparkSession, table), sub.selector
                 )
                 total = chain._df.count()
-                cap = (
-                    chain._limit
+                # Chain.df() caps deterministically (unsorted chains order
+                # by the unique KEY first), so snapshots never shift
+                # between batches for an unchanged result.
+                capped = (
+                    chain
                     if chain._limit is not None
-                    else Chain.DEFAULT_MAX_RESULTS
+                    else chain.take(Chain.DEFAULT_MAX_RESULTS)
                 )
-                keys_df = chain._df
-                if not chain._sorted:
-                    # Deterministic snapshot: an unordered limit would make
-                    # the capped key set shift between batches, producing
-                    # spurious added/removed pushes for unchanged results.
-                    keys_df = keys_df.orderBy("image_id")
                 keys_now = frozenset(
-                    r["image_id"]
-                    for r in keys_df.select("image_id").limit(cap).collect()
+                    r[chain.KEY]
+                    for r in capped.df().select(chain.KEY).collect()
                 )
             except Exception as exc:
                 sub.last_eval_at = now
