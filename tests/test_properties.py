@@ -86,6 +86,65 @@ def test_asof_join_null_right_columns_never_splice(spark):
     assert r["r_ts"] == 2 and r["r_a"] == 3 and r["r_b"] is None
 
 
+def test_raycast_predicate_matches_python_reference(spark):
+    """The SQL even-odd ray-cast predicate == a pure-python even-odd
+    implementation on a dense probe grid over the star zones, and the
+    stars are GENUINELY concave: some probe points lie inside the convex
+    hull but outside the polygon (where the half-plane test would be
+    wrong)."""
+    from tree_sitter_analyzer_spark import synth
+
+    zones = synth.star_zones_df(spark).limit(3).collect()
+    k = synth._STAR_K
+
+    def inside_py(px, py, z):
+        cnt = 0
+        for m in range(k):
+            n = (m + 1) % k
+            x1, y1, x2, y2 = z[f"x{m}"], z[f"y{m}"], z[f"x{n}"], z[f"y{n}"]
+            if (y1 > py) != (y2 > py):
+                lhs = (px - x1) * (y2 - y1)
+                rhs = (py - y1) * (x2 - x1)
+                if (lhs < rhs) if y2 > y1 else (lhs > rhs):
+                    cnt += 1
+        return cnt % 2 == 1
+
+    notch_found = False
+    for z in zones:
+        xs = [z[f"x{m}"] for m in range(k)]
+        ys = [z[f"y{m}"] for m in range(k)]
+        probes = [
+            (xs[0] + (max(xs) - min(xs)) * i / 19.0 - (max(xs) - min(xs)) / 2.0,
+             ys[0] + (max(ys) - min(ys)) * j / 19.0 - (max(ys) - min(ys)) / 2.0)
+            for i in range(20)
+            for j in range(20)
+        ]
+        pdf = spark.createDataFrame(probes, "lon DOUBLE, lat DOUBLE")
+        zrow = spark.createDataFrame([z.asDict()])
+        got = {
+            (r["lon"], r["lat"]): r["inside"]
+            for r in pdf.crossJoin(zrow)
+            .selectExpr(
+                "lon", "lat",
+                f"{synth.raycast_pip_predicate('lon', 'lat')} AS inside",
+            )
+            .collect()
+        }
+        cx, cy = sum(xs) / k, sum(ys) / k
+        for (px, py), inside_sql in got.items():
+            assert inside_sql == inside_py(px, py, z), (px, py)
+            # concavity: a point may be inside the hull-ish bbox center
+            # region yet outside the star (the reflex notch)
+            if not inside_sql:
+                # crude hull proxy: inside the outer-vertex quadrilateral?
+                outer = [(xs[m], ys[m]) for m in range(0, k, 2)]
+                ox = [p[0] for p in outer]
+                oy = [p[1] for p in outer]
+                if min(ox) < px < max(ox) and min(oy) < py < max(oy):
+                    notch_found = True
+    assert notch_found, "no notch point — zones are not concave enough"
+
+
 @pytest.mark.parametrize("seed,threshold", [(11, 500), (12, 300), (13, 700)])
 def test_prefix_filter_jaccard_matches_bruteforce(spark, seed, threshold):
     """token_jaccard_pairs (prefix-filtered AllPairs) == brute-force

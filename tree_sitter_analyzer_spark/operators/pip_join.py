@@ -148,6 +148,24 @@ def pip_convex_join(
     )
 
 
+def pip_concave_join(
+    tiles: DataFrame, star_zones: DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Two-phase PIP against ARBITRARY (concave) polygons: bbox-cell
+    candidates → exact even-odd ray-cast verify (division-free, pure
+    arithmetic — no UDF, DuckDB-checkable). The half-plane verify of
+    ``pip_convex_join`` is WRONG for concave shapes (it tests the convex
+    hull); ray casting is the general predicate, at the same plan shape:
+    broadcast cover, map-side verify, tile side never shuffles."""
+    from .. import synth
+
+    t = tile_cells(tiles, res)
+    zc = F.broadcast(poly_cover(star_zones, res))
+    return t.join(zc, "cell").where(
+        F.expr(synth.raycast_pip_predicate("lon", "lat"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mixed-resolution cover compaction (H3 ``compact_cells`` analog).
 #

@@ -441,6 +441,28 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pip_concave",
+    f"""{_CTES},
+sz AS ({synth.star_zones_sql()})
+SELECT z.polygon_id, t.image_id, t.tile_kind
+FROM tiles t JOIN sz z ON {synth.raycast_pip_predicate('t.lon', 't.lat')}
+""",
+    doc="Point-in-ARBITRARY-POLYGON join (concave 8-point star zones): "
+    "bbox-cell candidate phase + exact even-odd RAY-CAST verify "
+    "(division-free multiply/compare — bit-identical across engines). "
+    "The star's reflex notches make the convex half-plane test wrong by "
+    "construction, so this query specifically exercises the general "
+    "predicate a real polygon layer needs.",
+)
+def q_pip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    sz = synth.star_zones_df(spark)
+    return pip_join.pip_concave_join(t, sz, res=9).select(
+        "polygon_id", "image_id", "tile_kind"
+    )
+
+
 # --- S7: budgeted batch read (byte cap via running-sum window) ---------------------
 
 @register(

@@ -276,6 +276,75 @@ def poly_zones_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# concave polygon zones — 8-point stars (alternating outer/inner radius →
+# strongly non-convex), same literal-direction discipline as the hexagons.
+# ---------------------------------------------------------------------------
+
+N_STAR_ZONES = 60
+_STAR_K = 8
+
+_STAR_DIRS = [
+    (_math.cos(2 * _math.pi * m / _STAR_K + 0.15), _math.sin(2 * _math.pi * m / _STAR_K + 0.15))
+    for m in range(_STAR_K)
+]
+
+
+def star_zone_exprs(j: str = "j") -> dict[str, str]:
+    """Concave star per zone: even vertices at the outer radius, odd
+    vertices pulled to 0.35x — every odd vertex is a reflex notch, so the
+    half-plane (convex) test is WRONG for these shapes by construction
+    and only the ray-cast verify matches."""
+    cx = f"({dlit(LON0)} + {u01(f'5*({j})+29', 48271)} * {dlit(LON_SPAN)})"
+    cy = f"({dlit(LAT0)} + {u01(f'5*({j})+29', 16807)} * {dlit(LAT_SPAN)})"
+    base_r = f"(0.008e0 + {u01(f'({j})+777', 69621)} * 0.03e0)"
+    cols: dict[str, str] = {
+        "polygon_id": f"('star_' || lpad(CAST({j} AS STRING), 5, '0'))",
+    }
+    for m, (ux, uy) in enumerate(_STAR_DIRS):
+        scale = "1.0e0" if m % 2 == 0 else "0.35e0"
+        cols[f"x{m}"] = f"({cx} + {base_r} * {scale} * {dlit(ux)})"
+        cols[f"y{m}"] = f"({cy} + {base_r} * {scale} * {dlit(uy)})"
+    return cols
+
+
+def star_zones_sql() -> str:
+    cols = ",\n  ".join(f"{e} AS {n}" for n, e in star_zone_exprs("j").items())
+    return f"SELECT\n  j,\n  {cols}\nFROM range({N_STAR_ZONES}) AS t(j)"
+
+
+def star_zones_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_STAR_ZONES).select(
+        F.col("id").alias("j"),
+        *[F.expr(f"{e} AS {n}") for n, e in star_zone_exprs("id").items()],
+    )
+
+
+def raycast_pip_predicate(px: str, py: str, k: int = _STAR_K) -> str:
+    """Point-in-ARBITRARY-polygon (concave included): even-odd ray cast —
+    count edges straddling the horizontal ray through the point whose
+    crossing lies to the point's right; odd count = inside.
+
+    Division-free: the crossing comparison px < x_m + (py−y_m)·(x_n−x_m)/
+    (y_n−y_m) multiplies through by (y_n−y_m) with a sign-aware flip, so
+    it is pure multiply/compare on the shared literal doubles — bit-
+    identical on Spark and DuckDB (the half-plane discipline, generalized).
+    The straddle rule ((y_m > py) != (y_n > py)) is the standard half-open
+    vertex treatment: a ray through a vertex counts exactly once."""
+    terms = []
+    for m in range(k):
+        n = (m + 1) % k
+        straddle = f"((y{m} > ({py})) != (y{n} > ({py})))"
+        lhs = f"((({px}) - x{m}) * (y{n} - y{m}))"
+        rhs = f"((({py}) - y{m}) * (x{n} - x{m}))"
+        cross = (
+            f"(CASE WHEN y{n} > y{m} THEN {lhs} < {rhs} "
+            f"ELSE {lhs} > {rhs} END)"
+        )
+        terms.append(f"(CASE WHEN {straddle} AND {cross} THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 def convex_pip_predicate(px: str, py: str, k: int = _HEX_K) -> str:
     """Point-in-convex-polygon: the point lies on the interior side of
     every directed edge (counterclockwise vertices → cross product ≥ 0).
