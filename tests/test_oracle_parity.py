@@ -56,6 +56,7 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "rolling_order_activity",
                 "monthly_order_stats",
                 "asof_attribution",
+                "session_window_stats",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

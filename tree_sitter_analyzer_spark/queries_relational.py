@@ -217,6 +217,59 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_stats",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) + 1800000000 AS BIGINT)
+         AS duration_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="Per-session stats via Spark's NATIVE session_window operator "
+    "(30-min gap) — the one windowing mode event_sessions covers only by "
+    "hand (lag+cumsum); here the built-in merges sessions and the DuckDB "
+    "oracle recomputes them with the lag formulation: two genuinely "
+    "different strategies, same rows. Semantics: same-session iff "
+    "gap < 30 min (the session_window half-open [start, last+gap) rule); "
+    "bounds stay TIMESTAMP_NTZ end-to-end (TZ-free epochs via "
+    "timestampdiff).",
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    sw = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count("*").alias("n_events"))
+    epoch_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    )
+    return sw.select(
+        "user_id",
+        F.expr(
+            f"CAST({epoch_us.format('sw.start')} AS BIGINT)"
+        ).alias("session_start_us"),
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, sw.start, sw.end) AS BIGINT)"
+        ).alias("duration_us"),
+        "n_events",
+    )
+
+
 # --- A11: rollup --------------------------------------------------------------
 
 @register(
