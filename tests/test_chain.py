@@ -199,6 +199,36 @@ def test_selector_rejects_unknown_and_unsafe(spark):
         eng.select("fmt=png sort desc")
 
 
+def test_adjacent_zones_is_disjoint_fringe(spark):
+    """:adjacent (the sibling-combinator analog) keeps tiles in the
+    perimeter ring of matching zones — non-empty, and DISJOINT from
+    :within (fringe cells lie outside the zone's cover box)."""
+    eng = Engine(spark, SF_TINY)
+    # per-ZONE the fringe is disjoint from the interior (a tile can still
+    # be inside zone A while fringing zone B, so the whole-set overlap is fine)
+    checked = 0
+    for zid in ("zone_00000", "zone_00004", "zone_00013"):
+        adj = {
+            r["image_id"]
+            for r in eng.tiles().adjacent_zones(polygon_id=zid).df().collect()
+        }
+        within = {
+            r["image_id"]
+            for r in eng.tiles().within_zones(polygon_id=zid).df().collect()
+        }
+        if adj and within:
+            checked += 1
+        assert not (adj & within), zid
+    assert checked >= 2
+    # selector string compiles to the same fringe plan
+    s = {r["image_id"] for r in eng.select(":adjacent(park)").df().collect()}
+    f = {
+        r["image_id"]
+        for r in eng.tiles().adjacent_zones(kind="park").df().collect()
+    }
+    assert s == f and len(s) > 0
+
+
 def test_documents_chain_surface(spark):
     """The same chain/selector surface over the documents table: filter
     keys (lang, min_len), ranked text search, envelopes — and tile-only

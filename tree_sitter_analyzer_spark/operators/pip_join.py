@@ -148,6 +148,47 @@ def pip_convex_join(
     )
 
 
+def zone_fringe_cells(zones: DataFrame, res: int = 8) -> DataFrame:
+    """Perimeter ring of each zone's cell cover: the cells ADJACENT to the
+    zone's bbox cover box but not inside it — the spatial analog of the
+    reference's sibling combinator (``~``, hyphae/parser.py: elements
+    *next to* a match rather than within it).
+
+    One row per (zone, ring cell). Ring size is 2(w+h)+4 cells per zone —
+    bounded and tiny, so the fringe table broadcasts like any cover."""
+    z = (
+        zones.withColumn("_ixmin", grid.ix_col("xmin", res))
+        .withColumn("_ixmax", grid.ix_col("xmax", res))
+        .withColumn("_iymin", grid.iy_col("ymin", res))
+        .withColumn("_iymax", grid.iy_col("ymax", res))
+    )
+    return (
+        z.withColumn("ix", F.explode(F.sequence(F.col("_ixmin") - 1, F.col("_ixmax") + 1)))
+        .withColumn("iy", F.explode(F.sequence(F.col("_iymin") - 1, F.col("_iymax") + 1)))
+        .where(
+            ~(
+                F.col("ix").between(F.col("_ixmin"), F.col("_ixmax"))
+                & F.col("iy").between(F.col("_iymin"), F.col("_iymax"))
+            )
+        )
+        .withColumn("cell", F.expr(grid.cell_from_ixiy_sql("ix", "iy", res)))
+        .drop("ix", "iy", "_ixmin", "_ixmax", "_iymin", "_iymax")
+    )
+
+
+def fringe_join(
+    tiles: DataFrame, zones: DataFrame, res: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Tiles in the fringe ring of each zone (adjacent-to, not within):
+    broadcast ring cells, map-side equi-join on cell — the tile side
+    never shuffles (identical plan shape to pip_join)."""
+    t = tile_cells(tiles, res)
+    zc = F.broadcast(zone_fringe_cells(zones, res))
+    if how == "semi":
+        return t.join(zc.select("cell"), "cell", "left_semi")
+    return t.join(zc, "cell")
+
+
 def pip_concave_join(
     tiles: DataFrame, star_zones: DataFrame, res: int = DEFAULT_RES
 ) -> DataFrame:

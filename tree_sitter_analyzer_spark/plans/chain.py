@@ -118,6 +118,19 @@ class Chain:
             z = z.where(F.col(col) == v)
         return self._next(pip_ops.pip_join(self._base(), z, how="anti"))
 
+    def adjacent_zones(self, zones: DataFrame | None = None,
+                       **zone_filter: Any) -> "Chain":
+        """Keep tiles ADJACENT to matching zones — in the perimeter ring
+        of the zone's cell cover, not inside it (the reference's sibling
+        combinator `~`, hyphae/parser.py)."""
+        z = zones if zones is not None else synth.zones_df(self._spark)
+        for k, v in zone_filter.items():
+            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
+            z = z.where(F.col(col) == v)
+        return self._next(
+            pip_ops.fringe_join(self._base(), z, how="semi").drop("cell")
+        )
+
     def near(self, lon: float, lat: float, k: int = 10) -> "Chain":
         """k nearest tiles to a point (ring-expansion kNN), joined back to
         full tile rows.
@@ -274,6 +287,9 @@ class DocChain(Chain):
     _TILE_ONLY = "tile-only step on a documents chain (no geometry columns)"
 
     def within_zones(self, *a: Any, **kw: Any) -> "Chain":
+        raise TypeError(self._TILE_ONLY)
+
+    def adjacent_zones(self, *a: Any, **kw: Any) -> "Chain":
         raise TypeError(self._TILE_ONLY)
 
     def outside_zones(self, *a: Any, **kw: Any) -> "Chain":

@@ -16,6 +16,7 @@ Grammar (whitespace-separated terms, all values literal-only)::
     kv     := key '=' value            -> Chain.filter(key=value)
                                           ('*' in value -> key__like)
     pseudo := ':within(' zkind ')'     -> Chain.within_zones(kind=...)
+            | ':adjacent(' zkind ')'   -> Chain.adjacent_zones(kind=...)
             | ':outside(' zkind ')'    -> Chain.outside_zones(kind=...)
             | ':not(' kv ')'           -> Chain.exclude(...)
             | ':near(' lon ',' lat ',' k ')' -> Chain.near(lon, lat, k)
@@ -129,6 +130,8 @@ def apply_selector(chain: Chain, text: str) -> Chain:
             arg = arg.strip()
             if name == "within":
                 chain = _step(chain.within_zones, kind=arg)
+            elif name == "adjacent":
+                chain = _step(chain.adjacent_zones, kind=arg)
             elif name == "outside":
                 chain = _step(chain.outside_zones, kind=arg)
             elif name == "not":
@@ -162,7 +165,7 @@ def apply_selector(chain: Chain, text: str) -> Chain:
             else:
                 raise SelectorError(
                     f"unknown pseudo-class :{name}; "
-                    "allowed: within, outside, not, near, search"
+                    "allowed: within, outside, adjacent, not, near, search"
                 )
         elif kind == "word" and val == "take":
             i += 1

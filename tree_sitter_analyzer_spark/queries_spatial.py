@@ -441,6 +441,42 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fringe_oracle(res: int = 8) -> str:
+    tix, tiy = grid.ix_sql("t.lon", res), grid.iy_sql("t.lat", res)
+    zxmin, zxmax = grid.ix_sql("z.xmin", res), grid.ix_sql("z.xmax", res)
+    zymin, zymax = grid.iy_sql("z.ymin", res), grid.iy_sql("z.ymax", res)
+    return f"""{_CTES}
+SELECT z.polygon_id, z.zkind,
+       count(*) AS n_fringe_tiles,
+       count(DISTINCT {tix} * 4194304 + {tiy}) AS n_fringe_cells
+FROM tiles t JOIN zones z
+  ON  {tix} BETWEEN {zxmin} - 1 AND {zxmax} + 1
+  AND {tiy} BETWEEN {zymin} - 1 AND {zymax} + 1
+  AND NOT ({tix} BETWEEN {zxmin} AND {zxmax}
+           AND {tiy} BETWEEN {zymin} AND {zymax})
+GROUP BY z.polygon_id, z.zkind
+"""
+
+
+@register(
+    "zone_fringe",
+    _fringe_oracle(8),
+    doc="Tiles ADJACENT to each zone (the reference's sibling combinator "
+    "`~`, hyphae/parser.py): the perimeter ring of the zone's res-8 cell "
+    "cover, counted per zone. Ring cells broadcast like a cover — tile "
+    "side never shuffles; the naive oracle re-derives ring membership "
+    "from the same integer cell arithmetic.",
+)
+def q_zone_fringe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    joined = pip_join.fringe_join(t, z, res=8)
+    return joined.groupBy("polygon_id", "zkind").agg(
+        F.count("*").alias("n_fringe_tiles"),
+        F.countDistinct("cell").alias("n_fringe_cells"),
+    )
+
+
 @register(
     "pip_concave",
     f"""{_CTES},
