@@ -349,6 +349,84 @@ def q_ident_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T6 fusion: hybrid text + embedding ranking -------------------------------
+
+HYBRID_POOL = 40
+
+
+@register(
+    "hybrid_search",
+    None,  # set below (composes the search oracle with the cosine oracle)
+    doc="Hybrid retrieval (T6 fusion): the ranked text search's top-40 "
+    "candidate pool reranked by an even fusion of text score and "
+    "embedding cosine to query vector 0 (doc_id aligns with vec_id). "
+    "All-integer scores -> bit-exact cross-engine; the pattern every "
+    "multi-modal retrieval stack needs: cheap text candidates, dense "
+    "rerank, deterministic fusion.",
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    txt = search_ops.search_captions(docs, SEARCH_QUERY, k=HYBRID_POOL)
+    q = similarity._quantized(emb)
+    qvec = q.where(F.col("vec_id") == 0).select(
+        F.col("qv").alias("qa"), F.col("nrm").alias("qn")
+    )
+    cand = q.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("qv").alias("ca"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        txt.join(cand, "doc_id")
+        .crossJoin(F.broadcast(qvec))
+        .withColumn("dot", F.expr(similarity._DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr("CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn)) AS BIGINT)"),
+        )
+        .withColumn(
+            "fused_micro",
+            F.expr("CAST(floor((score_micro + cos_micro) / 2e0) AS BIGINT)"),
+        )
+    )
+    win = Window.orderBy(F.desc("fused_micro"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id", "score_micro", "cos_micro", "fused_micro",
+        )
+    )
+
+
+_PREG["hybrid_search"].oracle = f"""
+WITH txt AS ({search_ops.search_captions_oracle(SEARCH_QUERY, HYBRID_POOL)}),
+qe AS (
+  SELECT {similarity._QVEC_DUCK_D} AS qv,
+         list_dot_product({similarity._QVEC_DUCK_D}, {similarity._QVEC_DUCK_D}) AS nrm
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT t.doc_id, t.score_micro,
+         CAST(floor(1e6 * list_dot_product(qe.qv, {similarity._QVEC_DUCK_D})
+              / sqrt(qe.nrm * list_dot_product({similarity._QVEC_DUCK_D}, {similarity._QVEC_DUCK_D}))) AS BIGINT)
+           AS cos_micro
+  FROM txt t JOIN embeddings e ON e.vec_id = t.doc_id CROSS JOIN qe
+)
+SELECT rank, doc_id, score_micro, cos_micro, fused_micro FROM (
+  SELECT doc_id, score_micro, cos_micro,
+         CAST(floor((score_micro + cos_micro) / 2e0) AS BIGINT) AS fused_micro,
+         row_number() OVER (
+           ORDER BY CAST(floor((score_micro + cos_micro) / 2e0) AS BIGINT) DESC,
+                    doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 # --- Multimodal: thumbnail/resize pass surfaced through the driver gate ------
 
 @register(
