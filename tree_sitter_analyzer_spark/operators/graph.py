@@ -277,3 +277,80 @@ SELECT CAST({src} AS BIGINT) AS src, CAST({dst} AS BIGINT) AS dst,
 FROM walk WHERE v = {dst}
 HAVING min(d) IS NOT NULL
 """
+
+
+def weighted_edges_df(spark: SparkSession) -> DataFrame:
+    """DAG edges with deterministic integer weights 1-5 (md5 of the
+    endpoint pair — identical on both engines via the shared md5int
+    spelling)."""
+    from ..functions import md5int_spark
+
+    seed = "concat('w_', src, '_', dst)"
+    w = f"(1 + pmod({md5int_spark(seed)}, 5))"
+    return edges_df(spark, "dag").withColumn("w", F.expr(f"CAST({w} AS BIGINT)"))
+
+
+def weighted_edges_sql() -> str:
+    from ..functions import md5int_duck
+
+    seed = "'w_' || src || '_' || dst"
+    w = f"(1 + ({md5int_duck(seed)}) % 5)"
+    return (
+        f"SELECT src, dst, CAST({w} AS BIGINT) AS w "
+        f"FROM ({edges_sql('dag')})"
+    )
+
+
+def weighted_sssp(
+    spark: SparkSession, edges_w: DataFrame, src: int, max_rounds: int = 24
+) -> DataFrame:
+    """Single-source shortest WEIGHTED distances — distributed
+    Bellman-Ford: each round relaxes every edge once
+    (dist' = min(dist, min_{(u,v)} dist[u] + w)), a join + min-agg pair;
+    fixpoint on a layered DAG in <= depth rounds (break when no distance
+    improves). The per-round work is one equi-join keyed on the vertex —
+    content-partitioned, never all-pairs; driver state is one scalar
+    improvement count per round.
+
+    Returns (v, dist) for every vertex reachable from ``src``.
+    """
+    dist = spark.createDataFrame([(int(src), 0)], "v BIGINT, dist BIGINT")
+
+    def relax(d: DataFrame) -> DataFrame:
+        r = d.join(edges_w, d.v == edges_w.src).select(
+            F.col("dst").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        return d.unionByName(r).groupBy("v").agg(F.min("dist").alias("dist"))
+
+    prev_sig = (1, 0)
+    for _ in range((max_rounds + 1) // 2):
+        # TWO relaxations per materialization (the bfs_khop two-hop
+        # discipline): each checkpoint+probe is a fixed-overhead Spark
+        # job pair, so halving the round count halves the dominant cost.
+        nxt = relax(relax(dist)).localCheckpoint(eager=True)
+        # Scalar fixpoint probe: min-distances only ever decrease and the
+        # set only grows, so (count, sum) unchanged == converged — one
+        # single-row aggregation instead of a join + isEmpty pass.
+        row = nxt.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("s")
+        ).first()
+        sig = (row["n"], row["s"])
+        dist = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return dist
+
+
+def weighted_sssp_oracle(src: int, max_rounds: int = 24) -> str:
+    return f"""
+WITH RECURSIVE ew AS ({weighted_edges_sql()}),
+walk(v, d, hops) AS (
+  SELECT CAST({src} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1
+  FROM walk w JOIN ew e ON e.src = w.v
+  WHERE w.hops < {max_rounds}
+)
+SELECT v, min(d) AS dist FROM walk GROUP BY v
+"""

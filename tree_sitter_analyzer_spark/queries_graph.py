@@ -51,6 +51,19 @@ def q_shortest_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sssp",
+    graph.weighted_sssp_oracle(0),
+    doc="Single-source shortest WEIGHTED distances from vertex 0 "
+    "(distributed Bellman-Ford: per round one edge-relaxation join + "
+    "min-agg, fixpoint on the layered DAG; deterministic md5-derived "
+    "integer weights 1-5 shared with the oracle's recursive CTE). "
+    "Extends J7 beyond hop counts to true edge weights.",
+)
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.weighted_sssp(spark, graph.weighted_edges_df(spark), 0)
+
+
+@register(
     "shortest_path",
     graph.shortest_path_oracle(0, 1813, 20),
     doc="Bidirectional meet-in-the-middle shortest path 0→1813 on the DAG "
