@@ -354,3 +354,63 @@ walk(v, d, hops) AS (
 )
 SELECT v, min(d) AS dist FROM walk GROUP BY v
 """
+
+
+def connected_components(
+    spark: SparkSession, edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components of the UNDIRECTED graph: min-label
+    propagation — every vertex starts labeled with its own id; per round
+    each vertex takes the min of its own and its neighbors' labels
+    (one equi-join + min-agg); fixpoint when the label sum stops
+    falling (labels only decrease → the scalar (count, sum) signature is
+    a complete convergence check, same probe as weighted_sssp).
+
+    Rounds needed = component diameter; two propagation steps per
+    materialization halve the fixed per-round Spark overhead. Returns
+    (v, component) with component = min vertex id in the component.
+    """
+    ue = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        ue.select(F.col("src").alias("v"))
+        .dropDuplicates(["v"])
+        .withColumn("label", F.col("v"))
+    )
+
+    def step(lab: DataFrame) -> DataFrame:
+        cand = lab.join(ue, lab.v == ue.src).select(
+            F.col("dst").alias("v"), F.col("label")
+        )
+        return lab.unionByName(cand).groupBy("v").agg(
+            F.min("label").alias("label")
+        )
+
+    prev_sig = None
+    for _ in range((max_rounds + 1) // 2):
+        nxt = step(step(labels)).localCheckpoint(eager=True)
+        row = nxt.agg(F.count("*").alias("n"), F.sum("label").alias("s")).first()
+        sig = (row["n"], row["s"])
+        labels = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select("v", F.col("label").alias("component"))
+
+
+def connected_components_oracle(kind: str = "bfs") -> str:
+    return f"""
+WITH RECURSIVE base AS ({edges_sql(kind)}),
+ue AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+verts AS (SELECT DISTINCT src AS v FROM ue),
+walk(start, cur) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT w.start, e.dst FROM walk w JOIN ue e ON e.src = w.cur
+)
+SELECT start AS v, min(cur) AS component FROM walk GROUP BY start
+"""

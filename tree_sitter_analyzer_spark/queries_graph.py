@@ -38,7 +38,7 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shortest_path_trace",
-    graph.shortest_path_trace_oracle(0, 1813, 20),
+    graph.shortest_path_trace_oracle(0, 1813, 14),
     doc="Witness shortest path 0→1813 as a vertex chain (path "
     "reconstruction, call_path.py:520-639; SURVEY.md J7): BFS min-depth "
     "labels + deterministic min-pred chain, walked back from the target. "
@@ -46,7 +46,7 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_shortest_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_path_trace(
-        spark, graph.edges_df(spark, "dag"), 0, 1813, 20
+        spark, graph.edges_df(spark, "dag"), 0, 1813, 14
     )
 
 
@@ -73,3 +73,16 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bidirectional_shortest_path(
         spark, graph.edges_df(spark, "dag"), 0, 1813, 20
     )
+
+
+@register(
+    "connected_components",
+    graph.connected_components_oracle("bfs"),
+    doc="Connected components of the undirected event graph via min-label "
+    "propagation (per-round neighbor join + min-agg, scalar convergence "
+    "probe) — the classic iterative graph algorithm Spark expresses as "
+    "joins; oracle: undirected reachability closure (recursive CTE), a "
+    "genuinely different evaluation strategy.",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.connected_components(spark, graph.edges_df(spark, "bfs"))
