@@ -414,3 +414,98 @@ walk(start, cur) AS (
 )
 SELECT start AS v, min(cur) AS component FROM walk GROUP BY start
 """
+
+
+PR_ITERS = 3
+PR_DAMP_NUM = 85   # damping 0.85 as an integer ratio (85/100)
+PR_SCALE = 1_000_000  # ranks carried as integer micro-units
+
+
+def pagerank_fixed(
+    spark: SparkSession, edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Fixed-iteration PageRank with INTEGER-quantized ranks — the
+    flagship iterative join-algebra algorithm, made exactly reproducible:
+    every rank is a bigint in micro-units and every step floors, so the
+    k-iteration result is bit-identical across engines and partitionings
+    (no float-convergence nondeterminism to wave away).
+
+        pr_0(v)   = floor(SCALE / N)
+        contrib_k = floor(pr_k(u) / outdeg(u)) summed over in-edges u→v
+        pr_{k+1}  = floor(SCALE * 15 / 100 / N)
+                    + floor(sum_contrib * 85 / 100e0)
+
+    Per iteration: one equi-join on the vertex + one sum-agg —
+    content-partitioned, never all-pairs. Dangling mass is not
+    redistributed (the simplified variant, documented); vertices = the
+    distinct endpoints of the edge set. Returns (v, pr_micro)."""
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .dropDuplicates(["v"])
+        .localCheckpoint(eager=False)
+    )
+    n = verts.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    base = PR_SCALE * 15 // 100 // n
+    pr = verts.withColumn("pr_micro", F.lit(PR_SCALE // n).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(e, pr.v == e.src)
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("CAST(floor(pr_micro / deg) AS BIGINT)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("sc"))
+        )
+        pr = (
+            verts.join(contrib, "v", "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST({base} + floor(coalesce(sc, 0) * {PR_DAMP_NUM} / 100e0)"
+                    " AS BIGINT)"
+                ).alias("pr_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def pagerank_oracle(iters: int = PR_ITERS) -> str:
+    assert iters == 3, "oracle unrolls exactly 3 iterations"
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+c{k} AS (
+  SELECT e.dst AS v, sum(CAST(floor(p.pr_micro / e.deg) AS BIGINT)) AS sc
+  FROM pr{k} p JOIN e ON e.src = p.v GROUP BY e.dst
+),
+pr{k + 1} AS (
+  SELECT verts.v,
+         CAST((SELECT base FROM consts)
+              + floor(coalesce(c{k}.sc, 0) * {PR_DAMP_NUM} / 100e0) AS BIGINT)
+           AS pr_micro
+  FROM verts LEFT JOIN c{k} ON c{k}.v = verts.v
+)""")
+    return f"""
+WITH edges0 AS ({edges_sql("dag")}),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0
+  )
+),
+consts AS (
+  -- floor(), not bare CAST: DuckDB CAST(double AS BIGINT) ROUNDS
+  SELECT CAST(floor({PR_SCALE} * 15 / 100 / count(*)) AS BIGINT) AS base,
+         CAST(floor({PR_SCALE} / count(*)) AS BIGINT) AS init
+  FROM verts
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY src),
+e AS (SELECT edges0.src, edges0.dst, outdeg.deg FROM edges0 JOIN outdeg USING (src)),
+pr0 AS (SELECT v, (SELECT init FROM consts) AS pr_micro FROM verts),
+{",".join(steps)}
+SELECT v, pr_micro FROM pr{iters}
+"""

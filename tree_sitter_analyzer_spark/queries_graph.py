@@ -86,3 +86,17 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "pagerank3",
+    graph.pagerank_oracle(3),
+    doc="Fixed-3-iteration PageRank with integer-quantized ranks "
+    "(micro-units, floor at every step): the flagship iterative "
+    "join-algebra algorithm made bit-reproducible across engines and "
+    "partitionings — per iteration one vertex-keyed contribution join + "
+    "sum-agg, never all-pairs. Simplified variant (dangling mass not "
+    "redistributed), documented in operators/graph.py.",
+)
+def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.pagerank_fixed(spark, graph.edges_df(spark, "dag"), 3)
