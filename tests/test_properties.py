@@ -113,9 +113,12 @@ def test_raycast_predicate_matches_python_reference(spark):
     for z in zones:
         xs = [z[f"x{m}"] for m in range(k)]
         ys = [z[f"y{m}"] for m in range(k)]
+        # probe grid centered on the CENTROID so the 20x20 grid densely
+        # covers the star (vertex-0-centered grids miss half the shape)
+        cx, cy = sum(xs) / k, sum(ys) / k
         probes = [
-            (xs[0] + (max(xs) - min(xs)) * i / 19.0 - (max(xs) - min(xs)) / 2.0,
-             ys[0] + (max(ys) - min(ys)) * j / 19.0 - (max(ys) - min(ys)) / 2.0)
+            (cx + (max(xs) - min(xs)) * (i / 19.0 - 0.5),
+             cy + (max(ys) - min(ys)) * (j / 19.0 - 0.5))
             for i in range(20)
             for j in range(20)
         ]
@@ -130,7 +133,6 @@ def test_raycast_predicate_matches_python_reference(spark):
             )
             .collect()
         }
-        cx, cy = sum(xs) / k, sum(ys) / k
         for (px, py), inside_sql in got.items():
             assert inside_sql == inside_py(px, py, z), (px, py)
             # concavity: a point may be inside the hull-ish bbox center

@@ -279,6 +279,14 @@ HAVING min(d) IS NOT NULL
 """
 
 
+def _even_steps(n: int) -> int:
+    """Normalize a step budget to the EVEN number of propagation steps the
+    two-steps-per-materialization loops actually execute — and the same
+    number the oracles must cap their recursive walks at (an odd budget
+    would silently run one extra step on the Spark side only)."""
+    return 2 * ((n + 1) // 2)
+
+
 def weighted_edges_df(spark: SparkSession) -> DataFrame:
     """DAG edges with deterministic integer weights 1-5 (md5 of the
     endpoint pair — identical on both engines via the shared md5int
@@ -323,7 +331,7 @@ def weighted_sssp(
         return d.unionByName(r).groupBy("v").agg(F.min("dist").alias("dist"))
 
     prev_sig = (1, 0)
-    for _ in range((max_rounds + 1) // 2):
+    for _ in range(_even_steps(max_rounds) // 2):
         # TWO relaxations per materialization (the bfs_khop two-hop
         # discipline): each checkpoint+probe is a fixed-overhead Spark
         # job pair, so halving the round count halves the dominant cost.
@@ -343,6 +351,8 @@ def weighted_sssp(
 
 
 def weighted_sssp_oracle(src: int, max_rounds: int = 24) -> str:
+    # cap at the SAME normalized step count the Spark loop executes
+    steps = _even_steps(max_rounds)
     return f"""
 WITH RECURSIVE ew AS ({weighted_edges_sql()}),
 walk(v, d, hops) AS (
@@ -350,7 +360,7 @@ walk(v, d, hops) AS (
   UNION
   SELECT e.dst, w.d + e.w, w.hops + 1
   FROM walk w JOIN ew e ON e.src = w.v
-  WHERE w.hops < {max_rounds}
+  WHERE w.hops < {steps}
 )
 SELECT v, min(d) AS dist FROM walk GROUP BY v
 """
@@ -391,7 +401,7 @@ def connected_components(
         )
 
     prev_sig = None
-    for _ in range((max_rounds + 1) // 2):
+    for _ in range(_even_steps(max_rounds) // 2):
         nxt = step(step(labels)).localCheckpoint(eager=True)
         row = nxt.agg(F.count("*").alias("n"), F.sum("label").alias("s")).first()
         sig = (row["n"], row["s"])
@@ -402,15 +412,20 @@ def connected_components(
     return labels.select("v", F.col("label").alias("component"))
 
 
-def connected_components_oracle(kind: str = "bfs") -> str:
+def connected_components_oracle(kind: str = "bfs", max_rounds: int = 20) -> str:
+    # cap the closure at the SAME normalized step count as the Spark loop
+    # (uncapped, the oracle would out-propagate Spark on any graph whose
+    # eccentricity-from-min-label exceeds the budget)
+    steps = _even_steps(max_rounds)
     return f"""
 WITH RECURSIVE base AS ({edges_sql(kind)}),
 ue AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
 verts AS (SELECT DISTINCT src AS v FROM ue),
-walk(start, cur) AS (
-  SELECT v, v FROM verts
+walk(start, cur, hops) AS (
+  SELECT v, v, 0 FROM verts
   UNION
-  SELECT w.start, e.dst FROM walk w JOIN ue e ON e.src = w.cur
+  SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN ue e ON e.src = w.cur
+  WHERE w.hops < {steps}
 )
 SELECT start AS v, min(cur) AS component FROM walk GROUP BY start
 """

@@ -148,7 +148,14 @@ def pip_convex_join(
     )
 
 
-def zone_fringe_cells(zones: DataFrame, res: int = 8) -> DataFrame:
+# Fringe resolution: res 8 (not DEFAULT_RES=9) is a deliberate choice —
+# ring cells at res 8 are zone-scale (the ring holds a meaningful tile
+# population per zone); at res 9 the one-cell-thick ring thins relative
+# to tile density. Named so callers see the difference from the PIP res.
+FRINGE_RES = 8
+
+
+def zone_fringe_cells(zones: DataFrame, res: int = FRINGE_RES) -> DataFrame:
     """Perimeter ring of each zone's cell cover: the cells ADJACENT to the
     zone's bbox cover box but not inside it — the spatial analog of the
     reference's sibling combinator (``~``, hyphae/parser.py: elements
@@ -177,7 +184,7 @@ def zone_fringe_cells(zones: DataFrame, res: int = 8) -> DataFrame:
 
 
 def fringe_join(
-    tiles: DataFrame, zones: DataFrame, res: int = 8, how: str = "inner"
+    tiles: DataFrame, zones: DataFrame, res: int = FRINGE_RES, how: str = "inner"
 ) -> DataFrame:
     """Tiles in the fringe ring of each zone (adjacent-to, not within):
     broadcast ring cells, map-side equi-join on cell — the tile side
