@@ -524,3 +524,40 @@ pr0 AS (SELECT v, (SELECT init FROM consts) AS pr_micro FROM verts),
 {",".join(steps)}
 SELECT v, pr_micro FROM pr{iters}
 """
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangles in the UNDIRECTED graph — the classic multi-way
+    self-join: canonicalize edges to a < b (dedup + drop self-loops),
+    then join (a,b)⋈(b,c)⋈ check (a,c). Ordering a < b < c counts each
+    triangle exactly once; every join is an equi-join on a vertex key
+    (content-partitioned — the standard distributed triangle recipe).
+    Returns one row: (n_triangles)."""
+    ue = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    e1 = ue.toDF("a", "b")
+    e2 = ue.toDF("b", "c")
+    e3 = ue.toDF("a", "c")
+    wedges = e1.join(e2, "b").where(F.col("b") < F.col("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def triangle_count_oracle(kind: str = "bfs") -> str:
+    return f"""
+WITH base AS ({edges_sql(kind)}),
+ue AS (
+  SELECT src AS a, dst AS b FROM (
+    SELECT src, dst FROM base UNION SELECT dst, src FROM base
+  ) WHERE src < dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM ue e1
+JOIN ue e2 ON e2.a = e1.b AND e2.b > e1.b
+JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+"""

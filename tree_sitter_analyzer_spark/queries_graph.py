@@ -100,3 +100,15 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_fixed(spark, graph.edges_df(spark, "dag"), 3)
+
+
+@register(
+    "triangle_count",
+    graph.triangle_count_oracle("bfs"),
+    doc="Triangle count on the undirected event graph — the classic "
+    "multi-way distributed self-join (canonical a<b<c ordering counts "
+    "each triangle once; every hop is a vertex-keyed equi-join). Oracle: "
+    "the same 3-way join, naive SQL.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.triangle_count(graph.edges_df(spark, "bfs"))
