@@ -9,6 +9,7 @@ self-join plans.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import graph
 from .registry import register
@@ -112,3 +113,23 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "degree_histogram",
+    f"""
+WITH base AS ({graph.edges_sql("bfs")}),
+deg AS (SELECT src AS v, count(*) AS degree FROM base GROUP BY src)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+""",
+    doc="Out-degree distribution of the event graph (two-level "
+    "aggregation: per-vertex degree, then vertices per degree) — the "
+    "graph-health profile every edge-table needs before traversals.",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = (
+        graph.edges_df(spark, "bfs")
+        .groupBy("src")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
