@@ -274,3 +274,34 @@ def test_take_folds_into_later_steps(spark):
     # a later take folds the earlier one: the truncated set has only 10
     env3 = eng.tiles().take(10).take(20).answer()
     assert env3["stats"]["total_matches"] == 10
+
+
+def test_sort_survives_later_steps(spark):
+    """'sort x desc ... filter ... take 5' must return the top 5 by x of
+    the FILTERED set, not a key-ordered cap — the recorded sort spec is
+    carried through later steps and re-applied at cap time."""
+    eng = Engine(spark, SF_TINY)
+    env = (
+        eng.tiles()
+        .sort(by="phash", desc=True)
+        .filter(fmt="png")
+        .take(5)
+        .answer()
+    )
+    want = (
+        eng.tiles()
+        .filter(fmt="png")
+        .sort(by="phash", desc=True)
+        .take(5)
+        .answer()
+    )
+    assert [r["image_id"] for r in env["results"]] == [
+        r["image_id"] for r in want["results"]
+    ]
+    phashes = [r["phash"] for r in env["results"]]
+    assert phashes == sorted(phashes, reverse=True)
+    # the selector surface hits the same plan
+    env2 = eng.select("sort phash desc fmt=png take 5").answer()
+    assert [r["image_id"] for r in env2["results"]] == [
+        r["image_id"] for r in env["results"]
+    ]

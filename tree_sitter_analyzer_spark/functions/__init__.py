@@ -42,7 +42,8 @@ def xor_duck(a: str, b: str) -> str:
 # (semantic_search.py:142-153; FTS5 'porter unicode61',
 # _ast_cache_schema.py:425-434). Re-expressed as ONE SQL definition with
 # per-engine spellings so identifier-search queries are fully oracle-able:
-#   getCustomerValue_fastId -> [get, custom, valu, fast, id]
+#   getCustomerValue_fastId -> [get, custom, value, fast, id]
+#   ('value' matches no stem suffix; 'customer' loses 'er')
 # Stemmer: strip the first matching suffix of (ing, ers, er, ed, es, s)
 # when the token is > len(suffix)+2 chars (same guard as the reference);
 # tokens shorter than 2 chars are dropped.

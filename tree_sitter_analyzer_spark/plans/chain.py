@@ -57,7 +57,12 @@ class Chain:
         self._spark = spark
         self._df = df
         self._limit: int | None = None
-        self._sorted = False  # True once an explicit total order was applied
+        # Most recent user-requested ordering as (column, desc) specs.
+        # Recorded (not just applied) so steps AFTER a sort — filter,
+        # exclude, search — don't silently discard it: the cap in
+        # df()/answer() re-applies this spec, so 'sort x desc ... take 5'
+        # returns the top 5 by x even when a later step rebuilt the plan.
+        self._sort_cols: list[tuple[str, bool]] | None = None
 
     def _base(self) -> DataFrame:
         """Input for the next step. A pending ``take()`` FOLDS into the
@@ -195,14 +200,14 @@ class Chain:
         )
         order = F.col("fanin").desc() if desc else F.col("fanin")
         nxt = self._next(with_counts.orderBy(order, "image_id"))
-        nxt._sorted = True
+        nxt._sort_cols = [("fanin", desc)]
         return nxt
 
     def sort(self, by: str, desc: bool = False) -> "Chain":
         col = F.col(by)
         nxt = self._next(self._base().orderBy(col.desc() if desc else col,
                                               self.KEY))
-        nxt._sorted = True
+        nxt._sort_cols = [(by, desc)]
         return nxt
 
     def take(self, n: int) -> "Chain":
@@ -210,7 +215,6 @@ class Chain:
         # operates on the 10-row truncated set, not the unfolded frame.
         nxt = self._next(self.df() if self._limit is not None else self._df)
         nxt._limit = n
-        nxt._sorted = self._sorted
         return nxt
 
     # -- terminal ----------------------------------------------------------
@@ -221,17 +225,29 @@ class Chain:
     # discipline as run_user_sql's max_rows).
     DEFAULT_MAX_RESULTS = 2000
 
+    def _ordered(self) -> DataFrame:
+        """The frame in cap order: the recorded sort spec (most recent
+        ``sort``/``sort_by_fanin``, carried through later order-preserving
+        steps by ``_next``) with the unique KEY as tie-break; KEY order
+        alone when no sort was requested. Re-applying at cap time (rather
+        than trusting plan order) makes every capped result both
+        deterministic AND faithful to 'sort x desc ... take 5' — Catalyst
+        collapses the redundant inner sort, and orderBy+limit executes as
+        TakeOrdered, not a full sort."""
+        if self._sort_cols:
+            cols = [F.col(c).desc() if d else F.col(c)
+                    for c, d in self._sort_cols]
+            return self._df.orderBy(*cols, self.KEY)
+        return self._df.orderBy(self.KEY)
+
     def df(self) -> DataFrame:
-        """Materializable result frame. A limit over an UNSORTED chain
-        first orders by the unique KEY: Spark's bare limit guarantees no
-        particular subset, so two evaluations (or two runs) could return
-        different rows — ordering makes every capped result deterministic
-        (and Catalyst executes orderBy+limit as TakeOrdered, not a full
-        sort)."""
+        """Materializable result frame. A limit is always applied over the
+        deterministic cap order (``_ordered``): Spark's bare limit
+        guarantees no particular subset, so two evaluations (or two runs)
+        could otherwise return different rows."""
         if self._limit is None:
             return self._df
-        df = self._df if self._sorted else self._df.orderBy(self.KEY)
-        return df.limit(self._limit)
+        return self._ordered().limit(self._limit)
 
     def answer(self, compact: bool = False) -> dict[str, Any]:
         """Execute: capped rows + true totals envelope (T5 contract).
@@ -239,11 +255,10 @@ class Chain:
         ``was_truncated`` set — a driver collect is never unbounded."""
         total = self._df.count()
         limit = self._limit if self._limit is not None else self.DEFAULT_MAX_RESULTS
-        # Same deterministic-cap rule as df(): unsorted chains order by
-        # the unique KEY before the limit, so the returned subset is
-        # stable across runs and evaluations.
-        ordered = self._df if self._sorted else self._df.orderBy(self.KEY)
-        rows_df = ordered.limit(limit)
+        # Same deterministic-cap rule as df(): recorded sort spec (or the
+        # unique KEY) orders before the limit, so the returned subset is
+        # stable across runs and honors a sort issued earlier in the chain.
+        rows_df = self._ordered().limit(limit)
         if compact:
             rows_df = rows_df.select(*self.COMPACT_COLS)
         rows = [r.asDict() for r in rows_df.collect()]
@@ -263,7 +278,15 @@ class Chain:
         }
 
     def _next(self, df: DataFrame) -> "Chain":
-        return type(self)(self._spark, df)
+        nxt = type(self)(self._spark, df)
+        # Carry the recorded sort through later steps as long as its
+        # columns survive; a step that drops the sort column (rare —
+        # compact projections) falls back to deterministic KEY order.
+        if self._sort_cols and all(
+            c in df.columns for c, _ in self._sort_cols
+        ):
+            nxt._sort_cols = self._sort_cols
+        return nxt
 
 
 class DocChain(Chain):
