@@ -28,7 +28,19 @@ TABLES = [
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entry
+    from tree_sitter_analyzer_spark.registry import load_all
     from tree_sitter_analyzer_spark.session import get_spark
+
+    # Guard (round-2 lesson: degree_histogram landed after the final sweep
+    # and had no sweep row): the sweep MUST cover every registered query —
+    # a missing row means a stale __spark_entry__ import or a half-wired
+    # registration, and the artifact would otherwise overstate coverage.
+    registered = set(load_all())
+    swept = set(entry.queries())
+    assert swept == registered, (
+        f"sweep does not cover the registry: missing={sorted(registered - swept)} "
+        f"extra={sorted(swept - registered)}"
+    )
 
     spark = get_spark(cpus=8)
     con = duckdb.connect()
@@ -71,7 +83,10 @@ def main() -> int:
             vacuous.append(name)
             tag += " VACUOUS"
         print(f"{i:3d} {name:28s} {tag:12s} rows={len(sdf):7d} {dt:6.1f}s")
-    print(f"\n{len(queries)} queries; failures={failures}; vacuous={vacuous}")
+    print(
+        f"\n{len(queries)} queries swept == {len(registered)} registered; "
+        f"failures={failures}; vacuous={vacuous}"
+    )
     return 1 if failures or vacuous else 0
 
 

@@ -1,0 +1,268 @@
+"""Spatial/grid structural property tests (FIXTURES.md §5; reference
+tests/property/): random-rectangle PIP vs a pure-numpy oracle, repartition
+invariance, grid totality/roundtrip, cover losslessness/maximality, the
+zonal ref-point dedup audit. Restored per round-2 ADVICE: the round-2
+property-test rewrite dropped these, and no oracle-parity or sweep check
+covers repartition invariance or the compaction/grid invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tree_sitter_analyzer_spark import grid, synth
+from tree_sitter_analyzer_spark.operators import pip_join
+
+from .conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def tiles_pdf(spark):
+    return synth.tiles_df(spark, SF_TINY).select("image_id", "lon", "lat").toPandas()
+
+
+rect = st.tuples(
+    st.floats(139.4, 140.1), st.floats(35.3, 35.9),
+    st.floats(0.001, 0.08), st.floats(0.001, 0.08),
+)
+
+
+@given(rect)
+@settings(max_examples=10, deadline=None)
+def test_random_rect_pip_matches_numpy(spark, tiles_pdf, r):
+    """Two-phase cell-join PIP on a random rectangle == numpy predicate
+    (the miswire-audit target-0 invariant, SURVEY.md §5.9)."""
+    cx, cy, hw, hh = r
+    zone = spark.createDataFrame(
+        [("z0", "x", cx - hw, cx + hw, cy - hh, cy + hh)],
+        "polygon_id STRING, zkind STRING, xmin DOUBLE, xmax DOUBLE, "
+        "ymin DOUBLE, ymax DOUBLE",
+    )
+    tiles = synth.tiles_df(spark, SF_TINY)
+    got = {
+        row["image_id"]
+        for row in pip_join.pip_join(tiles, zone, res=9).select("image_id").collect()
+    }
+    lon, lat = tiles_pdf["lon"].to_numpy(), tiles_pdf["lat"].to_numpy()
+    mask = (
+        (lon >= cx - hw) & (lon < cx + hw) & (lat >= cy - hh) & (lat < cy + hh)
+    )
+    expected = set(tiles_pdf["image_id"].to_numpy()[mask])
+    assert got == expected
+
+
+@pytest.mark.parametrize("n", [1, 4, 17])
+def test_pip_join_invariant_under_repartition(spark, n):
+    tiles = synth.tiles_df(spark, SF_TINY).repartition(n)
+    zones = synth.zones_df(spark)
+    rows = (
+        pip_join.pip_join(tiles, zones, res=9)
+        .groupBy()
+        .count()
+        .collect()[0]["count"]
+    )
+    baseline = (
+        pip_join.pip_join(synth.tiles_df(spark, SF_TINY), zones, res=9).count()
+    )
+    assert rows == baseline
+
+
+@given(
+    st.floats(min_value=-179.99, max_value=179.99),
+    st.floats(min_value=-89.99, max_value=89.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_grid_totality_and_bounds(lon, lat):
+    """Every point maps to exactly one valid cell at every res (mapping
+    totality, cf. test_element_type_mapping_property.py)."""
+    for res in (0, 7, 9, 12):
+        c = int(grid.np_cell(np.array([lon]), np.array([lat]), res)[0])
+        assert c // grid.RES_MUL == res
+        ix = (c - res * grid.RES_MUL) // grid.IX_MUL
+        iy = c % grid.IX_MUL
+        assert 0 <= ix < 360 * (1 << res) + 1
+        assert 0 <= iy < 180 * (1 << res) + 1
+
+
+def test_zone_cover_is_exact_cover(spark):
+    """Every tile the exact predicate admits is in a cover cell (no false
+    negatives from the candidate phase — the LSH-guarantee direction)."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    from pyspark.sql import functions as F
+
+    exact = (
+        tiles.crossJoin(F.broadcast(zones))
+        .where(F.expr(pip_join.PIP_PREDICATE))
+        .select("image_id", "polygon_id")
+    )
+    two_phase = pip_join.pip_join(tiles, zones, res=9).select(
+        "image_id", "polygon_id"
+    )
+    assert exact.exceptAll(two_phase).count() == 0
+    assert two_phase.exceptAll(exact).count() == 0
+
+
+def test_convex_pip_matches_numpy(spark):
+    """Convex-hexagon two-phase PIP == numpy half-plane oracle on every
+    tile × polygon pair (the full-fidelity miswire audit for polygons)."""
+    import pandas as pd
+
+    from tree_sitter_analyzer_spark.operators.pip_join import pip_convex_join
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    pz = synth.poly_zones_df(spark)
+    got = {
+        (r["polygon_id"], r["image_id"])
+        for r in pip_convex_join(tiles, pz, res=9)
+        .select("polygon_id", "image_id")
+        .collect()
+    }
+    tp = tiles.select("image_id", "lon", "lat").toPandas()
+    zp = pz.toPandas()
+    k = 6
+    expected = set()
+    lon, lat = tp["lon"].to_numpy(), tp["lat"].to_numpy()
+    for _, z in zp.iterrows():
+        inside = np.ones(len(tp), dtype=bool)
+        for m in range(k):
+            n = (m + 1) % k
+            cross = (z[f"x{n}"] - z[f"x{m}"]) * (lat - z[f"y{m}"]) - (
+                z[f"y{n}"] - z[f"y{m}"]
+            ) * (lon - z[f"x{m}"])
+            inside &= cross >= 0
+        for iid in tp["image_id"].to_numpy()[inside]:
+            expected.add((z["polygon_id"], iid))
+    assert got == expected and len(got) > 0
+
+
+def test_compact_cover_invariants(spark):
+    """Compaction is lossless and canonical: (a) expanding every compacted
+    cell back to res 9 reproduces the original cover exactly (disjointness
+    + completeness in one check, since exceptAll is multiset-aware), and
+    (b) no polygon retains a complete 4-child block at any level (maximal
+    compaction — the h3 compact_cells contract)."""
+    from pyspark.sql import functions as F
+
+    zones = synth.zones_df(spark)
+    cover9 = pip_join.zone_cover(zones, res=9).select("polygon_id", "cell")
+    comp = pip_join.compact_cover(zones, res=9, min_res=7)
+
+    # (a) re-expand: a res-r cell covers 4^(9-r) res-9 children.
+    def children_to9(df, r):
+        d = 9 - r
+        if d == 0:
+            return df.select("polygon_id", "cell")
+        ix = grid.cell_to_ix(F.col("cell"), r)
+        iy = grid.cell_to_iy(F.col("cell"))
+        return (
+            df.where(F.col("res") == r)
+            .withColumn("cix", F.explode(F.sequence(ix * (1 << d), (ix + 1) * (1 << d) - 1)))
+            .withColumn("ciy_base", iy * (1 << d))
+            .withColumn("ciy", F.explode(F.sequence(F.col("ciy_base"), F.col("ciy_base") + (1 << d) - 1)))
+            .select(
+                "polygon_id",
+                F.expr(grid.cell_from_ixiy_sql("cix", "ciy", 9)).alias("cell"),
+            )
+        )
+
+    expanded = (
+        children_to9(comp.where("res = 9"), 9)
+        .unionByName(children_to9(comp, 8))
+        .unionByName(children_to9(comp, 7))
+    )
+    assert expanded.exceptAll(cover9).count() == 0
+    assert cover9.exceptAll(expanded).count() == 0
+
+    # (b) maximality: no (polygon, parent) group of size 4 survives.
+    for r in (9, 8):
+        quads = (
+            comp.where(F.col("res") == r)
+            .withColumn("p", F.expr(grid.parent_sql("cell", r, r - 1)))
+            .groupBy("polygon_id", "p")
+            .count()
+            .where("count = 4")
+        )
+        assert quads.count() == 0, f"incomplete compaction at res {r}"
+
+
+def test_pip_compact_equals_pip_join(spark):
+    """The mixed-res compacted-cover join returns the exact same multiset
+    of (tile, zone) rows as the single-res join — the disjoint-cover
+    guarantee (each pair matches on exactly one cell, no dup rows)."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    a = pip_join.pip_join(tiles, zones, res=9).select("image_id", "polygon_id")
+    b = pip_join.pip_join_compact(tiles, zones, res=9, min_res=7).select(
+        "image_id", "polygon_id"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_zonal_weighted_refpoint_dedup(spark):
+    """The reference-point method yields each (tile, zone) overlap pair
+    exactly once: the cell-join pair set equals the naive rectangle-join
+    pair set as a multiset (no dup from footprints spanning cells)."""
+    from pyspark.sql import functions as F
+    from tree_sitter_analyzer_spark.operators import zonal
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    naive = (
+        zonal.tile_footprints(tiles)
+        .crossJoin(F.broadcast(zones))
+        .where(F.expr(zonal.FP_OVERLAP_PREDICATE))
+        .select("image_id", "polygon_id")
+    )
+    t = zonal.tile_footprints(tiles)
+    t = (
+        t.withColumn("ix", F.explode(F.sequence(grid.ix_col("fx_min", 9), grid.ix_col("fx_max", 9))))
+        .withColumn("iy", F.explode(F.sequence(grid.iy_col("fy_min", 9), grid.iy_col("fy_max", 9))))
+        .withColumn("cell", F.expr(grid.cell_from_ixiy_sql("ix", "iy", 9)))
+    )
+    refpoint = grid.cell_sql("GREATEST(xmin, fx_min)", "GREATEST(ymin, fy_min)", 9)
+    cellwise = (
+        t.join(F.broadcast(pip_join.zone_cover(zones, 9)), "cell")
+        .where(F.expr(zonal.FP_OVERLAP_PREDICATE))
+        .where(F.expr(f"cell = {refpoint}"))
+        .select("image_id", "polygon_id")
+    )
+    assert naive.exceptAll(cellwise).count() == 0
+    assert cellwise.exceptAll(naive).count() == 0
+
+
+def test_scanline_cover_tighter_and_complete(spark):
+    """The scanline convex cover is a subset of the bbox cover (tighter),
+    yet the join result is the identical multiset (complete) — and the
+    verify precision strictly improves."""
+    from pyspark.sql import functions as F
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    pz = synth.poly_zones_df(spark)
+    bbox = pip_join.poly_cover(pz, 9).select("polygon_id", "cell")
+    scan = pip_join.poly_cover_scanline(pz, 9).select("polygon_id", "cell")
+    assert scan.exceptAll(bbox).count() == 0  # subset
+    assert scan.count() < bbox.count()  # strictly tighter
+    a = pip_join.pip_convex_join(tiles, pz, 9).select("image_id", "polygon_id")
+    b = pip_join.pip_convex_join_scanline(tiles, pz, 9).select(
+        "image_id", "polygon_id"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+@given(st.floats(-179.9, 179.9), st.floats(-89.9, 89.9), st.integers(0, 12))
+@settings(max_examples=200, deadline=None)
+def test_cell_center_roundtrip(lon, lat, res):
+    """cell_to_center inverts the index: the center of a point's cell maps
+    back to the same cell, and lies within half a cell edge of the point."""
+    cell = int(grid.np_cell(np.array([lon]), np.array([lat]), res)[0])
+    clon, clat = grid.np_cell_center(np.array([cell]), res)
+    assert int(grid.np_cell(clon, clat, res)[0]) == cell
+    s = grid.cell_size(res)
+    assert abs(clon[0] - lon) <= s / 2 + 1e-12
+    assert abs(clat[0] - lat) <= s / 2 + 1e-12
