@@ -522,13 +522,15 @@ def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "video_frame_stats",
     None,  # frame decode is not SQL-expressible; exactness (ceil(n/every_n)
-    # sampled frames, deterministic luma) is pinned in tests/test_multimodal.py
+    # sampled frames, bit-exact luma vs a local numpy reference) is pinned
+    # in tests/test_multimodal.py
     doc="Video frame-sampling pass (task-brief multimodal op): synthetic "
-    "clip metadata derived from the orders keys, every-10th-frame "
-    "deterministic fake decode (real ffmpeg sampler plugs into "
-    "decode_video_frames), per-codec roll-up of sampled-frame counts and "
-    "luma stats. Rows-only for the driver; batch shape + exactness are "
-    "pytest-gated.",
+    "clip metadata derived from the orders keys, REAL GVID container "
+    "payloads (length-prefixed codec frames) encoded then REALLY decoded "
+    "— every 10th frame parsed via length-prefix seeking, the rest never "
+    "decoded — per-codec roll-up of sampled-frame counts and luma stats. "
+    "Rows-only for the driver (decoder column records 'real'); batch "
+    "shape + decode exactness are pytest-gated.",
 )
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import multimodal
@@ -543,13 +545,15 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = o.select(
         F.col("o_orderkey").alias("media_id"),
         F.expr("CAST(NULL AS BINARY)").alias("bytes"),
-        F.lit(32).alias("width").cast("int"),
-        F.lit(24).alias("height").cast("int"),
+        F.lit(16).alias("width").cast("int"),
+        F.lit(12).alias("height").cast("int"),
         F.lit(24000).alias("fps_milli").cast("int"),
-        F.expr("24 + pmod(o_orderkey, 240)").cast("bigint").alias("n_frames"),
+        F.expr("8 + pmod(o_orderkey, 56)").cast("bigint").alias("n_frames"),
         F.expr("CAST(pmod(o_orderkey, 3) AS INT)").alias("codec"),
     )
-    feats = multimodal.video_frame_features(clips, every_n=10)
+    feats = multimodal.video_frame_features(
+        multimodal.attach_video_bytes(clips), every_n=10
+    )
     # "decoder" records which decode path ran (fake stand-in vs real
     # ffmpeg) so the driver gate's rows show it explicitly.
     return feats.groupBy("codec", "decoder").agg(
@@ -562,12 +566,14 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "audio_feature_stats",
-    None,  # sample decode is not SQL-expressible; per-clip determinism and
-    # empty-clip zero-guards are pinned in tests/test_multimodal.py
+    None,  # sample decode is not SQL-expressible; bit-exact decode parity
+    # vs a local numpy reference is pinned in tests/test_multimodal.py
     doc="Audio feature-extraction pass (task-brief multimodal op): "
-    "deterministic synthetic clip metadata, fake-decoded first second "
-    "(real libsndfile/ffmpeg plugs into decode_audio), RMS + "
-    "zero-crossing features rolled up per sample rate. Rows-only.",
+    "deterministic synthetic clip metadata, REAL PCM16 WAV payloads "
+    "(stdlib wave writer) REALLY decoded (stdlib wave reader, rate from "
+    "the parsed header), RMS + zero-crossing features over the first "
+    "second rolled up per sample rate. Rows-only (decoder column "
+    "records 'real').",
 )
 def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import multimodal
@@ -586,7 +592,7 @@ def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000).cast("bigint").alias("duration_ms"),
         F.expr("CAST(pmod(o_orderkey, 2) AS INT)").alias("codec"),
     )
-    feats = multimodal.audio_features(clips)
+    feats = multimodal.audio_features(multimodal.attach_audio_bytes(clips))
     return feats.groupBy("sample_rate", "decoder").agg(
         F.count("*").alias("n_clips"),
         F.min("rms_milli").cast("bigint").alias("min_rms_milli"),

@@ -1,18 +1,31 @@
-"""Multimodal payload plumbing: image resize, audio/video stubs.
+"""Multimodal payloads: image resize, REAL audio/video decode.
 
 Task brief: treat image/audio/video as opaque ``binary`` columns with
 typed metadata; decode / feature-extract / resize / frame-sample as
-pandas UDFs over ``mapInPandas``. The image path is fully real (the
-deterministic codec decodes to pixels); audio/video decoders do not exist
-in this container, so those decode steps are clearly-marked
-``NotImplementedError`` stubs while the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested
-(tests/test_multimodal.py).
+pandas UDFs over ``mapInPandas``. All three decode paths are real:
+
+- image  — the deterministic raster codec (codec.py) decodes to pixels;
+- audio  — PCM16 WAV, encoded/decoded with the stdlib ``wave`` module
+  (no ffmpeg/libsndfile needed): ``decode_audio`` parses any mono/stereo
+  PCM16 RIFF/WAVE byte string into float32 samples + the header's rate;
+- video  — a self-describing container (``GVID`` header + length-prefixed
+  frames, each frame an existing-codec GPNG/GJPG image):
+  ``decode_video_frames`` seeks frame-to-frame via the length prefixes and
+  decodes ONLY the sampled frames (real partial decode, the every_n-th
+  frame-sampling op of the training-data brief).
+
+This matches the reference's extractor discipline — every format it
+claims, it actually parses (``ast_cache.py:581-593``'s per-language
+workers). The deterministic ``_fake_*`` generators remain available
+(``use_fake_decoder=True``) for plumbing tests that construct metadata
+without payload bytes.
 """
 
 from __future__ import annotations
 
-import shutil
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -29,15 +42,11 @@ from pyspark.sql.types import (
 
 from .codec import decode_px, encode_px
 
-# Real audio/video decode routes through ffmpeg. The probe is recorded so
-# error messages can say WHY the real path is unavailable, but the guard
-# below keys on whether the decoder is IMPLEMENTED: until decode_audio /
-# decode_video_frames contain a real implementation, use_fake_decoder=False
-# must fail CLEANLY at plan build (driver-side NotImplementedError), never
-# as an executor-side PythonException mid-job — even on hosts where the
-# ffmpeg binary happens to exist.
-FFMPEG_PATH = shutil.which("ffmpeg")
-REAL_DECODERS_IMPLEMENTED = False  # flip when decode_* gain real bodies
+# Both decoders now have real bodies (stdlib wave + the GVID container) —
+# ``use_fake_decoder=False`` is the production path. The flag stays as the
+# documented plug-point switch: a port to a container with ffmpeg would
+# extend decode_* with more codecs, not change the pipeline.
+REAL_DECODERS_IMPLEMENTED = True
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +91,7 @@ def resize_tiles(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio / video: typed-metadata schema + stubbed decode.
+# Audio: PCM16 WAV via the stdlib wave module (real codec, no ffmpeg).
 # ---------------------------------------------------------------------------
 
 AUDIO_SCHEMA = StructType(
@@ -109,20 +118,111 @@ VIDEO_SCHEMA = StructType(
 )
 
 
-def decode_audio(buf: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "audio decode requires libsndfile/ffmpeg — not present in this "
-        "container; plug the real decoder in here. The Spark plumbing "
-        "(schema, batching, feature UDF signature) is exercised with the "
-        "deterministic fake below."
-    )
+def synth_audio_i16(media_id: int, sample_rate: int, duration_ms: int) -> np.ndarray:
+    """Deterministic int16 PCM waveform for a clip: a media_id-keyed tone
+    (220–1540 Hz) plus seeded noise at half amplitude. Any executor (or a
+    local numpy oracle) reproduces the same samples bit-exactly."""
+    n = max(0, sample_rate * duration_ms // 1000)
+    t = np.arange(n, dtype=np.float64) / max(sample_rate, 1)
+    f0 = 220.0 + 110.0 * (int(media_id) % 13)
+    rng = np.random.Generator(np.random.Philox(int(media_id)))
+    x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(n)
+    return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """PCM16 RIFF/WAVE bytes via the stdlib ``wave`` writer. ``samples``
+    is int16, frame-interleaved when ``n_channels > 1``."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode: parse a PCM16 RIFF/WAVE byte string with the
+    stdlib ``wave`` reader → (float32 samples in [-1, 1], sample_rate).
+    Multi-channel audio is downmixed to mono by channel mean. Raises
+    ``wave.Error``/``ValueError`` on a malformed payload."""
+    with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"expected PCM16, got sampwidth={w.getsampwidth()}")
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+# ---------------------------------------------------------------------------
+# Video: GVID container — header + length-prefixed codec frames.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"GVID"
+VIDEO_HEADER = struct.Struct("<4siiii")  # magic, w, h, fps_milli, n_frames
+_FRAME_LEN = struct.Struct("<I")
+
+# BT.601 luma weights — same grayscale the image phash uses (codec.phash64).
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def synth_video_px(media_id: int, frame_idx: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 frame keyed on (media_id, frame_idx)."""
+    rng = np.random.Generator(np.random.Philox([int(media_id), int(frame_idx)]))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def encode_video(frames: list[np.ndarray], fps_milli: int, fmt: str = "png") -> bytes:
+    """GVID container: header + per-frame (uint32 length, codec bytes).
+    Frames are encoded with the raster codec (GPNG lossless / GJPG lossy),
+    so a video IS a sequence of the engine's image payloads — one decode
+    stack for both modalities."""
+    if not frames:
+        return VIDEO_HEADER.pack(VIDEO_MAGIC, 0, 0, fps_milli, 0)
+    h, w = frames[0].shape[:2]
+    parts = [VIDEO_HEADER.pack(VIDEO_MAGIC, w, h, fps_milli, len(frames))]
+    for px in frames:
+        fb = encode_px(px, fmt)
+        parts.append(_FRAME_LEN.pack(len(fb)))
+        parts.append(fb)
+    return b"".join(parts)
 
 
 def decode_video_frames(buf: bytes, every_n: int) -> np.ndarray:
-    raise NotImplementedError(
-        "video decode requires ffmpeg — not present in this container; "
-        "plug the real frame sampler in here."
-    )
+    """REAL frame sampling: walk the GVID container via the length
+    prefixes, decoding ONLY every ``every_n``-th frame (frames in between
+    are seeked over, never decoded — the partial-read discipline that
+    makes sparse sampling cheap). Returns a (k, h, w) float64 BT.601 luma
+    stack. Raises ``ValueError`` on bad magic or a truncated payload."""
+    buf = bytes(buf)
+    if len(buf) < VIDEO_HEADER.size:
+        raise ValueError("truncated video header")
+    magic, w, h, _fps, n_frames = VIDEO_HEADER.unpack_from(buf)
+    if magic != VIDEO_MAGIC:
+        raise ValueError(f"bad video magic {magic!r}")
+    out = []
+    pos = VIDEO_HEADER.size
+    for i in range(n_frames):
+        if pos + _FRAME_LEN.size > len(buf):
+            raise ValueError(f"truncated at frame {i}")
+        (flen,) = _FRAME_LEN.unpack_from(buf, pos)
+        pos += _FRAME_LEN.size
+        if pos + flen > len(buf):
+            raise ValueError(f"truncated frame {i} payload")
+        if i % every_n == 0:
+            px = decode_px(buf[pos:pos + flen])
+            if px.shape[:2] != (h, w):
+                raise ValueError(f"frame {i} shape {px.shape} != header ({h},{w})")
+            out.append(px.astype(np.float64) @ _LUMA)
+        pos += flen
+    if not out:
+        return np.empty((0, h, w))
+    return np.stack(out)
 
 
 def _fake_samples(media_id: int, n: int) -> np.ndarray:
@@ -142,25 +242,68 @@ def _fake_frames(media_id: int, n_frames: int, w: int, h: int,
     return rng.integers(0, 256, size=(len(idx), h, w), dtype=np.uint8)
 
 
+def attach_video_bytes(df: DataFrame, fmt: str = "png") -> DataFrame:
+    """Fill the ``bytes`` column with a REAL GVID payload synthesized from
+    each row's metadata (deterministic per media_id) — the video analog of
+    ``codec.attach_bytes``. Production reads real bytes from the table and
+    skips this step."""
+    schema = StructType(list(df.schema.fields))
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, nf, w, h, fps in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["width"],
+                pdf["height"], pdf["fps_milli"]
+            ):
+                frames = [
+                    synth_video_px(int(mid), f, int(w), int(h))
+                    for f in range(int(nf))
+                ]
+                out.append(encode_video(frames, int(fps), fmt))
+            pdf = pdf.copy()
+            pdf["bytes"] = out
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def attach_audio_bytes(df: DataFrame) -> DataFrame:
+    """Fill the ``bytes`` column with a REAL PCM16 WAV payload synthesized
+    from each row's metadata (deterministic per media_id)."""
+    schema = StructType(list(df.schema.fields))
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, sr, dur in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["duration_ms"]
+            ):
+                out.append(
+                    encode_wav(synth_audio_i16(int(mid), int(sr), int(dur)),
+                               int(sr))
+                )
+            pdf = pdf.copy()
+            pdf["bytes"] = out
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def video_frame_features(
-    df: DataFrame, every_n: int = 10, use_fake_decoder: bool = True
+    df: DataFrame, every_n: int = 10, use_fake_decoder: bool = False
 ) -> DataFrame:
     """Frame-sampling pipeline: decode every ``every_n``-th frame, emit
     per-clip sampled-frame count + mean/std luma (the training-data
-    "frame-sample" op). ``use_fake_decoder=False`` routes through
-    ``decode_video_frames`` (raises until ffmpeg is plugged in).
+    "frame-sample" op). The default path REALLY parses the ``bytes``
+    column (GVID container, length-prefix seeking); ``use_fake_decoder=
+    True`` synthesizes a stand-in luma stack from metadata alone (for
+    plumbing tests with no payload).
 
     Batch shape: one Arrow batch in → same rows out + 3 columns; frames
     never leave the executor (only scalar features cross the wire), which
     is what keeps this viable at 10^12 clips.
     """
-    if not use_fake_decoder and not REAL_DECODERS_IMPLEMENTED:
-        raise NotImplementedError(
-            "real video decode is not implemented (requires ffmpeg; "
-            f"binary {'found' if FFMPEG_PATH else 'absent'} on this host) — "
-            "plug the real sampler into decode_video_frames and flip "
-            "REAL_DECODERS_IMPLEMENTED"
-        )
     decoder_tag = "fake" if use_fake_decoder else "real"
     schema = StructType(
         list(df.schema.fields)
@@ -175,14 +318,15 @@ def video_frame_features(
     def gen(batches):
         for pdf in batches:
             ns, mean_l, std_l = [], [], []
-            for mid, nf, w, h in zip(
-                pdf["media_id"], pdf["n_frames"], pdf["width"], pdf["height"]
+            for mid, nf, w, h, buf in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["width"],
+                pdf["height"], pdf["bytes"]
             ):
                 if use_fake_decoder:
                     frames = _fake_frames(int(mid), int(nf), int(w), int(h),
                                           every_n)
-                else:  # pragma: no cover - requires ffmpeg
-                    frames = decode_video_frames(b"", every_n)
+                else:
+                    frames = decode_video_frames(buf, every_n)
                 ns.append(frames.shape[0])
                 # zero-length clips (or all frames skipped) must not poison
                 # the batch: emit zeros, not NaN
@@ -202,17 +346,12 @@ def video_frame_features(
     return df.mapInPandas(gen, schema=schema)
 
 
-def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+def audio_features(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
     """Per-clip features: RMS energy + zero-crossing count over the first
-    second. ``use_fake_decoder=False`` routes through ``decode_audio``
-    (raises until a real codec is plugged in)."""
-    if not use_fake_decoder and not REAL_DECODERS_IMPLEMENTED:
-        raise NotImplementedError(
-            "real audio decode is not implemented (requires ffmpeg/"
-            f"libsndfile; ffmpeg {'found' if FFMPEG_PATH else 'absent'} on "
-            "this host) — plug the real decoder into decode_audio and flip "
-            "REAL_DECODERS_IMPLEMENTED"
-        )
+    second. The default path REALLY parses the ``bytes`` column (PCM16
+    WAV via the stdlib reader), trusting the decoded header's sample rate
+    for the one-second window; ``use_fake_decoder=True`` synthesizes a
+    stand-in waveform from metadata alone."""
     decoder_tag = "fake" if use_fake_decoder else "real"
     schema = StructType(
         list(df.schema.fields)
@@ -226,11 +365,14 @@ def audio_features(df: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             rms, zc = [], []
-            for mid, sr in zip(pdf["media_id"], pdf["sample_rate"]):
+            for mid, sr, buf in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["bytes"]
+            ):
                 if use_fake_decoder:
                     x = _fake_samples(int(mid), int(sr))
-                else:  # pragma: no cover - requires real codec
-                    x = decode_audio(b"")
+                else:
+                    x, rate = decode_audio(buf)
+                    x = x[:rate]  # first second, per the DECODED header
                 if x.size == 0:  # zero-rate/empty clip: zeros, not NaN
                     rms.append(0)
                     zc.append(0)
