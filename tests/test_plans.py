@@ -196,6 +196,26 @@ def test_embedding_lsh_tier_is_banded_equijoin(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_lsh_topk_candidates_are_band_keyed(spark):
+    """ann_lsh_topk candidate generation must be a hash equi-join on the
+    (band, value) signature keys — no per-query full scan (the round-2
+    soft spot: crossJoin + bit_count filter scanned all N per query).
+    The vacuous-radius fallback keeps its documented broadcast scan."""
+    from tree_sitter_analyzer_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    df = similarity.ann_lsh_topk(emb, n_queries=5, k=5, max_hamming=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    joins = [
+        ln
+        for ln in df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        if "Join" in ln
+    ]
+    assert any("b#" in ln and "v#" in ln for ln in joins), joins
+
+
 def test_zone_assignment_full_fallback_is_map_side(spark):
     """The nearest-centroid fallback adds no exchange beyond
     zone_assignment's keyed merge-back: the fold over the broadcast zone

@@ -237,13 +237,46 @@ def _sig_expr(dim: int) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _banded(df: DataFrame, sig_col: str, bands: int):
+    """Explode a signature into (b, v) pigeonhole band keys — the same
+    banding the dedup tiers join on (dedup.band_layout)."""
+    from .dedup import band_layout
+
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('b', {i}, 'v', "
+                        f"(shiftright({sig_col}, {shift}) & {(1 << width) - 1}))"
+                    )
+                    for i, (shift, width) in enumerate(band_layout(N_PLANES, bands))
+                ]
+            )
+        ).alias("band"),
+    ).select(*df.columns, F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+
+
 def ann_lsh_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 5, max_hamming: int = 2
 ) -> DataFrame:
     """Sign-LSH bucketed ANN: candidates = vectors whose signature is
     within ``max_hamming`` bits of the query signature; exact quantized
     cosine reranks. Recall vs brute measured in tests (≈1.0 at these
-    parameters on the synthetic embeddings)."""
+    parameters on the synthetic embeddings).
+
+    Candidate generation is a pigeonhole band EQUI-JOIN (the signature IS
+    the join key, not a post-scan filter): the ``N_PLANES``-bit signature
+    splits into ``max_hamming + 1`` disjoint bands, any pair within the
+    hamming radius shares ≥ 1 exact band, so candidates = rows sharing
+    (band, value) with a query — at 10^12 rows the scan prunes to the
+    queries' buckets instead of filtering all N per query (the same
+    banded join the dedup tier uses, ``embedding_neardup_pairs``).
+    Exact bit_count + cosine verify on candidates restores precision, so
+    the result set is IDENTICAL to the full-scan definition (which the
+    DuckDB oracle replicates). ``max_hamming >= N_PLANES`` makes the
+    radius vacuous — falls back to the exact broadcast scan."""
     q = _quantized(emb)
     dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
     sig = q.withColumn("sig", F.expr(_sig_expr(dim_probe)))
@@ -256,12 +289,22 @@ def ann_lsh_topk(
     cands = sig.select(
         "vec_id", F.col("qv").alias("ca"), F.col("nrm").alias("cn"), "sig"
     )
-    scored = (
-        cands.crossJoin(F.broadcast(queries))
-        .where(
-            (F.col("vec_id") != F.col("query_id"))
-            & (F.expr("bit_count(sig ^ qsig)") <= max_hamming)
+    if max_hamming >= N_PLANES:
+        pairs = cands.crossJoin(F.broadcast(queries)).where(
+            F.col("vec_id") != F.col("query_id")
         )
+    else:
+        pairs = (
+            _banded(cands, "sig", max_hamming + 1)
+            .join(F.broadcast(_banded(queries, "qsig", max_hamming + 1)),
+                  ["b", "v"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            # a pair can share several bands — one candidate row per pair
+            .dropDuplicates(["query_id", "vec_id"])
+            .drop("b", "v")
+        )
+    scored = (
+        pairs.where(F.expr("bit_count(sig ^ qsig)") <= max_hamming)
         .withColumn("dot", F.expr(_DOT))
         .withColumn(
             "cos_micro",
