@@ -305,3 +305,113 @@ def test_sort_survives_later_steps(spark):
     assert [r["image_id"] for r in env2["results"]] == [
         r["image_id"] for r in env["results"]
     ]
+
+
+def test_positional_pseudo_first_per_cell_matches_registry_query(spark):
+    """:first-per(cell) in a selector STRING reproduces the registered
+    first_tile_per_cell window query (W1 surfaced in the DSL — the
+    reference's :first-child, hyphae/evaluator.py:316-344)."""
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    eng = Engine(spark, SF_TINY)
+    via_string = {
+        r["image_id"]
+        for r in eng.select(":first-per(cell)").df().select("image_id").collect()
+    }
+    via_query = {
+        r["image_id"]
+        for r in load_all()["first_tile_per_cell"].spark_fn(spark, SF_TINY)
+        .select("image_id")
+        .collect()
+    }
+    assert via_string == via_query and len(via_string) > 0
+
+
+def test_positional_pseudo_nth_and_sort_composition(spark):
+    """:nth-per honors the recorded sort: 'sort phash desc
+    :first-per(kind)' picks each kind's max-phash tile; :nth-per(kind, 2)
+    the runner-up; string == fluent."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, SF_TINY)
+    tiles = eng.tiles()._df
+    want_first = {
+        r["tile_kind"]: r["image_id"]
+        for r in tiles.groupBy("tile_kind")
+        .agg(F.max_by("image_id", F.struct("phash", "image_id")).alias("image_id"))
+        .collect()
+    }
+    got = {
+        r["tile_kind"]: r["image_id"]
+        for r in eng.select("sort phash desc :first-per(kind)")
+        .df()
+        .select("tile_kind", "image_id")
+        .collect()
+    }
+    assert got == want_first
+    via_string = {
+        r["image_id"]
+        for r in eng.select(":nth-per(kind, 2)").df().select("image_id").collect()
+    }
+    via_fluent = {
+        r["image_id"]
+        for r in eng.tiles().nth_per("kind", 2).df().select("image_id").collect()
+    }
+    assert via_string == via_fluent
+    assert len(via_string) == 7  # one runner-up per tile_kind
+
+
+def test_positional_pseudo_rejects_bad_input(spark):
+    import pytest
+
+    from tree_sitter_analyzer_spark.plans.selector import SelectorError
+
+    eng = Engine(spark, SF_TINY)
+    with pytest.raises(SelectorError):
+        eng.select(":first-per(bogus_group)")
+    with pytest.raises(SelectorError):
+        eng.select(":nth-per(kind)")
+    with pytest.raises(SelectorError):
+        eng.select(":nth-per(kind, 0)")
+    with pytest.raises(SelectorError):
+        eng.select(":nth-per(kind, 1.5)")
+    # documents chain has its own group scope (lang), tile groups raise
+    with pytest.raises(SelectorError):
+        eng.select(":first-per(cell)", table="documents")
+    langs = eng.select(":first-per(lang)", table="documents").df()
+    assert langs.count() == langs.select("lang").distinct().count()
+
+
+def test_include_facets_attach_to_envelope(spark):
+    """include= facet step (reference _codegraph_query_facets.py:21-145):
+    facets aggregate the FULL match set pre-cap, survive later steps, and
+    unknown names raise with the allowed set."""
+    import pytest
+
+    eng = Engine(spark, SF_TINY)
+    env = (
+        eng.tiles().include("formats").filter(kind="aerial")
+        .include("kinds").take(5).answer()
+    )
+    assert env["stats"]["returned"] == 5
+    facets = env["facets"]
+    assert set(facets) == {"formats", "kinds"}
+    # facet totals cover the whole match set, not the 5 returned rows
+    n_matched = env["stats"]["total_matches"]
+    assert sum(r["n"] for r in facets["formats"]) == n_matched
+    assert facets["kinds"] == [{"tile_kind": "aerial", "n": n_matched}]
+    with pytest.raises(TypeError, match="unknown facet"):
+        eng.tiles().include("bogus")
+    # no facets requested -> no facets key (envelope contract unchanged)
+    assert "facets" not in eng.tiles().take(1).answer()
+
+
+def test_doc_quality_facet(spark):
+    """DocChain's quality facet is the health-report roll-up: per
+    (lang, grade) counts over the matched documents."""
+    eng = Engine(spark, SF_TINY)
+    env = eng.documents().filter(lang="en").include("quality").take(3).answer()
+    rows = env["facets"]["quality"]
+    assert rows and all(r["lang"] == "en" for r in rows)
+    assert {r["grade"] for r in rows} <= {"A", "B", "C", "D"}
+    assert sum(r["n_docs"] for r in rows) == env["stats"]["total_matches"]

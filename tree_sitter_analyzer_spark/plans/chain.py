@@ -27,7 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import synth
+from .. import grid, synth
 from ..operators import knn as knn_ops
 from ..operators import pip_join as pip_ops
 
@@ -43,6 +43,45 @@ _FILTER_COLS = {
 }
 
 
+# --- facet builders (the reference's include= step) --------------------------
+# _codegraph_query_facets.py:21-145 attaches complexity/health/risk facets
+# to the query response; here each facet is a small aggregate DataFrame
+# computed over the FULL match set (pre-cap) and attached to the answer()
+# envelope. All builders are plain groupBy/agg plans — they ride the same
+# Catalyst plan family as the chain itself.
+
+def _facet_formats(df: DataFrame) -> DataFrame:
+    return df.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.avg("w").cast("bigint").alias("avg_w"),
+        F.avg("h").cast("bigint").alias("avg_h"),
+    )
+
+
+def _facet_kinds(df: DataFrame) -> DataFrame:
+    return df.groupBy("tile_kind").agg(F.count("*").alias("n"))
+
+
+def _facet_sizes(df: DataFrame) -> DataFrame:
+    return df.groupBy().agg(
+        F.min("w").alias("min_w"), F.max("w").alias("max_w"),
+        F.min("h").alias("min_h"), F.max("h").alias("max_h"),
+        F.count("*").alias("n"),
+    )
+
+
+def _facet_langs(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+def _facet_doc_quality(df: DataFrame) -> DataFrame:
+    """The health-report facet (health_scorer.py:283-375 analog): quality
+    scoring + per-(lang, grade) roll-up of the matched documents."""
+    from ..operators.textstats import text_stats, zone_quality_rollup
+
+    return zone_quality_rollup(text_stats(df.select("doc_id", "lang", "text")))
+
+
 class Chain:
     # Surface configuration — subclasses (e.g. DocChain) re-point these
     # at their table's key/filters; every generic step reads them instead
@@ -52,6 +91,22 @@ class Chain:
     COMPACT_COLS = ("image_id", "lon", "lat", "tile_kind")
     SEARCH_TEXT_COL = "caption"
     NOUN = "tiles"
+    # Positional pseudo-class groups (:first-per / :nth-per): name → SQL
+    # partition expression. "cell" is the res-8 grid cell — the spatial
+    # analog of the reference's parent scope for :first-child /
+    # :nth-child(n) (hyphae/evaluator.py:316-344).
+    POSITIONAL_GROUPS = {
+        "cell": grid.cell_sql("lon", "lat", 8),
+        "kind": "tile_kind",
+        "fmt": "fmt",
+    }
+    # include= facets (reference _codegraph_query_facets.py:21-145).
+    FACETS = {
+        "formats": _facet_formats,
+        "kinds": _facet_kinds,
+        "sizes": _facet_sizes,
+    }
+    FACET_MAX_ROWS = 100
 
     def __init__(self, spark: SparkSession, df: DataFrame):
         self._spark = spark
@@ -63,6 +118,8 @@ class Chain:
         # df()/answer() re-applies this spec, so 'sort x desc ... take 5'
         # returns the top 5 by x even when a later step rebuilt the plan.
         self._sort_cols: list[tuple[str, bool]] | None = None
+        # Facets requested via include(); evaluated at answer() time.
+        self._facets: tuple[str, ...] = ()
 
     def _base(self) -> DataFrame:
         """Input for the next step. A pending ``take()`` FOLDS into the
@@ -172,6 +229,40 @@ class Chain:
         )
         return self._next(base.join(hits, self.KEY))
 
+    # -- positional pseudo-classes (W1) ------------------------------------
+
+    def nth_per(self, group: str, n: int = 1) -> "Chain":
+        """Keep the ``n``-th row (1-based) of each positional group — the
+        reference's :first-child / :nth-child(n) pseudo-classes
+        (hyphae/evaluator.py:316-344, SURVEY.md W1) over the engine's
+        group scopes (res-8 cell / kind / fmt; lang on documents).
+
+        In-group order: the chain's recorded sort spec when one was
+        issued (so ``sort phash desc :first-per(kind)`` picks the
+        max-phash tile per kind), else the unique KEY — deterministic
+        either way. One row_number window, no self-join."""
+        from pyspark.sql.window import Window
+
+        expr = self.POSITIONAL_GROUPS.get(group)
+        if expr is None:
+            raise TypeError(
+                f"unknown positional group {group!r}; "
+                f"allowed: {sorted(self.POSITIONAL_GROUPS)}"
+            )
+        if n < 1:
+            raise ValueError(f"positional index must be >= 1, got {n}")
+        order = [
+            F.col(c).desc() if d else F.col(c)
+            for c, d in (self._sort_cols or [])
+        ] + [F.col(self.KEY)]
+        win = Window.partitionBy(F.expr(expr)).orderBy(*order)
+        return self._next(
+            self._base()
+            .withColumn("__pos", F.row_number().over(win))
+            .where(F.col("__pos") == n)
+            .drop("__pos")
+        )
+
     # -- ordering / truncation (T3-T5) ------------------------------------
 
     def sort_by_fanin(self, zones: DataFrame | None = None, desc: bool = True,
@@ -215,6 +306,23 @@ class Chain:
         # operates on the 10-row truncated set, not the unfolded frame.
         nxt = self._next(self.df() if self._limit is not None else self._df)
         nxt._limit = n
+        return nxt
+
+    def include(self, *facets: str) -> "Chain":
+        """Request response facets (the reference's ``include=`` step,
+        ``_codegraph_query_facets.py:21-145``): each named facet is a
+        small aggregate over the FULL match set, attached to the
+        ``answer()`` envelope under ``facets[name]``. Unknown names raise
+        at plan build with the allowed set listed."""
+        unknown = [f for f in facets if f not in self.FACETS]
+        if unknown:
+            raise TypeError(
+                f"unknown facet(s) {unknown}; allowed: {sorted(self.FACETS)}"
+            )
+        # Pure metadata step: the frame (and any pending take) is untouched.
+        nxt = self._next(self._df)
+        nxt._limit = self._limit
+        nxt._facets = tuple(dict.fromkeys(self._facets + facets))
         return nxt
 
     # -- terminal ----------------------------------------------------------
@@ -263,7 +371,7 @@ class Chain:
             rows_df = rows_df.select(*self.COMPACT_COLS)
         rows = [r.asDict() for r in rows_df.collect()]
         truncated = total > limit
-        return {
+        env: dict[str, Any] = {
             "verdict": "ok",
             "results": rows,
             "stats": {
@@ -276,6 +384,17 @@ class Chain:
                 + (" (truncated)" if truncated else "")
             ),
         }
+        if self._facets:
+            # Facets aggregate the FULL match set (pre-cap), like the
+            # reference's project-level summaries; each collect is a
+            # bounded group-by (FACET_MAX_ROWS cap, all-column order for
+            # determinism).
+            env["facets"] = {}
+            for name in self._facets:
+                fdf = self.FACETS[name](self._df)
+                fdf = fdf.orderBy(*fdf.columns).limit(self.FACET_MAX_ROWS)
+                env["facets"][name] = [r.asDict() for r in fdf.collect()]
+        return env
 
     def _next(self, df: DataFrame) -> "Chain":
         nxt = type(self)(self._spark, df)
@@ -286,6 +405,7 @@ class Chain:
             c in df.columns for c, _ in self._sort_cols
         ):
             nxt._sort_cols = self._sort_cols
+        nxt._facets = self._facets
         return nxt
 
 
@@ -306,6 +426,8 @@ class DocChain(Chain):
     COMPACT_COLS = ("doc_id", "lang")
     SEARCH_TEXT_COL = "text"
     NOUN = "documents"
+    POSITIONAL_GROUPS = {"lang": "lang"}
+    FACETS = {"langs": _facet_langs, "quality": _facet_doc_quality}
 
     _TILE_ONLY = "tile-only step on a documents chain (no geometry columns)"
 

@@ -21,6 +21,8 @@ Grammar (whitespace-separated terms, all values literal-only)::
             | ':not(' kv ')'           -> Chain.exclude(...)
             | ':near(' lon ',' lat ',' k ')' -> Chain.near(lon, lat, k)
             | ':search(' words [',' k] ')'   -> Chain.search(words, k)
+            | ':first-per(' group ')'        -> Chain.nth_per(group, 1)
+            | ':nth-per(' group ',' n ')'    -> Chain.nth_per(group, n)
     take   := 'take' N                 -> Chain.take(N)
     sort   := 'sort' col ['desc']      -> Chain.sort(by=col, desc=...)
 
@@ -39,7 +41,7 @@ from .chain import _FILTER_COLS, Chain
 
 _TOKEN = re.compile(
     r"""
-    :(?P<pseudo>[a-z_]+)\((?P<arg>[^()]*)\)   # :name(arg)
+    :(?P<pseudo>[a-z_-]+)\((?P<arg>[^()]*)\)   # :name(arg)
   | (?P<kv>[a-z_][a-z0-9_]*=[A-Za-z0-9_.*\- ]+?)(?=\s+\S+=|\s+:|\s+take\s|\s+sort\s|$)
   | (?P<word>take|sort|desc|asc)\b
   | (?P<num>[0-9]+)\b
@@ -162,10 +164,29 @@ def apply_selector(chain: Chain, text: str) -> Chain:
                 if not query or not _SEARCH_OK.match(query.replace(",", "")):
                     raise SelectorError(f":search needs (words[, k]), got {arg!r}")
                 chain = chain.search(query, k=k)
+            elif name == "first-per":
+                arg_clean = arg.strip()
+                if not arg_clean or not _VALUE_OK.match(arg_clean):
+                    raise SelectorError(f":first-per needs (group), got {arg!r}")
+                chain = _step(chain.nth_per, arg_clean)
+            elif name == "nth-per":
+                parts = [p.strip() for p in arg.split(",")]
+                if (
+                    len(parts) != 2
+                    or not parts[0]
+                    or not _VALUE_OK.match(parts[0])
+                    or not _INT.match(parts[1])
+                    or int(parts[1]) < 1
+                ):
+                    raise SelectorError(
+                        f":nth-per needs (group, n) with integer n >= 1, got {arg!r}"
+                    )
+                chain = _step(chain.nth_per, parts[0], int(parts[1]))
             else:
                 raise SelectorError(
                     f"unknown pseudo-class :{name}; "
-                    "allowed: within, outside, adjacent, not, near, search"
+                    "allowed: within, outside, adjacent, not, near, search, "
+                    "first-per, nth-per"
                 )
         elif kind == "word" and val == "take":
             i += 1
