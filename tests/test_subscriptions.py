@@ -89,6 +89,27 @@ def test_failed_push_redelivers_and_empty_first_eval_is_silent(spark):
     assert len(calls) == ok_before  # nothing else pushed spuriously
 
 
+def test_batched_drive_job_count_is_constant_in_subscribers(spark):
+    """VERDICT r2 #7: drive() evaluates ALL subscribers against one shared
+    cached snapshot in O(1) Spark jobs — the job count must NOT grow with
+    the subscriber count (the r2 serial loop ran 2 jobs per subscriber)."""
+
+    def jobs_for_one_drive(n_subs: int) -> int:
+        reg = SubscriptionRegistry()
+        sink: list = []
+        fmts = ["png", "jpeg"]
+        for i in range(n_subs):
+            reg.subscribe(f"s{i}", f"fmt={fmts[i % 2]} take {10 + i}", sink.append)
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup("subs-drive"))
+        assert len(reg.drive(_tiles(spark), now=0.0)) == n_subs
+        return len(tracker.getJobIdsForGroup("subs-drive")) - before
+
+    two, eight = jobs_for_one_drive(2), jobs_for_one_drive(8)
+    assert two >= 1  # the batched path actually ran (job group tagged)
+    assert eight == two  # O(1) in subscriber count, not O(n)
+
+
 def test_dead_session_cleanup_and_unsubscribe(spark):
     reg = SubscriptionRegistry()
 

@@ -120,6 +120,14 @@ class Chain:
         self._sort_cols: list[tuple[str, bool]] | None = None
         # Facets requested via include(); evaluated at answer() time.
         self._facets: tuple[str, ...] = ()
+        # Pure-filter provenance: the list of filter(**kwargs) specs applied
+        # so far when the chain is NOTHING BUT conjunctive filters (+ a
+        # trailing take) over its base frame; None once any other step
+        # (join, search, sort, window, eager fold) rebuilds the plan. A
+        # batch evaluator (streaming/subscriptions.py) uses this to fuse
+        # many such chains into ONE shared scan instead of a union branch
+        # per chain.
+        self._pure_filters: list[dict] | None = []
 
     def _base(self) -> DataFrame:
         """Input for the next step. A pending ``take()`` FOLDS into the
@@ -136,23 +144,37 @@ class Chain:
 
     # -- filters (P1-P3) ------------------------------------------------
 
+    def _filter_preds(self, kwargs: dict) -> list:
+        """The filter grammar as standalone Column predicates (shared by
+        ``filter()`` and the batched multi-chain evaluator)."""
+        preds = []
+        for key, val in kwargs.items():
+            if key.endswith("__like"):
+                col = self.FILTER_COLS[key[:-6]]
+                pat = str(val).replace("*", ".*")
+                preds.append(F.col(col).rlike(f"^{pat}$"))
+            elif key.startswith("min_"):
+                preds.append(F.col(self.FILTER_COLS[key]) >= val)
+            elif isinstance(val, (list, tuple)):
+                preds.append(F.col(self.FILTER_COLS[key]).isin(list(val)))
+            else:
+                preds.append(F.col(self.FILTER_COLS[key]) == val)
+        return preds
+
     def filter(self, **kwargs: Any) -> "Chain":
         """key=value predicates AND-ed; list values OR-ed within a key;
         ``key__like`` = wildcard match (* → .*), as in query_filter.py:
         117-120."""
         df = self._base()
-        for key, val in kwargs.items():
-            if key.endswith("__like"):
-                col = self.FILTER_COLS[key[:-6]]
-                pat = str(val).replace("*", ".*")
-                df = df.where(F.col(col).rlike(f"^{pat}$"))
-            elif key.startswith("min_"):
-                df = df.where(F.col(self.FILTER_COLS[key]) >= val)
-            elif isinstance(val, (list, tuple)):
-                df = df.where(F.col(self.FILTER_COLS[key]).isin(list(val)))
-            else:
-                df = df.where(F.col(self.FILTER_COLS[key]) == val)
-        return self._next(df)
+        for pred in self._filter_preds(kwargs):
+            df = df.where(pred)
+        nxt = self._next(df)
+        # Still a pure conjunctive-filter plan unless a pending take just
+        # FOLDED into the frame (filters after an eager-fold see the
+        # truncated set, which a fused predicate could not reproduce).
+        if self._pure_filters is not None and self._limit is None:
+            nxt._pure_filters = self._pure_filters + [dict(kwargs)]
+        return nxt
 
     def exclude(self, **kwargs: Any) -> "Chain":
         """Negated filter (P3)."""
@@ -306,6 +328,10 @@ class Chain:
         # operates on the 10-row truncated set, not the unfolded frame.
         nxt = self._next(self.df() if self._limit is not None else self._df)
         nxt._limit = n
+        # A first take() is just a recorded cap over the pure-filter frame;
+        # a second one folded the previous cap into the plan — purity lost.
+        if self._limit is None:
+            nxt._pure_filters = self._pure_filters
         return nxt
 
     def include(self, *facets: str) -> "Chain":
@@ -323,6 +349,7 @@ class Chain:
         nxt = self._next(self._df)
         nxt._limit = self._limit
         nxt._facets = tuple(dict.fromkeys(self._facets + facets))
+        nxt._pure_filters = self._pure_filters  # frame untouched
         return nxt
 
     # -- terminal ----------------------------------------------------------
@@ -406,6 +433,9 @@ class Chain:
         ):
             nxt._sort_cols = self._sort_cols
         nxt._facets = self._facets
+        # Derived frames are NOT pure-filter plans by default — filter()/
+        # take()/include() re-assert purity explicitly after calling this.
+        nxt._pure_filters = None
         return nxt
 
 
