@@ -187,3 +187,31 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, seed, threshold):
                 want[(a, b)] = jac
     assert got == want
     assert len(want) > 0, "seed produced no pairs — property vacuous"
+
+
+def test_bfs_wide_frontier_shuffled_join_matches_broadcast(spark):
+    """VERDICT r2 #10: bfs_khop's broadcast escape. A dense fan-out graph
+    whose frontier exceeds the broadcast threshold must take the shuffled
+    hash-join path and return byte-identical (v, depth) labels — the
+    guard changes the physical join, never the traversal."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_analyzer_spark.operators.graph import bfs_khop
+
+    # Star burst: 0 -> 1..800 (one hop makes the frontier 800 wide),
+    # then i -> 801 + (i*7 % 400) collapses into a second shell, plus
+    # back-edges into the first shell to exercise the visited anti-join.
+    e1 = [(0, i) for i in range(1, 801)]
+    e2 = [(i, 801 + (i * 7) % 400) for i in range(1, 801)]
+    e3 = [(801 + j, 1 + (j * 13) % 800) for j in range(400)]
+    edges = spark.createDataFrame(e1 + e2 + e3, "src BIGINT, dst BIGINT")
+
+    def run(threshold):
+        df = bfs_khop(spark, edges, [0], max_depth=4,
+                      broadcast_threshold=threshold)
+        return sorted((r["v"], r["depth"]) for r in df.collect())
+
+    via_broadcast = run(10**6)  # frontier always under → broadcast path
+    via_shuffle = run(16)       # 800-wide frontier busts it → shuffled
+    assert via_shuffle == via_broadcast
+    assert len(via_broadcast) == 1 + 800 + 400  # every vertex reached

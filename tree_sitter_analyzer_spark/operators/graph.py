@@ -53,11 +53,20 @@ def edges_sql(kind: str = "bfs") -> str:
     return f"SELECT DISTINCT * FROM (SELECT {cols} FROM range({n}) AS t(e))"
 
 
+# Frontier rows above which the BFS joins stop broadcasting and fall back
+# to a plain (shuffled) hash join: a sparse-graph frontier stays tiny, but
+# a dense graph at 100× can reach frontiers that would blow the broadcast
+# memory limit on every executor. ~1M bigint+int rows ≈ tens of MB — well
+# under Spark's default 8GB broadcast hard cap with margin for skew.
+BROADCAST_FRONTIER_MAX = 1_000_000
+
+
 def bfs_khop(
     spark: SparkSession,
     edges: DataFrame,
     seeds: list[int],
     max_depth: int = 4,
+    broadcast_threshold: int = BROADCAST_FRONTIER_MAX,
 ) -> DataFrame:
     """Vertices reachable within ``max_depth`` hops of the seed set, each
     labeled with its minimum depth (BFS first-discovery = min depth).
@@ -65,14 +74,29 @@ def bfs_khop(
     The loop is the reference's ``_bfs_call_edges`` frontier expansion:
     per round, frontier ⋈ edges → next frontier, minus visited
     (anti-join), depth literal attached per round (SURVEY.md J6).
+
+    The frontier side of each join is broadcast only while its measured
+    row count stays ≤ ``broadcast_threshold`` — past that the round runs
+    as a shuffled hash join keyed on the vertex (same result, pinned by
+    the equivalence test), so a dense-graph frontier can never exceed the
+    executors' broadcast memory. The count is free: the loop already runs
+    one scalar job per round on the checkpointed frontier (previously
+    ``isEmpty``), and hop-1's unmeasured intermediate inherits the flag
+    conservatively (a frontier that broke the threshold rarely shrinks
+    mid-round; a small one expands by at most the bounded out-degree).
     """
     seed_df = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "v BIGINT, depth INT"
     )
+
+    def bcast(df: DataFrame, small: bool) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     visited = seed_df
     frontier = seed_df
+    small = len(seeds) <= broadcast_threshold
     # Two hops per round: each round is ~2 fixed-overhead Spark jobs
-    # (checkpoint + emptiness), so halving the round count halves the
+    # (checkpoint + count), so halving the round count halves the
     # dominant cost of deep traversals. Correctness: every shortest path
     # to a node at depth 2k+1/2k+2 passes through the round-k frontier
     # (depths 2k-1, 2k) or through a node discovered in hop 1 of this
@@ -83,7 +107,7 @@ def bfs_khop(
     rounds = (max_depth + 1) // 2
     for _ in range(rounds):
         e1 = (
-            F.broadcast(frontier)
+            bcast(frontier, small)
             .join(edges, frontier.v == edges.src)
             .select(F.col("dst").alias("v"), (F.col("depth") + 1).alias("depth"))
         )
@@ -93,7 +117,7 @@ def bfs_khop(
         # non-minimal.
         e1m = e1.groupBy("v").agg(F.min("depth").alias("depth"))
         e2 = (
-            F.broadcast(e1m)
+            bcast(e1m, small)
             .join(edges, e1m.v == edges.src)
             .select(F.col("dst").alias("v"), (e1m.depth + 1).alias("depth"))
         )
@@ -105,8 +129,10 @@ def bfs_khop(
             .join(visited.select("v"), "v", "left_anti")
         )
         nxt = nxt.localCheckpoint(eager=True)  # cut the growing lineage
-        if nxt.isEmpty():
+        n = nxt.count()
+        if n == 0:
             break
+        small = n <= broadcast_threshold
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
