@@ -167,6 +167,70 @@ def knn_join(
     return out
 
 
+def radius_join(
+    tiles: DataFrame,
+    qpoints: DataFrame,
+    radius: float,
+    res: int = DEFAULT_KNN_RES,
+) -> DataFrame:
+    """Fixed-radius spatial join (the ST_DWithin analog, SURVEY.md J12's
+    distance-band family): every (query, tile) pair with euclidean
+    distance ≤ ``radius``, exact.
+
+    Same two-phase discipline as ``knn_join`` but with a STATIC disk —
+    no iteration: candidates are the tiles in the Chebyshev cell disk of
+    ``rc = ceil(radius / cell_size)`` around each query's cell (any point
+    within euclidean ``radius`` is ≤ rc cells away on each axis, so the
+    disk provably covers the ball); one exact ``dist2 ≤ radius²`` verify
+    keeps true pairs only. The tiny query×disk side broadcasts; the tile
+    table is probed map-side on the cell equi-join — the big side never
+    shuffles, and with a massive query set the same plan degrades to a
+    shuffled cell equi-join. Returns (query_id, image_id, dist2_nano),
+    integer-typed distance for cross-engine hash safety.
+    """
+    s = grid.cell_size(res)
+    rc = int(-(-radius // s))  # ceil
+    t = tile_cells(tiles, res).select("image_id", "lon", "lat", "cell")
+    q = qpoints.select(
+        "query_id",
+        "qlon",
+        "qlat",
+        grid.ix_col("qlon", res).alias("qix"),
+        grid.iy_col("qlat", res).alias("qiy"),
+    )
+    qcells = (
+        q.withColumn("off", F.explode(grid.disk_offsets_expr(rc)))
+        .withColumn(
+            "cell",
+            F.expr(grid.cell_from_ixiy_sql("qix + off.dx", "qiy + off.dy", res)),
+        )
+        .drop("off", "qix", "qiy")
+    )
+    bound2 = f"{radius * radius:.10e}"  # exponent literal → DOUBLE both engines
+    return (
+        t.join(F.broadcast(qcells), "cell")
+        .withColumn("dist2", F.expr(DIST2_SQL))
+        .where(F.expr(f"dist2 <= {bound2}"))
+        .select(
+            "query_id",
+            "image_id",
+            F.expr("CAST(floor(dist2 * 1e12) AS BIGINT)").alias("dist2_nano"),
+        )
+    )
+
+
+def radius_join_oracle_sql(radius: float) -> str:
+    """Naive exact oracle: cross join + the identical distance text and
+    the identical exponent-notation bound literal."""
+    bound2 = f"{radius * radius:.10e}"
+    return f"""
+SELECT q.query_id, t.image_id,
+       CAST(floor({DIST2_ORACLE_SQL} * 1e12) AS BIGINT) AS dist2_nano
+FROM qpoints q CROSS JOIN tiles t
+WHERE {DIST2_ORACLE_SQL} <= {bound2}
+"""
+
+
 def knn_oracle_sql(k: int = 5) -> str:
     """Naive exact oracle (cross join + window) — fine at sf0.01."""
     return f"""

@@ -320,3 +320,122 @@ nearest AS (
 SELECT image_id, zone_id, 'pip' AS method, CAST(0 AS BIGINT) AS dist2_nano FROM pipm
 UNION ALL
 SELECT image_id, zone_id, 'nearest' AS method, d AS dist2_nano FROM nearest"""
+
+
+def focal_mean(tiles: DataFrame, res: int = 8) -> DataFrame:
+    """Focal (neighborhood) raster statistic — the classic geospatial
+    moving-window aggregate (GDAL/PostGIS ``focal mean``; the reference's
+    neighbor-scope rollups are the sibling/parent combinators,
+    hyphae/parser.py): for every OCCUPIED res-``res`` cell, the tile
+    count and mean pixel area (w*h) over its 3×3 cell window.
+
+    Scale shape: aggregate FIRST (one shuffle, tiles → per-cell sums),
+    then fan the tiny per-cell frame ×9 to its neighbors and re-aggregate
+    — the window arithmetic never touches tile rows, so the fan-out is
+    O(#cells), not O(#tiles). Integer sums end-to-end; the mean is a
+    floor-milli bigint (cross-engine float-hash discipline).
+    """
+    from .pip_join import tile_cells
+
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.sum(F.expr("w * h")).alias("s"))
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+    )
+    contrib = per_cell.withColumn(
+        "off", F.explode(grid.disk_offsets_expr(1))
+    ).select(
+        F.expr(grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)).alias(
+            "cell"
+        ),
+        "n",
+        "s",
+    )
+    focal = contrib.groupBy("cell").agg(
+        F.sum("n").alias("focal_n"), F.sum("s").alias("focal_s")
+    )
+    return (
+        per_cell.select("cell", F.col("n").alias("n_tiles"))
+        .join(focal, "cell")
+        .select(
+            "cell",
+            "n_tiles",
+            "focal_n",
+            F.expr(
+                "CAST(floor((1000e0 * focal_s) / focal_n) AS BIGINT)"
+            ).alias("focal_mean_milli"),
+        )
+    )
+
+
+def focal_mean_oracle_sql(res: int = 8) -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return f"""
+per_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         count(*) AS n, sum(w * h) AS s
+  FROM tiles GROUP BY 1, 2
+),
+offs(dx, dy) AS (VALUES {offs}),
+contrib AS (
+  SELECT p.ix + o.dx AS ix, p.iy + o.dy AS iy, p.n, p.s
+  FROM per_cell p CROSS JOIN offs o
+),
+focal AS (
+  SELECT ix, iy, sum(n) AS focal_n, sum(s) AS focal_s
+  FROM contrib GROUP BY 1, 2
+)
+SELECT {grid.cell_from_ixiy_sql('p.ix', 'p.iy', res)} AS cell,
+       p.n AS n_tiles, f.focal_n,
+       CAST(floor((1000e0 * f.focal_s) / f.focal_n) AS BIGINT) AS focal_mean_milli
+FROM per_cell p JOIN focal f ON f.ix = p.ix AND f.iy = p.iy"""
+
+
+PYRAMID_LEVELS = (8, 6, 4)
+
+
+def pyramid_rollup(tiles: DataFrame, levels: tuple = PYRAMID_LEVELS) -> DataFrame:
+    """Multi-resolution tile pyramid in ONE scan — the image-pyramid /
+    hypertable-rollup analog of the reference's hierarchical scope
+    rollups: per (resolution, cell) tile count, pixel-area sum, and
+    first tile id, for every level at once.
+
+    One explode of a 3-struct array per tile row → one aggregation keyed
+    (res, cell); map-side combine collapses to ~#cells rows per level
+    before the single exchange. No per-level rescans — at 100 TB the
+    scan is the cost, so all levels amortize it.
+    """
+    lv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("res"),
+                    F.expr(grid.cell_sql("lon", "lat", r)).alias("cell"),
+                )
+                for r in levels
+            ]
+        )
+    )
+    return (
+        tiles.select(lv.alias("l"), "w", "h", "i")
+        .groupBy(F.col("l.res").alias("res"), F.col("l.cell").alias("cell"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(F.expr("w * h")).alias("px_sum"),
+            F.min("i").alias("first_i"),
+        )
+    )
+
+
+def pyramid_rollup_oracle_sql(levels: tuple = PYRAMID_LEVELS) -> str:
+    parts = [
+        f"""SELECT CAST({r} AS INTEGER) AS res, {grid.cell_sql('lon', 'lat', r)} AS cell,
+       count(*) AS n_tiles, sum(w * h) AS px_sum, min(i) AS first_i
+FROM tiles GROUP BY 1, 2"""
+        for r in levels
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -599,3 +599,43 @@ def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rms_milli").cast("bigint").alias("max_rms_milli"),
         F.sum("zero_crossings").cast("bigint").alias("sum_zero_crossings"),
     )
+
+
+# --- round 3: near-dup clustering (pairs → components → canonical) ----------
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE pairs AS ({dedup.minhash_lsh_oracle(500)}),
+ue AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM ue),
+walk(start, cur, hops) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN ue e ON e.src = w.cur
+  WHERE w.hops < 20
+),
+comp AS (SELECT start AS v, min(cur) AS component FROM walk GROUP BY start)
+SELECT component AS cluster_id, count(*) AS n_docs,
+       CAST(count(*) - 1 AS BIGINT) AS n_dups
+FROM comp GROUP BY 1""",
+    doc="Near-dup CLUSTERS: minhash-LSH pairs → connected components → one "
+    "row per cluster with the canonical keep-doc (min doc_id) and dup "
+    "count — the operation a training pipeline actually runs (keep one "
+    "per cluster), composed from the LSH and graph suites. Oracle "
+    "replicates the pair set and min-label closure (hop cap == Spark's "
+    "normalized step budget, operators/graph.py _even_steps).",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    pairs = dedup.minhash_lsh_dups(_docs(spark, sf_dir), 500)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(spark, edges, max_rounds=20)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.lit(1)).cast("bigint").alias("n_dups"),
+    )

@@ -786,3 +786,39 @@ def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist2_nano",
         )
     )
+
+
+# --- round 3: distance-band join + raster neighborhood + pyramid ------------
+
+@register(
+    "radius_join",
+    f"{_CTES}\n{knn.radius_join_oracle_sql(0.02)}",
+    doc="Fixed-radius spatial join (ST_DWithin analog): all (query, tile) "
+    "pairs within 0.02° — static cell-disk candidates + exact verify "
+    "(SURVEY.md J12 distance-band family); oracle is the naive cross join.",
+)
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    q = synth.qpoints_df(spark)
+    return knn.radius_join(t, q, radius=0.02)
+
+
+@register(
+    "focal_mean",
+    f"{_CTES},\n{zonal.focal_mean_oracle_sql(8)}",
+    doc="Focal 3×3 neighborhood mean pixel area per occupied res-8 cell — "
+    "raster moving-window statistic; aggregate-then-fan keeps the window "
+    "arithmetic O(#cells).",
+)
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.focal_mean(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "pyramid_rollup",
+    f"{_CTES}\n{zonal.pyramid_rollup_oracle_sql()}",
+    doc="Multi-resolution tile pyramid (res 8/6/4) in one scan — "
+    "hypertable/image-pyramid rollup; single (res, cell)-keyed exchange.",
+)
+def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.pyramid_rollup(_tiles(spark, sf_dir))
