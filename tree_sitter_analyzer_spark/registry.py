@@ -55,10 +55,17 @@ def register(
 # slot 50 remain fully verified by the in-repo DuckDB oracle-parity pytest
 # suite at sf0.001 and the per-round sf0.01 all-registry sweep.
 GATE_ORDER = [
-    # spatial core (north rule): index → PIP join family → kNN → zonal
+    # spatial core (north rule): index → PIP join family → kNN → zonal.
+    # Round-3 intra-round rotation: parent_cell_rollup → pyramid_rollup
+    # (same hierarchy family, strictly more levels per scan),
+    # union_hot_or_large → radius_join (U-family mechanics also covered
+    # by snapshot_diff + the anti-join slots; distance-band is a new
+    # family), dedup_fingerprint → dedup_clusters (fingerprint grouping
+    # is the same plan family as dedup_exact; clustering composes LSH
+    # with the graph suite).
     "tile_manifest", "pip_join", "knn",
     "zonal_stats", "top_tiles_per_zone", "zone_assignment",
-    "parent_cell_rollup", "union_hot_or_large",
+    "pyramid_rollup", "radius_join",
     "cell_density_heatmap", "cascade_search", "uncovered_zones",
     "byte_budget_batch", "zonal_weighted",
     "hot_cell_counts_salted",
@@ -68,7 +75,7 @@ GATE_ORDER = [
     "asof_attribution", "session_window_stats", "fmt_kind_cube",
     "event_hopping_counts", "median_order_per_segment", "incremental_merge",
     # training-data pipeline suite (task brief first-class)
-    "ingest_summary", "dedup_exact", "dedup_fingerprint", "ngram_jaccard",
+    "ingest_summary", "dedup_exact", "dedup_clusters", "ngram_jaccard",
     "minhash_lsh", "simhash_dups", "dedup_embedding", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_stats", "caption_search",
     "hybrid_search", "winnow_dups", "dedup_prefix", "phash_hamming_pairs",
