@@ -198,3 +198,51 @@ def test_stateful_grade_regression_alerts(spark, tmp_path):
     write_batch([("z1", 50)], 3)
     run_once()  # still in cooldown → suppressed
     assert len(alerts) == baseline_alerts + 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join (click→purchase
+    attribution): the streaming result over file-sourced micro-batches
+    must equal the identical predicate joined as static frames — and the
+    join must carry watermarks on BOTH sides so its state is bounded."""
+    import os
+
+    from tree_sitter_analyzer_spark.streaming.join import (
+        click_attribution_join,
+        watermarked,
+    )
+
+    src = str(tmp_path / "ss_src")
+    os.makedirs(src)
+    shutil.copy(f"{SF_TINY}/events.parquet", f"{src}/part-0.parquet")
+    schema = spark.read.parquet(f"{SF_TINY}/events.parquet").schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = click_attribution_join(
+        watermarked(stream, "click"), watermarked(stream, "purchase")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attributed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM attributed").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_events = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in click_attribution_join(
+            watermarked(batch_events, "click"),
+            watermarked(batch_events, "purchase"),
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 50  # non-vacuous: dense user×hour overlap
