@@ -232,3 +232,37 @@ def test_zone_assignment_full_fallback_is_map_side(spark):
     assert plan.count("Exchange hashpartitioning") <= plan_of(base).count(
         "Exchange hashpartitioning"
     ) + 1  # anti-join reuses the broadcast; at most the union's partial agg
+
+
+def test_radius_join_is_broadcast_no_tile_shuffle(spark):
+    """Distance-band join: the query×disk side broadcasts; the tile scan
+    joins map-side — no sort-merge join, no exchange below the join."""
+    df = knn.radius_join(synth.tiles_df(spark, SF_TINY), synth.qpoints_df(spark), 0.02)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_focal_mean_fans_cells_not_tiles(spark):
+    """The 3×3 window fan-out must sit ABOVE the per-cell aggregation:
+    exactly one explode (Generate), and it consumes aggregated per-cell
+    rows — tile rows are reduced before any neighbor arithmetic."""
+    df = zonal.focal_mean(synth.tiles_df(spark, SF_TINY), res=8)
+    plan = plan_of(df, "simple")
+    assert plan.count("Generate explode") == 1
+    gen = plan.index("Generate explode")
+    # an aggregate must appear BELOW the explode in the tree (printed
+    # after it in the indented plan dump)
+    assert "HashAggregate" in plan[gen:]
+
+
+def test_pyramid_rollup_single_exchange(spark):
+    """All pyramid levels aggregate through ONE (res, cell)-keyed
+    exchange — no per-level union of separate scans/shuffles."""
+    df = zonal.pyramid_rollup(synth.tiles_df(spark, SF_TINY))
+    plan = plan_of(df, "simple")
+    # one ENSURE_REQUIREMENTS exchange = the (res, cell) aggregation; the
+    # REPARTITION_BY_NUM below it is the deliberate single-seed-file
+    # fan-out (CLAUDE.md), not an aggregation shuffle
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "Union" not in plan
