@@ -246,3 +246,49 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) > 50  # non-vacuous: dense user×hour overlap
+
+
+def test_ivm_zonal_counts_match_batch_recompute(spark, tmp_path):
+    """Incremental view maintenance: the zonal-count view maintained from
+    per-micro-batch deltas must equal the batch recompute over everything
+    ever ingested (counts are a monoid; the maintenance cost per batch is
+    O(batch), never O(corpus))."""
+    import os
+
+    from tree_sitter_analyzer_spark.streaming.ivm import ZonalCountIVM
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    src = str(tmp_path / "ivm_src")
+    os.makedirs(src)
+    # two micro-batches: disjoint halves of the tile table, flattened to
+    # single files (the file stream source lists the top level only)
+    import glob
+
+    for b, pred in ((0, "i % 2 = 0"), (1, "i % 2 = 1")):
+        out = str(tmp_path / f"half{b}")
+        tiles.where(pred).coalesce(1).write.parquet(out)
+        shutil.copy(glob.glob(f"{out}/part-*.parquet")[0], f"{src}/batch{b}.parquet")
+
+    zones = synth.zones_df(spark)
+    ivm = ZonalCountIVM(spark, zones, res=9)
+    schema = tiles.schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force ≥2 separate deltas
+        .parquet(src)
+        .writeStream.foreachBatch(ivm.on_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["polygon_id"]: r["n"] for r in ivm.state.collect()}
+    from tree_sitter_analyzer_spark.streaming.ivm import delta_zonal_counts
+
+    want = {
+        r["polygon_id"]: r["n"]
+        for r in delta_zonal_counts(tiles, zones, res=9).collect()
+    }
+    assert got == want and len(want) > 10
