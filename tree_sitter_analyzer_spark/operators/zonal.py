@@ -439,3 +439,94 @@ FROM tiles GROUP BY 1, 2"""
         for r in levels
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def local_moran(tiles: DataFrame, res: int = 8) -> DataFrame:
+    """Local Moran's I spatial autocorrelation over the cell grid — the
+    LISA hot/cold-spot statistic (Anselin 1995), on the per-cell tile
+    counts with 8-neighbor rook+bishop weights.
+
+    Exact INTEGER formulation (cross-engine hash safety): with T = total
+    tiles over C occupied cells, the deviation is scaled by C —
+    ``dev_i = C·n_i − T`` (∝ n_i − mean, exactly) — and the statistic is
+    ``moran_num_i = dev_i · Σ_{j∈N(i)} dev_j`` over OCCUPIED neighbors.
+    Positive = a cluster (hot-hot / cold-cold), negative = an outlier
+    among unlike neighbors; magnitudes are comparable within one run.
+
+    Scale shape: per-cell agg (one shuffle) → 1-row totals broadcast →
+    ×8 fan of the CELL frame (never tiles) → neighbor-sum join. Same
+    O(#cells) window discipline as ``focal_mean``.
+    """
+    from .pip_join import tile_cells
+
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+    )
+    totals = per_cell.agg(
+        F.sum("n").alias("t_sum"), F.count("*").alias("c_cells")
+    )
+    dev = per_cell.crossJoin(F.broadcast(totals)).withColumn(
+        "dev", F.expr("c_cells * n - t_sum")
+    )
+    neigh = (
+        dev.withColumn("off", F.explode(grid.disk_offsets_expr(1)))
+        .where("NOT (off.dx = 0 AND off.dy = 0)")
+        .select(
+            F.expr(
+                grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)
+            ).alias("cell"),
+            F.col("dev").alias("ndev"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("ndev").alias("neigh_dev"))
+    )
+    return (
+        dev.join(neigh, "cell", "left")
+        .select(
+            "cell",
+            F.col("n").alias("n_tiles"),
+            F.col("dev").cast("bigint").alias("dev"),
+            F.coalesce(F.col("neigh_dev"), F.lit(0)).cast("bigint").alias(
+                "neigh_dev"
+            ),
+            F.expr(
+                "CAST(dev * coalesce(neigh_dev, 0) AS BIGINT)"
+            ).alias("moran_num"),
+        )
+    )
+
+
+def local_moran_oracle_sql(res: int = 8) -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+per_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2
+),
+totals AS (SELECT sum(n) AS t_sum, count(*) AS c_cells FROM per_cell),
+dev AS (
+  SELECT p.ix, p.iy, p.n, t.c_cells * p.n - t.t_sum AS dev
+  FROM per_cell p CROSS JOIN totals t
+),
+offs(dx, dy) AS (VALUES {offs}),
+neigh AS (
+  SELECT d.ix + o.dx AS ix, d.iy + o.dy AS iy, sum(d.dev) AS neigh_dev
+  FROM dev d CROSS JOIN offs o
+  GROUP BY 1, 2
+)
+SELECT {grid.cell_from_ixiy_sql('d.ix', 'd.iy', res)} AS cell,
+       d.n AS n_tiles,
+       CAST(d.dev AS BIGINT) AS dev,
+       CAST(coalesce(nb.neigh_dev, 0) AS BIGINT) AS neigh_dev,
+       CAST(d.dev * coalesce(nb.neigh_dev, 0) AS BIGINT) AS moran_num
+FROM dev d LEFT JOIN neigh nb ON nb.ix = d.ix AND nb.iy = d.iy"""

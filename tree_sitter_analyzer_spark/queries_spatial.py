@@ -822,3 +822,14 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.pyramid_rollup(_tiles(spark, sf_dir))
+
+
+@register(
+    "local_moran",
+    f"{_CTES},\n{zonal.local_moran_oracle_sql(8)}",
+    doc="Local Moran's I (LISA) spatial autocorrelation of per-cell tile "
+    "counts, 8-neighbor weights — exact integer formulation (dev scaled "
+    "by cell count); positive = hot/cold cluster, negative = outlier.",
+)
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.local_moran(_tiles(spark, sf_dir), res=8)
