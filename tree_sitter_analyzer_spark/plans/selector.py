@@ -202,10 +202,10 @@ def apply_selector(chain: Chain, text: str) -> Chain:
             ):
                 raise SelectorError("sort needs a column name")
             col = toks[i][1]
-            if col not in chain._df.columns:
+            if col not in chain.columns:
                 raise SelectorError(
                     f"unknown sort column {col!r}; "
-                    f"allowed: {sorted(chain._df.columns)}"
+                    f"allowed: {sorted(chain.columns)}"
                 )
             desc = False
             if i + 1 < len(toks) and toks[i + 1] == ("word", "desc"):
