@@ -266,3 +266,85 @@ def test_cell_center_roundtrip(lon, lat, res):
     s = grid.cell_size(res)
     assert abs(clon[0] - lon) <= s / 2 + 1e-12
     assert abs(clat[0] - lat) <= s / 2 + 1e-12
+
+
+# --- DBSCAN: engine vs pure-Python brute force ------------------------------
+
+def _brute_dbscan(ids, lon, lat, eps, min_pts):
+    """Independent spec implementation: O(n²) numpy neighbors, union-find
+    components over core-core edges, min-core-key cluster labels, border
+    -> min neighbor cluster. Returns {id: (role, cluster)}."""
+    import numpy as _np
+
+    n = len(ids)
+    dx = lon[:, None] - lon[None, :]
+    dy = lat[:, None] - lat[None, :]
+    nbr = (dx * dx + dy * dy) <= eps * eps  # includes self
+    core = nbr.sum(axis=1) >= min_pts
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a in range(n):
+        if not core[a]:
+            continue
+        for b in range(a + 1, n):
+            if core[b] and nbr[a, b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    out = {}
+    comp_min: dict[int, int] = {}
+    for a in range(n):
+        if core[a]:
+            r = find(a)
+            comp_min[r] = min(comp_min.get(r, ids[a]), ids[a])
+    for a in range(n):
+        if core[a]:
+            out[ids[a]] = ("core", comp_min[find(a)])
+        else:
+            nc = [comp_min[find(b)] for b in range(n) if core[b] and nbr[a, b]]
+            if nc:
+                out[ids[a]] = ("border", min(nc))
+            else:
+                out[ids[a]] = ("noise", -1)
+    return out
+
+
+def test_dbscan_matches_brute_force(spark):
+    """Grid-candidate pairs + cell-quotient components == the O(n²)
+    union-find spec, on a seeded point set straddling cell borders (two
+    dense blobs + a sparse ring + background noise)."""
+    import numpy as np
+    from tree_sitter_analyzer_spark.operators import dbscan as dbs
+
+    rng = np.random.default_rng(42)
+    blob1 = rng.normal([139.7031, 35.6016], 0.002, (60, 2))  # on a cell corner
+    blob2 = rng.normal([139.9, 35.75], 0.0015, (40, 2))
+    ring_t = rng.uniform(0, 2 * np.pi, 30)
+    ring = np.stack(
+        [139.8 + 0.004 * np.cos(ring_t), 35.5 + 0.004 * np.sin(ring_t)], axis=1
+    )
+    noise = np.stack(
+        [rng.uniform(139.5, 140.1, 25), rng.uniform(35.4, 35.9, 25)], axis=1
+    )
+    pts = np.concatenate([blob1, blob2, ring, noise])
+    ids = np.arange(len(pts))
+    pdf = [
+        (int(i), f"img_{i:012d}", float(x), float(y))
+        for i, (x, y) in zip(ids, pts)
+    ]
+    tiles = spark.createDataFrame(
+        pdf, "i BIGINT, image_id STRING, lon DOUBLE, lat DOUBLE"
+    )
+    got = {
+        r["image_id"]: (r["role"], r["cluster"])
+        for r in dbs.dbscan_labels(spark, tiles, eps=0.005, min_pts=8).collect()
+    }
+    want = _brute_dbscan(ids, pts[:, 0], pts[:, 1], 0.005, 8)
+    want = {f"img_{i:012d}": v for i, v in want.items()}
+    assert got == want

@@ -833,3 +833,24 @@ def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.local_moran(_tiles(spark, sf_dir), res=8)
+
+
+# --- round 3: density clustering (DBSCAN) -----------------------------------
+
+from .operators import dbscan as dbscan_ops  # noqa: E402
+
+
+@register(
+    "dbscan_clusters",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + dbscan_ops.dbscan_oracle_sql(),
+    doc="Exact grid-accelerated DBSCAN (eps=0.005°, minPts=8): per-tile "
+    "role (core/border/noise) + deterministic cluster id (min core tile "
+    "key; border -> min neighbor component). Spark generates eps-pairs "
+    "via a shuffled cell-disk equi-join; the oracle re-derives them "
+    "all-pairs and closes components with an UNCAPPED recursive walk — "
+    "parity proves both the pair set and loop convergence.",
+)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dbscan_ops.dbscan_labels(spark, _tiles(spark, sf_dir))
