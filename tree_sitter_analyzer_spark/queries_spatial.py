@@ -854,3 +854,22 @@ from .operators import dbscan as dbscan_ops  # noqa: E402
 )
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_ops.dbscan_labels(spark, _tiles(spark, sf_dir))
+
+
+# --- round 3: Z-order layout audit ------------------------------------------
+
+from .operators import layout as layout_ops  # noqa: E402
+
+
+@register(
+    "zorder_layout",
+    f"{_CTES},\n{layout_ops.zorder_audit_oracle_sql(32)}",
+    doc="Z-order (Morton) layout audit: tiles range-bucketed by the "
+    "interleaved-bit key vs by insertion id, per-bucket locality (tile "
+    "count, distinct res-9 cells, integer bbox area). The recorded "
+    "bbox-area gap IS the file-pruning win of Z-order clustering at "
+    "10^12 rows; the production path is operators/layout.py::"
+    "write_zordered (repartitionByRange + sortWithinPartitions).",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_ops.zorder_layout_audit(_tiles(spark, sf_dir), n_buckets=32)

@@ -80,9 +80,13 @@ GATE_ORDER = [
     "ann_lsh_topk", "ann_ivf_topk", "text_stats", "caption_search",
     "hybrid_search", "winnow_dups", "dedup_prefix", "phash_hamming_pairs",
     "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
-    # graph traversal / analytics suite
-    "bfs_khop", "reachability", "shortest_path_trace",
+    # graph traversal / analytics suite (reachability rotated out late
+    # round 3: its transitive-closure family is covered by bfs_khop +
+    # connected_components; the slot goes to the new density-clustering
+    # family)
+    "bfs_khop", "shortest_path_trace",
     "connected_components", "pagerank3",
+    "dbscan_clusters",
 ]
 
 
