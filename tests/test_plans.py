@@ -266,3 +266,36 @@ def test_pyramid_rollup_single_exchange(spark):
     # fan-out (CLAUDE.md), not an aggregation shuffle
     assert plan.count("ENSURE_REQUIREMENTS") == 1
     assert "Union" not in plan
+
+
+def test_dbscan_pairs_are_cell_keyed_shuffle_join(spark):
+    """DBSCAN eps-pair generation must be a CELL-keyed equi-join with NO
+    cartesian/nested-loop anywhere and NO broadcast of the corpus side
+    (both sides are the full tile set — a broadcast would OOM at scale).
+    """
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import dbscan as dbs
+
+    pairs = dbs.eps_neighbor_pairs(synth.tiles_df(spark, SF_TINY))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "cell#" in ln]
+    assert joins, plan  # the candidate join is keyed on the cell id
+
+
+def test_zorder_writer_plan_is_range_partitioned(spark):
+    """write_zordered's plan must carry a range-partitioning exchange on
+    the Morton key (repartitionByRange — sampled boundaries, distributed
+    sort), never a global single-partition sort."""
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import layout as L
+
+    df = (
+        synth.tiles_df(spark, SF_TINY)
+        .withColumn("zkey", L.morton_col("lon", "lat", 9))
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(zkey" in plan.lower(), plan
