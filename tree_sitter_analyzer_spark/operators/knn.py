@@ -245,3 +245,78 @@ SELECT query_id, rank, image_id, dist2_nano FROM (
   FROM qpoints q CROSS JOIN tiles t
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation — the raster-surface estimation op built on radius_join.
+# ---------------------------------------------------------------------------
+
+IDW_W_SCALE = 10_000_000_000  # 1e10: wt = SCALE div d2_nano, bigint-exact
+IDW_D2_FLOOR = 100  # clamp near-exact hits so weights stay bounded
+
+
+def idw_surface(
+    tiles: DataFrame,
+    qpoints: DataFrame,
+    radius: float = 0.01,
+    res: int = DEFAULT_KNN_RES,
+) -> DataFrame:
+    """Inverse-distance-weighted surface estimate of tile pixel area
+    (z = w·h) at each query point: ẑ(q) = Σ wᵢzᵢ / Σ wᵢ over neighbors
+    within ``radius``, wᵢ = SCALE div max(d²ᵢ_nano, FLOOR) — the classic
+    power-2 IDW, carried ENTIRELY in bigints (weights via integer
+    division of the already-integer nano-distance from ``radius_join``)
+    so partial aggregation order can't perturb a bit and the DuckDB
+    oracle matches exactly. Query points with no neighbor in range emit
+    no row (their estimate is undefined, not zero).
+
+    Scale shape: inherits radius_join's one broadcast-cell candidate
+    join + exact verify; the agg is ~#queries keys. The z lookup join is
+    keyed on the tile id.
+    """
+    pairs = radius_join(tiles, qpoints, radius, res)
+    z = tiles.select(
+        "image_id", (F.col("w") * F.col("h")).cast("bigint").alias("z")
+    )
+    return (
+        pairs.join(z, "image_id")
+        .withColumn(
+            "wt",
+            F.expr(
+                f"{IDW_W_SCALE} DIV GREATEST(dist2_nano, {IDW_D2_FLOOR})"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_nbrs"),
+            F.sum(F.col("wt") * F.col("z")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+        .select(
+            "query_id",
+            "n_nbrs",
+            F.expr("num DIV den").alias("z_est"),
+        )
+    )
+
+
+def idw_oracle_sql(radius: float = 0.01) -> str:
+    """Same integer formulation over the naive cross-join pair set
+    (DuckDB spells integer division ``//``)."""
+    bound2 = f"{radius * radius:.10e}"
+    return f"""
+idw_pairs AS (
+  SELECT q.query_id, t.w * t.h AS z,
+         CAST(floor({DIST2_ORACLE_SQL} * 1e12) AS BIGINT) AS d2n
+  FROM qpoints q CROSS JOIN tiles t
+  WHERE {DIST2_ORACLE_SQL} <= {bound2}
+),
+idw_w AS (
+  SELECT query_id, z,
+         {IDW_W_SCALE} // GREATEST(d2n, {IDW_D2_FLOOR}) AS wt
+  FROM idw_pairs
+)
+SELECT query_id, count(*) AS n_nbrs,
+       CAST(sum(wt * z) // sum(wt) AS BIGINT) AS z_est
+FROM idw_w GROUP BY query_id
+"""

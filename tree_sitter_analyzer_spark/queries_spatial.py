@@ -873,3 +873,20 @@ from .operators import layout as layout_ops  # noqa: E402
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_ops.zorder_layout_audit(_tiles(spark, sf_dir), n_buckets=32)
+
+
+# --- round 3: IDW interpolation ---------------------------------------------
+
+@register(
+    "idw_surface",
+    f"{_CTES},\n{knn.idw_oracle_sql(0.01)}",
+    doc="Inverse-distance-weighted (power-2) pixel-area surface at each "
+    "query point over neighbors within 0.01° — interpolation/regridding "
+    "family, composed from radius_join; weights and sums are all-bigint "
+    "(SCALE div nano-distance) so aggregation order is parity-proof. "
+    "Spark DIV and DuckDB // agree (positive operands).",
+)
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    q = synth.qpoints_df(spark)
+    return knn.idw_surface(t, q, radius=0.01)
