@@ -1,0 +1,268 @@
+"""Trajectory / movement analytics over synthetic GPS pings (SURVEY §2.12
+R36-R39).
+
+The reference analyzes *sequences* of symbols per file (ordered spans,
+``ast_cache`` row order); the movement analog — ordered position fixes per
+entity — is the workload a geospatial engine at 10^12 rows actually faces
+(fleet/AIS/mobile traces). Four classic operators over one shared
+``pings`` derivation:
+
+- per-entity trajectory summary (path length, net displacement, coverage),
+- origin→destination flow matrix,
+- stop detection (gaps-and-islands dwell runs),
+- co-location pairs (contact join via (cell, day) bucket self-join).
+
+Parity by construction (CLAUDE.md discipline): every ping column is
+all-BIGINT — the walk lives on the res-12 integer grid (grid.py units:
+1 unit = 1/4096°), steps are Lehmer-LCG integers, positions are window
+cumulative sums, cells are integer right-shifts (DIV on positive
+operands = DuckDB ``//``). No float ever enters a compared column, so
+aggregation order is irrelevant and both engines are bit-exact.
+
+Scale shape: every operator is one window over (user_id) — a single
+hash-partition by entity, the natural key at 10^12 pings — followed by
+an entity-keyed groupBy (no second shuffle: partial aggregation upstream
+of the same exchange). The co-location contact join is an equi-join on
+(cell, day) buckets — candidate pairs only ever form within a bucket,
+never all-pairs (the pip_join/dedup banding discipline applied to
+spacetime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..synth import lcg
+
+# res-12 integer units; start boxes sit inside the tiles geography
+# (lon 139.5..140.1 → ix ≈ 1.308e6, lat 35.4..35.9 → iy ≈ 5.14e5).
+N_BASES = 8
+_SX = f"(1308300 + (user_id % {N_BASES}) * 280 + {lcg('user_id + 17', 48271)} % 60)"
+_SY = f"(513700 + (user_id % {N_BASES}) * 230 + {lcg('user_id + 17', 16807)} % 60)"
+# 40% of pings are dwells (zero step) — dwell runs are what stop
+# detection finds; moving steps are ±20 units (~±5e-3°) per fix.
+_DWELL = f"({lcg('event_id*3+1', 69621)} % 5 < 2)"
+_DX = f"(CASE WHEN {_DWELL} THEN 0 ELSE {lcg('event_id*3+2', 48271)} % 41 - 20 END)"
+_DY = f"(CASE WHEN {_DWELL} THEN 0 ELSE {lcg('event_id*3+2', 16807)} % 41 - 20 END)"
+
+# micros-per-day; day bucket = TZ-free NTZ epoch DIV (queries_relational
+# discipline — never cast NTZ to TIMESTAMP in compared queries)
+_DAY_US = 86_400_000_000
+_EPOCH_US_SPARK = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+_EPOCH_US_DUCK = "date_diff('microsecond', TIMESTAMP '1970-01-01', ts)"
+
+# res-12 → res-r cell: shift = 12 - r; packed without the res tag (both
+# coords < 2**24 here, so cx * 2**28 + cy is collision-free int64).
+_PACK = 268_435_456
+
+
+def _shift(r: int) -> int:
+    return 1 << (12 - r)
+
+
+def pings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered position fixes per user: integer random walk seeded from
+    the events table (one ping per event, ordered by (ts, event_id))."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr(_DX).alias("dx"),
+            F.expr(_DY).alias("dy"),
+            F.expr(_SX).alias("sx"),
+            F.expr(_SY).alias("sy"),
+        )
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("ix", F.col("sx") + F.sum("dx").over(cum))
+        .withColumn("iy", F.col("sy") + F.sum("dy").over(cum))
+        .withColumn("day", F.expr(f"{_EPOCH_US_SPARK} DIV {_DAY_US}"))
+    )
+
+
+def pings_oracle_cte(events_clause: str = "events") -> str:
+    """DuckDB CTE chain producing the identical pings relation."""
+    return f"""p0 AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         {_DX} AS dx, {_DY} AS dy, {_SX} AS sx, {_SY} AS sy
+  FROM {events_clause}
+),
+pings AS (
+  SELECT user_id, event_id, ts, seq, dx, dy, sx, sy,
+         sx + SUM(dx) OVER (PARTITION BY user_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ix,
+         sy + SUM(dy) OVER (PARTITION BY user_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iy,
+         {_EPOCH_US_DUCK} // {_DAY_US} AS day
+  FROM p0
+)"""
+
+
+# ---------------------------------------------------------------------------
+# R36: per-entity trajectory summary
+# ---------------------------------------------------------------------------
+
+def traj_stats(pings: DataFrame) -> DataFrame:
+    """One row per user: ping count, Chebyshev path length (grid units),
+    net displacement start→end, and distinct res-9 cells visited.
+    Single exchange on user_id (the window's partitioning is reused by
+    the groupBy — Catalyst plans no second shuffle)."""
+    s9 = _shift(9)
+    per = pings.select(
+        "user_id",
+        "seq",
+        F.greatest(F.abs("dx"), F.abs("dy")).alias("step"),
+        (F.col("ix") - F.col("sx")).alias("ox"),
+        (F.col("iy") - F.col("sy")).alias("oy"),
+        F.expr(f"(ix DIV {s9}) * {_PACK} + (iy DIV {s9})").alias("cell9"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_pings"),
+        F.sum("step").alias("path_cheb"),
+        F.greatest(
+            F.abs(F.max_by("ox", "seq")), F.abs(F.max_by("oy", "seq"))
+        ).alias("net_cheb"),
+        F.countDistinct("cell9").alias("n_cells9"),
+    )
+
+
+def traj_stats_oracle(events_clause: str = "events") -> str:
+    s9 = _shift(9)
+    return f"""WITH {pings_oracle_cte(events_clause)}
+SELECT user_id,
+       count(*) AS n_pings,
+       SUM(GREATEST(abs(dx), abs(dy))) AS path_cheb,
+       GREATEST(abs(arg_max(ix - sx, seq)), abs(arg_max(iy - sy, seq))) AS net_cheb,
+       count(DISTINCT (ix // {s9}) * {_PACK} + (iy // {s9})) AS n_cells9
+FROM pings GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# R37: origin→destination flow matrix
+# ---------------------------------------------------------------------------
+
+def od_flows(pings: DataFrame, res: int = 7) -> DataFrame:
+    """OD matrix at res ``res``: each user's trajectory contributes one
+    (first-cell → last-cell) flow; flows aggregate to (origin, dest,
+    n_users). Two entity-keyed aggregations — the second groupBy is on
+    the (small) OD-pair key space."""
+    s = _shift(res)
+    od = pings.groupBy("user_id").agg(
+        F.min_by(
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})"), F.col("seq")
+        ).alias("origin_cell"),
+        F.max_by(
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})"), F.col("seq")
+        ).alias("dest_cell"),
+    )
+    return od.groupBy("origin_cell", "dest_cell").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def od_flows_oracle(events_clause: str = "events", res: int = 7) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+od AS (
+  SELECT user_id,
+         arg_min((ix // {s}) * {_PACK} + (iy // {s}), seq) AS origin_cell,
+         arg_max((ix // {s}) * {_PACK} + (iy // {s}), seq) AS dest_cell
+  FROM pings GROUP BY user_id)
+SELECT origin_cell, dest_cell, count(*) AS n_users
+FROM od GROUP BY origin_cell, dest_cell"""
+
+
+# ---------------------------------------------------------------------------
+# R38: stop detection (dwell runs) — gaps-and-islands
+# ---------------------------------------------------------------------------
+
+def stop_detect(pings: DataFrame, res: int = 9, min_len: int = 4) -> DataFrame:
+    """Maximal runs of >= ``min_len`` consecutive fixes inside one res-9
+    cell. Classic gaps-and-islands: within (user, cell) the run id is
+    ``seq - row_number()`` — constant exactly while fixes are consecutive.
+    Both windows partition by user (+cell), so one exchange feeds all."""
+    s = _shift(res)
+    cellp = pings.withColumn(
+        "cell", F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})")
+    )
+    w = Window.partitionBy("user_id", "cell").orderBy("seq")
+    runs = cellp.withColumn("grp", F.col("seq") - F.row_number().over(w))
+    return (
+        runs.groupBy("user_id", "cell", "grp")
+        .agg(F.count("*").alias("n_pings"), F.min("seq").alias("start_seq"))
+        .where(F.col("n_pings") >= min_len)
+        .select("user_id", "cell", "start_seq", "n_pings")
+    )
+
+
+def stop_detect_oracle(
+    events_clause: str = "events", res: int = 9, min_len: int = 4
+) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+runs AS (
+  SELECT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell, seq,
+         seq - row_number() OVER (
+           PARTITION BY user_id, (ix // {s}) * {_PACK} + (iy // {s})
+           ORDER BY seq) AS grp
+  FROM pings)
+SELECT user_id, cell, min(seq) AS start_seq, count(*) AS n_pings
+FROM runs GROUP BY user_id, cell, grp
+HAVING count(*) >= {min_len}"""
+
+
+# ---------------------------------------------------------------------------
+# R39: co-location pairs (contact join)
+# ---------------------------------------------------------------------------
+
+def colocation_pairs(pings: DataFrame, res: int = 8) -> DataFrame:
+    """User pairs observed in the same res-8 cell on the same day.
+    Contact-tracing join: dedupe to (user, cell, day) presence rows,
+    then a (cell, day)-keyed equi-self-join with user_a < user_b —
+    candidates form only inside a spacetime bucket (never all-pairs;
+    bucket population is bounded by cell size × day, the same banding
+    discipline as the dedup tiers). Output: pair + co-located bucket
+    count + distinct co-located days."""
+    s = _shift(res)
+    occ = (
+        pings.select(
+            "user_id",
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})").alias("cell"),
+            "day",
+        )
+        .dropDuplicates(["user_id", "cell", "day"])
+        .localCheckpoint(eager=False)
+    )
+    a, b = occ.alias("a"), occ.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    )
+    return pairs.groupBy(
+        F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+    ).agg(
+        F.count("*").alias("n_meets"),
+        F.countDistinct(F.col("a.day")).alias("n_days"),
+    )
+
+
+def colocation_pairs_oracle(events_clause: str = "events", res: int = 8) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+occ AS (
+  SELECT DISTINCT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell, day
+  FROM pings)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*) AS n_meets, count(DISTINCT a.day) AS n_days
+FROM occ a JOIN occ b
+  ON a.cell = b.cell AND a.day = b.day AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id"""

@@ -1,0 +1,64 @@
+"""Trajectory / movement analytics queries (SURVEY §2.12 R36-R39).
+
+Synthetic GPS pings — an all-integer random walk on the res-12 grid,
+seeded per-event from the events table (operators/trajectory.py) — feed
+four classic movement operators. The reference's per-file ordered-symbol
+analysis (sequence order inside one partition key) maps onto per-entity
+ordered fixes; the Spark shapes are one entity-keyed window exchange plus
+entity-/bucket-keyed joins, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import trajectory as traj
+from .registry import register
+
+
+def _pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.pings_df(spark, sf_dir)
+
+
+@register(
+    "traj_stats",
+    traj.traj_stats_oracle(),
+    doc="Per-user trajectory summary: ping count, Chebyshev path length "
+    "(grid units), net start→end displacement, distinct res-9 cells "
+    "visited. One user-keyed exchange; all-bigint parity.",
+)
+def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.traj_stats(_pings(spark, sf_dir))
+
+
+@register(
+    "od_flows",
+    traj.od_flows_oracle(),
+    doc="Origin→destination flow matrix at res 7: first-cell → last-cell "
+    "per user trajectory, aggregated to (origin, dest, n_users) — the "
+    "movement-demand rollup (min_by/max_by vs arg_min/arg_max).",
+)
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.od_flows(_pings(spark, sf_dir))
+
+
+@register(
+    "traj_stops",
+    traj.stop_detect_oracle(),
+    doc="Stop detection: maximal runs of >=4 consecutive fixes in one "
+    "res-9 cell (gaps-and-islands via seq - row_number). 40% of steps "
+    "are dwells by construction, so stops exist at every SF.",
+)
+def q_traj_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.stop_detect(_pings(spark, sf_dir))
+
+
+@register(
+    "colocation_pairs",
+    traj.colocation_pairs_oracle(),
+    doc="Co-location contact join: user pairs sharing a (res-8 cell, day) "
+    "spacetime bucket — presence rows deduped then bucket-keyed "
+    "equi-self-join (a.user < b.user), never all-pairs.",
+)
+def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.colocation_pairs(_pings(spark, sf_dir))

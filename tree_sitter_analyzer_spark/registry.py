@@ -98,6 +98,7 @@ def load_all() -> dict[str, Query]:
     from . import queries_relational  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_graph  # noqa: F401
+    from . import queries_trajectory  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in GATE_ORDER if n in REGISTRY}
     for n, q in REGISTRY.items():
