@@ -1,0 +1,145 @@
+"""Cost-distance surface (GIS cost-distance / isochrone) over the tile
+grid — SURVEY §2.12 R40.
+
+Raster cost-distance: each occupied res-7 cell gets an integer traversal
+cost from its tile density (dense cells are "roads": cost 1; sparse are
+"terrain": cost 5); the surface is the minimum cumulative cost from the
+nearest hotspot seed over 4-connected moves. The reference's analog is
+dependency-distance over the import graph (``_codegraph_query_impact``
+BFS depth); here the graph is *derived from the raster* and the distance
+is weighted.
+
+Spark-first composition: the cell graph is built with one groupBy + a
+4-way shifted equi-join (never an all-pairs adjacency test), seeds become
+0-weight edges from a virtual super-source (id -1, one SSSP run for ALL
+sources — multi-source = single-source on the augmented graph), and the
+propagation is the existing distributed Bellman-Ford
+(``graph.weighted_sssp``: vertex-keyed join + min-agg, two relaxations
+per materialization, scalar fixpoint probe). The oracle replicates the
+augmented graph and caps its recursive walk at the same even step budget.
+
+At 10^12 rows the derived cell graph is ~10^6-10^8 vertices (bounded by
+the grid, not the row count) — the expensive raster→graph reduction is
+one density groupBy; everything after runs on cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import synth
+from ..synth import dlit
+from .graph import _even_steps, weighted_sssp
+
+RES = 7
+_MUL = 1 << RES
+_PACK = 268_435_456
+MAX_ROUNDS = 24
+SUPER_SRC = -1
+
+# cost bands: tile density → traversal cost (all-integer)
+_COST = "CASE WHEN cnt >= 20 THEN 1 WHEN cnt >= 5 THEN 2 ELSE 5 END"
+_OFFS = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+
+
+def _cx(lon: str) -> str:
+    return f"CAST(floor((({lon}) + 180.0e0) * {_MUL}) AS BIGINT)"
+
+
+def _cy(lat: str) -> str:
+    return f"CAST(floor((({lat}) + 90.0e0) * {_MUL}) AS BIGINT)"
+
+
+def _seed_cells_sql() -> list[str]:
+    """(cx, cy) SQL literal pairs for the hotspot seeds — the same dlit
+    literals on both engines."""
+    return [
+        f"SELECT {_cx(dlit(lon))} AS cx, {_cy(dlit(lat))} AS cy"
+        for lon, lat in synth.HOTSPOTS
+    ]
+
+
+def costed_cells(tiles: DataFrame) -> DataFrame:
+    """Occupied res-7 cells with integer traversal cost."""
+    return (
+        tiles.groupBy(
+            F.expr(_cx("lon")).alias("cx"), F.expr(_cy("lat")).alias("cy")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cx",
+            "cy",
+            (F.col("cx") * _PACK + F.col("cy")).alias("cell"),
+            F.expr(_COST).cast("bigint").alias("cost"),
+        )
+    )
+
+
+def cost_distance(spark: SparkSession, tiles: DataFrame) -> DataFrame:
+    """(cell, dist): minimum cumulative traversal cost from the nearest
+    hotspot seed, within the shared even step budget."""
+    cells = costed_cells(tiles).localCheckpoint(eager=False)
+    # 4-way shifted equi-join: an edge u→v costs the DEST cell's cost.
+    a = cells.select("cx", "cy", F.col("cell").alias("src"))
+    b = cells.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("cell").alias("dst"),
+        F.col("cost").alias("w"),
+    )
+    edges = None
+    for dx, dy in _OFFS:
+        e = a.join(
+            b, (a.cx + F.lit(dx) == b.bx) & (a.cy + F.lit(dy) == b.by)
+        ).select("src", "dst", "w")
+        edges = e if edges is None else edges.unionByName(e)
+    # virtual super-source: 0-weight edges onto each occupied seed cell
+    seeds_df = None
+    for s in _seed_cells_sql():
+        row = spark.sql(s)
+        seeds_df = row if seeds_df is None else seeds_df.unionByName(row)
+    super_edges = (
+        seeds_df.join(cells, ["cx", "cy"])  # only occupied seeds
+        .select(
+            F.lit(SUPER_SRC).cast("bigint").alias("src"),
+            F.col("cell").alias("dst"),
+            F.lit(0).cast("bigint").alias("w"),
+        )
+    )
+    dist = weighted_sssp(
+        spark, edges.unionByName(super_edges), src=SUPER_SRC,
+        max_rounds=MAX_ROUNDS,
+    )
+    return dist.where(F.col("v") != SUPER_SRC).select(
+        F.col("v").alias("cell"), "dist"
+    )
+
+
+def cost_distance_oracle_sql() -> str:
+    """Recursive CTE mirror: same augmented graph, same even step cap.
+    Splice after a CTE list providing ``tiles`` (needs WITH RECURSIVE)."""
+    steps = _even_steps(MAX_ROUNDS)
+    seeds = " UNION ALL ".join(_seed_cells_sql())
+    shifted = " UNION ALL ".join(
+        f"SELECT a.cell AS src, b.cell AS dst, b.cost AS w "
+        f"FROM costed a JOIN costed b ON b.cx = a.cx + ({dx}) AND b.cy = a.cy + ({dy})"
+        for dx, dy in _OFFS
+    )
+    return f"""cells AS (
+  SELECT {_cx('lon')} AS cx, {_cy('lat')} AS cy, count(*) AS cnt
+  FROM tiles GROUP BY 1, 2),
+costed AS (
+  SELECT cx, cy, cx * {_PACK} + cy AS cell, CAST({_COST} AS BIGINT) AS cost
+  FROM cells),
+seeds AS ({seeds}),
+super_edges AS (
+  SELECT CAST({SUPER_SRC} AS BIGINT) AS src, c.cell AS dst, CAST(0 AS BIGINT) AS w
+  FROM seeds s JOIN costed c ON c.cx = s.cx AND c.cy = s.cy),
+edges AS ({shifted} UNION ALL SELECT src, dst, w FROM super_edges),
+walk(v, d, hops) AS (
+  SELECT CAST({SUPER_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.hops < {steps})
+SELECT v AS cell, min(d) AS dist FROM walk WHERE v != {SUPER_SRC} GROUP BY v"""

@@ -890,3 +890,24 @@ def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tiles(spark, sf_dir)
     q = synth.qpoints_df(spark)
     return knn.idw_surface(t, q, radius=0.01)
+
+
+# --- round 3: cost-distance surface ------------------------------------------
+
+from .operators import cost_distance as cost_ops  # noqa: E402
+
+
+@register(
+    "cost_distance",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + cost_ops.cost_distance_oracle_sql(),
+    doc="GIS cost-distance surface: min cumulative traversal cost from "
+    "the nearest hotspot seed over 4-connected occupied res-7 cells "
+    "(density→integer cost bands). Raster→graph via a 4-way shifted "
+    "equi-join; multi-source = one Bellman-Ford run from a virtual "
+    "super-source; oracle mirrors the augmented graph with the same "
+    "even step cap.",
+)
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cost_ops.cost_distance(spark, _tiles(spark, sf_dir))
