@@ -530,3 +530,114 @@ SELECT {grid.cell_from_ixiy_sql('d.ix', 'd.iy', res)} AS cell,
        CAST(coalesce(nb.neigh_dev, 0) AS BIGINT) AS neigh_dev,
        CAST(d.dev * coalesce(nb.neigh_dev, 0) AS BIGINT) AS moran_num
 FROM dev d LEFT JOIN neigh nb ON nb.ix = d.ix AND nb.iy = d.iy"""
+
+
+# ---------------------------------------------------------------------------
+# R41: kernel density estimation heatmap (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+def kde_heatmap(tiles: DataFrame, res: int = 9, k: int = 2,
+                min_kde: int = 20) -> DataFrame:
+    """Kernel density surface over the res-``res`` grid: each occupied
+    cell's tile count contributes to its Chebyshev disk-``k`` neighborhood
+    with an integer triangular kernel (weight ``k+1 - chebyshev``); cells
+    with density >= ``min_kde`` are the heatmap (the smoothed upgrade of
+    cell_density_heatmap's per-cell banding).
+
+    Scale shape = focal_mean's: aggregate tiles → per-cell counts first
+    (one shuffle), THEN fan the tiny cell frame ×(2k+1)² — kernel work is
+    O(#cells), never O(#tiles). All-integer weights → parity-proof sums.
+    """
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+    )
+    contrib = per_cell.withColumn(
+        "off", F.explode(grid.disk_offsets_expr(k))
+    ).select(
+        F.expr(grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)).alias(
+            "cell"
+        ),
+        (
+            F.col("n")
+            * (F.lit(k + 1) - F.greatest(F.abs("off.dx"), F.abs("off.dy")))
+        ).alias("w"),
+    )
+    return (
+        contrib.groupBy("cell")
+        .agg(F.sum("w").alias("kde"))
+        .where(F.col("kde") >= min_kde)
+    )
+
+
+def kde_heatmap_oracle_sql(res: int = 9, k: int = 2, min_kde: int = 20) -> str:
+    return f"""
+per_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2
+),
+offs AS (SELECT dx, dy FROM range({-k}, {k + 1}) t1(dx), range({-k}, {k + 1}) t2(dy)),
+contrib AS (
+  SELECT p.ix + o.dx AS ix, p.iy + o.dy AS iy,
+         p.n * ({k + 1} - GREATEST(abs(o.dx), abs(o.dy))) AS w
+  FROM per_cell p CROSS JOIN offs o
+)
+SELECT {grid.cell_from_ixiy_sql('ix', 'iy', res)} AS cell, sum(w) AS kde
+FROM contrib GROUP BY ix, iy HAVING sum(w) >= {min_kde}"""
+
+
+# ---------------------------------------------------------------------------
+# R42: two-epoch raster change detection (map algebra)
+# ---------------------------------------------------------------------------
+
+def raster_change(tiles: DataFrame, res: int = 8, min_total: int = 6,
+                  margin: int = 4) -> DataFrame:
+    """Change detection between two acquisition epochs of the same grid.
+    Epoch A = tiles with i % 3 = 0, epoch B = the rest — the epochs have
+    genuinely different spatial distributions (the hotspot a tile joins is
+    chosen by i % 3, synth._hs_case), so hotspot 0 systematically LOSES
+    coverage and hotspots 1-2 GAIN, on top of background variance.
+
+    Per dense cell (>= ``min_total`` tiles): epoch counts, the normalized
+    delta (B − 2A: epoch B has 2× the background rows by construction),
+    and a gain/stable/loss class at ±``margin``. One groupBy; map algebra
+    is column arithmetic on the aggregated frame.
+    """
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(
+            F.sum(F.expr("CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END")).alias("cnt_a"),
+            F.sum(F.expr("CASE WHEN i % 3 = 0 THEN 0 ELSE 1 END")).alias("cnt_b"),
+        )
+        .where(F.col("cnt_a") + F.col("cnt_b") >= min_total)
+    )
+    delta = (F.col("cnt_b") - 2 * F.col("cnt_a")).alias("delta")
+    cls = (
+        F.when(F.col("cnt_b") - 2 * F.col("cnt_a") >= margin, "gain")
+        .when(2 * F.col("cnt_a") - F.col("cnt_b") >= margin, "loss")
+        .otherwise("stable")
+        .alias("change_class")
+    )
+    return per_cell.select("cell", "cnt_a", "cnt_b", delta, cls)
+
+
+def raster_change_oracle_sql(res: int = 8, min_total: int = 6,
+                             margin: int = 4) -> str:
+    return f"""
+per_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN i % 3 = 0 THEN 0 ELSE 1 END) AS cnt_b
+  FROM tiles GROUP BY 1, 2
+)
+SELECT {grid.cell_from_ixiy_sql('ix', 'iy', res)} AS cell, cnt_a, cnt_b,
+       cnt_b - 2 * cnt_a AS delta,
+       CASE WHEN cnt_b - 2 * cnt_a >= {margin} THEN 'gain'
+            WHEN 2 * cnt_a - cnt_b >= {margin} THEN 'loss'
+            ELSE 'stable' END AS change_class
+FROM per_cell WHERE cnt_a + cnt_b >= {min_total}"""

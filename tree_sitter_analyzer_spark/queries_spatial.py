@@ -911,3 +911,75 @@ from .operators import cost_distance as cost_ops  # noqa: E402
 )
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cost_ops.cost_distance(spark, _tiles(spark, sf_dir))
+
+
+# --- round 3: KDE heatmap + raster change + metric distance bands ------------
+
+@register(
+    "kde_heatmap",
+    f"{_CTES},\n{zonal.kde_heatmap_oracle_sql(9)}",
+    doc="Kernel density heatmap: per-cell counts smoothed over a "
+    "Chebyshev disk-2 with an integer triangular kernel — aggregate "
+    "tiles once, fan the cell frame x25 (O(#cells), never O(#tiles)).",
+)
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.kde_heatmap(_tiles(spark, sf_dir), res=9)
+
+
+@register(
+    "raster_change",
+    f"{_CTES},\n{zonal.raster_change_oracle_sql(8)}",
+    doc="Two-epoch raster change detection (map algebra): epoch split by "
+    "i%3 gives genuinely different spatial distributions (hotspot "
+    "membership is i%3-keyed), so loss at hotspot 0 / gain at 1-2 — "
+    "per dense res-8 cell: counts, normalized delta, gain/stable/loss.",
+)
+def q_raster_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.raster_change(_tiles(spark, sf_dir), res=8)
+
+
+# Equirectangular meters-per-degree at the geography's mid-latitude —
+# PYTHON-computed literal doubles (synth's no-SQL-trig discipline: cos/
+# radians in SQL could differ by ulps across engines; literals parse
+# bit-identically). 1° lat = 110574 m; 1° lon = 111320·cos(35.65°) m.
+import math as _m  # noqa: E402
+
+_MX = synth.dlit(111320.0 * _m.cos(_m.radians(35.65)))
+_MY = synth.dlit(110574.0)
+
+
+def _nearest_hotspot_m_sql() -> str:
+    """Integer meters to the nearest hotspot (equirectangular): identical
+    expression text on both engines; sqrt is IEEE-754 correctly rounded,
+    so floor(sqrt(...)) is deterministic cross-engine."""
+    d2s = [
+        f"((lon - {synth.dlit(hlon)}) * {_MX} * ((lon - {synth.dlit(hlon)}) * {_MX})"
+        f" + (lat - {synth.dlit(hlat)}) * {_MY} * ((lat - {synth.dlit(hlat)}) * {_MY}))"
+        for hlon, hlat in synth.HOTSPOTS
+    ]
+    return f"CAST(floor(sqrt(LEAST({', '.join(d2s)}))) AS BIGINT)"
+
+
+@register(
+    "hotspot_distance_bands",
+    # Spark spells integer division DIV, DuckDB spells it // (CLAUDE.md);
+    # identical floor semantics on the non-negative operands here.
+    f"{_CTES}\nSELECT {_nearest_hotspot_m_sql()} // 2000 AS band_2km, "
+    "count(*) AS n_tiles, "
+    "sum(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS n_hot "
+    "FROM tiles GROUP BY 1",
+    doc="Metric distance-decay profile: tiles bucketed by integer-meter "
+    "distance (equirectangular, literal-constant meters/degree) to the "
+    "nearest hotspot in 2 km bands — scan + single small-key groupBy; "
+    "the geodesic-metric surface every spatial engine needs without a "
+    "geo library.",
+)
+def q_hotspot_distance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    return (
+        t.groupBy(F.expr(f"{_nearest_hotspot_m_sql()} DIV 2000").alias("band_2km"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(F.expr("CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END")).alias("n_hot"),
+        )
+    )
