@@ -299,3 +299,60 @@ def test_zorder_writer_plan_is_range_partitioned(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(zkey" in plan.lower(), plan
+
+
+# --- round-3 late additions: trajectory + cost-distance + KDE ---------------
+
+
+def test_traj_stats_single_entity_exchange(spark):
+    """The whole trajectory summary — window cumsum AND both aggregate
+    levels — must ride ONE user_id hash exchange: the window's
+    partitioning satisfies the groupBy's requirement, so a second
+    ENSURE_REQUIREMENTS shuffle in the plan means the co-partitioning
+    broke (10^12 pings would pay a full extra shuffle)."""
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+
+    df = traj.traj_stats(traj.pings_df(spark, SF_TINY))
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_colocation_join_is_bucket_keyed(spark):
+    """The contact join must be an equi-join on the (cell, day) spacetime
+    bucket — never a cartesian/nested-loop over users."""
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+
+    df = traj.colocation_pairs(traj.pings_df(spark, SF_TINY))
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    jline = next(ln for ln in plan.splitlines() if "Join" in ln)
+    assert "cell#" in jline and "day#" in jline, jline
+
+
+def test_kde_heatmap_fans_cells_not_tiles(spark):
+    """The disk-2 kernel fan-out must consume AGGREGATED per-cell rows
+    (one explode, above a HashAggregate) — kernel arithmetic is
+    O(#cells), never O(#tiles)."""
+    df = zonal.kde_heatmap(synth.tiles_df(spark, SF_TINY), res=9)
+    plan = plan_of(df, "simple")
+    assert plan.count("Generate explode") == 1
+    assert "HashAggregate" in plan[plan.index("Generate explode"):]
+
+
+def test_cost_distance_graph_build_is_equijoin(spark):
+    """Raster→graph edge generation must be the 4-way SHIFTED equi-join:
+    no cartesian adjacency test, no nested loop — at 10^8 cells an
+    all-pairs |dx|+|dy|=1 filter would be O(n²)."""
+    from tree_sitter_analyzer_spark import synth as S
+    from tree_sitter_analyzer_spark.operators import cost_distance as cd
+
+    cells = cd.costed_cells(S.tiles_df(spark, SF_TINY))
+    a = cells.selectExpr("cx", "cy", "cell AS src")
+    b = cells.selectExpr("cx AS bx", "cy AS by", "cell AS dst", "cost AS w")
+    from pyspark.sql import functions as F
+
+    e = a.join(b, (a.cx + F.lit(1) == b.bx) & (a.cy + F.lit(0) == b.by))
+    plan = plan_of(e, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -348,3 +348,37 @@ def test_dbscan_matches_brute_force(spark):
     want = _brute_dbscan(ids, pts[:, 0], pts[:, 1], 0.005, 8)
     want = {f"img_{i:012d}": v for i, v in want.items()}
     assert got == want
+
+
+@pytest.mark.parametrize("n", [1, 5, 23])
+def test_traj_stats_invariant_under_repartition(spark, n):
+    """The trajectory derivation orders by the UNIQUE (ts, event_id) key
+    inside each user partition, so the window cumsum — and everything
+    downstream — must be bit-identical under any physical partitioning
+    of the input (a tie-broken-only-by-ts ordering would not be)."""
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+
+    base = traj.traj_stats(traj.pings_df(spark, SF_TINY)).toPandas()
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").repartition(n)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # rebuild pings from the repartitioned events through the same op
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = (
+        ev.select(
+            "user_id", "event_id", "ts",
+            F.expr(traj._DX).alias("dx"), F.expr(traj._DY).alias("dy"),
+            F.expr(traj._SX).alias("sx"), F.expr(traj._SY).alias("sy"),
+        )
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("ix", F.col("sx") + F.sum("dx").over(cum))
+        .withColumn("iy", F.col("sy") + F.sum("dy").over(cum))
+        .withColumn("day", F.expr(f"{traj._EPOCH_US_SPARK} DIV {traj._DAY_US}"))
+    )
+    got = traj.traj_stats(p).toPandas()
+    key = ["user_id"]
+    base = base.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert got.equals(base)
