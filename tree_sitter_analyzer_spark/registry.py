@@ -63,17 +63,26 @@ GATE_ORDER = [
     # family), dedup_fingerprint → dedup_clusters (fingerprint grouping
     # is the same plan family as dedup_exact; clustering composes LSH
     # with the graph suite).
+    # Late round-3 rotation (new operator families in, same-family
+    # redundancy out): cell_density_heatmap → kde_heatmap (A4 heatmap,
+    # kernel-smoothed superset), median_order_per_segment → traj_stats
+    # (W2 deterministic ranking stays via cascade_search; trajectory
+    # windows are a new family), rolling_order_activity →
+    # colocation_pairs (W4 frames stay via event_sessions +
+    # session_window_stats; the spacetime contact join is new),
+    # snapshot_diff → cost_distance (diff/classify mechanics stay via
+    # incremental_merge; raster-graph cost propagation is new).
     "tile_manifest", "pip_join", "knn",
     "zonal_stats", "top_tiles_per_zone", "zone_assignment",
     "pyramid_rollup", "radius_join",
-    "cell_density_heatmap", "cascade_search", "uncovered_zones",
+    "kde_heatmap", "cascade_search", "uncovered_zones",
     "byte_budget_batch", "zonal_weighted",
     "hot_cell_counts_salted",
-    # relational / event-time operator families
+    # relational / event-time / movement operator families
     "pricing_summary", "revenue_by_nation", "event_sessions",
-    "rolling_order_activity", "snapshot_diff", "event_props_stats",
+    "colocation_pairs", "cost_distance", "event_props_stats",
     "asof_attribution", "session_window_stats", "fmt_kind_cube",
-    "event_hopping_counts", "median_order_per_segment", "incremental_merge",
+    "event_hopping_counts", "traj_stats", "incremental_merge",
     # training-data pipeline suite (task brief first-class)
     "ingest_summary", "dedup_exact", "dedup_clusters", "ngram_jaccard",
     "minhash_lsh", "simhash_dups", "dedup_embedding", "ann_cosine_topk",
