@@ -266,3 +266,89 @@ SELECT a.user_id AS user_a, b.user_id AS user_b,
 FROM occ a JOIN occ b
   ON a.cell = b.cell AND a.day = b.day AND a.user_id < b.user_id
 GROUP BY a.user_id, b.user_id"""
+
+
+# ---------------------------------------------------------------------------
+# R45: trajectory similarity (visited-cell Jaccard)
+# ---------------------------------------------------------------------------
+
+def traj_jaccard(
+    pings: DataFrame, res: int = 9, max_df: int = 50, min_inter: int = 3
+) -> DataFrame:
+    """User-pair trajectory similarity: Jaccard over visited res-9 cell
+    sets. Candidates come ONLY from shared cells (inverted-index
+    equi-join, a < b), with a document-frequency cap dropping cells
+    visited by > ``max_df`` users — the dedup tiers' ubiquitous-token
+    noise suppression applied to space (a plaza everyone crosses carries
+    no similarity signal and would otherwise quadratically blow the
+    bucket join). Set sizes stay exact; the similarity is integer-milli
+    (inter·1000 DIV union)."""
+    s = _shift(res)
+    visited = (
+        pings.select(
+            "user_id",
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})").alias("cell"),
+        )
+        .dropDuplicates(["user_id", "cell"])
+        .localCheckpoint(eager=False)
+    )
+    sizes = visited.groupBy("user_id").agg(F.count("*").alias("sz"))
+    rare = (
+        visited.groupBy("cell")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("cell")
+    )
+    a = visited.alias("a")
+    b = visited.alias("b")
+    pairs = (
+        a.join(rare, "cell")
+        .join(b, "cell")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .where(F.col("inter") >= min_inter)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("user_id", "user_a"), "user_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("user_id", "user_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "user_b",
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "inter",
+            F.expr("(inter * 1000) DIV (sz_a + sz_b - inter)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )
+
+
+def traj_jaccard_oracle(
+    events_clause: str = "events", res: int = 9, max_df: int = 50,
+    min_inter: int = 3,
+) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+visited AS (
+  SELECT DISTINCT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell
+  FROM pings),
+sizes AS (SELECT user_id, count(*) AS sz FROM visited GROUP BY user_id),
+rare AS (SELECT cell FROM visited GROUP BY cell HAVING count(*) <= {max_df}),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter
+  FROM visited a JOIN rare r ON a.cell = r.cell
+  JOIN visited b ON b.cell = a.cell AND a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_inter})
+SELECT p.user_a, p.user_b, p.inter,
+       (p.inter * 1000) // (sa.sz + sb.sz - p.inter) AS jaccard_milli
+FROM pairs p JOIN sizes sa ON sa.user_id = p.user_a
+JOIN sizes sb ON sb.user_id = p.user_b"""

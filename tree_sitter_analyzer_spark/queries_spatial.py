@@ -983,3 +983,73 @@ def q_hotspot_distance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END")).alias("n_hot"),
         )
     )
+
+
+# --- round 3: vector measures (shoelace area / perimeter / density) ----------
+
+def _hex_area_u_sql() -> str:
+    """Shoelace area of the hexagon (columns x0..x5 / y0..y5), scaled to
+    integer nano-deg² — one fixed-order expression evaluated on identical
+    literal-derived doubles in both engines."""
+    k = 6
+    terms = " + ".join(
+        f"(x{m} * y{(m + 1) % k} - x{(m + 1) % k} * y{m})" for m in range(k)
+    )
+    return f"CAST(floor(abs({terms}) * 0.5e9) AS BIGINT)"
+
+
+def _hex_perim_n_sql() -> str:
+    """Perimeter in integer nano-deg: Σ of 6 edge lengths; sqrt is IEEE
+    correctly rounded, the sum order is fixed by the expression text."""
+    k = 6
+    terms = " + ".join(
+        f"sqrt((x{(m + 1) % k} - x{m}) * (x{(m + 1) % k} - x{m})"
+        f" + (y{(m + 1) % k} - y{m}) * (y{(m + 1) % k} - y{m}))"
+        for m in range(k)
+    )
+    return f"CAST(floor(({terms}) * 1.0e9) AS BIGINT)"
+
+
+@register(
+    "zone_geometry",
+    f"""{_CTES},
+pz AS ({synth.poly_zones_sql()}),
+cnt AS (
+  SELECT z.polygon_id, count(*) AS n_tiles
+  FROM tiles t JOIN pz z ON {synth.convex_pip_predicate('t.lon', 't.lat')}
+  GROUP BY z.polygon_id)
+SELECT p.polygon_id,
+       {_hex_area_u_sql()} AS area_u,
+       {_hex_perim_n_sql()} AS perim_n,
+       COALESCE(c.n_tiles, 0) AS n_tiles,
+       (COALESCE(c.n_tiles, 0) * 1000000000) // {_hex_area_u_sql()} AS density_u
+FROM pz p LEFT JOIN cnt c ON c.polygon_id = p.polygon_id""",
+    doc="Vector measures: shoelace area + perimeter per hexagon polygon "
+    "(integer nano-scaled, fixed-order float expression → cross-engine "
+    "exact) joined with the PIP tile count into a per-area density — "
+    "polygons with zero tiles kept via left join (gap analysis).",
+)
+def q_zone_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    pz = synth.poly_zones_df(spark)
+    cnt = (
+        pip_join.pip_convex_join_scanline(t, pz, res=9)
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("n_tiles"))
+    )
+    geo = pz.select(
+        "polygon_id",
+        F.expr(_hex_area_u_sql()).alias("area_u"),
+        F.expr(_hex_perim_n_sql()).alias("perim_n"),
+    )
+    return (
+        geo.join(cnt, "polygon_id", "left")
+        .na.fill({"n_tiles": 0})
+        .select(
+            "polygon_id",
+            "area_u",
+            "perim_n",
+            "n_tiles",
+            F.expr("(n_tiles * 1000000000) DIV area_u").alias("density_u"),
+        )
+    )

@@ -62,3 +62,15 @@ def q_traj_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.colocation_pairs(_pings(spark, sf_dir))
+
+
+@register(
+    "traj_jaccard",
+    traj.traj_jaccard_oracle(),
+    doc="Trajectory similarity: visited-cell Jaccard per user pair — "
+    "candidates ONLY from shared res-9 cells (inverted-index join with "
+    "a df-cap on ubiquitous cells, the dedup noise-suppression "
+    "discipline in space); integer-milli similarity.",
+)
+def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.traj_jaccard(_pings(spark, sf_dir))
