@@ -382,3 +382,45 @@ def test_traj_stats_invariant_under_repartition(spark, n):
     base = base.sort_values(key).reset_index(drop=True)
     got = got.sort_values(key).reset_index(drop=True)
     assert got.equals(base)
+
+
+@given(
+    st.floats(min_value=-179.0, max_value=179.0),
+    st.floats(min_value=-89.0, max_value=89.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_hex_binning_is_nearest_center(lon, lat):
+    """The hex cube-round must assign every point to the NEAREST hex
+    center (the defining property of hexagonal binning — what makes it
+    the H3-geometry analog rather than a sheared square grid), and the
+    cell center must round-trip to its own cell."""
+    import numpy as np
+
+    size = 0.005
+    hq, hr = grid.np_hex_qr(np.array([lon]), np.array([lat]), size)
+    cx, cy = grid.np_hex_center(hq, hr, size)
+    d0 = (lon - cx[0]) ** 2 + (lat - cy[0]) ** 2
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        nx, ny = grid.np_hex_center(hq + dq, hr + dr, size)
+        dn = (lon - nx[0]) ** 2 + (lat - ny[0]) ** 2
+        assert d0 <= dn + 1e-12
+    q2, r2 = grid.np_hex_qr(cx, cy, size)
+    assert q2[0] == hq[0] and r2[0] == hr[0]
+
+
+def test_hex_sql_matches_numpy_duckdb(spark):
+    """The portable hex SQL, evaluated by DuckDB over the synthetic
+    tiles, must equal the numpy mirror bit-for-bit (the Spark side is
+    covered by the hex_density oracle parity test)."""
+    import duckdb
+    import numpy as np
+
+    hq, hr = grid.hex_qr_sql("lon", "lat", 0.005)
+    t = synth.tiles_sql(
+        f"(SELECT o_orderkey FROM '{SF_TINY}/orders.parquet')", "o_orderkey"
+    )
+    df = duckdb.sql(
+        f"WITH tiles AS ({t}) SELECT lon, lat, {hq} AS hq, {hr} AS hr FROM tiles"
+    ).df()
+    nq, nr = grid.np_hex_qr(df.lon.to_numpy(), df.lat.to_numpy(), 0.005)
+    assert (df.hq.to_numpy() == nq).all() and (df.hr.to_numpy() == nr).all()

@@ -161,3 +161,81 @@ def np_cell_center(cell: np.ndarray, res: int):
     ix = (cell - res * RES_MUL) // IX_MUL
     iy = cell % IX_MUL
     return (ix + 0.5) / (1 << res) - 180.0, (iy + 0.5) / (1 << res) - 90.0
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal grid ("grafthex") — the H3-geometry analog (SURVEY §2.12 R46).
+#
+# The square graftgrid is an S2-like quad index; H3's defining feature is
+# HEXAGONAL cells (uniform 6-neighborhood, ~13% lower quantization error).
+# This is a pointy-top axial hex binning in pure portable SQL: axial
+# fractional coords then cube rounding, spelled only with floor/abs/CASE
+# and PYTHON-computed double literals (no SQL trig/sqrt), so Spark and
+# DuckDB produce bit-identical cells and the whole thing stays inside
+# whole-stage codegen — same discipline as the square grid.
+#
+# round(v) is spelled floor(v + 0.5) everywhere: engine round() functions
+# disagree on half-even vs half-away ties; floor(+0.5) is deterministic
+# and identical on both.
+# ---------------------------------------------------------------------------
+
+_SQRT3 = 3.0 ** 0.5
+_HEX_C1 = _SQRT3 / 3.0   # d(q)/dx
+_HEX_C3 = 1.0 / 3.0      # -d(q)/dy ; d(r)/dy = 2/3
+
+
+def _dlit(x: float) -> str:
+    return f"{x!r}e0"
+
+
+def hex_qr_sql(lon: str, lat: str, size: float) -> tuple[str, str]:
+    """(hq, hr) BIGINT axial hex coordinates of the containing hex cell,
+    edge length ``size`` degrees, as one portable SQL expression pair.
+
+    Fractional axial coords → cube round (largest-residual reset keeps
+    q + r + s = 0). Every subterm is duplicated textually — both engines
+    CSE it; the expression stays UDF-free and codegen-friendly."""
+    inv = _dlit(1.0 / size)
+    x = f"(({lon}) + 180.0e0)"
+    y = f"(({lat}) + 90.0e0)"
+    qf = f"(({_dlit(_HEX_C1)} * {x} - {_dlit(_HEX_C3)} * {y}) * {inv})"
+    rf = f"(({_dlit(2.0 / 3.0)} * {y}) * {inv})"
+    sf = f"(0.0e0 - {qf} - {rf})"
+    rq = f"CAST(floor({qf} + 0.5e0) AS BIGINT)"
+    rr = f"CAST(floor({rf} + 0.5e0) AS BIGINT)"
+    rs = f"CAST(floor({sf} + 0.5e0) AS BIGINT)"
+    dq = f"abs({rq} - {qf})"
+    dr = f"abs({rr} - {rf})"
+    ds = f"abs({rs} - {sf})"
+    q_reset = f"({dq} > {dr} AND {dq} > {ds})"
+    r_reset = f"(NOT ({dq} > {dr} AND {dq} > {ds}) AND {dr} > {ds})"
+    hq = f"(CASE WHEN {q_reset} THEN (0 - {rr} - {rs}) ELSE {rq} END)"
+    hr = f"(CASE WHEN {r_reset} THEN (0 - {rq} - {rs}) ELSE {rr} END)"
+    return hq, hr
+
+
+def np_hex_qr(lon: np.ndarray, lat: np.ndarray, size: float):
+    """Numpy mirror of hex_qr_sql (property tests)."""
+    x = np.asarray(lon, dtype=np.float64) + 180.0e0
+    y = np.asarray(lat, dtype=np.float64) + 90.0e0
+    inv = 1.0 / size
+    qf = (_HEX_C1 * x - _HEX_C3 * y) * inv
+    rf = ((2.0 / 3.0) * y) * inv
+    sf = 0.0e0 - qf - rf
+    rq = np.floor(qf + 0.5e0).astype(np.int64)
+    rr = np.floor(rf + 0.5e0).astype(np.int64)
+    rs = np.floor(sf + 0.5e0).astype(np.int64)
+    dq, dr, ds = np.abs(rq - qf), np.abs(rr - rf), np.abs(rs - sf)
+    q_reset = (dq > dr) & (dq > ds)
+    r_reset = ~q_reset & (dr > ds)
+    hq = np.where(q_reset, 0 - rr - rs, rq)
+    hr = np.where(r_reset, 0 - rq - rs, rr)
+    return hq, hr
+
+
+def np_hex_center(hq: np.ndarray, hr: np.ndarray, size: float):
+    """(lon, lat) center of an axial hex cell (pointy-top)."""
+    x = size * (_SQRT3 * (np.asarray(hq, dtype=np.float64)
+                          + np.asarray(hr, dtype=np.float64) / 2.0))
+    y = size * 1.5 * np.asarray(hr, dtype=np.float64)
+    return x - 180.0e0, y - 90.0e0

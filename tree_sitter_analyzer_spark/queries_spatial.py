@@ -892,6 +892,34 @@ def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.idw_surface(t, q, radius=0.01)
 
 
+# --- round 3: hexagonal (H3-geometry) binning --------------------------------
+
+HEX_SIZE = 0.005  # hex edge length in degrees (~H3 res 8 cell scale)
+
+
+@register(
+    "hex_density",
+    (lambda hq, hr: f"""{_CTES}
+SELECT {hq} AS hq, {hr} AS hr, count(*) AS n_tiles,
+       sum(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS n_hot
+FROM tiles GROUP BY 1, 2""")(*grid.hex_qr_sql("lon", "lat", HEX_SIZE)),
+    doc="Hexagonal-grid density (the H3-geometry analog): pointy-top "
+    "axial hex binning with cube rounding in pure portable SQL (floor/"
+    "abs/CASE + Python-literal constants — no trig, no UDF, codegen-"
+    "friendly); per-hex tile and hotspot counts. Property-tested to be "
+    "the exact nearest-hex-center assignment.",
+)
+def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    hq, hr = grid.hex_qr_sql("lon", "lat", HEX_SIZE)
+    return t.groupBy(
+        F.expr(hq).alias("hq"), F.expr(hr).alias("hr")
+    ).agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(F.expr("CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END")).alias("n_hot"),
+    )
+
+
 # --- round 3: cost-distance surface ------------------------------------------
 
 from .operators import cost_distance as cost_ops  # noqa: E402
