@@ -292,3 +292,76 @@ def test_ivm_zonal_counts_match_batch_recompute(spark, tmp_path):
         for r in delta_zonal_counts(tiles, zones, res=9).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_geofence_transitions_match_batch(spark, tmp_path):
+    """R47 streaming geofence: enter/exit/hand-off transitions across
+    micro-batch boundaries (state carries each user's tail fix) must
+    equal the batch lag() reference over the full fix history — batches
+    deliberately split trajectories mid-way and arrive unordered."""
+    import os
+
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+    from tree_sitter_analyzer_spark.streaming.geofence import (
+        geofence_transitions,
+        geofence_transitions_batch,
+    )
+
+    # real trajectory pings, zone = coarse cell band (forces transitions)
+    from pyspark.sql import functions as F
+
+    fixes = (
+        traj.pings_df(spark, SF_TINY)
+        .where(F.col("user_id") < 6)
+        .select(
+            "user_id",
+            F.col("seq").cast("long").alias("seq"),
+            F.expr(
+                "CASE (ix DIV 64) % 3 WHEN 0 THEN 'none' "
+                "WHEN 1 THEN 'zone_a' ELSE 'zone_b' END"
+            ).alias("zone"),
+        )
+    )
+    pdf = fixes.toPandas()
+    expected = geofence_transitions_batch(fixes).toPandas()
+
+    src = str(tmp_path / "fixes")
+    os.makedirs(src)
+    schema = "user_id long, seq long, zone string"
+    got = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            geofence_transitions(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: got.extend(r.asDict() for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # three mid-trajectory splits, each delivered UNORDERED within batch
+    cuts = [pdf.seq.quantile(0.33), pdf.seq.quantile(0.66)]
+    parts = [
+        pdf[pdf.seq <= cuts[0]],
+        pdf[(pdf.seq > cuts[0]) & (pdf.seq <= cuts[1])],
+        pdf[pdf.seq > cuts[1]],
+    ]
+    for part in parts:
+        shuffled = part.sample(frac=1.0, random_state=7)
+        spark.createDataFrame(shuffled, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+
+    import pandas as pd
+
+    got_df = pd.DataFrame(got, columns=expected.columns)
+    key = ["user_id", "at_seq"]
+    got_df = got_df.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert got_df.astype(expected.dtypes.to_dict()).equals(expected)
+    assert len(expected) > 5  # non-vacuous: transitions actually happened
