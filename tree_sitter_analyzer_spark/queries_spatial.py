@@ -920,6 +920,61 @@ def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 6 axial hex neighbors — the uniform adjacency square grids lack
+# (no corner-vs-edge asymmetry; the focal kernel is isotropic by shape)
+HEX_NEIGHBORS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+
+
+@register(
+    "hex_smooth",
+    (lambda hq, hr: f"""{_CTES},
+per_hex AS (
+  SELECT {hq} AS hq, {hr} AS hr, count(*) AS n FROM tiles GROUP BY 1, 2),
+offs(dq, dr) AS (VALUES {", ".join(f"({dq}, {dr})" for dq, dr in HEX_NEIGHBORS)}),
+contrib AS (
+  SELECT p.hq + o.dq AS hq, p.hr + o.dr AS hr, p.n
+  FROM per_hex p CROSS JOIN offs o),
+sm AS (SELECT hq, hr, sum(n) AS hood_n FROM contrib GROUP BY 1, 2)
+SELECT p.hq, p.hr, p.n AS n_tiles, s.hood_n,
+       (p.n * 7000) // s.hood_n AS center_share_milli
+FROM per_hex p JOIN sm s ON s.hq = p.hq AND s.hr = p.hr""")(
+        *grid.hex_qr_sql("lon", "lat", HEX_SIZE)
+    ),
+    doc="Hex focal smoothing: per-hex counts fanned over the 6 uniform "
+    "axial neighbors (+center) and re-aggregated — the isotropic "
+    "neighborhood statistic hexagons exist for; aggregate-then-fan "
+    "keeps kernel work O(#hexes). center_share_milli = n·7000 DIV "
+    "hood_n (1000 = cell exactly at neighborhood average).",
+)
+def q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    hq, hr = grid.hex_qr_sql("lon", "lat", HEX_SIZE)
+    per_hex = t.groupBy(F.expr(hq).alias("hq"), F.expr(hr).alias("hr")).agg(
+        F.count("*").alias("n")
+    )
+    offs = F.expr(
+        "explode(array("
+        + ", ".join(f"struct({dq} as dq, {dr} as dr)" for dq, dr in HEX_NEIGHBORS)
+        + "))"
+    )
+    contrib = per_hex.withColumn("off", offs).select(
+        (F.col("hq") + F.col("off.dq")).alias("hq"),
+        (F.col("hr") + F.col("off.dr")).alias("hr"),
+        "n",
+    )
+    sm = contrib.groupBy("hq", "hr").agg(F.sum("n").alias("hood_n"))
+    return (
+        per_hex.join(sm, ["hq", "hr"])
+        .select(
+            "hq",
+            "hr",
+            F.col("n").alias("n_tiles"),
+            "hood_n",
+            F.expr("(n * 7000) DIV hood_n").alias("center_share_milli"),
+        )
+    )
+
+
 # --- round 3: cost-distance surface ------------------------------------------
 
 from .operators import cost_distance as cost_ops  # noqa: E402
