@@ -57,6 +57,10 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "monthly_order_stats",
                 "asof_attribution",
                 "session_window_stats",
+                # trajectory ops derive day buckets + per-user ordering
+                # from NTZ ts — must be session-TZ-free too
+                "traj_stats",
+                "colocation_pairs",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()
