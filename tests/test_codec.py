@@ -130,3 +130,96 @@ def test_canonical_sink_deterministic(spark, tmp_path):
         [f] = glob.glob(p + "/part-*.csv")
         outs.append(open(f, "rb").read())
     assert outs[0] == outs[1]
+
+
+def _ref_pixel_features(px):
+    """Independent numpy reference for pixel_feature_row: explicit-loop
+    Sobel (not the vectorized slicing the operator uses) + direct
+    histogram — a genuinely different code path."""
+    import numpy as np
+
+    px = px.astype(np.int64)
+    luma = (77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]) // 256
+    h, w = luma.shape
+    KX = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    KY = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]])
+    n_px = (h - 2) * (w - 2)
+    sum_mag2 = 0
+    edge_px = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = luma[y - 1 : y + 2, x - 1 : x + 2]
+            gx = int((KX * win).sum())
+            gy = int((KY * win).sum())
+            m2 = gx * gx + gy * gy
+            sum_mag2 += m2
+            if m2 > 20000:
+                edge_px += 1
+    hist = [0] * 16
+    for v in luma.ravel():
+        hist[int(v) // 16] += 1
+    dom = max(range(16), key=lambda b: (hist[b], -b))
+    return {
+        "mean_grad_sq": sum_mag2 // n_px,
+        "edge_frac_milli": 1000 * edge_px // n_px,
+        "dominant_bin": dom,
+        "dominant_share_milli": 1000 * hist[dom] // (h * w),
+        "nonzero_bins": sum(1 for c in hist if c > 0),
+    }
+
+
+def test_pixel_features_match_numpy_reference():
+    """R52: the vectorized integer feature extractor equals a loop-wise
+    numpy reference exactly, for both codecs."""
+    from tree_sitter_analyzer_spark.sources import codec as c
+
+    for seed, w, h, fmt in [
+        ("img_000000000007", 16, 32, "png"),
+        ("img_000000000012", 32, 16, "jpeg"),
+        ("img_000000000999", 16, 16, "jpeg"),
+    ]:
+        px = c.decode_px(c.encode_px(c.synth_pixels(seed, w, h), fmt))
+        got = c.pixel_feature_row(px)
+        assert got == _ref_pixel_features(px), (seed, fmt)
+
+
+def test_edge_stats_query_spark_matches_local(spark):
+    """R52 end-to-end: the fused Spark pass reproduces per-kind rollups
+    computed locally from the same deterministic corpus."""
+    from collections import defaultdict
+
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.registry import load_all
+    from tree_sitter_analyzer_spark.sources import codec as c
+
+    out = (
+        load_all()["edge_stats"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("tile_kind")
+        .sort_index()
+    )
+    rows = (
+        synth.tiles_df(spark, "/root/testdata/sf0.001")
+        .where("i <= 8000")
+        .select("image_id", "w", "h", "fmt", "tile_kind")
+        .toPandas()
+    )
+    acc = defaultdict(list)
+    for _, r in rows.iterrows():
+        px = c.decode_px(
+            c.encode_px(c.synth_pixels(r["image_id"], int(r["w"]), int(r["h"])), r["fmt"])
+        )
+        acc[r["tile_kind"]].append(c.pixel_feature_row(px))
+    assert sorted(acc) == list(out.index)
+    for kind, feats in acc.items():
+        n = len(feats)
+        assert out.loc[kind, "n_tiles"] == n
+        assert out.loc[kind, "avg_grad_sq"] == sum(f["mean_grad_sq"] for f in feats) // n
+        assert out.loc[kind, "avg_edge_frac_milli"] == (
+            sum(f["edge_frac_milli"] for f in feats) // n
+        )
+        assert out.loc[kind, "max_edge_frac_milli"] == max(
+            f["edge_frac_milli"] for f in feats
+        )
+        assert out.loc[kind, "min_nonzero_bins"] == min(f["nonzero_bins"] for f in feats)

@@ -352,3 +352,81 @@ SELECT p.user_a, p.user_b, p.inter,
        (p.inter * 1000) // (sa.sz + sb.sz - p.inter) AS jaccard_milli
 FROM pairs p JOIN sizes sa ON sa.user_id = p.user_a
 JOIN sizes sb ON sb.user_id = p.user_b"""
+
+
+# ---------------------------------------------------------------------------
+# R53: directional (bearing) mix per trajectory
+# ---------------------------------------------------------------------------
+
+# 8-sector integer bearing of a step — pure sign/magnitude CASE (no trig:
+# engine sin/cos/atan2 last-ulp differences could flip a sector; integer
+# comparisons cannot). |dx| = |dy| is the exact diagonal.
+SECTOR_SQL = (
+    "CASE WHEN abs(dx) > abs(dy) THEN (CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) "
+    "WHEN abs(dy) > abs(dx) THEN (CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) "
+    "WHEN dx > 0 AND dy > 0 THEN 'NE' "
+    "WHEN dx > 0 THEN 'SE' "
+    "WHEN dy > 0 THEN 'NW' "
+    "ELSE 'SW' END"
+)
+
+
+def bearing_mix(pings: DataFrame) -> DataFrame:
+    """Per-user directional mix over MOVING steps: dominant 8-sector
+    bearing (ties broken by sector name — deterministic), its share in
+    milli, and the number of distinct sectors used. The movement analog
+    of a per-group categorical mode profile.
+
+    Scale shape: filter → (user, sector) agg → user agg + user window on
+    the tiny per-user-sector frame (≤8 rows per user). The ping scan
+    shuffles once, on user_id — the same key every trajectory op uses.
+    """
+    mv = pings.where("NOT (dx = 0 AND dy = 0)").select(
+        "user_id", F.expr(SECTOR_SQL).alias("sector")
+    )
+    cnts = mv.groupBy("user_id", "sector").agg(F.count("*").alias("cnt"))
+    tot = cnts.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_moves"),
+        F.count("*").cast("bigint").alias("n_sectors"),
+    )
+    win = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.col("sector")
+    )
+    dom = (
+        cnts.withColumn("rn", F.row_number().over(win))
+        .where("rn = 1")
+        .select("user_id", F.col("sector").alias("dom_sector"), "cnt")
+    )
+    return (
+        tot.join(dom, "user_id")
+        .select(
+            "user_id",
+            "n_moves",
+            "n_sectors",
+            "dom_sector",
+            F.expr("1000 * cnt DIV n_moves").alias("dom_share_milli"),
+        )
+    )
+
+
+def bearing_mix_oracle(events_clause: str = "events") -> str:
+    return f"""WITH {pings_oracle_cte(events_clause)},
+mv AS (
+  SELECT user_id, {SECTOR_SQL} AS sector
+  FROM pings WHERE NOT (dx = 0 AND dy = 0)
+),
+cnts AS (SELECT user_id, sector, count(*) AS cnt FROM mv GROUP BY 1, 2),
+tot AS (
+  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_moves,
+         CAST(count(*) AS BIGINT) AS n_sectors
+  FROM cnts GROUP BY 1
+),
+dom AS (
+  SELECT user_id, sector, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, sector) AS rn
+  FROM cnts
+)
+SELECT t.user_id, t.n_moves, t.n_sectors, d.sector AS dom_sector,
+       (1000 * d.cnt) // t.n_moves AS dom_share_milli
+FROM tot t JOIN dom d ON d.user_id = t.user_id AND d.rn = 1"""

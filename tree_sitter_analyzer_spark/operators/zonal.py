@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import grid
-from .pip_join import pip_join, tile_cells
+from .pip_join import pip_join, tile_cells, zone_cover
 
 
 def zonal_stats(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
@@ -641,3 +641,271 @@ SELECT {grid.cell_from_ixiy_sql('ix', 'iy', res)} AS cell, cnt_a, cnt_b,
             WHEN 2 * cnt_a - cnt_b >= {margin} THEN 'loss'
             ELSE 'stable' END AS change_class
 FROM per_cell WHERE cnt_a + cnt_b >= {min_total}"""
+
+
+# ---------------------------------------------------------------------------
+# R49: Getis-Ord Gi* hotspot statistic (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+def getis_ord(tiles: DataFrame, res: int = 8) -> DataFrame:
+    """Getis-Ord Gi* local hotspot statistic over the cell grid — the
+    companion to ``local_moran``: where LISA flags *similarity* to
+    neighbors, Gi* flags locally HIGH (or low) absolute intensity. The
+    neighborhood INCLUDES the center cell (the * variant).
+
+    Exact INTEGER formulation (cross-engine hash safety), mirroring
+    local_moran's dev scaling: with T total tiles over C occupied cells,
+    ``gi_num_i = C·Σ_{j∈N⁺(i)} n_j − T·m_i`` where N⁺ is the occupied
+    8-neighborhood plus center and ``m_i = |N⁺(i)|``. gi_num > 0 ⇔ the
+    neighborhood's mean count exceeds the global mean (hot spot); the
+    magnitude is comparable within one run. The denominator (a global
+    sqrt) is a constant per run — omitted so every value stays bigint.
+
+    Scale shape: per-cell agg (one shuffle) → ×9 fan of the CELL frame
+    (never tiles) → neighbor-sum agg → key join + 1-row broadcast. Work
+    is O(#cells), identical to focal_mean/local_moran at 1000×.
+    """
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+    )
+    totals = per_cell.agg(
+        F.sum("n").alias("t_sum"), F.count("*").alias("c_cells")
+    )
+    hood = (
+        per_cell.withColumn("off", F.explode(grid.disk_offsets_expr(1)))
+        .select(
+            F.expr(
+                grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)
+            ).alias("cell"),
+            F.col("n").alias("nn"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("nn").alias("local_sum"), F.count("*").alias("m_occ"))
+    )
+    return (
+        per_cell.join(hood, "cell")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.col("n").alias("n_tiles"),
+            F.col("m_occ").cast("bigint").alias("m_occ"),
+            F.col("local_sum").cast("bigint").alias("local_sum"),
+            F.expr(
+                "CAST(c_cells * local_sum - t_sum * m_occ AS BIGINT)"
+            ).alias("gi_num"),
+        )
+    )
+
+
+def getis_ord_oracle_sql(res: int = 8) -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return f"""
+per_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2
+),
+totals AS (SELECT sum(n) AS t_sum, count(*) AS c_cells FROM per_cell),
+offs(dx, dy) AS (VALUES {offs}),
+hood AS (
+  SELECT p.ix + o.dx AS ix, p.iy + o.dy AS iy,
+         sum(p.n) AS local_sum, count(*) AS m_occ
+  FROM per_cell p CROSS JOIN offs o
+  GROUP BY 1, 2
+)
+SELECT {grid.cell_from_ixiy_sql('p.ix', 'p.iy', res)} AS cell,
+       p.n AS n_tiles,
+       CAST(h.m_occ AS BIGINT) AS m_occ,
+       CAST(h.local_sum AS BIGINT) AS local_sum,
+       CAST(t.c_cells * h.local_sum - t.t_sum * h.m_occ AS BIGINT) AS gi_num
+FROM per_cell p
+JOIN hood h ON h.ix = p.ix AND h.iy = p.iy
+CROSS JOIN totals t"""
+
+
+# ---------------------------------------------------------------------------
+# R50: join-count statistics (binary-mark spatial autocorrelation)
+# ---------------------------------------------------------------------------
+
+# each undirected 8-neighbor pair counted exactly once: the half-plane of
+# lexicographically-positive offsets
+_HALF_OFFS = [(1, -1), (1, 0), (1, 1), (0, 1)]
+
+
+def join_counts(tiles: DataFrame, res: int = 8) -> DataFrame:
+    """Join-count statistics (Cliff-Ord) for the binary hotspot mark over
+    the occupied cell grid: a cell is BLACK if it contains any hotspot
+    tile (i % 5 = 0 — the synthetic clustered population), WHITE
+    otherwise; adjacency is the 8-neighborhood restricted to OCCUPIED
+    cells. Returns ONE row: cell/mark totals, edge count, and the BB /
+    WW / BW joins — BB far above expectation ⇔ the marks are spatially
+    clustered (they are, by construction).
+
+    Dedup without distinct: each undirected edge is generated once, from
+    its lexicographically-smaller endpoint via the 4 half-plane offsets
+    (the reference-point method of zonal_weighted). Work is O(#cells);
+    the mark frame joins to itself on the computed neighbor cell id.
+    """
+    marks = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(
+            F.max(F.expr("CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END")).alias(
+                "hot"
+            )
+        )
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+    )
+    half = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dx} as dx, {dy} as dy)" for dx, dy in _HALF_OFFS
+        )
+        + "))"
+    )
+    edges = (
+        marks.withColumn("off", half)
+        .select(
+            F.expr(
+                grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)
+            ).alias("cell"),
+            F.col("hot").alias("hot1"),
+        )
+        .join(marks.select("cell", F.col("hot").alias("hot2")), "cell")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(F.expr("hot1 * hot2")).alias("bb"),
+            F.sum(F.expr("(1 - hot1) * (1 - hot2)")).alias("ww"),
+            F.sum(F.expr("hot1 + hot2 - 2 * hot1 * hot2")).alias("bw"),
+        )
+    )
+    cells = marks.agg(
+        F.count("*").alias("n_cells"), F.sum("hot").cast("bigint").alias("n_black")
+    )
+    return cells.crossJoin(F.broadcast(edges)).select(
+        "n_cells",
+        "n_black",
+        "n_edges",
+        F.col("bb").cast("bigint").alias("bb"),
+        F.col("ww").cast("bigint").alias("ww"),
+        F.col("bw").cast("bigint").alias("bw"),
+    )
+
+
+def join_counts_oracle_sql(res: int = 8) -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _HALF_OFFS)
+    return f"""
+marks AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         max(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS hot
+  FROM tiles GROUP BY 1, 2
+),
+offs(dx, dy) AS (VALUES {offs}),
+edges AS (
+  SELECT count(*) AS n_edges,
+         sum(m1.hot * m2.hot) AS bb,
+         sum((1 - m1.hot) * (1 - m2.hot)) AS ww,
+         sum(m1.hot + m2.hot - 2 * m1.hot * m2.hot) AS bw
+  FROM marks m1 CROSS JOIN offs o
+  JOIN marks m2 ON m2.ix = m1.ix + o.dx AND m2.iy = m1.iy + o.dy
+),
+cells AS (
+  SELECT count(*) AS n_cells, CAST(sum(hot) AS BIGINT) AS n_black FROM marks
+)
+SELECT c.n_cells, c.n_black, e.n_edges,
+       CAST(e.bb AS BIGINT) AS bb, CAST(e.ww AS BIGINT) AS ww,
+       CAST(e.bw AS BIGINT) AS bw
+FROM cells c CROSS JOIN edges e"""
+
+
+# ---------------------------------------------------------------------------
+# R51: area-weighted overlay reaggregation (polygon → grid dasymetrics)
+# ---------------------------------------------------------------------------
+
+def area_overlay(
+    tiles: DataFrame, zones: DataFrame, res: int = 9, target_res: int = 6
+) -> DataFrame:
+    """Area-weighted reaggregation of zone-level statistics onto a coarse
+    raster grid — the polygon-overlay / dasymetric-mapping operator: each
+    zone's verified tile count is split across the res-``target_res``
+    cells it overlaps, proportionally to the overlap area (measured
+    exactly in res-``res`` cover cells — zones are axis-aligned, so the
+    cell count IS the area). Integer apportionment: ``est = n·cnt DIV
+    tot`` per (zone, target cell), then summed per target cell.
+
+    Scale shape: the cover is the broadcast-sized zone frame fanned by
+    sequence+explode (never tiles); weights and totals are two tiny
+    aggregations of it; the tile-side work is the one PIP count. At
+    1000× the only big exchange is the per-zone count — same as
+    zonal_stats.
+    """
+    zn = (
+        pip_join(tiles, zones, res=res)
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("zn"))
+    )
+    cov = zone_cover(zones, res).select(
+        "polygon_id",
+        F.expr(grid.parent_sql("cell", res, target_res)).alias("tcell"),
+    )
+    w = cov.groupBy("polygon_id", "tcell").agg(F.count("*").alias("cnt"))
+    tot = cov.groupBy("polygon_id").agg(F.count("*").alias("tot"))
+    est = (
+        w.join(tot, "polygon_id")
+        .join(zn, "polygon_id")
+        .select(
+            F.col("tcell").alias("cell"),
+            "polygon_id",
+            F.expr("zn * cnt DIV tot").alias("est"),
+        )
+    )
+    return est.groupBy("cell").agg(
+        F.countDistinct("polygon_id").alias("n_zones"),
+        F.sum("est").cast("bigint").alias("est_tiles"),
+    )
+
+
+def area_overlay_oracle_sql(res: int = 9, target_res: int = 6) -> str:
+    d = 1 << (res - target_res)
+    return f"""
+ao_zn AS (
+  SELECT z.polygon_id, count(*) AS zn
+  FROM tiles t JOIN zones z
+    ON t.lon >= z.xmin AND t.lon < z.xmax
+   AND t.lat >= z.ymin AND t.lat < z.ymax
+  GROUP BY 1
+),
+ao_covx AS (
+  SELECT polygon_id,
+         unnest(generate_series({grid.ix_sql('xmin', res)}, {grid.ix_sql('xmax', res)})) AS ix,
+         ymin, ymax
+  FROM zones
+),
+ao_cov AS (
+  SELECT polygon_id, ix // {d} AS tx,
+         unnest(generate_series({grid.iy_sql('ymin', res)}, {grid.iy_sql('ymax', res)})) // {d} AS ty
+  FROM ao_covx
+),
+ao_w AS (
+  SELECT polygon_id, tx, ty, count(*) AS cnt FROM ao_cov GROUP BY 1, 2, 3
+),
+ao_tot AS (
+  SELECT polygon_id, count(*) AS tot FROM ao_cov GROUP BY 1
+),
+ao_est AS (
+  SELECT {grid.cell_from_ixiy_sql('w.tx', 'w.ty', target_res)} AS cell,
+         w.polygon_id, (z.zn * w.cnt) // t.tot AS est
+  FROM ao_w w
+  JOIN ao_tot t ON t.polygon_id = w.polygon_id
+  JOIN ao_zn z ON z.polygon_id = w.polygon_id
+)
+SELECT cell, count(DISTINCT polygon_id) AS n_zones,
+       CAST(sum(est) AS BIGINT) AS est_tiles
+FROM ao_est GROUP BY 1"""

@@ -639,3 +639,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.count("*") - F.lit(1)).cast("bigint").alias("n_dups"),
     )
+
+
+@register(
+    "edge_stats",
+    None,  # pixel features aren't SQL-reachable; exact integer feature
+    # values are pinned against an independent numpy reference in
+    # tests/test_codec.py (pixel_feature_row oracle)
+    doc="Image feature-extraction pass (R52): integer Sobel gradient "
+    "energy, edge density, and luma-histogram shape per tile (fused "
+    "synth→encode→decode→features mapInPandas), rolled up per tile_kind "
+    "— the blur/texture/contrast pre-filter of an image training "
+    "pipeline. All-integer features; rows-only for the driver.",
+)
+def q_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from . import synth
+    from .sources import codec
+
+    # Key-filtered (not .limit) — partition-order independence, same
+    # guard as q_thumbnail_stats.
+    tiles = synth.tiles_df(spark, sf_dir).where("i <= 8000").select(
+        "image_id", "w", "h", "fmt", "tile_kind"
+    )
+    feats = codec.synth_pixel_features_fused(tiles)
+    return (
+        feats.groupBy("tile_kind")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.expr("sum(mean_grad_sq) DIV count(*)").alias("avg_grad_sq"),
+            F.expr("sum(edge_frac_milli) DIV count(*)").alias(
+                "avg_edge_frac_milli"
+            ),
+            F.max("edge_frac_milli").alias("max_edge_frac_milli"),
+            F.expr("sum(dominant_share_milli) DIV count(*)").alias(
+                "avg_dom_share_milli"
+            ),
+            F.min("nonzero_bins").alias("min_nonzero_bins"),
+            F.max("nonzero_bins").alias("max_nonzero_bins"),
+        )
+    )

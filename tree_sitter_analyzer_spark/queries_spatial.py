@@ -1136,3 +1136,168 @@ def q_zone_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_tiles * 1000000000) DIV area_u").alias("density_u"),
         )
     )
+
+
+# --- round 3 (cont.): spatial statistics + overlay + point pattern -----------
+
+from .operators import pointpattern as pp_ops  # noqa: E402
+from .functions import md5int_duck, md5int_spark  # noqa: E402
+
+
+@register(
+    "getis_ord",
+    f"{_CTES},\n{zonal.getis_ord_oracle_sql(8)}",
+    doc="Getis-Ord Gi* hotspot statistic per res-8 cell (8-neighborhood "
+    "+ center) — exact integer formulation: gi_num = C·Σneighborhood − "
+    "T·m; positive = locally high intensity. Companion to local_moran "
+    "(similarity) in the spatial-autocorrelation family.",
+)
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.getis_ord(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "join_counts",
+    f"{_CTES},\n{zonal.join_counts_oracle_sql(8)}",
+    doc="Join-count statistics (Cliff-Ord) for the binary hotspot mark "
+    "over occupied res-8 cells: BB/WW/BW adjacent-pair counts on the "
+    "8-neighborhood, each undirected edge generated once from its "
+    "lexicographically-smaller endpoint (no distinct).",
+)
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.join_counts(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "area_overlay",
+    f"{_CTES},\n{zonal.area_overlay_oracle_sql(9, 6)}",
+    doc="Area-weighted overlay reaggregation (dasymetric mapping): "
+    "per-zone PIP tile counts apportioned onto res-6 raster cells by "
+    "exact res-9 cover-cell overlap shares (integer DIV apportionment).",
+)
+def q_area_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    z = synth.zones_df(spark)
+    return zonal.area_overlay(t, z, res=9, target_res=6)
+
+
+@register(
+    "ripley_k",
+    f"{_CTES},\n{pp_ops.ripley_k_oracle_sql()}",
+    doc="Ripley's K pair-count ladder (radii 0.001°-0.008°) over tile "
+    "centroids: cell-bucketed pair join at res 7 (disk ceil(rmax/size)), "
+    "integer pico-deg² distance filter, one pass for all radii; the "
+    "clustered synthetic corpus shows counts far above CSR at small r. "
+    "Oracle = naive band self-join (IEJoin) with a wider float-safety "
+    "band.",
+)
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.ripley_k(_tiles(spark, sf_dir), res=7)
+
+
+# --- round 3 (cont.): spatial ML block split ---------------------------------
+
+_SPLIT_BLOCK = grid.cell_sql("lon", "lat", 7)
+_SPLIT_CASE = (
+    "CASE WHEN {h} % 10 <= 7 THEN 'train' "
+    "WHEN {h} % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "spatial_split",
+    f"""{_CTES},
+sp AS (
+  SELECT {_SPLIT_CASE.format(h=md5int_duck(f"CAST({_SPLIT_BLOCK} AS STRING)"))} AS split,
+         {_SPLIT_BLOCK} AS block, i
+  FROM tiles
+),
+agg AS (
+  SELECT split, count(*) AS n_tiles, count(DISTINCT block) AS n_blocks,
+         sum(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS n_hot
+  FROM sp GROUP BY 1
+),
+tot AS (SELECT sum(n_tiles) AS t FROM agg)
+SELECT a.split, a.n_tiles, a.n_blocks, CAST(a.n_hot AS BIGINT) AS n_hot,
+       (a.n_tiles * 1000) // t.t AS share_milli
+FROM agg a CROSS JOIN tot t""",
+    doc="Spatially-blocked train/val/test split for ML hygiene: the res-7 "
+    "cell is the leakage block; split = md5(block) % 10 (8/1/1). Blocked "
+    "assignment guarantees no res-7 neighborhood spans splits — the "
+    "spatial-autocorrelation leakage guard a naive random split lacks. "
+    "Deterministic, engine-reproducible scan filter (same discipline as "
+    "stratified_sample).",
+)
+def q_spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    h = md5int_spark(f"CAST({_SPLIT_BLOCK} AS STRING)")
+    sp = t.select(
+        F.expr(_SPLIT_CASE.format(h=h)).alias("split"),
+        F.expr(_SPLIT_BLOCK).alias("block"),
+        "i",
+    )
+    agg = sp.groupBy("split").agg(
+        F.count("*").alias("n_tiles"),
+        F.countDistinct("block").alias("n_blocks"),
+        F.sum(F.expr("CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hot"),
+    )
+    tot = agg.agg(F.sum("n_tiles").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n_tiles",
+        "n_blocks",
+        "n_hot",
+        F.expr("n_tiles * 1000 DIV t").alias("share_milli"),
+    )
+
+
+# --- round 3 (cont.): skyline (Pareto front) ---------------------------------
+
+@register(
+    "skyline_tiles",
+    f"""{_CTES},
+sk AS (
+  SELECT image_id, CAST(w AS BIGINT) * h AS pixels,
+         {_nearest_hotspot_m_sql()} AS hs_m
+  FROM tiles
+)
+SELECT t.image_id, t.pixels, t.hs_m
+FROM sk t
+WHERE NOT EXISTS (
+  SELECT 1 FROM sk u
+  WHERE u.pixels >= t.pixels AND u.hs_m <= t.hs_m
+    AND (u.pixels > t.pixels OR u.hs_m < t.hs_m)
+)""",
+    doc="Skyline (Pareto-front) query: tiles not dominated on (pixels "
+    "max, hotspot distance min) — 'the largest images closest to a "
+    "hotspot'. Spark plan: per-pixel-class min-distance agg (map-side "
+    "combined), prefix-min window over the tiny CLASS frame (7 rows — "
+    "never tiles), broadcast back as a scan filter. Oracle = brute "
+    "NOT-EXISTS domination anti-join. Ties at a class minimum all "
+    "survive (classic non-strict skyline).",
+)
+def q_skyline_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _tiles(spark, sf_dir).select(
+        "image_id",
+        F.expr("CAST(w AS BIGINT) * h").alias("pixels"),
+        F.expr(_nearest_hotspot_m_sql()).alias("hs_m"),
+    )
+    classes = t.groupBy("pixels").agg(F.min("hs_m").alias("class_min"))
+    # global-order window is safe here: it runs on the aggregated CLASS
+    # frame (#distinct pixel counts = 7), never on the tile scan
+    w = (
+        Window.orderBy(F.desc("pixels"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classes = classes.withColumn("higher_min", F.min("class_min").over(w))
+    return (
+        t.join(F.broadcast(classes), "pixels")
+        .where(
+            "hs_m = class_min AND (higher_min IS NULL OR hs_m < higher_min)"
+        )
+        .select("image_id", "pixels", "hs_m")
+    )

@@ -74,3 +74,15 @@ def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.traj_jaccard(_pings(spark, sf_dir))
+
+
+@register(
+    "traj_bearing_mix",
+    traj.bearing_mix_oracle(),
+    doc="Per-user directional mix: dominant 8-sector bearing of moving "
+    "steps (integer sign/magnitude sectors — no trig), its milli-share, "
+    "and sector diversity. Ties broken by sector name; all-bigint "
+    "except the sector label.",
+)
+def q_traj_bearing_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.bearing_mix(_pings(spark, sf_dir))

@@ -268,3 +268,87 @@ def crop_stats(df: DataFrame, x0: int, y0: int, x1: int, y1: int) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# R52: per-tile image feature extraction (edge / gradient / histogram)
+# ---------------------------------------------------------------------------
+#
+# The classic raster feature pass a training pipeline runs before filtering
+# imagery: Sobel gradient energy (blur/texture proxy), edge density, and
+# the luma histogram shape (contrast / dynamic-range proxy). ALL-INTEGER
+# math (int32 convolution, mag² threshold — no sqrt, integer luma
+# (77R+150G+29B)>>8, bin = luma>>4) so every executor and the numpy test
+# oracle produce bit-identical features. Rows-only for the driver (pixels
+# aren't SQL-reachable); tests/test_codec.py pins exact values against an
+# independent numpy reference.
+
+EDGE_MAG2_THRESHOLD = 20000  # |grad| > ~141 on the 0..255*4 Sobel scale
+
+
+def pixel_feature_row(px: np.ndarray) -> dict:
+    """Integer feature vector of one decoded (h, w, 3) uint8 image."""
+    r = px[..., 0].astype(np.int32)
+    g = px[..., 1].astype(np.int32)
+    b = px[..., 2].astype(np.int32)
+    luma = (77 * r + 150 * g + 29 * b) >> 8  # 0..255, integer-exact
+    # Sobel on the interior (valid convolution, no padding artifacts)
+    gx = (
+        (luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:])
+        - (luma[:-2, :-2] + 2 * luma[1:-1, :-2] + luma[2:, :-2])
+    )
+    gy = (
+        (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:])
+        - (luma[:-2, :-2] + 2 * luma[:-2, 1:-1] + luma[:-2, 2:])
+    )
+    mag2 = gx * gx + gy * gy
+    n_px = int(mag2.size)
+    hist = np.bincount((luma >> 4).ravel(), minlength=16)
+    dom = int(hist.argmax())
+    return {
+        "mean_grad_sq": int(mag2.sum(dtype=np.int64)) // max(n_px, 1),
+        "edge_frac_milli": 1000
+        * int((mag2 > EDGE_MAG2_THRESHOLD).sum())
+        // max(n_px, 1),
+        "dominant_bin": dom,
+        "dominant_share_milli": 1000 * int(hist[dom]) // int(luma.size),
+        "nonzero_bins": int((hist > 0).sum()),
+    }
+
+
+_FEATURE_FIELDS = [
+    "mean_grad_sq",
+    "edge_frac_milli",
+    "dominant_bin",
+    "dominant_share_milli",
+    "nonzero_bins",
+]
+
+
+def synth_pixel_features_fused(df: DataFrame) -> DataFrame:
+    """Fused synthesize → encode → decode → feature pass (one mapInPandas,
+    same single-Arrow-hop discipline as synth_decode_stats_fused): emits
+    the integer feature columns for each tile. Production path decodes
+    real ``bytes`` instead of synthesizing — only the first two lines of
+    the row loop change."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f, LongType()) for f in _FEATURE_FIELDS]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {f: [] for f in _FEATURE_FIELDS}
+            for iid, w, h, fmt in zip(
+                pdf["image_id"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = decode_px(encode_px(synth_pixels(iid, int(w), int(h)), fmt))
+                feats = pixel_feature_row(px)
+                for f in _FEATURE_FIELDS:
+                    cols[f].append(feats[f])
+            pdf = pdf.copy()
+            for f in _FEATURE_FIELDS:
+                pdf[f] = pd.array(cols[f], dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
