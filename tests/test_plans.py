@@ -356,3 +356,60 @@ def test_cost_distance_graph_build_is_equijoin(spark):
     plan = plan_of(e, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ripley_pairs_are_cell_keyed_no_cartesian(spark):
+    """Ripley's K pair generation must be a cell-keyed equi-join (disk
+    fan → equality), never a cartesian/nested-loop — both sides are the
+    full point set at 10^12 rows."""
+    from tree_sitter_analyzer_spark.operators import pointpattern as pp
+
+    df = pp.ripley_k(synth.tiles_df(spark, SF_TINY))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "cell#" in ln and "NestedLoop" not in ln
+    ]
+    assert joins, plan
+    # the only nested-loop joins allowed are the explicitly-broadcast
+    # 1-row aggregate frames (totals / point count)
+    nl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nl) <= 1, plan
+
+
+def test_skyline_class_frame_broadcasts_back(spark):
+    """The skyline filter must come back to the tile scan as a
+    BroadcastHashJoin on the aggregated class frame (7 rows) — the scan
+    itself is never globally sorted or nested-looped."""
+    df = load_all()["skyline_tiles"].spark_fn(spark, SF_TINY)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_getis_ord_fans_cells_not_tiles(spark):
+    """Gi* neighborhood fan must run on the aggregated CELL frame: the
+    explode sits above the per-cell HashAggregate, so kernel work is
+    O(#cells) — same pin as focal_mean/kde."""
+    df = zonal.getis_ord(synth.tiles_df(spark, SF_TINY), res=8)
+    plan = plan_of(df, "simple")
+    assert plan.count("Generate explode") == 1
+    gen = plan.index("Generate explode")
+    # an aggregate must appear BELOW the explode in the indented dump —
+    # the fan consumes per-cell rows, never raw tiles (focal_mean pin)
+    assert "HashAggregate" in plan[gen:]
+    assert "CartesianProduct" not in plan
+
+
+def test_area_overlay_cover_stays_broadcast_sized(spark):
+    """Overlay weights/totals derive from the zone cover (sequence fan of
+    the small zone frame) — the tile side appears only in the per-zone
+    PIP count; no cartesian, no nested loop."""
+    df = zonal.area_overlay(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark)
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

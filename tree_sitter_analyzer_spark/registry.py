@@ -72,20 +72,30 @@ GATE_ORDER = [
     # session_window_stats; the spacetime contact join is new),
     # snapshot_diff → cost_distance (diff/classify mechanics stay via
     # incremental_merge; raster-graph cost propagation is new).
+    # Final round-3 rotation (R49-R55 families): zone_assignment →
+    # area_overlay (J9 zonal write-back family stays via zonal_stats +
+    # zonal_weighted + incremental_merge; polygon→grid overlay transfer
+    # is new), fmt_kind_cube → skyline_tiles (A11 cube/pivot verified by
+    # the sweep via orders_rollup/order_status_pivot; Pareto-front is a
+    # new family), simhash_dups → getis_ord (banded-hamming dedup stays
+    # via minhash_lsh + phash_hamming_pairs + dedup_embedding; spatial
+    # autocorrelation had no gate row), shortest_path_trace → ripley_k
+    # (graph traversal stays via bfs_khop + connected_components +
+    # pagerank3; point-pattern statistics had no gate row).
     "tile_manifest", "pip_join", "knn",
-    "zonal_stats", "top_tiles_per_zone", "zone_assignment",
+    "zonal_stats", "top_tiles_per_zone", "area_overlay",
     "pyramid_rollup", "radius_join",
     "kde_heatmap", "cascade_search", "uncovered_zones",
     "byte_budget_batch", "zonal_weighted",
-    "hot_cell_counts_salted",
+    "hot_cell_counts_salted", "getis_ord", "ripley_k", "skyline_tiles",
     # relational / event-time / movement operator families
     "pricing_summary", "revenue_by_nation", "event_sessions",
     "colocation_pairs", "cost_distance", "event_props_stats",
-    "asof_attribution", "session_window_stats", "fmt_kind_cube",
+    "asof_attribution", "session_window_stats",
     "event_hopping_counts", "traj_stats", "incremental_merge",
     # training-data pipeline suite (task brief first-class)
     "ingest_summary", "dedup_exact", "dedup_clusters", "ngram_jaccard",
-    "minhash_lsh", "simhash_dups", "dedup_embedding", "ann_cosine_topk",
+    "minhash_lsh", "dedup_embedding", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_stats", "caption_search",
     "hybrid_search", "winnow_dups", "dedup_prefix", "phash_hamming_pairs",
     "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
@@ -93,7 +103,7 @@ GATE_ORDER = [
     # round 3: its transitive-closure family is covered by bfs_khop +
     # connected_components; the slot goes to the new density-clustering
     # family)
-    "bfs_khop", "shortest_path_trace",
+    "bfs_khop",
     "connected_components", "pagerank3",
     "dbscan_clusters",
 ]
