@@ -413,3 +413,36 @@ def test_area_overlay_cover_stays_broadcast_sized(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_huff_shares_tile_side_never_shuffles_on_tile_id(spark):
+    """The Huff model's per-tile denominator folds into higher-order
+    functions over the broadcast zone array — there must be NO exchange
+    or window keyed on the tile id (the relational spelling's per-tile
+    shuffle), and the only nested-loop join is the 1-row zone-array
+    broadcast."""
+    from tree_sitter_analyzer_spark.operators import interaction
+
+    df = interaction.huff_shares(
+        synth.tiles_df(spark, SF_TINY), synth.zones_df(spark)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(i#" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_cms_shuffle_carries_sketch_not_stream(spark):
+    """The count-min build must aggregate map-side onto (j, bucket): the
+    sketch probe joins as a broadcast, and no exchange is keyed on the
+    raw token column (the stream never shuffles un-aggregated)."""
+    from tree_sitter_analyzer_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    df = sketch.cms_heavy_hitters(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial (map-side) aggregation before every exchange of the stream
+    assert "partial_count" in plan or "partial count" in plan.lower()

@@ -909,3 +909,83 @@ ao_est AS (
 SELECT cell, count(DISTINCT polygon_id) AS n_zones,
        CAST(sum(est) AS BIGINT) AS est_tiles
 FROM ao_est GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# R57: Mann-Kendall emerging-hotspot trend (space-time cube)
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 6
+
+
+def mann_kendall(tiles: DataFrame, res: int = 7,
+                 min_total: int = 12) -> DataFrame:
+    """Emerging-hot-spot analysis (the space-time-cube trend tool): per
+    res-``res`` cell, the Mann-Kendall S statistic over ``N_EPOCHS``
+    acquisition-epoch tile counts (epoch = i % 6, extending the
+    raster_change two-epoch split; epoch e's hotspot rows land in
+    cluster e % 3, so hotspot cells see structured epoch swings while
+    background cells stay flat).
+
+    S = Σ_{a<b} sign(c_b − c_a) over the C(6,2)=15 epoch pairs, kept as
+    exact CASE arithmetic (sign() returns DOUBLE in Spark — floats never
+    enter a compared column). |S| ≥ ``_MK_CUT`` classifies the trend
+    rising/falling (for n=6, S ≥ 9 is significant at ~p<0.05 under the
+    null; we report the raw S so any cut can be re-derived).
+
+    Scale shape: ONE groupBy(cell) with 6 conditional sums (map-side
+    combined) — the epoch dimension is folded into the aggregate, never
+    fanned into rows. Work after the shuffle is O(#cells); identical at
+    1000x.
+    """
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("total"),
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN i % {N_EPOCHS} = {e} THEN 1 ELSE 0 END")
+                ).alias(f"c{e}")
+                for e in range(N_EPOCHS)
+            ],
+        )
+        .where(F.col("total") >= min_total)
+    )
+    s_terms = " + ".join(
+        f"(CASE WHEN c{b} > c{a} THEN 1 WHEN c{b} < c{a} THEN -1 ELSE 0 END)"
+        for a in range(N_EPOCHS)
+        for b in range(a + 1, N_EPOCHS)
+    )
+    return per_cell.select(
+        "cell",
+        F.col("total").cast("bigint").alias("total"),
+        F.expr(f"CAST({s_terms} AS BIGINT)").alias("s_stat"),
+        F.expr(
+            f"CASE WHEN ({s_terms}) >= 9 THEN 'rising' "
+            f"WHEN ({s_terms}) <= -9 THEN 'falling' ELSE 'flat' END"
+        ).alias("trend"),
+    )
+
+
+def mann_kendall_oracle_sql(res: int = 7, min_total: int = 12) -> str:
+    csums = ",\n         ".join(
+        f"sum(CASE WHEN i % {N_EPOCHS} = {e} THEN 1 ELSE 0 END) AS c{e}"
+        for e in range(N_EPOCHS)
+    )
+    s_terms = " + ".join(
+        f"(CASE WHEN c{b} > c{a} THEN 1 WHEN c{b} < c{a} THEN -1 ELSE 0 END)"
+        for a in range(N_EPOCHS)
+        for b in range(a + 1, N_EPOCHS)
+    )
+    return f"""
+mk_cell AS (
+  SELECT {grid.cell_sql('lon', 'lat', res)} AS cell, count(*) AS total,
+         {csums}
+  FROM tiles GROUP BY 1 HAVING count(*) >= {min_total}
+)
+SELECT cell, CAST(total AS BIGINT) AS total,
+       CAST({s_terms} AS BIGINT) AS s_stat,
+       CASE WHEN ({s_terms}) >= 9 THEN 'rising'
+            WHEN ({s_terms}) <= -9 THEN 'falling' ELSE 'flat' END AS trend
+FROM mk_cell"""

@@ -680,3 +680,22 @@ def q_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nonzero_bins").alias("max_nonzero_bins"),
         )
     )
+
+
+# --- round 3 (cont.): deterministic sketches ---------------------------------
+
+from .operators import sketch  # noqa: E402
+
+
+@register(
+    "heavy_hitters_cms",
+    sketch.cms_heavy_hitters_oracle_sql(),
+    doc="Count-min-sketch heavy hitters over document tokens: a 3×16 "
+    "md5-seeded integer sketch (deterministic → DuckDB rebuilds it "
+    "bit-for-bit) probed for the top-15 exact tokens; cms_est ≥ "
+    "exact_cnt always, overcount shows the collision bias. The sketch "
+    "build is one map-side-combined groupBy onto ≤48 keys — the "
+    "shuffle carries the sketch, never the token stream.",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch.cms_heavy_hitters(_docs(spark, sf_dir))

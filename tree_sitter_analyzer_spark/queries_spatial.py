@@ -1301,3 +1301,36 @@ def q_skyline_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("image_id", "pixels", "hs_m")
     )
+
+
+# --- round 3 (cont.): space-time trend + spatial interaction ------------------
+
+from .operators import interaction  # noqa: E402
+
+
+@register(
+    "emerging_hotspots",
+    f"{_CTES},\n{zonal.mann_kendall_oracle_sql(7, 12)}",
+    doc="Emerging-hot-spot analysis (space-time cube): Mann-Kendall S "
+    "statistic per res-7 cell over 6 acquisition-epoch counts (epoch = "
+    "i % 6) — S = Σ sign(c_b − c_a) over the 15 epoch pairs, exact CASE "
+    "arithmetic, |S| ≥ 9 classifies rising/falling. One map-side-combined "
+    "groupBy; the epoch dimension folds into conditional sums, never rows.",
+)
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.mann_kendall(_tiles(spark, sf_dir), res=7, min_total=12)
+
+
+@register(
+    "huff_shares",
+    f"{_CTES},\n{interaction.huff_shares_oracle_sql()}",
+    doc="Huff gravity allocation: each tile splits 1000 milli-visits "
+    "across zones within a 0.15° Chebyshev radius, weighted by "
+    "area_nano·1000 DIV (1+dist²_nano) — power-2 decay, all-bigint "
+    "shares. The whole per-tile model (candidate filter, weights, "
+    "denominator, shares) runs inside ONE projection over a broadcast "
+    "zone array via higher-order functions: the tile side never "
+    "shuffles; the only exchange carries ~#zones rows.",
+)
+def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interaction.huff_shares(_tiles(spark, sf_dir), synth.zones_df(spark))
