@@ -446,3 +446,19 @@ def test_cms_shuffle_carries_sketch_not_stream(spark):
     assert "SortMergeJoin" not in plan
     # partial (map-side) aggregation before every exchange of the stream
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_map_match_candidates_are_broadcast_bucket_join(spark):
+    """Map-matching candidate generation must be a broadcast equi-join on
+    the bucket key (the fanned segment dimension is the build side) —
+    the ping side never shuffles for candidates, and nothing degenerates
+    to a cartesian/nested-loop pair test."""
+    from tree_sitter_analyzer_spark.operators import mapmatch, trajectory
+
+    df = mapmatch.map_match(trajectory.pings_df(spark, SF_TINY))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "bucket" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

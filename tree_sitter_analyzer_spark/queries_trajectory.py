@@ -86,3 +86,26 @@ def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_traj_bearing_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.bearing_mix(_pings(spark, sf_dir))
+
+
+# --- round 3 (cont.): map-matching -------------------------------------------
+
+from .operators import mapmatch  # noqa: E402
+
+
+@register(
+    "map_match",
+    mapmatch.map_match_oracle_sql(
+        f"WITH {traj.pings_oracle_cte()}"
+    ),
+    doc="Map-matching: pings snap to the nearest road segment within 60 "
+    "grid units — exact rational point-to-segment distances (num/len2, "
+    "all-bigint; cross² interior, clamped endpoints) with segment-id "
+    "tie-break; per-segment load (n_pings, n_users, avg snap d²). "
+    "Candidates via a LOSSLESS bbox+1-ring bucket fan of the broadcast "
+    "segment dimension (bucket 256 ≥ rho): the ping side never shuffles "
+    "for candidate generation; the oracle joins segments naively and "
+    "must agree exactly.",
+)
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mapmatch.map_match(_pings(spark, sf_dir))
