@@ -1334,3 +1334,23 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interaction.huff_shares(_tiles(spark, sf_dir), synth.zones_df(spark))
+
+
+# --- round 3 (cont.): runtime-filter membership sketch ------------------------
+
+from .operators import bloom  # noqa: E402
+
+
+@register(
+    "bloom_filter_audit",
+    f"{_CTES},\n{bloom.bloom_audit_oracle_sql()}",
+    doc="Deterministic Bloom-filter runtime filter with a false-positive "
+    "audit: a 512-bit / 3-hash md5-seeded filter over the hot res-8 "
+    "cells, probed by every occupied cell. One audit row pins the "
+    "one-sided-error contract (every hot cell passes) and the visible "
+    "fp rate. The bit-set frame broadcasts (≤ 3·|keys| rows); the probe "
+    "side tests membership map-side — the big side never shuffles "
+    "before the filter, the runtime-filter shape at 100 TB.",
+)
+def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom.bloom_audit(_tiles(spark, sf_dir), res=8)
