@@ -430,3 +430,164 @@ dom AS (
 SELECT t.user_id, t.n_moves, t.n_sectors, d.sector AS dom_sector,
        (1000 * d.cnt) // t.n_moves AS dom_share_milli
 FROM tot t JOIN dom d ON d.user_id = t.user_id AND d.rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# R62: one-pass polyline simplification (Visvalingam sweep)
+# ---------------------------------------------------------------------------
+
+# Doubled triangle area at interior vertex (prev, cur, next) — exact
+# bigint cross product, the Visvalingam-Whyatt effective-area measure.
+_AREA2 = (
+    "abs((ix - px) * (ny - py) - (iy - py) * (nx - px))"
+)
+
+
+def simplify_stats(pings: DataFrame, tol: int = 400) -> DataFrame:
+    """One-sweep Visvalingam polyline simplification per user: endpoints
+    always survive; an interior vertex survives iff its doubled triangle
+    area vs its neighbors is >= ``tol`` (grid units², exact bigint cross
+    product). The 40% dwell fixes (zero step → zero area) and
+    near-collinear runs drop, so the retention ratio is the trajectory's
+    information density. Returns one row per user: (user_id, n_pings,
+    n_kept, kept_milli, dropped_area2) — dropped_area2 is the total
+    effective area discarded, the simplification error mass.
+
+    Scale shape: one window over (user_id) — the same single
+    entity-keyed exchange every trajectory op shares — then a groupBy on
+    the identical key (no second shuffle). Reference analog: the span
+    compaction that keeps only structure-bearing AST rows
+    (ast_cache.py row filtering); here the structure measure is
+    geometric.
+    """
+    w = Window.partitionBy("user_id").orderBy("seq")
+    v = (
+        pings.select("user_id", "seq", "ix", "iy")
+        .withColumn("px", F.lag("ix").over(w))
+        .withColumn("py", F.lag("iy").over(w))
+        .withColumn("nx", F.lead("ix").over(w))
+        .withColumn("ny", F.lead("iy").over(w))
+        .withColumn(
+            "kept",
+            F.expr(
+                "CASE WHEN px IS NULL OR nx IS NULL THEN 1 "
+                f"WHEN {_AREA2} >= {tol} THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "darea2",
+            F.expr(
+                "CASE WHEN px IS NULL OR nx IS NULL THEN 0 "
+                f"WHEN {_AREA2} >= {tol} THEN 0 ELSE {_AREA2} END"
+            ),
+        )
+    )
+    return v.groupBy("user_id").agg(
+        F.count("*").alias("n_pings"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.expr("1000 * sum(kept) DIV count(*)").alias("kept_milli"),
+        F.sum("darea2").cast("bigint").alias("dropped_area2"),
+    )
+
+
+def simplify_oracle(events_clause: str = "events", tol: int = 400) -> str:
+    a2 = _AREA2
+    return f"""WITH {pings_oracle_cte(events_clause)},
+sv AS (
+  SELECT user_id, seq, ix, iy,
+         lag(ix) OVER (PARTITION BY user_id ORDER BY seq) AS px,
+         lag(iy) OVER (PARTITION BY user_id ORDER BY seq) AS py,
+         lead(ix) OVER (PARTITION BY user_id ORDER BY seq) AS nx,
+         lead(iy) OVER (PARTITION BY user_id ORDER BY seq) AS ny
+  FROM pings
+),
+sk AS (
+  SELECT user_id,
+         CASE WHEN px IS NULL OR nx IS NULL THEN 1
+              WHEN {a2} >= {tol} THEN 1 ELSE 0 END AS kept,
+         CASE WHEN px IS NULL OR nx IS NULL THEN 0
+              WHEN {a2} >= {tol} THEN 0 ELSE {a2} END AS darea2
+  FROM sv
+)
+SELECT user_id, count(*) AS n_pings,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       (1000 * sum(kept)) // count(*) AS kept_milli,
+       CAST(sum(darea2) AS BIGINT) AS dropped_area2
+FROM sk GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# R63: revisitation analysis (returner / explorer classification)
+# ---------------------------------------------------------------------------
+
+def revisit_stats(pings: DataFrame, res: int = 9) -> DataFrame:
+    """Returner-vs-explorer mobility profile (Pappalardo et al., Nature
+    Comms 2015): per user, how many distinct res-``res`` cells were
+    visited, how many were RE-entered after leaving (distinct visit
+    islands >= 2), and the revisit share. A user is a ``returner`` when
+    at least half their cells are revisited, else an ``explorer``.
+
+    Islands reuse the stop-detection discipline: within (user, cell) the
+    run id ``seq - row_number()`` is constant exactly while fixes are
+    consecutive, so n_islands per (user, cell) = distinct run ids. Both
+    windows and both groupBys share the user-keyed exchange.
+    """
+    s = _shift(res)
+    cellp = pings.withColumn(
+        "cell", F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})")
+    )
+    w = Window.partitionBy("user_id", "cell").orderBy("seq")
+    per_cell = (
+        cellp.withColumn("grp", F.col("seq") - F.row_number().over(w))
+        .groupBy("user_id", "cell")
+        .agg(F.countDistinct("grp").alias("n_visits"))
+    )
+    return (
+        per_cell.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(F.expr("CASE WHEN n_visits >= 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_revisited"),
+            F.sum(F.expr("n_visits - 1")).cast("bigint").alias("n_returns"),
+        )
+        .select(
+            "user_id",
+            "n_cells",
+            "n_revisited",
+            "n_returns",
+            F.expr("1000 * n_revisited DIV n_cells").alias("revisit_milli"),
+            F.expr(
+                "CASE WHEN 2 * n_revisited >= n_cells THEN 'returner' "
+                "ELSE 'explorer' END"
+            ).alias("mobility_class"),
+        )
+    )
+
+
+def revisit_oracle(events_clause: str = "events", res: int = 9) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+rcell AS (
+  SELECT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell, seq,
+         seq - row_number() OVER (
+           PARTITION BY user_id, (ix // {s}) * {_PACK} + (iy // {s})
+           ORDER BY seq) AS grp
+  FROM pings
+),
+pc AS (
+  SELECT user_id, cell, count(DISTINCT grp) AS n_visits
+  FROM rcell GROUP BY 1, 2
+),
+pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN n_visits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_revisited,
+         CAST(sum(n_visits - 1) AS BIGINT) AS n_returns
+  FROM pc GROUP BY 1
+)
+SELECT user_id, n_cells, n_revisited, n_returns,
+       (1000 * n_revisited) // n_cells AS revisit_milli,
+       CASE WHEN 2 * n_revisited >= n_cells THEN 'returner'
+            ELSE 'explorer' END AS mobility_class
+FROM pu"""

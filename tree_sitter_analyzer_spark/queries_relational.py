@@ -831,3 +831,72 @@ def q_median_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("rn = CAST(ceil(n / 2e0) AS BIGINT)"))
         .select("segment", F.col("n").alias("n_orders"), F.col("cents").alias("median_cents"))
     )
+
+
+# --- round 3 (cont.): TPC-H Q3 shape — shipping priority ----------------------
+
+@register(
+    "shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       date_diff('microsecond', TIMESTAMP '1970-01-01', o.o_orderdate)
+         // 86400000000 AS odate_day,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, odate_day, l.l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape (shipping priority): unshipped-revenue per order "
+    "for one market segment, top-10. Integer-cents revenue, epoch-day "
+    "bigint date (NTZ never cast to TIMESTAMP — TZ-free timestampdiff), "
+    "fully deterministic order (revenue desc, day, unique orderkey). "
+    "Catalyst broadcasts the filtered customer dim; the lineitem fact "
+    "shuffles once on l_orderkey; the top-10 is a TakeOrdered, never a "
+    "global sort.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-06-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1998-06-01 00:00:00'")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+                    " AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+                " DIV 86400000000"
+            ).alias("odate_day"),
+            "n_items",
+        )
+        .orderBy(
+            F.col("revenue_cents").desc(), "odate_day", "l_orderkey"
+        )
+        .limit(10)
+    )

@@ -1354,3 +1354,20 @@ from .operators import bloom  # noqa: E402
 )
 def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom.bloom_audit(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "nn_distance_stats",
+    f"{_CTES},\n{pp_ops.nn_distance_oracle_sql()}",
+    doc="Nearest-neighbor distance profile per tile kind (Clark-Evans "
+    "point-pattern statistic, the aggregate sibling of the Ripley-K "
+    "ladder): a deterministic 1/23 tile sample queries the full set for "
+    "its nearest OTHER tile via the ring-expansion kNN join (k=2, self "
+    "excluded by image_id — exact in every co-location case because "
+    "floor is monotone and the true NN is always in the candidate set). "
+    "No cross join: the big side is probed map-side by broadcast query "
+    "disks; the naive oracle scans all non-self pairs and must agree "
+    "bigint-exactly.",
+)
+def q_nn_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.nn_distance_stats(_tiles(spark, sf_dir))

@@ -109,3 +109,34 @@ from .operators import mapmatch  # noqa: E402
 )
 def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapmatch.map_match(_pings(spark, sf_dir))
+
+
+# --- round 3 (cont.): simplification + revisitation ---------------------------
+
+@register(
+    "traj_simplify",
+    traj.simplify_oracle(),
+    doc="One-sweep Visvalingam polyline simplification per user: interior "
+    "vertices survive iff their doubled-triangle effective area >= 400 "
+    "grid-units² (exact bigint cross product; endpoints always kept). "
+    "Dwells and collinear runs drop, so kept_milli is the trajectory's "
+    "information density and dropped_area2 the discarded error mass. "
+    "One user-keyed window + groupBy on the same key — a single "
+    "exchange, the shared trajectory-op shape.",
+)
+def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.simplify_stats(_pings(spark, sf_dir))
+
+
+@register(
+    "traj_revisits",
+    traj.revisit_oracle(),
+    doc="Returner/explorer mobility profile (Pappalardo et al. 2015): per "
+    "user, distinct res-9 cells visited, cells RE-entered after leaving "
+    "(visit islands >= 2 via the seq - row_number gaps-and-islands id), "
+    "total returns, revisit share, and the returner/explorer class "
+    "(revisited >= half of cells). All windows and rollups share the "
+    "user-keyed exchange.",
+)
+def q_traj_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.revisit_stats(_pings(spark, sf_dir))
