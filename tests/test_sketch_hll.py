@@ -1,0 +1,53 @@
+"""HLL estimator band + dissolve partition invariants."""
+
+from __future__ import annotations
+
+from tree_sitter_analyzer_spark import synth
+from tree_sitter_analyzer_spark.operators import sketch, zonal
+
+from .conftest import SF_TINY
+
+
+def test_hll_error_band_and_register_bounds(spark):
+    """The m=64 raw HLL estimate must land within the textbook band
+    (std err 1.04/√64 ≈ 13%; allow 3σ ≈ 400‰) with every register count
+    bounded by m, and the estimate strictly positive."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    pdf = sketch.hll_cardinality(tiles).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.n_registers <= sketch.HLL_M).all()
+    assert (pdf.hll_est_milli > 0).all()
+    assert (pdf.err_milli < 400).all()
+
+
+def test_hll_converges_with_register_count(spark):
+    """More registers must tighten the worst-group error — the 1/√m
+    convergence that separates a real estimator from a lucky constant.
+    Compared at m=16 vs m=64, both safely in the raw-estimator regime
+    (n/m ≥ 3.3 at sf0.001's ~214 distinct cells per kind): the raw HLL
+    is the documented contract — no linear-counting small-range branch
+    (it needs ln), so m ≫ n/2.5 would be biased high BY DESIGN and is
+    not a supported configuration."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    e16 = sketch.hll_cardinality(tiles, m=16).toPandas()
+    e64 = sketch.hll_cardinality(tiles, m=64).toPandas()
+    assert e64.err_milli.max() < 400  # 3σ at m=64
+    assert e16.err_milli.max() < 800  # 3σ at m=16
+    assert e64.err_milli.max() < e16.err_milli.max()
+
+
+def test_dissolve_partitions_zones(spark):
+    """Dissolve is a PARTITION of the zone set: region zone counts sum to
+    N_ZONES, at least one real merge happens (fewer regions than zones),
+    each region id is a member zone id, and the union area of a merged
+    region is strictly less than the sum of its members' bbox covers
+    whenever they overlap (union semantics, no double count)."""
+    pdf = zonal.dissolve(spark, synth.zones_df(spark)).toPandas()
+    assert pdf.n_zones.sum() == synth.N_ZONES
+    assert len(pdf) < synth.N_ZONES  # merges exist at this geography
+    assert (pdf.n_zones >= 1).all()
+    assert pdf.region_id.between(0, synth.N_ZONES - 1).all()
+    assert (pdf.area_cells > 0).all()
+    # region_id = min member j; adjacency never crosses zkind, so each
+    # zone id labels at most one region.
+    assert pdf.region_id.is_unique

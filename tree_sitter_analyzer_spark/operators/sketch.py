@@ -133,3 +133,124 @@ SELECT p.rank, p.tok, p.exact_cnt, min(s.cnt) AS cms_est,
        min(s.cnt) - p.exact_cnt AS overcount
 FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
 GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# R65: HyperLogLog cardinality sketch (integer-exact, fully oracled)
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch trio: count-min = frequency, Bloom (operators/
+# bloom.py) = membership, HLL (Flajolet et al. 2007) = cardinality. Same
+# determinism-equals-oracleability discipline: md5-seeded hashes, and the
+# estimator itself is spelled in BIGINT rational arithmetic — rho is a
+# trailing-zero count, registers hold max-rho, and the harmonic sum is
+# Σ 2^(48-M_j) (exact dyadic integers), so est_milli =
+# α_milli·m²·2^48 DIV S is bit-identical cross-engine. No float enters
+# any compared column.
+#
+# Scale shape: one map-side-combinable groupBy of the key stream onto
+# (group, j ≤ m) register keys — the shuffle carries m registers per
+# group, never the keys; registers merge by MAX, the HLL monoid, which is
+# exactly Spark's partial/final agg. The raw estimator (no small-range
+# linear-counting correction, which needs ln) is the right regime here:
+# n/m ≫ 3 for every group at every sf, and the tests pin the error band.
+
+HLL_M = 64                    # registers (2^6)
+HLL_SHIFT = 33                # dyadic scale: 2^(SHIFT-rho) stays integral,
+                              # and alpha*m^2*2^SHIFT fits int64 for m<=1024
+HLL_RHO_MAX = 26              # md5int has 32 bits; 6 spent on the bucket
+_ALPHA_MILLI = {16: 673, 32: 697, 64: 709, 128: 715, 256: 718, 512: 720,
+                1024: 721}
+
+
+def _rho_case(w: str, rho_max: int = HLL_RHO_MAX) -> str:
+    """rho = 1 + trailing zeros of ``w`` (geometric, p=1/2), clamped to
+    rho_max; w = 0 → rho_max. Flat CASE over floor/mod — portable."""
+    arms = " ".join(
+        f"WHEN CAST(floor(({w}) / {1 << (k - 1)}) AS BIGINT) % 2 = 1 THEN {k}"
+        for k in range(1, rho_max)
+    )
+    return f"(CASE {arms} ELSE {rho_max} END)"
+
+
+def hll_cardinality(tiles: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Per-tile-kind distinct res-9 cell cardinality, estimated by a
+    deterministic m-register HLL next to the exact count. Output:
+    (tile_kind, n_exact, n_registers, hll_est_milli, err_milli) — all
+    bigint; err_milli = 1000·|est − exact| / exact pins the accuracy."""
+    from .. import grid
+
+    alpha = _ALPHA_MILLI[m]
+    h = md5int_spark("CAST(cell AS STRING)")
+    keyed = tiles.select(
+        "tile_kind",
+        F.expr(grid.cell_sql("lon", "lat", 9)).alias("cell"),
+    ).select(
+        "tile_kind",
+        "cell",
+        F.expr(f"({h}) % {m}").alias("j"),
+        F.expr(_rho_case(f"({h}) DIV {m}")).alias("rho"),
+    )
+    regs = keyed.groupBy("tile_kind", "j").agg(F.max("rho").alias("mj"))
+    exact = keyed.groupBy("tile_kind").agg(
+        F.countDistinct("cell").alias("n_exact")
+    )
+    est = (
+        regs.groupBy("tile_kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_registers"),
+            F.sum(F.expr(f"CAST({1 << HLL_SHIFT} / power(2, mj) AS BIGINT)"))
+            .alias("s_active"),
+        )
+        .select(
+            "tile_kind",
+            "n_registers",
+            F.expr(
+                f"s_active + ({m} - n_registers) * {1 << HLL_SHIFT}"
+            ).alias("s_total"),
+        )
+    )
+    return (
+        exact.join(est, "tile_kind")
+        .select(
+            "tile_kind",
+            "n_exact",
+            "n_registers",
+            F.expr(
+                f"{alpha} * {m} * {m} * {1 << HLL_SHIFT} DIV s_total"
+            ).alias("hll_est_milli"),
+        )
+        .withColumn(
+            "err_milli",
+            F.expr("abs(hll_est_milli - 1000 * n_exact) DIV n_exact"),
+        )
+    )
+
+
+def hll_oracle_sql(m: int = HLL_M) -> str:
+    """DuckDB rebuilds registers, harmonic sum, and estimate identically
+    (requires the spliced tiles CTE)."""
+    from .. import grid
+
+    alpha = _ALPHA_MILLI[m]
+    h = md5int_duck("CAST(cell AS VARCHAR)")
+    rho = _rho_case(f"({h}) // {m}")
+    return f"""
+hk AS (
+  SELECT tile_kind, cell, ({h}) % {m} AS j, {rho} AS rho
+  FROM (SELECT tile_kind, {grid.cell_sql('lon', 'lat', 9)} AS cell
+        FROM tiles)
+),
+hreg AS (SELECT tile_kind, j, max(rho) AS mj FROM hk GROUP BY 1, 2),
+hex AS (SELECT tile_kind, count(DISTINCT cell) AS n_exact FROM hk GROUP BY 1),
+hest AS (
+  SELECT tile_kind, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CAST({1 << HLL_SHIFT} / power(2, mj) AS BIGINT))
+              + ({m} - count(*)) * {1 << HLL_SHIFT} AS BIGINT) AS s_total
+  FROM hreg GROUP BY 1
+)
+SELECT e.tile_kind, e.n_exact, s.n_registers,
+       ({alpha} * {m} * {m} * {1 << HLL_SHIFT}) // s.s_total AS hll_est_milli,
+       abs(({alpha} * {m} * {m} * {1 << HLL_SHIFT}) // s.s_total
+           - 1000 * e.n_exact) // e.n_exact AS err_milli
+FROM hex e JOIN hest s ON s.tile_kind = e.tile_kind"""

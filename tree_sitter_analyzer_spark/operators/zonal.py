@@ -989,3 +989,110 @@ SELECT cell, CAST(total AS BIGINT) AS total,
        CASE WHEN ({s_terms}) >= 9 THEN 'rising'
             WHEN ({s_terms}) <= -9 THEN 'falling' ELSE 'flat' END AS trend
 FROM mk_cell"""
+
+
+# ---------------------------------------------------------------------------
+# R66: polygon dissolve (union-by-attribute)
+# ---------------------------------------------------------------------------
+
+def dissolve(
+    spark, zones: DataFrame, res: int = 7, area_res: int = 9
+) -> DataFrame:
+    """GIS dissolve: merge same-``zkind`` zones whose rectangles touch or
+    overlap into regions (connected components of the adjacency graph),
+    and report each region's UNION area exactly — as its distinct
+    res-``area_res`` cell count, so the overlap double-count problem the
+    naive Σ area has simply cannot occur. Output one row per region:
+    (zkind, region_id, n_zones, area_cells) with region_id = min zone j.
+
+    Scale shape: candidate adjacency pairs come from a cell-bucketed
+    self-join of the res-``res`` zone cover (never all-pairs) with the
+    reference-point dedup (CLAUDE.md): a pair is emitted ONLY in the cell
+    containing (greatest(xmin), greatest(ymin)) — the lower-left corner
+    of the bbox intersection, which lies in both rectangles, so exactly
+    one join cell fires per pair and no distinct() is needed. Components
+    run on the zone-id quotient graph (|V| = #zones ≪ #cells) via the
+    shared min-label propagation; the area rollup is one exchange keyed
+    by (zkind, region).
+    """
+    from .graph import connected_components
+
+    sides = {}
+    for tag in ("a", "b"):
+        sides[tag] = zone_cover(zones, res).select(
+            F.col("j").alias(f"{tag}_j"),
+            F.col("zkind").alias(f"{tag}_zkind"),
+            F.col("xmin").alias(f"{tag}_xmin"),
+            F.col("xmax").alias(f"{tag}_xmax"),
+            F.col("ymin").alias(f"{tag}_ymin"),
+            F.col("ymax").alias(f"{tag}_ymax"),
+            "cell",
+        )
+    refcell = grid.cell_sql(
+        "greatest(a_xmin, b_xmin)", "greatest(a_ymin, b_ymin)", res
+    )
+    pairs = (
+        sides["a"]
+        .join(sides["b"], "cell")
+        .where(
+            F.expr(
+                "a_zkind = b_zkind AND a_j < b_j"
+                " AND a_xmin <= b_xmax AND b_xmin <= a_xmax"
+                " AND a_ymin <= b_ymax AND b_ymin <= a_ymax"
+                f" AND cell = {refcell}"
+            )
+        )
+        .select(F.col("a_j").alias("src"), F.col("b_j").alias("dst"))
+    )
+    comp = connected_components(spark, pairs)
+    labeled = zones.join(
+        comp.withColumnRenamed("v", "j"), "j", "left"
+    ).withColumn("region_id", F.coalesce("component", "j"))
+    return (
+        zone_cover(labeled, area_res)
+        .groupBy("zkind", "region_id")
+        .agg(
+            F.countDistinct("j").cast("bigint").alias("n_zones"),
+            F.countDistinct("cell").cast("bigint").alias("area_cells"),
+        )
+        .select("zkind", "region_id", "n_zones", "area_cells")
+    )
+
+
+def dissolve_oracle_sql(res_unused: int = 7, area_res: int = 9) -> str:
+    """Naive exact oracle: all-pairs adjacency (fine at 200 zones), an
+    UNCAPPED recursive min-label closure (parity also proves the Spark
+    loop converged), and the identical cell-count union area. Requires
+    the spliced zones CTE with WITH RECURSIVE."""
+    return f"""
+dz_pairs AS (
+  SELECT a.j AS src, b.j AS dst
+  FROM zones a JOIN zones b
+    ON a.zkind = b.zkind AND a.j < b.j
+   AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+),
+dz_edges AS (
+  SELECT src, dst FROM dz_pairs
+  UNION ALL SELECT dst, src FROM dz_pairs
+),
+dz_reach(v, label) AS (
+  SELECT j, j FROM zones
+  UNION
+  SELECT e.dst, r.label FROM dz_reach r JOIN dz_edges e ON e.src = r.v
+),
+dz_comp AS (SELECT v AS j, min(label) AS region_id FROM dz_reach GROUP BY v),
+dz_cells AS (
+  SELECT z.zkind, c.region_id, z.j,
+         ix * {grid.IX_MUL} + iy AS acell
+  FROM zones z
+  JOIN dz_comp c ON c.j = z.j,
+       unnest(generate_series({grid.ix_sql('xmin', area_res)},
+                              {grid.ix_sql('xmax', area_res)})) AS tx(ix),
+       unnest(generate_series({grid.iy_sql('ymin', area_res)},
+                              {grid.iy_sql('ymax', area_res)})) AS ty(iy)
+)
+SELECT zkind, region_id,
+       CAST(count(DISTINCT j) AS BIGINT) AS n_zones,
+       CAST(count(DISTINCT acell) AS BIGINT) AS area_cells
+FROM dz_cells GROUP BY 1, 2"""

@@ -1339,6 +1339,7 @@ def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 3 (cont.): runtime-filter membership sketch ------------------------
 
 from .operators import bloom  # noqa: E402
+from .operators import sketch as sketch_ops  # noqa: E402
 
 
 @register(
@@ -1371,3 +1372,38 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_nn_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.nn_distance_stats(_tiles(spark, sf_dir))
+
+
+@register(
+    "zone_dissolve",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + zonal.dissolve_oracle_sql(),
+    doc="GIS dissolve (union-by-attribute): same-kind zones whose "
+    "rectangles touch/overlap merge into regions via min-label connected "
+    "components on the zone-id quotient graph; each region's UNION area "
+    "is its exact distinct res-9 cell count (overlap double-count "
+    "impossible by construction). Candidate adjacency comes from a "
+    "cell-bucketed cover self-join with the reference-point pair dedup "
+    "— never all-pairs, no distinct(). The oracle re-derives adjacency "
+    "naively and closes components with an UNCAPPED recursive walk, so "
+    "parity also proves the Spark loop converged.",
+)
+def q_zone_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.dissolve(spark, synth.zones_df(spark))
+
+
+@register(
+    "hll_cardinality",
+    f"{_CTES},\n{sketch_ops.hll_oracle_sql()}",
+    doc="HyperLogLog distinct-cell cardinality per tile kind, next to the "
+    "exact count: 64 md5-seeded registers, rho = trailing zeros "
+    "(geometric), harmonic sum as exact dyadic bigints (Σ 2^(48−M_j)), "
+    "estimate = α·m²·2^48 DIV S — no float in any compared column, so "
+    "DuckDB rebuilds the estimator bit-for-bit. Completes the sketch "
+    "trio (CMS=frequency, Bloom=membership, HLL=cardinality). One "
+    "map-side-combined groupBy onto ≤64 registers per group; registers "
+    "merge by MAX — the HLL monoid is exactly Spark's partial/final agg.",
+)
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_ops.hll_cardinality(_tiles(spark, sf_dir))
