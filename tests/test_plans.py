@@ -462,3 +462,39 @@ def test_map_match_candidates_are_broadcast_bucket_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The Bloom bit-set frame (≤ k·|keys| rows) must be the broadcast
+    build side of the membership join — the big probe side never
+    shuffles before the filter (the runtime-filter contract)."""
+    from tree_sitter_analyzer_spark.operators import bloom
+
+    df = bloom.bloom_audit(synth.tiles_df(spark, SF_TINY), res=8)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dissolve_pairs_never_all_pairs(spark):
+    """Dissolve adjacency candidates come from the cell-bucketed cover
+    equi-join with the reference-point dedup: no cartesian, no
+    broadcast-nested-loop, and no dropDuplicates over the pair stream."""
+    from tree_sitter_analyzer_spark.operators import zonal as z
+
+    df = z.dissolve(spark, synth.zones_df(spark))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_register_rollup_is_partial_final(spark):
+    """The register build must show a two-phase hash aggregate (map-side
+    partial_max before the exchange) — the HLL monoid executing as
+    partial/final agg, so the shuffle carries registers, never keys."""
+    from tree_sitter_analyzer_spark.operators import sketch
+
+    df = sketch.hll_cardinality(synth.tiles_df(spark, SF_TINY))
+    plan = plan_of(df)
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
