@@ -92,17 +92,28 @@ GATE_ORDER = [
     "pricing_summary", "revenue_by_nation", "event_sessions",
     "colocation_pairs", "cost_distance", "event_props_stats",
     "asof_attribution", "session_window_stats",
-    "event_hopping_counts", "traj_stats", "incremental_merge",
+    "emerging_hotspots", "traj_stats", "incremental_merge",
     # training-data pipeline suite (task brief first-class)
-    "ingest_summary", "dedup_exact", "dedup_clusters", "ngram_jaccard",
-    "minhash_lsh", "dedup_embedding", "ann_cosine_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "text_stats", "caption_search",
-    "hybrid_search", "winnow_dups", "dedup_prefix", "phash_hamming_pairs",
+    "ingest_summary", "dedup_exact", "dedup_clusters", "hll_cardinality",
+    "minhash_lsh", "dedup_embedding", "bloom_filter_audit",
+    "map_match", "ann_ivf_topk", "text_stats", "caption_search",
+    "hybrid_search", "winnow_dups", "zone_dissolve", "phash_hamming_pairs",
     "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
     # graph traversal / analytics suite (reachability rotated out late
     # round 3: its transitive-closure family is covered by bfs_khop +
     # connected_components; the slot goes to the new density-clustering
     # family)
+    # Round-3 continuation rotation (R57-R66 families in, in-gate
+    # redundancy out; every rotated-out query stays sweep+pytest-oracled):
+    # ann_cosine_topk → bloom_filter_audit and ann_lsh_topk → map_match
+    # (ANN keeps ann_ivf_topk, the sanctioned scale path; the sketch trio
+    # and point→polyline matching had no gate row), ngram_jaccard →
+    # hll_cardinality (near-dup keeps minhash_lsh + dedup_embedding +
+    # winnow_dups + phash_hamming_pairs + dedup_clusters), dedup_prefix →
+    # zone_dissolve (exact-dedup family keeps dedup_exact; the dissolve
+    # overlay/CC composition is new), event_hopping_counts →
+    # emerging_hotspots (time windows keep session_window_stats +
+    # event_sessions; space-time trend is new).
     "bfs_khop",
     "connected_components", "pagerank3",
     "dbscan_clusters",
