@@ -51,3 +51,35 @@ def test_dissolve_partitions_zones(spark):
     # region_id = min member j; adjacency never crosses zkind, so each
     # zone id labels at most one region.
     assert pdf.region_id.is_unique
+
+
+def test_knox_margins_bound_interaction(spark):
+    """Set-theoretic bounds (both ⊆ space, both ⊆ time ⊆ all pairs), the
+    ratio re-derives from the counts, and the synthetic walk — dwells
+    make near-in-space pings near-in-time — must show genuine space-time
+    interaction (ratio > 1000‰)."""
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+
+    row = traj.knox_test(traj.pings_df(spark, SF_TINY)).collect()[0]
+    assert row.n_both <= min(row.n_space, row.n_time)
+    assert max(row.n_space, row.n_time) <= row.n_pairs
+    assert row.n_pairs == row.n_cases * (row.n_cases - 1) // 2
+    assert row.knox_ratio_milli == (
+        1000 * row.n_both * row.n_pairs // (row.n_space * row.n_time)
+    )
+    assert row.knox_ratio_milli > 1000
+
+
+def test_quantile_sketch_error_bound(spark):
+    """The histogram estimate must stay within one bin of the exact
+    quantile (plus the ≤NBINS integer-edge slack) — the sketch's whole
+    contract — and quantiles must be monotone in q."""
+    from tree_sitter_analyzer_spark.operators import sketch
+
+    orders = spark.read.parquet(f"{SF_TINY}/orders.parquet")
+    pdf = sketch.histogram_quantiles(orders).toPandas()
+    slack = pdf.binwidth + sketch.QS_NBINS
+    assert ((pdf.est_p50 - pdf.exact_p50).abs() <= slack).all()
+    assert ((pdf.est_p90 - pdf.exact_p90).abs() <= slack).all()
+    assert (pdf.exact_p50 <= pdf.exact_p90).all()
+    assert (pdf.est_p50 <= pdf.est_p90).all()

@@ -254,3 +254,147 @@ SELECT e.tile_kind, e.n_exact, s.n_registers,
        abs(({alpha} * {m} * {m} * {1 << HLL_SHIFT}) // s.s_total
            - 1000 * e.n_exact) // e.n_exact AS err_milli
 FROM hex e JOIN hest s ON s.tile_kind = e.tile_kind"""
+
+
+# ---------------------------------------------------------------------------
+# R68: equi-width histogram quantile sketch (approximate percentile)
+# ---------------------------------------------------------------------------
+#
+# The fourth sketch: approximate quantiles with a BOUNDED, integer-exact
+# error contract. A fixed NBINS equi-width histogram over integer cents
+# estimates any quantile as the upper edge of the bin where the running
+# count crosses ceil(q·n) — |est − exact| ≤ binwidth by construction
+# (the tests pin it). The same regime note as approx_percentile /
+# t-digest at 100 TB: the histogram is a mergeable monoid (cell-wise
+# sum), the shuffle carries ≤ NBINS rows per group, never values.
+# Exact quantiles ride along (rank = ceil(q·n) with a unique o_orderkey
+# tie-break — the engine-portable exact-quantile spelling) so the sketch
+# error is a recorded number, not a claim.
+
+QS_NBINS = 64
+
+
+def histogram_quantiles(orders: DataFrame, nbins: int = QS_NBINS) -> DataFrame:
+    """Per-o_orderpriority P50/P90 of o_totalprice cents: exact (unique
+    tie-break rank) next to the histogram estimate. Output: (priority,
+    n_orders, exact_p50, est_p50, exact_p90, est_p90, binwidth)."""
+    from pyspark.sql.window import Window
+
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    mx = base.agg(F.max("cents").alias("maxc"))
+    binned = base.crossJoin(F.broadcast(mx)).select(
+        "priority", "cents", "o_orderkey", "maxc",
+        F.expr(f"cents * {nbins} DIV (maxc + 1)").alias("bin"),
+    )
+    hist = binned.groupBy("priority", "maxc", "bin").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cumc", F.sum("c").over(wcum))
+    n = base.groupBy("priority").agg(F.count("*").alias("n_orders"))
+    est = cum.join(n, "priority")
+    ests = {}
+    for tag, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+        pos = f"(({num} * n_orders + {den} - 1) DIV {den})"
+        ests[tag] = (
+            est.where(F.expr(f"cumc >= {pos}"))
+            .groupBy("priority")
+            .agg(
+                F.expr(
+                    f"(min(bin) + 1) * ((max(maxc) + 1) DIV {nbins})"
+                ).alias(f"est_{tag}")
+            )
+        )
+    wrank = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    ranked = base.withColumn("rn", F.row_number().over(wrank)).join(
+        n, "priority"
+    )
+    exact = ranked.groupBy("priority").agg(
+        F.expr(
+            "min(CASE WHEN rn = (1 * n_orders + 1) DIV 2 THEN cents END)"
+        ).alias("exact_p50"),
+        F.expr(
+            "min(CASE WHEN rn = (9 * n_orders + 9) DIV 10 THEN cents END)"
+        ).alias("exact_p90"),
+    )
+    return (
+        n.join(exact, "priority")
+        .join(ests["p50"], "priority")
+        .join(ests["p90"], "priority")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "priority",
+            "n_orders",
+            "exact_p50",
+            "est_p50",
+            "exact_p90",
+            "est_p90",
+            f"(maxc + 1) DIV {nbins} AS binwidth",
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(nbins: int = QS_NBINS) -> str:
+    return f"""
+WITH qb AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+qm AS (SELECT max(cents) AS maxc FROM qb),
+qn AS (SELECT priority, count(*) AS n_orders FROM qb GROUP BY 1),
+qh AS (
+  SELECT priority, cents * {nbins} // (maxc + 1) AS bin, count(*) AS c
+  FROM qb, qm GROUP BY 1, 2
+),
+qc AS (
+  SELECT priority, bin,
+         sum(c) OVER (PARTITION BY priority ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc
+  FROM qh
+),
+qe50 AS (
+  SELECT c.priority, (min(c.bin) + 1) * ((max(m.maxc) + 1) // {nbins})
+           AS est_p50
+  FROM qc c JOIN qn n ON n.priority = c.priority, qm m
+  WHERE c.cumc >= (1 * n.n_orders + 1) // 2
+  GROUP BY 1
+),
+qe90 AS (
+  SELECT c.priority, (min(c.bin) + 1) * ((max(m.maxc) + 1) // {nbins})
+           AS est_p90
+  FROM qc c JOIN qn n ON n.priority = c.priority, qm m
+  WHERE c.cumc >= (9 * n.n_orders + 9) // 10
+  GROUP BY 1
+),
+qr AS (
+  SELECT priority, cents,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY cents, o_orderkey) AS rn
+  FROM qb
+),
+qx AS (
+  SELECT r.priority,
+         min(CASE WHEN r.rn = (1 * n.n_orders + 1) // 2
+                  THEN r.cents END) AS exact_p50,
+         min(CASE WHEN r.rn = (9 * n.n_orders + 9) // 10
+                  THEN r.cents END) AS exact_p90
+  FROM qr r JOIN qn n ON n.priority = r.priority
+  GROUP BY 1
+)
+SELECT n.priority, n.n_orders, x.exact_p50, e5.est_p50,
+       x.exact_p90, e9.est_p90, (m.maxc + 1) // {nbins} AS binwidth
+FROM qn n
+JOIN qx x ON x.priority = n.priority
+JOIN qe50 e5 ON e5.priority = n.priority
+JOIN qe90 e9 ON e9.priority = n.priority, qm m"""

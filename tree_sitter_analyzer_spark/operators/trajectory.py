@@ -591,3 +591,134 @@ SELECT user_id, n_cells, n_revisited, n_returns,
        CASE WHEN 2 * n_revisited >= n_cells THEN 'returner'
             ELSE 'explorer' END AS mobility_class
 FROM pu"""
+
+
+# ---------------------------------------------------------------------------
+# R67: Knox space-time interaction test
+# ---------------------------------------------------------------------------
+#
+# The classic epidemiology statistic (Knox 1964): among all case pairs,
+# does the count close in BOTH space and time exceed what the space-close
+# and time-close margins predict under independence? ratio_milli =
+# 1000·n_both·n_pairs / (n_space·n_time) > 1000 ⟹ space-time clustering
+# (contagion-like movement). Complements Mann-Kendall (trend per cell)
+# and colocation (pairs listed); Knox is the global interaction scalar.
+#
+# All three pair counts use the same LOSSLESS one-sided band fan: the
+# LEFT case expands to every bucket within reach (3×3 cells for space,
+# ±1 epoch band for time), the RIGHT stays in its home bucket, and the
+# unique key order a < b makes each unordered pair join EXACTLY once —
+# no distinct(), no all-pairs (the mapmatch/dbscan bucket discipline).
+# The naive oracle re-derives every count from a true all-pairs join.
+
+KNOX_DELTA = 40                       # grid units; d² ≤ δ²
+KNOX_TAU_US = 6 * 3_600_000_000      # 6 hours
+_KNOX_BUCKET = 64                     # ≥ δ → 3×3 fan is a lossless cover
+
+
+def _knox_cases(pings: DataFrame) -> DataFrame:
+    return pings.where("user_id % 10 = 0").select(
+        F.expr("user_id * 1000000 + seq").alias("k"),
+        "ix",
+        "iy",
+        F.expr(f"{_EPOCH_US_SPARK}").alias("ep"),
+    )
+
+
+def knox_test(pings: DataFrame) -> DataFrame:
+    """One audit row: (n_cases, n_pairs, n_space, n_time, n_both,
+    knox_ratio_milli) — all bigint; n_pairs = C(n,2) arithmetically."""
+    c = _knox_cases(pings)
+    b = _KNOX_BUCKET
+    d2 = KNOX_DELTA * KNOX_DELTA
+
+    def fan_space(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k", "ix", "iy", "ep",
+            F.explode(
+                F.expr(
+                    "array(-1, 0, 1)"
+                )
+            ).alias("ox"),
+        ).select(
+            "k", "ix", "iy", "ep", "ox",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("oy"),
+        ).select(
+            "k", "ix", "iy", "ep",
+            F.expr(f"(ix DIV {b} + ox) * {_PACK} + (iy DIV {b} + oy)").alias(
+                "sb"
+            ),
+        )
+
+    home_s = c.select(
+        F.col("k").alias("k2"), F.col("ix").alias("ix2"),
+        F.col("iy").alias("iy2"), F.col("ep").alias("ep2"),
+        F.expr(f"(ix DIV {b}) * {_PACK} + (iy DIV {b})").alias("sb"),
+    )
+    space_pred = (
+        "k < k2 AND (ix - ix2) * (ix - ix2) + (iy - iy2) * (iy - iy2)"
+        f" <= {d2}"
+    )
+    time_pred = f"k < k2 AND abs(ep - ep2) <= {KNOX_TAU_US}"
+    sp = fan_space(c).join(home_s, "sb").where(F.expr(space_pred))
+    n_space = sp.agg(F.count("*").alias("n_space"))
+    n_both = sp.where(F.expr(f"abs(ep - ep2) <= {KNOX_TAU_US}")).agg(
+        F.count("*").alias("n_both")
+    )
+    fan_t = c.select(
+        "k", "ep",
+        F.explode(F.expr("array(-1, 0, 1)")).alias("ot"),
+    ).select("k", "ep", F.expr(f"ep DIV {KNOX_TAU_US} + ot").alias("tb"))
+    home_t = c.select(
+        F.col("k").alias("k2"), F.col("ep").alias("ep2"),
+        F.expr(f"ep DIV {KNOX_TAU_US}").alias("tb"),
+    )
+    n_time = (
+        fan_t.join(home_t, "tb")
+        .where(F.expr(time_pred))
+        .agg(F.count("*").alias("n_time"))
+    )
+    n = c.agg(F.count("*").alias("n_cases"))
+    return (
+        n.crossJoin(F.broadcast(n_space))
+        .crossJoin(F.broadcast(n_time))
+        .crossJoin(F.broadcast(n_both))
+        .selectExpr(
+            "n_cases",
+            "n_cases * (n_cases - 1) DIV 2 AS n_pairs",
+            "n_space",
+            "n_time",
+            "n_both",
+            "1000 * n_both * (n_cases * (n_cases - 1) DIV 2)"
+            " DIV (n_space * n_time) AS knox_ratio_milli",
+        )
+    )
+
+
+def knox_oracle(events_clause: str = "events") -> str:
+    d2 = KNOX_DELTA * KNOX_DELTA
+    return f"""WITH {pings_oracle_cte(events_clause)},
+kc AS (
+  SELECT user_id * 1000000 + seq AS k, ix, iy,
+         {_EPOCH_US_DUCK} AS ep
+  FROM pings WHERE user_id % 10 = 0
+),
+kp AS (
+  SELECT (a.ix - b.ix) * (a.ix - b.ix)
+         + (a.iy - b.iy) * (a.iy - b.iy) <= {d2} AS sclose,
+         abs(a.ep - b.ep) <= {KNOX_TAU_US} AS tclose
+  FROM kc a JOIN kc b ON a.k < b.k
+),
+kt AS (
+  SELECT (SELECT count(*) FROM kc) AS n_cases,
+         CAST(sum(CASE WHEN sclose THEN 1 ELSE 0 END) AS BIGINT) AS n_space,
+         CAST(sum(CASE WHEN tclose THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
+         CAST(sum(CASE WHEN sclose AND tclose THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM kp
+)
+SELECT n_cases, n_cases * (n_cases - 1) // 2 AS n_pairs,
+       n_space, n_time, n_both,
+       (1000 * n_both * (n_cases * (n_cases - 1) // 2))
+         // (n_space * n_time) AS knox_ratio_milli
+FROM kt"""

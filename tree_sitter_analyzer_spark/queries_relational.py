@@ -900,3 +900,22 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+# --- round 3 (cont.): histogram quantile sketch -------------------------------
+
+from .operators import sketch as _sketch  # noqa: E402
+
+
+@register(
+    "quantile_sketch",
+    _sketch.histogram_quantiles_oracle_sql(),
+    doc="Equi-width histogram quantile sketch (the approximate-percentile "
+    "family next to CMS/Bloom/HLL): per order priority, P50/P90 of "
+    "order cents estimated from a 64-bin histogram beside the exact "
+    "unique-tie-break rank quantile — |est − exact| ≤ binwidth pinned. "
+    "The histogram is a mergeable monoid: the shuffle carries ≤64 bins "
+    "per group, never values; exact ranks ride a per-priority window.",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sketch.histogram_quantiles(_t(spark, sf_dir, "orders"))

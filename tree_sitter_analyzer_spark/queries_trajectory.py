@@ -140,3 +140,20 @@ def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_traj_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.revisit_stats(_pings(spark, sf_dir))
+
+
+@register(
+    "knox_spacetime",
+    traj.knox_oracle(),
+    doc="Knox space-time interaction test over the case pings (every "
+    "10th user): among all case pairs, does the count close in BOTH "
+    "space (d ≤ 40 units) and time (≤ 6 h) exceed the independence "
+    "expectation from the space-close and time-close margins? "
+    "ratio_milli > 1000 ⟹ contagion-like clustering. All three pair "
+    "counts use the lossless one-sided band fan (left expands 3×3 "
+    "cells / ±1 epoch band, right stays home, unique-key order — each "
+    "pair joins exactly once, no distinct, never all-pairs); the naive "
+    "oracle re-derives every count from a true all-pairs join.",
+)
+def q_knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.knox_test(_pings(spark, sf_dir))
