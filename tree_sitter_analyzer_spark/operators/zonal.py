@@ -1096,3 +1096,104 @@ SELECT zkind, region_id,
        CAST(count(DISTINCT j) AS BIGINT) AS n_zones,
        CAST(count(DISTINCT acell) AS BIGINT) AS area_cells
 FROM dz_cells GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# R69: raster morphology (erosion / dilation / boundary) over the hot mask
+# ---------------------------------------------------------------------------
+
+MORPH_RES = 7
+MORPH_HOT_MIN = 5  # cell is "hot" when it holds ≥ this many tiles
+
+# von Neumann 4-neighborhood (no center) — morphology's structuring
+# element; spelled once, spliced into both engines.
+_VN4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def raster_morphology(
+    tiles: DataFrame, res: int = MORPH_RES, hot_min: int = MORPH_HOT_MIN
+) -> DataFrame:
+    """Binary mathematical morphology over the density mask (hot = res-R
+    cell with ≥ hot_min tiles): dilation (hot ∪ 4-neighbors), erosion
+    (hot cells whose 4 neighbors are ALL hot), internal boundary
+    (hot − eroded), and solidity = 1000·n_eroded/n_hot. One audit row,
+    all bigint — the raster sibling of the zone fringe combinator.
+
+    Scale shape: aggregate FIRST (tiles → per-cell counts, one shuffle),
+    then every morphology operator is a ≤5× fan of the tiny hot-cell
+    frame joined back to itself — O(#hot cells), the tile rows are never
+    touched again (the focal_mean discipline).
+    """
+    from .pip_join import tile_cells
+
+    hot = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= hot_min)
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+        .select("cell", "ix", "iy")
+    )
+    offs = ", ".join(f"struct({dx} AS dx, {dy} AS dy)" for dx, dy in _VN4)
+    fan = hot.withColumn("off", F.explode(F.expr(f"array({offs})"))).select(
+        F.expr(grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)).alias(
+            "cell"
+        )
+    )
+    n_hot = hot.agg(F.count("*").alias("n_hot"))
+    n_dilated = (
+        fan.select("cell")
+        .unionByName(hot.select("cell"))
+        .agg(F.countDistinct("cell").alias("n_dilated"))
+    )
+    n_eroded = (
+        fan.groupBy("cell")
+        .agg(F.count("*").alias("nn"))
+        .where(F.col("nn") == 4)
+        .join(hot.select("cell"), "cell", "left_semi")
+        .agg(F.count("*").alias("n_eroded"))
+    )
+    return (
+        n_hot.crossJoin(F.broadcast(n_dilated))
+        .crossJoin(F.broadcast(n_eroded))
+        .selectExpr(
+            "n_hot",
+            "n_dilated",
+            "n_eroded",
+            "n_hot - n_eroded AS n_boundary",
+            "1000 * n_eroded DIV n_hot AS solidity_milli",
+        )
+    )
+
+
+def raster_morphology_oracle_sql(
+    res: int = MORPH_RES, hot_min: int = MORPH_HOT_MIN
+) -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _VN4)
+    return f"""
+mh AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2
+),
+mhot AS (SELECT ix, iy FROM mh WHERE n >= {hot_min}),
+moffs(dx, dy) AS (VALUES {offs}),
+mfan AS (
+  SELECT h.ix + o.dx AS ix, h.iy + o.dy AS iy
+  FROM mhot h CROSS JOIN moffs o
+),
+mdil AS (
+  SELECT count(DISTINCT ix * {grid.IX_MUL} + iy) AS n_dilated
+  FROM (SELECT ix, iy FROM mfan UNION ALL SELECT ix, iy FROM mhot)
+),
+mero AS (
+  SELECT count(*) AS n_eroded
+  FROM (SELECT ix, iy FROM mfan GROUP BY 1, 2 HAVING count(*) = 4) f
+  WHERE EXISTS (SELECT 1 FROM mhot h WHERE h.ix = f.ix AND h.iy = f.iy)
+),
+mtot AS (SELECT count(*) AS n_hot FROM mhot)
+SELECT t.n_hot, d.n_dilated, e.n_eroded,
+       t.n_hot - e.n_eroded AS n_boundary,
+       1000 * e.n_eroded // t.n_hot AS solidity_milli
+FROM mtot t CROSS JOIN mdil d CROSS JOIN mero e"""

@@ -1407,3 +1407,18 @@ def q_zone_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_cardinality(_tiles(spark, sf_dir))
+
+
+@register(
+    "raster_morphology",
+    f"{_CTES},\n{zonal.raster_morphology_oracle_sql()}",
+    doc="Binary mathematical morphology over the res-7 density mask "
+    "(hot = cell with ≥5 tiles): dilation (hot ∪ 4-neighbors), erosion "
+    "(hot cells with all 4 neighbors hot), internal boundary, and "
+    "solidity — one all-bigint audit row, the raster sibling of the "
+    "zone fringe combinator. Aggregate-first discipline: every operator "
+    "is a ≤5× fan of the tiny hot-cell frame joined to itself; tile "
+    "rows are touched exactly once.",
+)
+def q_raster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.raster_morphology(_tiles(spark, sf_dir))
