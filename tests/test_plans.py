@@ -498,3 +498,43 @@ def test_hll_register_rollup_is_partial_final(spark):
     plan = plan_of(df)
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quadtree_joins_broadcast_and_tiles_aggregate_once(spark):
+    """Quadtree: tile rows cross exactly ONE exchange (the res-9 count);
+    every coarser rollup joins back via broadcast over the cell frame —
+    no sort-merge join of tile-cardinality inputs anywhere."""
+    from tree_sitter_analyzer_spark.operators import quadtree
+
+    df = quadtree.quadtree_leaves(synth.tiles_df(spark, SF_TINY))
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semivariogram_pairs_are_key_joined(spark):
+    """The lag fan must resolve to a packed-key equi-join over the cell
+    frame — never a cartesian / nested-loop pair enumeration."""
+    from tree_sitter_analyzer_spark.operators import pointpattern
+
+    df = pointpattern.semivariogram(synth.tiles_df(spark, SF_TINY))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_orders_groups_before_customer_join(spark):
+    """Q18 shape: the quantity HAVING must aggregate lineitem BEFORE the
+    orders/customer joins (group-then-join) — the exchange carries one
+    row per order, not per line item."""
+    q = load_all()["large_orders"]
+    plan = plan_of(q.spark_fn(spark, SF_TINY), mode="simple")
+    # In the simple tree the first (outermost) join must sit ABOVE the
+    # quantity aggregate, i.e. the aggregate appears deeper (later) in
+    # the tree text than every join line — group-then-join.
+    agg_last = plan.rfind("HashAggregate")
+    join_last = max(plan.rfind("BroadcastHashJoin"), plan.rfind("SortMergeJoin"))
+    assert join_last != -1
+    assert agg_last > join_last, "quantity aggregate must be below the joins"
+    assert "TakeOrderedAndProject" in plan

@@ -424,3 +424,66 @@ def test_hex_sql_matches_numpy_duckdb(spark):
     ).df()
     nq, nr = grid.np_hex_qr(df.lon.to_numpy(), df.lat.to_numpy(), 0.005)
     assert (df.hq.to_numpy() == nq).all() and (df.hr.to_numpy() == nr).all()
+
+
+def test_quadtree_is_disjoint_complete_partition(spark):
+    """Quadtree leaves must (1) conserve the tile count, (2) respect the
+    split threshold (every leaf above max depth holds <= T), (3) be
+    mutually disjoint — no leaf is the spatial ancestor of another —
+    and (4) every leaf above RMIN must exist because its parent split
+    (parent count > T): the four structural invariants the oracle's
+    value hash alone cannot name."""
+    from tree_sitter_analyzer_spark.operators import quadtree as qt
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    leaves = qt.quadtree_leaves(tiles).toPandas()
+    n_tiles = tiles.count()
+    assert leaves.n_tiles.sum() == n_tiles  # completeness
+    shallow = leaves[leaves.res < qt.RMAX]
+    assert (shallow.n_tiles <= qt.QT_THRESHOLD).all()  # threshold
+    # decode (res, ix, iy); check pairwise ancestor-freedom via set lookup
+    res = leaves.res.to_numpy()
+    ix = ((leaves.cell.to_numpy() - res * grid.RES_MUL) // grid.IX_MUL)
+    iy = (leaves.cell.to_numpy() - res * grid.RES_MUL) % grid.IX_MUL
+    leaf_set = set(zip(res.tolist(), ix.tolist(), iy.tolist()))
+    parent_counts: dict = {}
+    for r, x, y, n in zip(res, ix, iy, leaves.n_tiles):
+        for pr in range(qt.RMIN, r):
+            s = 1 << (r - pr)
+            assert (pr, x // s, y // s) not in leaf_set, "nested leaves"
+            parent_counts[(pr, x // s, y // s)] = parent_counts.get(
+                (pr, x // s, y // s), 0
+            ) + int(n)
+    # every strict ancestor of any leaf must have split: count > T
+    assert all(v > qt.QT_THRESHOLD for v in parent_counts.values())
+
+
+def test_gyration_matches_numpy_and_repartition_invariant(spark):
+    """rg² numerator recomputed in numpy from the raw pings (float mean
+    formulation, then floored the same way) must equal the engine's
+    integer closed form; and the profile must be invariant under input
+    repartitioning (no order-dependent float summation anywhere)."""
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+
+    pings = traj.pings_df(spark, SF_TINY)
+    prof = traj.gyration_profile(pings).toPandas().sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    raw = pings.select("user_id", "ix", "iy", "sx", "sy").toPandas()
+    for uid, g in raw.groupby("user_id"):
+        rx = (g["ix"] - g["sx"]).to_numpy(np.int64)
+        ry = (g["iy"] - g["sy"]).to_numpy(np.int64)
+        n = len(g)
+        num = n * int((rx * rx + ry * ry).sum()) - int(rx.sum()) ** 2 - int(
+            ry.sum()
+        ) ** 2
+        want = (100 * num) // (n * n)
+        got = int(prof.loc[prof.user_id == uid, "rg2_x100"].iloc[0])
+        assert got == want, f"user {uid}: {got} != {want}"
+    rep = (
+        traj.gyration_profile(pings.repartition(13))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert rep.equals(prof)

@@ -722,3 +722,91 @@ SELECT n_cases, n_cases * (n_cases - 1) // 2 AS n_pairs,
        (1000 * n_both * (n_cases * (n_cases - 1) // 2))
          // (n_space * n_time) AS knox_ratio_milli
 FROM kt"""
+
+
+# ---------------------------------------------------------------------------
+# R70: mobility gyration + location-concentration profile
+# ---------------------------------------------------------------------------
+
+def gyration_profile(pings: DataFrame, res: int = 9) -> DataFrame:
+    """Per-user mobility profile — the Gonzalez-2008 radius of gyration
+    next to the Pappalardo location-concentration measures:
+
+    - ``rg2_x100``: squared radius of gyration ×100 (grid units²), the
+      exact integer ``(100·(n·Σ(rx²+ry²) − (Σrx)² − (Σry)²)) DIV n²``
+      over START-RELATIVE coordinates (rx = ix − sx). Translation
+      invariance makes the relative frame lossless, and |rx| ≤ 20·n
+      keeps every product far inside int64 at any tested SF. The
+      numerator is ≥ 0 (Cauchy-Schwarz), so Spark DIV and DuckDB //
+      agree.
+    - ``n_cells9`` distinct visited res-9 cells, ``simpson_num`` the
+      Simpson collision count Σ n_c·(n_c−1) (an exact-integer diversity
+      index — no entropy logs cross the engine boundary), and
+      ``top_share_milli`` the dominant location's visit share in ‰.
+
+    Scale shape: groupBy (user, cell) with full partial aggregation,
+    then groupBy (user) over the visited-cell frame — the second
+    exchange carries ≤ #distinct-cells rows per user, never pings.
+    """
+    s = _shift(res)
+    pc = (
+        pings.select(
+            "user_id",
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})").alias("cell"),
+            (F.col("ix") - F.col("sx")).alias("rx"),
+            (F.col("iy") - F.col("sy")).alias("ry"),
+        )
+        .groupBy("user_id", "cell")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("rx").alias("srx"),
+            F.sum("ry").alias("sry"),
+            F.sum(F.expr("rx * rx")).alias("srx2"),
+            F.sum(F.expr("ry * ry")).alias("sry2"),
+        )
+    )
+    return (
+        pc.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_pings"),
+            F.sum("srx").alias("tsrx"),
+            F.sum("sry").alias("tsry"),
+            F.sum(F.expr("srx2 + sry2")).alias("tsr2"),
+            F.count("*").alias("n_cells9"),
+            F.sum(F.expr("cnt * (cnt - 1)")).alias("simpson_num"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "user_id",
+            "n_pings",
+            F.expr(
+                "(100 * (n_pings * tsr2 - tsrx * tsrx - tsry * tsry))"
+                " DIV (n_pings * n_pings)"
+            ).alias("rg2_x100"),
+            "n_cells9",
+            "simpson_num",
+            F.expr("(1000 * top_cnt) DIV n_pings").alias("top_share_milli"),
+        )
+    )
+
+
+def gyration_profile_oracle(
+    events_clause: str = "events", res: int = 9
+) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+pc AS (
+  SELECT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell,
+         count(*) AS cnt,
+         SUM(ix - sx) AS srx, SUM(iy - sy) AS sry,
+         SUM((ix - sx) * (ix - sx) + (iy - sy) * (iy - sy)) AS sr2
+  FROM pings GROUP BY 1, 2)
+SELECT user_id,
+       SUM(cnt) AS n_pings,
+       (100 * (SUM(cnt) * SUM(sr2) - SUM(srx) * SUM(srx)
+               - SUM(sry) * SUM(sry)))
+         // (SUM(cnt) * SUM(cnt)) AS rg2_x100,
+       count(*) AS n_cells9,
+       SUM(cnt * (cnt - 1)) AS simpson_num,
+       (1000 * MAX(cnt)) // SUM(cnt) AS top_share_milli
+FROM pc GROUP BY user_id"""

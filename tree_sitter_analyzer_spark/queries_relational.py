@@ -919,3 +919,123 @@ from .operators import sketch as _sketch  # noqa: E402
 )
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.histogram_quantiles(_t(spark, sf_dir, "orders"))
+
+
+# --- round 3 (cont.): TPC-H Q4/Q18 analogs (EXISTS semi + HAVING join) -------
+
+_EPOCH_DAY_SPARK = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    " DIV 86400000000"
+)
+_EPOCH_DAY_DUCK = (
+    "date_diff('microsecond', TIMESTAMP '1970-01-01', {c}) // 86400000000"
+)
+
+
+@register(
+    "order_priority_check",
+    f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND {_EPOCH_DAY_DUCK.format(c='l.l_shipdate')}
+          > {_EPOCH_DAY_DUCK.format(c='o.o_orderdate')} + 120)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order priority check): orders placed in one "
+    "quarter having at least one lineitem shipped >120 days after the "
+    "order date, counted per priority. EXISTS compiles to a LEFT SEMI "
+    "join on the order key (lineitem never duplicates the order row); "
+    "dates compared as NTZ-safe epoch days — no TIMESTAMP cast, so the "
+    "result is identical under any driver session timezone. At scale "
+    "the fact-fact semi join shuffles both sides once on the key; the "
+    "quarter filter prunes the orders side before the exchange.",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(_EPOCH_DAY_SPARK.format(c="l_shipdate")).alias("ship_day"),
+    )
+    o = o.withColumn(
+        "odate_day", F.expr(_EPOCH_DAY_SPARK.format(c="o_orderdate"))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.ship_day > o.odate_day + 120),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "large_orders",
+    f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       {_EPOCH_DAY_DUCK.format(c='o.o_orderdate')} AS odate_day,
+       CAST(floor(o.o_totalprice * 100e0) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(CAST(floor(l.l_quantity) AS BIGINT)) > 150
+ORDER BY total_cents DESC, o.o_orderkey
+LIMIT 25
+""",
+    doc="TPC-H Q18 shape (large volume customers): orders whose total "
+    "line quantity exceeds 150, with customer attribution, top-25 by "
+    "order value. Quantities floor-cast to BIGINT on BOTH engines "
+    "(DuckDB CAST rounds, Spark floors — CLAUDE.md discipline), money "
+    "as integer cents, NTZ-safe epoch days, unique-orderkey tie-break. "
+    "Plan: the lineitem HAVING pre-aggregates per orderkey BEFORE the "
+    "customer join (group-then-join, not join-then-group), so the "
+    "shuffle carries one row per order, and the 25-row result is a "
+    "TakeOrdered.",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)")).alias(
+                "sum_qty"
+            )
+        )
+        .where(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.expr(_EPOCH_DAY_SPARK.format(c="o_orderdate")).alias(
+                "odate_day"
+            ),
+            F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)").alias(
+                "total_cents"
+            ),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+        .limit(25)
+    )

@@ -1422,3 +1422,76 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_raster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.raster_morphology(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): empirical semivariogram -------------------------------
+
+
+@register(
+    "semivariogram",
+    f"{_CTES},\n{pp_ops.semivariogram_oracle_sql()}",
+    doc="Empirical semivariogram of the per-cell tile-count surface: "
+    "gamma(h) for Chebyshev lags 1..4 at res 7 — the geostatistics "
+    "structure function behind the IDW/kriging family (rising gamma = "
+    "interpolable surface). Integer counts, gamma_milli = 500·Σsq DIV "
+    "N(h). Tiles collapse to the occupied-cell frame before a one-sided "
+    "40-offset lag fan + packed-key equi-join (each unordered pair "
+    "exactly once, no distinct); the oracle re-derives pairs all-pairs.",
+)
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.semivariogram(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): adaptive quadtree tiling ------------------------------
+
+from .operators import quadtree as qt_ops  # noqa: E402
+
+
+@register(
+    "quadtree_leaves",
+    f"{_CTES},\n{qt_ops.quadtree_oracle_sql()}",
+    doc="Adaptive quadtree tiling: a disjoint complete cover of the tile "
+    "set by variable-resolution cells (res 5-9) — split while a cell "
+    "holds >32 tiles. Closed form, no loop: counts are nested, so each "
+    "res-9 cell's leaf is its coarsest ancestor meeting the threshold. "
+    "Tiles aggregate once at res 9; coarser counts roll up the CELL "
+    "frame and join back via broadcast. Parity doubles as a partition "
+    "proof (a wrong leaf breaks the per-cell checksum).",
+)
+def q_quadtree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qt_ops.quadtree_leaves(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): isochrone bands over the cost surface -----------------
+
+_ISO_BAND = 4
+
+
+@register(
+    "isochrone_bands",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + cost_ops.cost_distance_oracle_sql().replace(
+        "SELECT v AS cell, min(d) AS dist",
+        "SELECT v AS cell, min(d) AS dist",
+    )
+    .replace("\nSELECT v AS cell", ", iso AS (\nSELECT v AS cell")
+    + f""")
+SELECT dist DIV {_ISO_BAND} AS band, count(*) AS n_cells,
+       min(dist) AS min_dist, max(dist) AS max_dist
+FROM iso GROUP BY 1""".replace(" DIV ", " // "),
+    doc="Isochrone bands: the cost-distance surface classed into "
+    "equal-cost rings (band = dist DIV 4) with reachable-cell counts — "
+    "the service-area / drive-time-polygon analog over the same "
+    "multi-source Bellman-Ford surface as cost_distance (one SSSP run, "
+    "one extra ~#cells aggregation).",
+)
+def q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = cost_ops.cost_distance(spark, _tiles(spark, sf_dir))
+    return dist.groupBy(
+        F.expr(f"dist DIV {_ISO_BAND}").alias("band")
+    ).agg(
+        F.count("*").alias("n_cells"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+    )

@@ -157,3 +157,17 @@ def q_traj_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.knox_test(_pings(spark, sf_dir))
+
+
+@register(
+    "traj_gyration",
+    traj.gyration_profile_oracle(),
+    doc="Per-user mobility profile: exact-integer squared radius of "
+    "gyration ×100 over start-relative coordinates (Gonzalez 2008), "
+    "distinct res-9 locations, Simpson collision count (log-free "
+    "diversity), and top-location share in per-mille. Two-level "
+    "aggregation — (user, cell) partials then a user rollup over the "
+    "visited-cell frame; the second exchange never carries pings.",
+)
+def q_traj_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.gyration_profile(_pings(spark, sf_dir))
