@@ -538,3 +538,24 @@ def test_large_orders_groups_before_customer_join(spark):
     assert join_last != -1
     assert agg_last > join_last, "quantity aggregate must be below the joins"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_lift_pair_fan_is_doc_keyed(spark):
+    """Association pairs must form via the doc_id equi-join (pairs within
+    group), with the DF frames broadcast back — never a cartesian of the
+    token vocabulary."""
+    from tree_sitter_analyzer_spark.operators import assoc
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = plan_of(assoc.token_lift(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cross_k_pairs_cell_keyed_no_cartesian(spark):
+    from tree_sitter_analyzer_spark.operators import pointpattern
+
+    df = pointpattern.cross_k(synth.tiles_df(spark, SF_TINY))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -365,3 +365,41 @@ def test_geofence_transitions_match_batch(spark, tmp_path):
     expected = expected.sort_values(key).reset_index(drop=True)
     assert got_df.astype(expected.dtypes.to_dict()).equals(expected)
     assert len(expected) > 5  # non-vacuous: transitions actually happened
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """Streaming exact-dedup (I1 ∘ A9): dropDuplicatesWithinWatermark on
+    the event key must yield exactly the batch dropDuplicates result when
+    every duplicate arrives inside the watermark window — the streaming
+    face of the dedup_exact family, state bounded by the watermark
+    instead of the full key history."""
+    import os
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    # duplicate every 3rd event to make dedup non-vacuous
+    dup = ev.where(F.col("event_id") % 3 == 0)
+    ev.unionByName(dup).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink"
+    ).collect()[0]
+    want = ev.select("event_id").distinct().count()
+    assert got.n == got.d == want

@@ -699,3 +699,22 @@ from .operators import sketch  # noqa: E402
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): association mining ------------------------------------
+
+from .operators import assoc as _assoc  # noqa: E402
+
+
+@register(
+    "token_lift",
+    _assoc.token_lift_oracle_sql(),
+    doc="Market-basket association mining over document tokens: every "
+    "token pair co-occurring in >=5 documents with its exact integer "
+    "lift (1000·c_ab·N DIV c_a·c_b; >1000 = positive association). "
+    "Pair fan is per-document over the DISTINCT token set (bounded by "
+    "doc length, never vocab²), doc-keyed; document frequencies "
+    "broadcast back onto the pair frame.",
+)
+def q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assoc.token_lift(_docs(spark, sf_dir))

@@ -1039,3 +1039,126 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_cents").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+# --- round 3 (cont. 2): product-analytics family (funnel + cohorts) ----------
+
+_EPOCH_US_SPARK_REL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+_EPOCH_US_DUCK_REL = "date_diff('microsecond', TIMESTAMP '1970-01-01', ts)"
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_stages",
+    f"""
+WITH e AS (
+  SELECT user_id, event_type, {_EPOCH_US_DUCK_REL} AS ep FROM events),
+s1 AS (SELECT user_id, min(ep) AS t1 FROM e
+       WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ep) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = '{_FUNNEL[1]}' AND ep > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ep) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = '{_FUNNEL[2]}' AND ep > t2 GROUP BY 1)
+SELECT 1 AS stage_idx, '{_FUNNEL[0]}' AS stage, count(*) AS n_users,
+       CAST(0 AS BIGINT) AS total_lag_s FROM s1
+UNION ALL
+SELECT 2, '{_FUNNEL[1]}', count(*),
+       CAST(COALESCE(SUM((t2 - t1) // 1000000), 0) AS BIGINT)
+FROM s2 JOIN s1 USING (user_id)
+UNION ALL
+SELECT 3, '{_FUNNEL[2]}', count(*),
+       CAST(COALESCE(SUM((t3 - t1) // 1000000), 0) AS BIGINT)
+FROM s3 JOIN s1 USING (user_id)
+""",
+    doc="Ordered conversion funnel view→click→purchase: per user, each "
+    "stage's timestamp is the FIRST qualifying event strictly after the "
+    "previous stage (min-over-filtered, not mere presence), with users "
+    "reached and total lag-from-entry seconds per stage. Every join is "
+    "user-keyed — one hash partitioning reused across the whole chain; "
+    "epoch-microsecond NTZ arithmetic keeps it session-TZ-free.",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(_EPOCH_US_SPARK_REL).alias("ep"),
+    )
+    s1 = (
+        e.where(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .where(F.col("ep") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .where(F.col("ep") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t3"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame, tcol: str) -> DataFrame:
+        j = df.join(s1, "user_id")
+        lag = (
+            F.lit(0).cast("bigint")
+            if idx == 1
+            else F.coalesce(
+                F.sum(F.expr(f"({tcol} - t1) DIV 1000000")), F.lit(0)
+            ).cast("bigint")
+        )
+        return j.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+            lag.alias("total_lag_s"),
+        )
+
+    return (
+        stage(1, _FUNNEL[0], s1, "t1")
+        .unionByName(stage(2, _FUNNEL[1], s2, "t2"))
+        .unionByName(stage(3, _FUNNEL[2], s3, "t3"))
+    )
+
+
+@register(
+    "cohort_retention",
+    f"""
+WITH d AS (
+  SELECT user_id, {_EPOCH_US_DUCK_REL} // 86400000000 AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+a AS (SELECT DISTINCT user_id, day FROM d)
+SELECT c.cohort_day // 7 AS cohort_week,
+       (a.day - c.cohort_day) // 7 AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+    doc="Cohort retention triangle: users grouped by first-activity epoch "
+    "week, distinct active users at each week offset since the cohort "
+    "week. The (user, day) activity frame dedups BEFORE the join (one "
+    "row per user-day, never per event); epoch-day NTZ arithmetic — no "
+    "calendar casts, identical under any session timezone.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"({_EPOCH_US_SPARK_REL}) DIV 86400000000").alias("day"),
+    )
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = d.distinct()
+    return (
+        a.join(c, "user_id")
+        .groupBy(
+            F.expr("cohort_day DIV 7").alias("cohort_week"),
+            F.expr("(day - cohort_day) DIV 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1495,3 +1495,20 @@ def q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").alias("min_dist"),
         F.max("dist").alias("max_dist"),
     )
+
+
+# --- round 3 (cont. 2): bivariate cross-K -------------------------------------
+
+
+@register(
+    "cross_k_pairs",
+    f"{_CTES},\n{pp_ops.cross_k_oracle_sql()}",
+    doc="Bivariate Ripley cross-K: for every unordered tile-kind pair "
+    "and radius 0.001°-0.008°, cross pairs within the radius + pair "
+    "density in ppm of the possible pairs — kind-kind attraction/"
+    "repulsion. Same cell-bucketed candidate fan as ripley_k (one pass "
+    "for the whole ladder and every kind pair); kind counts broadcast "
+    "onto the ~|kinds|² result. Oracle = naive band self-join.",
+)
+def q_cross_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.cross_k(_tiles(spark, sf_dir))
