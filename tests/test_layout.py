@@ -65,3 +65,43 @@ def test_morton_key_matches_numpy_interleave(spark):
         if k < 17:
             want |= ((iy >> k) & 1) << (2 * k)
     assert (pdf.zkey.to_numpy() == want).all()
+
+
+def test_hilbert_key_is_a_true_hilbert_curve():
+    """Bijection + unit-step adjacency on full grids (the defining curve
+    properties), via the pure-python mirror of the SQL step arithmetic."""
+    from tree_sitter_analyzer_spark.operators.layout import py_hilbert
+
+    for k in (2, 3, 4):
+        n = 1 << k
+        m = {py_hilbert(x, y, k): (x, y) for x in range(n) for y in range(n)}
+        assert sorted(m) == list(range(n * n))
+        for d in range(1, n * n):
+            (x1, y1), (x2, y2) = m[d - 1], m[d]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_matches_python_and_beats_zorder(spark):
+    """The Spark 18-step chain must equal the python mirror per cell, and
+    the audit must record Hilbert's locality win: total bucket bbox area
+    strictly below Z-order's on the clustered synthetic corpus."""
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import layout
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    from tree_sitter_analyzer_spark import grid
+    from pyspark.sql import functions as F
+
+    cells = (
+        tiles.select(
+            grid.ix_col("lon", layout.LAYOUT_RES).alias("ix"),
+            grid.iy_col("lat", layout.LAYOUT_RES).alias("iy"),
+        )
+        .distinct()
+    )
+    got = layout.hilbert_cells(cells).toPandas()
+    for r in got.itertuples(index=False):
+        assert layout.py_hilbert(int(r.ix), int(r.iy)) == int(r.hkey)
+    audit = layout.hilbert_layout_audit(tiles).toPandas()
+    sums = audit.groupby("layout").bbox_area.sum()
+    assert sums["hilbert"] < sums["zorder"]

@@ -150,3 +150,181 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# R81: Hilbert-curve layout (the better space-filling curve, as an audit)
+# ---------------------------------------------------------------------------
+#
+# Z-order has long diagonal jumps at power-of-two boundaries; the Hilbert
+# curve never jumps (every consecutive key step is a unit grid move), so
+# equal-frequency buckets cover visibly tighter patches. Hilbert is NOT
+# bit-separable like Morton — the key comes from the classic 18-step
+# rotate/flip state machine (Hilbert 1891 via the xy2d form) — but it
+# only needs to run over the DISTINCT CELL frame (≤ #occupied cells
+# rows), after which the key broadcasts back onto the tile stream. All
+# arithmetic is CASE/DIV/mod on bigints: no XOR (engine spellings
+# differ), no floats; the identical step text runs as 18 Spark
+# projections (with lineage barriers so Catalyst cannot collapse the
+# chain into an exponential expression — the winnow lesson) and as 18
+# chained DuckDB CTEs.
+
+HIL_K = 18  # ix < 2^18 at res 9 — the curve's square side
+
+
+def hilbert_step_sqls(s: int, x: str = "x", y: str = "y", d: str = "d"):
+    """(nx, ny, nd) portable-SQL texts for one xy2d step at scale ``s``.
+
+    rx/ry are the s-bit of x/y; the quadrant digit (3·rx) XOR ry is
+    spelled CASE (values: rx=0 → ry, rx=1 → 3−ry); x/y then REDUCE into
+    the quadrant (x % s) BEFORE the rotate — intermediates stay in
+    [0, s), which matters cross-engine: DuckDB % keeps the sign while
+    Python/Spark pmod doesn't, so a variant with negative intermediates
+    silently diverges (bijection+adjacency property tests pin this
+    one)."""
+    rx = f"(({x}) DIV {s} % 2)"
+    ry = f"(({y}) DIV {s} % 2)"
+    mx = f"(({x}) % {s})"
+    my = f"(({y}) % {s})"
+    nd = f"(({d}) + {s * s} * (CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END))"
+    nx = f"(CASE WHEN {ry} = 1 THEN {mx} WHEN {rx} = 1 THEN {s} - 1 - {my} ELSE {my} END)"
+    ny = f"(CASE WHEN {ry} = 1 THEN {my} WHEN {rx} = 1 THEN {s} - 1 - {mx} ELSE {mx} END)"
+    return nx, ny, nd
+
+
+def py_hilbert(ix: int, iy: int, k: int = HIL_K) -> int:
+    """Pure-python mirror of the SAME step arithmetic (property tests)."""
+    x, y, d = ix, iy, 0
+    for lev in range(k - 1, -1, -1):
+        s = 1 << lev
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * (ry if rx == 0 else 3 - ry)
+        x, y = x % s, y % s  # reduce into the quadrant (stays >= 0)
+        if ry == 1:
+            pass
+        elif rx == 1:
+            x, y = s - 1 - y, s - 1 - x
+        else:
+            x, y = y, x
+    return d
+
+
+def hilbert_cells(cells: DataFrame, k: int = HIL_K) -> DataFrame:
+    """(ix, iy, hkey) for a distinct-cell frame — 18 projections with a
+    lineage barrier every 4 steps (bounded expression depth; the frame
+    is ≤ #occupied cells, so the barriers are O(cells) cheap)."""
+    df = cells.select("ix", "iy", F.col("ix").alias("x"),
+                      F.col("iy").alias("y"), F.lit(0).cast("bigint").alias("d"))
+    for i, lev in enumerate(range(k - 1, -1, -1)):
+        nx, ny, nd = hilbert_step_sqls(1 << lev)
+        df = df.select(
+            "ix", "iy",
+            F.expr(nx).cast("bigint").alias("x"),
+            F.expr(ny).cast("bigint").alias("y"),
+            F.expr(nd).cast("bigint").alias("d"),
+        )
+        if i % 4 == 3:
+            df = df.localCheckpoint(eager=False)
+    return df.select("ix", "iy", F.col("d").alias("hkey"))
+
+
+def hilbert_oracle_cte(k: int = HIL_K) -> str:
+    """h0..h{k} CTE chain over a ``cells(ix, iy)`` CTE; final relation
+    ``hkeys(ix, iy, hkey)``. DuckDB evaluates each CTE once — no
+    collapse hazard."""
+    steps = []
+    prev = "cells"
+    stepn = 0
+    for lev in range(k - 1, -1, -1):
+        nx, ny, nd = hilbert_step_sqls(1 << lev)
+        nx, ny, nd = (t.replace(" DIV ", " // ") for t in (nx, ny, nd))
+        src_xyd = (
+            "ix AS x, iy AS y, CAST(0 AS BIGINT) AS d"
+            if stepn == 0
+            else "x, y, d"
+        )
+        if stepn == 0:
+            steps.append(f"h0 AS (SELECT ix, iy, {src_xyd} FROM {prev})")
+            prev = "h0"
+        stepn += 1
+        steps.append(
+            f"h{stepn} AS (SELECT ix, iy, {nx} AS x, {ny} AS y, {nd} AS d"
+            f" FROM {prev})"
+        )
+        prev = f"h{stepn}"
+    steps.append(f"hkeys AS (SELECT ix, iy, d AS hkey FROM {prev})")
+    return ",\n".join(steps)
+
+
+def hilbert_layout_audit(
+    tiles: DataFrame, n_buckets: int = 32, res: int = LAYOUT_RES
+) -> DataFrame:
+    """Hilbert vs Z-order locality, same audit contract as
+    ``zorder_layout_audit``: (layout, bucket, n_tiles, n_cells,
+    bbox_area). The Hilbert key is computed once per DISTINCT cell and
+    broadcast back; the Morton key stays a per-row expression."""
+    base = tiles.select(
+        "i",
+        grid.ix_col("lon", res).alias("ix"),
+        grid.iy_col("lat", res).alias("iy"),
+        morton_col("lon", "lat", res).alias("zkey"),
+    )
+    hk = hilbert_cells(base.select("ix", "iy").distinct())
+    based = base.join(F.broadcast(hk), ["ix", "iy"])
+    out = []
+    for layout, order in (("hilbert", ["hkey", "i"]), ("zorder", ["zkey", "i"])):
+        w = F.ntile(n_buckets).over(Window.orderBy(*[F.col(c) for c in order]))
+        out.append(
+            based.withColumn("bucket", w.cast("bigint"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_tiles"),
+                F.countDistinct(
+                    (F.col("ix") * F.lit(grid.IX_MUL) + F.col("iy"))
+                ).alias("n_cells"),
+                (
+                    (F.max("ix") - F.min("ix") + 1)
+                    * (F.max("iy") - F.min("iy") + 1)
+                ).alias("bbox_area"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+    return out[0].unionByName(out[1]).select(
+        "layout", "bucket", "n_tiles", "n_cells", "bbox_area"
+    )
+
+
+def hilbert_audit_oracle_sql(
+    n_buckets: int = 32, res: int = LAYOUT_RES
+) -> str:
+    z = morton_sql("lon", "lat", res)
+    ix = grid.ix_sql("lon", res)
+    iy = grid.iy_sql("lat", res)
+    return f"""
+keyed AS (
+  SELECT i, {ix} AS ix, {iy} AS iy, {z} AS zkey FROM tiles
+),
+cells AS (SELECT DISTINCT ix, iy FROM keyed),
+{hilbert_oracle_cte()},
+hkeyed AS (
+  SELECT k.i, k.ix, k.iy, k.zkey, h.hkey
+  FROM keyed k JOIN hkeys h ON h.ix = k.ix AND h.iy = k.iy),
+hb AS (SELECT *, ntile({n_buckets}) OVER (ORDER BY hkey, i) AS bucket
+       FROM hkeyed),
+zb AS (SELECT *, ntile({n_buckets}) OVER (ORDER BY zkey, i) AS bucket
+       FROM hkeyed),
+agg AS (
+  SELECT 'hilbert' AS layout, CAST(bucket AS BIGINT) AS bucket,
+         count(*) AS n_tiles,
+         count(DISTINCT ix * {grid.IX_MUL} + iy) AS n_cells,
+         (max(ix) - min(ix) + 1) * (max(iy) - min(iy) + 1) AS bbox_area
+  FROM hb GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', CAST(bucket AS BIGINT), count(*),
+         count(DISTINCT ix * {grid.IX_MUL} + iy),
+         (max(ix) - min(ix) + 1) * (max(iy) - min(iy) + 1)
+  FROM zb GROUP BY 2
+)
+SELECT layout, bucket, n_tiles, n_cells, bbox_area FROM agg
+"""

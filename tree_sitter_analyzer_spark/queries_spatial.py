@@ -1512,3 +1512,22 @@ def q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cross_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.cross_k(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): Hilbert layout audit ----------------------------------
+
+
+@register(
+    "hilbert_layout",
+    f"{_CTES},\n{layout_ops.hilbert_audit_oracle_sql(32)}",
+    doc="Hilbert-curve vs Z-order layout audit: same bucket-locality "
+    "contract as zorder_layout, but the Hilbert key (no diagonal jumps "
+    "— every key step is a unit grid move) is computed by the 18-step "
+    "rotate/flip state machine over the DISTINCT CELL frame only "
+    "(lineage barriers bound Catalyst expression depth), then broadcast "
+    "back onto tiles. The recorded per-bucket bbox areas show Hilbert's "
+    "tighter patches — the curve Iceberg/BigQuery cluster by when "
+    "range-scan pruning matters most.",
+)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_ops.hilbert_layout_audit(_tiles(spark, sf_dir), n_buckets=32)
