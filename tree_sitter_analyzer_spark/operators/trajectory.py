@@ -810,3 +810,86 @@ SELECT user_id,
        SUM(cnt * (cnt - 1)) AS simpson_num,
        (1000 * MAX(cnt)) // SUM(cnt) AS top_share_milli
 FROM pc GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# R82: per-cell change-point detection (integer CUSUM)
+# ---------------------------------------------------------------------------
+
+CUSUM_RES = 7
+CUSUM_MIN_PINGS = 20  # >=13 cells at sf0.001, >=158 at sf0.01 — never gate-vacuous
+
+
+def cell_cusum(pings: DataFrame, res: int = CUSUM_RES,
+               min_pings: int = CUSUM_MIN_PINGS) -> DataFrame:
+    """Change-point detection over the spacetime cube: for each res-7
+    cell with >= ``min_pings`` pings, the CUSUM statistic of daily ping
+    counts — cum_d = Σ_{d'<=d} (D·n_d' − T) with D = observed days and
+    T = total pings (∝ n_d' − mean, exactly, scaled by D) — and the
+    change day = argmax |cum| (min-day tie-break). A dwell regime that
+    shifts mid-month shows a pronounced |cum| peak at the shift day.
+
+    All-bigint (counts and exact scaled deviations — no float mean
+    crosses the engine boundary). Scale shape: one (cell, day) agg, a
+    cell-keyed window cumsum, and a cell rollup — the window and both
+    groupBys share the cell hash partitioning; the day frame is
+    ≤ cells × days, never pings.
+    """
+    s = _shift(res)
+    cd = (
+        pings.groupBy(
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})").alias("cell"),
+            "day",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cell")
+    tot = cd.select(
+        "cell", "day", "n",
+        F.sum("n").over(w).alias("t"),
+        F.count("*").over(w).alias("d_cnt"),
+    ).where(F.col("t") >= min_pings)
+    wo = Window.partitionBy("cell").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tot.withColumn(
+        "cum", F.sum(F.expr("d_cnt * n - t")).over(wo)
+    )
+    return (
+        cum.groupBy("cell")
+        .agg(
+            F.max("d_cnt").alias("n_days"),
+            F.max("t").alias("n_pings"),
+            F.max(F.abs(F.col("cum"))).alias("max_abs_cusum"),
+            # argmax |cum| with min-day tie-break as ONE bigint arg_min
+            # key (day − |cum|·10⁶; |cum| dominates, day breaks ties and
+            # makes the key unique — the min_by↔arg_min discipline)
+            F.min_by("day", F.expr("day - abs(cum) * 1000000")).alias(
+                "change_day"
+            ),
+        )
+    )
+
+
+def cell_cusum_oracle(events_clause: str = "events",
+                      res: int = CUSUM_RES,
+                      min_pings: int = CUSUM_MIN_PINGS) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+cd AS (
+  SELECT (ix // {s}) * {_PACK} + (iy // {s}) AS cell, day, count(*) AS n
+  FROM pings GROUP BY 1, 2),
+tot AS (
+  SELECT cell, day, n,
+         SUM(n) OVER (PARTITION BY cell) AS t,
+         COUNT(*) OVER (PARTITION BY cell) AS d_cnt
+  FROM cd),
+cum AS (
+  SELECT cell, day, t, d_cnt,
+         SUM(d_cnt * n - t) OVER (PARTITION BY cell ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tot WHERE t >= {min_pings})
+SELECT cell, MAX(d_cnt) AS n_days, MAX(t) AS n_pings,
+       MAX(abs(cum)) AS max_abs_cusum,
+       arg_min(day, day - abs(cum) * 1000000) AS change_day
+FROM cum GROUP BY cell"""

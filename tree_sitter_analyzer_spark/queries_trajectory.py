@@ -171,3 +171,17 @@ def q_knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_traj_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.gyration_profile(_pings(spark, sf_dir))
+
+
+@register(
+    "cell_cusum",
+    traj.cell_cusum_oracle(),
+    doc="Change-point detection per res-7 cell: integer CUSUM of daily "
+    "ping counts (cum = Σ D·n_d − T, exactly ∝ deviation from the mean, "
+    "no float mean crosses engines), change day = argmax |cum| with "
+    "min-day tie-break. One (cell, day) agg + a cell-keyed window "
+    "cumsum + a cell rollup — all on one hash partitioning; the frame "
+    "is cells × days, never pings.",
+)
+def q_cell_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.cell_cusum(_pings(spark, sf_dir))
