@@ -61,6 +61,13 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 # from NTZ ts — must be session-TZ-free too
                 "traj_stats",
                 "colocation_pairs",
+                # continuation-2 event-time queries: epoch-day semi join,
+                # year() calendar field, CUSUM day buckets, funnel epochs
+                "order_priority_check",
+                "volume_shipping",
+                "cell_cusum",
+                "funnel_stages",
+                "cohort_retention",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

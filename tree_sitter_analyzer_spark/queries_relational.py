@@ -1162,3 +1162,147 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- round 3 (cont. 2): TPC-H Q7/Q16/Q22 analogs ------------------------------
+
+
+@register(
+    "volume_shipping",
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7 shape (volume shipping): cross-nation trade revenue "
+    "per (supplier nation, customer nation, ship year). Five-way star: "
+    "Catalyst broadcasts every dimension (nation twice, supplier, "
+    "customer); the lineitem fact shuffles once for the final "
+    "aggregation. Year extracted from the naive NTZ timestamp — a "
+    "calendar field of a TZ-free value, identical on both engines and "
+    "under any session timezone; integer-cents revenue.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.expr("CAST(year(l_shipdate) AS BIGINT)").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+                    " AS BIGINT)"
+                )
+            ).alias("revenue_cents")
+        )
+    )
+
+
+@register(
+    "parts_supplier_breadth",
+    """
+SELECT p.p_type, p.p_brand,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt,
+       count(*) AS n_lines
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 10
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q16 shape (supplier breadth): distinct suppliers able to "
+    "ship each (type, brand) slice of the catalog, via the lineitem "
+    "part-supplier fact. The part dim broadcasts; count(DISTINCT) "
+    "expands to Spark's two-phase partial-distinct aggregate — the "
+    "shuffle carries (group, suppkey) pairs already deduped map-side.",
+)
+def q_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") >= 10)
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100e0) AS BIGINT) AS bal_cents
+  FROM customer),
+avg_bal AS (
+  SELECT SUM(bal_cents) AS s, COUNT(*) AS n FROM bal WHERE bal_cents > 0)
+SELECT b.c_nationkey, count(*) AS n_cust,
+       CAST(sum(b.bal_cents) AS BIGINT) AS total_cents
+FROM bal b CROSS JOIN avg_bal a
+WHERE b.bal_cents > a.s // a.n
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-09-01')
+GROUP BY 1
+""",
+    doc="TPC-H Q22 shape (global-market opportunity): DORMANT rich "
+    "customers — above-average positive balance and no order in the "
+    "horizon's final year — counted per nation (every synth customer "
+    "has old orders, so dormancy, not absence, is the non-vacuous "
+    "anti-join). "
+    "The scalar average is an exact integer floor-division broadcast "
+    "onto the scan; NOT EXISTS compiles to a LEFT ANTI join on the "
+    "customer key. Balance cents via floor — floors toward -inf on "
+    "both engines, so negative balances stay exact.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100e0) AS BIGINT)").alias("bal_cents"),
+    )
+    avg_bal = bal.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count("*").alias("n")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.expr("o_orderdate >= TIMESTAMP_NTZ '2000-09-01 00:00:00'"))
+        .select("o_custkey")
+    )
+    return (
+        bal.crossJoin(F.broadcast(avg_bal))
+        .where(F.expr("bal_cents > s DIV n"))
+        .join(o, bal.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("bal_cents").alias("total_cents"),
+        )
+    )

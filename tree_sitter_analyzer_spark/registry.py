@@ -82,22 +82,37 @@ GATE_ORDER = [
     # autocorrelation had no gate row), shortest_path_trace → ripley_k
     # (graph traversal stays via bfs_khop + connected_components +
     # pagerank3; point-pattern statistics had no gate row).
+    # Continuation-2 rotation (R70-R82 families), same policy — every
+    # rotated-out query remains sweep- and pytest-oracle-verified:
+    # pyramid_rollup → quadtree_leaves (fixed-level hierarchy stays via
+    # parent_cell_rollup/compact_cover; ADAPTIVE tiling is new),
+    # ripley_k → cross_k_pairs (the bivariate ladder subsumes the
+    # univariate mechanics), session_window_stats → funnel_stages
+    # (session windows stay via event_sessions; ordered funnels are
+    # new), hybrid_search → token_lift (retrieval stays via
+    # caption_search + ann_ivf_topk; association mining had no row),
+    # byte_budget_batch → cell_cusum (running-sum budgeting is plain
+    # window mechanics; change-point detection is new),
+    # minhash_lsh → semivariogram (the LSH band join is exercised by
+    # dedup_clusters, which composes it; geostatistics had no row),
+    # zonal_weighted → hilbert_layout (weighted zonal stays via
+    # zonal_stats + area_overlay; the LAYOUT family had no gate row).
     "tile_manifest", "pip_join", "knn",
     "zonal_stats", "top_tiles_per_zone", "area_overlay",
-    "pyramid_rollup", "radius_join",
+    "quadtree_leaves", "radius_join",
     "kde_heatmap", "cascade_search", "uncovered_zones",
-    "byte_budget_batch", "zonal_weighted",
-    "hot_cell_counts_salted", "getis_ord", "ripley_k", "skyline_tiles",
+    "cell_cusum", "hilbert_layout",
+    "hot_cell_counts_salted", "getis_ord", "cross_k_pairs", "skyline_tiles",
     # relational / event-time / movement operator families
     "pricing_summary", "revenue_by_nation", "event_sessions",
     "colocation_pairs", "cost_distance", "event_props_stats",
-    "asof_attribution", "session_window_stats",
+    "asof_attribution", "funnel_stages",
     "emerging_hotspots", "traj_stats", "incremental_merge",
     # training-data pipeline suite (task brief first-class)
     "ingest_summary", "dedup_exact", "dedup_clusters", "hll_cardinality",
-    "minhash_lsh", "dedup_embedding", "bloom_filter_audit",
+    "semivariogram", "dedup_embedding", "bloom_filter_audit",
     "map_match", "ann_ivf_topk", "text_stats", "caption_search",
-    "hybrid_search", "winnow_dups", "zone_dissolve", "phash_hamming_pairs",
+    "token_lift", "winnow_dups", "zone_dissolve", "phash_hamming_pairs",
     "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
     # graph traversal / analytics suite (reachability rotated out late
     # round 3: its transitive-closure family is covered by bfs_khop +
