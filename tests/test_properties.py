@@ -215,3 +215,22 @@ def test_bfs_wide_frontier_shuffled_join_matches_broadcast(spark):
     via_shuffle = run(16)       # 800-wide frontier busts it → shuffled
     assert via_shuffle == via_broadcast
     assert len(via_broadcast) == 1 + 800 + 400  # every vertex reached
+
+
+def test_kcore_peel_converges_and_recovers_planted_block(spark):
+    """The fixed 8-round unrolled peel must have CONVERGED (7 rounds ==
+    8 rounds — otherwise the fixed depth would silently truncate the
+    true k-core), and the k=8 core must be exactly the planted dense
+    block: every survivor below CORE_BLOCK, every core degree >= k."""
+    from tree_sitter_analyzer_spark.operators import graph as g
+
+    edges = g.core_edges_df(spark)
+    r8 = g.kcore(spark, edges, rounds=8).toPandas()
+    r7 = g.kcore(spark, edges, rounds=7).toPandas()
+    key = ["v", "core_deg"]
+    assert sorted(map(tuple, r7[key].values.tolist())) == sorted(
+        map(tuple, r8[key].values.tolist())
+    )
+    assert len(r8) > 0
+    assert (r8.v < g.CORE_BLOCK).all()
+    assert (r8.core_deg >= g.KCORE_K).all()

@@ -587,3 +587,111 @@ FROM ue e1
 JOIN ue e2 ON e2.a = e1.b AND e2.b > e1.b
 JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
 """
+
+
+# ---------------------------------------------------------------------------
+# R86: k-core decomposition (planted-core peel)
+# ---------------------------------------------------------------------------
+#
+# The classic degeneracy peel: repeatedly delete vertices of degree < k
+# until none remain; survivors form the k-core. The synthetic "core"
+# graph plants a dense 300-vertex block (avg degree ~20) inside a sparse
+# 2000-vertex background (avg degree ~4), so the k=8 peel strips the
+# background in cascades and leaves the planted community — the shape
+# community-detection pipelines use k-core for at scale.
+#
+# Both engines run the SAME fixed 8-round unrolled peel (Spark: 8
+# filter/semi-join rounds with the two-rounds-per-checkpoint discipline;
+# DuckDB: 8 chained MATERIALIZED CTEs — materialization is load-bearing:
+# each level is referenced twice, and inlined CTEs would re-evaluate
+# exponentially). A pytest pins that round 7 == round 8, i.e. the peel
+# CONVERGED inside the unroll, so the fixed-depth result IS the true
+# k-core, not a truncation.
+
+V_CORE, E_CORE_DENSE, E_CORE_BG, CORE_BLOCK, KCORE_K = 2000, 3000, 4000, 300, 8
+
+CORE_EDGE_EXPRS = {
+    "src": (
+        f"(CASE WHEN e < {E_CORE_DENSE} THEN {lcg('e', 48271)} % {CORE_BLOCK}"
+        f" ELSE {lcg('e', 48271)} % {V_CORE} END)"
+    ),
+    "dst": (
+        f"(CASE WHEN e < {E_CORE_DENSE} THEN {lcg('e', 16807)} % {CORE_BLOCK}"
+        f" ELSE {lcg('e', 16807)} % {V_CORE} END)"
+    ),
+}
+
+
+def core_edges_df(spark: SparkSession) -> DataFrame:
+    base = spark.range(E_CORE_DENSE + E_CORE_BG).withColumnRenamed("id", "e")
+    return base.select(
+        *[F.expr(f"{expr} AS {name}") for name, expr in CORE_EDGE_EXPRS.items()]
+    ).dropDuplicates(["src", "dst"])
+
+
+def _core_edges_sql() -> str:
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in CORE_EDGE_EXPRS.items())
+    return (
+        f"SELECT DISTINCT * FROM (SELECT {cols} "
+        f"FROM range({E_CORE_DENSE + E_CORE_BG}) AS t(e))"
+    )
+
+
+def kcore(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = 8,
+) -> DataFrame:
+    """(v, core_deg) for the k-core after a fixed ``rounds``-round peel.
+
+    Each round: degree count (one vertex-keyed agg) + two semi-joins
+    restricting edges to surviving endpoints. Vertex-keyed exchanges
+    only — never all-pairs; lineage cut every second round (the graph
+    suite's two-steps-per-checkpoint discipline)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = und
+    for i in range(rounds):
+        surv = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("v"))
+        )
+        e = (
+            e.join(surv.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        )
+        if i % 2 == 1:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("core_deg")
+    )
+
+
+def kcore_oracle_sql(k: int = KCORE_K, rounds: int = 8) -> str:
+    """Identical unrolled peel as chained MATERIALIZED CTEs."""
+    chain = [
+        f"kc_base AS MATERIALIZED ({_core_edges_sql()})",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM kc_base UNION SELECT dst, src FROM kc_base) "
+        "WHERE src != dst)",
+    ]
+    for i in range(1, rounds + 1):
+        chain.append(
+            f"v{i} AS MATERIALIZED (SELECT src AS v FROM e{i-1}"
+            f" GROUP BY 1 HAVING count(*) >= {k})"
+        )
+        chain.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e"
+            f" JOIN v{i} a ON a.v = e.src JOIN v{i} b ON b.v = e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(chain)
+        + f"\nSELECT src AS v, count(*) AS core_deg FROM e{rounds} GROUP BY 1"
+    )

@@ -133,3 +133,19 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+@register(
+    "kcore_community",
+    graph.kcore_oracle_sql(),
+    doc="k-core decomposition (k=8, fixed 8-round unrolled peel, "
+    "convergence pinned by pytest): the planted 300-vertex dense block "
+    "survives, the sparse background peels away in cascades — the "
+    "community-detection primitive. Spark: degree agg + two semi-joins "
+    "per round, vertex-keyed only, lineage cut every second round; "
+    "oracle: chained MATERIALIZED CTEs (materialization is load-bearing "
+    "— each level is referenced twice and would otherwise re-evaluate "
+    "exponentially).",
+)
+def q_kcore_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.kcore(spark, graph.core_edges_df(spark))
