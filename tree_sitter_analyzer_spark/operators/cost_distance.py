@@ -143,3 +143,86 @@ walk(v, d, hops) AS (
   SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.v
   WHERE w.hops < {steps})
 SELECT v AS cell, min(d) AS dist FROM walk WHERE v != {SUPER_SRC} GROUP BY v"""
+
+
+# ---------------------------------------------------------------------------
+# R87: cost allocation (nearest-seed assignment over the cost surface)
+# ---------------------------------------------------------------------------
+
+ALLOC_PACK = 16  # 4 bits of seed index under the cost — 3 seeds << 16
+
+
+def cost_allocation(spark: SparkSession, tiles: DataFrame) -> DataFrame:
+    """(cell, dist, seed): which hotspot seed reaches each occupied cell
+    cheapest (GIS Cost Allocation / weighted Voronoi), with min-seed
+    tie-break — via ONE packed-key SSSP run: every grid edge's weight is
+    scaled ×16 and the virtual super-source reaches seed s at weight s,
+    so every path cost is 16·(traversal cost) + seed and the plain
+    Bellman-Ford min IS the lexicographic (cost, seed) minimum. Zero new
+    loop machinery: the same weighted_sssp with the same even step cap,
+    one integer unpack at the end."""
+    cells = costed_cells(tiles).localCheckpoint(eager=False)
+    a = cells.select("cx", "cy", F.col("cell").alias("src"))
+    b = cells.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("cell").alias("dst"),
+        (F.col("cost") * ALLOC_PACK).alias("w"),
+    )
+    edges = None
+    for dx, dy in _OFFS:
+        e = a.join(
+            b, (a.cx + F.lit(dx) == b.bx) & (a.cy + F.lit(dy) == b.by)
+        ).select("src", "dst", "w")
+        edges = e if edges is None else edges.unionByName(e)
+    seeds_df = None
+    for i, s in enumerate(_seed_cells_sql()):
+        row = spark.sql(s).withColumn("sidx", F.lit(i).cast("bigint"))
+        seeds_df = row if seeds_df is None else seeds_df.unionByName(row)
+    super_edges = seeds_df.join(cells, ["cx", "cy"]).select(
+        F.lit(SUPER_SRC).cast("bigint").alias("src"),
+        F.col("cell").alias("dst"),
+        F.col("sidx").alias("w"),
+    )
+    key = weighted_sssp(
+        spark, edges.unionByName(super_edges), src=SUPER_SRC,
+        max_rounds=MAX_ROUNDS,
+    )
+    return key.where(F.col("v") != SUPER_SRC).select(
+        F.col("v").alias("cell"),
+        F.expr(f"dist DIV {ALLOC_PACK}").alias("dist"),
+        F.expr(f"dist % {ALLOC_PACK}").alias("seed"),
+    )
+
+
+def cost_allocation_oracle_sql() -> str:
+    """Recursive mirror of the packed-key run (splice after a CTE list
+    providing ``tiles``; needs WITH RECURSIVE)."""
+    steps = _even_steps(MAX_ROUNDS)
+    seeds = " UNION ALL ".join(
+        f"SELECT {i} AS sidx, * FROM ({s})" for i, s in enumerate(_seed_cells_sql())
+    )
+    shifted = " UNION ALL ".join(
+        f"SELECT a.cell AS src, b.cell AS dst, b.cost * {ALLOC_PACK} AS w "
+        f"FROM costed a JOIN costed b ON b.cx = a.cx + ({dx}) AND b.cy = a.cy + ({dy})"
+        for dx, dy in _OFFS
+    )
+    return f"""cells AS (
+  SELECT {_cx('lon')} AS cx, {_cy('lat')} AS cy, count(*) AS cnt
+  FROM tiles GROUP BY 1, 2),
+costed AS (
+  SELECT cx, cy, cx * {_PACK} + cy AS cell, CAST({_COST} AS BIGINT) AS cost
+  FROM cells),
+seeds AS ({seeds}),
+super_edges AS (
+  SELECT CAST({SUPER_SRC} AS BIGINT) AS src, c.cell AS dst,
+         CAST(s.sidx AS BIGINT) AS w
+  FROM seeds s JOIN costed c ON c.cx = s.cx AND c.cy = s.cy),
+edges AS ({shifted} UNION ALL SELECT src, dst, w FROM super_edges),
+walk(v, d, hops) AS (
+  SELECT CAST({SUPER_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.hops < {steps})
+SELECT v AS cell, min(d) // {ALLOC_PACK} AS dist, min(d) % {ALLOC_PACK} AS seed
+FROM walk WHERE v != {SUPER_SRC} GROUP BY v"""

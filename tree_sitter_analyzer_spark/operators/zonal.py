@@ -1197,3 +1197,67 @@ SELECT t.n_hot, d.n_dilated, e.n_eroded,
        t.n_hot - e.n_eroded AS n_boundary,
        1000 * e.n_eroded // t.n_hot AS solidity_milli
 FROM mtot t CROSS JOIN mdil d CROSS JOIN mero e"""
+
+
+# ---------------------------------------------------------------------------
+# R88: density concentration (exact integer Gini per tile kind)
+# ---------------------------------------------------------------------------
+
+def density_gini(tiles: DataFrame, res: int = 8) -> DataFrame:
+    """Per tile kind, the Gini coefficient of its per-cell tile counts —
+    how concentrated is each class over space? — as the exact integer
+    ``gini_milli = (1000·(2·Σi·x_i − (n+1)·Σx)) DIV (n·Σx)`` over
+    ascending-sorted counts (rank ties broken by cell id; the statistic
+    is tie-invariant, the break only pins determinism).
+
+    Scale shape: one (kind, cell) aggregation, then a KIND-partitioned
+    rank window over the cell frame (never a single global partition),
+    then a kind rollup — three stages sharing the kind hash key. The
+    GROUPED_AGG Gini UDAF (operators/custom_agg.py) is the Python
+    sibling; this one is pure SQL and oracle-exact.
+    """
+    from .pip_join import tile_cells
+    from pyspark.sql.window import Window as W
+
+    per = (
+        tile_cells(tiles.select("tile_kind", "lon", "lat"), res)
+        .groupBy("tile_kind", "cell")
+        .agg(F.count("*").alias("x"))
+    )
+    w = W.partitionBy("tile_kind").orderBy("x", "cell")
+    ranked = per.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.groupBy("tile_kind")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("x").alias("total_tiles"),
+            F.sum(F.expr("rk * x")).alias("s1"),
+        )
+        .select(
+            "tile_kind",
+            "n_cells",
+            "total_tiles",
+            F.expr(
+                "(1000 * (2 * s1 - (n_cells + 1) * total_tiles))"
+                " DIV (n_cells * total_tiles)"
+            ).alias("gini_milli"),
+        )
+    )
+
+
+def density_gini_oracle_sql(res: int = 8) -> str:
+    from .. import grid
+
+    cell = grid.cell_sql("lon", "lat", res)
+    return f"""
+dg_cells AS (
+  SELECT tile_kind, {cell} AS cell, count(*) AS x
+  FROM tiles GROUP BY 1, 2),
+dg_ranked AS (
+  SELECT tile_kind, x,
+         row_number() OVER (PARTITION BY tile_kind ORDER BY x, cell) AS rk
+  FROM dg_cells)
+SELECT tile_kind, count(*) AS n_cells, SUM(x) AS total_tiles,
+       (1000 * (2 * SUM(rk * x) - (count(*) + 1) * SUM(x)))
+         // (count(*) * SUM(x)) AS gini_milli
+FROM dg_ranked GROUP BY tile_kind"""

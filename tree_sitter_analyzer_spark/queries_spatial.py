@@ -1531,3 +1531,34 @@ def q_cross_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_ops.hilbert_layout_audit(_tiles(spark, sf_dir), n_buckets=32)
+
+
+# --- round 3 (cont. 2): cost allocation + density Gini ------------------------
+
+
+@register(
+    "cost_allocation",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + cost_ops.cost_allocation_oracle_sql(),
+    doc="GIS cost allocation (weighted Voronoi): which hotspot seed "
+    "reaches each occupied cell cheapest, min-seed tie-break — ONE "
+    "packed-key Bellman-Ford run (edge weights ×16, super-source edge "
+    "weight = seed index, so min(16·cost + seed) IS the lexicographic "
+    "minimum); same even step cap as cost_distance, one integer unpack.",
+)
+def q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cost_ops.cost_allocation(spark, _tiles(spark, sf_dir))
+
+
+@register(
+    "density_gini",
+    f"{_CTES},\n{zonal.density_gini_oracle_sql()}",
+    doc="Spatial concentration per tile kind: exact integer Gini of the "
+    "per-cell counts (ascending rank window partitioned BY KIND — never "
+    "one global partition — rank ties broken by cell id, statistic "
+    "tie-invariant). The pure-SQL oracle-exact sibling of the GROUPED_"
+    "AGG Gini UDAF.",
+)
+def q_density_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.density_gini(_tiles(spark, sf_dir))
