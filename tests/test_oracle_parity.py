@@ -68,6 +68,8 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "cell_cusum",
                 "funnel_stages",
                 "cohort_retention",
+                "event_transitions",
+                "dow_profile",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

@@ -1306,3 +1306,80 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_cents"),
         )
     )
+
+
+# --- round 3 (cont. 2): sequence mining + seasonality -------------------------
+
+
+@register(
+    "event_transitions",
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events),
+pairs AS (
+  SELECT event_type AS cur, nxt, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT cur, SUM(n) AS t FROM pairs GROUP BY 1)
+SELECT p.cur, p.nxt, p.n,
+       (1000 * p.n) // t.t AS prob_milli
+FROM pairs p JOIN tot t ON t.cur = p.cur
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next | current) in exact per-mille. The lead() window "
+    "orders by the UNIQUE (ts, event_id) key inside the user partition "
+    "(repartition-proof); the 5×5 transition frame and its margins are "
+    "two tiny aggregations on the same keys — the sequence-mining "
+    "primitive behind session path analysis.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("cur"), "nxt"
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("t"))
+    return pairs.join(tot, "cur").select(
+        "cur", "nxt", "n", F.expr("(1000 * n) DIV t").alias("prob_milli")
+    )
+
+
+@register(
+    "dow_profile",
+    f"""
+WITH d AS (
+  SELECT event_type,
+         ({_EPOCH_US_DUCK_REL} // 86400000000 + 4) % 7 AS dow
+  FROM events),
+c AS (SELECT event_type, dow, count(*) AS n FROM d GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.event_type, c.dow, c.n,
+       (7000 * c.n) // t.tot AS share_x7000
+FROM c JOIN t ON t.event_type = c.event_type
+""",
+    doc="Day-of-week seasonality profile per event type: dow = (epoch "
+    "day + 4) % 7 (1970-01-01 was a Thursday; +4 makes 0=Monday) — "
+    "pure NTZ integer arithmetic, no calendar cast, identical under "
+    "any session timezone. share_x7000 = 7000·n/total, so a uniform "
+    "week sits at 1000 per day; deviations are the weekly signal.",
+)
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"(({_EPOCH_US_SPARK_REL}) DIV 86400000000 + 4) % 7"
+        ).alias("dow"),
+    )
+    c = d.groupBy("event_type", "dow").agg(F.count("*").alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return c.join(t, "event_type").select(
+        "event_type", "dow", "n",
+        F.expr("(7000 * n) DIV tot").alias("share_x7000"),
+    )

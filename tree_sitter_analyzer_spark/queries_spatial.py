@@ -1562,3 +1562,63 @@ def q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_density_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.density_gini(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): fractal box-counting ladder ---------------------------
+
+_BOX_LEVELS = (5, 6, 7, 8, 9, 10)
+
+
+@register(
+    "box_counting",
+    f"{_CTES},\n"
+    + """
+bc AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS res, count(*) AS n_boxes FROM ("
+        f"SELECT DISTINCT {grid.ix_sql('lon', r)}, {grid.iy_sql('lat', r)}"
+        f" FROM tiles)"
+        for r in _BOX_LEVELS
+    )
+    + """
+)
+SELECT a.res, a.n_boxes,
+       COALESCE((1000 * b.n_boxes) // a.n_boxes, 0) AS ratio_milli
+FROM bc a LEFT JOIN bc b ON b.res = a.res + 1
+""",
+    doc="Fractal box-counting ladder: occupied cells at res 5-10 plus "
+    "the consecutive-resolution ratio ×1000 (4000 = area-filling d=2, "
+    "2000 = curve-like d=1, ~1000 = isolated points) — the "
+    "log-free integer spelling of the box-counting dimension, the "
+    "roughness diagnostic that sizes how cell counts scale with "
+    "resolution (exactly what a tiling engine must predict before "
+    "choosing a storage res). One distinct-cell aggregation per level "
+    "over the same scan; the join is the tiny 6-row ladder.",
+)
+def q_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    parts = None
+    for r in _BOX_LEVELS:
+        p = (
+            t.select(
+                F.expr(grid.ix_sql("lon", r)).alias("bx"),
+                F.expr(grid.iy_sql("lat", r)).alias("by"),
+            )
+            .distinct()
+            .agg(
+                F.lit(r).cast("int").alias("res"),
+                F.count("*").alias("n_boxes"),
+            )
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    nxt = parts.select(
+        (F.col("res") - 1).alias("res"), F.col("n_boxes").alias("nb_next")
+    )
+    return parts.join(nxt, "res", "left").select(
+        "res",
+        "n_boxes",
+        F.coalesce(
+            F.expr("(1000 * nb_next) DIV n_boxes"), F.lit(0)
+        ).cast("bigint").alias("ratio_milli"),
+    )
