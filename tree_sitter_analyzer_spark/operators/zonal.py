@@ -1261,3 +1261,107 @@ SELECT tile_kind, count(*) AS n_cells, SUM(x) AS total_tiles,
        (1000 * (2 * SUM(rk * x) - (count(*) + 1) * SUM(x)))
          // (count(*) * SUM(x)) AS gini_milli
 FROM dg_ranked GROUP BY tile_kind"""
+
+
+# ---------------------------------------------------------------------------
+# R92: percolation profile (threshold-ladder cluster topology)
+# ---------------------------------------------------------------------------
+
+PERC_THRESHOLDS = (2, 5, 10)
+PERC_RES = 7
+_PERC_PACK = 268_435_456
+PERC_ROUNDS = 20
+
+
+def percolation_profile(
+    spark, tiles: DataFrame, thresholds: tuple = PERC_THRESHOLDS,
+    res: int = PERC_RES,
+) -> DataFrame:
+    """Percolation analysis of the density raster: for each density
+    threshold, keep cells with >= thr tiles, connect 4-neighbors, and
+    report (thr, n_cells, n_components, largest) — how the occupied
+    field fragments as the threshold rises (the giant-component
+    collapse is the percolation transition; geostatistics reads it as
+    habitat/urban-fabric connectivity).
+
+    Per threshold: the min-label CC loop from the graph suite over the
+    occupied-cell quotient (|V| = #cells ≥ thr, orders of magnitude
+    below tiles); adjacency edges via two one-sided shifted equi-joins
+    + self-loops so isolated cells count as singleton components. Tiles
+    aggregate ONCE; the threshold ladder reuses the same cell frame.
+    """
+    from .. import grid
+    from .graph import connected_components
+
+    cells = tiles.groupBy(
+        F.expr(grid.ix_sql("lon", res)).alias("cx"),
+        F.expr(grid.iy_sql("lat", res)).alias("cy"),
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    out = None
+    for thr in thresholds:
+        sub = cells.where(F.col("n") >= thr).select(
+            "cx", "cy", F.expr(f"cx * {_PERC_PACK} + cy").alias("v")
+        )
+        a = sub.select("cx", "cy", F.col("v").alias("src"))
+        b = sub.select(
+            F.col("cx").alias("bx"), F.col("cy").alias("by"),
+            F.col("v").alias("dst"),
+        )
+        edges = None
+        for dx, dy in ((1, 0), (0, 1)):
+            e = a.join(
+                b, (a.cx + F.lit(dx) == b.bx) & (a.cy + F.lit(dy) == b.by)
+            ).select("src", "dst")
+            edges = e if edges is None else edges.unionByName(e)
+        edges = edges.unionByName(
+            sub.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+        )
+        comp = connected_components(spark, edges, max_rounds=PERC_ROUNDS)
+        sizes = comp.groupBy("component").agg(F.count("*").alias("cnt"))
+        row = sizes.agg(
+            F.lit(thr).cast("int").alias("thr"),
+            F.sum("cnt").alias("n_cells"),
+            F.count("*").alias("n_components"),
+            F.max("cnt").alias("largest"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def percolation_oracle_sql(
+    thresholds: tuple = PERC_THRESHOLDS, res: int = PERC_RES
+) -> str:
+    """Per-threshold capped recursive closures (splice after a CTE list
+    providing ``tiles``; needs WITH RECURSIVE). Same normalized step cap
+    as the Spark loop — equal whether or not the closure converged."""
+    from .. import grid
+    from .graph import _even_steps
+
+    steps = _even_steps(PERC_ROUNDS)
+    parts = [f"""pp_cells AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2)"""]
+    selects = []
+    for thr in thresholds:
+        t = f"t{thr}"
+        parts.append(f"""sub{t} AS (
+  SELECT cx, cy, cx * {_PERC_PACK} + cy AS v FROM pp_cells WHERE n >= {thr}),
+e{t} AS (
+  SELECT a.v AS src, b.v AS dst FROM sub{t} a JOIN sub{t} b
+    ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+    OR (b.cx = a.cx AND b.cy = a.cy + 1)
+  UNION ALL SELECT v, v FROM sub{t}),
+ue{t} AS (SELECT src, dst FROM e{t} UNION SELECT dst, src FROM e{t}),
+w{t}(start, cur, hops) AS (
+  SELECT v, v, 0 FROM sub{t}
+  UNION
+  SELECT w.start, e.dst, w.hops + 1 FROM w{t} w JOIN ue{t} e ON e.src = w.cur
+  WHERE w.hops < {steps}),
+c{t} AS (SELECT start, min(cur) AS component FROM w{t} GROUP BY 1),
+s{t} AS (SELECT component, count(*) AS cnt FROM c{t} GROUP BY 1)""")
+        selects.append(
+            f"SELECT CAST({thr} AS INTEGER) AS thr, SUM(cnt) AS n_cells,"
+            f" count(*) AS n_components, MAX(cnt) AS largest FROM s{t}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

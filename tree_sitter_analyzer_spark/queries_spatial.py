@@ -1622,3 +1622,23 @@ def q_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * nb_next) DIV n_boxes"), F.lit(0)
         ).cast("bigint").alias("ratio_milli"),
     )
+
+
+# --- round 3 (cont. 2): percolation profile ------------------------------------
+
+
+@register(
+    "percolation_profile",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + zonal.percolation_oracle_sql(),
+    doc="Percolation analysis of the density raster: at thresholds "
+    "2/5/10, occupied cells, connected components (4-neighbor, "
+    "singletons counted via self-loops), and the largest cluster — the "
+    "giant-component collapse is the percolation transition "
+    "(habitat/urban-fabric connectivity). Per threshold: the graph "
+    "suite's capped min-label CC over the cell quotient; oracle = "
+    "same-capped recursive closures, equal whether or not converged.",
+)
+def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.percolation_profile(spark, _tiles(spark, sf_dir))
