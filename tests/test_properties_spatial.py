@@ -487,3 +487,17 @@ def test_gyration_matches_numpy_and_repartition_invariant(spark):
         .reset_index(drop=True)
     )
     assert rep.equals(prof)
+
+
+def test_line_of_sight_has_both_classes_at_gate_scale(spark):
+    """sf0.001 cannot produce obstacle cells (max cell count < the
+    obstacle threshold), so blocked is all-zero there by construction —
+    the dedup_exact discipline says the signal must be pinned at a
+    scale where it exists: at sf0.01 both clear AND blocked lines must
+    be present, and blocked means a real interior obstacle hit."""
+    from tree_sitter_analyzer_spark.operators import cost_distance as cd
+
+    df = cd.line_of_sight(
+        spark, synth.tiles_df(spark, "/root/testdata/sf0.01")
+    ).toPandas()
+    assert (df.blocked == 1).any() and (df.blocked == 0).any()

@@ -226,3 +226,107 @@ walk(v, d, hops) AS (
   WHERE w.hops < {steps})
 SELECT v AS cell, min(d) // {ALLOC_PACK} AS dist, min(d) % {ALLOC_PACK} AS seed
 FROM walk WHERE v != {SUPER_SRC} GROUP BY v"""
+
+
+# ---------------------------------------------------------------------------
+# R93: line-of-sight / viewshed-lite over the density raster
+# ---------------------------------------------------------------------------
+
+LOS_OBSTACLE = 20   # cells with >= this many tiles block sight
+LOS_TARGET = 5      # targets = cells with >= this many tiles
+
+
+def line_of_sight(spark: SparkSession, tiles: DataFrame) -> DataFrame:
+    """(seed, cell, n_steps, blocked): for every hotspot seed and every
+    target cell (>= LOS_TARGET tiles), is the straight grid line between
+    them clear of obstacle cells (>= LOS_OBSTACLE tiles)?
+
+    The line is sampled at Chebyshev resolution (n = max(|dx|,|dy|)
+    steps) with the all-positive affine form
+    ``x_k = (sx·(n−k) + tx·k) DIV n`` — every operand is a positive
+    bigint, so Spark DIV (truncate) and DuckDB // (floor) agree and no
+    negative-division spelling hazard exists. Strictly-interior samples
+    (0 < k < n) are obstacle-checked; seed and target never block
+    themselves.
+
+    Scale shape: the fan is (#seeds × #targets × ≤line length) rows of
+    INTEGER arithmetic over the broadcast seed list — never the tile
+    table — and the obstacle probe is one equi-join against the (tiny)
+    obstacle-cell frame.
+    """
+    cnt = tiles.groupBy(
+        F.expr(_cx("lon")).alias("cx"), F.expr(_cy("lat")).alias("cy")
+    ).agg(F.count("*").alias("n"))
+    targets = cnt.where(F.col("n") >= LOS_TARGET).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty")
+    )
+    obstacles = cnt.where(F.col("n") >= LOS_OBSTACLE).select(
+        F.expr(f"cx * {_PACK} + cy").alias("ocell")
+    )
+    seeds_df = None
+    for i, s in enumerate(_seed_cells_sql()):
+        row = spark.sql(s).withColumn("seed", F.lit(i).cast("bigint"))
+        seeds_df = row if seeds_df is None else seeds_df.unionByName(row)
+    pairs = targets.crossJoin(F.broadcast(seeds_df)).select(
+        "seed", "cx", "cy", "tx", "ty",
+        F.greatest(
+            F.abs(F.col("tx") - F.col("cx")), F.abs(F.col("ty") - F.col("cy"))
+        ).alias("n_steps"),
+    )
+    interior = pairs.where(F.col("n_steps") >= 2).select(
+        "seed", "tx", "ty", "n_steps",
+        F.explode(F.expr("sequence(1, n_steps - 1)")).alias("k"),
+        F.col("cx").alias("sx"), F.col("cy").alias("sy"),
+    ).select(
+        "seed", "tx", "ty", "n_steps",
+        F.expr(
+            f"((sx * (n_steps - k) + tx * k) DIV n_steps) * {_PACK}"
+            " + ((sy * (n_steps - k) + ty * k) DIV n_steps)"
+        ).alias("ocell"),
+    )
+    hits = (
+        interior.join(F.broadcast(obstacles), "ocell")
+        .groupBy("seed", "tx", "ty")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        pairs.join(hits, ["seed", "tx", "ty"], "left")
+        .select(
+            "seed",
+            F.expr(f"tx * {_PACK} + ty").alias("cell"),
+            "n_steps",
+            F.coalesce(
+                (F.col("n_hits") > 0).cast("bigint"), F.lit(0)
+            ).alias("blocked"),
+        )
+    )
+
+
+def line_of_sight_oracle_sql() -> str:
+    return f"""los_cnt AS (
+  SELECT {_cx('lon')} AS cx, {_cy('lat')} AS cy, count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+los_targets AS (SELECT cx AS tx, cy AS ty FROM los_cnt WHERE n >= {LOS_TARGET}),
+los_obst AS (SELECT cx * {_PACK} + cy AS ocell FROM los_cnt
+             WHERE n >= {LOS_OBSTACLE}),
+los_seeds AS ({" UNION ALL ".join(
+    f"SELECT {i} AS seed, * FROM ({s})" for i, s in enumerate(_seed_cells_sql()))}),
+los_pairs AS (
+  SELECT s.seed, s.cx, s.cy, t.tx, t.ty,
+         GREATEST(abs(t.tx - s.cx), abs(t.ty - s.cy)) AS n_steps
+  FROM los_targets t CROSS JOIN los_seeds s),
+los_interior AS (
+  SELECT p.seed, p.tx, p.ty, p.n_steps,
+         ((p.cx * (p.n_steps - g.k) + p.tx * g.k) // p.n_steps) * {_PACK}
+         + ((p.cy * (p.n_steps - g.k) + p.ty * g.k) // p.n_steps) AS ocell
+  FROM los_pairs p
+  JOIN (SELECT unnest(range(1, 512)) AS k) g ON g.k < p.n_steps
+  WHERE p.n_steps >= 2),
+los_hits AS (
+  SELECT i.seed, i.tx, i.ty, count(*) AS n_hits
+  FROM los_interior i JOIN los_obst o ON o.ocell = i.ocell
+  GROUP BY 1, 2, 3)
+SELECT p.seed, p.tx * {_PACK} + p.ty AS cell, p.n_steps,
+       CAST(COALESCE(h.n_hits > 0, FALSE) AS BIGINT) AS blocked
+FROM los_pairs p
+LEFT JOIN los_hits h ON h.seed = p.seed AND h.tx = p.tx AND h.ty = p.ty"""

@@ -1642,3 +1642,21 @@ def q_box_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.percolation_profile(spark, _tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): line of sight ------------------------------------------
+
+
+@register(
+    "line_of_sight",
+    f"{_CTES},\n{cost_ops.line_of_sight_oracle_sql()}",
+    doc="Viewshed-lite: for each hotspot seed and dense target cell, is "
+    "the straight grid line clear of obstacle cells (density >= 20)? "
+    "Line sampled at Chebyshev resolution with the all-positive affine "
+    "form (sx·(n−k) + tx·k) DIV n — positive bigints only, so Spark "
+    "DIV and DuckDB // agree with no negative-division hazard. The fan "
+    "multiplies seeds × targets × line length over CELL frames; the "
+    "obstacle probe is a broadcast equi-join; tiles aggregate once.",
+)
+def q_line_of_sight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cost_ops.line_of_sight(spark, _tiles(spark, sf_dir))
