@@ -893,3 +893,111 @@ SELECT cell, MAX(d_cnt) AS n_days, MAX(t) AS n_pings,
        MAX(abs(cum)) AS max_abs_cusum,
        arg_min(day, day - abs(cum) * 1000000) AS change_day
 FROM cum GROUP BY cell"""
+
+
+# ---------------------------------------------------------------------------
+# R94: time-respecting contact reachability (epidemic spread)
+# ---------------------------------------------------------------------------
+
+EPI_RES = 8
+EPI_SEED_MOD = 10
+EPI_ROUNDS = 30
+
+
+def epidemic_reach(spark, pings: DataFrame, res: int = EPI_RES) -> DataFrame:
+    """(user_id, day_infected): who is reachable from the seed users
+    (user_id % 10 == 0, infected at their first active day) through
+    TIME-RESPECTING contact chains — a contact on day d transmits only
+    if the source was already infected by d (d >= d_src). The temporal
+    analog of reachability: plain transitive closure over the contact
+    graph would overcount (it ignores arrow-of-time ordering).
+
+    Mechanics: distinct (user, cell, day) presence → (cell, day)-keyed
+    contact self-join (the colocation discipline, both directions) →
+    min-day relaxation loop, exactly the weighted_sssp shape (join +
+    min-agg per round, two rounds per checkpoint, scalar (count, sum)
+    fixpoint probe — infection days only decrease, the set only grows).
+    The oracle replays the capped walk recursively, so parity holds
+    whether or not the loop converged inside the cap.
+    """
+    from .graph import _even_steps
+
+    s = _shift(res)
+    occ = (
+        pings.select(
+            "user_id",
+            F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})").alias("cell"),
+            "day",
+        )
+        .dropDuplicates(["user_id", "cell", "day"])
+        .localCheckpoint(eager=False)
+    )
+    a, b = occ.alias("a"), occ.alias("b")
+    contacts = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"),
+            F.col("b.user_id").alias("v"),
+            F.col("a.day").alias("cday"),
+        )
+        .dropDuplicates(["u", "v", "cday"])
+        .localCheckpoint(eager=False)
+    )
+    inf = (
+        pings.where(F.col("user_id") % EPI_SEED_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("d"))
+        .select(F.col("user_id").alias("v"), "d")
+    )
+
+    def relax(state):
+        st, ct = state.alias("st"), contacts.alias("ct")
+        cand = (
+            st.join(ct, F.col("st.v") == F.col("ct.u"))
+            .where(F.col("ct.cday") >= F.col("st.d"))
+            .select(F.col("ct.v").alias("v"), F.col("ct.cday").alias("d"))
+        )
+        return state.unionByName(cand).groupBy("v").agg(
+            F.min("d").alias("d")
+        )
+
+    prev_sig = None
+    for _ in range(_even_steps(EPI_ROUNDS) // 2):
+        nxt = relax(relax(inf)).localCheckpoint(eager=True)
+        row = nxt.agg(F.count("*").alias("n"), F.sum("d").alias("sd")).first()
+        sig = (row["n"], row["sd"])
+        inf = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return inf.select(F.col("v").alias("user_id"), F.col("d").alias("day_infected"))
+
+
+def epidemic_reach_oracle(events_clause: str = "events", res: int = EPI_RES) -> str:
+    from .graph import _even_steps
+
+    s = _shift(res)
+    steps = _even_steps(EPI_ROUNDS)
+    return f"""WITH RECURSIVE {pings_oracle_cte(events_clause)},
+epi_occ AS (
+  SELECT DISTINCT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell, day
+  FROM pings),
+epi_contacts AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v, a.day AS cday
+  FROM epi_occ a JOIN epi_occ b
+    ON a.cell = b.cell AND a.day = b.day AND a.user_id != b.user_id),
+epi_seeds AS (
+  SELECT user_id AS v, min(day) AS d FROM pings
+  WHERE user_id % {EPI_SEED_MOD} = 0 GROUP BY 1),
+epi_walk(v, d, hops) AS (
+  SELECT v, d, 0 FROM epi_seeds
+  UNION
+  SELECT c.v, c.cday, w.hops + 1
+  FROM epi_walk w JOIN epi_contacts c ON c.u = w.v AND c.cday >= w.d
+  WHERE w.hops < {steps})
+SELECT v AS user_id, min(d) AS day_infected FROM epi_walk GROUP BY v"""

@@ -185,3 +185,19 @@ def q_traj_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cell_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.cell_cusum(_pings(spark, sf_dir))
+
+
+@register(
+    "epidemic_reach",
+    traj.epidemic_reach_oracle(),
+    doc="Time-respecting contact reachability: who is reachable from the "
+    "seed users (id % 10, infected at first active day) through contact "
+    "chains whose days never decrease — the temporal closure a plain "
+    "transitive closure would overcount. (cell, day)-bucketed contact "
+    "join + min-day Bellman-Ford relaxation (two rounds per checkpoint, "
+    "scalar fixpoint probe); min-day state is provably lossless (an "
+    "earlier infection dominates). Oracle: capped recursive walk — "
+    "equal whether or not the loop converged inside the cap.",
+)
+def q_epidemic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.epidemic_reach(spark, _pings(spark, sf_dir))
