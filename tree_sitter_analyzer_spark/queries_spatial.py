@@ -1660,3 +1660,53 @@ def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_line_of_sight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cost_ops.line_of_sight(spark, _tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 2): seed catchment rollup ----------------------------------
+
+
+@register(
+    "seed_catchment",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + cost_ops.cost_allocation_oracle_sql().replace(
+        "SELECT v AS cell,", "SELECT v AS cell,"
+    ).replace(
+        f"\nSELECT v AS cell", ", alloc AS (\nSELECT v AS cell"
+    )
+    + """),
+pc2 AS (
+  SELECT cx * 268435456 + cy AS cell, count(*) AS n_tiles
+  FROM (SELECT """
+    + cost_ops._cx("lon")
+    + """ AS cx, """
+    + cost_ops._cy("lat")
+    + """ AS cy FROM tiles)
+  GROUP BY 1)
+SELECT a.seed, count(*) AS n_cells, SUM(p.n_tiles) AS n_tiles,
+       MAX(a.dist) AS max_dist
+FROM alloc a JOIN pc2 p ON p.cell = a.cell
+GROUP BY a.seed""",
+    doc="Service-area catchment per hotspot seed: the cost_allocation "
+    "partition rolled up to (seed, reachable cells, tiles served, max "
+    "traversal cost) — the demand-sizing rollup over the same single "
+    "packed-key Bellman-Ford run; one extra ~#cells join + aggregation.",
+)
+def q_seed_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = _tiles(spark, sf_dir)
+    alloc = cost_ops.cost_allocation(spark, tiles)
+    pc = tiles.groupBy(
+        F.expr(cost_ops._cx("lon")).alias("cx"),
+        F.expr(cost_ops._cy("lat")).alias("cy"),
+    ).agg(F.count("*").alias("n_tiles")).select(
+        F.expr("cx * 268435456 + cy").alias("cell"), "n_tiles"
+    )
+    return (
+        alloc.join(pc, "cell")
+        .groupBy("seed")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_tiles").alias("n_tiles"),
+            F.max("dist").alias("max_dist"),
+        )
+    )
