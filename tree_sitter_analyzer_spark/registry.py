@@ -96,7 +96,10 @@ GATE_ORDER = [
     # minhash_lsh → semivariogram (the LSH band join is exercised by
     # dedup_clusters, which composes it; geostatistics had no row),
     # zonal_weighted → hilbert_layout (weighted zonal stays via
-    # zonal_stats + area_overlay; the LAYOUT family had no gate row).
+    # zonal_stats + area_overlay; the LAYOUT family had no gate row),
+    # winnow_dups → epidemic_reach (fingerprint dedup stays via
+    # dedup_clusters + dedup_exact + phash_hamming_pairs; the temporal
+    # contact closure is a new family).
     "tile_manifest", "pip_join", "knn",
     "zonal_stats", "top_tiles_per_zone", "area_overlay",
     "quadtree_leaves", "radius_join",
@@ -112,7 +115,7 @@ GATE_ORDER = [
     "ingest_summary", "dedup_exact", "dedup_clusters", "hll_cardinality",
     "semivariogram", "dedup_embedding", "bloom_filter_audit",
     "map_match", "ann_ivf_topk", "text_stats", "caption_search",
-    "token_lift", "winnow_dups", "zone_dissolve", "phash_hamming_pairs",
+    "token_lift", "epidemic_reach", "zone_dissolve", "phash_hamming_pairs",
     "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
     # graph traversal / analytics suite (reachability rotated out late
     # round 3: its transitive-closure family is covered by bfs_khop +
