@@ -426,21 +426,23 @@ def test_hex_sql_matches_numpy_duckdb(spark):
     assert (df.hq.to_numpy() == nq).all() and (df.hr.to_numpy() == nr).all()
 
 
-def test_quadtree_is_disjoint_complete_partition(spark):
+@pytest.mark.parametrize("threshold", [8, 32, 128])
+def test_quadtree_is_disjoint_complete_partition(spark, threshold):
     """Quadtree leaves must (1) conserve the tile count, (2) respect the
     split threshold (every leaf above max depth holds <= T), (3) be
     mutually disjoint — no leaf is the spatial ancestor of another —
     and (4) every leaf above RMIN must exist because its parent split
     (parent count > T): the four structural invariants the oracle's
-    value hash alone cannot name."""
+    value hash alone cannot name — at three thresholds, not just the
+    registered default."""
     from tree_sitter_analyzer_spark.operators import quadtree as qt
 
     tiles = synth.tiles_df(spark, SF_TINY)
-    leaves = qt.quadtree_leaves(tiles).toPandas()
+    leaves = qt.quadtree_leaves(tiles, threshold=threshold).toPandas()
     n_tiles = tiles.count()
     assert leaves.n_tiles.sum() == n_tiles  # completeness
     shallow = leaves[leaves.res < qt.RMAX]
-    assert (shallow.n_tiles <= qt.QT_THRESHOLD).all()  # threshold
+    assert (shallow.n_tiles <= threshold).all()  # threshold
     # decode (res, ix, iy); check pairwise ancestor-freedom via set lookup
     res = leaves.res.to_numpy()
     ix = ((leaves.cell.to_numpy() - res * grid.RES_MUL) // grid.IX_MUL)
@@ -455,7 +457,7 @@ def test_quadtree_is_disjoint_complete_partition(spark):
                 (pr, x // s, y // s), 0
             ) + int(n)
     # every strict ancestor of any leaf must have split: count > T
-    assert all(v > qt.QT_THRESHOLD for v in parent_counts.values())
+    assert all(v > threshold for v in parent_counts.values())
 
 
 def test_gyration_matches_numpy_and_repartition_invariant(spark):
