@@ -24,6 +24,19 @@ GATES = {
     "ann_cosine_topk": 15.0,
     "ingest_summary": 40.0,
     "bfs_khop": 45.0,
+    # continuation-2 heavy queries: iterative loops and fans whose cheap
+    # shape depends on staying quotient-sized — an accidental tile-level
+    # fan or a lost broadcast blows these by an order of magnitude
+    "quadtree_leaves": 20.0,
+    "hilbert_layout": 30.0,
+    "semivariogram": 15.0,
+    "cross_k_pairs": 20.0,
+    "isochrone_bands": 60.0,
+    "cost_allocation": 60.0,
+    "percolation_profile": 60.0,
+    "epidemic_reach": 45.0,
+    "line_of_sight": 20.0,
+    "kcore_community": 60.0,
 }
 
 
