@@ -105,3 +105,32 @@ def test_hilbert_spark_matches_python_and_beats_zorder(spark):
     audit = layout.hilbert_layout_audit(tiles).toPandas()
     sums = audit.groupby("layout").bbox_area.sum()
     assert sums["hilbert"] < sums["zorder"]
+
+
+def test_write_hilbert_files_are_range_disjoint(spark, tmp_path):
+    """The Hilbert writer must produce parquet files whose hkey min/max
+    ranges are pairwise disjoint (the file-pruning contract), exactly
+    like the Z-order writer's."""
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import layout
+
+    out = str(tmp_path / "hilbert_tiles")
+    layout.write_hilbert(
+        synth.tiles_df(spark, SF_TINY), out, n_files=8
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("hkey")
+        los = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        his = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        if los:
+            ranges.append((min(los), max(his)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"

@@ -328,3 +328,25 @@ agg AS (
 )
 SELECT layout, bucket, n_tiles, n_cells, bbox_area FROM agg
 """
+
+
+def write_hilbert(
+    df: DataFrame, path: str, n_files: int, res: int = LAYOUT_RES
+) -> None:
+    """Production Hilbert layout pass, mirroring ``write_zordered``: the
+    key is computed per DISTINCT cell (the 18-step chain never touches
+    the row stream) and broadcast back, then
+    ``repartitionByRange(key) + sortWithinPartitions`` writes files with
+    disjoint, compact key ranges — same machinery, better curve."""
+    base = df.withColumn("ix", grid.ix_col("lon", res)).withColumn(
+        "iy", grid.iy_col("lat", res)
+    )
+    hk = hilbert_cells(base.select("ix", "iy").distinct())
+    (
+        base.join(F.broadcast(hk), ["ix", "iy"])
+        .drop("ix", "iy")
+        .repartitionByRange(n_files, "hkey")
+        .sortWithinPartitions("hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
