@@ -1383,3 +1383,61 @@ def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "dow", "n",
         F.expr("(7000 * n) DIV tot").alias("share_x7000"),
     )
+
+
+# --- round 3 (cont. 2): volume anomaly detection ------------------------------
+
+
+@register(
+    "volume_anomalies",
+    f"""
+WITH d AS (
+  SELECT event_type, {_EPOCH_US_DUCK_REL} // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, count(*) AS dcnt, SUM(n) AS tot
+  FROM d GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, d.n,
+         d.n * s.dcnt - s.tot AS dv, s.dcnt, s.tot
+  FROM d JOIN st s ON s.event_type = d.event_type),
+var AS (
+  SELECT event_type, SUM(dv * dv) AS ss FROM dev GROUP BY 1)
+SELECT e.event_type, e.day, e.n
+FROM dev e JOIN var v ON v.event_type = e.event_type
+WHERE e.dv * e.dv * e.dcnt > 4 * v.ss
+ORDER BY e.event_type, e.day
+""",
+    doc="Daily volume anomaly detection per event type: flag days whose "
+    "squared deviation exceeds 4x the per-type variance — the z²>4 "
+    "(|z|>2) rule spelled entirely in cross-multiplied integers "
+    "(dv = n·D − T so dv²·D > 4·Σdv² ⟺ z² > 4; no mean, variance, or "
+    "sqrt ever materializes as a float). Two aggregations and a join "
+    "on the event-type key; the day frame is types × days, never "
+    "events.",
+)
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(f"({_EPOCH_US_SPARK_REL}) DIV 86400000000").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    st = d.groupBy("event_type").agg(
+        F.count("*").alias("dcnt"), F.sum("n").alias("tot")
+    )
+    dev = d.join(st, "event_type").withColumn(
+        "dv", F.expr("n * dcnt - tot")
+    )
+    var = dev.groupBy("event_type").agg(
+        F.sum(F.expr("dv * dv")).alias("ss")
+    )
+    return (
+        dev.join(var, "event_type")
+        .where(F.expr("dv * dv * dcnt > 4 * ss"))
+        .select("event_type", "day", "n")
+        .orderBy("event_type", "day")
+    )
