@@ -398,3 +398,96 @@ FROM qn n
 JOIN qx x ON x.priority = n.priority
 JOIN qe50 e5 ON e5.priority = n.priority
 JOIN qe90 e9 ON e9.priority = n.priority, qm m"""
+
+
+# ---------------------------------------------------------------------------
+# R97: join-size estimation via the CMS inner product (optimizer stats)
+# ---------------------------------------------------------------------------
+
+def join_size_estimate(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """One audit row: the customer⋈supplier-on-nationkey join cardinality
+    ESTIMATED from two count-min sketches — est_j = Σ_b cmsA[j,b]·cmsB[j,b]
+    per hash row, final estimate = min_j (the classic AMS/CMS join-size
+    estimator: every row overestimates by non-negative collision cross
+    terms, so the min is still an upper bound) — beside the exact size
+    Σ_k cA(k)·cB(k) computed from the per-key count frames WITHOUT
+    materializing the join. The primitive a cost-based optimizer uses to
+    size a join before running it; at 10^12 rows each side collapses to
+    its d×w sketch in one partial/final aggregation and the estimate is
+    arithmetic over 2·d·w cells.
+
+    Returns (true_join_rows, cms_est, overcount, est_ratio_milli); the
+    estimator's one-sided contract (cms_est ≥ true) is part of the
+    compared result.
+    """
+    def sk(df: DataFrame, key: str) -> DataFrame:
+        js = ", ".join(str(j) for j in range(DEPTH))
+        return (
+            df.select(F.expr(f"CAST({key} AS STRING)").alias("tok"))
+            .select("tok", F.explode(F.expr(f"array({js})")).alias("j"))
+            .select("j", F.expr(_bucket_spark("tok", "j")).alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    a, b = sk(customer, "c_nationkey"), sk(supplier, "s_nationkey")
+    est = (
+        a.withColumnRenamed("cnt", "ca")
+        .join(
+            b.withColumnRenamed("cnt", "cb"), ["j", "bucket"]
+        )
+        .groupBy("j")
+        .agg(F.sum(F.expr("ca * cb")).alias("ip"))
+        .agg(F.min("ip").alias("cms_est"))
+    )
+    ka = customer.groupBy(
+        F.expr("CAST(c_nationkey AS BIGINT)").alias("k")
+    ).agg(F.count("*").alias("ca"))
+    kb = supplier.groupBy(
+        F.expr("CAST(s_nationkey AS BIGINT)").alias("k")
+    ).agg(F.count("*").alias("cb"))
+    true = ka.join(kb, "k").agg(
+        F.sum(F.expr("ca * cb")).alias("true_join_rows")
+    )
+    return (
+        true.crossJoin(F.broadcast(est))
+        .select(
+            "true_join_rows",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_join_rows")).alias("overcount"),
+            F.expr("(1000 * cms_est) DIV true_join_rows").alias(
+                "est_ratio_milli"
+            ),
+        )
+    )
+
+
+def join_size_oracle_sql() -> str:
+    def sk(table: str, key: str, name: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {j} AS j, {_bucket_duck(f'CAST({key} AS VARCHAR)', str(j))}"
+            f" AS bucket FROM {table}"
+            for j in range(DEPTH)
+        )
+        return f"{name} AS (SELECT j, bucket, count(*) AS cnt FROM ({rows}) GROUP BY 1, 2)"
+
+    return f"""
+WITH {sk('customer', 'c_nationkey', 'js_a')},
+{sk('supplier', 's_nationkey', 'js_b')},
+js_ip AS (
+  SELECT a.j, SUM(a.cnt * b.cnt) AS ip
+  FROM js_a a JOIN js_b b ON b.j = a.j AND b.bucket = a.bucket
+  GROUP BY 1),
+js_est AS (SELECT MIN(ip) AS cms_est FROM js_ip),
+js_true AS (
+  SELECT SUM(a.ca * b.cb) AS true_join_rows FROM
+    (SELECT CAST(c_nationkey AS BIGINT) AS k, count(*) AS ca
+     FROM customer GROUP BY 1) a
+  JOIN
+    (SELECT CAST(s_nationkey AS BIGINT) AS k, count(*) AS cb
+     FROM supplier GROUP BY 1) b
+  ON b.k = a.k)
+SELECT t.true_join_rows, e.cms_est,
+       e.cms_est - t.true_join_rows AS overcount,
+       (1000 * e.cms_est) // t.true_join_rows AS est_ratio_milli
+FROM js_true t CROSS JOIN js_est e"""

@@ -1441,3 +1441,26 @@ def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n")
         .orderBy("event_type", "day")
     )
+
+
+# --- round 3 (cont. 2): optimizer-statistics join-size estimate ----------------
+
+from .operators import sketch as _sketch2  # noqa: E402
+
+
+@register(
+    "join_size_estimate",
+    _sketch2.join_size_oracle_sql(),
+    doc="Optimizer-statistics primitive: the customer-by-supplier "
+    "nationkey join cardinality estimated from two count-min sketches "
+    "via the AMS inner product (min over hash rows of Σ cmsA·cmsB — "
+    "every row overestimates by non-negative collision cross terms, so "
+    "cms_est >= true is part of the compared contract), beside the "
+    "exact size from the per-key count frames — no join materialized. "
+    "At scale each side collapses to its d×w sketch in one "
+    "partial/final agg; the estimate is arithmetic over 2·d·w cells.",
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sketch2.join_size_estimate(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    )
