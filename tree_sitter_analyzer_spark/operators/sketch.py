@@ -491,3 +491,103 @@ SELECT t.true_join_rows, e.cms_est,
        e.cms_est - t.true_join_rows AS overcount,
        (1000 * e.cms_est) // t.true_join_rows AS est_ratio_milli
 FROM js_true t CROSS JOIN js_est e"""
+
+
+# ---------------------------------------------------------------------------
+# R98: HLL mergeability audit (sketch-union == union-sketch, bit-for-bit)
+# ---------------------------------------------------------------------------
+
+def hll_union_audit(tiles: DataFrame, m: int = HLL_M) -> DataFrame:
+    """One audit row proving the HLL monoid claim the scale story rests
+    on: sketch the jpeg tiles' cells and the png tiles' cells SEPARATELY,
+    merge by register-wise MAX, and the union estimate must equal —
+    bit-for-bit, not approximately — the estimate from sketching the
+    union directly (MAX is associative/commutative/idempotent; this is
+    why per-partition partial sketches + Spark's partial/final agg give
+    exactly the global sketch at any parallelism). Output:
+    (n_exact_union, union_est_milli, err_milli, merge_exact) with
+    merge_exact = 1 iff merged == direct."""
+    from .. import grid
+
+    alpha = _ALPHA_MILLI[m]
+    h = md5int_spark("CAST(cell AS STRING)")
+    keyed = tiles.select(
+        F.col("fmt").alias("part"),
+        F.expr(grid.cell_sql("lon", "lat", 9)).alias("cell"),
+    ).select(
+        "part",
+        "cell",
+        F.expr(f"({h}) % {m}").alias("j"),
+        F.expr(_rho_case(f"({h}) DIV {m}")).alias("rho"),
+    )
+    regs_part = keyed.groupBy("part", "j").agg(F.max("rho").alias("mj"))
+    merged = regs_part.groupBy("j").agg(F.max("mj").alias("mj"))
+    direct = keyed.groupBy("j").agg(F.max("rho").alias("mj"))
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        return (
+            regs.agg(
+                F.count("*").cast("bigint").alias("nr"),
+                F.sum(
+                    F.expr(f"CAST({1 << HLL_SHIFT} / power(2, mj) AS BIGINT)")
+                ).alias("sa"),
+            )
+            .select(
+                F.expr(
+                    f"{alpha} * {m} * {m} * {1 << HLL_SHIFT}"
+                    f" DIV (sa + ({m} - nr) * {1 << HLL_SHIFT})"
+                ).alias(name)
+            )
+        )
+
+    exact = keyed.agg(F.countDistinct("cell").alias("n_exact_union"))
+    return (
+        exact.crossJoin(F.broadcast(est(merged, "union_est_milli")))
+        .crossJoin(F.broadcast(est(direct, "direct_est_milli")))
+        .select(
+            "n_exact_union",
+            "union_est_milli",
+            F.expr(
+                "abs(union_est_milli - 1000 * n_exact_union)"
+                " DIV n_exact_union"
+            ).alias("err_milli"),
+            F.expr(
+                "CAST(union_est_milli = direct_est_milli AS BIGINT)"
+            ).alias("merge_exact"),
+        )
+    )
+
+
+def hll_union_oracle_sql(m: int = HLL_M) -> str:
+    from .. import grid
+
+    alpha = _ALPHA_MILLI[m]
+    h = md5int_duck("CAST(cell AS VARCHAR)")
+    rho = _rho_case(f"({h}) // {m}")
+    estexpr = (
+        f"{alpha} * {m} * {m} * {1 << HLL_SHIFT}"
+        f" // (sa + ({m} - nr) * {1 << HLL_SHIFT})"
+    )
+    return f"""
+hu_keyed AS (
+  SELECT fmt AS part, cell, ({h}) % {m} AS j, {rho} AS rho
+  FROM (SELECT fmt, {grid.cell_sql('lon', 'lat', 9)} AS cell FROM tiles)),
+hu_part AS (SELECT part, j, MAX(rho) AS mj FROM hu_keyed GROUP BY 1, 2),
+hu_merged AS (SELECT j, MAX(mj) AS mj FROM hu_part GROUP BY 1),
+hu_direct AS (SELECT j, MAX(rho) AS mj FROM hu_keyed GROUP BY 1),
+hu_me AS (
+  SELECT {estexpr} AS union_est_milli FROM (
+    SELECT count(*) AS nr,
+           SUM(CAST({1 << HLL_SHIFT} / power(2, mj) AS BIGINT)) AS sa
+    FROM hu_merged)),
+hu_de AS (
+  SELECT {estexpr} AS direct_est_milli FROM (
+    SELECT count(*) AS nr,
+           SUM(CAST({1 << HLL_SHIFT} / power(2, mj) AS BIGINT)) AS sa
+    FROM hu_direct)),
+hu_ex AS (SELECT count(DISTINCT cell) AS n_exact_union FROM hu_keyed)
+SELECT x.n_exact_union, m.union_est_milli,
+       abs(m.union_est_milli - 1000 * x.n_exact_union)
+         // x.n_exact_union AS err_milli,
+       CAST(m.union_est_milli = d.direct_est_milli AS BIGINT) AS merge_exact
+FROM hu_ex x CROSS JOIN hu_me m CROSS JOIN hu_de d"""

@@ -1710,3 +1710,21 @@ def q_seed_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dist").alias("max_dist"),
         )
     )
+
+
+# --- round 3 (cont. 2): HLL mergeability audit ---------------------------------
+
+
+@register(
+    "hll_union_audit",
+    f"{_CTES},\n{sketch_ops.hll_union_oracle_sql()}",
+    doc="The HLL monoid, proved not claimed: jpeg cells and png cells "
+    "sketched separately, merged by register-wise MAX — the union "
+    "estimate must equal the direct union sketch BIT-FOR-BIT "
+    "(merge_exact = 1), which is exactly why per-partition partial "
+    "sketches + Spark's partial/final agg give the global sketch at "
+    "any parallelism; err_milli pins the union estimate's accuracy "
+    "against the exact distinct union.",
+)
+def q_hll_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_ops.hll_union_audit(_tiles(spark, sf_dir))
