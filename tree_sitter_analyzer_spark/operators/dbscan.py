@@ -108,6 +108,34 @@ def eps_neighbor_pairs(
     )
 
 
+def _eps_join(
+    probe: DataFrame, build: DataFrame, eps: float, res: int
+) -> DataFrame:
+    """Verified eps-candidate ROW STREAM between two point frames —
+    probe must carry (lon, lat), build (qlon, qlat); all other columns
+    pass through. Callers MUST aggregate immediately: the stream is
+    intrinsically quadratic in per-cell density (the sf0.1 lesson — a
+    materialized pair list is ~10^8 rows here and petabytes at 10^12
+    tiles; the aggregates it feeds are small)."""
+    size = grid.cell_size(res)
+    rc = int(-(-eps // size))  # ceil
+    pr = (
+        probe.withColumn("pix", grid.ix_col("lon", res))
+        .withColumn("piy", grid.iy_col("lat", res))
+        .withColumn("off", F.explode(grid.disk_offsets_expr(rc)))
+        .withColumn(
+            "cell",
+            F.expr(grid.cell_from_ixiy_sql("pix + off.dx", "piy + off.dy", res)),
+        )
+        .drop("pix", "piy", "off")
+    )
+    bd = build.withColumn(
+        "cell", F.expr(grid.cell_sql("qlon", "qlat", res))
+    )
+    eps2 = f"{eps * eps:.10e}"  # identical literal text on both engines
+    return pr.join(bd, "cell").where(F.expr(f"{DIST2_SQL} <= {eps2}"))
+
+
 def dbscan_labels(
     spark: SparkSession,
     tiles: DataFrame,
@@ -123,31 +151,67 @@ def dbscan_labels(
     converges in ~10 steps (hotspot diameter over eps-length hops) and
     the loop exits on the scalar fixpoint probe, so the budget is slack,
     not cost. The oracle runs the UNCAPPED closure — parity therefore
-    also *proves* convergence."""
+    also *proves* convergence.
+
+    Scale shape (reworked after the sf0.1 smoke OOM): the eps-pair list
+    is NEVER materialized — it is intrinsically quadratic in per-cell
+    density (~10^8 candidate rows already at sf0.1). Instead the
+    candidate join runs three times, each aggregated in-stream with
+    map-side partial aggregation so the pair rows die inside the join
+    stage: (1) all-pairs → per-point neighbor COUNTS, (2) core-core →
+    DISTINCT quotient-cell edges, (3) noncore-core → MIN cluster per
+    border point. Three scans of small per-point frames beat one
+    petabyte materialization at any scale."""
     qres = quotient_res(eps)
-    pairs = eps_neighbor_pairs(tiles, eps, res).localCheckpoint(eager=False)
-    counts = pairs.groupBy("p").agg(F.count("*").alias("n"))
-    cores = counts.where(F.col("n") >= min_pts).select("p")
-    # Core points with their quotient cell (needs lon/lat back). The
-    # quotient key is the COMPACT ix*2^28+iy (no res prefix): labels sum
-    # inside the components loop's bigint fixpoint probe — full packed
-    # ids (res*2^56+...) overflow the sum under ANSI mode.
     qkey = _quotient_key_sql(qres)
-    corec = (
-        cores.join(tiles.select(F.col("i").alias("p"), "lon", "lat"), "p")
-        .select("p", F.expr(qkey).alias("qcell"))
+    pts = tiles.select("i", "lon", "lat")
+    # pass 1: neighbor counts (self pair included — classic DBSCAN)
+    counts = (
+        _eps_join(
+            pts.select(F.col("i").alias("p"), "lon", "lat"),
+            pts.select(
+                F.col("i").alias("q"),
+                F.col("lon").alias("qlon"),
+                F.col("lat").alias("qlat"),
+            ),
+            eps,
+            res,
+        )
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+    )
+    cores = (
+        counts.where(F.col("n") >= min_pts)
+        .select("p")
         .localCheckpoint(eager=False)
     )
-    # Cell-quotient edges: every core-core eps-pair, mapped to cells.
-    # Same-cell pairs become self-loops (harmless); distinct to shrink.
+    # Core points with their quotient cell. The quotient key is the
+    # COMPACT ix*2^28+iy (no res prefix): labels sum inside the
+    # components loop's bigint fixpoint probe — full packed ids
+    # (res*2^56+...) overflow the sum under ANSI mode.
+    core_pts = pts.join(
+        cores.withColumnRenamed("p", "i"), "i", "left_semi"
+    ).localCheckpoint(eager=False)
+    corec = core_pts.select(
+        F.col("i").alias("p"), F.expr(qkey).alias("qcell")
+    )
+    # pass 2: cell-quotient edges from core-core eps-pairs, deduped
+    # in-stream (same-cell pairs become self-loops — harmless).
+    qsrc = qkey
+    qdst = qkey.replace("lon", "qlon").replace("lat", "qlat")
     qedges = (
-        pairs.where(F.col("p") != F.col("q"))
-        .join(corec.select(F.col("p"), F.col("qcell").alias("src")), "p")
-        .join(
-            corec.select(F.col("p").alias("q"), F.col("qcell").alias("dst")),
-            "q",
+        _eps_join(
+            core_pts.select(F.col("i").alias("p"), "lon", "lat"),
+            core_pts.select(
+                F.col("i").alias("q"),
+                F.col("lon").alias("qlon"),
+                F.col("lat").alias("qlat"),
+            ),
+            eps,
+            res,
         )
-        .select("src", "dst")
+        .where(F.col("p") != F.col("q"))
+        .select(F.expr(qsrc).alias("src"), F.expr(qdst).alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
     ccomp = connected_components(spark, qedges, max_rounds=max_rounds)
@@ -162,10 +226,23 @@ def dbscan_labels(
     )
     cmin = cellcomp.groupBy("ccell").agg(F.min("p").alias("cluster"))
     core_cluster = cellcomp.join(cmin, "ccell").select("p", "cluster")
+    # pass 3: border attachment — non-core probes against the (small)
+    # labeled core build side, min-cluster aggregated in-stream.
+    core_labeled = core_pts.join(
+        core_cluster.withColumnRenamed("p", "i"), "i"
+    ).select(
+        F.col("i").alias("q"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+        "cluster",
+    )
+    noncore = pts.join(cores.withColumnRenamed("p", "i"), "i", "left_anti")
     border = (
-        pairs.join(cores, "p", "left_anti")
-        .join(
-            core_cluster.select(F.col("p").alias("q"), "cluster"), "q"
+        _eps_join(
+            noncore.select(F.col("i").alias("p"), "lon", "lat"),
+            core_labeled,
+            eps,
+            res,
         )
         .groupBy("p")
         .agg(F.min("cluster").alias("bcluster"))
