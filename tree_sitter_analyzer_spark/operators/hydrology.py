@@ -1,0 +1,228 @@
+"""Raster hydrology over the tile-density surface: D8-style flow routing.
+
+Reads the per-cell tile count as a terrain surface and routes every cell
+UPHILL to its densest 8-neighbor (steepest ascent — the mode-seeking dual
+of hydrological D8 descent; identical mechanics, and on a density surface
+the "sinks" are the density PEAKS, so basins are attraction basins of the
+hotspot modes). The reference's analog is the hierarchical scope rollup
+walking child scopes to their governing parent (`ast_cache.py` scope
+resolution walks); here the pointer walk is over the raster quotient.
+
+Three classic raster-GIS operators fall out of the one parent map:
+
+* flow direction  — parent(c) = argmax_{n in 8-nbrs}(count) if that max
+  strictly exceeds count(c), else c itself (a peak / self-loop sink);
+  ties broken by smallest packed neighbor key, so the map is a total
+  deterministic function.
+* flow accumulation — how many cells' ascent paths (capped at
+  ``ACC_STEPS`` hops, self included) pass through each cell: the
+  "upstream drainage area" of ridge routing.
+* watershed basins — the peak reached by chasing parents; computed with
+  POINTER DOUBLING (p ∘ p per round, ``DOUBLING_ROUNDS`` rounds = the
+  ancestor exactly 2^rounds steps up, saturating at self-loop peaks), the
+  O(log diameter) shape a 1000-executor functional-graph chase wants —
+  never a per-step driver loop over the full frame.
+
+Scale shape: tiles aggregate ONCE to the occupied-cell quotient (|cells|
+is bounded by domain/res, orders of magnitude below the tile count; one
+map-side-combined exchange); every later join is cell-frame × cell-frame
+equi-join on packed bigint keys. Nothing after the first aggregation ever
+touches a tile row. All arithmetic is bigint (cross-engine float-hash
+discipline); both walks are step-capped and the DuckDB oracles replicate
+the SAME cap, so Spark and oracle agree whether or not the walk converged
+(the percolation/epidemic discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import grid
+
+FLOW_RES = 7
+_PACK = 268_435_456  # packs (cx, cy) into one bigint; cx ≤ 360·2^res ≪ 2^35
+DOUBLING_ROUNDS = 5  # parent^(2^5): a 32-step chase in 5 self-joins
+ACC_STEPS = 8        # flow-accumulation walk cap (oracle uses the same)
+
+_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+def cell_frame(tiles: DataFrame, res: int = FLOW_RES) -> DataFrame:
+    """Occupied-cell quotient (cx, cy, v, n): ONE tile exchange, then tiny."""
+    return (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("v", F.expr(f"cx * {_PACK} + cy"))
+    )
+
+
+def ascent_parent(cells: DataFrame) -> DataFrame:
+    """Total deterministic parent map (v, p) — steepest-ascent D8 pointer.
+
+    Fan each cell ×8 to its neighbor coordinates (JVM-side array explode,
+    SURVEY.md X5), equi-join back to the occupied frame on (nx, ny), and
+    pick max(count) / min(key) per cell via a lexicographic struct max —
+    an ordinary two-phase hash aggregate, no window shuffle. A cell whose
+    densest neighbor is not strictly denser (or with no occupied
+    neighbor) is a peak: p = v.
+    """
+    offs = ",".join(f"struct({dx} as dx, {dy} as dy)" for dx, dy in _OFFS)
+    fan = cells.select(
+        "v", "n", "cx", "cy", F.explode(F.expr(f"array({offs})")).alias("o")
+    ).select(
+        "v",
+        "n",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nb = cells.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("v").alias("nv"),
+        F.col("n").alias("nn"),
+    )
+    best = (
+        fan.join(nb, (fan.nx == nb.bx) & (fan.ny == nb.by))
+        .groupBy("v")
+        .agg(
+            F.max(
+                F.struct(F.col("nn").alias("nn"), (-F.col("nv")).alias("mnv"))
+            ).alias("b")
+        )
+    )
+    return cells.join(best, "v", "left").select(
+        "v",
+        F.when(F.col("b.nn") > F.col("n"), -F.col("b.mnv"))
+        .otherwise(F.col("v"))
+        .alias("p"),
+    )
+
+
+def flow_accumulation(
+    tiles: DataFrame, res: int = FLOW_RES, steps: int = ACC_STEPS
+) -> DataFrame:
+    """Per occupied cell: tile count and capped upstream drainage count.
+
+    acc(c) = #distinct cells whose ≤``steps``-hop ascent path visits c
+    (self included, so every cell has acc ≥ 1). The walk is one
+    functional-graph join per hop over the cell quotient; paths strictly
+    ascend in density until a peak, so the only repeats are peak
+    self-loops — removed by the distinct before the final count.
+    """
+    cells = cell_frame(tiles, res).localCheckpoint(eager=False)
+    par = ascent_parent(cells).localCheckpoint(eager=False)
+    pmap = par.select(F.col("v").alias("pv"), F.col("p").alias("pp"))
+    frontier = par.select(F.col("v").alias("start"), F.col("v").alias("cur"))
+    visited = frontier
+    for k in range(steps):
+        frontier = frontier.join(
+            pmap, frontier.cur == pmap.pv
+        ).select("start", F.col("pp").alias("cur"))
+        if k % 2 == 1:
+            # two hops per lineage barrier (graph-suite discipline)
+            frontier = frontier.localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier)
+    acc = (
+        visited.dropDuplicates(["start", "cur"])
+        .groupBy("cur")
+        .agg(F.count("*").alias("acc"))
+    )
+    return cells.join(acc, cells.v == acc.cur).select(
+        "cx", "cy", F.col("n").alias("n_tiles"), "acc"
+    )
+
+
+def watershed_basins(
+    tiles: DataFrame, res: int = FLOW_RES, rounds: int = DOUBLING_ROUNDS
+) -> DataFrame:
+    """Attraction-basin partition of the density raster, one row per basin.
+
+    Pointer doubling: after k rounds the map holds each cell's ancestor
+    exactly 2^k steps up (peaks self-saturate), so ``rounds`` self-joins
+    replace a 2^rounds-step serial chase — the log-depth plan a huge
+    functional graph needs. The oracle chases the SAME 2^rounds steps
+    linearly (recursive CTE), so results agree whether or not every path
+    has reached its peak.
+    """
+    cells = cell_frame(tiles, res).localCheckpoint(eager=False)
+    cur = ascent_parent(cells).localCheckpoint(eager=False)
+    for k in range(rounds):
+        nxt = (
+            cur.alias("a")
+            .join(cur.alias("b"), F.col("a.p") == F.col("b.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.p").alias("p"))
+        )
+        if k % 2 == 1:
+            nxt = nxt.localCheckpoint(eager=False)
+        cur = nxt
+    assigned = cells.join(cur.select("v", F.col("p").alias("basin")), "v")
+    peaks = cells.select(F.col("v").alias("basin"), F.col("n").alias("peak_n"))
+    return (
+        assigned.groupBy("basin")
+        .agg(F.count("*").alias("n_cells"), F.sum("n").alias("n_tiles"))
+        .join(peaks, "basin")
+        .select("basin", "n_cells", "n_tiles", "peak_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — splice after a CTE list providing ``tiles``; the walk
+# CTEs need WITH RECURSIVE on the outer WITH.
+# ---------------------------------------------------------------------------
+
+
+def _base_ctes(res: int) -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS)
+    return f"""hy_cells AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+hy_v AS (SELECT cx, cy, n, cx * {_PACK} + cy AS v FROM hy_cells),
+hy_offs(dx, dy) AS (VALUES {offs}),
+hy_nbr AS (
+  SELECT a.v, a.n, b.v AS nv, b.n AS nn
+  FROM hy_v a JOIN hy_offs o ON TRUE
+  JOIN hy_v b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+hy_rank AS (
+  SELECT v, nv, nn,
+         row_number() OVER (PARTITION BY v ORDER BY nn DESC, nv) AS rn
+  FROM hy_nbr),
+hy_parent AS (
+  SELECT c.v, CASE WHEN r.nn > c.n THEN r.nv ELSE c.v END AS p
+  FROM hy_v c LEFT JOIN hy_rank r ON r.v = c.v AND r.rn = 1)"""
+
+
+def flow_accumulation_oracle(res: int = FLOW_RES, steps: int = ACC_STEPS) -> str:
+    return f"""{_base_ctes(res)},
+hy_w(start, cur, hops) AS (
+  SELECT v, v, 0 FROM hy_v
+  UNION ALL
+  SELECT w.start, p.p, w.hops + 1
+  FROM hy_w w JOIN hy_parent p ON p.v = w.cur
+  WHERE w.hops < {steps}),
+hy_acc AS (
+  SELECT cur, count(*) AS acc
+  FROM (SELECT DISTINCT start, cur FROM hy_w) GROUP BY 1)
+SELECT c.cx, c.cy, c.n AS n_tiles, a.acc
+FROM hy_v c JOIN hy_acc a ON a.cur = c.v"""
+
+
+def watershed_oracle(res: int = FLOW_RES, rounds: int = DOUBLING_ROUNDS) -> str:
+    cap = 1 << rounds
+    return f"""{_base_ctes(res)},
+hy_w(v, cur, hops) AS (
+  SELECT v, v, 0 FROM hy_v
+  UNION ALL
+  SELECT w.v, p.p, w.hops + 1
+  FROM hy_w w JOIN hy_parent p ON p.v = w.cur
+  WHERE w.hops < {cap}),
+hy_basin AS (SELECT v, cur AS basin FROM hy_w WHERE hops = {cap}),
+hy_sizes AS (
+  SELECT b.basin, count(*) AS n_cells, sum(c.n) AS n_tiles
+  FROM hy_basin b JOIN hy_v c ON c.v = b.v GROUP BY 1)
+SELECT s.basin, s.n_cells, s.n_tiles, pk.n AS peak_n
+FROM hy_sizes s JOIN hy_v pk ON pk.v = s.basin"""

@@ -1365,3 +1365,85 @@ s{t} AS (SELECT component, count(*) AS cnt FROM c{t} GROUP BY 1)""")
             f" count(*) AS n_components, MAX(cnt) AS largest FROM s{t}"
         )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# R-new: mosaic seam QA — the map-tile compositing diagnostic. Pick ONE
+# canonical tile per res-9 cell (max pixel area, min id tie-break: the
+# mosaicking "best tile wins" rule), then measure perceptual continuity
+# across every rook-adjacent cell boundary as hamming(phash_a, phash_b).
+# Low-hamming seams = visually coherent mosaic; the banded histogram is
+# the QA scorecard a tile-serving pipeline watches. Tile rows are touched
+# exactly once (the canonical pick is one max-struct aggregation); the
+# seam join runs on the per-cell quotient.
+# ---------------------------------------------------------------------------
+
+MOSAIC_RES = 9
+
+
+def mosaic_seams(tiles: DataFrame, res: int = MOSAIC_RES) -> DataFrame:
+    """(band, n_seams, min_hamming, max_hamming) — seam hamming histogram
+    in 8-bit bands. The canonical pick is max(struct(px, -i, phash)):
+    (px, -i) is unique per cell, so phash rides along deterministically —
+    a two-phase hash aggregate, no window shuffle over tile rows.
+    """
+    per_cell = (
+        tiles.select(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+            F.expr("CAST(w AS BIGINT) * h").alias("px"),
+            "i",
+            "phash",
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("px").alias("px"),
+                    (-F.col("i")).alias("mi"),
+                    F.col("phash").alias("ph"),
+                )
+            ).alias("b")
+        )
+        .select("cx", "cy", F.col("b.ph").alias("phash"))
+    )
+    rt = per_cell.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("phash").alias("pb"),
+    )
+    seams = None
+    for dx, dy in ((1, 0), (0, 1)):
+        s = per_cell.join(
+            rt,
+            (per_cell.cx + F.lit(dx) == rt.bx) & (per_cell.cy + F.lit(dy) == rt.by),
+        ).select(F.expr("CAST(bit_count(phash ^ pb) AS BIGINT)").alias("hamming"))
+        seams = s if seams is None else seams.unionByName(s)
+    return (
+        seams.groupBy(F.expr("hamming DIV 8").alias("band"))
+        .agg(
+            F.count("*").alias("n_seams"),
+            F.min("hamming").alias("min_hamming"),
+            F.max("hamming").alias("max_hamming"),
+        )
+    )
+
+
+def mosaic_seams_oracle(res: int = MOSAIC_RES) -> str:
+    return f"""ms_cells AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         w * h AS px, i, phash
+  FROM tiles),
+ms_pick AS (
+  SELECT cx, cy, phash,
+         row_number() OVER (PARTITION BY cx, cy ORDER BY px DESC, i) AS rn
+  FROM ms_cells),
+ms_canon AS (SELECT cx, cy, phash FROM ms_pick WHERE rn = 1),
+ms_seams AS (
+  SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM ms_canon a JOIN ms_canon b ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+  FROM ms_canon a JOIN ms_canon b ON b.cx = a.cx AND b.cy = a.cy + 1)
+SELECT hamming // 8 AS band, count(*) AS n_seams,
+       min(hamming) AS min_hamming, max(hamming) AS max_hamming
+FROM ms_seams GROUP BY 1"""

@@ -1464,3 +1464,156 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch2.join_size_estimate(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
     )
+
+
+# --- round 3 (cont. 3): TPC-H Q10/Q19/Q21 analogs ------------------------------
+
+
+@register(
+    "returned_items",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape (returned-item reporting): lost revenue per "
+    "customer from 'R' lines in a one-year order window, top-20. "
+    "Integer cents; customer and nation dims broadcast; the lineitem "
+    "fact shuffles once on orderkey; top-20 is a TakeOrdered with the "
+    "unique custkey tie-break.",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+                    " AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    """
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1e0 AND l.l_quantity <= 11e0)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10e0 AND l.l_quantity <= 20e0)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20e0 AND l.l_quantity <= 30e0)
+""",
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicate): "
+    "three OR-of-AND branches mixing dim attributes (brand, size) with "
+    "fact attributes (quantity). The dim-only disjunction "
+    "(brand+size) prunes part BEFORE the broadcast join — Catalyst "
+    "extracts the common p-side filter — and the single aggregate row "
+    "is exact integer cents. One row, always non-vacuous columns.",
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = F.expr(
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+        " AND l_quantity >= 1e0 AND l_quantity <= 11e0) OR "
+        "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+        " AND l_quantity >= 10e0 AND l_quantity <= 20e0) OR "
+        "(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity >= 20e0 AND l_quantity <= 30e0)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+                    " AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "sole_blame_suppliers",
+    """
+WITH os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY 1, 2
+),
+ow AS (
+  SELECT l_orderkey, count(*) AS n_sup, sum(has_r) AS n_r_sup
+  FROM os GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS n_orders
+FROM os JOIN ow USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = os.l_suppkey
+WHERE ow.n_sup >= 2 AND ow.n_r_sup = 1 AND os.has_r = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_orders DESC, s.s_suppkey
+LIMIT 10
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting), adapted to "
+    "the available columns: in multi-supplier orders, the supplier "
+    "whose lines are the ONLY returned ('R') lines is solely to blame — "
+    "the exists/not-exists pair becomes two hash aggregations on the "
+    "(order, supplier) quotient (no correlated per-row subquery, no "
+    "self-join of the fact), then a broadcast supplier dim and a "
+    "deterministic top-10.",
+)
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    os_ = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_r")
+    )
+    ow = os_.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_sup"), F.sum("has_r").alias("n_r_sup")
+    )
+    return (
+        os_.join(ow, "l_orderkey")
+        .where((F.col("n_sup") >= 2) & (F.col("n_r_sup") == 1) & (F.col("has_r") == 1))
+        .join(F.broadcast(s), os_.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_suppkey")
+        .limit(10)
+    )

@@ -1728,3 +1728,87 @@ def q_seed_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hll_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_union_audit(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 3): raster hydrology — D8 flow routing ---------------------
+
+from .operators import hydrology as hydro_ops  # noqa: E402
+
+
+@register(
+    "flow_accumulation",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + hydro_ops.flow_accumulation_oracle(),
+    doc="D8-style flow accumulation over the density raster: every "
+    "occupied res-7 cell routes to its densest strict-ascent 8-neighbor "
+    "(min-key tie-break; peaks self-loop) and acc(c) counts the distinct "
+    "cells whose capped 8-hop ascent path visits c — upstream drainage "
+    "area re-read as hotspot ridge importance. One tile exchange to the "
+    "cell quotient, then functional-graph equi-joins only; oracle = "
+    "same-capped recursive walk (equal whether or not converged).",
+)
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hydro_ops.flow_accumulation(_tiles(spark, sf_dir))
+
+
+@register(
+    "watershed_basins",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + hydro_ops.watershed_oracle(),
+    doc="Watershed (attraction-basin) partition of the density raster: "
+    "basin = the density peak reached by chasing the D8 steepest-ascent "
+    "parent map, computed by POINTER DOUBLING (5 self-joins = a 32-step "
+    "chase, peaks saturate on self-loops) — the O(log diameter) plan a "
+    "trillion-row functional-graph chase needs; per basin: member cells, "
+    "tiles drained, and peak density. Oracle chases the same 32 steps "
+    "linearly via recursive CTE (equal whether or not converged).",
+)
+def q_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hydro_ops.watershed_basins(_tiles(spark, sf_dir))
+
+
+# --- round 3 (cont. 3): join counts, quadrat dispersion, mosaic seams ----------
+
+
+@register(
+    "join_counts",
+    f"{_CTES},\n{pp_ops.join_counts_oracle()}",
+    doc="Cliff-Ord join-count statistics: the full res-7 bbox grid "
+    "(empties included) colored hot/cold by tile count >= 2; observed "
+    "rook-adjacent BB/WW/BW pair counts beside the exact-integer "
+    "free-sampling CSR expectation (1000·J·f(nB,nW) DIV N(N−1)) — "
+    "observed BB >> expected is the hotspot autocorrelation, quantified. "
+    "Exactly 3 rows; grid size is bounded by domain/res, tiles touched "
+    "once.",
+)
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.join_counts(_tiles(spark, sf_dir))
+
+
+@register(
+    "quadrat_dispersion",
+    f"{_CTES},\n{pp_ops.quadrat_dispersion_oracle()}",
+    doc="Quadrat variance-mean ratio over the full res-7 bbox grid, "
+    "empty quadrats included via the closed form (they add 0 to T and "
+    "Σn², so only the bbox area enters) — VMR = 1 under CSR; the "
+    "hotspot corpus is far overdispersed. Pure cross-multiplied integer "
+    "arithmetic: (N·Σn² − T²) DIV (N·T).",
+)
+def q_quadrat_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.quadrat_dispersion(_tiles(spark, sf_dir))
+
+
+@register(
+    "mosaic_seams",
+    f"{_CTES},\n{zonal.mosaic_seams_oracle()}",
+    doc="Mosaic seam QA: one canonical tile per res-9 cell (max pixel "
+    "area, min id — the compositing best-tile rule, picked by a "
+    "max-struct aggregate so tile rows are touched once), then "
+    "hamming(phash, phash) across every rook-adjacent boundary, "
+    "histogrammed in 8-bit bands — the visual-continuity scorecard of "
+    "a tile-serving pipeline.",
+)
+def q_mosaic_seams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.mosaic_seams(_tiles(spark, sf_dir))
