@@ -70,6 +70,11 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "cohort_retention",
                 "event_transitions",
                 "dow_profile",
+                # continuation-3 event-time queries: NTZ ship-date range
+                # scan, year() calendar field, day-difference bands
+                "forecast_revenue",
+                "market_share",
+                "shipping_delay_priority",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

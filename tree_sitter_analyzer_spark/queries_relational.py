@@ -1617,3 +1617,253 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+# --- round 3 (cont. 3): TPC-H Q6/Q8/Q12/Q13/Q17 analogs ------------------------
+
+
+@register(
+    "forecast_revenue",
+    """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100e0) AS BIGINT))
+            AS BIGINT) AS discount_cents,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+  AND l_quantity < 24e0
+""",
+    doc="TPC-H Q6 shape (forecast revenue change): the pure-scan "
+    "aggregate — every predicate (ship-year range, discount band, "
+    "quantity cap) is a parquet-pushable scan filter, no join anywhere, "
+    "one exact-cents row. The plan IS the scan: filters reach "
+    "PushedFilters, and the single-row agg is a partial/final pair over "
+    "whatever the scan survives — at 100 TB this query's cost is the "
+    "I/O the pushdown leaves, nothing else. Discount bounds compare "
+    "stored doubles against the same literal on both engines "
+    "(reference: tree-sitter query predicate dispatch, query_loader "
+    "filter classes).",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND "
+            "l_shipdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00' AND "
+            "l_discount >= 0.05e0 AND l_discount <= 0.07e0 AND "
+            "l_quantity < 24e0"
+        )
+    )
+    return li.agg(
+        F.sum(
+            F.expr("CAST(floor(l_extendedprice * l_discount * 100e0) AS BIGINT)")
+        ).alias("discount_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "market_share",
+    """
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+              AS BIGINT) AS cents,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+            AS BIGINT) AS focal_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(floor(1e4 * sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                            ELSE 0 END) / sum(cents)) AS BIGINT) AS share_bp
+FROM rev GROUP BY o_year ORDER BY o_year
+""",
+    doc="TPC-H Q8 shape (national market share): the share of "
+    "ASIA-customer revenue supplied from NATION_3, per order year, in "
+    "basis points. Six-way star — every dimension broadcasts (nation "
+    "twice under different roles), the lineitem fact shuffles exactly "
+    "once for the per-year aggregate; share is an integer floor over "
+    "exact cents sums so the division happens once per year row, never "
+    "per line. Year comes from the naive NTZ order date (TZ-safe on "
+    "both engines).",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
+            F.expr(_CENTS).alias("cents"),
+            "supp_nation",
+        )
+    )
+    focal = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(F.lit(0))
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            focal.alias("focal_cents"),
+            F.sum("cents").alias("total_cents"),
+            F.expr(
+                "CAST(floor(1e4 * sum(CASE WHEN supp_nation = 'NATION_3' THEN cents"
+                " ELSE 0 END) / sum(cents)) AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "shipping_delay_priority",
+    """
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+            THEN 'fast'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+            THEN 'normal' ELSE 'slow' END AS delay_band,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+    doc="TPC-H Q12 shape (shipping modes / priority), adapted to the "
+    "available columns: the schema has no l_shipmode, so the mode axis "
+    "becomes the order-to-ship delay band (<=30 fast / <=90 normal / "
+    "slow), counting urgent-or-high vs lower order priorities per "
+    "band. The delay is a day difference of two naive NTZ timestamps — "
+    "date_diff day semantics agree across engines for pure date "
+    "values. One fact shuffle on orderkey, then a 3-group aggregate.",
+)
+def q_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.expr(
+                "CASE WHEN timestampdiff(DAY, o_orderdate, l_shipdate) <= 30"
+                " THEN 'fast'"
+                " WHEN timestampdiff(DAY, o_orderdate, l_shipdate) <= 90"
+                " THEN 'normal' ELSE 'slow' END"
+            ).alias("delay_band"),
+            F.expr(f"CASE WHEN {high} THEN 1 ELSE 0 END").alias("is_high"),
+        )
+        .groupBy("delay_band")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(F.expr("1 - is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+    "join so zero-order customers keep a row (count of a NULL key is 0 "
+    "on both engines), then the histogram of histogram — two hash "
+    "aggregates, the second over at most a few hundred distinct "
+    "counts. The left join shuffles both sides on custkey once; the "
+    "distribution agg is map-side tiny.",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100e0) AS BIGINT)) AS BIGINT)
+         AS small_qty_cents,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * pa.cnt < pa.sum_qty
+""",
+    doc="TPC-H Q17 shape (small-quantity-order revenue): lines of one "
+    "brand whose quantity is below 20 percent of that part's average "
+    "quantity. The correlated AVG subquery becomes a per-part "
+    "aggregate joined back to the fact, and the 0.2*avg comparison is "
+    "cross-multiplied to pure integers (5*qty*cnt < sum_qty) so no "
+    "float division ever happens. At scale: one partkey-shuffle "
+    "aggregate, then the fact re-joins the (much smaller) per-part "
+    "frame on the same key — AQE can co-locate both sides; the brand "
+    "filter broadcasts from the part dim.",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, l.l_partkey == F.col("pa_partkey"))
+        .where(
+            F.expr("5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100e0) AS BIGINT)")
+            ).alias("small_qty_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1157,14 +1157,18 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_counts",
+    "join_counts_marks",
     f"{_CTES},\n{zonal.join_counts_oracle_sql(8)}",
-    doc="Join-count statistics (Cliff-Ord) for the binary hotspot mark "
-    "over occupied res-8 cells: BB/WW/BW adjacent-pair counts on the "
-    "8-neighborhood, each undirected edge generated once from its "
-    "lexicographically-smaller endpoint (no distinct).",
+    doc="Join-count statistics (Cliff-Ord) for the binary hotspot MARK "
+    "(i %% 5 = 0 tiles) over occupied res-8 cells: BB/WW/BW "
+    "adjacent-pair counts on the 8-neighborhood, each undirected edge "
+    "generated once from its lexicographically-smaller endpoint (no "
+    "distinct). Distinct from `join_counts` (density-threshold color, "
+    "full bbox grid, rook adjacency + CSR expectation) — the two "
+    "initially collided on one registry name, silently shadowing this "
+    "one; register() now rejects duplicates.",
 )
-def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_counts_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.join_counts(_tiles(spark, sf_dir), res=8)
 
 
@@ -1812,3 +1816,20 @@ def q_quadrat_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mosaic_seams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.mosaic_seams(_tiles(spark, sf_dir))
+
+
+@register(
+    "gearys_c",
+    f"{_CTES},\n{pp_ops.gearys_c_oracle()}",
+    doc="Global Geary's C ×1000 over the res-7 count raster (empties "
+    "included): C < 1 ⟺ rook neighbors are more alike than chance — "
+    "the global autocorrelation coefficient beside the local Moran "
+    "LISA suite. Aggregate-first: empty-empty pairs contribute 0, so "
+    "the full grid is never generated — occupied-occupied pairs come "
+    "from a shifted equi-self-join and occupied-empty pairs from "
+    "per-direction null probes; N and J are bbox closed forms. The "
+    "oracle generates the full grid naively. All-integer "
+    "cross-multiplied C (non-negative throughout, DIV == //).",
+)
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.gearys_c(_tiles(spark, sf_dir))

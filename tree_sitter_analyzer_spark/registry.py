@@ -34,6 +34,14 @@ def register(
     name: str, oracle: str | None, doc: str = ""
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        # Fail loudly on name collisions: a duplicate register() silently
+        # replaced the earlier entry once (two join-count operators landed
+        # under one name and the first was never swept or gate-tested).
+        if name in REGISTRY:
+            raise ValueError(
+                f"query name {name!r} already registered "
+                f"(by {REGISTRY[name].spark_fn.__module__})"
+            )
         REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc)
         return fn
 
