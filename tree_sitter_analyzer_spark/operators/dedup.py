@@ -593,3 +593,104 @@ cand AS (
 )
 SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# R118: record-linkage fuzzy dedup — edit-distance near-dups via blocking.
+# The classic entity-resolution shape (Fellegi-Sunter blocking pass):
+# candidate pairs form ONLY inside a blocking key — text prefix-8 and
+# text suffix-8, two passes unioned so an edit near one end can't hide a
+# pair from both — plus a ±16 length band (an edit distance <= ``lev_max``
+# implies |len(a) − len(b)| <= lev_max, so the band is lossless for the
+# verify threshold); then the exact levenshtein() verifies candidates.
+# Deliberately NO metadata (lang) in the block key: near-dup texts carry
+# inconsistent metadata in real corpora (and in this synthetic one —
+# the same near-identical text appears under different lang labels), and
+# an ER blocker that trusts a dirty attribute silently loses exactly the
+# dups it exists to find. Recall is audited against the full brute-force
+# pair set in tests (100% on the synthetic corpus; prefix/suffix blocking
+# is recall-oriented, not provably lossless — edits touching BOTH ends
+# can hide a pair, the standard ER trade).
+# levenshtein is built-in on BOTH engines with identical unit-cost
+# semantics, so the whole tier is oracled exactly.
+# Scale: block-keyed equi-joins, never all-pairs; a block-population cap
+# (stop-fingerprint analog — boilerplate prefixes at corpus scale would
+# go quadratic) drops oversized blocks on BOTH engines identically, and
+# block spread is audited by tests (the banded-join bucket-spread lesson).
+# ---------------------------------------------------------------------------
+
+FUZZY_LEV_MAX = 8
+FUZZY_KEY_LEN = 8
+FUZZY_LEN_BAND = 16
+FUZZY_MAX_BLOCK = 4096
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    lev_max: int = FUZZY_LEV_MAX,
+    key_len: int = FUZZY_KEY_LEN,
+    max_block: int = FUZZY_MAX_BLOCK,
+) -> DataFrame:
+    """(a_id, b_id, lev): doc pairs with levenshtein(text) <= lev_max,
+    found through prefix-8 / suffix-8 blocking (no metadata in the key)."""
+    base = docs.select("doc_id", "text", "n_chars")
+    out = None
+    for key_expr in (
+        f"substring(text, 1, {key_len})",
+        f"right(text, {key_len})",
+    ):
+        keyed = base.withColumn("bkey", F.expr(key_expr))
+        pop = keyed.groupBy("bkey").agg(F.count("*").alias("bpop"))
+        keyed = keyed.join(
+            pop.where(F.col("bpop") <= max_block).drop("bpop"), "bkey"
+        )
+        a = keyed.select(
+            F.col("doc_id").alias("a_id"), "bkey",
+            F.col("text").alias("a_text"), F.col("n_chars").alias("a_len"),
+        )
+        b = keyed.select(
+            F.col("doc_id").alias("b_id"), "bkey",
+            F.col("text").alias("b_text"), F.col("n_chars").alias("b_len"),
+        )
+        cand = a.join(b, ["bkey"]).where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= FUZZY_LEN_BAND)
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.dropDuplicates(["a_id", "b_id"])
+        .withColumn("lev", F.levenshtein("a_text", "b_text"))
+        .where(F.col("lev") <= lev_max)
+        .select("a_id", "b_id", "lev")
+    )
+
+
+def fuzzy_pairs_oracle(
+    lev_max: int = FUZZY_LEV_MAX,
+    key_len: int = FUZZY_KEY_LEN,
+    max_block: int = FUZZY_MAX_BLOCK,
+) -> str:
+    return f"""
+WITH fz_pfx AS (
+  SELECT substring(text, 1, {key_len}) AS bkey, count(*) AS bpop
+  FROM documents GROUP BY 1),
+fz_sfx AS (
+  SELECT right(text, {key_len}) AS bkey, count(*) AS bpop
+  FROM documents GROUP BY 1),
+fz_cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.text AS a_text, b.text AS b_text
+  FROM documents a JOIN documents b
+    ON a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {FUZZY_LEN_BAND}
+   AND ((substring(a.text, 1, {key_len}) = substring(b.text, 1, {key_len})
+         AND (SELECT bpop FROM fz_pfx p
+              WHERE p.bkey = substring(a.text, 1, {key_len}))
+             <= {max_block})
+        OR (right(a.text, {key_len}) = right(b.text, {key_len})
+            AND (SELECT bpop FROM fz_sfx s
+                 WHERE s.bkey = right(a.text, {key_len}))
+                <= {max_block}))
+)
+SELECT a_id, b_id, CAST(levenshtein(a_text, b_text) AS INT) AS lev
+FROM fz_cand WHERE levenshtein(a_text, b_text) <= {lev_max}"""

@@ -159,3 +159,105 @@ SELECT rank, doc_id, n_matched, score_micro FROM (
   FROM pool p JOIN dots d USING (doc_id) JOIN doc_norm nm USING (doc_id)
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# R117: BM25 ranked retrieval — the reference's first-phase ranking
+# function (semantic_search.py BM25 pool) made exact and cross-engine.
+#
+# Okapi BM25 with k1 = 6/5, b = 3/4, spelled ENTIRELY in integer rational
+# arithmetic so DuckDB reproduces it bit-for-bit: with avgdl_milli =
+# (1000·TL) DIV N, the per-term saturation tf·(k1+1)/(tf + k1(1−b) +
+# k1·b·dl/avgdl) cross-multiplies to
+#     (22·tf·avgdl_milli) / (10·tf·avgdl_milli + 3·avgdl_milli + 9000·dl)
+# and the IDF is the same reciprocal-df weight as caption_search
+# (1000000 DIV df — ln() is engine-divergent at the ulp level). Using
+# avgdl (not TL) keeps every intermediate bounded by DOCUMENT lengths —
+# magnitudes never grow with corpus size, so the integer forms hold at
+# any N.
+# ---------------------------------------------------------------------------
+
+
+def bm25_search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Top-k docs by integer BM25: (rank, doc_id, n_matched, bm25_micro).
+
+    Scale shape: the candidate set is the union of the query terms'
+    posting lists (token equi-join = the inverted index), per-doc length
+    and df frames are two rollups of the same token frame, and only
+    candidates are scored — the corpus is never ranked wholesale.
+    """
+    toks0 = _doc_tokens(docs).localCheckpoint(eager=False)
+    dl = toks0.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(1000 * sum(dl)) DIV count(*)").alias("avgdl_milli"),
+    )
+    dfreq = toks0.groupBy("tok").agg(F.count("*").alias("df"))
+    q_terms = sorted(set(t for t in query.split() if t))
+    qdf = docs.sparkSession.createDataFrame([(t,) for t in q_terms], "tok string")
+    scored = (
+        toks0.join(F.broadcast(qdf), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            F.col("df")
+            <= F.expr(f"CAST(floor({MAX_DOC_FREQ}e0 * n_docs) AS BIGINT)")
+        )
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "((1000000 DIV df) * (22 * tf * avgdl_milli))"
+                " DIV (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum("term_micro").alias("bm25_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("bm25_micro"), "doc_id")
+    return (
+        scored.orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "n_matched", "bm25_micro")
+    )
+
+
+def bm25_oracle(query: str, k: int = 10) -> str:
+    q_terms = sorted(set(t for t in query.split() if t))
+    q_values = ", ".join(f"('{t}')" for t in q_terms)
+    return f"""
+WITH bm_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bm_toks AS (
+  SELECT doc_id, tok, count(*) AS tf FROM bm_raw WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+bm_dl AS (SELECT doc_id, sum(tf) AS dl FROM bm_toks GROUP BY doc_id),
+bm_stats AS (
+  SELECT count(*) AS n_docs, (1000 * sum(dl)) // count(*) AS avgdl_milli
+  FROM bm_dl),
+bm_df AS (SELECT tok, count(*) AS df FROM bm_toks GROUP BY tok),
+bm_q(tok) AS (VALUES {q_values}),
+bm_scored AS (
+  SELECT t.doc_id, count(*) AS n_matched,
+         sum(((1000000 // d.df) * (22 * t.tf * s.avgdl_milli))
+             // (10 * t.tf * s.avgdl_milli + 3 * s.avgdl_milli
+                 + 9000 * l.dl)) AS bm25_micro
+  FROM bm_toks t
+  JOIN bm_q USING (tok)
+  JOIN bm_df d USING (tok)
+  JOIN bm_dl l USING (doc_id)
+  CROSS JOIN bm_stats s
+  WHERE d.df <= CAST(floor({MAX_DOC_FREQ}e0 * s.n_docs) AS BIGINT)
+  GROUP BY t.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, n_matched, bm25_micro
+FROM bm_scored
+ORDER BY bm25_micro DESC, doc_id LIMIT {k}"""

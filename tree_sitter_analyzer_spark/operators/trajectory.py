@@ -1001,3 +1001,148 @@ epi_walk(v, d, hops) AS (
   FROM epi_walk w JOIN epi_contacts c ON c.u = w.v AND c.cday >= w.d
   WHERE w.hops < {steps})
 SELECT v AS user_id, min(d) AS day_infected FROM epi_walk GROUP BY v"""
+
+
+# ---------------------------------------------------------------------------
+# R114: convoy detection — SUSTAINED co-movement, not just contact.
+# colocation_pairs (R40) counts spacetime bucket meetings; a convoy is a
+# pair whose meetings persist over CONSECUTIVE days (Jeung 2008's convoy
+# relaxed to day granularity over the res-8 presence quotient).
+# Gaps-and-islands over the pair's distinct meet-days: island id =
+# day − row_number (consecutive days share it), longest island = the
+# convoy duration. Everything downstream of the (cell, day)-bucketed
+# contact join is keyed per pair — never all-pairs, and the per-pair
+# day list is bounded by the calendar, not the data.
+# ---------------------------------------------------------------------------
+
+CONVOY_RES = 8
+CONVOY_MIN_RUN = 2
+
+
+def convoy_pairs(
+    pings: DataFrame, res: int = CONVOY_RES, min_run: int = CONVOY_MIN_RUN
+) -> DataFrame:
+    """(user_a, user_b, n_days, max_run): pairs co-located on >= min_run
+    CONSECUTIVE days, with their total meet-day count and longest
+    consecutive-day run."""
+    s = _shift(res)
+    occ = pings.select(
+        "user_id",
+        F.expr(f"(ix DIV {s}) * {_PACK} + (iy DIV {s})").alias("cell"),
+        "day",
+    ).dropDuplicates(["user_id", "cell", "day"])
+    a, b = occ.alias("a"), occ.alias("b")
+    meet_days = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.day").alias("day"),
+        )
+        .dropDuplicates(["user_a", "user_b", "day"])
+    )
+    w = Window.partitionBy("user_a", "user_b").orderBy("day")
+    runs = meet_days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    per_island = runs.groupBy("user_a", "user_b", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        per_island.groupBy("user_a", "user_b")
+        .agg(
+            F.sum("run_len").alias("n_days"),
+            F.max("run_len").alias("max_run"),
+        )
+        .where(F.col("max_run") >= min_run)
+    )
+
+
+def convoy_oracle(
+    events_clause: str = "events",
+    res: int = CONVOY_RES,
+    min_run: int = CONVOY_MIN_RUN,
+) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+cv_occ AS (
+  SELECT DISTINCT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell, day
+  FROM pings),
+cv_meet AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b, a.day AS day
+  FROM cv_occ a JOIN cv_occ b
+    ON a.cell = b.cell AND a.day = b.day AND a.user_id < b.user_id),
+cv_runs AS (
+  SELECT user_a, user_b, day,
+         day - row_number() OVER (PARTITION BY user_a, user_b
+                                  ORDER BY day) AS island
+  FROM cv_meet),
+cv_isl AS (
+  SELECT user_a, user_b, island, count(*) AS run_len
+  FROM cv_runs GROUP BY 1, 2, 3)
+SELECT user_a, user_b, sum(run_len) AS n_days, max(run_len) AS max_run
+FROM cv_isl GROUP BY user_a, user_b
+HAVING max(run_len) >= {min_run}"""
+
+
+# ---------------------------------------------------------------------------
+# R115: gravity-model fit over the OD matrix — spatial interaction
+# modeling. Null model: T_ij = O_i · D_j / T (no distance decay).
+# obs vs expected per OD pair, both exact integers (expected in
+# micro-trips, ratio in milli). A ratio far from 1000 = the flow the
+# null model can't explain (distance decay / hotspot structure).
+# ---------------------------------------------------------------------------
+
+
+def od_gravity(pings: DataFrame, res: int = 7) -> DataFrame:
+    """Per observed OD pair: (origin_cell, dest_cell, n_obs, o_out, d_in,
+    exp_micro, ratio_milli). exp_micro = 10^6·O_i·D_j DIV T;
+    ratio_milli = 1000·n_obs·T DIV (O_i·D_j). All-positive integers."""
+    od = od_flows(pings, res=res).localCheckpoint(eager=False)
+    o_out = od.groupBy("origin_cell").agg(F.sum("n_users").alias("o_out"))
+    d_in = od.groupBy("dest_cell").agg(F.sum("n_users").alias("d_in"))
+    tot = od.agg(F.sum("n_users").alias("t_all"))
+    return (
+        od.join(o_out, "origin_cell")
+        .join(d_in, "dest_cell")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "origin_cell",
+            "dest_cell",
+            F.col("n_users").alias("n_obs"),
+            "o_out",
+            "d_in",
+            F.expr("(1000000 * o_out * d_in) DIV t_all").alias("exp_micro"),
+            F.expr("(1000 * n_users * t_all) DIV (o_out * d_in)").alias(
+                "ratio_milli"
+            ),
+        )
+    )
+
+
+def od_gravity_oracle(events_clause: str = "events", res: int = 7) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+gv_user AS (
+  SELECT user_id,
+         arg_min((ix // {s}) * {_PACK} + (iy // {s}), seq) AS origin_cell,
+         arg_max((ix // {s}) * {_PACK} + (iy // {s}), seq) AS dest_cell
+  FROM pings GROUP BY user_id),
+gv_od AS (
+  SELECT origin_cell, dest_cell, count(*) AS n_obs
+  FROM gv_user GROUP BY 1, 2),
+gv_o AS (SELECT origin_cell, sum(n_obs) AS o_out FROM gv_od GROUP BY 1),
+gv_d AS (SELECT dest_cell, sum(n_obs) AS d_in FROM gv_od GROUP BY 1),
+gv_t AS (SELECT sum(n_obs) AS t_all FROM gv_od)
+SELECT od.origin_cell, od.dest_cell, od.n_obs, o.o_out, d.d_in,
+       (1000000 * o.o_out * d.d_in) // t_all AS exp_micro,
+       (1000 * od.n_obs * t_all) // (o.o_out * d.d_in) AS ratio_milli
+FROM gv_od od
+JOIN gv_o o USING (origin_cell)
+JOIN gv_d d USING (dest_cell)
+CROSS JOIN gv_t"""

@@ -1447,3 +1447,85 @@ ms_seams AS (
 SELECT hamming // 8 AS band, count(*) AS n_seams,
        min(hamming) AS min_hamming, max(hamming) AS max_hamming
 FROM ms_seams GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# R116: zone diameter — the farthest-pair (Euclidean, squared cell units)
+# of each zone's occupied res-9 cell set, exactly, WITHOUT an all-pairs
+# join: the diameter endpoints of a finite point set are scanline
+# extremes (for any pair, replacing an endpoint by the min-x or max-x
+# cell of its own row never shortens the distance — x moves further
+# away or stays, y is unchanged), so per zone only the <= 2·height
+# extreme points enter the pair join. The pair join is zone-keyed
+# (bucketed), and the per-zone extreme set is bounded by the zone's
+# height in cells — O(rows) not O(cells²) at any scale. The oracle is
+# the naive all-pairs max over ALL distinct cells, independently
+# proving the reduction lossless.
+# ---------------------------------------------------------------------------
+
+
+def zone_diameter(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
+    """(polygon_id, n_cells, n_extremes, diam2): exact squared cell-grid
+    diameter of each zone's occupied-cell set via scanline extremes."""
+    matched = pip_join(tiles, zones, res=res)
+    cells = (
+        matched.select(
+            "polygon_id",
+            F.expr(grid.ix_sql("lon", res)).alias("ix"),
+            F.expr(grid.iy_sql("lat", res)).alias("iy"),
+        )
+        .dropDuplicates(["polygon_id", "ix", "iy"])
+        .localCheckpoint(eager=False)
+    )
+    n_cells = cells.groupBy("polygon_id").agg(F.count("*").alias("n_cells"))
+    ext = cells.groupBy("polygon_id", "iy").agg(
+        F.min("ix").alias("xlo"), F.max("ix").alias("xhi")
+    )
+    pts = (
+        ext.select("polygon_id", F.col("xlo").alias("ix"), "iy")
+        .unionByName(ext.select("polygon_id", F.col("xhi").alias("ix"), "iy"))
+        .dropDuplicates(["polygon_id", "ix", "iy"])
+        .localCheckpoint(eager=False)
+    )
+    n_ext = pts.groupBy("polygon_id").agg(F.count("*").alias("n_extremes"))
+    a = pts.select("polygon_id", F.col("ix").alias("ax"), F.col("iy").alias("ay"))
+    b = pts.select("polygon_id", F.col("ix").alias("bx"), F.col("iy").alias("by"))
+    diam = (
+        a.join(b, "polygon_id")
+        .groupBy("polygon_id")
+        .agg(
+            F.max(
+                F.expr("(ax - bx) * (ax - bx) + (ay - by) * (ay - by)")
+            ).alias("diam2")
+        )
+    )
+    return n_cells.join(n_ext, "polygon_id").join(diam, "polygon_id")
+
+
+def zone_diameter_oracle_sql(res: int = 9) -> str:
+    """Naive oracle: all-pairs (self included) over ALL distinct occupied
+    cells per zone — no extreme-point shortcut."""
+    ix = grid.ix_sql("t.lon", res)
+    iy = grid.iy_sql("t.lat", res)
+    return f"""zd_cells AS (
+  SELECT DISTINCT z.polygon_id, {ix} AS ix, {iy} AS iy
+  FROM tiles t JOIN zones z
+    ON t.lon >= z.xmin AND t.lon < z.xmax
+   AND t.lat >= z.ymin AND t.lat < z.ymax),
+zd_n AS (SELECT polygon_id, count(*) AS n_cells FROM zd_cells GROUP BY 1),
+zd_ext0 AS (
+  SELECT polygon_id, iy, min(ix) AS xlo, max(ix) AS xhi
+  FROM zd_cells GROUP BY 1, 2),
+zd_ext AS (
+  SELECT DISTINCT polygon_id, ix, iy FROM (
+    SELECT polygon_id, xlo AS ix, iy FROM zd_ext0
+    UNION ALL SELECT polygon_id, xhi AS ix, iy FROM zd_ext0)),
+zd_ne AS (SELECT polygon_id, count(*) AS n_extremes FROM zd_ext GROUP BY 1),
+zd_d AS (
+  SELECT a.polygon_id,
+         max((a.ix - b.ix) * (a.ix - b.ix)
+           + (a.iy - b.iy) * (a.iy - b.iy)) AS diam2
+  FROM zd_cells a JOIN zd_cells b USING (polygon_id)
+  GROUP BY 1)
+SELECT n.polygon_id, n.n_cells, e.n_extremes, d.diam2
+FROM zd_n n JOIN zd_ne e USING (polygon_id) JOIN zd_d d USING (polygon_id)"""

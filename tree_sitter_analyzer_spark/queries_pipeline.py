@@ -718,3 +718,36 @@ from .operators import assoc as _assoc  # noqa: E402
 )
 def q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assoc.token_lift(_docs(spark, sf_dir))
+
+
+@register(
+    "bm25_search",
+    search_ops.bm25_oracle(SEARCH_QUERY, 10),
+    doc="Okapi BM25 top-10 (k1=6/5, b=3/4) in pure integer rational "
+    "arithmetic: avgdl_milli-normalized saturation cross-multiplied so "
+    "no float or ln() exists (both are engine-divergent at the ulp "
+    "level); candidates = the union of query-term posting lists via "
+    "the token equi-join, never a whole-corpus rank. The distinct "
+    "ranking function beside caption_search's cosine rerank.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.bm25_search(_docs(spark, sf_dir), SEARCH_QUERY, 10)
+
+
+@register(
+    "fuzzy_dup_pairs",
+    dedup.fuzzy_pairs_oracle(),
+    doc="Record-linkage fuzzy dedup: levenshtein <= 8 near-dup pairs via "
+    "Fellegi-Sunter-style blocking — prefix-8 and suffix-8 passes "
+    "unioned (an edit near one end can't hide from both) with the "
+    "lossless +-16 length band and a block-population cap (boilerplate "
+    "prefixes can't go quadratic), exact edit-distance verify on "
+    "candidates only. No metadata in the block key: near-dups carry "
+    "inconsistent lang labels, and trusting a dirty attribute loses "
+    "exactly the dups the pass exists to find (recall vs full brute "
+    "force is pinned at 100% on this corpus in tests). levenshtein() "
+    "is built-in on both engines with identical semantics, so the tier "
+    "is oracled exactly; block-keyed equi-joins, never all-pairs.",
+)
+def q_fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fuzzy_pairs(_docs(spark, sf_dir))

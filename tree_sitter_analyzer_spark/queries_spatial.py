@@ -1833,3 +1833,17 @@ def q_mosaic_seams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.gearys_c(_tiles(spark, sf_dir))
+
+
+@register(
+    "zone_diameter",
+    f"{_CTES},\n{zonal.zone_diameter_oracle_sql(9)}",
+    doc="Exact per-zone farthest-pair (squared res-9 cell units) WITHOUT "
+    "an all-pairs join: diameter endpoints are scanline extremes "
+    "(swapping an endpoint for its row's min/max-x cell never shortens "
+    "the pair), so only <= 2·height extreme points per zone enter the "
+    "zone-keyed pair join. The oracle is the naive all-pairs max over "
+    "ALL distinct cells — independently proving the reduction lossless.",
+)
+def q_zone_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.zone_diameter(_tiles(spark, sf_dir), synth.zones_df(spark), res=9)

@@ -201,3 +201,29 @@ def q_cell_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_epidemic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.epidemic_reach(spark, _pings(spark, sf_dir))
+
+
+@register(
+    "convoy_pairs",
+    traj.convoy_oracle(),
+    doc="Convoy detection (sustained co-movement): pairs co-located on "
+    ">= 2 CONSECUTIVE days — colocation contacts deduped to meet-days, "
+    "then gaps-and-islands (day - row_number) per pair for the longest "
+    "consecutive run. Pair-keyed windows downstream of the bucketed "
+    "contact join; per-pair day lists are calendar-bounded.",
+)
+def q_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.convoy_pairs(_pings(spark, sf_dir))
+
+
+@register(
+    "od_gravity",
+    traj.od_gravity_oracle(),
+    doc="Gravity-model fit over the OD matrix: null model T_ij = "
+    "O_i*D_j/T per observed OD pair, expected flow in micro-trips and "
+    "obs/expected ratio in milli — all-positive integer arithmetic "
+    "(spatial-interaction modeling over R37's flows; marginals are two "
+    "rollups of the OD frame, the null-model join is per-OD-pair).",
+)
+def q_od_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.od_gravity(_pings(spark, sf_dir))
