@@ -141,3 +141,157 @@ def zone_quality_rollup(stats: DataFrame) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R119: repetition-based quality rules (Gopher, Rae et al. 2021 §A1.1
+# — public paper): the pre-training filter that kills boilerplate and
+# degenerate generations by REPETITION, complementing text_stats's
+# length/stopword dimensions. Token-level exact integer versions:
+#   top2/top3_milli — fraction of tokens covered by the single most
+#     frequent 2-/3-gram (count·n DIV n_tokens, in milli);
+#   rep5_milli — duplicated-5-gram mass, 1000·(n5 − distinct5) DIV n5.
+# Shape: one doc-keyed window (row_number re-indexes the empty-filtered
+# token stream; lead() forms the n-grams in the SAME partitioning — no
+# second shuffle), then doc-keyed aggregates. No arrays, no lambdas
+# (the winnow Catalyst-recompute trap never arises).
+# ---------------------------------------------------------------------------
+
+GOPHER_TOP2_MAX_MILLI = 200
+GOPHER_TOP3_MAX_MILLI = 180
+GOPHER_REP5_MAX_MILLI = 300
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top2_milli, top3_milli, rep5_milli, gopher_pass)
+    per document — exact integers, identical on both engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .withColumn("g2", F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)))
+        .withColumn(
+            "g3",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ),
+        )
+        .withColumn(
+            "g5",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+                F.lead("tok", 4).over(w),
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_tokens", F.max("rn").over(Window.partitionBy("doc_id")))
+    )
+    # concat_ws silently drops NULLs, so the trailing partial n-grams are
+    # shorter strings — exclude them by position instead of null checks
+    # (identical rule on both engines).
+    top2 = (
+        toks.where(F.col("rn") <= F.col("n_tokens") - 1)
+        .groupBy("doc_id", "g2")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max2"))
+    )
+    top3 = (
+        toks.where(F.col("rn") <= F.col("n_tokens") - 2)
+        .groupBy("doc_id", "g3")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max3"))
+    )
+    g5 = (
+        toks.where(F.col("rn") <= F.col("n_tokens") - 4)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n5"),
+            F.countDistinct("g5").alias("d5"),
+        )
+    )
+    base = toks.groupBy("doc_id").agg(F.max("rn").alias("n_tokens"))
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CASE WHEN max2 IS NULL THEN 0"
+            " ELSE (1000 * 2 * max2) DIV n_tokens END AS top2_milli",
+            "CASE WHEN max3 IS NULL THEN 0"
+            " ELSE (1000 * 3 * max3) DIV n_tokens END AS top3_milli",
+            "CASE WHEN n5 IS NULL OR n5 = 0 THEN 0"
+            " ELSE (1000 * (n5 - d5)) DIV n5 END AS rep5_milli",
+        )
+        .selectExpr(
+            "*",
+            f"top2_milli <= {GOPHER_TOP2_MAX_MILLI}"
+            f" AND top3_milli <= {GOPHER_TOP3_MAX_MILLI}"
+            f" AND rep5_milli <= {GOPHER_REP5_MAX_MILLI} AS gopher_pass",
+        )
+    )
+
+
+def repetition_stats_oracle() -> str:
+    return f"""
+WITH rp_raw AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''),
+rp_n AS (SELECT doc_id, max(rn) AS n_tokens FROM rp_raw GROUP BY 1),
+rp_g AS (
+  SELECT doc_id, rn, tok,
+         tok || ' ' || lead(tok, 1) OVER w AS g2,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS g3,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+           AS g5
+  FROM rp_raw
+  WINDOW w AS (PARTITION BY doc_id ORDER BY rn)),
+rp_top2 AS (
+  SELECT doc_id, max(c) AS max2 FROM (
+    SELECT g.doc_id, g.g2, count(*) AS c
+    FROM rp_g g JOIN rp_n n USING (doc_id)
+    WHERE g.rn <= n.n_tokens - 1 GROUP BY 1, 2) GROUP BY 1),
+rp_top3 AS (
+  SELECT doc_id, max(c) AS max3 FROM (
+    SELECT g.doc_id, g.g3, count(*) AS c
+    FROM rp_g g JOIN rp_n n USING (doc_id)
+    WHERE g.rn <= n.n_tokens - 2 GROUP BY 1, 2) GROUP BY 1),
+rp_g5 AS (
+  SELECT g.doc_id, count(*) AS n5, count(DISTINCT g.g5) AS d5
+  FROM rp_g g JOIN rp_n n USING (doc_id)
+  WHERE g.rn <= n.n_tokens - 4 GROUP BY 1),
+rp_m AS (
+  SELECT n.doc_id, n.n_tokens,
+         CASE WHEN t2.max2 IS NULL THEN 0
+              ELSE (1000 * 2 * t2.max2) // n.n_tokens END AS top2_milli,
+         CASE WHEN t3.max3 IS NULL THEN 0
+              ELSE (1000 * 3 * t3.max3) // n.n_tokens END AS top3_milli,
+         CASE WHEN g5.n5 IS NULL OR g5.n5 = 0 THEN 0
+              ELSE (1000 * (g5.n5 - g5.d5)) // g5.n5 END AS rep5_milli
+  FROM rp_n n
+  LEFT JOIN rp_top2 t2 USING (doc_id)
+  LEFT JOIN rp_top3 t3 USING (doc_id)
+  LEFT JOIN rp_g5 g5 USING (doc_id))
+SELECT doc_id, n_tokens, top2_milli, top3_milli, rep5_milli,
+       top2_milli <= {GOPHER_TOP2_MAX_MILLI}
+         AND top3_milli <= {GOPHER_TOP3_MAX_MILLI}
+         AND rep5_milli <= {GOPHER_REP5_MAX_MILLI} AS gopher_pass
+FROM rp_m"""

@@ -751,3 +751,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "repetition_stats",
+    textstats.repetition_stats_oracle(),
+    doc="Gopher-style repetition quality rules (Rae et al. 2021): per-doc "
+    "fraction of tokens covered by the most frequent 2-/3-gram and "
+    "duplicated-5-gram mass, exact integer milli fractions, plus the "
+    "composed gopher_pass flag. One doc-keyed window forms all n-grams "
+    "(lead over the re-indexed token stream, no arrays/lambdas), then "
+    "doc-keyed aggregates — the repetition complement to text_stats's "
+    "length/stopword dimensions.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(_docs(spark, sf_dir))

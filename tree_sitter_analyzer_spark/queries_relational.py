@@ -1867,3 +1867,294 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --- Synthetic partsupp: the one TPC-H table the testdata lacks ------------
+# Derived DETERMINISTICALLY from part × supplier-count with the repo's
+# synthetic-column discipline (CLAUDE.md): the same integer SQL evaluated
+# by both engines. Mirrors the TPC-H generator's shape — each part gets
+# exactly 4 suppliers at a fixed stride through the supplier keyspace
+# (keys are 0-based contiguous at every SF), so partsupp stays 4·|part|
+# rows at any scale, never |part|·|supplier|. availqty and supplycost are
+# bounded integer hashes of the pair.
+
+_PS_CTE = """
+ps0 AS (
+  SELECT p_partkey, (p_partkey + gen.i * (ns.n // 4 + 1)) % ns.n AS ps_suppkey
+  FROM part
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS gen(i)
+  CROSS JOIN (SELECT count(*) AS n FROM supplier) ns),
+ps AS (
+  SELECT p_partkey AS ps_partkey, ps_suppkey,
+         1 + (p_partkey * 13 + ps_suppkey * 7) % 5000 AS ps_availqty,
+         100 + (p_partkey * 37 + ps_suppkey * 101) % 99900
+           AS ps_supplycost_cents
+  FROM ps0)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents)."""
+    part = _t(spark, sf_dir, "part")
+    ns = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("n_supp"))
+    return (
+        part.select(
+            "p_partkey", F.explode(F.expr("sequence(0, 3)")).alias("i")
+        )
+        .crossJoin(F.broadcast(ns))
+        .selectExpr(
+            "p_partkey AS ps_partkey",
+            "(p_partkey + i * (n_supp DIV 4 + 1)) % n_supp AS ps_suppkey",
+            "1 + (p_partkey * 13 + ((p_partkey + i * (n_supp DIV 4 + 1))"
+            " % n_supp) * 7) % 5000 AS ps_availqty",
+            "100 + (p_partkey * 37 + ((p_partkey + i * (n_supp DIV 4 + 1))"
+            " % n_supp) * 101) % 99900 AS ps_supplycost_cents",
+        )
+    )
+
+
+@register(
+    "min_cost_supplier",
+    f"""
+WITH {_PS_CTE},
+mc_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+mc_cand AS (
+  SELECT p.p_partkey, p.p_size, p.p_type, m.s_suppkey, m.s_name, m.n_name,
+         CAST(floor(m.s_acctbal * 100e0) AS BIGINT) AS acctbal_cents,
+         ps.ps_supplycost_cents,
+         min(ps.ps_supplycost_cents)
+           OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM part p
+  JOIN ps ON ps.ps_partkey = p.p_partkey
+  JOIN mc_supp m ON m.s_suppkey = ps.ps_suppkey
+  WHERE p.p_size <= 3 AND p.p_type = 'ECONOMY')
+SELECT p_partkey, s_suppkey, s_name, n_name, acctbal_cents,
+       ps_supplycost_cents AS cost_cents
+FROM mc_cand WHERE ps_supplycost_cents = min_cost
+""",
+    doc="TPC-H Q2 shape (minimum-cost supplier): for each small ECONOMY "
+    "part, every EUROPE supplier achieving the per-part minimum "
+    "supplycost. The correlated MIN subquery becomes a per-part window "
+    "over the already-filtered candidates — one partkey shuffle; the "
+    "region-filtered supplier dim broadcasts; partsupp is the "
+    "deterministic 4-per-part synthetic (both engines build it from "
+    "the same integer SQL).",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 3) & (F.col("p_type") == "ECONOMY")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+    )
+    return cand.where(
+        F.col("ps_supplycost_cents") == F.col("min_cost")
+    ).select(
+        "p_partkey",
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        F.expr("CAST(floor(s_acctbal * 100e0) AS BIGINT)").alias(
+            "acctbal_cents"
+        ),
+        F.col("ps_supplycost_cents").alias("cost_cents"),
+    )
+
+
+@register(
+    "product_profit",
+    f"""
+WITH {_PS_CTE}
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+                     AS BIGINT)
+                - ps.ps_supplycost_cents * CAST(l.l_quantity AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape (product-type profit): per (supplier nation, ship "
+    "year) profit on widget parts — revenue minus supplycost·quantity, "
+    "all integer cents. The lineitem fact joins partsupp on BOTH keys "
+    "(part, supplier) — only pairs the synthetic partsupp carries "
+    "match, as in real TPC-H; part/supplier/nation broadcast; year "
+    "from the naive NTZ timestamp is session-TZ-independent.",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    # Filter partsupp by the widget parts BEFORE it meets the fact: the
+    # broadcast side is 4·|filtered part| rows, and the trillion-row
+    # lineitem never shuffles for this join. (Were the filtered dim still
+    # too big to broadcast, dropping the hint lets AQE fall back to a
+    # (partkey, suppkey) shuffle join — the fact-side shuffle is the only
+    # alternative and strictly worse until that point.)
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(p.select(F.col("p_partkey").alias("psf_key"))),
+        F.col("ps_partkey") == F.col("psf_key"),
+        "left_semi",
+    )
+    return (
+        l.join(
+            F.broadcast(ps),
+            (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(year(l_shipdate) AS BIGINT)").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+                    " AS BIGINT)"
+                    " - ps_supplycost_cents * CAST(l_quantity AS BIGINT)"
+                )
+            ).alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "stock_value_share",
+    f"""
+WITH {_PS_CTE},
+sv AS (
+  SELECT ps.ps_partkey,
+         sum(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY 1),
+sv_tot AS (SELECT sum(value_cents) AS total_cents FROM sv)
+SELECT sv.ps_partkey, CAST(sv.value_cents AS BIGINT) AS value_cents
+FROM sv CROSS JOIN sv_tot
+WHERE 2000 * sv.value_cents > total_cents
+""",
+    doc="TPC-H Q11 shape (important stock): parts whose ASIA-held stock "
+    "value exceeds 1/2000 of the total — the fraction-of-total HAVING "
+    "is cross-multiplied to integers (2000·value > total) so no float "
+    "division exists. Two-phase: per-part aggregate, then the 1-row "
+    "total broadcast back; supplier/nation/region broadcast into the "
+    "synthetic partsupp.",
+)
+def q_stock_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    sv = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.expr("ps_supplycost_cents * ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    tot = sv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        sv.crossJoin(F.broadcast(tot))
+        .where(F.expr("2000 * value_cents > total_cents"))
+        .select(
+            "ps_partkey", F.col("value_cents").cast("bigint").alias("value_cents")
+        )
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    f"""
+WITH {_PS_CTE},
+ex_shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS BIGINT)) AS qty_shipped
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2),
+ex_hits AS (
+  SELECT ps.ps_suppkey, ps.ps_partkey, ps.ps_availqty, e.qty_shipped
+  FROM ps
+  JOIN ex_shipped e
+    ON e.l_partkey = ps.ps_partkey AND e.l_suppkey = ps.ps_suppkey
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_name LIKE 'large%'
+    AND ps.ps_availqty > 2 * e.qty_shipped)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       count(*) AS n_excess_parts,
+       sum(h.ps_availqty) AS total_availqty
+FROM ex_hits h
+JOIN supplier s ON s.s_suppkey = h.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q20 shape (excess stock): suppliers holding more than "
+    "twice what they actually shipped since 1996 of any 'large' part "
+    "they stock. The correlated EXISTS/half-of-shipped subquery becomes "
+    "a (part, supplier)-keyed shipped-quantity aggregate inner-joined "
+    "to the synthetic partsupp — pairs with no shipments can't "
+    "trivially qualify; the part name filter and supplier dim "
+    "broadcast.",
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("large%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("qty_shipped")
+    )
+    hits = (
+        _partsupp(spark, sf_dir)
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .where(F.expr("ps_availqty > 2 * qty_shipped"))
+    )
+    return (
+        hits.join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count("*").alias("n_excess_parts"),
+            F.sum("ps_availqty").alias("total_availqty"),
+        )
+    )
