@@ -76,11 +76,9 @@ def costed_cells(tiles: DataFrame) -> DataFrame:
     )
 
 
-def cost_distance(spark: SparkSession, tiles: DataFrame) -> DataFrame:
-    """(cell, dist): minimum cumulative traversal cost from the nearest
-    hotspot seed, within the shared even step budget."""
-    cells = costed_cells(tiles).localCheckpoint(eager=False)
-    # 4-way shifted equi-join: an edge u→v costs the DEST cell's cost.
+def _real_edges(cells: DataFrame) -> DataFrame:
+    """4-way shifted equi-join grid edges: an edge u→v costs the DEST
+    cell's cost — never an all-pairs adjacency test."""
     a = cells.select("cx", "cy", F.col("cell").alias("src"))
     b = cells.select(
         F.col("cx").alias("bx"),
@@ -94,6 +92,14 @@ def cost_distance(spark: SparkSession, tiles: DataFrame) -> DataFrame:
             b, (a.cx + F.lit(dx) == b.bx) & (a.cy + F.lit(dy) == b.by)
         ).select("src", "dst", "w")
         edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
+def cost_distance(spark: SparkSession, tiles: DataFrame) -> DataFrame:
+    """(cell, dist): minimum cumulative traversal cost from the nearest
+    hotspot seed, within the shared even step budget."""
+    cells = costed_cells(tiles).localCheckpoint(eager=False)
+    edges = _real_edges(cells)
     # virtual super-source: 0-weight edges onto each occupied seed cell
     seeds_df = None
     for s in _seed_cells_sql():
@@ -116,8 +122,9 @@ def cost_distance(spark: SparkSession, tiles: DataFrame) -> DataFrame:
     )
 
 
-def cost_distance_oracle_sql() -> str:
-    """Recursive CTE mirror: same augmented graph, same even step cap.
+def surface_ctes_sql() -> str:
+    """The cost-surface CTE chain (cells → costed → edges → walk →
+    dists): the shared oracle body for cost_distance and the path trace.
     Splice after a CTE list providing ``tiles`` (needs WITH RECURSIVE)."""
     steps = _even_steps(MAX_ROUNDS)
     seeds = " UNION ALL ".join(_seed_cells_sql())
@@ -141,8 +148,15 @@ walk(v, d, hops) AS (
   SELECT CAST({SUPER_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
   UNION
   SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.v
-  WHERE w.hops < {steps})
-SELECT v AS cell, min(d) AS dist FROM walk WHERE v != {SUPER_SRC} GROUP BY v"""
+  WHERE w.hops < {steps}),
+dists AS (
+  SELECT v AS cell, min(d) AS dist FROM walk WHERE v != {SUPER_SRC}
+  GROUP BY v)"""
+
+
+def cost_distance_oracle_sql() -> str:
+    """Recursive CTE mirror: same augmented graph, same even step cap."""
+    return f"{surface_ctes_sql()}\nSELECT cell, dist FROM dists"
 
 
 # ---------------------------------------------------------------------------
@@ -330,3 +344,110 @@ SELECT p.seed, p.tx * {_PACK} + p.ty AS cell, p.n_steps,
        CAST(COALESCE(h.n_hits > 0, FALSE) AS BIGINT) AS blocked
 FROM los_pairs p
 LEFT JOIN los_hits h ON h.seed = p.seed AND h.tx = p.tx AND h.ty = p.ty"""
+
+
+# ---------------------------------------------------------------------------
+# R122: least-cost path reconstruction — the corridor itself, not just
+# the surface. After the Bellman-Ford surface converges, every non-seed
+# cell gets ONE backlink: the minimum-id predecessor u with
+# dist(u) + w(u→t) == dist(t) (min on both engines; real edges have
+# w >= 1, so dist strictly decreases along backlinks — the chain can't
+# cycle and must end at a seed). The traced path starts at the FARTHEST
+# cell (max dist, min cell tie-break) and follows backlinks.
+# Scale: the backlink raster is one (dist ⋈ edges ⋈ dist) equi-join +
+# arg-min — no iteration, valid input for ANY corridor query; the single
+# trace is a bounded pointer-chase (path length <= the relaxation step
+# budget), two follows per materialization like bfs_khop. The oracle
+# computes the same surface, the same backlinks, then follows the
+# pointer chain with a recursive CTE that joins exactly one row per
+# step (no aggregation inside the recursion — backlinks are a function).
+# ---------------------------------------------------------------------------
+
+TRACE_MAX_STEPS = _even_steps(MAX_ROUNDS)
+
+
+def least_cost_path(spark: SparkSession, tiles: DataFrame) -> DataFrame:
+    """(step, cell, dist): the least-cost corridor from the farthest cell
+    (step 0) back to a seed, following min-id backlinks."""
+    cells = costed_cells(tiles).localCheckpoint(eager=False)
+    edges = _real_edges(cells)
+    seeds_df = None
+    for s in _seed_cells_sql():
+        row = spark.sql(s)
+        seeds_df = row if seeds_df is None else seeds_df.unionByName(row)
+    super_edges = seeds_df.join(cells, ["cx", "cy"]).select(
+        F.lit(SUPER_SRC).cast("bigint").alias("src"),
+        F.col("cell").alias("dst"),
+        F.lit(0).cast("bigint").alias("w"),
+    )
+    dist = (
+        weighted_sssp(
+            spark, edges.unionByName(super_edges), src=SUPER_SRC,
+            max_rounds=MAX_ROUNDS,
+        )
+        .where(F.col("v") != SUPER_SRC)
+        .select(F.col("v").alias("cell"), "dist")
+        .localCheckpoint(eager=False)
+    )
+    du = dist.select(F.col("cell").alias("u"), F.col("dist").alias("du"))
+    bl = (
+        dist.join(edges, dist.cell == edges.dst)
+        .join(du, (F.col("src") == F.col("u")))
+        .where(F.col("du") + F.col("w") == F.col("dist"))
+        .groupBy("cell")
+        .agg(F.min("u").alias("pred"))
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        dist.orderBy(F.desc("dist"), "cell")
+        .limit(1)
+        .select("cell", F.lit(0).alias("step"))
+        .localCheckpoint(eager=True)
+    )
+    def follow(frontier: DataFrame) -> DataFrame:
+        return frontier.join(bl, "cell").select(
+            F.col("pred").alias("cell"), (F.col("step") + 1).alias("step")
+        )
+
+    path, n_rows = cur, 1
+    for _ in range(TRACE_MAX_STEPS // 2):
+        # two pointer-follows per materialization (bfs_khop discipline);
+        # BOTH hops join the path — the intermediate odd step is a row too
+        s1 = follow(cur)
+        s2 = follow(s1)
+        path = path.unionByName(s1).unionByName(s2).localCheckpoint(
+            eager=True
+        )
+        n = path.count()
+        if n - n_rows < 2:
+            break  # the chain reached a seed (s1 or s2 found no backlink)
+        # re-derive the frontier from the checkpointed path so lineage
+        # stays O(1) across rounds
+        n_rows = n
+        cur = path.orderBy(F.desc("step")).limit(1)
+    return (
+        path.join(dist, "cell")
+        .select("step", "cell", "dist")
+        .dropDuplicates(["step"])
+    )
+
+
+def least_cost_path_oracle_sql() -> str:
+    return f"""{surface_ctes_sql()},
+lcp_bl AS (
+  SELECT t.cell, min(u.cell) AS pred
+  FROM dists t
+  JOIN edges e ON e.dst = t.cell AND e.src != {SUPER_SRC}
+  JOIN dists u ON u.cell = e.src AND u.dist + e.w = t.dist
+  GROUP BY t.cell),
+lcp_target AS (
+  SELECT cell, 0 AS step FROM dists
+  ORDER BY dist DESC, cell LIMIT 1),
+lcp_trace(cell, step) AS (
+  SELECT cell, step FROM lcp_target
+  UNION ALL
+  SELECT b.pred, t.step + 1
+  FROM lcp_trace t JOIN lcp_bl b ON b.cell = t.cell
+  WHERE t.step < {TRACE_MAX_STEPS})
+SELECT t.step, t.cell, d.dist
+FROM lcp_trace t JOIN dists d ON d.cell = t.cell"""

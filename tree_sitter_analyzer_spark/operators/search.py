@@ -261,3 +261,169 @@ SELECT CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT)
        doc_id, n_matched, bm25_micro
 FROM bm_scored
 ORDER BY bm25_micro DESC, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# R123: MMR diversified retrieval (Carbonell & Goldstein 1998, public) —
+# the de-duplicating reranker every retrieval stack needs: after the
+# BM25 pool, pick k docs greedily by
+#     mmr = 7·rel_milli − 3·max_{s in selected} jac_milli(c, s)
+# (λ = 0.7 cross-multiplied to integers; rel_milli = 1000·bm25 DIV pool
+# max; similarity = exact distinct-token Jaccard in milli). Ties break
+# by doc_id, so the greedy sequence is fully deterministic and the
+# DuckDB oracle replicates it with k unrolled pick CTEs (the kcore
+# chained-CTE discipline; sims MATERIALIZED against re-inlining).
+# Scale: stage 1 (BM25 pool) is the distributed part; the rerank
+# operates on the POOL×POOL bounded frame (40×40) — standard two-stage
+# retrieval, never corpus-wide.
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 40
+MMR_K = 8
+MMR_LAMBDA_NUM = 7   # score = 7·rel − 3·maxsim (λ=0.7, integer)
+MMR_LAMBDA_DEN = 3
+
+
+def mmr_search(
+    docs: DataFrame, query: str, k: int = MMR_K, pool_n: int = MMR_POOL
+) -> DataFrame:
+    """(rank, doc_id, rel_milli, max_sim_milli, mmr_score): greedy MMR
+    selection over the BM25 top-``pool_n`` pool."""
+    pool0 = bm25_search(docs, query, pool_n).localCheckpoint(eager=True)
+    pmax = pool0.agg(F.max("bm25_micro").alias("m"))
+    pool = (
+        pool0.crossJoin(F.broadcast(pmax))
+        .selectExpr("doc_id", "(1000 * bm25_micro) DIV m AS rel_milli")
+        .localCheckpoint(eager=True)
+    )
+    # exact distinct-token Jaccard inside the pool (both directions)
+    ptoks = (
+        _doc_tokens(docs)
+        .join(F.broadcast(pool.select("doc_id")), "doc_id")
+        .select("doc_id", "tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = ptoks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    inter = (
+        ptoks.alias("x")
+        .join(ptoks.alias("y"), "tok")
+        .where(F.expr("x.doc_id != y.doc_id"))
+        .groupBy(
+            F.expr("x.doc_id").alias("a_id"), F.expr("y.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sims = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_tok").alias("na")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("nb")),
+            "b_id",
+        )
+        .selectExpr(
+            "a_id", "b_id", "(1000 * inter) DIV (na + nb - inter) AS jac_milli"
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = None
+    for rank in range(1, k + 1):
+        rem = (
+            pool
+            if selected is None
+            else pool.join(selected.select("doc_id"), "doc_id", "left_anti")
+        )
+        if selected is None:
+            msim = rem.withColumn("max_sim_milli", F.lit(0).cast("bigint"))
+        else:
+            hit = (
+                sims.join(
+                    selected.select(F.col("doc_id").alias("b_id")), "b_id"
+                )
+                .groupBy(F.col("a_id").alias("doc_id"))
+                .agg(F.max("jac_milli").alias("ms"))
+            )
+            msim = rem.join(hit, "doc_id", "left").withColumn(
+                "max_sim_milli", F.expr("coalesce(ms, CAST(0 AS BIGINT))")
+            )
+        pick = (
+            msim.withColumn(
+                "mmr_score",
+                F.expr(
+                    f"{MMR_LAMBDA_NUM} * rel_milli"
+                    f" - {MMR_LAMBDA_DEN} * max_sim_milli"
+                ),
+            )
+            .orderBy(F.desc("mmr_score"), "doc_id")
+            .limit(1)
+            .select(
+                F.lit(rank).alias("rank"),
+                "doc_id",
+                "rel_milli",
+                "max_sim_milli",
+                "mmr_score",
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+    return selected
+
+
+def mmr_oracle(
+    query: str, k: int = MMR_K, pool_n: int = MMR_POOL
+) -> str:
+    picks = []
+    for i in range(1, k + 1):
+        if i == 1:
+            prev_set = "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"
+        else:
+            prev_set = " UNION ALL ".join(
+                f"SELECT doc_id FROM mmr_pick_{j}" for j in range(1, i)
+            )
+        picks.append(f"""mmr_prev_{i} AS MATERIALIZED ({prev_set}),
+mmr_pick_{i} AS MATERIALIZED (
+  SELECT {i} AS rank, c.doc_id, c.rel_milli,
+         coalesce((SELECT max(s.jac_milli) FROM mmr_sims s
+                   WHERE s.a_id = c.doc_id
+                     AND s.b_id IN (SELECT doc_id FROM mmr_prev_{i})),
+                  CAST(0 AS BIGINT)) AS max_sim_milli,
+         {MMR_LAMBDA_NUM} * c.rel_milli
+           - {MMR_LAMBDA_DEN} * coalesce(
+               (SELECT max(s.jac_milli) FROM mmr_sims s
+                WHERE s.a_id = c.doc_id
+                  AND s.b_id IN (SELECT doc_id FROM mmr_prev_{i})),
+               CAST(0 AS BIGINT)) AS mmr_score
+  FROM mmr_pooln c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM mmr_prev_{i})
+  ORDER BY mmr_score DESC, c.doc_id LIMIT 1)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM mmr_pick_{i}" for i in range(1, k + 1)
+    )
+    return f"""
+WITH mmr_pool AS ({bm25_oracle(query, pool_n)}),
+mmr_pooln AS MATERIALIZED (
+  SELECT doc_id,
+         (1000 * bm25_micro) // (SELECT max(bm25_micro) FROM mmr_pool)
+           AS rel_milli
+  FROM mmr_pool),
+mmr_toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' AND doc_id IN (SELECT doc_id FROM mmr_pooln)),
+mmr_sizes AS (SELECT doc_id, count(*) AS n_tok FROM mmr_toks GROUP BY 1),
+mmr_sims AS MATERIALIZED (
+  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         (1000 * count(*)) // (za.n_tok + zb.n_tok - count(*)) AS jac_milli
+  FROM mmr_toks x
+  JOIN mmr_toks y ON x.tok = y.tok AND x.doc_id != y.doc_id
+  JOIN mmr_sizes za ON za.doc_id = x.doc_id
+  JOIN mmr_sizes zb ON zb.doc_id = y.doc_id
+  GROUP BY x.doc_id, y.doc_id, za.n_tok, zb.n_tok),
+{",".join(picks)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel_milli, max_sim_milli,
+       mmr_score
+FROM ({union})"""

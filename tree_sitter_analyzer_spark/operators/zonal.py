@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import grid
-from .pip_join import pip_join, tile_cells, zone_cover
+from .pip_join import pip_join, pip_oracle_join_sql, tile_cells, zone_cover
 
 
 def zonal_stats(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
@@ -1529,3 +1529,63 @@ zd_d AS (
   GROUP BY 1)
 SELECT n.polygon_id, n.n_cells, e.n_extremes, d.diam2
 FROM zd_n n JOIN zd_ne e USING (polygon_id) JOIN zd_d d USING (polygon_id)"""
+
+
+# ---------------------------------------------------------------------------
+# R121: areal interpolation (dasymetric reweighting) — the classic
+# change-of-support GIS operation: a zone-level attribute (population)
+# redistributed to res-8 grid cells proportional to an ancillary density
+# (the tile count observed in each cell). Exact integer shares:
+# alloc_micro(z, c) = 10^6 · pop(z) · n_tiles(z, c) DIV n_tiles(z); a
+# cell's interpolated value sums its zones' shares. pop(z) is the
+# deterministic synthetic 1000 + 7919·j % 9000 (both engines build it
+# from the same integer SQL). Scale: one PIP join (tiles never shuffle —
+# broadcast cover), one (zone, cell) aggregate, one broadcast zone-total
+# join back; truncation loss per zone is < n_cells(z) micro-units and is
+# surfaced by the conservation audit test.
+# ---------------------------------------------------------------------------
+
+
+def areal_interpolation(
+    tiles: DataFrame, zones: DataFrame, res: int = 8
+) -> DataFrame:
+    """(cell, n_zones, pop_micro): zone populations dasymetrically
+    pushed down to occupied res-`res` cells by tile-count weights."""
+    matched = pip_join(tiles, zones, res=9)
+    cells = matched.select(
+        "polygon_id",
+        F.expr(grid.cell_sql("lon", "lat", res)).alias("cell"),
+    )
+    zc = cells.groupBy("polygon_id", "cell").agg(F.count("*").alias("cnt"))
+    zt = zc.groupBy("polygon_id").agg(F.sum("cnt").alias("tot"))
+    pops = zones.selectExpr(
+        "polygon_id", "1000 + (j * 7919) % 9000 AS pop"
+    )
+    return (
+        zc.join(F.broadcast(zt), "polygon_id")
+        .join(F.broadcast(pops), "polygon_id")
+        .withColumn(
+            "alloc_micro", F.expr("(1000000 * pop * cnt) DIV tot")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_zones"),
+            F.sum("alloc_micro").alias("pop_micro"),
+        )
+    )
+
+
+def areal_interpolation_oracle_sql(res: int = 8) -> str:
+    cell = grid.cell_sql("t.lon", "t.lat", res)
+    return f"""ai_zc AS (
+  SELECT z.polygon_id, {cell} AS cell, count(*) AS cnt
+  FROM {pip_oracle_join_sql()}
+  GROUP BY 1, 2),
+ai_zt AS (SELECT polygon_id, sum(cnt) AS tot FROM ai_zc GROUP BY 1),
+ai_pop AS (SELECT polygon_id, 1000 + (j * 7919) % 9000 AS pop FROM zones)
+SELECT c.cell, count(*) AS n_zones,
+       sum((1000000 * p.pop * c.cnt) // z.tot) AS pop_micro
+FROM ai_zc c
+JOIN ai_zt z USING (polygon_id)
+JOIN ai_pop p USING (polygon_id)
+GROUP BY 1"""

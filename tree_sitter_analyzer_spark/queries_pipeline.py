@@ -766,3 +766,18 @@ def q_fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "mmr_diversified",
+    search_ops.mmr_oracle(SEARCH_QUERY),
+    doc="MMR diversified retrieval (Carbonell-Goldstein): greedy top-8 "
+    "over the BM25 top-40 pool maximizing 7*rel_milli - 3*max-Jaccard "
+    "to the already-selected set — integer lambda=0.7, exact distinct-"
+    "token Jaccard, doc_id tie-breaks make the greedy sequence fully "
+    "deterministic; the oracle replays it with 8 unrolled pick CTEs "
+    "(sims MATERIALIZED). Stage 1 is the distributed BM25; the rerank "
+    "touches only the bounded pool-x-pool frame.",
+)
+def q_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.mmr_search(_docs(spark, sf_dir), SEARCH_QUERY)

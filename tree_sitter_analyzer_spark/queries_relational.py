@@ -2158,3 +2158,133 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps_availqty").alias("total_availqty"),
         )
     )
+
+
+@register(
+    "part_skyline",
+    """
+WITH sk AS (
+  SELECT p_partkey, p_size,
+         CAST(floor(p_retailprice * 100e0) AS BIGINT) AS price_cents
+  FROM part)
+SELECT q.p_partkey, q.p_size, q.price_cents
+FROM sk q
+WHERE NOT EXISTS (
+  SELECT 1 FROM sk p
+  WHERE p.p_size >= q.p_size AND p.price_cents <= q.price_cents
+    AND (p.p_size > q.p_size OR p.price_cents < q.price_cents))
+""",
+    doc="Skyline (Pareto frontier) over parts: maximize size, minimize "
+    "price; no point both >=size and <=price with one strict. The "
+    "oracle is the quadratic NOT EXISTS; the engine computes it in ONE "
+    "aggregate + a broadcast threshold join — per-size min prices "
+    "(a <=50-row frame), strict/non-strict suffix minima over that "
+    "tiny frame, then each part survives iff it beats both thresholds. "
+    "No self-join of the data ever happens, so the plan is identical "
+    "at 10^12 rows (the size-keyed agg is the only shuffle).",
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _t(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "p_size",
+        "CAST(floor(p_retailprice * 100e0) AS BIGINT) AS price_cents",
+    )
+    per_size = sk.groupBy(F.col("p_size").alias("sz")).agg(
+        F.min("price_cents").alias("m")
+    )
+    w_gt = (
+        Window.orderBy(F.desc("sz"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ge = Window.orderBy(F.desc("sz")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # dominated(q) iff  min{m(s): s > q.size} <= q.price
+    #              or   min{m(s): s >= q.size} < q.price
+    thr = per_size.select(
+        "sz",
+        F.min("m").over(w_gt).alias("min_gt"),
+        F.min("m").over(w_ge).alias("min_ge"),
+    )
+    return (
+        sk.join(F.broadcast(thr), sk.p_size == F.col("sz"))
+        .where(
+            (F.col("min_gt").isNull() | (F.col("min_gt") > F.col("price_cents")))
+            & (F.col("min_ge") >= F.col("price_cents"))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+    )
+
+
+@register(
+    "scd2_event_intervals",
+    f"""
+WITH sc_ord AS (
+  SELECT user_id, event_type,
+         {_EPOCH_US_DUCK_REL} AS ts_us,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sc_grp AS (
+  SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM sc_ord),
+sc_isl AS (
+  SELECT user_id, event_type, grp,
+         min(ts_us) AS valid_from_us, count(*) AS n_events
+  FROM sc_grp GROUP BY 1, 2, 3)
+SELECT user_id, event_type, valid_from_us,
+       coalesce(lead(valid_from_us)
+                  OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                -1) AS valid_to_us,
+       n_events,
+       lead(valid_from_us)
+         OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL
+         AS is_current
+FROM sc_isl
+""",
+    doc="SCD2 dimension build from the event stream: consecutive "
+    "same-type runs per user collapse into validity intervals "
+    "[valid_from, valid_to) with the open current row flagged — the "
+    "lag-change + running-sum gaps-and-islands, all on ONE user-keyed "
+    "partitioning (no second shuffle). Epochs via timestampdiff on the "
+    "naive NTZ timestamp (session-TZ-proof); the open interval's "
+    "valid_to is -1, not NULL, so the hash compare is total.",
+)
+def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ord_ = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(_EPOCH_US_SPARK_REL).alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("rn")
+    grp = ord_.withColumn(
+        "grp",
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_type IS NULL OR prev_type <> event_type"
+                " THEN 1 ELSE 0 END"
+            )
+        ).over(wg),
+    )
+    isl = grp.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return isl.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(wi), F.lit(-1).cast("bigint")
+        ).alias("valid_to_us"),
+        "n_events",
+        F.lead("valid_from_us").over(wi).isNull().alias("is_current"),
+    )

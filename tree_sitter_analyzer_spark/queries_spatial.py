@@ -1475,15 +1475,11 @@ _ISO_BAND = 4
     "isochrone_bands",
     _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + ",\n"
-    + cost_ops.cost_distance_oracle_sql().replace(
-        "SELECT v AS cell, min(d) AS dist",
-        "SELECT v AS cell, min(d) AS dist",
-    )
-    .replace("\nSELECT v AS cell", ", iso AS (\nSELECT v AS cell")
-    + f""")
+    + cost_ops.surface_ctes_sql()
+    + f"""
 SELECT dist DIV {_ISO_BAND} AS band, count(*) AS n_cells,
        min(dist) AS min_dist, max(dist) AS max_dist
-FROM iso GROUP BY 1""".replace(" DIV ", " // "),
+FROM dists GROUP BY 1""".replace(" DIV ", " // "),
     doc="Isochrone bands: the cost-distance surface classed into "
     "equal-cost rings (band = dist DIV 4) with reachable-cell counts — "
     "the service-area / drive-time-polygon analog over the same "
@@ -1847,3 +1843,37 @@ def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_zone_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.zone_diameter(_tiles(spark, sf_dir), synth.zones_df(spark), res=9)
+
+
+@register(
+    "areal_interpolation",
+    f"{_CTES},\n{zonal.areal_interpolation_oracle_sql(8)}",
+    doc="Areal interpolation (dasymetric reweighting): zone populations "
+    "(deterministic synthetic) pushed down to occupied res-8 cells "
+    "proportional to observed tile density — exact integer micro "
+    "shares, 10^6·pop·cnt DIV tot. The change-of-support operation: "
+    "one PIP join, one (zone, cell) aggregate, broadcast zone totals "
+    "back; per-zone truncation loss is bounded by its cell count and "
+    "audited in tests.",
+)
+def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.areal_interpolation(
+        _tiles(spark, sf_dir), synth.zones_df(spark), res=8
+    )
+
+
+@register(
+    "least_cost_path",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + cost_ops.least_cost_path_oracle_sql(),
+    doc="Least-cost path reconstruction: each non-seed cell gets ONE "
+    "backlink (min-id predecessor with dist(u)+w == dist(t); weights "
+    ">= 1 make dist strictly decrease, so chains can't cycle), then "
+    "the corridor from the farthest cell is a bounded pointer-chase. "
+    "The backlink raster is a single dist-edges-dist equi-join (no "
+    "iteration, valid for any corridor); the oracle follows the same "
+    "pointers with a one-row-per-step recursive CTE.",
+)
+def q_least_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cost_ops.least_cost_path(spark, _tiles(spark, sf_dir))
