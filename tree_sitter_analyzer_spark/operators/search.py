@@ -427,3 +427,49 @@ mmr_sims AS MATERIALIZED (
 SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel_milli, max_sim_milli,
        mmr_score
 FROM ({union})"""
+
+
+# ---------------------------------------------------------------------------
+# R124: per-document keyword extraction — top-3 TF-IDF terms per doc
+# (the keyword/tag generation stage of a corpus pipeline). Weight =
+# tf · (10^6 DIV df), the same reciprocal-df integer IDF as the ranked
+# searches; rank ties break by token text, so the per-doc top-3 is
+# fully deterministic. Shape: token-frame groupBy (doc-keyed) + one
+# df rollup broadcast back + one doc-keyed window — no corpus-wide sort.
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def doc_keywords(docs: DataFrame, k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """(doc_id, kw_rank, tok, weight): top-k TF-IDF tokens per doc."""
+    toks = _doc_tokens(docs).localCheckpoint(eager=False)
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("tok")
+    )
+    return (
+        toks.join(dfreq, "tok")
+        .withColumn("weight", F.expr("tf * (1000000 DIV df)"))
+        .withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= k)
+        .select("doc_id", "kw_rank", "tok", "weight")
+    )
+
+
+def doc_keywords_oracle(k: int = KEYWORDS_PER_DOC) -> str:
+    return f"""
+WITH kw_toks AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+kw_df AS (SELECT tok, count(*) AS df FROM kw_toks GROUP BY 1),
+kw_w AS (
+  SELECT t.doc_id, t.tok, t.tf * (1000000 // d.df) AS weight,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf * (1000000 // d.df) DESC, t.tok)
+           AS kw_rank
+  FROM kw_toks t JOIN kw_df d USING (tok))
+SELECT doc_id, CAST(kw_rank AS INT) AS kw_rank, tok, weight
+FROM kw_w WHERE kw_rank <= {k}"""

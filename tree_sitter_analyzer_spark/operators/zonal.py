@@ -1589,3 +1589,83 @@ FROM ai_zc c
 JOIN ai_zt z USING (polygon_id)
 JOIN ai_pop p USING (polygon_id)
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# R125: zone shape statistics — discrete area/perimeter/compactness of
+# each zone's occupied res-9 cell set. Perimeter counts exposed 4-edges:
+# P = 4·n − 2·adj, where adj = rook-adjacent pairs found by TWO one-sided
+# shifted equi-joins (+x and +y; one-sided ⇒ each undirected pair exactly
+# once — the reference-point discipline), never an all-pairs test.
+# Compactness is the Polsby-Popper score 4π·A/P² in exact cross-
+# multiplied integer milli (π enters ×10^9 as an integer literal, so no
+# float ever exists: milli = 4·3141592653·n DIV (10^6 · P²)).
+# ---------------------------------------------------------------------------
+
+_PI_E9 = 3_141_592_653  # floor(π·1e9): fixed integer literal on both engines
+
+
+def zone_shape(tiles: DataFrame, zones: DataFrame, res: int = 9) -> DataFrame:
+    """(polygon_id, n_cells, n_adj, perimeter, compact_milli)."""
+    matched = pip_join(tiles, zones, res=res)
+    cells = (
+        matched.select(
+            "polygon_id",
+            F.expr(grid.ix_sql("lon", res)).alias("ix"),
+            F.expr(grid.iy_sql("lat", res)).alias("iy"),
+        )
+        .dropDuplicates(["polygon_id", "ix", "iy"])
+        .localCheckpoint(eager=False)
+    )
+    n = cells.groupBy("polygon_id").agg(F.count("*").alias("n_cells"))
+    b = cells.select(
+        F.col("polygon_id").alias("b_pid"),
+        F.col("ix").alias("bx"),
+        F.col("iy").alias("by"),
+    )
+    adj = None
+    for dx, dy in ((1, 0), (0, 1)):  # one-sided: each pair once
+        e = cells.join(
+            b,
+            (F.col("polygon_id") == F.col("b_pid"))
+            & (F.col("ix") + F.lit(dx) == F.col("bx"))
+            & (F.col("iy") + F.lit(dy) == F.col("by")),
+        ).select("polygon_id")
+        adj = e if adj is None else adj.unionByName(e)
+    na = adj.groupBy("polygon_id").agg(F.count("*").alias("n_adj"))
+    return (
+        n.join(na, "polygon_id", "left")
+        .withColumn("n_adj", F.expr("coalesce(n_adj, CAST(0 AS BIGINT))"))
+        .withColumn("perimeter", F.expr("4 * n_cells - 2 * n_adj"))
+        .withColumn(
+            "compact_milli",
+            F.expr(
+                f"(4 * {_PI_E9} * n_cells)"
+                " DIV (1000000 * perimeter * perimeter)"
+            ),
+        )
+    )
+
+
+def zone_shape_oracle_sql(res: int = 9) -> str:
+    ix = grid.ix_sql("t.lon", res)
+    iy = grid.iy_sql("t.lat", res)
+    return f"""zs_cells AS (
+  SELECT DISTINCT z.polygon_id, {ix} AS ix, {iy} AS iy
+  FROM {pip_oracle_join_sql()}),
+zs_n AS (SELECT polygon_id, count(*) AS n_cells FROM zs_cells GROUP BY 1),
+zs_adj AS (
+  SELECT a.polygon_id, count(*) AS n_adj FROM (
+    SELECT a.polygon_id, a.ix, a.iy FROM zs_cells a JOIN zs_cells b
+      ON a.polygon_id = b.polygon_id AND b.ix = a.ix + 1 AND b.iy = a.iy
+    UNION ALL
+    SELECT a.polygon_id, a.ix, a.iy FROM zs_cells a JOIN zs_cells b
+      ON a.polygon_id = b.polygon_id AND b.ix = a.ix AND b.iy = a.iy + 1
+  ) a GROUP BY 1)
+SELECT n.polygon_id, n.n_cells,
+       coalesce(j.n_adj, 0) AS n_adj,
+       4 * n.n_cells - 2 * coalesce(j.n_adj, 0) AS perimeter,
+       (4 * {_PI_E9} * n.n_cells)
+         // (1000000 * (4 * n.n_cells - 2 * coalesce(j.n_adj, 0))
+             * (4 * n.n_cells - 2 * coalesce(j.n_adj, 0))) AS compact_milli
+FROM zs_n n LEFT JOIN zs_adj j USING (polygon_id)"""

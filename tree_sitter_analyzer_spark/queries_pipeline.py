@@ -781,3 +781,15 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.mmr_search(_docs(spark, sf_dir), SEARCH_QUERY)
+
+
+@register(
+    "doc_keywords",
+    search_ops.doc_keywords_oracle(),
+    doc="Per-document keyword extraction: top-3 TF-IDF tokens (integer "
+    "reciprocal-df weight, token-text tie-break) — the tag-generation "
+    "stage of a corpus pipeline. One token groupBy, one df rollup, one "
+    "doc-keyed window; never a corpus-wide sort.",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.doc_keywords(_docs(spark, sf_dir))

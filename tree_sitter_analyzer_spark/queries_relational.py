@@ -2288,3 +2288,92 @@ def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from_us").over(wi).isNull().alias("is_current"),
     )
+
+
+@register(
+    "rfm_segments",
+    f"""
+WITH rf_base AS (
+  SELECT c.c_custkey,
+         date_diff('day', max(o.o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(floor(o.o_totalprice * 100e0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1),
+rf_n AS (SELECT count(*) AS n FROM rf_base),
+rf_ranked AS (
+  SELECT b.*,
+         row_number() OVER (ORDER BY recency_days ASC, c_custkey) AS rr,
+         row_number() OVER (ORDER BY frequency DESC, c_custkey) AS fr,
+         row_number() OVER (ORDER BY monetary_cents DESC, c_custkey) AS mr,
+         n.n
+  FROM rf_base b CROSS JOIN rf_n n)
+SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(3 - (3 * (rr - 1)) // n AS BIGINT) AS r_score,
+       CAST(3 - (3 * (fr - 1)) // n AS BIGINT) AS f_score,
+       CAST(3 - (3 * (mr - 1)) // n AS BIGINT) AS m_score,
+       CAST((3 - (3 * (rr - 1)) // n) * 100 + (3 - (3 * (fr - 1)) // n) * 10
+            + (3 - (3 * (mr - 1)) // n) AS BIGINT) AS segment
+FROM rf_ranked
+""",
+    doc="RFM customer segmentation: recency (days to the corpus max order "
+    "date, NTZ-safe day diff), frequency, integer-cents monetary, each "
+    "cut into data-derived terciles via unique-ranked row_number (3 - "
+    "3*(rank-1) DIV n — no ntile, whose tie behavior diverges across "
+    "engines), composed into the classic 111-333 segment code. One "
+    "customer-keyed aggregate + three windows over the same frame.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .crossJoin(F.broadcast(mx))
+        .groupBy("c_custkey")
+        .agg(
+            F.expr("datediff(max(mxd), max(o_orderdate))")
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100e0) AS BIGINT)")
+            ).alias("monetary_cents"),
+        )
+    )
+    n = base.agg(F.count("*").alias("n"))
+    ranked = (
+        base.crossJoin(F.broadcast(n))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.asc("recency_days"), "c_custkey")
+            ),
+        )
+        .withColumn(
+            "fr",
+            F.row_number().over(
+                Window.orderBy(F.desc("frequency"), "c_custkey")
+            ),
+        )
+        .withColumn(
+            "mr",
+            F.row_number().over(
+                Window.orderBy(F.desc("monetary_cents"), "c_custkey")
+            ),
+        )
+    )
+    return ranked.selectExpr(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "CAST(3 - (3 * (rr - 1)) DIV n AS BIGINT) AS r_score",
+        "CAST(3 - (3 * (fr - 1)) DIV n AS BIGINT) AS f_score",
+        "CAST(3 - (3 * (mr - 1)) DIV n AS BIGINT) AS m_score",
+        "CAST((3 - (3 * (rr - 1)) DIV n) * 100 + (3 - (3 * (fr - 1)) DIV n)"
+        " * 10 + (3 - (3 * (mr - 1)) DIV n) AS BIGINT) AS segment",
+    )

@@ -1877,3 +1877,17 @@ def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_least_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cost_ops.least_cost_path(spark, _tiles(spark, sf_dir))
+
+
+@register(
+    "zone_shape",
+    f"{_CTES},\n{zonal.zone_shape_oracle_sql(9)}",
+    doc="Zone shape statistics: discrete area (occupied res-9 cells), "
+    "perimeter (exposed 4-edges, P = 4n - 2*adj with adjacency from two "
+    "one-sided shifted equi-joins — each rook pair counted once), and "
+    "Polsby-Popper compactness 4*pi*A/P^2 in exact cross-multiplied "
+    "integer milli (pi enters as the integer literal floor(pi*1e9); no "
+    "float exists on either engine).",
+)
+def q_zone_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.zone_shape(_tiles(spark, sf_dir), synth.zones_df(spark), res=9)
