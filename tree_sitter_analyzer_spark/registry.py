@@ -140,10 +140,37 @@ GATE_ORDER = [
     # overlay/CC composition is new), event_hopping_counts →
     # emerging_hotspots (time windows keep session_window_stats +
     # event_sessions; space-time trend is new).
+    # Continuation-3 rotation (R114-R126 families in, in-gate redundancy
+    # out; every rotated-out query stays sweep+pytest-oracled):
+    # colocation_pairs → convoy_pairs (the convoy is the contact join
+    # PLUS gaps-and-islands persistence — a strict superset of the
+    # co-location mechanics), revenue_by_nation → product_profit (simple
+    # star joins stay via pricing_summary; TPC-H Q9's both-key
+    # fact⋈partsupp is new), cost_distance → least_cost_path (surface +
+    # backlink raster + corridor trace supersets the plain surface),
+    # token_lift → mmr_diversified (pair-fan association mechanics stay
+    # via cross_k_pairs; the greedy diversified rerank composes BM25 +
+    # Jaccard — a new retrieval family), getis_ord → fuzzy_dup_pairs
+    # (Gi* stays via emerging_hotspots, the same statistic over time;
+    # edit-distance ER blocking is a new dedup tier), dedup_exact →
+    # repetition_stats (dedup_exact is legitimately VACUOUS at the
+    # gate's sf0.01 — a wasted slot; exact dedup stays via
+    # dedup_clusters + the sf0.1-pinned sweep row, and the Gopher
+    # repetition rules are a new first-class pipeline family).
     "bfs_khop",
     "connected_components", "pagerank3",
     "dbscan_clusters",
 ]
+
+_ROTATIONS = {
+    "colocation_pairs": "convoy_pairs",
+    "revenue_by_nation": "product_profit",
+    "cost_distance": "least_cost_path",
+    "token_lift": "mmr_diversified",
+    "getis_ord": "fuzzy_dup_pairs",
+    "dedup_exact": "repetition_stats",
+}
+GATE_ORDER = [_ROTATIONS.get(n, n) for n in GATE_ORDER]
 
 
 def load_all() -> dict[str, Query]:
