@@ -694,3 +694,112 @@ fz_cand AS (
 )
 SELECT a_id, b_id, CAST(levenshtein(a_text, b_text) AS INT) AS lev
 FROM fz_cand WHERE levenshtein(a_text, b_text) <= {lev_max}"""
+
+
+# ---------------------------------------------------------------------------
+# R128: test-set decontamination (the GPT-3/Gopher n-gram-collision
+# protocol, Brown 2020 appx C / Rae 2021 — public papers): before
+# training, every TRAIN document is checked for verbatim n-gram overlap
+# with a HOLDOUT/benchmark split, and flagged (or scrubbed) on collision.
+# Here the split is deterministic and engine-reproducible
+# (doc_id % 10 == 0 → holdout), the n-gram is a token 5-gram formed by
+# ONE doc-keyed lead() window (the repetition_stats discipline — no
+# arrays, no lambdas), and grams travel as md5int BIGINT hashes so the
+# shuffle rows stay narrow (8 bytes, not ~40-char strings) at 100 TB.
+# Collision accounting is per DISTINCT train-doc gram (a doc repeating a
+# contaminated gram isn't double-counted); the join is a broadcast-able
+# semi-shaped left join against the DISTINCT holdout gram set.
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # token n-gram order (the GPT-3 paper uses 13; the synthetic
+#              docs are ~40-120 tokens of a 31-word vocab, so 5 keeps the
+#              collision rate informative instead of saturating at 0)
+DECON_HOLDOUT_MOD = 10  # doc_id % 10 == 0 → holdout split
+
+
+def decontamination(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_hit, hit_milli, contaminated) for every TRAIN
+    doc with at least one 5-gram — n_hit counts its distinct 5-grams that
+    also appear anywhere in the holdout split."""
+    from pyspark.sql.window import Window
+
+    from ..functions import md5int_spark
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .where(F.col("tok") != "")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "g5",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+                F.lead("tok", 4).over(w),
+            ),
+        )
+        .withColumn("n_tokens", F.max("rn").over(Window.partitionBy("doc_id")))
+        .where(F.col("rn") <= F.col("n_tokens") - (DECON_N - 1))
+        .select("doc_id", F.expr(md5int_spark("g5")).alias("gh"))
+    )
+    holdout = (
+        grams.where(F.col("doc_id") % DECON_HOLDOUT_MOD == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("doc_id") % DECON_HOLDOUT_MOD != 0).distinct()
+    return (
+        train.join(F.broadcast(holdout), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            "(1000 * n_hit) DIV n_grams AS hit_milli",
+            "n_hit > 0 AS contaminated",
+        )
+    )
+
+
+def decontamination_oracle() -> str:
+    from ..functions import md5int_duck
+
+    n = DECON_N
+    return f"""
+WITH dc_tok AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''),
+dc_n AS (SELECT doc_id, max(rn) AS n_tokens FROM dc_tok GROUP BY 1),
+dc_g AS (
+  SELECT t.doc_id,
+         {md5int_duck("tok || ' ' || lead(tok, 1) OVER w || ' ' || "
+                      "lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w "
+                      "|| ' ' || lead(tok, 4) OVER w")} AS gh,
+         t.rn, n.n_tokens
+  FROM dc_tok t JOIN dc_n n USING (doc_id)
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.rn)),
+dc_k AS (SELECT doc_id, gh FROM dc_g WHERE rn <= n_tokens - {n - 1}),
+dc_hold AS (SELECT DISTINCT gh FROM dc_k
+            WHERE doc_id % {DECON_HOLDOUT_MOD} = 0),
+dc_train AS (SELECT DISTINCT doc_id, gh FROM dc_k
+             WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0)
+SELECT t.doc_id, count(*) AS n_grams,
+       count(h.gh) AS n_hit,
+       (1000 * count(h.gh)) // count(*) AS hit_milli,
+       count(h.gh) > 0 AS contaminated
+FROM dc_train t LEFT JOIN dc_hold h USING (gh)
+GROUP BY 1"""

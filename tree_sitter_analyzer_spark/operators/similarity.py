@@ -611,3 +611,127 @@ SELECT query_id, rank, vec_id, cos_micro FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --- Product quantization (PQ/ADC) variant ----------------------------------
+#
+# R129: the fourth ANN tier (Jégou 2011 "Product Quantization for Nearest
+# Neighbor Search" — public paper), completing the quartet: brute =
+# exactness, sign-LSH = hash buckets, IVF = coarse partitions, PQ =
+# compressed-domain scan. Vectors are cut into PQ_M subspaces; each
+# subvector is replaced by the id of its nearest codebook centroid (integer
+# L2 over the quantized ints, centroid-id tie-break), so a 64-dim float
+# vector becomes PQ_M bytes. A query never touches the raw vectors: it
+# precomputes an ADC lookup table (query-subvector → centroid distance,
+# PQ_M·PQ_K integers) and scores every database vector by summing PQ_M
+# table entries — here an equi-join of the code frame against the
+# broadcast table on (subspace, code), i.e. the compressed-domain scan is
+# a narrow join, not a math kernel. The codebook is the first PQ_K
+# vectors' subvectors (the IVF first-N discipline — deterministic, so the
+# DuckDB oracle rebuilds codes, tables, and scores bit-for-bit; swap in
+# sampled k-means per subspace at production scale, mechanics unchanged).
+# At 10^12 rows the code frame is ~PQ_M·8 bytes/vector — the thing you
+# keep hot while raw vectors stay cold.
+
+PQ_M = 8  # subspaces (64-dim → 8 dims each)
+PQ_K = 16  # centroids per subspace codebook
+
+
+def _pq_subvectors(q: DataFrame) -> DataFrame:
+    """(vec_id, s, sub) — the quantized vector cut into PQ_M slices.
+    posexplode materializes the slice as a generator output attribute, so
+    downstream lambdas bind to the exploded column (the winnow
+    Catalyst-recompute trap never applies)."""
+    dim = 64 // PQ_M
+    slices = F.array(*[F.slice("qv", s * dim + 1, dim) for s in range(PQ_M)])
+    return q.select(
+        "vec_id", F.posexplode(slices).alias("s", "sub")
+    )
+
+
+_SUB_D2 = (
+    "aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
+
+def ann_pq_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """PQ-ADC approximate top-k: (query_id, rank, vec_id, adc_d2) — the k
+    database vectors with the smallest summed ADC distance per query
+    (self excluded, vec_id tie-break). Exact integer arithmetic end to
+    end: the oracle replays codebook assignment, table build, and the
+    compressed-domain scan identically."""
+    q = _quantized(emb)
+    subs = _pq_subvectors(q)
+    cents = F.broadcast(
+        _pq_subvectors(q.where(F.col("vec_id") < PQ_K)).select(
+            F.col("vec_id").alias("cid"), "s", F.col("sub").alias("cvec")
+        )
+    )
+    codes = (
+        subs.join(cents, "s")
+        .withColumn("d2", F.expr(_SUB_D2))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("code"))
+    )
+    qtab = F.broadcast(
+        _pq_subvectors(q.where(F.col("vec_id") < n_queries))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(cents, "s")
+        .withColumn("qd2", F.expr(_SUB_D2))
+        .select("query_id", "s", "cid", "qd2")
+    )
+    adc = (
+        codes.join(qtab, (codes.s == qtab.s) & (codes.code == qtab.cid))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    win = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"),
+            "vec_id", "adc_d2",
+        )
+    )
+
+
+def ann_pq_oracle(n_queries: int = 5, k: int = 5) -> str:
+    dim = 64 // PQ_M
+    return f"""
+WITH pq_v AS (
+  SELECT vec_id, (j - 1) // {dim} AS s, (j - 1) % {dim} AS p,
+         CAST(floor(e * {QUANT}e0) AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings)),
+pq_c AS (SELECT vec_id AS cid, s, p, x AS cx FROM pq_v
+         WHERE vec_id < {PQ_K}),
+pq_d AS (
+  SELECT v.vec_id, v.s, c.cid,
+         sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+  FROM pq_v v JOIN pq_c c ON c.s = v.s AND c.p = v.p
+  GROUP BY 1, 2, 3),
+pq_code AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, cid) AS rk
+    FROM pq_d) WHERE rk = 1),
+pq_q AS (SELECT vec_id AS query_id, s, cid, d2 AS qd2 FROM pq_d
+         WHERE vec_id < {n_queries}),
+pq_adc AS (
+  SELECT q.query_id, v.vec_id, sum(q.qd2) AS adc_d2
+  FROM pq_code v JOIN pq_q q ON q.s = v.s AND q.cid = v.code
+  WHERE v.vec_id <> q.query_id
+  GROUP BY 1, 2)
+SELECT query_id, rank, vec_id, adc_d2 FROM (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rank
+  FROM pq_adc) WHERE rank <= {k}"""

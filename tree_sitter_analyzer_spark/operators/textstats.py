@@ -295,3 +295,85 @@ SELECT doc_id, n_tokens, top2_milli, top3_milli, rep5_milli,
          AND top3_milli <= {GOPHER_TOP3_MAX_MILLI}
          AND rep5_milli <= {GOPHER_REP5_MAX_MILLI} AS gopher_pass
 FROM rp_m"""
+
+
+# ---------------------------------------------------------------------------
+# R127: unigram surprisal filter (the CCNet/Wenzek 2020 perplexity-band
+# idea — public paper — with the LM replaced by the corpus's own unigram
+# model, and log2 replaced by the exact integer bit-length so both engines
+# compute bit-identical values): per-token surprisal is defined as
+#   bits(tok) = bit_length(N DIV cnt(tok)) - 1  ==  floor(log2(N DIV cnt))
+# (N = corpus token occurrences). A doc's mean surprisal separates
+# boilerplate (head-token-heavy, low bits) from rare-token noise (high
+# bits); CCNet keeps the MIDDLE band. No float log exists on either side:
+# Spark spells bit_length as length(bin(x)), DuckDB as
+# length(format('{:b}', x)).
+# Scale shape: one token explode (doc-keyed window NOT needed — bag of
+# words), one tiny vocab aggregate (broadcast back), one doc-keyed
+# aggregate. The vocab frame is bounded by the corpus vocabulary;
+# the scalar N rides a one-row broadcast.
+# Band thresholds were calibrated on the synthetic corpus so all three
+# bands are populated at sf0.001 AND sf0.01 (observed mean_bits_milli
+# range 4000-4500, median ~4028).
+# ---------------------------------------------------------------------------
+
+SURPRISAL_LO_MILLI = 4015
+SURPRISAL_HI_MILLI = 4060
+
+
+def surprisal_filter(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_bits_milli, max_bits, band, keep) per doc —
+    integer unigram surprisal in milli-bits, CCNet-style middle-band keep.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("nn"))
+    bits = cnt.crossJoin(F.broadcast(n)).selectExpr(
+        "tok", "length(bin(nn DIV c)) - 1 AS bits"
+    )
+    return (
+        toks.join(F.broadcast(bits), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("(1000 * sum(bits)) DIV count(*)").alias("mean_bits_milli"),
+            F.max("bits").alias("max_bits"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "mean_bits_milli",
+            "max_bits",
+            f"CASE WHEN mean_bits_milli < {SURPRISAL_LO_MILLI} "
+            f"THEN 'predictable' WHEN mean_bits_milli <= "
+            f"{SURPRISAL_HI_MILLI} THEN 'keep' ELSE 'rare_heavy' END AS band",
+            f"mean_bits_milli >= {SURPRISAL_LO_MILLI} AND mean_bits_milli "
+            f"<= {SURPRISAL_HI_MILLI} AS keep",
+        )
+    )
+
+
+def surprisal_oracle() -> str:
+    return f"""
+WITH sp_tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+sp_cnt AS (SELECT tok, count(*) AS c FROM sp_tok GROUP BY 1),
+sp_n AS (SELECT count(*) AS nn FROM sp_tok),
+sp_bits AS (
+  SELECT tok, length(format('{{:b}}', nn // c)) - 1 AS bits
+  FROM sp_cnt CROSS JOIN sp_n)
+SELECT t.doc_id, count(*) AS n_tokens,
+       (1000 * sum(b.bits)) // count(*) AS mean_bits_milli,
+       max(b.bits) AS max_bits,
+       CASE WHEN (1000 * sum(b.bits)) // count(*) < {SURPRISAL_LO_MILLI}
+            THEN 'predictable'
+            WHEN (1000 * sum(b.bits)) // count(*) <= {SURPRISAL_HI_MILLI}
+            THEN 'keep' ELSE 'rare_heavy' END AS band,
+       (1000 * sum(b.bits)) // count(*) >= {SURPRISAL_LO_MILLI}
+         AND (1000 * sum(b.bits)) // count(*) <= {SURPRISAL_HI_MILLI} AS keep
+FROM sp_tok t JOIN sp_bits b USING (tok)
+GROUP BY 1"""

@@ -793,3 +793,52 @@ def q_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.doc_keywords(_docs(spark, sf_dir))
+
+
+# --- R127-R129: surprisal filter, decontamination, PQ ANN --------------------
+
+@register(
+    "surprisal_filter",
+    textstats.surprisal_oracle(),
+    doc="CCNet-style perplexity-band filter (Wenzek 2020) with the LM "
+    "replaced by the corpus's own unigram model and log2 by the exact "
+    "integer bit-length (Spark length(bin(x)), DuckDB "
+    "length(format('{:b}',x))): per-doc mean token surprisal in "
+    "milli-bits, keep = the middle band — boilerplate (low bits) and "
+    "rare-token noise (high bits) both drop. One explode, one "
+    "vocab-bounded broadcast aggregate, one doc-keyed aggregate; no "
+    "float log on either engine.",
+)
+def q_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.surprisal_filter(_docs(spark, sf_dir))
+
+
+@register(
+    "decontamination",
+    dedup.decontamination_oracle(),
+    doc="Test-set decontamination (GPT-3 appx C / Gopher protocol): every "
+    "TRAIN doc (doc_id%10 != 0) is scored for verbatim token-5-gram "
+    "overlap with the deterministic HOLDOUT split (doc_id%10 == 0); "
+    "n-grams travel as md5int bigints (8-byte shuffle rows), collisions "
+    "counted per distinct train-doc gram via a broadcast left join "
+    "against the distinct holdout gram set. One doc-keyed lead() window "
+    "forms the grams (the repetition_stats discipline).",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.decontamination(_docs(spark, sf_dir))
+
+
+@register(
+    "ann_pq_topk",
+    similarity.ann_pq_oracle(5, 5),
+    doc="Product-quantization ADC top-5 (Jegou 2011), the fourth ANN "
+    "tier: vectors become 8 sub-codebook codes (first-16 deterministic "
+    "codebook, integer L2, cid tie-break); queries precompute the "
+    "8x16-entry ADC table and the compressed-domain scan is an "
+    "equi-join of the code frame against the broadcast table on "
+    "(subspace, code) + a sum — no raw vector is touched at query "
+    "time. Fully integer, so the oracle rebuilds codes, tables, and "
+    "rankings bit-for-bit.",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_pq_topk(_emb(spark, sf_dir), 5, 5)

@@ -1891,3 +1891,19 @@ def q_least_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_zone_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.zone_shape(_tiles(spark, sf_dir), synth.zones_df(spark), res=9)
+
+
+@register(
+    "gabriel_graph",
+    f"{_CTES},{pp_ops.gabriel_oracle_sql(8)}",
+    doc="Distance-banded Gabriel graph (Gabriel-Sokal 1969) over occupied "
+    "res-8 cells: edge (u,v) iff no occupied cell lies strictly inside "
+    "the circle with diameter uv (doubled-coordinate integer witness "
+    "test, d2 <= 9 band). Pair candidates via the one-sided packed-key "
+    "offset fan; witness candidates pruned in Python to the <=6 offsets "
+    "per pair shape that can geometrically kill the edge, then one "
+    "equi-join + anti-join — the naive all-pairs NOT-EXISTS oracle "
+    "proves both prunings lossless.",
+)
+def q_gabriel_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.gabriel_graph(_tiles(spark, sf_dir), res=8)
