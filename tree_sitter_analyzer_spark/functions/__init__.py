@@ -18,6 +18,14 @@ def md5int_duck(x: str) -> str:
     return f"CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
 
 
+def md5int_py(s: str) -> int:
+    """Pure-python mirror of md5int_spark/md5int_duck — for the
+    independent test references."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def bit_spark(h: str, k: int) -> str:
     return f"(CASE WHEN (shiftright({h}, {k}) & 1) = 1 THEN 1 ELSE -1 END)"
 

@@ -377,3 +377,147 @@ SELECT t.doc_id, count(*) AS n_tokens,
          AND (1000 * sum(b.bits)) // count(*) <= {SURPRISAL_HI_MILLI} AS keep
 FROM sp_tok t JOIN sp_bits b USING (tok)
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# R132: DSIR-style importance weights (Xie 2023 "Data Selection for
+# Language Models via Importance Resampling" — public paper): each TRAIN
+# doc is scored by how much its hashed-bigram distribution looks like the
+# TARGET (holdout) distribution vs the raw pool. The published method
+# weights by the log-likelihood ratio under two hashed-n-gram bag models;
+# this integer re-expression uses the per-bucket Laplace-smoothed
+# likelihood RATIO in milli (arithmetic mean over the doc's gram
+# instances instead of the geometric mean — monotone in the same
+# direction, exact cross-engine):
+#   lr_milli(b) = 1000·(t_b+1)·(R+B) DIV ((r_b+1)·(T+B))
+#   imp_milli(doc) = Σ_g lr_milli(bucket(g)) DIV n_grams
+# keep = imp_milli >= 1000 ("more target-like than pool-average";
+# threshold calibrated non-vacuous at sf0.001 AND sf0.01: ~27-33 of 450
+# train docs pass). Scale shape: grams hash to B=1024 buckets, the
+# bucket stats frame is one tiny two-sided aggregate broadcast back —
+# the doc score pass is a narrow broadcast join, no shuffle of text.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_HOLDOUT_MOD = 10  # same deterministic split as decontamination
+DSIR_KEEP_MILLI = 1000
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, imp_milli, keep) per TRAIN doc with >= 1 bigram."""
+    from pyspark.sql.window import Window
+
+    from ..functions import md5int_spark
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .where(F.col("tok") != "")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("g2", F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)))
+        .withColumn("n_tokens", F.max("rn").over(Window.partitionBy("doc_id")))
+        .where(F.col("rn") <= F.col("n_tokens") - 1)
+        .select(
+            "doc_id",
+            F.expr(f"({md5int_spark('g2')}) % {DSIR_BUCKETS}").alias("b"),
+        )
+    )
+    buckets = grams.groupBy("b").agg(
+        F.sum(
+            F.expr(f"CASE WHEN doc_id % {DSIR_HOLDOUT_MOD} = 0 "
+                   "THEN 1 ELSE 0 END")
+        ).alias("t_b"),
+        F.sum(
+            F.expr(f"CASE WHEN doc_id % {DSIR_HOLDOUT_MOD} <> 0 "
+                   "THEN 1 ELSE 0 END")
+        ).alias("r_b"),
+    )
+    tot = buckets.agg(
+        F.sum("t_b").alias("tt"), F.sum("r_b").alias("rr")
+    )
+    lr = buckets.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        f"(1000 * (t_b + 1) * (rr + {DSIR_BUCKETS})) DIV "
+        f"((r_b + 1) * (tt + {DSIR_BUCKETS})) AS lr_milli",
+    )
+    return (
+        grams.where(F.col("doc_id") % DSIR_HOLDOUT_MOD != 0)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.expr("sum(lr_milli) DIV count(*)").alias("imp_milli"),
+        )
+        .selectExpr(
+            "doc_id", "n_grams", "imp_milli",
+            f"imp_milli >= {DSIR_KEEP_MILLI} AS keep",
+        )
+    )
+
+
+def dsir_oracle() -> str:
+    from ..functions import md5int_duck
+
+    gh = md5int_duck("g2")
+    return f"""
+WITH ds_tok AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''),
+ds_n AS (SELECT doc_id, max(rn) AS n_tokens FROM ds_tok GROUP BY 1),
+ds_g AS (
+  SELECT t.doc_id, ({gh}) % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, rn,
+               tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id
+                                                ORDER BY rn) AS g2
+        FROM ds_tok) t
+  JOIN ds_n n USING (doc_id)
+  WHERE t.rn <= n.n_tokens - 1),
+ds_b AS (
+  SELECT b,
+         sum(CASE WHEN doc_id % {DSIR_HOLDOUT_MOD} = 0 THEN 1 ELSE 0 END)
+           AS t_b,
+         sum(CASE WHEN doc_id % {DSIR_HOLDOUT_MOD} <> 0 THEN 1 ELSE 0 END)
+           AS r_b
+  FROM ds_g GROUP BY 1),
+ds_tot AS (SELECT sum(t_b) AS tt, sum(r_b) AS rr FROM ds_b),
+ds_lr AS (
+  SELECT b, (1000 * (t_b + 1) * (rr + {DSIR_BUCKETS}))
+              // ((r_b + 1) * (tt + {DSIR_BUCKETS})) AS lr_milli
+  FROM ds_b CROSS JOIN ds_tot)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum(l.lr_milli) // count(*) AS imp_milli,
+       sum(l.lr_milli) // count(*) >= {DSIR_KEEP_MILLI} AS keep
+FROM ds_g g JOIN ds_lr l USING (b)
+WHERE g.doc_id % {DSIR_HOLDOUT_MOD} <> 0
+GROUP BY 1"""
+
+
+def quality_oracle_ctes(prefix: str = "qq") -> str:
+    """The text_stats quality score as splice-able CTEs
+    ``{prefix}_q(doc_id, quality)`` — for oracles that compose quality
+    with other suites (dedup_survivors)."""
+    return f"""{prefix}_base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         text
+  FROM documents),
+{prefix}_cnt AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         len(list_distinct(ws)) AS n_distinct_tokens,
+         {_count_words_duck(STOPWORDS)} AS n_stop
+  FROM {prefix}_base),
+{prefix}_q AS (
+  SELECT doc_id,
+         CAST(floor(
+           (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 30e0
+                 WHEN n_tokens BETWEEN 5 AND 400 THEN 15e0 ELSE 0e0 END)
+         + 40e0 * (1e0 - least(1e0, 3e0 * n_stop / n_tokens))
+         + 30e0 * n_distinct_tokens / n_tokens
+         ) AS BIGINT) AS quality
+  FROM {prefix}_cnt)"""

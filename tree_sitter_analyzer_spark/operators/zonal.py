@@ -1669,3 +1669,109 @@ SELECT n.polygon_id, n.n_cells,
          // (1000000 * (4 * n.n_cells - 2 * coalesce(j.n_adj, 0))
              * (4 * n.n_cells - 2 * coalesce(j.n_adj, 0))) AS compact_milli
 FROM zs_n n LEFT JOIN zs_adj j USING (polygon_id)"""
+
+
+# ---------------------------------------------------------------------------
+# R131: two-step floating catchment area (2SFCA, Luo & Wang 2003 — the
+# standard spatial-accessibility measure; public literature). Step 1:
+# every SUPPLY cell j (occupied res-FCA_RES cell with >= FCA_SUP_THR
+# tiles, capacity = its count) gets a supply-demand ratio
+#   R_j = 10^6 · S_j DIV (Σ pop of demand cells within its catchment).
+# Step 2: every DEMAND cell i sums the R_j of supply cells whose
+# catchment reaches it: A_i = Σ R_j. Catchment = Chebyshev <= FCA_RADIUS.
+#
+# Scale shape: the DEMAND frame (the big side) NEVER fans — both steps
+# fan the supply-derived frame by the fixed (2r+1)² offset grid and
+# equi-join on the packed cell key (the semivariogram discipline). All
+# integer; conservation Σ_i pop_i·A_i ∈ (10^6·ΣS − Σdpop, 10^6·ΣS] is
+# pinned in tests (each floor loses < 1 per unit of catchment pop).
+# ---------------------------------------------------------------------------
+
+FCA_RES = 7
+FCA_SUP_THR = 4
+FCA_RADIUS = 2
+_FCA_PACK = 268_435_456
+
+
+def _fca_offsets(r: int = FCA_RADIUS) -> str:
+    return ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+    )
+
+
+def accessibility_2sfca(
+    tiles: DataFrame,
+    res: int = FCA_RES,
+    sup_thr: int = FCA_SUP_THR,
+    radius: int = FCA_RADIUS,
+) -> DataFrame:
+    """(cx, cy, pop, n_supply, a_micro) per occupied res-``res`` cell —
+    integer 2SFCA accessibility of every demand cell."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("pop"))
+        .localCheckpoint(eager=False)
+    )
+    home = occ.select(
+        F.expr(f"cx * {_FCA_PACK} + cy").alias("key"), F.col("pop")
+    )
+    offs = _fca_offsets(radius)
+    fan_s = (
+        occ.where(F.col("pop") >= sup_thr)
+        .withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .select(
+            F.col("cx").alias("sx"), F.col("cy").alias("sy"),
+            F.col("pop").alias("s_n"),
+            F.expr(f"(cx + o.dx) * {_FCA_PACK} + (cy + o.dy)").alias("key"),
+        )
+    )
+    rj = (
+        fan_s.join(home, "key")
+        .groupBy("sx", "sy", "s_n")
+        .agg(F.sum("pop").alias("dpop"))
+        .selectExpr("sx", "sy", "(1000000 * s_n) DIV dpop AS r")
+    )
+    fan_r = rj.withColumn("o", F.explode(F.expr(f"array({offs})"))).select(
+        F.expr(f"(sx + o.dx) * {_FCA_PACK} + (sy + o.dy)").alias("key"),
+        "r",
+    )
+    return (
+        occ.select(
+            "cx", "cy", "pop", F.expr(f"cx * {_FCA_PACK} + cy").alias("key")
+        )
+        .join(fan_r, "key", "left")
+        .groupBy("cx", "cy", "pop")
+        .agg(
+            F.count("r").alias("n_supply"),
+            F.coalesce(F.sum("r"), F.lit(0)).alias("a_micro"),
+        )
+    )
+
+
+def accessibility_2sfca_oracle(
+    res: int = FCA_RES, sup_thr: int = FCA_SUP_THR, radius: int = FCA_RADIUS
+) -> str:
+    """Naive band-join mirror (splice after a CTE list providing tiles)."""
+    return f"""
+fca_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS pop
+  FROM tiles GROUP BY 1, 2),
+fca_rj AS (
+  SELECT s.cx, s.cy,
+         (1000000 * s.pop) // sum(d.pop) AS r
+  FROM fca_occ s JOIN fca_occ d
+    ON abs(d.cx - s.cx) <= {radius} AND abs(d.cy - s.cy) <= {radius}
+  WHERE s.pop >= {sup_thr}
+  GROUP BY s.cx, s.cy, s.pop)
+SELECT o.cx, o.cy, o.pop,
+       count(r.r) AS n_supply,
+       coalesce(sum(r.r), 0) AS a_micro
+FROM fca_occ o LEFT JOIN fca_rj r
+  ON abs(r.cx - o.cx) <= {radius} AND abs(r.cy - o.cy) <= {radius}
+GROUP BY 1, 2, 3"""

@@ -842,3 +842,82 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_topk(_emb(spark, sf_dir), 5, 5)
+
+
+@register(
+    "dsir_weights",
+    textstats.dsir_oracle(),
+    doc="DSIR-style importance weights (Xie 2023): hashed-bigram "
+    "(B=1024) Laplace-smoothed target-vs-pool likelihood ratios, doc "
+    "score = mean per-gram ratio in milli, keep = more target-like "
+    "than pool average. The bucket-stats frame is one tiny two-sided "
+    "aggregate broadcast back; the target split is the same "
+    "deterministic doc_id%10 holdout as decontamination.",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.dsir_weights(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_survivors",
+    f"""WITH RECURSIVE pairs AS ({dedup.minhash_lsh_oracle(500)}),
+ue AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM ue),
+walk(start, cur, hops) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN ue e ON e.src = w.cur
+  WHERE w.hops < 20
+),
+comp AS (SELECT start AS v, min(cur) AS component FROM walk GROUP BY start),
+{textstats.quality_oracle_ctes('sv')},
+svm AS (
+  SELECT c.v, c.component, q.quality
+  FROM comp c JOIN sv_q q ON q.doc_id = c.v),
+svr AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY quality DESC, v) AS rk
+  FROM svm)
+SELECT component AS cluster_id, count(*) AS n_docs,
+       CAST(count(*) - 1 AS BIGINT) AS n_dups,
+       max(CASE WHEN rk = 1 THEN v END) AS survivor_doc_id,
+       max(CASE WHEN rk = 1 THEN quality END) AS survivor_quality
+FROM svr GROUP BY 1""",
+    doc="Canonical-survivor selection (the step after clustering that a "
+    "training pipeline actually ships): per minhash-LSH near-dup "
+    "cluster keep the HIGHEST-QUALITY member (text_stats score, "
+    "doc_id tie-break) instead of the arbitrary min-id — composes the "
+    "LSH pair join, connected components, and the quality scorer in "
+    "one plan. Oracle replays the closure and the quality formula and "
+    "arg-maxes independently.",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dups(docs, 500)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(spark, edges, max_rounds=20)
+    q = textstats.text_stats(docs).select("doc_id", "quality")
+    m = comp.join(q, comp.v == q.doc_id)
+    return (
+        m.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min(
+                F.struct(
+                    F.expr("-quality").alias("nq"), F.col("v").alias("sid")
+                )
+            ).alias("m"),
+        )
+        .selectExpr(
+            "cluster_id", "n_docs", "n_dups",
+            "m.sid AS survivor_doc_id",
+            "CAST(-m.nq AS BIGINT) AS survivor_quality",
+        )
+    )

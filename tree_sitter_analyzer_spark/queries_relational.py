@@ -2377,3 +2377,60 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((3 - (3 * (rr - 1)) DIV n) * 100 + (3 - (3 * (fr - 1)) DIV n)"
         " * 10 + (3 - (3 * (mr - 1)) DIV n) AS BIGINT) AS segment",
     )
+
+
+# --- R133: Benford first-digit audit -----------------------------------------
+
+# floor(1000·log10(1 + 1/d)) for d = 1..9 — fixed integer literals, no
+# float log on either engine (the zone_shape pi-literal discipline).
+_BENFORD_MILLI = {
+    "1": 301, "2": 176, "3": 124, "4": 96, "5": 79,
+    "6": 66, "7": 57, "8": 51, "9": 45,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN '{d}' THEN {m}" for d, m in _BENFORD_MILLI.items())
+    + " END"
+)
+
+
+@register(
+    "benford_audit",
+    f"""
+WITH bf_d AS (
+  SELECT substr(CAST(CAST(floor(l_extendedprice * 100e0) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS digit
+  FROM lineitem),
+bf_c AS (SELECT digit, count(*) AS n FROM bf_d GROUP BY 1),
+bf_t AS (SELECT sum(n) AS total FROM bf_c)
+SELECT digit, n,
+       (1000 * n) // total AS obs_milli,
+       {_BENFORD_CASE} AS exp_milli,
+       abs((1000 * n) // total - {_BENFORD_CASE}) AS dev_milli
+FROM bf_c CROSS JOIN bf_t
+""",
+    doc="Benford's-law first-digit audit over lineitem amounts (the "
+    "classic forensic data-quality screen): observed first-significant-"
+    "digit frequencies of the integer-cents amounts vs the Benford "
+    "expectation as fixed floor(1000*log10(1+1/d)) literals, deviation "
+    "per digit in milli. One scan, one 9-row aggregate, a broadcast "
+    "total — no float log on either engine.",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = (
+        li.selectExpr(
+            "substr(CAST(CAST(floor(l_extendedprice * 100e0) AS BIGINT) "
+            "AS STRING), 1, 1) AS digit"
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).selectExpr(
+        "digit",
+        "n",
+        "(1000 * n) DIV total AS obs_milli",
+        f"{_BENFORD_CASE} AS exp_milli",
+        f"abs((1000 * n) DIV total - {_BENFORD_CASE}) AS dev_milli",
+    )

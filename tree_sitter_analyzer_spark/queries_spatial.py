@@ -1907,3 +1907,18 @@ def q_zone_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gabriel_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.gabriel_graph(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "accessibility_2sfca",
+    f"{_CTES},{zonal.accessibility_2sfca_oracle()}",
+    doc="Two-step floating catchment accessibility (2SFCA, Luo-Wang "
+    "2003): supply cells (res-7 count >= 4, capacity = count) compute "
+    "integer supply/demand ratios over their Chebyshev-2 catchment; "
+    "every occupied cell then sums the ratios of supply reaching it. "
+    "The demand frame never fans — both steps fan the supply side by "
+    "the fixed 25-offset grid and equi-join on packed cell keys; "
+    "conservation (sum pop*A vs 10^6*sum S) is bounded in tests.",
+)
+def q_accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.accessibility_2sfca(_tiles(spark, sf_dir))
