@@ -1775,3 +1775,88 @@ SELECT o.cx, o.cy, o.pop,
 FROM fca_occ o LEFT JOIN fca_rj r
   ON abs(r.cx - o.cx) <= {radius} AND abs(r.cy - o.cy) <= {radius}
 GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# R136: slope/aspect raster (the D8 terrain-analysis pair, Horn 1981
+# lineage simplified to the discrete max-descent form): over the
+# res-SLOPE_RES tile-count surface, each occupied cell reports its
+# steepest-descent drop (value − min 8-neighbor value, empties = 0) and
+# the DIRECTION of that descent (aspect 0-7, row-major offset order,
+# smallest index on ties; pits — all neighbors higher — get aspect -1
+# and a negative drop). Arg-min rides ONE packed bigint (nbr·8 + dir)
+# so both engines break ties identically; the fan is the fixed 8-offset
+# equi-join of the occupied frame against itself (empty neighbors via
+# LEFT join + coalesce 0 — the full grid is never generated).
+# ---------------------------------------------------------------------------
+
+SLOPE_RES = 7
+_SLOPE_DIRS = [
+    (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1),
+]
+_SL_PACK = 268_435_456
+
+
+def slope_aspect(tiles: DataFrame, res: int = SLOPE_RES) -> DataFrame:
+    """(cx, cy, n, min_nbr, drop, aspect, grade) per occupied cell."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    home = occ.select(
+        F.expr(f"cx * {_SL_PACK} + cy").alias("key"),
+        F.col("n").alias("nbrv"),
+    )
+    offs = ", ".join(
+        f"struct({i} AS d, {dx} AS dx, {dy} AS dy)"
+        for i, (dx, dy) in enumerate(_SLOPE_DIRS)
+    )
+    fan = occ.withColumn("o", F.explode(F.expr(f"array({offs})"))).select(
+        "cx", "cy", "n", F.col("o.d").alias("d"),
+        F.expr(f"(cx + o.dx) * {_SL_PACK} + (cy + o.dy)").alias("key"),
+    )
+    return (
+        fan.join(home, "key", "left")
+        .selectExpr("cx", "cy", "n", "coalesce(nbrv, 0) * 8 + d AS packed")
+        .groupBy("cx", "cy", "n")
+        .agg(F.min("packed").alias("p"))
+        .selectExpr(
+            "cx", "cy", "n",
+            "p DIV 8 AS min_nbr",
+            "n - p DIV 8 AS drop",
+            "CASE WHEN n - p DIV 8 < 0 THEN -1 ELSE p % 8 END AS aspect",
+            "CASE WHEN n - p DIV 8 < 0 THEN 'pit' "
+            "WHEN n - p DIV 8 <= 1 THEN 'flat' "
+            "WHEN n - p DIV 8 <= 3 THEN 'gentle' ELSE 'steep' END AS grade",
+        )
+    )
+
+
+def slope_aspect_oracle(res: int = SLOPE_RES) -> str:
+    dirs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy) in
+                     enumerate(_SLOPE_DIRS))
+    return f"""
+sl_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+sl_dirs(d, dx, dy) AS (VALUES {dirs}),
+sl_fan AS (
+  SELECT o.cx, o.cy, o.n,
+         coalesce(b.n, 0) * 8 + r.d AS packed
+  FROM sl_occ o CROSS JOIN sl_dirs r
+  LEFT JOIN sl_occ b ON b.cx = o.cx + r.dx AND b.cy = o.cy + r.dy),
+sl_min AS (
+  SELECT cx, cy, n, min(packed) AS p FROM sl_fan GROUP BY 1, 2, 3)
+SELECT cx, cy, n,
+       p // 8 AS min_nbr,
+       n - p // 8 AS drop,
+       CASE WHEN n - p // 8 < 0 THEN -1 ELSE p % 8 END AS aspect,
+       CASE WHEN n - p // 8 < 0 THEN 'pit'
+            WHEN n - p // 8 <= 1 THEN 'flat'
+            WHEN n - p // 8 <= 3 THEN 'gentle' ELSE 'steep' END AS grade
+FROM sl_min"""

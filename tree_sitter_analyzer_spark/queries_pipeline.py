@@ -921,3 +921,48 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(-m.nq AS BIGINT) AS survivor_quality",
         )
     )
+
+
+@register(
+    "pixel_verify_pairs",
+    None,  # decode UDF output isn't SQL-reachable; the numpy SSE/PSNR
+    # reference and both-outcome corpus pins live in tests/test_r135.py
+    doc="Pixel-level verification of phash candidate pairs — the north "
+    "rule's per-row invariant (decoded allclose / PSNR >= 40 dB) as a "
+    "queryable two-phase operator: banded phash join proposes, exact "
+    "integer SSE over BOTH decoded payloads verifies (PSNR >= 40 dB "
+    "evaluated log-free as 400*sse <= 2601*n). Bytes attach only to "
+    "images appearing in a candidate pair (semi-join before decode).",
+)
+def q_pixel_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth
+    from .sources import codec
+
+    tiles = synth.tiles_df(spark, sf_dir)
+    pairs = dedup.phash_hamming_pairs(tiles)
+    ids = (
+        pairs.selectExpr("image_a AS image_id")
+        .union(pairs.selectExpr("image_b AS image_id"))
+        .distinct()
+    )
+    sub = codec.attach_bytes(
+        tiles.join(ids, "image_id", "left_semi")
+    ).select("image_id", "bytes")
+    paired = (
+        pairs.join(
+            sub.select(
+                F.col("image_id").alias("image_a"),
+                F.col("bytes").alias("bytes_a"),
+            ),
+            "image_a",
+        )
+        .join(
+            sub.select(
+                F.col("image_id").alias("image_b"),
+                F.col("bytes").alias("bytes_b"),
+            ),
+            "image_b",
+        )
+        .select("image_a", "image_b", "hamming", "bytes_a", "bytes_b")
+    )
+    return codec.pair_pixel_verify(paired)

@@ -1922,3 +1922,17 @@ def q_gabriel_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.accessibility_2sfca(_tiles(spark, sf_dir))
+
+
+@register(
+    "slope_aspect",
+    f"{_CTES},{zonal.slope_aspect_oracle()}",
+    doc="Slope/aspect terrain pair over the res-7 count raster (discrete "
+    "D8 max-descent form): per occupied cell the steepest-descent drop "
+    "(empty neighbors = 0; pits flagged) and its direction 0-7, "
+    "arg-min packed into ONE bigint (nbr*8 + dir) so tie-breaks are "
+    "engine-identical; fixed 8-offset fan + LEFT equi-join, the full "
+    "grid never generated.",
+)
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.slope_aspect(_tiles(spark, sf_dir))

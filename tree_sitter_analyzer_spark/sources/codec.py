@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -352,3 +353,57 @@ def synth_pixel_features_fused(df: DataFrame) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# R135: pixel-level verification of phash candidate pairs — the north
+# rule's per-row invariant (decoded-pixel allclose / PSNR >= 40 dB for
+# lossy) promoted from a test assertion to a queryable operator, shaped
+# like the two-phase dedup tiers: cheap content-keyed candidates (phash
+# band join) → expensive exact verify (decode BOTH sides, integer SSE)
+# on candidates only. PSNR >= 40 dB is evaluated log-free as the exact
+# rational  400·sse <= 2601·n_subpx  (mse <= 255²/10⁴ = 2601/400), so
+# the verdict is bit-deterministic. Payload bytes are attached ONLY to
+# images that appear in a candidate pair (semi-join reduction before
+# the decode — at 10^12 rows the decode pass reads a vanishing fraction
+# of the corpus).
+# ---------------------------------------------------------------------------
+
+def pair_pixel_verify(pairs_with_bytes: DataFrame) -> DataFrame:
+    """(image_a, image_b, hamming, n_subpx, sse, mse_milli, psnr40_ok,
+    verdict) per candidate pair — exact integer pixel comparison.
+    verdict: exact | near40 | differs | shape_mismatch."""
+    schema = StructType([
+        StructField("image_a", StringType()),
+        StructField("image_b", StringType()),
+        StructField("hamming", LongType()),
+        StructField("n_subpx", LongType()),
+        StructField("sse", LongType()),
+        StructField("mse_milli", LongType()),
+        StructField("psnr40_ok", BooleanType()),
+        StructField("verdict", StringType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ia, ib, ham, ba, bb in zip(
+                pdf["image_a"], pdf["image_b"], pdf["hamming"],
+                pdf["bytes_a"], pdf["bytes_b"],
+            ):
+                pa, pb = decode_px(ba), decode_px(bb)
+                if pa.shape != pb.shape:
+                    rows.append((ia, ib, int(ham), 0, 0, -1, False,
+                                 "shape_mismatch"))
+                    continue
+                d = pa.astype(np.int64) - pb.astype(np.int64)
+                sse = int((d * d).sum())
+                n = int(pa.size)
+                ok = 400 * sse <= 2601 * n
+                verdict = ("exact" if sse == 0
+                           else ("near40" if ok else "differs"))
+                rows.append((ia, ib, int(ham), n, sse,
+                             1000 * sse // n, ok, verdict))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return pairs_with_bytes.mapInPandas(gen, schema=schema)
