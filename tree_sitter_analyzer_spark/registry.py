@@ -172,6 +172,43 @@ _ROTATIONS = {
 }
 GATE_ORDER = [_ROTATIONS.get(n, n) for n in GATE_ORDER]
 
+# Continuation-4 rotation (R127-R136 families in; same policy — every
+# rotated-out query stays sweep- and pytest-oracle-verified):
+# radius_join → gabriel_graph (the Gabriel pair-gen IS the distance-band
+#   fan join PLUS a witness anti-join — a strict superset of the
+#   radius_join mechanics; bands also exercised by knn/knox),
+# cross_k_pairs → accessibility_2sfca (point-pattern statistics keep
+#   semivariogram; the two-step catchment composition is a new family),
+# text_stats → surprisal_filter (doc-quality classification keeps
+#   repetition_stats in-gate; the unigram-surprisal band filter is the
+#   CCNet-shaped pipeline op),
+# phash_hamming_pairs → pixel_verify_pairs (strict superset: the same
+#   banded phash join plus exact decoded-pixel SSE/PSNR verification —
+#   the input-contract invariant as a gate row),
+# dedup_clusters → dedup_survivors (strict superset: the LSH∘CC
+#   clustering plus quality-argmax canonical selection),
+# caption_search → ann_pq_topk (ranked retrieval keeps mmr_diversified,
+#   whose BM25 stage subsumes the posting-list join; PQ completes the
+#   in-gate ANN story beside ann_ivf_topk),
+# hll_cardinality → dsir_weights (the sketch quartet keeps
+#   bloom_filter_audit in-gate; DSIR importance resampling is a new
+#   first-class training-pipeline family),
+# thumbnail_stats → decontamination (the decode family keeps
+#   ingest_summary + video/audio + pixel_verify_pairs — four rows-only
+#   slots stay; this swaps a fifth rows-only row for a triple-green
+#   oracled row in a brand-new family).
+_ROTATIONS_C4 = {
+    "radius_join": "gabriel_graph",
+    "cross_k_pairs": "accessibility_2sfca",
+    "text_stats": "surprisal_filter",
+    "phash_hamming_pairs": "pixel_verify_pairs",
+    "dedup_clusters": "dedup_survivors",
+    "caption_search": "ann_pq_topk",
+    "hll_cardinality": "dsir_weights",
+    "thumbnail_stats": "decontamination",
+}
+GATE_ORDER = [_ROTATIONS_C4.get(n, n) for n in GATE_ORDER]
+
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side-effect registration),
