@@ -1146,3 +1146,109 @@ FROM gv_od od
 JOIN gv_o o USING (origin_cell)
 JOIN gv_d d USING (dest_cell)
 CROSS JOIN gv_t"""
+
+
+# ---------------------------------------------------------------------------
+# R137: co-visitation recommender (item-item collaborative filtering,
+# Sarwar 2001 / the classic "people who visited X also visited Y" —
+# public literature) over the ping walk: items are coarse cells
+# (ix >> COVISIT_SHIFT — all walk coordinates are positive, so the
+# arithmetic shift is engine-identical), a user's visit set is the
+# DISTINCT coarse cells they ping, similarity is the exact integer
+# SQUARED cosine  sim_milli = 1000·cooc² DIV (n_a·n_b)  (squaring
+# removes the sqrt — monotone, so rankings are preserved and
+# bit-deterministic), rank ties broken by (cooc DESC, target key ASC).
+#
+# Scale shape: the pair fan is per-user over the user's DISTINCT coarse
+# cells — bounded by the per-user item cap (observed ≤ 40 here; real
+# recommenders cap per-user history exactly this way), aggregated
+# IN-STREAM to (cell_a, cell_b, cooc) so pair rows die inside the join
+# stage (the dense-neighborhood rule); cell popularity joins back by
+# key, top-K per source cell is one window.
+# ---------------------------------------------------------------------------
+
+COVISIT_SHIFT = 4
+COVISIT_K = 3
+_CV_PACK = 1_048_576
+
+
+def covisit_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    shift: int = COVISIT_SHIFT,
+    k: int = COVISIT_K,
+) -> DataFrame:
+    """(cx, cy, rcx, rcy, cooc, sim_milli, rank) — for every coarse cell,
+    the top-``k`` most-co-visited other cells."""
+    p = pings_df(spark, sf_dir)
+    visits = p.selectExpr(
+        "user_id",
+        f"shiftright(ix, {shift}) AS cx",
+        f"shiftright(iy, {shift}) AS cy",
+    ).distinct()
+    keyed = visits.selectExpr("user_id", f"cx * {_CV_PACK} + cy AS pk")
+    a = keyed.toDF("user_id", "pa")
+    b = keyed.toDF("user_id", "pb")
+    cooc = (
+        a.join(b, "user_id")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cooc"))
+    )
+    pop = keyed.groupBy("pk").agg(F.count("*").alias("n_users"))
+    both = cooc.unionByName(
+        cooc.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cooc"
+        )
+    )
+    scored = (
+        both.join(pop.toDF("pa", "na"), "pa")
+        .join(pop.toDF("pb", "nb"), "pb")
+        .selectExpr(
+            "pa", "pb", "cooc",
+            "(1000 * cooc * cooc) DIV (na * nb) AS sim_milli",
+        )
+    )
+    win = Window.partitionBy("pa").orderBy(
+        F.desc("sim_milli"), F.desc("cooc"), F.col("pb")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .selectExpr(
+            f"pa DIV {_CV_PACK} AS cx", f"pa % {_CV_PACK} AS cy",
+            f"pb DIV {_CV_PACK} AS rcx", f"pb % {_CV_PACK} AS rcy",
+            "cooc", "sim_milli", "CAST(rank AS BIGINT) AS rank",
+        )
+    )
+
+
+def covisit_oracle(shift: int = COVISIT_SHIFT, k: int = COVISIT_K) -> str:
+    return f"""WITH {pings_oracle_cte()},
+cv_v AS (
+  SELECT DISTINCT user_id, (ix >> {shift}) * {_CV_PACK} + (iy >> {shift})
+           AS pk
+  FROM pings),
+cv_cooc AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS cooc
+  FROM cv_v a JOIN cv_v b ON a.user_id = b.user_id AND a.pk < b.pk
+  GROUP BY 1, 2),
+cv_pop AS (SELECT pk, count(*) AS n_users FROM cv_v GROUP BY 1),
+cv_both AS (
+  SELECT pa, pb, cooc FROM cv_cooc
+  UNION ALL
+  SELECT pb, pa, cooc FROM cv_cooc),
+cv_sc AS (
+  SELECT c.pa, c.pb, c.cooc,
+         (1000 * c.cooc * c.cooc) // (na.n_users * nb.n_users) AS sim_milli
+  FROM cv_both c
+  JOIN cv_pop na ON na.pk = c.pa
+  JOIN cv_pop nb ON nb.pk = c.pb),
+cv_rk AS (
+  SELECT *, row_number() OVER (PARTITION BY pa
+             ORDER BY sim_milli DESC, cooc DESC, pb) AS rank
+  FROM cv_sc)
+SELECT pa // {_CV_PACK} AS cx, pa % {_CV_PACK} AS cy,
+       pb // {_CV_PACK} AS rcx, pb % {_CV_PACK} AS rcy,
+       cooc, sim_milli, CAST(rank AS BIGINT) AS rank
+FROM cv_rk WHERE rank <= {k}"""

@@ -227,3 +227,17 @@ def q_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_od_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.od_gravity(_pings(spark, sf_dir))
+
+
+@register(
+    "covisit_topk",
+    traj.covisit_oracle(),
+    doc="Item-item co-visitation recommender (Sarwar 2001 collaborative "
+    "filtering) over the ping walk: coarse visit cells as items, exact "
+    "integer SQUARED cosine (1000*cooc^2 DIV na*nb — sqrt removed, "
+    "ranking preserved), top-3 per cell with deterministic ties. "
+    "Per-user bounded pair fan aggregated in-stream to (a, b, cooc); "
+    "popularity joins by key; one window for the top-K.",
+)
+def q_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.covisit_topk(spark, sf_dir)
