@@ -559,3 +559,60 @@ def test_cross_k_pairs_cell_keyed_no_cartesian(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_scan_is_code_equijoin_with_broadcast_tables(spark):
+    """PQ-ADC: the compressed-domain scan must be an equi-join of the
+    code frame against BROADCAST codebook/ADC tables — never a
+    cartesian/BNLJ against raw vectors."""
+    from tree_sitter_analyzer_spark.operators import similarity
+
+    df = similarity.ann_pq_topk(
+        spark.read.parquet(f"{SF_TINY}/embeddings.parquet"), 5, 5
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gabriel_witness_pass_is_equijoin(spark):
+    """Gabriel graph: both the pair fan and the witness kill must be
+    key-joined (packed cell key) — no all-pairs anywhere."""
+    from tree_sitter_analyzer_spark.operators import pointpattern
+
+    df = pointpattern.gabriel_graph(synth.tiles_df(spark, SF_TINY), res=8)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_2sfca_demand_frame_never_fans(spark):
+    """2SFCA: the only explodes in the plan fan the SUPPLY side (the
+    thresholded frame); joins are key equi-joins."""
+    from tree_sitter_analyzer_spark.operators import zonal as z
+
+    df = z.accessibility_2sfca(synth.tiles_df(spark, SF_TINY))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_covisit_pair_fan_is_user_keyed(spark):
+    from tree_sitter_analyzer_spark.operators import trajectory as t
+
+    df = t.covisit_topk(spark, SF_TINY)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_holdout_set_is_broadcast(spark):
+    from tree_sitter_analyzer_spark.operators import dedup as dd
+
+    df = dd.decontamination(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -521,3 +521,66 @@ def quality_oracle_ctes(prefix: str = "qq") -> str:
          + 30e0 * n_distinct_tokens / n_tokens
          ) AS BIGINT) AS quality
   FROM {prefix}_cnt)"""
+
+
+# ---------------------------------------------------------------------------
+# R138: Zipf rank-frequency audit (Zipf 1949; the standard corpus
+# sanity screen — natural text shows freq(r)/freq(2r) ≈ 2^s ≈ 2 for
+# exponent s ≈ 1; boilerplate-heavy or synthetic corpora deviate).
+# Exact integers: per-rank counts, bits = floor_log2(cnt) via the
+# surprisal bit-length primitive, doubling ratio in milli
+# (1000·cnt(r) DIV cnt(2r), 0 when 2r exceeds the audited depth).
+# The rank frame is VOCABULARY-sized (bounded), so the corpus-wide
+# ordering is a tiny window after one token aggregate.
+# ---------------------------------------------------------------------------
+
+ZIPF_DEPTH = 16
+
+
+def zipf_audit(docs: DataFrame, depth: int = ZIPF_DEPTH) -> DataFrame:
+    """(rank, tok, cnt, bits, ratio_milli) for the top-``depth`` tokens
+    (count desc, token asc ties)."""
+    from pyspark.sql.window import Window
+
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.orderBy(F.desc("cnt"), "tok")
+    top = (
+        cnt.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= depth)
+    )
+    dbl = top.select(
+        F.col("rank").alias("r2"), F.col("cnt").alias("cnt2")
+    )
+    return (
+        top.join(dbl, F.expr("r2 = 2 * rank"), "left")
+        .selectExpr(
+            "CAST(rank AS BIGINT) AS rank",
+            "tok",
+            "cnt",
+            "length(bin(cnt)) - 1 AS bits",
+            "CASE WHEN cnt2 IS NULL THEN 0 "
+            "ELSE (1000 * cnt) DIV cnt2 END AS ratio_milli",
+        )
+    )
+
+
+def zipf_oracle(depth: int = ZIPF_DEPTH) -> str:
+    return f"""
+WITH zf_cnt AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+zf_top AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM zf_cnt QUALIFY rank <= {depth})
+SELECT CAST(a.rank AS BIGINT) AS rank, a.tok, a.cnt,
+       length(format('{{:b}}', a.cnt)) - 1 AS bits,
+       CASE WHEN b.cnt IS NULL THEN 0
+            ELSE (1000 * a.cnt) // b.cnt END AS ratio_milli
+FROM zf_top a LEFT JOIN zf_top b ON b.rank = 2 * a.rank"""

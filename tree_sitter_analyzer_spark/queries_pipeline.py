@@ -966,3 +966,16 @@ def q_pixel_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("image_a", "image_b", "hamming", "bytes_a", "bytes_b")
     )
     return codec.pair_pixel_verify(paired)
+
+
+@register(
+    "zipf_audit",
+    textstats.zipf_oracle(),
+    doc="Zipf rank-frequency audit: top-16 corpus tokens with exact "
+    "integer bit-length magnitudes and the doubling ratio "
+    "freq(r)/freq(2r) in milli (natural text ~2000; deviations flag "
+    "synthetic/boilerplate corpora). Vocabulary-bounded rank frame — "
+    "one token aggregate plus a tiny window.",
+)
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.zipf_audit(_docs(spark, sf_dir))
