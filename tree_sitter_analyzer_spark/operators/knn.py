@@ -320,3 +320,93 @@ SELECT query_id, count(*) AS n_nbrs,
        CAST(sum(wt * z) // sum(wt) AS BIGINT) AS z_est
 FROM idw_w GROUP BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# R139: leave-one-out IDW cross-validation — the standard geostatistical
+# model check (LOOCV, e.g. Isaaks & Srivastava 1989): re-estimate each
+# observation from its neighbors EXCLUDING itself and report the error.
+# Queries are a deterministic 1/``sample_mod`` tile sample (the
+# nn_distance_stats discipline — engine-reproducible, and exactly how a
+# validation pass runs at 10^12 rows). The neighbor value z rides the
+# tile side THROUGH the candidate join, so the quadratic-in-density pair
+# rows are aggregated in-stream (map-side partial agg on query_id) and
+# never shuffle to a second join — the dense-neighborhood rule.
+# ---------------------------------------------------------------------------
+
+
+def idw_loo_error(
+    tiles: DataFrame,
+    radius: float = 0.01,
+    res: int = DEFAULT_KNN_RES,
+    sample_mod: int = 23,
+) -> DataFrame:
+    """(query_id, z_act, n_nbrs, z_est, abs_err) for each sampled tile
+    with >= 1 in-radius neighbor (self excluded)."""
+    s = grid.cell_size(res)
+    rc = int(-(-radius // s))
+    t = tile_cells(tiles, res).select(
+        "image_id", "lon", "lat", "cell",
+        (F.col("w") * F.col("h")).cast("bigint").alias("z"),
+    )
+    q = tiles.where(F.col("i") % sample_mod == 0).select(
+        F.col("image_id").alias("query_id"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+        (F.col("w") * F.col("h")).cast("bigint").alias("z_act"),
+    )
+    qcells = (
+        q.withColumn("qix", grid.ix_col("qlon", res))
+        .withColumn("qiy", grid.iy_col("qlat", res))
+        .withColumn("off", F.explode(grid.disk_offsets_expr(rc)))
+        .withColumn(
+            "cell",
+            F.expr(grid.cell_from_ixiy_sql("qix + off.dx", "qiy + off.dy", res)),
+        )
+        .drop("off", "qix", "qiy")
+    )
+    bound2 = f"{radius * radius:.10e}"
+    return (
+        t.join(F.broadcast(qcells), "cell")
+        .where(F.col("image_id") != F.col("query_id"))
+        .withColumn("dist2", F.expr(DIST2_SQL))
+        .where(F.expr(f"dist2 <= {bound2}"))
+        .withColumn(
+            "wt",
+            F.expr(
+                f"{IDW_W_SCALE} DIV GREATEST("
+                f"CAST(floor(dist2 * 1e12) AS BIGINT), {IDW_D2_FLOOR})"
+            ),
+        )
+        .groupBy("query_id", "z_act")
+        .agg(
+            F.count("*").alias("n_nbrs"),
+            F.sum(F.col("wt") * F.col("z")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+        .selectExpr(
+            "query_id", "z_act", "n_nbrs",
+            "num DIV den AS z_est",
+            "abs(num DIV den - z_act) AS abs_err",
+        )
+    )
+
+
+def idw_loo_oracle_sql(radius: float = 0.01, sample_mod: int = 23) -> str:
+    bound2 = f"{radius * radius:.10e}"
+    return f"""
+loo_q AS (
+  SELECT image_id AS query_id, lon AS qlon, lat AS qlat,
+         CAST(w * h AS BIGINT) AS z_act
+  FROM tiles WHERE i % {sample_mod} = 0),
+loo_p AS (
+  SELECT q.query_id, q.z_act, CAST(t.w * t.h AS BIGINT) AS z,
+         {IDW_W_SCALE} // GREATEST(
+           CAST(floor({DIST2_ORACLE_SQL} * 1e12) AS BIGINT),
+           {IDW_D2_FLOOR}) AS wt
+  FROM loo_q q CROSS JOIN tiles t
+  WHERE t.image_id <> q.query_id AND {DIST2_ORACLE_SQL} <= {bound2})
+SELECT query_id, z_act, count(*) AS n_nbrs,
+       CAST(sum(wt * z) // sum(wt) AS BIGINT) AS z_est,
+       abs(CAST(sum(wt * z) // sum(wt) AS BIGINT) - z_act) AS abs_err
+FROM loo_p GROUP BY 1, 2"""

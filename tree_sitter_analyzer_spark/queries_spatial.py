@@ -1936,3 +1936,16 @@ def q_accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.slope_aspect(_tiles(spark, sf_dir))
+
+
+@register(
+    "idw_loo_error",
+    f"{_CTES},{knn.idw_loo_oracle_sql()}",
+    doc="Leave-one-out IDW cross-validation (the geostatistics LOOCV "
+    "screen): each tile of a deterministic 1/23 sample re-estimated "
+    "from its in-radius neighbors EXCLUDING itself, exact integer "
+    "weights; neighbor values ride the tile side through the candidate "
+    "join so pair rows aggregate in-stream and never shuffle twice.",
+)
+def q_idw_loo_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.idw_loo_error(_tiles(spark, sf_dir))
