@@ -20,6 +20,7 @@ import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..synth import lcg
 
@@ -695,3 +696,216 @@ def kcore_oracle_sql(k: int = KCORE_K, rounds: int = 8) -> str:
         "WITH " + ",\n".join(chain)
         + f"\nSELECT src AS v, count(*) AS core_deg FROM e{rounds} GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# R140: HITS hubs & authorities (Kleinberg 1999, public) — the second
+# classic eigenvector ranking beside PageRank, made bit-reproducible the
+# same way: every rank is a bigint and every step is a pure integer sum,
+# so the k-iteration result is identical across engines and
+# partitionings. Unlike the float textbook form there is NO per-step
+# normalization (integer sums cannot overflow 64 bits in k=2 steps on
+# any realistic degree distribution: |a_k| ≤ 1000·maxdeg^(2k)); a single
+# max-normalization is applied at the END so the output contract is a
+# bounded 0..SCALE score:
+#     h_0(v)  = 1000
+#     a_k(v)  = Σ_{u→v} h_{k-1}(u)      (authority: sum of in-hubs)
+#     h_k(v)  = Σ_{v→w} a_k(w)          (hub: sum of out-authorities)
+#     auth_q  = (a_K · SCALE) DIV max(a_K),  hub_q likewise
+# Per iteration: two vertex-keyed equi-joins + two sum-aggs — the same
+# content-partitioned join algebra as pagerank_fixed, never all-pairs.
+# The reference's analog is its centrality-ranked symbol listing
+# (code_health ranking); SURVEY.md §2.12 R140.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed(
+    spark: SparkSession, edges: DataFrame, iters: int = HITS_ITERS
+) -> DataFrame:
+    """(v, auth_q, hub_q) for every edge endpoint — fixed-``iters`` HITS
+    with integer ranks, max-normalized to 0..HITS_SCALE at the end."""
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .dropDuplicates(["v"])
+        .localCheckpoint(eager=False)
+    )
+    e = edges.localCheckpoint(eager=False)
+    h = verts.withColumn("h", F.lit(1000).cast("bigint"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = verts.join(a_raw, "v", "left").select(
+            "v", F.expr("coalesce(a, CAST(0 AS BIGINT))").alias("a")
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = verts.join(h_raw, "v", "left").select(
+            "v", F.expr("coalesce(h, CAST(0 AS BIGINT))").alias("h")
+        ).localCheckpoint(eager=True)
+    maxes = (
+        a.join(h, "v")
+        .agg(F.max("a").alias("ma"), F.max("h").alias("mh"))
+    )
+    return (
+        a.join(h, "v")
+        .crossJoin(F.broadcast(maxes))
+        .selectExpr(
+            "v",
+            f"(a * {HITS_SCALE}) DIV ma AS auth_q",
+            f"(h * {HITS_SCALE}) DIV mh AS hub_q",
+        )
+    )
+
+
+def hits_oracle(iters: int = HITS_ITERS, kind: str = "bfs") -> str:
+    assert iters == 2, "oracle unrolls exactly 2 iterations"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+a{k}_raw AS (
+  SELECT e.dst AS v, sum(h{k - 1}.h) AS a
+  FROM base e JOIN h{k - 1} ON h{k - 1}.v = e.src GROUP BY e.dst
+),
+a{k} AS (
+  SELECT verts.v, coalesce(a{k}_raw.a, CAST(0 AS BIGINT)) AS a
+  FROM verts LEFT JOIN a{k}_raw ON a{k}_raw.v = verts.v
+),
+h{k}_raw AS (
+  SELECT e.src AS v, sum(a{k}.a) AS h
+  FROM base e JOIN a{k} ON a{k}.v = e.dst GROUP BY e.src
+),
+h{k} AS (
+  SELECT verts.v, coalesce(h{k}_raw.h, CAST(0 AS BIGINT)) AS h
+  FROM verts LEFT JOIN h{k}_raw ON h{k}_raw.v = verts.v
+)""")
+    return f"""
+WITH base AS ({edges_sql(kind)}),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM base UNION ALL SELECT dst FROM base
+  )
+),
+h0 AS (SELECT v, CAST(1000 AS BIGINT) AS h FROM verts),
+{",".join(steps)},
+mx AS (
+  SELECT max(a.a) AS ma, max(h.h) AS mh
+  FROM a{iters} a JOIN h{iters} h ON h.v = a.v
+)
+SELECT a.v,
+       (a.a * {HITS_SCALE}) // mx.ma AS auth_q,
+       (h.h * {HITS_SCALE}) // mx.mh AS hub_q
+FROM a{iters} a JOIN h{iters} h ON h.v = a.v CROSS JOIN mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# R141: link prediction — common-neighbors + Adamic-Adar (Liben-Nowell &
+# Kleinberg 2003, public) over the undirected event graph. The candidate
+# pairs are exactly the distance-2 non-edges, generated THROUGH the
+# shared neighbor (wedge join adj(z,u) ⋈ adj(z,v) on z, u<v) and
+# aggregated in-stream — the pair list is never materialized, only the
+# per-pair (count, score) aggregate survives the join stage (the DBSCAN
+# eps-pair lesson). Adamic-Adar's 1/ln(deg z) is engine-divergent at the
+# ulp level, so the public log2 bit-length substitution is used:
+#     aa_micro = Σ_z  SCALE DIV (bit_length(deg(z)) - 1)
+# (a common neighbor always has deg ≥ 2 ⇒ bits ≥ 1 — never div-by-zero).
+# Hub wedges are capped by the standard celebrity filter deg(z) ≤ CAP —
+# the wedge fan is Σ deg(z)², and real systems (Twitter WTF) cut the
+# head; the cap is part of the contract and the oracle applies it too.
+# ---------------------------------------------------------------------------
+
+LP_DEG_CAP = 64
+LP_SCALE = 1_000_000
+LP_TOPK = 50
+
+
+def link_prediction(
+    spark: SparkSession, edges: DataFrame, k: int = LP_TOPK
+) -> DataFrame:
+    """Top-``k`` predicted links (rank, u, v, cn, aa_micro): non-adjacent
+    pairs ranked by Adamic-Adar (common-neighbor count tie-break, then
+    the pair key)."""
+    und = (
+        edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .where("a != b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    adj = und.selectExpr("a AS v", "b AS nbr").unionByName(
+        und.selectExpr("b AS v", "a AS nbr")
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
+    z = (
+        adj.join(deg, "v")
+        .where(F.col("deg") <= LP_DEG_CAP)
+        .selectExpr("v AS z", "nbr", "deg")
+        .localCheckpoint(eager=False)
+    )
+    wedges = (
+        z.selectExpr("z", "nbr AS u", "deg")
+        .join(z.selectExpr("z", "nbr AS v"), "z")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("cn"),
+            F.expr(
+                f"sum({LP_SCALE} DIV (length(bin(deg)) - 1))"
+            ).alias("aa_micro"),
+        )
+    )
+    cand = wedges.join(
+        und.selectExpr("a AS u", "b AS v"), ["u", "v"], "left_anti"
+    )
+    w = Window.orderBy(F.desc("aa_micro"), F.desc("cn"), "u", "v")
+    return (
+        cand.orderBy(F.desc("aa_micro"), F.desc("cn"), "u", "v")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "u", "v", "cn", "aa_micro")
+    )
+
+
+def link_prediction_oracle(k: int = LP_TOPK, kind: str = "bfs") -> str:
+    return f"""
+WITH lp_base AS ({edges_sql(kind)}),
+lp_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lp_base WHERE src != dst
+),
+lp_adj AS (
+  SELECT a AS v, b AS nbr FROM lp_und
+  UNION ALL SELECT b AS v, a AS nbr FROM lp_und
+),
+lp_deg AS (SELECT v, count(*) AS deg FROM lp_adj GROUP BY v),
+lp_z AS (
+  SELECT lp_adj.v AS z, lp_adj.nbr, lp_deg.deg
+  FROM lp_adj JOIN lp_deg ON lp_deg.v = lp_adj.v
+  WHERE lp_deg.deg <= {LP_DEG_CAP}
+),
+lp_wedge AS (
+  SELECT l.nbr AS u, r.nbr AS v, count(*) AS cn,
+         sum({LP_SCALE} // (length(format('{{:b}}', l.deg)) - 1)) AS aa_micro
+  FROM lp_z l JOIN lp_z r ON l.z = r.z AND l.nbr < r.nbr
+  GROUP BY l.nbr, r.nbr
+),
+lp_cand AS (
+  SELECT w.* FROM lp_wedge w
+  ANTI JOIN lp_und e ON e.a = w.u AND e.b = w.v
+)
+SELECT CAST(row_number() OVER (ORDER BY aa_micro DESC, cn DESC, u, v) AS INT)
+         AS rank,
+       u, v, cn, aa_micro
+FROM lp_cand
+ORDER BY aa_micro DESC, cn DESC, u, v LIMIT {k}
+"""

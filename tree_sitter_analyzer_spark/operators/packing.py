@@ -1,0 +1,116 @@
+"""Sequence packing — the LLM-training batch-assembly operator.
+
+Training pipelines pack variable-length documents into fixed-capacity
+token windows (next-fit bin packing: walk the shard in order, start a new
+sequence when the next doc no longer fits). The packing recurrence is
+inherently sequential PER SHARD, so the distributed shape is: hash the
+corpus into shards, pack each shard independently inside one Arrow
+``applyInPandas`` group — the exact layout real pipelines use (packing
+parallelism = shard count; at 100 TB the shard count is millions, each
+shard bounded, so the sequential inner loop never sees more than one
+shard's rows). No cross-shard coordination exists by construction.
+
+Cross-engine parity: the per-shard walk is a linear recurrence, which
+DuckDB replays exactly with a recursive CTE stepping rn → rn+1 per shard
+(all shards advance in lockstep, so recursion depth = max shard length,
+not corpus size). Token counts are integer ``regexp_count`` on both
+engines; docs longer than the capacity are truncated to it (they occupy
+a full sequence alone), keeping every fill ≤ CAP.
+
+Reference analog: the reference batches files into fixed-size work units
+for its extraction workers (``ast_cache.py`` chunked scheduling);
+SURVEY.md §2.12 R142.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions import md5int_duck, md5int_spark
+
+PACK_CAP = 512      # tokens per packed sequence
+PACK_SHARDS = 16    # hash shards (the parallel unit)
+
+_GRP_SPARK = f"({md5int_spark('CAST(doc_id AS STRING)')} % {PACK_SHARDS})"
+_GRP_DUCK = f"({md5int_duck('CAST(doc_id AS VARCHAR)')} % {PACK_SHARDS})"
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("grp", LongType()),
+        StructField("bin_id", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("fill_tokens", LongType()),
+    ]
+)
+
+
+def doc_units(docs: DataFrame) -> DataFrame:
+    """(grp, rn, t): shard id, within-shard order, capped token count."""
+    return docs.selectExpr(
+        f"{_GRP_SPARK} AS grp",
+        "doc_id",
+        f"least(CAST(regexp_count(text, '[^ ]+') AS BIGINT),"
+        f" {PACK_CAP}) AS t",
+    ).selectExpr(
+        "grp",
+        "row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn",
+        "t",
+    )
+
+
+def _pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("rn")
+    grp = int(pdf["grp"].iloc[0])
+    rows, bin_id, fill, n_docs = [], 1, 0, 0
+    for t in pdf["t"].astype(int):
+        if n_docs and fill + t > PACK_CAP:
+            rows.append((grp, bin_id, n_docs, fill))
+            bin_id, fill, n_docs = bin_id + 1, 0, 0
+        fill += t
+        n_docs += 1
+    rows.append((grp, bin_id, n_docs, fill))
+    return pd.DataFrame(
+        rows, columns=["grp", "bin_id", "n_docs", "fill_tokens"]
+    )
+
+
+def seq_packing(docs: DataFrame) -> DataFrame:
+    """Next-fit packed sequences per shard: (grp, bin_id, n_docs,
+    fill_tokens), every fill ≤ PACK_CAP by construction."""
+    return (
+        doc_units(docs)
+        .repartition(PACK_SHARDS, "grp")
+        .groupBy("grp")
+        .applyInPandas(_pack_shard, _PACK_SCHEMA)
+    )
+
+
+def seq_packing_oracle() -> str:
+    return f"""
+WITH RECURSIVE pk_units AS (
+  SELECT grp,
+         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn,
+         t
+  FROM (
+    SELECT {_GRP_DUCK} AS grp, doc_id,
+           least(CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT),
+                 {PACK_CAP}) AS t
+    FROM documents
+  )
+),
+pk_walk(grp, rn, bin_id, fill) AS (
+  SELECT grp, rn, CAST(1 AS BIGINT), t FROM pk_units WHERE rn = 1
+  UNION ALL
+  SELECT u.grp, u.rn,
+         CASE WHEN w.fill + u.t > {PACK_CAP} THEN w.bin_id + 1
+              ELSE w.bin_id END,
+         CASE WHEN w.fill + u.t > {PACK_CAP} THEN u.t
+              ELSE w.fill + u.t END
+  FROM pk_walk w JOIN pk_units u ON u.grp = w.grp AND u.rn = w.rn + 1
+)
+SELECT grp, bin_id, count(*) AS n_docs, max(fill) AS fill_tokens
+FROM pk_walk GROUP BY grp, bin_id
+"""

@@ -473,3 +473,102 @@ kw_w AS (
   FROM kw_toks t JOIN kw_df d USING (tok))
 SELECT doc_id, CAST(kw_rank AS INT) AS kw_rank, tok, weight
 FROM kw_w WHERE kw_rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# R143: NDCG@k ranking-quality evaluation (Järvelin & Kekäläinen 2002,
+# public) — the retrieval family gets its own eval operator: the BM25
+# top-k is graded by an INDEPENDENT editorial label (the text_stats
+# quality score, DIV 25 → grades 0-4) and the discounted gain of two
+# rankers over the same pool is compared to the ideal reordering:
+# 'bm25' (the ranker's order) vs 'naive' (doc_id order — retrieval
+# without ranking, the control every eval needs). The 1/log2(r+1)
+# discount is the one float in NDCG, so it is precomputed ONCE in Python
+# as integer micro-literals shared verbatim by both engines — the
+# compared result is pure integer arithmetic:
+#     dcg_scaled  = Σ_r rel_r · disc_r,   disc_r = floor(1e6/log2(r+1))
+#     idcg_scaled = same over rel sorted desc (order-specific tie-break;
+#                   the value depends only on the sorted rel multiset)
+#     ndcg_milli  = (1000 · dcg) DIV idcg
+# Scale: the label join and both evaluations operate on the
+# already-bounded top-k frame — O(k) regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from .textstats import text_stats, text_stats_oracle
+
+NDCG_K = 10
+_NDCG_DISC = [
+    int(1_000_000 // _math.log2(r + 1)) for r in range(1, NDCG_K + 1)
+]
+
+
+def _disc_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {r} THEN {d}" for r, d in enumerate(_NDCG_DISC, start=1)
+    )
+    return f"(CASE {rank_col} {whens} ELSE 0 END)"
+
+
+def ndcg_eval(docs: DataFrame, query: str, k: int = NDCG_K) -> DataFrame:
+    """(ranker, dcg_scaled, idcg_scaled, ndcg_milli) for rankers
+    'bm25' and 'naive' over the BM25 top-k pool."""
+    assert k == NDCG_K, "discount table is precomputed for NDCG_K"
+    top = bm25_search(docs, query, k)
+    rel = text_stats(docs).selectExpr("doc_id", "quality DIV 25 AS rel")
+    base = top.join(rel, "doc_id").localCheckpoint(eager=True)
+    outs = []
+    for ranker, order in (("bm25", "rank"), ("naive", "doc_id")):
+        w = Window.orderBy(order)
+        iw = Window.orderBy(F.desc("rel"), order)
+        outs.append(
+            base.withColumn("r", F.row_number().over(w))
+            .withColumn("ir", F.row_number().over(iw))
+            .selectExpr(
+                f"'{ranker}' AS ranker",
+                f"rel * {_disc_case('r')} AS g",
+                f"rel * {_disc_case('ir')} AS ig",
+            )
+            .groupBy("ranker")
+            .agg(
+                F.sum("g").alias("dcg_scaled"),
+                F.sum("ig").alias("idcg_scaled"),
+            )
+            .selectExpr(
+                "ranker",
+                "dcg_scaled",
+                "idcg_scaled",
+                "(1000 * dcg_scaled) DIV idcg_scaled AS ndcg_milli",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def ndcg_oracle(query: str, k: int = NDCG_K) -> str:
+    assert k == NDCG_K
+    rows = []
+    for ranker, order in (("bm25", "rank"), ("naive", "doc_id")):
+        rows.append(f"""
+  SELECT '{ranker}' AS ranker,
+         rel * {_disc_case(f"(row_number() OVER (ORDER BY {order}))")} AS g,
+         rel * {_disc_case(
+             f"(row_number() OVER (ORDER BY rel DESC, {order}))"
+         )} AS ig
+  FROM ndcg_base""")
+    both = "\n  UNION ALL\n".join(rows)
+    return f"""
+WITH ndcg_top AS ({bm25_oracle(query, k)}),
+ndcg_rel AS (
+  SELECT doc_id, quality // 25 AS rel FROM ({text_stats_oracle()})
+),
+ndcg_base AS (
+  SELECT t.rank, t.doc_id, r.rel
+  FROM ndcg_top t JOIN ndcg_rel r USING (doc_id)
+),
+ndcg_rows AS ({both}
+)
+SELECT ranker, sum(g) AS dcg_scaled, sum(ig) AS idcg_scaled,
+       (1000 * sum(g)) // sum(ig) AS ndcg_milli
+FROM ndcg_rows GROUP BY ranker
+"""

@@ -149,3 +149,30 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kcore_community(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(spark, graph.core_edges_df(spark))
+
+
+@register(
+    "hits_ranks",
+    graph.hits_oracle(2),
+    doc="HITS hubs & authorities (Kleinberg 1999), 2 fixed iterations in "
+    "pure integer arithmetic (no per-step normalization needed in 64-bit; "
+    "single end max-normalization to 0..1e6) — per iteration two "
+    "vertex-keyed equi-joins + sum-aggs, the PageRank join algebra with "
+    "the transposed second step. Oracle: unrolled CTEs.",
+)
+def q_hits_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.hits_fixed(spark, graph.edges_df(spark, "bfs"), 2)
+
+
+@register(
+    "link_prediction",
+    graph.link_prediction_oracle(),
+    doc="Common-neighbor + Adamic-Adar link prediction (Liben-Nowell & "
+    "Kleinberg 2003): distance-2 non-edge candidates generated THROUGH "
+    "the shared neighbor (wedge equi-join, aggregated in-stream — the "
+    "pair list never materializes), 1/ln(deg) replaced by the exact "
+    "integer bit-length log2, celebrity cap deg<=64 bounds the wedge "
+    "fan, anti-join removes existing edges, deterministic top-50.",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.link_prediction(spark, graph.edges_df(spark, "bfs"))

@@ -979,3 +979,35 @@ def q_pixel_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.zipf_audit(_docs(spark, sf_dir))
+
+
+# --- R142/R143: sequence packing + retrieval evaluation ----------------------
+
+from .operators import packing  # noqa: E402
+
+@register(
+    "seq_packing",
+    packing.seq_packing_oracle(),
+    doc="Next-fit sequence packing into 512-token training windows "
+    "(the LLM batch-assembly op): corpus hashed into 16 shards, each "
+    "shard packed sequentially inside one Arrow applyInPandas group — "
+    "shards are the parallel unit, exactly how real pipelines pack at "
+    "scale. Oracle: per-shard recursive-CTE replay of the identical "
+    "walk (all shards advance in lockstep; depth = max shard length).",
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.seq_packing(_docs(spark, sf_dir))
+
+
+@register(
+    "ndcg_eval",
+    search_ops.ndcg_oracle(SEARCH_QUERY),
+    doc="NDCG@10 ranking-quality evaluation over the BM25 top-10 pool: "
+    "graded relevance = the INDEPENDENT text_stats quality label "
+    "(DIV 25 -> 0-4), two rankers compared ('bm25' vs the 'naive' "
+    "doc_id-order control), discounts floor(1e6/log2(r+1)) precomputed "
+    "once in Python as shared integer literals — the compared result is "
+    "pure integer DCG/IDCG/ndcg_milli over the bounded top-k frame.",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.ndcg_eval(_docs(spark, sf_dir), SEARCH_QUERY)

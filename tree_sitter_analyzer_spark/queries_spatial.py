@@ -1949,3 +1949,16 @@ def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_idw_loo_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.idw_loo_error(_tiles(spark, sf_dir))
+
+
+@register(
+    "dissimilarity_index",
+    f"{_CTES},\n{pp_ops.dissimilarity_oracle_sql()}",
+    doc="Duncan dissimilarity segregation index between every tile-kind "
+    "pair over the res-7 cell partition — exact integer via the "
+    "common-denominator form (500*sum|a_i*B-b_i*A|) DIV (A*B); per-cell "
+    "counts densified against the bounded cells-x-kinds dimension frame "
+    "so absent-kind cells still contribute.",
+)
+def q_dissimilarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.dissimilarity(_tiles(spark, sf_dir), res=7)
