@@ -114,3 +114,99 @@ pk_walk(grp, rn, bin_id, fill) AS (
 SELECT grp, bin_id, count(*) AS n_docs, max(fill) AS fill_tokens
 FROM pk_walk GROUP BY grp, bin_id
 """
+
+
+# ---------------------------------------------------------------------------
+# R149: domain-mix sampling (the DoReMi / data-mixture idea, public) —
+# given per-source mixing weights, draw a deterministic sample whose
+# source composition matches the weights exactly: quotas by the
+# largest-remainder method (Hamilton apportionment — base = floor
+# allocation, the remainder seats go to the largest fractional parts,
+# compared as exact integers (N·w) mod W with source-name tie-break),
+# then the lowest-md5 docs per source fill each quota (the engine's
+# deterministic stand-in for a uniform draw). Output is the sample
+# itself, so composition is auditable row-by-row.
+# Scale: quotas live on the tiny source dimension; the pick is one
+# source-keyed window over the corpus — exactly how a mixture sampler
+# shards at 100 TB.
+# ---------------------------------------------------------------------------
+
+MIX_TARGET = 100  # sample size
+
+# weight per source: md5-derived 1..9 (portable, no source-name parsing)
+_W_SPARK = f"(({md5int_spark('source')} % 9) + 1)"
+_W_DUCK = f"(({md5int_duck('source')} % 9) + 1)"
+
+
+def domain_mix_sample(docs: DataFrame, n_target: int = MIX_TARGET) -> DataFrame:
+    """(source, doc_id, pick_rank, quota): largest-remainder quotas over
+    md5 weights, lowest-md5-first picks per source."""
+    from pyspark.sql.window import Window
+
+    srcs = (
+        docs.selectExpr("source", f"{_W_SPARK} AS w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("avail"))
+    )
+    tot = srcs.agg(F.sum("w").alias("wsum"), F.sum("avail").alias("n_docs"))
+    rw = Window.orderBy(
+        F.desc(F.expr(f"({n_target} * w) % wsum")), "source"
+    )
+    quotas = (
+        srcs.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"({n_target} * w) DIV wsum"))
+        .withColumn("frac_rank", F.row_number().over(rw))
+        .withColumn(
+            "rem",
+            F.expr(
+                f"{n_target} - sum(base) OVER ()"
+            ),
+        )
+        .selectExpr(
+            "source",
+            "least(base + CASE WHEN frac_rank <= rem THEN 1 ELSE 0 END,"
+            " avail) AS quota",
+        )
+    )
+    pw = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.selectExpr(
+            "source", "doc_id",
+            f"{md5int_spark('CAST(doc_id AS STRING)')} AS h",
+        )
+        .withColumn("pick_rank", F.row_number().over(pw))
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select("source", "doc_id", "pick_rank", "quota")
+    )
+
+
+def domain_mix_oracle(n_target: int = MIX_TARGET) -> str:
+    return f"""
+WITH mx_srcs AS (
+  SELECT source, {_W_DUCK} AS w, count(*) AS avail
+  FROM documents GROUP BY 1, 2
+),
+mx_tot AS (SELECT sum(w) AS wsum FROM mx_srcs),
+mx_quota AS (
+  SELECT source,
+         least(({n_target} * w) // wsum
+               + CASE WHEN row_number() OVER (
+                     ORDER BY ({n_target} * w) % wsum DESC, source)
+                   <= {n_target} - sum(({n_target} * w) // wsum) OVER ()
+                 THEN 1 ELSE 0 END,
+               avail) AS quota
+  FROM mx_srcs CROSS JOIN mx_tot
+),
+mx_ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5int_duck('CAST(doc_id AS VARCHAR)')}, doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.pick_rank, q.quota
+FROM mx_ranked r JOIN mx_quota q ON q.source = r.source
+WHERE r.pick_rank <= q.quota
+"""

@@ -1011,3 +1011,16 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.ndcg_eval(_docs(spark, sf_dir), SEARCH_QUERY)
+
+
+@register(
+    "domain_mix_sample",
+    packing.domain_mix_oracle(),
+    doc="Domain-mixture sampling (the DoReMi idea): per-source quotas by "
+    "exact-integer largest-remainder apportionment over md5-derived "
+    "mixing weights, filled by the lowest-md5 docs per source — a "
+    "deterministic, auditable mixture draw. Quotas live on the tiny "
+    "source dimension; the pick is one source-keyed window.",
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.domain_mix_sample(_docs(spark, sf_dir))

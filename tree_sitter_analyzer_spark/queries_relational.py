@@ -2434,3 +2434,181 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_BENFORD_CASE} AS exp_milli",
         f"abs((1000 * n) DIV total - {_BENFORD_CASE}) AS dev_milli",
     )
+
+
+# --- R145/R146: series autocorrelation + multi-touch attribution -------------
+#
+# R145: Spearman rank autocorrelation of the daily event-count series at
+# lags 1-7 — the seasonality detector beside dow_profile. Spearman (not
+# Pearson) because it is EXACT in integers: ranks are unique (count with
+# day tie-break), so rho = 1 − 6·Σd²/(n(n²−1)) needs no float mean or
+# variance. Per lag the pair set is the series joined to its k-shift;
+# both coordinates are re-ranked WITHIN the overlap so the formula's
+# permutation precondition holds. Scale: operates on the DAY dimension
+# (thousands of rows at any corpus size) after one distributed count.
+#
+# R146: linear multi-touch attribution — every 'purchase' splits exactly
+# 1000 milli-credits across the user's touch events (view/click/signup)
+# in the preceding 7 days: each touch gets 1000 DIV n, the LAST touch
+# (latest ts, event_id tie-break) also takes the remainder, and
+# touchless conversions credit a 'direct' bucket — so
+# Σ credit == 1000 · n_conversions EXACTLY (the audit invariant every
+# attribution pipeline needs). The touch join is user-keyed with an
+# integer-microsecond band filter (NTZ-safe), never time-bucketed-only.
+
+_ACF_LAGS = (1, 2, 3, 4, 5, 6, 7)
+
+
+@register(
+    "spearman_acf",
+    f"""
+WITH acf_daily AS (
+  SELECT {_EPOCH_US_DUCK_REL} // 86400000000 AS day, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+acf_all AS (
+{" UNION ALL ".join(f'''
+  SELECT {k} AS lag, rx, ry FROM (
+    SELECT row_number() OVER (ORDER BY x.cnt, x.day) AS rx,
+           row_number() OVER (ORDER BY y.cnt, x.day) AS ry
+    FROM acf_daily x JOIN acf_daily y ON y.day = x.day + {k}
+  )''' for k in _ACF_LAGS)}
+)
+SELECT lag, count(*) AS n_pairs,
+       sum((rx - ry) * (rx - ry)) AS sum_d2,
+       CASE WHEN count(*) > 1 THEN
+         1000 - (6000 * sum((rx - ry) * (rx - ry)))
+                  // (count(*) * (count(*) * count(*) - 1))
+       END AS rho_milli
+FROM acf_all GROUP BY lag
+""",
+    doc="Spearman rank autocorrelation of the daily event-count series "
+    "at lags 1-7: exact-integer rho = 1000 - 6000*sum(d^2) DIV n(n^2-1) "
+    "with unique (cnt, day) tie-broken ranks recomputed within each "
+    "lag's overlap. NTZ epoch days; operates on the bounded day "
+    "dimension after one distributed count.",
+)
+def q_spearman_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(f"({_EPOCH_US_SPARK_REL}) DIV 86400000000 AS day")
+        .groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for k in _ACF_LAGS:
+        x = daily.selectExpr("day", "cnt AS xv")
+        y = daily.selectExpr(f"day - {k} AS day", "cnt AS yv")
+        pairs = x.join(y, "day")
+        rx = Window.orderBy("xv", "day")
+        ry = Window.orderBy("yv", "day")
+        outs.append(
+            pairs.withColumn("rx", F.row_number().over(rx))
+            .withColumn("ry", F.row_number().over(ry))
+            .selectExpr(f"{k} AS lag", "rx", "ry")
+        )
+    allp = outs[0]
+    for o in outs[1:]:
+        allp = allp.unionByName(o)
+    return allp.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("sum((rx - ry) * (rx - ry))").alias("sum_d2"),
+        F.expr(
+            "CASE WHEN count(*) > 1 THEN"
+            " 1000 - (6000 * sum((rx - ry) * (rx - ry)))"
+            " DIV (count(*) * (count(*) * count(*) - 1)) END"
+        ).alias("rho_milli"),
+    )
+
+
+_TOUCH_TYPES = ("click", "signup", "view")
+_ATTR_WINDOW_US = 7 * 86400000000
+
+
+@register(
+    "linear_attribution",
+    f"""
+WITH at_conv AS (
+  SELECT event_id AS conv_id, user_id,
+         {_EPOCH_US_DUCK_REL} AS c_us
+  FROM events WHERE event_type = 'purchase'
+),
+at_touch AS (
+  SELECT user_id, event_id, event_type AS channel,
+         {_EPOCH_US_DUCK_REL} AS t_us
+  FROM events WHERE event_type IN {_TOUCH_TYPES!r}
+),
+at_pairs AS (
+  SELECT c.conv_id, t.channel, t.t_us, t.event_id,
+         count(*) OVER (PARTITION BY c.conv_id) AS n,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.t_us DESC, t.event_id DESC) AS rn
+  FROM at_conv c JOIN at_touch t
+    ON t.user_id = c.user_id
+   AND t.t_us <= c.c_us AND t.t_us > c.c_us - {_ATTR_WINDOW_US}
+),
+at_credit AS (
+  SELECT channel,
+         CASE WHEN rn = 1 THEN 1000 - (n - 1) * (1000 // n)
+              ELSE 1000 // n END AS credit
+  FROM at_pairs
+  UNION ALL
+  SELECT 'direct' AS channel, 1000 AS credit
+  FROM at_conv c
+  ANTI JOIN (SELECT DISTINCT conv_id FROM at_pairs) p
+    ON p.conv_id = c.conv_id
+)
+SELECT channel, count(*) AS n_credits, sum(credit) AS credit_milli
+FROM at_credit GROUP BY channel
+""",
+    doc="Linear multi-touch attribution: each purchase splits exactly "
+    "1000 milli-credits across the user's view/click/signup touches in "
+    "the preceding 7 days (1000 DIV n each, remainder to the LAST "
+    "touch; touchless purchases -> 'direct'), so total credit == "
+    "1000 * purchases exactly. User-keyed band join on NTZ integer "
+    "microseconds.",
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS conv_id", "user_id",
+        f"({_EPOCH_US_SPARK_REL}) AS c_us",
+    )
+    touch = ev.where(
+        F.col("event_type").isin(*_TOUCH_TYPES)
+    ).selectExpr(
+        "user_id", "event_id", "event_type AS channel",
+        f"({_EPOCH_US_SPARK_REL}) AS t_us",
+    )
+    pairs = conv.join(touch, "user_id").where(
+        (F.col("t_us") <= F.col("c_us"))
+        & (F.col("t_us") > F.col("c_us") - _ATTR_WINDOW_US)
+    )
+    wc = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.desc("t_us"), F.desc("event_id")
+    )
+    credited = (
+        pairs.withColumn("n", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .selectExpr(
+            "conv_id",
+            "channel",
+            "CASE WHEN rn = 1 THEN 1000 - (n - 1) * (1000 DIV n)"
+            " ELSE 1000 DIV n END AS credit",
+        )
+        .localCheckpoint(eager=False)
+    )
+    direct = conv.join(
+        credited.select("conv_id").distinct(), "conv_id", "left_anti"
+    ).selectExpr("'direct' AS channel", "1000 AS credit")
+    return (
+        credited.select("channel", "credit")
+        .unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.sum("credit").alias("credit_milli"),
+        )
+    )

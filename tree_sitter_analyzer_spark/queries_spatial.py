@@ -1962,3 +1962,15 @@ def q_idw_loo_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dissimilarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.dissimilarity(_tiles(spark, sf_dir), res=7)
+
+
+@register(
+    "participation_ratios",
+    f"{_CTES},\n{pp_ops.participation_oracle_sql()}",
+    doc="Colocation participation ratios (Shekhar & Huang): per ORDERED "
+    "tile-kind pair, the per-mille fraction of A tiles sharing a res-8 "
+    "cell with at least one B tile — association mining's spatial "
+    "analog; the pair fan runs on the bounded cells-x-kinds frame.",
+)
+def q_participation_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.participation_ratios(_tiles(spark, sf_dir))
