@@ -909,3 +909,181 @@ SELECT CAST(row_number() OVER (ORDER BY aa_micro DESC, cn DESC, u, v) AS INT)
 FROM lp_cand
 ORDER BY aa_micro DESC, cn DESC, u, v LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# R150: personalized PageRank (the random-walk-with-restart recommender
+# primitive; Page et al. 1999 / Haveliwala 2002, public) — same
+# integer-quantized join algebra as pagerank_fixed, but the teleport
+# mass concentrates on ONE seed vertex, so the ranks localize around it:
+#     pr_0(v)    = SCALE·[v = seed]
+#     pr_{k+1}(v) = 0.15·SCALE·[v = seed]
+#                   + floor(0.85 · Σ_{u→v} floor(pr_k(u)/outdeg(u)))
+# Every step floors, so the 3-iteration result is bit-identical across
+# engines and partitionings. Zero rows are kept (the full vertex frame)
+# so the output schema is scale-independent.
+# ---------------------------------------------------------------------------
+
+PPR_SEED = 0
+
+
+def ppr_fixed(
+    spark: SparkSession, edges: DataFrame, seed: int = PPR_SEED,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """(v, ppr_micro): fixed-``iters`` personalized PageRank from ``seed``."""
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .dropDuplicates(["v"])
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    base = PR_SCALE * 15 // 100
+    pr = verts.withColumn(
+        "ppr_micro",
+        F.expr(f"CAST(CASE WHEN v = {seed} THEN {PR_SCALE} ELSE 0 END"
+               " AS BIGINT)"),
+    )
+    for _ in range(iters):
+        contrib = (
+            pr.join(e, pr.v == e.src)
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("CAST(floor(ppr_micro / deg) AS BIGINT)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("sc"))
+        )
+        pr = (
+            verts.join(contrib, "v", "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST((CASE WHEN v = {seed} THEN {base} ELSE 0 END)"
+                    f" + floor(coalesce(sc, 0) * {PR_DAMP_NUM} / 100e0)"
+                    " AS BIGINT)"
+                ).alias("ppr_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def ppr_oracle(seed: int = PPR_SEED, iters: int = PR_ITERS) -> str:
+    assert iters == 3, "oracle unrolls exactly 3 iterations"
+    base = PR_SCALE * 15 // 100
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+pc{k} AS (
+  SELECT e.dst AS v, sum(CAST(floor(p.ppr_micro / e.deg) AS BIGINT)) AS sc
+  FROM ppr{k} p JOIN pe e ON e.src = p.v GROUP BY e.dst
+),
+ppr{k + 1} AS (
+  SELECT verts.v,
+         CAST((CASE WHEN verts.v = {seed} THEN {base} ELSE 0 END)
+              + floor(coalesce(pc{k}.sc, 0) * {PR_DAMP_NUM} / 100e0)
+              AS BIGINT) AS ppr_micro
+  FROM verts LEFT JOIN pc{k} ON pc{k}.v = verts.v
+)""")
+    return f"""
+WITH pedges AS ({edges_sql("dag")}),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM pedges UNION ALL SELECT dst FROM pedges
+  )
+),
+poutdeg AS (SELECT src, count(*) AS deg FROM pedges GROUP BY src),
+pe AS (
+  SELECT pedges.src, pedges.dst, poutdeg.deg
+  FROM pedges JOIN poutdeg USING (src)
+),
+ppr0 AS (
+  SELECT v, CAST(CASE WHEN v = {seed} THEN {PR_SCALE} ELSE 0 END AS BIGINT)
+           AS ppr_micro
+  FROM verts
+),
+{",".join(steps)}
+SELECT v, ppr_micro FROM ppr{iters}
+"""
+
+
+# ---------------------------------------------------------------------------
+# R153: label propagation (Raghavan et al. 2007, public), made
+# deterministic: all labels update SYNCHRONOUSLY each round to the
+# PLURALITY label of the vertex's undirected neighbors, ties broken by
+# the smallest label (the nondeterminism of textbook LPA — random order,
+# random tie-break — is exactly what a reproducible engine must remove).
+# Two rounds, each = one adjacency join + a two-level aggregate; the
+# argmax over (count, label) folds into ONE packed bigint max — count
+# dominates, complemented label breaks ties — so plurality never needs
+# a second window pass:
+#     pack = cnt · 2^21 + (2^21 − 1 − label),  label < 2^21
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+_LPA_P = 1 << 21
+
+
+def label_propagation(
+    spark: SparkSession, edges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """(v, label) after ``rounds`` synchronous plurality updates."""
+    und = (
+        edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .where("a != b")
+        .dropDuplicates(["a", "b"])
+    )
+    adj = und.selectExpr("a AS v", "b AS nbr").unionByName(
+        und.selectExpr("b AS v", "a AS nbr")
+    ).localCheckpoint(eager=False)
+    verts = adj.select("v").dropDuplicates(["v"]).localCheckpoint(eager=False)
+    lab = verts.withColumn("label", F.col("v").cast("bigint"))
+    for _ in range(rounds):
+        nl = (
+            adj.join(lab.withColumnRenamed("v", "nbr"), "nbr")
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("v")
+            .agg(
+                F.expr(
+                    f"max(cnt * {_LPA_P} + ({_LPA_P} - 1 - label))"
+                ).alias("pack")
+            )
+            .selectExpr("v", f"{_LPA_P} - 1 - (pack % {_LPA_P}) AS label")
+        )
+        lab = nl.localCheckpoint(eager=True)
+    return lab
+
+
+def label_propagation_oracle(rounds: int = LPA_ROUNDS, kind: str = "bfs") -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+lp{k}_cnt AS (
+  SELECT adj.v, l.label, count(*) AS cnt
+  FROM adj JOIN lp{k - 1} l ON l.v = adj.nbr
+  GROUP BY adj.v, l.label
+),
+lp{k} AS (
+  SELECT v,
+         {_LPA_P} - 1 - (max(cnt * {_LPA_P} + ({_LPA_P} - 1 - label))
+                         % {_LPA_P}) AS label
+  FROM lp{k}_cnt GROUP BY v
+)""")
+    return f"""
+WITH lbase AS ({edges_sql(kind)}),
+lund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lbase WHERE src != dst
+),
+adj AS (
+  SELECT a AS v, b AS nbr FROM lund
+  UNION ALL SELECT b AS v, a AS nbr FROM lund
+),
+lp0 AS (SELECT DISTINCT v, CAST(v AS BIGINT) AS label FROM adj),
+{",".join(steps)}
+SELECT v, label FROM lp{rounds}
+"""

@@ -176,3 +176,29 @@ def q_hits_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.link_prediction(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "ppr_seed0",
+    graph.ppr_oracle(0),
+    doc="Personalized PageRank from seed vertex 0 (random walk with "
+    "restart — the graph recommender primitive), 3 fixed iterations, "
+    "integer micro-unit ranks flooring at every step: same vertex-keyed "
+    "contribution join + sum-agg algebra as pagerank3 with teleport "
+    "mass concentrated on the seed. Oracle: unrolled CTEs.",
+)
+def q_ppr_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.ppr_fixed(spark, graph.edges_df(spark, "dag"), 0)
+
+
+@register(
+    "label_propagation",
+    graph.label_propagation_oracle(),
+    doc="Deterministic synchronous label propagation (plurality label of "
+    "undirected neighbors, smallest-label tie-break), 2 rounds: per "
+    "round one adjacency join + two-level aggregate with the argmax "
+    "folded into a single packed bigint max — community detection "
+    "beside connected_components' min-label propagation.",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.label_propagation(spark, graph.edges_df(spark, "bfs"))

@@ -2612,3 +2612,148 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").alias("credit_milli"),
         )
     )
+
+
+# --- R151/R152: calendar gap-fill + robust trimmed stats ----------------------
+#
+# R151: time-series densification — the ETL step every daily rollup
+# needs before window math: generate the full calendar between the
+# series' min and max epoch day, left-join the observed counts, and
+# carry the last observation forward across gaps. The carry-forward is
+# spelled PORTABLY as a running max over a packed key (day·2^32 + cnt
+# for observed days — day dominates, so the max IS the latest observed
+# pair; IGNORE NULLS window syntax differs across engines and is
+# avoided). Scale: the calendar is the bounded day dimension; one
+# distributed count feeds it.
+#
+# R152: trimmed (10% each side) robust statistics of the purchase value
+# per event type — rank-window + filter, exact integer cents, unique
+# (cents, event_id) order so the trimmed set is engine-identical.
+
+_GF_PACK = 1 << 32
+
+
+@register(
+    "gap_fill_daily",
+    f"""
+WITH gf_daily AS (
+  SELECT user_id, {_EPOCH_US_DUCK_REL} // 86400000000 AS day,
+         count(*) AS cnt
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+gf_cal AS (
+  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM gf_daily GROUP BY 1)
+),
+gf_joined AS (
+  SELECT c.user_id, c.day, d.cnt,
+         max(CASE WHEN d.cnt IS NOT NULL
+                  THEN c.day * {_GF_PACK} + d.cnt END)
+           OVER (PARTITION BY c.user_id ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pack
+  FROM gf_cal c LEFT JOIN gf_daily d
+    ON d.user_id = c.user_id AND d.day = c.day
+)
+SELECT user_id, day, pack % {_GF_PACK} AS cnt_filled,
+       CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM gf_joined
+""",
+    doc="Per-user calendar densification with last-observation-carried-"
+    "forward over each user's daily signup series: every user's "
+    "min..max day range generated (sequence+explode), gaps filled by a "
+    "user-partitioned running max over the packed (day*2^32 + cnt) key "
+    "— portable LOCF without IGNORE NULLS syntax. The fill is keyed, so "
+    "it shards perfectly at any user count.",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where("event_type = 'signup'")
+        .selectExpr(
+            "user_id",
+            f"({_EPOCH_US_SPARK_REL}) DIV 86400000000 AS day",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .selectExpr("user_id", "explode(sequence(d0, d1)) AS day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .withColumn(
+            "pack",
+            F.max(
+                F.expr(
+                    f"CASE WHEN cnt IS NOT NULL"
+                    f" THEN day * {_GF_PACK} + cnt END"
+                )
+            ).over(w),
+        )
+        .selectExpr(
+            "user_id",
+            "day",
+            f"pack % {_GF_PACK} AS cnt_filled",
+            "CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS was_gap",
+        )
+    )
+
+
+@register(
+    "trimmed_stats",
+    f"""
+WITH tr_vals AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100e0) AS BIGINT) AS cents
+  FROM events
+),
+tr_ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM tr_vals
+)
+SELECT event_type, min(n) AS n, count(*) AS n_kept,
+       sum(cents) AS sum_kept_cents,
+       sum(cents) // count(*) AS mean_kept_cents,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM tr_ranked
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type
+""",
+    doc="10%-trimmed robust statistics of the event value per type: "
+    "rank window with the unique (cents, event_id) order, keep ranks "
+    "(n DIV 10, n - n DIV 10], exact integer cents — the outlier-proof "
+    "companion to the z-score anomaly detector.",
+)
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "event_id",
+        "CAST(floor(value * 100e0) AS BIGINT) AS cents",
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    return (
+        vals.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .where("rn > n DIV 10 AND rn <= n - n DIV 10")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.count("*").alias("n_kept"),
+            F.sum("cents").alias("sum_kept_cents"),
+            F.expr("sum(cents) DIV count(*)").alias("mean_kept_cents"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
