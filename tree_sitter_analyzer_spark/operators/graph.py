@@ -1087,3 +1087,213 @@ lp0 AS (SELECT DISTINCT v, CAST(v AS BIGINT) AS label FROM adj),
 {",".join(steps)}
 SELECT v, label FROM lp{rounds}
 """
+
+
+# ---------------------------------------------------------------------------
+# R154: k-truss decomposition (Cohen 2008, public) — the triangle-strength
+# refinement of k-core: keep only edges participating in ≥ k−2 triangles,
+# iterate to fixpoint. Triangles are enumerated the canonical a<b<c way
+# (two vertex-keyed equi-joins — the a<b edge orientation makes the
+# b<c constraint implicit in the second hop), per-edge support is the
+# 3-way projection of the triangle rows aggregated in-stream (the pair
+# frame never outlives the join stage), and the peel is a semi-join.
+# Fixed ``rounds`` unrolled on both engines; pytest pins rounds-1 ==
+# rounds convergence on the planted-core graph. Reference analog: the
+# reference prunes weak similarity clusters by shared-neighbor counts
+# (code_similarity.py grouping); SURVEY.md §2.12 R154.
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 4            # edge survives with ≥ 2 supporting triangles
+KTRUSS_ROUNDS = 5       # pytest pins rounds-5 == rounds-6 (converged)
+
+
+def ktruss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = KTRUSS_K,
+    rounds: int = KTRUSS_ROUNDS,
+) -> DataFrame:
+    """(a, b, support): the k-truss edge set after ``rounds`` peels,
+    with each surviving edge's final triangle support."""
+    e = (
+        edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .where("a != b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+
+    def support(ue: DataFrame) -> DataFrame:
+        tri = (
+            ue.toDF("a", "b")
+            .join(ue.toDF("b", "c"), "b")
+            .join(ue.toDF("a", "c"), ["a", "c"])
+        )
+        return (
+            tri.selectExpr("a AS x", "b AS y")
+            .unionByName(tri.selectExpr("a AS x", "c AS y"))
+            .unionByName(tri.selectExpr("b AS x", "c AS y"))
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("support"))
+        )
+
+    for i in range(rounds):
+        keep = support(e).where(F.col("support") >= k - 2)
+        e = e.join(
+            keep.selectExpr("x AS a", "y AS b"), ["a", "b"], "left_semi"
+        )
+        if i % 2 == 1:
+            e = e.localCheckpoint(eager=False)
+    return e.join(
+        support(e).selectExpr("x AS a", "y AS b", "support"), ["a", "b"]
+    ).select("a", "b", "support")
+
+
+def ktruss_oracle_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """Identical unrolled peel; MATERIALIZED is load-bearing (each edge
+    level is referenced three times by its triangle join)."""
+
+    def sup(i: int, src: str) -> str:
+        return f"""
+kt_tri{i} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM {src} e1
+  JOIN {src} e2 ON e2.a = e1.b
+  JOIN {src} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+kt_sup{i} AS MATERIALIZED (
+  SELECT x, y, count(*) AS support FROM (
+    SELECT a AS x, b AS y FROM kt_tri{i}
+    UNION ALL SELECT a, c FROM kt_tri{i}
+    UNION ALL SELECT b, c FROM kt_tri{i}
+  ) GROUP BY 1, 2
+)"""
+
+    chain = [
+        f"kt_base AS MATERIALIZED ({_core_edges_sql()})",
+        """kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kt_base WHERE src != dst
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        chain.append(sup(i, f"kt_e{i-1}"))
+        chain.append(
+            f"""kt_e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM kt_e{i-1} e
+  JOIN kt_sup{i} s ON s.x = e.a AND s.y = e.b AND s.support >= {k - 2}
+)"""
+        )
+    chain.append(sup(rounds + 1, f"kt_e{rounds}"))
+    return (
+        "WITH " + ",\n".join(chain) + f"""
+SELECT e.a, e.b, s.support
+FROM kt_e{rounds} e
+JOIN kt_sup{rounds + 1} s ON s.x = e.a AND s.y = e.b
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# R155: modularity score (Newman 2004, public) of the label-propagation
+# partition — the quality metric community pipelines report beside the
+# partition itself. Exact integer form: with m undirected edges, e_c
+# intra-community edges and D_c the community degree sum,
+#     Q = (4m·Σe_c − ΣD_c²) / (4m²)  ∈ [−1/2, 1]
+# so Q+1 ≥ 1/2 > 0 and
+#     q_plus1_micro = 1e6·(4m·Σe_c − ΣD_c² + 4m²) DIV (4m²)
+# stays in non-negative integer division (Spark DIV == DuckDB // there).
+# One adjacency aggregate + two label-keyed joins; the global scalars
+# ride a broadcast one-row frame — no driver collect.
+# ---------------------------------------------------------------------------
+
+
+def modularity(
+    spark: SparkSession, edges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """(label, members, intra_edges, deg_sum, q_plus1_micro): per-LPA-
+    community stats with the global modularity as a replicated column."""
+    lab = label_propagation(spark, edges, rounds).localCheckpoint(eager=False)
+    und = (
+        edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .where("a != b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.selectExpr("a AS v")
+        .unionByName(und.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    comm = (
+        lab.join(deg, "v")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("members"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    intra = (
+        und.join(lab.selectExpr("v AS a", "label AS la"), "a")
+        .join(lab.selectExpr("v AS b", "label AS lb"), "b")
+        .where("la = lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    comm = comm.join(intra, "label", "left").selectExpr(
+        "label",
+        "members",
+        "coalesce(intra_edges, CAST(0 AS BIGINT)) AS intra_edges",
+        "deg_sum",
+    )
+    glob = comm.agg(
+        F.expr("sum(intra_edges)").alias("sum_intra"),
+        F.expr("sum(deg_sum * deg_sum)").alias("sum_d2"),
+        F.expr("CAST(sum(deg_sum) / 2 AS BIGINT)").alias("m"),
+    ).selectExpr(
+        "CAST(1000000 * (4 * m * sum_intra - sum_d2 + 4 * m * m)"
+        " DIV (4 * m * m) AS BIGINT) AS q_plus1_micro"
+    )
+    return comm.crossJoin(F.broadcast(glob))
+
+
+def modularity_oracle_sql(
+    rounds: int = LPA_ROUNDS, kind: str = "bfs"
+) -> str:
+    lpa = label_propagation_oracle(rounds, kind)
+    body = lpa.split("WITH", 1)[1].rsplit("SELECT", 1)[0].rstrip().rstrip(",")
+    return f"""
+WITH {body},
+md_deg AS (
+  SELECT v, count(*) AS deg FROM adj GROUP BY 1
+),
+md_comm AS (
+  SELECT l.label, count(*) AS members, sum(d.deg) AS deg_sum
+  FROM lp{rounds} l JOIN md_deg d ON d.v = l.v GROUP BY 1
+),
+md_intra AS (
+  SELECT la.label, count(*) AS intra_edges
+  FROM lund e
+  JOIN lp{rounds} la ON la.v = e.a
+  JOIN lp{rounds} lb ON lb.v = e.b
+  WHERE la.label = lb.label GROUP BY 1
+),
+md_full AS (
+  SELECT c.label, c.members,
+         coalesce(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         c.deg_sum
+  FROM md_comm c LEFT JOIN md_intra i ON i.label = c.label
+),
+md_glob AS (
+  SELECT CAST(1000000 * (4 * m * sum_intra - sum_d2 + 4 * m * m)
+              // (4 * m * m) AS BIGINT) AS q_plus1_micro
+  FROM (
+    SELECT sum(intra_edges) AS sum_intra,
+           sum(deg_sum * deg_sum) AS sum_d2,
+           CAST(sum(deg_sum) / 2 AS BIGINT) AS m
+    FROM md_full
+  )
+)
+SELECT f.label, f.members, f.intra_edges, f.deg_sum, g.q_plus1_micro
+FROM md_full f CROSS JOIN md_glob g
+"""

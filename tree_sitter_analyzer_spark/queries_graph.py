@@ -202,3 +202,31 @@ def q_ppr_seed0(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "ktruss_edges",
+    graph.ktruss_oracle_sql(),
+    doc="4-truss decomposition (Cohen 2008) of the planted-core graph: "
+    "edges kept only while supported by ≥2 triangles, 5 unrolled peel "
+    "rounds (pytest pins rounds == rounds+1 convergence); triangles "
+    "enumerated canonically a<b<c through two vertex-keyed equi-joins, "
+    "per-edge support aggregated in-stream, peel = one semi-join. "
+    "Oracle: chained MATERIALIZED CTEs (each level referenced 3x).",
+)
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.ktruss(spark, graph.core_edges_df(spark))
+
+
+@register(
+    "modularity_score",
+    graph.modularity_oracle_sql(),
+    doc="Newman modularity of the label-propagation partition, exact in "
+    "integers via Q+1 = (4m*sum_intra - sum_D2 + 4m^2)/(4m^2) (Q >= -1/2 "
+    "keeps the numerator positive, so DIV is engine-identical): "
+    "per-community members/intra-edges/degree-mass plus the global "
+    "q_plus1_micro replicated from a broadcast one-row frame — the "
+    "partition-quality audit beside the partition itself.",
+)
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.modularity(spark, graph.edges_df(spark, "bfs"))
