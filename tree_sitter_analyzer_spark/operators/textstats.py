@@ -584,3 +584,168 @@ SELECT CAST(a.rank AS BIGINT) AS rank, a.tok, a.cnt,
        CASE WHEN b.cnt IS NULL THEN 0
             ELSE (1000 * a.cnt) // b.cnt END AS ratio_milli
 FROM zf_top a LEFT JOIN zf_top b ON b.rank = 2 * a.rank"""
+
+
+# ---------------------------------------------------------------------------
+# R156: PII detection + redaction (the compliance pass every training-data
+# pipeline runs before anything ships: C4 and The Pile both document a
+# regex scrub stage). Reference analog: the noise-suppression / derived
+# boolean classifier family (SURVEY.md P4/P5). Pure per-row regex column
+# arithmetic — no shuffle, codegen'd, trivially 100 TB-safe.
+#
+# The synthetic corpus carries no contact strings, so the operator's input
+# is a DERIVED text column built from the same SQL text on both engines
+# (the synthetic-column parity discipline, CLAUDE.md): docs get a
+# deterministic email / SSN-shaped / phone-shaped suffix keyed on doc_id.
+# Patterns avoid backslash classes ([0-9], not \d) so Java regex (Spark)
+# and RE2 (DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g'
+# flag (Spark replaces globally by default).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_PHONE = "555-[0-9]{4}"
+
+# One SQL definition, both engines (CAST AS STRING is valid in DuckDB too).
+PII_TXT_SQL = (
+    "(text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user'"
+    " || CAST(doc_id AS STRING) || '@mail-'"
+    " || CAST(doc_id % 7 AS STRING) || '.org' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn '"
+    " || CAST(100 + doc_id % 900 AS STRING) || '-'"
+    " || CAST(10 + doc_id % 90 AS STRING) || '-'"
+    " || CAST(1000 + doc_id % 9000 AS STRING) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'"
+    " || CAST(1000 + (doc_id * 7) % 9000 AS STRING) ELSE '' END)"
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-doc PII counts + redacted-text audit (doc_id, n_email, n_ssn,
+    n_phone, pii_total, clean_len, redacted_md5).
+
+    Redaction order is part of the contract (email, then SSN, then
+    phone) — identical on both engines so the md5 of the redacted text
+    is comparable."""
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(pii_txt,"
+        f" '{PII_EMAIL}', '<EMAIL>'),"
+        f" '{PII_SSN}', '<SSN>'),"
+        f" '{PII_PHONE}', '<PHONE>')"
+    )
+    return (
+        docs.withColumn("pii_txt", F.expr(PII_TXT_SQL))
+        .selectExpr(
+            "doc_id",
+            f"CAST(regexp_count(pii_txt, '{PII_EMAIL}') AS BIGINT) AS n_email",
+            f"CAST(regexp_count(pii_txt, '{PII_SSN}') AS BIGINT) AS n_ssn",
+            f"CAST(regexp_count(pii_txt, '{PII_PHONE}') AS BIGINT) AS n_phone",
+            f"{red} AS redacted",
+        )
+        .selectExpr(
+            "doc_id", "n_email", "n_ssn", "n_phone",
+            "n_email + n_ssn + n_phone AS pii_total",
+            "CAST(length(redacted) AS BIGINT) AS clean_len",
+            "md5(redacted) AS redacted_md5",
+        )
+    )
+
+
+def pii_scrub_oracle() -> str:
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(pii_txt,"
+        f" '{PII_EMAIL}', '<EMAIL>', 'g'),"
+        f" '{PII_SSN}', '<SSN>', 'g'),"
+        f" '{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH pii_base AS (
+  SELECT doc_id, {PII_TXT_SQL} AS pii_txt FROM documents),
+pii_cnt AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(pii_txt, '{PII_EMAIL}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(pii_txt, '{PII_SSN}')) AS BIGINT)
+           AS n_ssn,
+         CAST(len(regexp_extract_all(pii_txt, '{PII_PHONE}')) AS BIGINT)
+           AS n_phone,
+         {red} AS redacted
+  FROM pii_base)
+SELECT doc_id, n_email, n_ssn, n_phone,
+       n_email + n_ssn + n_phone AS pii_total,
+       CAST(length(redacted) AS BIGINT) AS clean_len,
+       md5(redacted) AS redacted_md5
+FROM pii_cnt"""
+
+
+# ---------------------------------------------------------------------------
+# R157: overlapping fixed-window document chunking — the
+# retrieval-/training-ingest step between cleaning and embedding (every
+# RAG and context-window pipeline runs one). Window W=64 tokens, stride
+# S=48 (25% overlap). Chunk count is CLOSED-FORM per doc
+# (1 + ceil((n-W)/S)), so the fan is a per-row sequence+explode: no
+# shuffle, fan factor ≤ n/S + 1 ≈ 1.33× the token mass — the narrow-op
+# shape that survives 100 TB. Coverage is provable: the last chunk start
+# 1+S·(nc−1) ≤ n and start+W−1 ≥ n, so every token lands in ≥1 chunk and
+# the tail chunk keeps ≥ W−S+1 tokens.
+# ---------------------------------------------------------------------------
+
+CHUNK_W, CHUNK_S = 64, 48
+
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_md5) — whitespace-token
+    windows of W with stride S; md5 of the re-joined chunk text is the
+    cross-engine value witness."""
+    W, S = CHUNK_W, CHUNK_S
+    return (
+        docs.withColumn("ws", F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .withColumn("n_tokens", F.expr("CAST(size(ws) AS BIGINT)"))
+        .where("n_tokens > 0")
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"CASE WHEN n_tokens <= {W} THEN CAST(1 AS BIGINT) "
+                f"ELSE 1 + (n_tokens - {W} + {S} - 1) DIV {S} END"
+            ),
+        )
+        .selectExpr(
+            "doc_id", "ws",
+            "explode(sequence(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx",
+        )
+        .selectExpr(
+            "doc_id", "chunk_idx",
+            f"slice(ws, CAST(1 + chunk_idx * {S} AS INT), {W}) AS toks",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_idx",
+            "CAST(size(toks) AS BIGINT) AS n_chunk_tokens",
+            "md5(array_join(toks, ' ')) AS chunk_md5",
+        )
+    )
+
+
+def doc_chunks_oracle() -> str:
+    W, S = CHUNK_W, CHUNK_S
+    return f"""
+WITH ck_base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+ck_n AS (
+  SELECT doc_id, ws, len(ws) AS n_tokens,
+         CASE WHEN len(ws) <= {W} THEN 1
+              ELSE 1 + (len(ws) - {W} + {S} - 1) // {S} END AS n_chunks
+  FROM ck_base WHERE len(ws) > 0),
+ck_fan AS (
+  SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM ck_n),
+ck_sl AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(ws, 1 + chunk_idx * {S}, chunk_idx * {S} + {W}) AS toks
+  FROM ck_fan)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks, ' ')) AS chunk_md5
+FROM ck_sl"""

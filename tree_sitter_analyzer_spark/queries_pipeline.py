@@ -1024,3 +1024,31 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.domain_mix_sample(_docs(spark, sf_dir))
+
+
+# --- R156/R157: PII scrub + overlapping chunking ------------------------------
+
+@register(
+    "pii_scrub",
+    textstats.pii_scrub_oracle(),
+    doc="PII detection + redaction audit (the compliance scrub stage of "
+    "C4/Pile-style corpus pipelines): per-doc email/SSN/phone match "
+    "counts and the md5 of the redacted text, over a deterministic "
+    "doc_id-keyed PII enrichment evaluated from the same SQL on both "
+    "engines. Pure per-row regex arithmetic — no shuffle.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.pii_scrub(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_chunks",
+    textstats.doc_chunks_oracle(),
+    doc="Overlapping fixed-window chunking (W=64 tokens, stride 48 — the "
+    "RAG/context-window ingest step): closed-form chunk count per doc, "
+    "sequence+explode fan (≤1.33x token mass, no shuffle), md5 of each "
+    "re-joined chunk as the value witness. Tail chunk provably keeps "
+    ">= W-S+1 tokens and every token lands in >= 1 chunk.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_chunks(_docs(spark, sf_dir))
