@@ -591,3 +591,107 @@ SELECT x.n_exact_union, m.union_est_milli,
          // x.n_exact_union AS err_milli,
        CAST(m.union_est_milli = d.direct_est_milli AS BIGINT) AS merge_exact
 FROM hu_ex x CROSS JOIN hu_me m CROSS JOIN hu_de d"""
+
+
+# ---------------------------------------------------------------------------
+# R158: KMV (bottom-k / "k minimum values") distinct-count sketch
+# (Bar-Yossef et al. 2002) — the fifth sketch, and the one whose merge IS
+# Spark's two-phase aggregation in the most literal way: bottom-k of a
+# union = bottom-k of the bottom-k's. The Spark side computes the sketch
+# with an explicit partial phase (per-partition bottom-k via
+# spark_partition_id grouping, then a k-bounded merge), so the shuffle
+# carries ≤ k hashes per (kind, partition) — never the key set. The
+# estimator is pure integers: h uniform in [1, 2^30], est =
+# (k−1)·2^30 DIV h_(k). Because min-k is associative/commutative, the
+# result is PARTITION-INDEPENDENT, which is exactly what lets DuckDB
+# oracle it with a flat global bottom-k (and what the repartition
+# invariance test pins).
+# Raw regime: fewer than k distinct hashes ⇒ the sketch holds the whole
+# hash set and the estimate is its size (exact up to hash collisions).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_R = 1 << 30
+
+
+def kmv_cardinality(tiles: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-tile-kind distinct res-9 cell cardinality via a bottom-k
+    sketch beside the exact count: (tile_kind, n_exact, n_held,
+    kmv_est, err_milli) — all bigint."""
+    from .. import grid
+
+    h = md5int_spark("CAST(cell AS STRING)")
+    keyed = tiles.select(
+        "tile_kind",
+        F.expr(grid.cell_sql("lon", "lat", 9)).alias("cell"),
+    ).select(
+        "tile_kind", "cell",
+        F.expr(f"(({h}) % {KMV_R}) + 1").alias("h"),
+    )
+    part = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .groupBy("tile_kind", "pid")
+        .agg(F.expr(f"slice(array_sort(collect_set(h)), 1, {k})").alias("hs"))
+    )
+    merged = part.groupBy("tile_kind").agg(
+        F.expr(
+            f"slice(array_sort(array_distinct(flatten(collect_list(hs)))),"
+            f" 1, {k}) AS bk"
+        )
+    )
+    exact = keyed.groupBy("tile_kind").agg(
+        F.countDistinct("cell").alias("n_exact")
+    )
+    return (
+        exact.join(merged, "tile_kind")
+        .selectExpr(
+            "tile_kind", "n_exact",
+            "CAST(size(bk) AS BIGINT) AS n_held",
+            f"CASE WHEN size(bk) < {k} THEN CAST(size(bk) AS BIGINT)"
+            f" ELSE ({k} - 1) * CAST({KMV_R} AS BIGINT)"
+            f" DIV element_at(bk, {k}) END AS kmv_est",
+        )
+        .withColumn(
+            "err_milli",
+            F.expr("abs(1000 * kmv_est - 1000 * n_exact) DIV n_exact"),
+        )
+    )
+
+
+def kmv_oracle_sql(k: int = KMV_K) -> str:
+    """Flat global bottom-k (legitimate because min-k is order- and
+    partition-independent). Requires the spliced tiles CTE."""
+    from .. import grid
+
+    h = md5int_duck("CAST(cell AS VARCHAR)")
+    return f"""
+kmv_h AS (
+  SELECT DISTINCT tile_kind, ((({h}) % {KMV_R}) + 1) AS h
+  FROM (SELECT tile_kind, {grid.cell_sql('lon', 'lat', 9)} AS cell
+        FROM tiles)
+),
+kmv_r AS (
+  SELECT tile_kind, h,
+         row_number() OVER (PARTITION BY tile_kind ORDER BY h) AS rn
+  FROM kmv_h
+),
+kmv_s AS (
+  SELECT tile_kind,
+         CAST(least(count(*), {k}) AS BIGINT) AS n_held,
+         max(CASE WHEN rn = {k} THEN h END) AS kth
+  FROM kmv_r WHERE rn <= {k} GROUP BY 1
+),
+kmv_e AS (
+  SELECT tile_kind, count(DISTINCT cell) AS n_exact
+  FROM (SELECT tile_kind, {grid.cell_sql('lon', 'lat', 9)} AS cell
+        FROM tiles)
+  GROUP BY 1
+)
+SELECT e.tile_kind, e.n_exact, s.n_held,
+       CASE WHEN s.n_held < {k} THEN s.n_held
+            ELSE ({k} - 1) * CAST({KMV_R} AS BIGINT) // s.kth
+       END AS kmv_est,
+       abs(1000 * (CASE WHEN s.n_held < {k} THEN s.n_held
+                        ELSE ({k} - 1) * CAST({KMV_R} AS BIGINT) // s.kth
+                   END) - 1000 * e.n_exact) // e.n_exact AS err_milli
+FROM kmv_e e JOIN kmv_s s ON s.tile_kind = e.tile_kind"""

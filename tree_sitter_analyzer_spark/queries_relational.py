@@ -2757,3 +2757,75 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+# --- R159: truncated dyadic EWMA deviation screen ----------------------------
+#
+# Exponentially-weighted moving average with alpha = 1/2, truncated at
+# exactly 8 terms so the whole estimator is integer arithmetic: the
+# baseline for day t is s = sum_{i=1..8} n_{t-i} * 2^(8-i) over total
+# weight W = 2^8 - 1 = 255 (tail mass < 2^-8 of an untruncated EWMA).
+# Deviation is emitted as (sign, per-mille magnitude) — DIV on negatives
+# differs across engines (Spark truncates, DuckDB floors), so the
+# compared magnitude is always non-negative. The day frame is types x
+# days (bounded); one window over one type-keyed exchange.
+
+_EWMA_TERMS = " + ".join(
+    f"lag(n, {i}) OVER (PARTITION BY event_type ORDER BY day)"
+    f" * {1 << (8 - i)}"
+    for i in range(1, 9)
+)
+_EWMA_W = 255
+
+
+@register(
+    "ewma_anomalies",
+    f"""
+WITH ew_d AS (
+  SELECT event_type, {_EPOCH_US_DUCK_REL} // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ew_s AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         {_EWMA_TERMS} AS s
+  FROM ew_d)
+SELECT event_type, day, n, s // {_EWMA_W} AS ewma_pred,
+       CASE WHEN n * {_EWMA_W} >= s THEN 1 ELSE -1 END AS dev_sign,
+       (1000 * abs(n * {_EWMA_W} - s)) // greatest(s, 1) AS dev_abs_pm,
+       CASE WHEN (1000 * abs(n * {_EWMA_W} - s)) > 500 * greatest(s, 1)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM ew_s WHERE rn > 8
+""",
+    doc="Truncated dyadic EWMA (alpha=1/2, exactly 8 terms, total weight "
+    "255) volume screen per event type: integer predicted baseline, "
+    "signed per-mille deviation, |dev| > 50% anomaly flag. The adaptive "
+    "companion to the global-variance z-score screen — recent days "
+    "dominate the baseline. Day frame bounded by types x days.",
+)
+def q_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(f"({_EPOCH_US_SPARK_REL}) DIV 86400000000").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.selectExpr(
+            "event_type", "day", "n",
+            "row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn",
+            f"{_EWMA_TERMS} AS s",
+        )
+        .where("rn > 8")
+        .selectExpr(
+            "event_type", "day", "n",
+            f"s DIV {_EWMA_W} AS ewma_pred",
+            f"CASE WHEN n * {_EWMA_W} >= s THEN 1 ELSE -1 END AS dev_sign",
+            f"(1000 * abs(n * {_EWMA_W} - s)) DIV greatest(s, 1)"
+            " AS dev_abs_pm",
+            f"CASE WHEN (1000 * abs(n * {_EWMA_W} - s)) >"
+            f" 500 * greatest(s, 1) THEN 1 ELSE 0 END AS is_anomaly",
+        )
+    )

@@ -1974,3 +1974,18 @@ def q_dissimilarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_participation_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.participation_ratios(_tiles(spark, sf_dir))
+
+
+@register(
+    "kmv_cardinality",
+    f"{_CTES},\n{sketch_ops.kmv_oracle_sql()}",
+    doc="KMV (bottom-k) distinct-cell cardinality per tile kind beside "
+    "the exact count: h uniform in [1,2^30], est = (k-1)*2^30 DIV "
+    "h_(k), k=64 — the fifth sketch, whose merge IS two-phase "
+    "aggregation (bottom-k of bottom-k's): the Spark side sketches per "
+    "partition then merges <= k hashes per group, and because min-k is "
+    "partition-independent the DuckDB oracle rebuilds it with a flat "
+    "global bottom-k. Raw regime (n < k) holds the whole hash set.",
+)
+def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_ops.kmv_cardinality(_tiles(spark, sf_dir))
