@@ -1297,3 +1297,142 @@ md_glob AS (
 SELECT f.label, f.members, f.intra_edges, f.deg_sum, g.q_plus1_micro
 FROM md_full f CROSS JOIN md_glob g
 """
+
+
+# ---------------------------------------------------------------------------
+# R160: rich-club coefficient ladder (Zhou & Mondragón 2004; Colizza 2006)
+# — for each degree threshold k: phi(k) = 2·E_k / (N_k·(N_k−1)), the
+# density among nodes of degree > k. Exact integers (per-mille). Shape:
+# one degree aggregation, two vertex-keyed broadcast joins to tag edge
+# endpoints, then a 4-row threshold ladder (k = 4..7 — the synthetic graph's
+# degree range is 3..8, so every rung is populated) fanned over the
+# BOUNDED edge/
+# degree frames — never an all-pairs anything. The whole ladder reads the
+# edge list once.
+# ---------------------------------------------------------------------------
+
+RICH_KS = (4, 5, 6, 7)
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list a < b (dedup, self-loops dropped)."""
+    return (
+        edges.selectExpr(
+            "least(src, dst) AS a", "greatest(src, dst) AS b"
+        )
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def rich_club(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(k, n_k, e_k, phi_milli) for k in RICH_KS over the undirected
+    graph; phi_milli = 2000·e_k DIV (n_k·(n_k−1)), 0 when n_k < 2."""
+    ue = _undirected(edges).localCheckpoint(eager=False)
+    deg = (
+        ue.selectExpr("a AS v")
+        .unionByName(ue.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    ed = (
+        ue.join(F.broadcast(deg.selectExpr("v AS a", "deg AS deg_a")), "a")
+        .join(F.broadcast(deg.selectExpr("v AS b", "deg AS deg_b")), "b")
+        .selectExpr("least(deg_a, deg_b) AS dmin")
+    )
+    kf = spark.range(1).selectExpr(
+        f"explode(array({', '.join(map(str, RICH_KS))})) AS k"
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(F.expr("CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END)"
+                    " AS BIGINT) AS n_k"))
+    )
+    ek = (
+        ed.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(F.expr("CAST(sum(CASE WHEN dmin > k THEN 1 ELSE 0 END)"
+                    " AS BIGINT) AS e_k"))
+    )
+    return (
+        nk.join(ek, "k")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k", "n_k", "e_k",
+            "CASE WHEN n_k >= 2 THEN (2000 * e_k) DIV (n_k * (n_k - 1))"
+            " ELSE CAST(0 AS BIGINT) END AS phi_milli",
+        )
+    )
+
+
+def rich_club_oracle(kind: str = "bfs") -> str:
+    ks = ", ".join(map(str, RICH_KS))
+    return f"""
+WITH rc_e0 AS ({edges_sql(kind)}),
+rc_ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM rc_e0 WHERE src <> dst),
+rc_deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM rc_ue UNION ALL SELECT b FROM rc_ue)
+  GROUP BY 1),
+rc_ks AS (SELECT unnest([{ks}]) AS k),
+rc_nk AS (
+  SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_k
+  FROM rc_ks CROSS JOIN rc_deg GROUP BY 1),
+rc_ek AS (
+  SELECT k, CAST(sum(CASE WHEN dmin > k THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+  FROM rc_ks CROSS JOIN (
+    SELECT least(da.deg, db.deg) AS dmin
+    FROM rc_ue e
+    JOIN rc_deg da ON da.v = e.a
+    JOIN rc_deg db ON db.v = e.b)
+  GROUP BY 1)
+SELECT CAST(n.k AS BIGINT) AS k, n.n_k, e.e_k,
+       CASE WHEN n.n_k >= 2 THEN (2000 * e.e_k) // (n.n_k * (n.n_k - 1))
+            ELSE CAST(0 AS BIGINT) END AS phi_milli
+FROM rc_nk n JOIN rc_ek e ON e.k = n.k"""
+
+
+# ---------------------------------------------------------------------------
+# R161: directed-edge reciprocity (Newman 2002) — the fraction of non-loop
+# directed edges whose reverse edge also exists. One vertex-keyed
+# semi-join of the edge list against its own transpose; the scalar
+# envelope is an aggregate-only frame (no driver collect).
+# ---------------------------------------------------------------------------
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row: (n_edges, n_recip, n_mutual_pairs, r_pm)."""
+    e = (
+        edges.where("src <> dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    rev = e.selectExpr("dst AS src", "src AS dst")
+    recn = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_recip"))
+    )
+    tot = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return tot.crossJoin(recn).selectExpr(
+        "n_edges", "n_recip",
+        "n_recip DIV 2 AS n_mutual_pairs",
+        "(1000 * n_recip) DIV n_edges AS r_pm",
+    )
+
+
+def reciprocity_oracle(kind: str = "bfs") -> str:
+    return f"""
+WITH rp_e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql(kind)}) WHERE src <> dst),
+rp_r AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recip
+  FROM rp_e a
+  WHERE EXISTS (SELECT 1 FROM rp_e b
+                WHERE b.src = a.dst AND b.dst = a.src)),
+rp_t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM rp_e)
+SELECT t.n_edges, r.n_recip,
+       r.n_recip // 2 AS n_mutual_pairs,
+       (1000 * r.n_recip) // t.n_edges AS r_pm
+FROM rp_t t CROSS JOIN rp_r r"""

@@ -230,3 +230,27 @@ def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.modularity(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "rich_club",
+    graph.rich_club_oracle(),
+    doc="Rich-club coefficient ladder (Zhou & Mondragon 2004): for each "
+    "degree threshold k in (4,5,6,7), the per-mille density among "
+    "nodes of degree > k — exact integers, one degree aggregation + "
+    "two broadcast vertex joins + a 4-row ladder fan over bounded "
+    "frames; the edge list is read once for the whole ladder.",
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.rich_club(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "edge_reciprocity",
+    graph.reciprocity_oracle(),
+    doc="Directed-edge reciprocity (Newman): fraction of non-loop edges "
+    "whose reverse also exists — one semi-join of the edge list against "
+    "its own transpose; scalar envelope stays a DataFrame (no collect).",
+)
+def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.reciprocity(graph.edges_df(spark, "bfs"))
