@@ -211,21 +211,7 @@ def minhash_lsh_dups(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
     # Lineage barrier: the word explode feeds signatures AND both verify
     # sides — materialize once (the search.py lesson).
     w = _words(docs).localCheckpoint(eager=False)
-    sig = minhash_signatures(docs, words=w)
-    s1, s2 = sig.alias("s1"), sig.alias("s2")
-    cand = (
-        s1.join(
-            s2,
-            (F.col("s1.i") == F.col("s2.i"))
-            & (F.col("s1.mh") == F.col("s2.mh"))
-            & (F.col("s1.lang") == F.col("s2.lang"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .select(
-            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = minhash_candidates(minhash_signatures(docs, words=w))
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
     return pair_jaccard(cand, w, sizes, threshold_milli)
 
@@ -803,3 +789,112 @@ SELECT t.doc_id, count(*) AS n_grams,
        count(h.gh) > 0 AS contaminated
 FROM dc_train t LEFT JOIN dc_hold h USING (gh)
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# R162: LSH recall/precision audit — the eval harness FOR the dedup tier.
+# Ground truth = the exact Jaccard pair set (prefix-filtered AllPairs,
+# provably lossless); system under test = the MinHash-LSH two-phase
+# pipeline. Confirmed LSH pairs are a subset of truth by construction, so
+# recall_pm = 1000·n_confirmed/n_true measures exactly what the B=8,R=1
+# band config trades away, and cand_precision_pm measures the wasted
+# exact-verify work per candidate. Every real dedup deployment reports
+# this curve before choosing a band config; here it is a standing query.
+# Scale: three bounded passes over the SAME materialized word table (the
+# lineage-barrier discipline); outputs are one-row aggregates.
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidates(sig: DataFrame) -> DataFrame:
+    """Band-collision candidate pairs (B=8, R=1) from signature rows."""
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.i") == F.col("s2.i"))
+            & (F.col("s1.mh") == F.col("s2.mh"))
+            & (F.col("s1.lang") == F.col("s2.lang"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def lsh_recall_audit(docs: DataFrame, threshold_milli: int = 500) -> DataFrame:
+    """One row: (n_true, n_cand, n_confirmed, missed, recall_pm,
+    cand_precision_pm) for MinHash-LSH vs exact Jaccard ≥ t."""
+    w = _words(docs).localCheckpoint(eager=False)
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n"))
+    true_pairs = pair_jaccard(
+        jaccard_prefix_candidates(w, sizes, threshold_milli),
+        w, sizes, threshold_milli,
+    )
+    cand = minhash_candidates(minhash_signatures(docs, words=w))
+    conf = pair_jaccard(cand, w, sizes, threshold_milli)
+    t = true_pairs.agg(F.count("*").cast("bigint").alias("n_true"))
+    c = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+    k = conf.agg(F.count("*").cast("bigint").alias("n_confirmed"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(k)
+        .selectExpr(
+            "n_true", "n_cand", "n_confirmed",
+            "n_true - n_confirmed AS missed",
+            "(1000 * n_confirmed) DIV greatest(n_true, 1) AS recall_pm",
+            "(1000 * n_confirmed) DIV greatest(n_cand, 1)"
+            " AS cand_precision_pm",
+        )
+    )
+
+
+def lsh_recall_oracle(threshold_milli: int = 500) -> str:
+    ab_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"""
+WITH {WORDS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM words_nonempty GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM words_nonempty a JOIN words_nonempty b
+    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) AS jac_milli
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+true_p AS (SELECT doc_a, doc_b FROM jac WHERE jac_milli >= {threshold_milli}),
+hashed AS (
+  SELECT doc_id, lang, w, {md5int_duck('w')} AS h FROM words_nonempty),
+hfuncs(i, a, b) AS (VALUES {ab_values}),
+sig AS (
+  SELECT doc_id, lang, i, min((a * h + b) % {M31}) AS mh
+  FROM hashed CROSS JOIN hfuncs GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+  FROM sig s1 JOIN sig s2
+    ON s1.i = s2.i AND s1.mh = s2.mh AND s1.lang = s2.lang
+   AND s1.doc_id < s2.doc_id
+),
+conf AS (
+  SELECT t.doc_a, t.doc_b
+  FROM true_p t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+),
+cnt AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM true_p) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM conf) AS n_confirmed
+)
+SELECT n_true, n_cand, n_confirmed,
+       n_true - n_confirmed AS missed,
+       (1000 * n_confirmed) // greatest(n_true, 1) AS recall_pm,
+       (1000 * n_confirmed) // greatest(n_cand, 1) AS cand_precision_pm
+FROM cnt"""

@@ -1052,3 +1052,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_chunks(_docs(spark, sf_dir))
+
+
+@register(
+    "lsh_recall_audit",
+    dedup.lsh_recall_oracle(),
+    doc="LSH recall/precision audit — the eval harness FOR the dedup "
+    "tier: ground truth = exact Jaccard >= 0.5 pairs (lossless AllPairs "
+    "prefix filter), system = the MinHash-LSH two-phase pipeline; "
+    "reports n_true/n_cand/n_confirmed, missed pairs, recall and "
+    "candidate-precision per-mille. Three bounded passes over one "
+    "materialized word table; one-row envelope. Every dedup deployment "
+    "reports this curve before picking a band config.",
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_recall_audit(_docs(spark, sf_dir))
