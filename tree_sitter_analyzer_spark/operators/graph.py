@@ -1436,3 +1436,105 @@ SELECT t.n_edges, r.n_recip,
        r.n_recip // 2 AS n_mutual_pairs,
        (1000 * r.n_recip) // t.n_edges AS r_pm
 FROM rp_t t CROSS JOIN rp_r r"""
+
+
+# ---------------------------------------------------------------------------
+# R163: deterministic random-walk corpus (DeepWalk / node2vec p=q=1
+# preprocessing — Perozzi 2014): one walk per vertex, each step picks the
+# r-th neighbor (ordered by dst) with r = md5(v, step) % outdeg — fully
+# deterministic, so both engines replay the identical corpus. The output
+# is the skip-gram co-occurrence table (window ≤ 2, center before
+# context) that an embedding trainer would consume.
+# Scale: neighbor ranks are one window over the edge list; each step is
+# one vertex-keyed equi-join of a ≤V-row frame (two steps per lineage
+# barrier, the graph-suite discipline); the pair fan is walks × L × win
+# — linear in walk mass, never all-pairs. Dead-ends (outdeg 0) end the
+# walk by the inner join, same on both engines.
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 6
+WALK_WIN = 2
+WALK_MIN_CNT = 2
+
+
+def _walk_choice_spark(k: int) -> str:
+    from ..functions import md5int_spark
+
+    return f"({md5int_spark(f'''CAST(v AS STRING) || '#{k}' ''')}) % deg + 1"
+
+
+def walk_corpus(
+    spark: SparkSession, edges: DataFrame, length: int = WALK_LEN
+) -> DataFrame:
+    """(a, b, cnt): skip-gram co-occurrence counts (center a strictly
+    before context b, gap ≤ WALK_WIN) over one deterministic walk per
+    vertex, cnt ≥ WALK_MIN_CNT."""
+    e = edges.where("src <> dst").dropDuplicates(["src", "dst"])
+    wsp = Window.partitionBy("src").orderBy("dst")
+    nbr = (
+        e.withColumn("rn", F.row_number().over(wsp))
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=False)
+    )
+    verts = (
+        e.selectExpr("src AS v")
+        .unionByName(e.selectExpr("dst AS v"))
+        .dropDuplicates(["v"])
+    )
+    cur = verts.selectExpr("v AS start", "v", "CAST(0 AS INT) AS step")
+    positions = [cur]
+    for k in range(1, length + 1):
+        cur = (
+            cur.join(nbr, cur.v == nbr.src)
+            .where(F.expr(f"rn = {_walk_choice_spark(k)}"))
+            .select("start", F.col("dst").alias("v"),
+                    F.lit(k).cast("int").alias("step"))
+        )
+        if k % 2 == 0:
+            cur = cur.localCheckpoint(eager=False)
+        positions.append(cur)
+    pos = functools.reduce(lambda a, b: a.unionByName(b), positions)
+    p1 = pos.selectExpr("start", "v AS a", "step AS s1")
+    p2 = pos.selectExpr("start", "v AS b", "step AS s2")
+    return (
+        p1.join(p2, "start")
+        .where(F.expr(f"s2 > s1 AND s2 <= s1 + {WALK_WIN}"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= WALK_MIN_CNT)
+    )
+
+
+def walk_corpus_oracle(kind: str = "bfs", length: int = WALK_LEN) -> str:
+    from ..functions import md5int_duck
+
+    steps = []
+    for k in range(1, length + 1):
+        ch = md5int_duck(f"CAST(w.v AS VARCHAR) || '#{k}'")
+        steps.append(
+            f"w{k} AS (SELECT w.start, n.dst AS v, {k} AS step\n"
+            f"  FROM w{k - 1} w JOIN w_nbr n ON n.src = w.v\n"
+            f"  AND n.rn = ({ch}) % n.deg + 1)"
+        )
+    pos_union = "\nUNION ALL ".join(
+        f"SELECT * FROM w{k}" for k in range(0, length + 1)
+    )
+    return f"""
+WITH w_e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql(kind)}) WHERE src <> dst),
+w_nbr AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM w_e),
+w_verts AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM w_e
+                          UNION ALL SELECT dst FROM w_e)),
+w0 AS (SELECT v AS start, v, 0 AS step FROM w_verts),
+{",".join(steps)},
+w_pos AS ({pos_union})
+SELECT p1.v AS a, p2.v AS b, CAST(count(*) AS BIGINT) AS cnt
+FROM w_pos p1 JOIN w_pos p2
+  ON p2.start = p1.start AND p2.step > p1.step
+ AND p2.step <= p1.step + {WALK_WIN}
+GROUP BY 1, 2 HAVING count(*) >= {WALK_MIN_CNT}"""

@@ -210,3 +210,89 @@ SELECT r.source, r.doc_id, r.pick_rank, q.quota
 FROM mx_ranked r JOIN mx_quota q ON q.source = r.source
 WHERE r.pick_rank <= q.quota
 """
+
+
+# ---------------------------------------------------------------------------
+# R164: rendezvous (highest-random-weight) shard-placement audit
+# (Thaler & Ravishankar 1996 — the consistent-placement scheme behind
+# Dynamo/Cassandra-style stores). Each key joins the shard whose
+# md5(shard, key) weight is highest; expanding N→N+1 provably moves keys
+# ONLY to the new shard (a key moves iff the new shard's weight beats
+# its old winner — every old pairwise order is unchanged), and the audit
+# emits that witness (moved_not_to_new, pinned 0) beside the balance and
+# churn numbers a platform team actually reviews (expected churn =
+# 1/(N+1) of keys). Pure per-row projection + one 9-group aggregate —
+# the incremental-recompute placement story at 100 TB.
+# ---------------------------------------------------------------------------
+
+RDV_N = 8  # audit expands RDV_N -> RDV_N + 1
+
+
+def _rdv_weight_spark(s: int) -> str:
+    from ..functions import md5int_spark
+
+    return f"({md5int_spark(f''''s{s}#' || CAST(doc_id AS STRING)''')} * 16 + {s})"
+
+
+def _rdv_weight_duck(s: int) -> str:
+    from ..functions import md5int_duck
+
+    return f"({md5int_duck(f''''s{s}#' || CAST(doc_id AS VARCHAR)''')} * 16 + {s})"
+
+
+def rendezvous_audit(docs: DataFrame) -> DataFrame:
+    """One row: (n_keys, max_load, min_load, moved, moved_not_to_new,
+    churn_pm) for the RDV_N → RDV_N+1 expansion over doc_id keys."""
+    g8 = ", ".join(_rdv_weight_spark(s) for s in range(RDV_N))
+    g9 = ", ".join(_rdv_weight_spark(s) for s in range(RDV_N + 1))
+    assign = docs.selectExpr(
+        "doc_id",
+        f"GREATEST({g8}) % 16 AS a8",
+        f"GREATEST({g9}) % 16 AS a9",
+    ).localCheckpoint(eager=False)
+    loads = (
+        assign.groupBy("a8")
+        .agg(F.count("*").alias("load"))
+        .agg(
+            F.max("load").cast("bigint").alias("max_load"),
+            F.min("load").cast("bigint").alias("min_load"),
+        )
+    )
+    glob = assign.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.expr("CAST(sum(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("moved"),
+        F.expr(
+            f"CAST(sum(CASE WHEN a8 <> a9 AND a9 <> {RDV_N} THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("moved_not_to_new"),
+    )
+    return glob.crossJoin(loads).selectExpr(
+        "n_keys", "max_load", "min_load",
+        "moved", "moved_not_to_new",
+        "(1000 * moved) DIV n_keys AS churn_pm",
+    )
+
+
+def rendezvous_oracle() -> str:
+    g8 = ", ".join(_rdv_weight_duck(s) for s in range(RDV_N))
+    g9 = ", ".join(_rdv_weight_duck(s) for s in range(RDV_N + 1))
+    return f"""
+WITH rdv_a AS (
+  SELECT doc_id,
+         GREATEST({g8}) % 16 AS a8,
+         GREATEST({g9}) % 16 AS a9
+  FROM documents),
+rdv_l AS (
+  SELECT CAST(max(load) AS BIGINT) AS max_load,
+         CAST(min(load) AS BIGINT) AS min_load
+  FROM (SELECT a8, count(*) AS load FROM rdv_a GROUP BY 1)),
+rdv_g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+         CAST(sum(CASE WHEN a8 <> a9 AND a9 <> {RDV_N} THEN 1 ELSE 0 END)
+              AS BIGINT) AS moved_not_to_new
+  FROM rdv_a)
+SELECT n_keys, max_load, min_load, moved, moved_not_to_new,
+       (1000 * moved) // n_keys AS churn_pm
+FROM rdv_g CROSS JOIN rdv_l"""

@@ -254,3 +254,18 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.reciprocity(graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "walk_corpus",
+    graph.walk_corpus_oracle(),
+    doc="Deterministic random-walk skip-gram corpus (DeepWalk/node2vec "
+    "p=q=1 preprocessing): one walk per vertex, step r = md5(v, step) % "
+    "outdeg picks the rank-r neighbor — both engines replay the "
+    "identical corpus; output is the (center, context, cnt) "
+    "co-occurrence table (window <= 2) an embedding trainer consumes. "
+    "Each step is one vertex-keyed equi-join; pair fan linear in walk "
+    "mass.",
+)
+def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.walk_corpus(spark, graph.edges_df(spark, "bfs"))

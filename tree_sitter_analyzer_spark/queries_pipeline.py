@@ -1067,3 +1067,18 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_recall_audit(_docs(spark, sf_dir))
+
+
+@register(
+    "rendezvous_audit",
+    packing.rendezvous_oracle(),
+    doc="Rendezvous (highest-random-weight) shard-placement audit: "
+    "md5-weight argmax assignment over 8 shards, re-assigned at 9, "
+    "reporting balance (max/min load), churn per-mille (expected "
+    "~1/9 = 111), and the HRW monotonicity witness moved_not_to_new "
+    "(provably 0: expansion moves keys ONLY to the new shard). "
+    "Per-row projection + one 9-group aggregate — the stable-placement "
+    "story for incremental recompute at scale.",
+)
+def q_rendezvous_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.rendezvous_audit(_docs(spark, sf_dir))

@@ -2829,3 +2829,73 @@ def q_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 500 * greatest(s, 1) THEN 1 ELSE 0 END AS is_anomaly",
         )
     )
+
+
+# --- R165: A/B experiment harness --------------------------------------------
+#
+# The experimentation-analytics readout every product pipeline runs:
+# deterministic md5-parity arm assignment over users, distinct-user
+# conversion rates per arm, and the relative lift vs control — all exact
+# integers (per-mille rates; lift as sign + cross-multiplied abs
+# per-mille, the negative-DIV-divergence discipline). One events scan →
+# one user-keyed aggregate → a one-row envelope.
+
+from .functions import md5int_duck as _md5d, md5int_spark as _md5s  # noqa: E402
+
+_AB_ARM_SPARK = f"({_md5s('CAST(user_id AS STRING)')}) % 2"
+_AB_ARM_DUCK = f"({_md5d('CAST(user_id AS VARCHAR)')}) % 2"
+
+
+@register(
+    "ab_test_harness",
+    f"""
+WITH ab_u AS (
+  SELECT user_id, {_AB_ARM_DUCK} AS arm,
+         max(CASE WHEN event_type = 'purchase'
+              AND CAST(floor(value * 100e0) AS BIGINT) >= 15000
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+ab_s AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_c,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t
+  FROM ab_u)
+SELECT n_c, conv_c, (1000 * conv_c) // n_c AS rate_c_pm,
+       n_t, conv_t, (1000 * conv_t) // n_t AS rate_t_pm,
+       CASE WHEN conv_t * n_c >= conv_c * n_t THEN 1 ELSE -1 END AS lift_sign,
+       (1000 * abs(conv_t * n_c - conv_c * n_t))
+         // greatest(conv_c * n_t, 1) AS lift_abs_pm
+FROM ab_s
+""",
+    doc="A/B experiment harness: deterministic md5-parity arm assignment "
+    "over users, distinct-user high-value-purchase conversion (>= 150.00 in integer cents) rates per arm "
+    "(per-mille), and relative lift vs control as sign + "
+    "cross-multiplied abs per-mille (integer-exact; no float rates). "
+    "One events scan, one user-keyed aggregate, one-row envelope.",
+)
+def q_ab_test_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "max(CASE WHEN event_type = 'purchase'"
+                " AND CAST(floor(value * 100e0) AS BIGINT) >= 15000"
+                " THEN 1 ELSE 0 END)"
+            ).alias("conv")
+        )
+        .selectExpr(f"{_AB_ARM_SPARK} AS arm", "conv")
+    )
+    return u.agg(
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_c"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)").alias("conv_c"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_t"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)").alias("conv_t"),
+    ).selectExpr(
+        "n_c", "conv_c", "(1000 * conv_c) DIV n_c AS rate_c_pm",
+        "n_t", "conv_t", "(1000 * conv_t) DIV n_t AS rate_t_pm",
+        "CASE WHEN conv_t * n_c >= conv_c * n_t THEN 1 ELSE -1 END AS lift_sign",
+        "(1000 * abs(conv_t * n_c - conv_c * n_t))"
+        " DIV greatest(conv_c * n_t, 1) AS lift_abs_pm",
+    )
