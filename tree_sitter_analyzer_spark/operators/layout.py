@@ -46,19 +46,32 @@ def _bit(x: str, k: int) -> str:
     return f"(CAST(floor(({x}) / {1 << k}) AS BIGINT) % 2)"
 
 
-def morton_sql(lon: str, lat: str, res: int = LAYOUT_RES) -> str:
-    """Interleaved-bit (Z-order) key of the res-``res`` grid cell, as
-    portable SQL: key = Σ_k bit_k(ix)·4^k·2 + bit_k(iy)·4^k  (ix in the
-    odd positions, iy in the even ones). 18 ix bits + 17 iy bits at
-    res 9 → key < 2^36, exact in bigint on both engines."""
-    ix = grid.ix_sql(lon, res)
-    iy = grid.iy_sql(lat, res)
+def morton_xy_sql(ix: str, iy: str) -> str:
+    """Interleaved-bit (Z-order) key over integer cell coordinates:
+    key = Σ_k bit_k(ix)·4^k·2 + bit_k(iy)·4^k (ix odd positions, iy
+    even). 18 ix bits + 17 iy bits → key < 2^36, exact in bigint on
+    both engines."""
     terms = []
     for k in range(18):
         terms.append(f"{_bit(ix, k)} * {1 << (2 * k + 1)}")
         if k < 17:
             terms.append(f"{_bit(iy, k)} * {1 << (2 * k)}")
     return "(" + " + ".join(terms) + ")"
+
+
+def py_morton(ix: int, iy: int) -> int:
+    """Pure-python mirror of morton_xy_sql for test references."""
+    key = 0
+    for k in range(18):
+        key += ((ix >> k) & 1) << (2 * k + 1)
+        if k < 17:
+            key += ((iy >> k) & 1) << (2 * k)
+    return key
+
+
+def morton_sql(lon: str, lat: str, res: int = LAYOUT_RES) -> str:
+    """Z-order key of the res-``res`` grid cell of (lon, lat)."""
+    return morton_xy_sql(grid.ix_sql(lon, res), grid.iy_sql(lat, res))
 
 
 def morton_col(lon: str = "lon", lat: str = "lat", res: int = LAYOUT_RES):
@@ -350,3 +363,116 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# R166: curve range-fragmentation audit — the clustering-property metric
+# of Moon et al. (IEEE TKDE 2001) that decides WHICH space-filling curve
+# a table should be laid out in: for a rectangle query, how many
+# CONTIGUOUS key ranges does each curve need? (Each extra range is an
+# extra row-group seek at 100 TB.) 20 deterministic Lehmer-seeded bbox
+# queries (4-8 cells per side) are fanned into their cell sets
+# (sequence+explode, ≤64 cells each — bounded), keyed under Z-order and
+# Hilbert, and runs are counted with one lag window per curve.
+# Hilbert's theoretical win (asymptotically fewer clusters than Z) shows
+# up as frag_ratio_pm < 1000 on average — recorded, not claimed.
+# ---------------------------------------------------------------------------
+
+RF_NQ = 20
+
+
+def _rf_query_exprs() -> dict[str, str]:
+    from ..synth import lcg
+
+    return {
+        "qi": "q",
+        "cx0": f"({lcg('q', 48271)} % {(1 << 16) - 16})",
+        "cy0": f"({lcg('q', 16807)} % {(1 << 15) - 16})",
+        "w": "(4 + q % 5)",
+        "h": "(4 + (q * 3) % 5)",
+    }
+
+
+def range_fragmentation(spark) -> DataFrame:
+    """(qi, n_cells, z_runs, h_runs, frag_ratio_pm): contiguous-range
+    counts per bbox query under Z-order vs Hilbert keys."""
+    ex = _rf_query_exprs()
+    queries = spark.range(RF_NQ).selectExpr("id AS q").selectExpr(
+        *[f"{e} AS {n}" for n, e in ex.items()]
+    )
+    qcells = (
+        queries.selectExpr(
+            "qi", "cy0", "h",
+            "explode(sequence(cx0, cx0 + w - 1)) AS cx",
+        )
+        .selectExpr("qi", "cx", "explode(sequence(cy0, cy0 + h - 1)) AS cy")
+    )
+    zc = qcells.withColumn("zkey", F.expr(morton_xy_sql("cx", "cy")))
+    hk = hilbert_cells(
+        qcells.selectExpr("cx AS ix", "cy AS iy").dropDuplicates(["ix", "iy"])
+    )
+    keyed = zc.join(
+        hk.selectExpr("ix AS cx", "iy AS cy", "hkey"), ["cx", "cy"]
+    ).localCheckpoint(eager=False)
+
+    def runs(col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("qi").orderBy(col)
+        return (
+            keyed.withColumn("prev", F.lag(col).over(w))
+            .groupBy("qi")
+            .agg(
+                F.count("*").cast("bigint").alias("n_cells"),
+                F.expr(
+                    f"CAST(sum(CASE WHEN prev IS NULL OR {col} - prev <> 1"
+                    f" THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias(out),
+            )
+        )
+
+    z = runs("zkey", "z_runs")
+    h = runs("hkey", "h_runs").select("qi", "h_runs")
+    return (
+        z.join(h, "qi")
+        .selectExpr(
+            "CAST(qi AS BIGINT) AS qi", "n_cells", "z_runs", "h_runs",
+            "(1000 * h_runs) DIV z_runs AS frag_ratio_pm",
+        )
+    )
+
+
+def range_fragmentation_oracle() -> str:
+    ex = _rf_query_exprs()
+    cols = ", ".join(f"{e} AS {n}" for n, e in ex.items())
+    return f"""
+WITH rf_q AS (
+  SELECT {cols} FROM range({RF_NQ}) AS t(q)),
+rf_cells AS (
+  SELECT qi, cx0 + gx.i AS cx, cy0 + gy.j AS cy
+  FROM rf_q
+  JOIN (SELECT unnest(range(0, 8)) AS i) gx ON gx.i < w
+  JOIN (SELECT unnest(range(0, 8)) AS j) gy ON gy.j < h),
+cells AS (SELECT DISTINCT cx AS ix, cy AS iy FROM rf_cells),
+{hilbert_oracle_cte()},
+rf_keyed AS (
+  SELECT c.qi, c.cx, c.cy,
+         {morton_xy_sql('c.cx', 'c.cy')} AS zkey, k.hkey
+  FROM rf_cells c JOIN hkeys k ON k.ix = c.cx AND k.iy = c.cy),
+rf_z AS (
+  SELECT qi, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN prev IS NULL OR zkey - prev <> 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS z_runs
+  FROM (SELECT qi, zkey,
+               lag(zkey) OVER (PARTITION BY qi ORDER BY zkey) AS prev
+        FROM rf_keyed)
+  GROUP BY 1),
+rf_h AS (
+  SELECT qi,
+         CAST(sum(CASE WHEN prev IS NULL OR hkey - prev <> 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS h_runs
+  FROM (SELECT qi, hkey,
+               lag(hkey) OVER (PARTITION BY qi ORDER BY hkey) AS prev
+        FROM rf_keyed)
+  GROUP BY 1)
+SELECT CAST(z.qi AS BIGINT) AS qi, z.n_cells, z.z_runs, h.h_runs,
+       (1000 * h.h_runs) // z.z_runs AS frag_ratio_pm
+FROM rf_z z JOIN rf_h h ON h.qi = z.qi"""

@@ -1989,3 +1989,17 @@ def q_participation_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.kmv_cardinality(_tiles(spark, sf_dir))
+
+
+@register(
+    "range_fragmentation",
+    layout_ops.range_fragmentation_oracle(),
+    doc="Curve range-fragmentation audit (the Moon et al. clustering "
+    "metric that picks the layout curve): per deterministic bbox query, "
+    "how many CONTIGUOUS key ranges Z-order vs Hilbert needs — each "
+    "extra range is an extra row-group seek at 100 TB. Bounded cell "
+    "fan (sequence+explode, <= 64 cells/query), one lag window per "
+    "curve; frag_ratio_pm < 1000 on average records Hilbert's win.",
+)
+def q_range_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_ops.range_fragmentation(spark)
