@@ -1538,3 +1538,75 @@ FROM w_pos p1 JOIN w_pos p2
   ON p2.start = p1.start AND p2.step > p1.step
  AND p2.step <= p1.step + {WALK_WIN}
 GROUP BY 1, 2 HAVING count(*) >= {WALK_MIN_CNT}"""
+
+
+# ---------------------------------------------------------------------------
+# R167: graph diameter lower bound via the double BFS sweep (Magnien,
+# Latapy & Habib 2009 — the standard practical diameter estimator): BFS
+# from a fixed root, restart from the farthest vertex found (max depth,
+# min id tie-break), report that vertex's eccentricity. Reuses the
+# broadcast-guarded two-hops-per-round bfs_khop; the only driver-side
+# value is the ONE-ROW argmax pick between the sweeps (the same bounded
+# scalar class as the loop's fixpoint probes). Both sweeps run on the
+# symmetrized edge list with the same depth cap as the oracle's
+# recursive walks.
+# ---------------------------------------------------------------------------
+
+DIAM_CAP = 32
+
+
+def diameter_sweep(
+    spark: SparkSession, edges: DataFrame, max_depth: int = DIAM_CAP
+) -> DataFrame:
+    """One row: (sweep_start, ecc_start, diameter_lb, far_v, n_reached)."""
+    e = edges.where("src <> dst")
+    ue = (
+        e.select("src", "dst")
+        .unionByName(e.selectExpr("dst AS src", "src AS dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    lv0 = bfs_khop(spark, ue, [0], max_depth)
+    pick = lv0.orderBy(F.desc("depth"), "v").first()  # bounded 1-row pick
+    u, ecc0 = int(pick["v"]), int(pick["depth"])
+    lv1 = bfs_khop(spark, ue, [u], max_depth)
+    pack = 1 << 32
+    return lv1.agg(
+        F.expr(f"CAST({u} AS BIGINT) AS sweep_start"),
+        F.expr(f"CAST({ecc0} AS BIGINT) AS ecc_start"),
+        F.expr("CAST(max(depth) AS BIGINT) AS diameter_lb"),
+        F.expr(
+            f"CAST({pack - 1} - max(CAST(depth AS BIGINT) * {pack}"
+            f" + ({pack - 1} - v)) % {pack} AS BIGINT) AS far_v"
+        ),
+        F.expr("CAST(count(*) AS BIGINT) AS n_reached"),
+    )
+
+
+def diameter_oracle(kind: str = "bfs", max_depth: int = DIAM_CAP) -> str:
+    pack = 1 << 32
+    return f"""
+WITH RECURSIVE dm_e0 AS ({edges_sql(kind)}),
+dm_ue AS (
+  SELECT src, dst FROM dm_e0 WHERE src <> dst
+  UNION SELECT dst, src FROM dm_e0 WHERE src <> dst),
+dm_w1(v, d) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM dm_w1 w JOIN dm_ue e ON e.src = w.v
+  WHERE w.d < {max_depth}),
+dm_l1 AS (SELECT v, min(d) AS d FROM dm_w1 GROUP BY 1),
+dm_pick AS (SELECT v, d FROM dm_l1 ORDER BY d DESC, v LIMIT 1),
+dm_w2(v, d) AS (
+  SELECT (SELECT v FROM dm_pick), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM dm_w2 w JOIN dm_ue e ON e.src = w.v
+  WHERE w.d < {max_depth}),
+dm_l2 AS (SELECT v, min(d) AS d FROM dm_w2 GROUP BY 1)
+SELECT (SELECT CAST(v AS BIGINT) FROM dm_pick) AS sweep_start,
+       (SELECT CAST(d AS BIGINT) FROM dm_pick) AS ecc_start,
+       CAST(max(d) AS BIGINT) AS diameter_lb,
+       CAST({pack - 1} - max(CAST(d AS BIGINT) * {pack}
+            + ({pack - 1} - v)) % {pack} AS BIGINT) AS far_v,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM dm_l2"""

@@ -1860,3 +1860,105 @@ SELECT cx, cy, n,
             WHEN n - p // 8 <= 1 THEN 'flat'
             WHEN n - p // 8 <= 3 THEN 'gentle' ELSE 'steep' END AS grade
 FROM sl_min"""
+
+
+# ---------------------------------------------------------------------------
+# R168: isoband boundary extraction — the contour-length table of the
+# density raster (marching-squares' tabular core): band each occupied
+# res-7 cell by tile count (0: 1-4, 1: ≥5, 2: ≥10, 3: ≥20), then count
+# 4-adjacency edges between DIFFERENT bands, plus each band's open
+# boundary against empty space (band −1). Each unordered occupied pair
+# is counted once (only the +x/+y shifts), each open edge once (it has
+# exactly one occupied endpoint, seen from its 4-direction fan).
+# Scale shape: aggregate first (tiles → per-cell counts, one shuffle),
+# then a ≤4× fan of the occupied-cell frame equi-joined to itself —
+# the raster_morphology discipline, generalized to multi-class.
+# ---------------------------------------------------------------------------
+
+ISO_RES = 7
+ISO_T = (5, 10, 20)
+_ISO_PACK = 1 << 32
+
+
+def _iso_band_case(n: str) -> str:
+    t1, t2, t3 = ISO_T
+    return (
+        f"(CASE WHEN {n} >= {t3} THEN 3 WHEN {n} >= {t2} THEN 2"
+        f" WHEN {n} >= {t1} THEN 1 ELSE 0 END)"
+    )
+
+
+def isoband_boundaries(tiles: DataFrame, res: int = ISO_RES) -> DataFrame:
+    """(band_hi, band_lo, n_edges): 4-adjacency contour lengths between
+    density bands; band_lo = −1 rows are open boundary against empty."""
+    cells = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("ix"),
+            F.expr(grid.iy_sql("lat", res)).alias("iy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .selectExpr(
+            f"ix * {_ISO_PACK} + iy AS key",
+            "ix", "iy",
+            f"CAST({_iso_band_case('n')} AS BIGINT) AS band",
+        )
+        .localCheckpoint(eager=False)
+    )
+    offs = (
+        "array(struct(1 AS dx, 0 AS dy, 1 AS pos),"
+        " struct(0 AS dx, 1 AS dy, 1 AS pos),"
+        " struct(-1 AS dx, 0 AS dy, 0 AS pos),"
+        " struct(0 AS dx, -1 AS dy, 0 AS pos))"
+    )
+    fan = cells.withColumn("o", F.explode(F.expr(offs))).selectExpr(
+        "band", "o.pos AS pos",
+        f"(ix + o.dx) * {_ISO_PACK} + (iy + o.dy) AS nkey",
+    )
+    j = fan.join(
+        cells.selectExpr("key AS nkey", "band AS nband"), "nkey", "left"
+    )
+    occ = (
+        j.where("nband IS NOT NULL AND pos = 1 AND band <> nband")
+        .groupBy(
+            F.expr("greatest(band, nband)").alias("band_hi"),
+            F.expr("least(band, nband)").alias("band_lo"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    opn = (
+        j.where("nband IS NULL")
+        .groupBy(F.col("band").alias("band_hi"))
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+        .selectExpr("band_hi", "CAST(-1 AS BIGINT) AS band_lo", "n_edges")
+    )
+    return occ.unionByName(opn)
+
+
+def isoband_oracle_sql(res: int = ISO_RES) -> str:
+    """Requires the spliced tiles CTE."""
+    band = _iso_band_case("n")
+    return f"""iso_cells AS (
+  SELECT ix * {_ISO_PACK} + iy AS key, ix, iy,
+         CAST({band} AS BIGINT) AS band
+  FROM (SELECT {grid.ix_sql('lon', res)} AS ix,
+               {grid.iy_sql('lat', res)} AS iy, count(*) AS n
+        FROM tiles GROUP BY 1, 2)),
+iso_fan AS (
+  SELECT c.band, o.pos,
+         (c.ix + o.dx) * {_ISO_PACK} + (c.iy + o.dy) AS nkey
+  FROM iso_cells c
+  CROSS JOIN (VALUES (1, 0, 1), (0, 1, 1), (-1, 0, 0), (0, -1, 0))
+    AS o(dx, dy, pos)),
+iso_j AS (
+  SELECT f.band, f.pos, n.band AS nband
+  FROM iso_fan f LEFT JOIN iso_cells n ON n.key = f.nkey),
+iso_occ AS (
+  SELECT greatest(band, nband) AS band_hi, least(band, nband) AS band_lo,
+         CAST(count(*) AS BIGINT) AS n_edges
+  FROM iso_j WHERE nband IS NOT NULL AND pos = 1 AND band <> nband
+  GROUP BY 1, 2),
+iso_open AS (
+  SELECT band AS band_hi, CAST(-1 AS BIGINT) AS band_lo,
+         CAST(count(*) AS BIGINT) AS n_edges
+  FROM iso_j WHERE nband IS NULL GROUP BY 1)
+SELECT * FROM iso_occ UNION ALL SELECT * FROM iso_open"""

@@ -269,3 +269,16 @@ def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.walk_corpus(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "diameter_sweep",
+    graph.diameter_oracle(),
+    doc="Graph diameter lower bound by the double BFS sweep (Magnien et "
+    "al. 2009): BFS from a fixed root, restart from the farthest vertex "
+    "(max depth, min id), report its eccentricity + the far endpoint. "
+    "Reuses the broadcast-guarded two-hops-per-round BFS; the only "
+    "driver value is the one-row argmax pick between sweeps.",
+)
+def q_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.diameter_sweep(spark, graph.edges_df(spark, "bfs"))

@@ -2899,3 +2899,81 @@ def q_ab_test_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(1000 * abs(conv_t * n_c - conv_c * n_t))"
         " DIV greatest(conv_c * n_t, 1) AS lift_abs_pm",
     )
+
+
+# --- R169: watermark lateness ladder ------------------------------------------
+#
+# Quantifies watermark tuning WITHOUT running a stream: arrival order is
+# the event time plus a deterministic md5 network-delay jitter (0-600 s,
+# the same SQL text on both engines — the synthetic-column parity
+# discipline); the watermark is the running max event time over
+# PREVIOUSLY ARRIVED rows (ROWS ... 1 PRECEDING, per event-type stream);
+# an event is dropped at delay d iff its event time < watermark − d.
+# The delay ladder (0/60/300/600 s) then reads off exactly how much
+# allowed-lateness buys — the number every withWatermark() call needs.
+# One window per type-keyed exchange; ladder fan is a 4-row broadcast.
+
+_WM_JIT = f"({_md5s('CAST(event_id AS STRING)')}) % 600000000"
+_WM_JIT_D = f"({_md5d('CAST(event_id AS VARCHAR)')}) % 600000000"
+_WM_LADDER = (0, 60, 300, 600)
+
+
+@register(
+    "watermark_lateness",
+    f"""
+WITH wm_e AS (
+  SELECT event_type, event_id, {_EPOCH_US_DUCK_REL} AS us,
+         {_EPOCH_US_DUCK_REL} + {_WM_JIT_D} AS arr
+  FROM events),
+wm_w AS (
+  SELECT event_type, us,
+         max(us) OVER (PARTITION BY event_type ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM wm_e),
+wm_l AS (SELECT unnest([{", ".join(map(str, _WM_LADDER))}]) AS delay_s)
+SELECT w.event_type, CAST(l.delay_s AS BIGINT) AS delay_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN w.us < w.wm - l.delay_s * 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       (1000 * CAST(sum(CASE WHEN w.us < w.wm - l.delay_s * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+         AS late_pm
+FROM wm_w w CROSS JOIN wm_l l
+GROUP BY 1, 2
+""",
+    doc="Watermark lateness ladder: with arrival = event time + "
+    "deterministic md5 delay jitter (0-600s), count per event-type "
+    "stream how many events each withWatermark delay (0/60/300/600s) "
+    "would drop — the running-max watermark over previously-arrived "
+    "rows, the allowed-lateness tuning readout. One window per "
+    "type-keyed exchange; the ladder is a 4-row broadcast fan.",
+)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "event_id",
+        f"({_EPOCH_US_SPARK_REL}) AS us",
+        f"({_EPOCH_US_SPARK_REL}) + {_WM_JIT} AS arr",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ladder = ", ".join(map(str, _WM_LADDER))
+    return (
+        e.withColumn("wm", F.max("us").over(w))
+        .selectExpr(
+            "event_type", "us", "wm",
+            f"explode(array({ladder})) AS delay_s",
+        )
+        .groupBy("event_type", F.col("delay_s").cast("bigint").alias("delay_s"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(sum(CASE WHEN us < wm - delay_s * 1000000"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_late"),
+        )
+        .withColumn("late_pm", F.expr("(1000 * n_late) DIV n_events"))
+    )

@@ -2003,3 +2003,17 @@ def q_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_range_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_ops.range_fragmentation(spark)
+
+
+@register(
+    "isoband_boundaries",
+    f"{_CTES},\n{zonal.isoband_oracle_sql()}",
+    doc="Isoband boundary extraction (the contour-length table of the "
+    "density raster): 4-adjacency edge counts between different density "
+    "bands (1-4 / >=5 / >=10 / >=20 tiles) plus each band's open "
+    "boundary against empty space (band_lo = -1). Aggregate-first, "
+    "then a <=4x fan of the occupied-cell frame equi-joined to itself "
+    "— multi-class raster_morphology.",
+)
+def q_isoband_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.isoband_boundaries(_tiles(spark, sf_dir))
