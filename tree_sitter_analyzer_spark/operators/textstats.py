@@ -749,3 +749,81 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(len(toks) AS BIGINT) AS n_chunk_tokens,
        md5(array_to_string(toks, ' ')) AS chunk_md5
 FROM ck_sl"""
+
+
+# ---------------------------------------------------------------------------
+# R171: langid agreement audit (Cohen's kappa, 1960) — inter-rater
+# reliability between the ground-truth lang label and the stopword-
+# evidence langid heuristic. Exactly integer: kappa = (N·Σdiag − Σr_k·c_k)
+# / (N² − Σr_k·c_k) emitted as sign + cross-multiplied abs per-mille
+# (the negative-DIV discipline — kappa can be negative). The marginal
+# product joins on the tiny label dimension; one doc-keyed aggregate.
+# 'zh' docs have no marker list, so real disagreement exists by
+# construction (the audit is non-vacuous at every SF).
+# ---------------------------------------------------------------------------
+
+
+def langid_agreement(docs: DataFrame) -> DataFrame:
+    """One row: (n, n_agree, po_pm, pe_pm, kappa_sign, kappa_abs_pm)."""
+    g = text_stats(docs).select("lang", "lang_guess")
+    base = g.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_agree"),
+    )
+    r = g.groupBy(F.col("lang").alias("k")).agg(
+        F.count("*").cast("bigint").alias("r")
+    )
+    c = g.groupBy(F.col("lang_guess").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    rc = r.join(c, "k").agg(
+        F.expr("CAST(coalesce(sum(r * c), 0) AS BIGINT) AS rc")
+    )
+    return base.crossJoin(rc).selectExpr(
+        "n", "n_agree",
+        "(1000 * n_agree) DIV n AS po_pm",
+        "(1000 * rc) DIV (n * n) AS pe_pm",
+        "CASE WHEN n * n_agree >= rc THEN 1 ELSE -1 END AS kappa_sign",
+        "(1000 * abs(n * n_agree - rc)) DIV (n * n - rc) AS kappa_abs_pm",
+    )
+
+
+def langid_agreement_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    ev = ",\n         ".join(
+        f"{_count_words_duck(LANG_MARKERS[lang])} AS ev_{lang}"
+        for lang in langs
+    )
+    best = " ".join(
+        f"WHEN ev_{lang} = GREATEST({', '.join('ev_' + x for x in langs)}) "
+        f"AND ev_{lang} > 0 THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH ka_ev AS (
+  SELECT lang,
+         {ev}
+  FROM (SELECT lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)),
+ka_g AS (
+  SELECT lang, CASE {best} ELSE 'unknown' END AS lang_guess FROM ka_ev),
+ka_n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM ka_g),
+ka_r AS (SELECT lang AS k, count(*) AS r FROM ka_g GROUP BY 1),
+ka_c AS (SELECT lang_guess AS k, count(*) AS c FROM ka_g GROUP BY 1),
+ka_e AS (
+  SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS rc
+  FROM ka_r r JOIN ka_c c ON c.k = r.k)
+SELECT n, n_agree,
+       (1000 * n_agree) // n AS po_pm,
+       (1000 * rc) // (n * n) AS pe_pm,
+       CASE WHEN n * n_agree >= rc THEN 1 ELSE -1 END AS kappa_sign,
+       (1000 * abs(n * n_agree - rc)) // (n * n - rc) AS kappa_abs_pm
+FROM ka_n CROSS JOIN ka_e"""

@@ -1082,3 +1082,17 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rendezvous_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.rendezvous_audit(_docs(spark, sf_dir))
+
+
+@register(
+    "langid_agreement",
+    textstats.langid_agreement_oracle(),
+    doc="Cohen's kappa agreement audit between the ground-truth lang "
+    "label and the stopword-evidence langid heuristic: po/pe per-mille "
+    "and kappa as sign + cross-multiplied abs per-mille (kappa can be "
+    "negative — the negative-DIV discipline). Marginal products join on "
+    "the tiny label dimension; 'zh' has no marker list, so genuine "
+    "disagreement exists at every SF.",
+)
+def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.langid_agreement(_docs(spark, sf_dir))

@@ -2977,3 +2977,126 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("late_pm", F.expr("(1000 * n_late) DIV n_events"))
     )
+
+
+# --- R170: decile drift audit (train vs serve distribution monitoring) -------
+#
+# The ML-ops data-drift readout: freeze decile edges on the TRAIN epoch
+# (first half of the order-date range — the real protocol: serve data is
+# bucketed by the TRAIN edges), histogram both epochs, and report the
+# per-bucket share shift plus the total-variation distance, all exact
+# integers via common denominators: tv_pm = (500·Σ|c_t·Ns − c_s·Nt|)
+# DIV (Nt·Ns). The bucket fan is a broadcast 9-edge cross join (×9 per
+# row — scale-free); everything after lives on the 10-row bucket frame.
+
+_DD_EDGE_RANKS = ", ".join(f"({i} * n) DIV 10" for i in range(1, 10))
+
+
+@register(
+    "decile_drift",
+    f"""
+WITH dd_r AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents,
+         {_EPOCH_DAY_DUCK.format(c='o_orderdate')} AS day
+  FROM orders),
+dd_mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM dd_r),
+dd_e AS (
+  SELECT o_orderkey, cents,
+         CASE WHEN day < mid THEN 0 ELSE 1 END AS serve
+  FROM dd_r CROSS JOIN dd_mid),
+dd_tr AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM dd_e WHERE serve = 0),
+dd_edges AS (
+  SELECT cents AS edge FROM dd_tr
+  WHERE rn IN ({_DD_EDGE_RANKS.replace("DIV", "//")})),
+dd_b AS (
+  SELECT e.o_orderkey, e.serve,
+         CAST(sum(CASE WHEN e.cents > g.edge THEN 1 ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dd_e e CROSS JOIN dd_edges g
+  GROUP BY 1, 2),
+dd_h AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN serve = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN serve = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_serve
+  FROM dd_b GROUP BY 1),
+dd_tot AS (
+  SELECT CAST(sum(n_train) AS BIGINT) AS nt,
+         CAST(sum(n_serve) AS BIGINT) AS ns,
+         CAST(sum(abs_term) AS BIGINT) AS sum_abs
+  FROM (SELECT n_train, n_serve,
+               abs(n_train * (SELECT sum(n_serve) FROM dd_h)
+                   - n_serve * (SELECT sum(n_train) FROM dd_h)) AS abs_term
+        FROM dd_h))
+SELECT h.bucket, h.n_train, h.n_serve,
+       (1000 * abs(h.n_train * t.ns - h.n_serve * t.nt)) // (t.nt * t.ns)
+         AS dshare_abs_pm,
+       (500 * t.sum_abs) // (t.nt * t.ns) AS tv_pm
+FROM dd_h h CROSS JOIN dd_tot t
+""",
+    doc="Decile drift audit (train/serve distribution monitoring): "
+    "decile edges frozen on the first-half-of-dates train epoch, both "
+    "epochs histogrammed by those edges, per-bucket share shift and "
+    "total-variation distance in exact per-mille integers (common "
+    "denominators — no float shares). Broadcast 9-edge fan; everything "
+    "after lives on the 10-row bucket frame.",
+)
+def q_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents",
+        f"{_EPOCH_DAY_SPARK.format(c='o_orderdate')} AS day",
+    )
+    mid = r.agg(F.expr("(min(day) + max(day) + 1) DIV 2 AS mid"))
+    e = r.crossJoin(F.broadcast(mid)).selectExpr(
+        "o_orderkey", "cents",
+        "CASE WHEN day < mid THEN 0 ELSE 1 END AS serve",
+    ).localCheckpoint(eager=False)
+    wtr = Window.orderBy("cents", "o_orderkey")
+    tr = (
+        e.where("serve = 0")
+        .withColumn("rn", F.row_number().over(wtr))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .where(f"rn IN ({_DD_EDGE_RANKS})")
+        .selectExpr("cents AS edge")
+    )
+    b = (
+        e.crossJoin(F.broadcast(tr))
+        .groupBy("o_orderkey", "serve")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN cents > edge THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("bucket")
+        )
+    )
+    h = b.groupBy("bucket").agg(
+        F.expr("CAST(sum(CASE WHEN serve = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_train"),
+        F.expr("CAST(sum(CASE WHEN serve = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_serve"),
+    ).localCheckpoint(eager=False)
+    tot = h.agg(
+        F.expr("CAST(sum(n_train) AS BIGINT) AS nt"),
+        F.expr("CAST(sum(n_serve) AS BIGINT) AS ns"),
+    )
+    tot2 = (
+        h.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr("CAST(sum(abs(n_train * ns - n_serve * nt)) AS BIGINT)")
+            .alias("sum_abs"),
+            F.first("nt").alias("nt"),
+            F.first("ns").alias("ns"),
+        )
+    )
+    return h.crossJoin(F.broadcast(tot2)).selectExpr(
+        "bucket", "n_train", "n_serve",
+        "(1000 * abs(n_train * ns - n_serve * nt)) DIV (nt * ns)"
+        " AS dshare_abs_pm",
+        "(500 * sum_abs) DIV (nt * ns) AS tv_pm",
+    )
