@@ -1610,3 +1610,73 @@ SELECT (SELECT CAST(v AS BIGINT) FROM dm_pick) AS sweep_start,
             + ({pack - 1} - v)) % {pack} AS BIGINT) AS far_v,
        CAST(count(*) AS BIGINT) AS n_reached
 FROM dm_l2"""
+
+
+# ---------------------------------------------------------------------------
+# R174: per-vertex local clustering coefficient (Watts & Strogatz 1998)
+# — triangles through each vertex over its possible wedges,
+# lcc_pm = 2000·t_v DIV (deg·(deg−1)). Triangles are enumerated ONCE in
+# canonical a<b<c order (the triangle_count joins) and each credits its
+# three corners through an explode that aggregates in-stream; vertices
+# of degree ≥ 2 with no triangles appear with lcc 0 (left join).
+# ---------------------------------------------------------------------------
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(v, deg, n_tri, lcc_pm) for every vertex with deg ≥ 2."""
+    ue = _undirected(edges).localCheckpoint(eager=False)
+    deg = (
+        ue.selectExpr("a AS v")
+        .unionByName(ue.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e1 = ue.toDF("a", "b")
+    e2 = ue.toDF("b", "c")
+    e3 = ue.toDF("a", "c")
+    tri = (
+        e1.join(e2, "b")
+        .where(F.col("b") < F.col("c"))
+        .join(e3, ["a", "c"])
+    )
+    tv = (
+        tri.selectExpr("explode(array(a, b, c)) AS v")
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.where("deg >= 2")
+        .join(tv, "v", "left")
+        .selectExpr(
+            "v", "deg",
+            "coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri",
+            "(2000 * coalesce(n_tri, 0)) DIV (deg * (deg - 1)) AS lcc_pm",
+        )
+    )
+
+
+def local_clustering_oracle(kind: str = "bfs") -> str:
+    return f"""
+WITH lc_e0 AS ({edges_sql(kind)}),
+lc_ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lc_e0 WHERE src <> dst),
+lc_deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM lc_ue UNION ALL SELECT b FROM lc_ue)
+  GROUP BY 1),
+lc_tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM lc_ue e1
+  JOIN lc_ue e2 ON e2.a = e1.b AND e1.b < e2.b
+  JOIN lc_ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+lc_tv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS v FROM lc_tri UNION ALL SELECT b FROM lc_tri
+        UNION ALL SELECT c FROM lc_tri)
+  GROUP BY 1)
+SELECT d.v, d.deg,
+       coalesce(t.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       (2000 * coalesce(t.n_tri, 0)) // (d.deg * (d.deg - 1)) AS lcc_pm
+FROM lc_deg d LEFT JOIN lc_tv t ON t.v = d.v
+WHERE d.deg >= 2"""

@@ -695,3 +695,97 @@ SELECT e.tile_kind, e.n_exact, s.n_held,
                         ELSE ({k} - 1) * CAST({KMV_R} AS BIGINT) // s.kth
                    END) - 1000 * e.n_exact) // e.n_exact AS err_milli
 FROM kmv_e e JOIN kmv_s s ON s.tile_kind = e.tile_kind"""
+
+
+# ---------------------------------------------------------------------------
+# R172: CMS mergeability audit — the count-min monoid witness beside the
+# HLL one: counters merge by CELL-WISE SUM, so sketching the lang
+# partitions separately and summing per (j, bucket) must equal the
+# direct whole-corpus sketch bit-for-bit (sum is associative/commutative
+# — this is exactly why per-partition partial sketches + Spark's
+# partial/final agg give the global CMS at any parallelism). The audit
+# probes both sketches with the exact top-5 tokens and emits the two
+# estimates + the equality flag per token.
+# ---------------------------------------------------------------------------
+
+CMS_AUDIT_TOPK = 5
+
+
+def cms_union_audit(docs: DataFrame, top_k: int = CMS_AUDIT_TOPK) -> DataFrame:
+    """(rank, tok, exact_cnt, merged_est, direct_est, merge_exact)."""
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    js = ", ".join(str(j) for j in range(DEPTH))
+    fan = toks.select(
+        "lang", "tok", F.explode(F.expr(f"array({js})")).alias("j")
+    ).select(
+        "lang", "j", F.expr(_bucket_spark("tok", "j")).alias("bucket")
+    )
+    parts = fan.groupBy("lang", "j", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = parts.groupBy("j", "bucket").agg(F.sum("cnt").alias("mcnt"))
+    direct = fan.groupBy("j", "bucket").agg(F.count("*").alias("dcnt"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .select(
+            "tok", "exact_cnt",
+            F.expr("row_number() OVER (ORDER BY exact_cnt DESC, tok)")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= top_k)
+    )
+    probes = top.select(
+        "rank", "tok", "exact_cnt",
+        F.explode(F.expr(f"array({js})")).alias("j"),
+    ).select(
+        "rank", "tok", "exact_cnt", "j",
+        F.expr(_bucket_spark("tok", "j")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(merged), ["j", "bucket"])
+        .join(F.broadcast(direct), ["j", "bucket"])
+        .groupBy("rank", "tok", "exact_cnt")
+        .agg(
+            F.min("mcnt").cast("bigint").alias("merged_est"),
+            F.min("dcnt").cast("bigint").alias("direct_est"),
+        )
+        .selectExpr(
+            "CAST(rank AS BIGINT) AS rank", "tok", "exact_cnt",
+            "merged_est", "direct_est",
+            "CAST(merged_est = direct_est AS BIGINT) AS merge_exact",
+        )
+    )
+
+
+def cms_union_oracle(top_k: int = CMS_AUDIT_TOPK) -> str:
+    js = ", ".join(str(j) for j in range(DEPTH))
+    return f"""
+WITH cu_t AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+cu_f AS (
+  SELECT lang, j, {_bucket_duck('tok', 'j')} AS bucket
+  FROM cu_t CROSS JOIN (SELECT unnest([{js}]) AS j)),
+cu_p AS (SELECT lang, j, bucket, count(*) AS cnt
+         FROM cu_f GROUP BY 1, 2, 3),
+cu_m AS (SELECT j, bucket, sum(cnt) AS mcnt FROM cu_p GROUP BY 1, 2),
+cu_d AS (SELECT j, bucket, count(*) AS dcnt FROM cu_f GROUP BY 1, 2),
+cu_top AS (
+  SELECT tok, count(*) AS exact_cnt,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+  FROM cu_t GROUP BY tok QUALIFY rank <= {top_k}),
+cu_pr AS (
+  SELECT rank, tok, exact_cnt, j, {_bucket_duck('tok', 'j')} AS bucket
+  FROM cu_top CROSS JOIN (SELECT unnest([{js}]) AS j))
+SELECT CAST(p.rank AS BIGINT) AS rank, p.tok, p.exact_cnt,
+       CAST(min(m.mcnt) AS BIGINT) AS merged_est,
+       CAST(min(d.dcnt) AS BIGINT) AS direct_est,
+       CAST(min(m.mcnt) = min(d.dcnt) AS BIGINT) AS merge_exact
+FROM cu_pr p
+JOIN cu_m m ON m.j = p.j AND m.bucket = p.bucket
+JOIN cu_d d ON d.j = p.j AND d.bucket = p.bucket
+GROUP BY 1, 2, 3"""

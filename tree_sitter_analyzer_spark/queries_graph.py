@@ -282,3 +282,17 @@ def q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.diameter_sweep(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "local_clustering",
+    graph.local_clustering_oracle(),
+    doc="Per-vertex local clustering coefficient (Watts & Strogatz): "
+    "triangles through each vertex over its possible wedges, "
+    "lcc_pm = 2000*t_v DIV (deg*(deg-1)); triangles enumerated once in "
+    "canonical a<b<c order, each crediting its three corners through an "
+    "in-stream explode aggregate; deg>=2 vertices with no triangles "
+    "appear with lcc 0.",
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.local_clustering(graph.edges_df(spark, "bfs"))

@@ -1096,3 +1096,18 @@ def q_rendezvous_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid_agreement(_docs(spark, sf_dir))
+
+
+from .operators import sketch as _sketch3  # noqa: E402
+
+@register(
+    "cms_union_audit",
+    _sketch3.cms_union_oracle(),
+    doc="CMS mergeability audit (the count-min monoid witness beside the "
+    "HLL one): lang-partition sketches merged by cell-wise SUM must "
+    "equal the direct whole-corpus sketch bit-for-bit — why partial/"
+    "final agg gives the global CMS at any parallelism; probed with the "
+    "exact top-5 tokens, merge_exact flag per row.",
+)
+def q_cms_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sketch3.cms_union_audit(_docs(spark, sf_dir))

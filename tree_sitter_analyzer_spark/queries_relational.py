@@ -3100,3 +3100,66 @@ def q_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS dshare_abs_pm",
         "(500 * sum_abs) DIV (nt * ns) AS tv_pm",
     )
+
+
+# --- R173: inter-arrival burstiness (CV^2) ------------------------------------
+#
+# Goh & Barabási-style burstiness screen made integer-exact: per
+# event-type stream, the squared coefficient of variation of
+# inter-arrival gaps, CV² = Var/μ² = (n·Σd² − S²)/S² — Poisson traffic
+# reads ~1000 per-mille, clockwork ~0, bursty >1000. Gaps in whole
+# seconds keep every intermediate far inside bigint. One lag window per
+# type-keyed exchange, then a 5-row aggregate.
+
+
+@register(
+    "burstiness_cv2",
+    f"""
+WITH bc_e AS (
+  SELECT event_type, {_EPOCH_US_DUCK_REL} // 1000000 AS s, event_id
+  FROM events),
+bc_d AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type ORDER BY s, event_id)
+           AS d
+  FROM bc_e),
+bc_a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(d) AS BIGINT) AS sum_s,
+         CAST(sum(d * d) AS BIGINT) AS sum_s2
+  FROM bc_d WHERE d IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps, sum_s // n_gaps AS mean_gap_s,
+       (1000 * (n_gaps * sum_s2 - sum_s * sum_s))
+         // (sum_s * sum_s) AS cv2_pm
+FROM bc_a
+""",
+    doc="Inter-arrival burstiness per event-type stream: CV² of gap "
+    "seconds as exact integers via (n*sum(d^2) - S^2)/S^2 per-mille — "
+    "Poisson ~1000, clockwork ~0, bursty >1000. One lag window per "
+    "type-keyed exchange, then a 5-row aggregate; no float mean or "
+    "variance ever materializes.",
+)
+def q_burstiness_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"({_EPOCH_US_SPARK_REL}) DIV 1000000 AS s",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    return (
+        e.withColumn("d", F.expr("s - lag(s) OVER (PARTITION BY"
+                                 " event_type ORDER BY s, event_id)"))
+        .where("d IS NOT NULL")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.expr("CAST(sum(d) AS BIGINT)").alias("sum_s"),
+            F.expr("CAST(sum(d * d) AS BIGINT)").alias("sum_s2"),
+        )
+        .selectExpr(
+            "event_type", "n_gaps",
+            "sum_s DIV n_gaps AS mean_gap_s",
+            "(1000 * (n_gaps * sum_s2 - sum_s * sum_s))"
+            " DIV (sum_s * sum_s) AS cv2_pm",
+        )
+    )
