@@ -1680,3 +1680,83 @@ SELECT d.v, d.deg,
        (2000 * coalesce(t.n_tri, 0)) // (d.deg * (d.deg - 1)) AS lcc_pm
 FROM lc_deg d LEFT JOIN lc_tv t ON t.v = d.v
 WHERE d.deg >= 2"""
+
+
+# ---------------------------------------------------------------------------
+# R177: degree assortativity, rank-based (Newman 2002 via Spearman) —
+# on the planted-core graph, where the dense 300-vertex block makes the
+# high-degree elite genuinely interconnected (positive assortativity
+# with real signal, unlike an Erdős–Rényi background's ~0). Spearman
+# keeps it EXACT in integers: both endpoint-degree coordinates are
+# re-ranked over the symmetric endpoint list (each undirected edge
+# contributes both directions) with the unique (deg, a, b, dir) order,
+# rho_milli = 1000 − 6000·Σd²/(M(M²−1)). One degree agg + two broadcast
+# joins + two rank windows on the edge-bounded frame.
+# ---------------------------------------------------------------------------
+
+
+def assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One row: (m_endpoints, rho_sign, rho_abs_milli)."""
+    ue = _undirected(edges).localCheckpoint(eager=False)
+    deg = (
+        ue.selectExpr("a AS v")
+        .unionByName(ue.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    sym = (
+        ue.selectExpr("a", "b", "0 AS dir")
+        .unionByName(ue.selectExpr("b AS a", "a AS b", "1 AS dir"))
+        .join(F.broadcast(deg.selectExpr("v AS a", "deg AS dx")), "a")
+        .join(F.broadcast(deg.selectExpr("v AS b", "deg AS dy")), "b")
+    )
+    ranked = sym.selectExpr(
+        "CAST(row_number() OVER (ORDER BY dx, a, b, dir) AS BIGINT) AS rx",
+        "CAST(row_number() OVER (ORDER BY dy, a, b, dir) AS BIGINT) AS ry",
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("m_endpoints"),
+        F.expr("CAST(sum((rx - ry) * (rx - ry)) AS BIGINT)").alias("sd2"),
+    ).selectExpr(
+        "m_endpoints",
+        "CASE WHEN m_endpoints * (m_endpoints * m_endpoints - 1)"
+        " >= 6 * sd2 THEN 1 ELSE -1 END AS rho_sign",
+        "abs(1000 * m_endpoints * (m_endpoints * m_endpoints - 1)"
+        " - 6000 * sd2)"
+        " DIV (m_endpoints * (m_endpoints * m_endpoints - 1))"
+        " AS rho_abs_milli",
+    )
+
+
+def assortativity_oracle() -> str:
+    return f"""
+WITH as_e0 AS ({_core_edges_sql()}),
+as_ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM as_e0 WHERE src <> dst),
+as_deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM as_ue UNION ALL SELECT b FROM as_ue)
+  GROUP BY 1),
+as_sym AS (
+  SELECT s.a, s.b, s.dir, da.deg AS dx, db.deg AS dy
+  FROM (SELECT a, b, 0 AS dir FROM as_ue
+        UNION ALL SELECT b, a, 1 FROM as_ue) s
+  JOIN as_deg da ON da.v = s.a
+  JOIN as_deg db ON db.v = s.b),
+as_r AS (
+  SELECT CAST(row_number() OVER (ORDER BY dx, a, b, dir) AS BIGINT) AS rx,
+         CAST(row_number() OVER (ORDER BY dy, a, b, dir) AS BIGINT) AS ry
+  FROM as_sym),
+as_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_endpoints,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+  FROM as_r)
+SELECT m_endpoints,
+       CASE WHEN m_endpoints * (m_endpoints * m_endpoints - 1)
+            >= 6 * sd2 THEN 1 ELSE -1 END AS rho_sign,
+       abs(1000 * m_endpoints * (m_endpoints * m_endpoints - 1)
+           - 6000 * sd2)
+         // (m_endpoints * (m_endpoints * m_endpoints - 1))
+         AS rho_abs_milli
+FROM as_s"""

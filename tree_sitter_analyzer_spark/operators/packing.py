@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
 
 from ..functions import md5int_duck, md5int_spark
 
@@ -296,3 +297,54 @@ rdv_g AS (
 SELECT n_keys, max_load, min_load, moved, moved_not_to_new,
        (1000 * moved) // n_keys AS churn_pm
 FROM rdv_g CROSS JOIN rdv_l"""
+
+
+# ---------------------------------------------------------------------------
+# R175: file-compaction planner — the lakehouse OPTIMIZE primitive, and
+# byte-for-byte the packing rule Spark's own scan planner applies under
+# spark.sql.files.maxPartitionBytes: within each partition (source),
+# files in name order fill linear byte bins, bin = running_sum_before
+# DIV target (a big file may straddle — splittable-format semantics,
+# exactly like parquet row-group splitting). The plan is ONE window
+# cumsum per partition-keyed exchange; the small-file problem this
+# solves is THE metadata bottleneck at 100 TB.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 8192  # bytes per compaction group (sf-scaled corpus)
+
+
+def compaction_plan(docs: DataFrame, target: int = COMPACT_TARGET) -> DataFrame:
+    """(source, bin, n_files, total_bytes, fill_pm): linear-fill
+    compaction groups over the doc 'files' (size = n_chars), name order
+    = doc_id."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("sz"))
+        .withColumn("before", F.coalesce(F.sum("sz").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"before DIV {target}"))
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("sz").cast("bigint").alias("total_bytes"),
+        )
+        .withColumn("fill_pm", F.expr(f"(1000 * total_bytes) DIV {target}"))
+    )
+
+
+def compaction_oracle(target: int = COMPACT_TARGET) -> str:
+    return f"""
+WITH cp_f AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz,
+         coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents)
+SELECT source, before // {target} AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       (1000 * CAST(sum(sz) AS BIGINT)) // {target} AS fill_pm
+FROM cp_f GROUP BY 1, 2"""

@@ -827,3 +827,59 @@ SELECT n, n_agree,
        CASE WHEN n * n_agree >= rc THEN 1 ELSE -1 END AS kappa_sign,
        (1000 * abs(n * n_agree - rc)) // (n * n - rc) AS kappa_abs_pm
 FROM ka_n CROSS JOIN ka_e"""
+
+
+# ---------------------------------------------------------------------------
+# R176: k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+# 2007) — the data-governance release gate: group the corpus by its
+# quasi-identifiers (lang, source, length band), require every group to
+# hold ≥ k rows (k-anonymity) and ≥ l distinct values of the sensitive
+# attribute (the quality grade — l-diversity). One groupBy onto the
+# bounded QI dimension; the audit emits every group with its k/l flags
+# so the violating cells are directly actionable.
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_L = 2
+_KANON_BAND = 128  # n_chars band width
+
+
+def kanon_audit(docs: DataFrame, k: int = KANON_K, l_div: int = KANON_L) -> DataFrame:
+    """(lang, source, len_band, n, n_grades, k_ok, l_ok)."""
+    g = text_stats(docs).select("doc_id", "grade")
+    return (
+        docs.join(g, "doc_id")
+        .groupBy(
+            "lang", "source",
+            F.expr(f"CAST(n_chars AS BIGINT) DIV {_KANON_BAND}").alias("len_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("grade").cast("bigint").alias("n_grades"),
+        )
+        .selectExpr(
+            "lang", "source", "len_band", "n", "n_grades",
+            f"CAST(n >= {k} AS BIGINT) AS k_ok",
+            f"CAST(n_grades >= {l_div} AS BIGINT) AS l_ok",
+        )
+    )
+
+
+def kanon_oracle(k: int = KANON_K, l_div: int = KANON_L) -> str:
+    return f"""
+WITH {quality_oracle_ctes('kan')},
+kan_gr AS (
+  SELECT doc_id,
+         CASE WHEN quality >= 80 THEN 'A' WHEN quality >= 60 THEN 'B'
+              WHEN quality >= 40 THEN 'C' ELSE 'D' END AS grade
+  FROM kan_q),
+kan_j AS (
+  SELECT d.lang, d.source,
+         CAST(d.n_chars AS BIGINT) // {_KANON_BAND} AS len_band, g.grade
+  FROM documents d JOIN kan_gr g ON g.doc_id = d.doc_id)
+SELECT lang, source, len_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT grade) AS BIGINT) AS n_grades,
+       CAST(count(*) >= {k} AS BIGINT) AS k_ok,
+       CAST(count(DISTINCT grade) >= {l_div} AS BIGINT) AS l_ok
+FROM kan_j GROUP BY 1, 2, 3"""

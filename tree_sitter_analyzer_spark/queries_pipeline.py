@@ -1111,3 +1111,31 @@ from .operators import sketch as _sketch3  # noqa: E402
 )
 def q_cms_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch3.cms_union_audit(_docs(spark, sf_dir))
+
+
+@register(
+    "compaction_plan",
+    packing.compaction_oracle(),
+    doc="File-compaction planner (the lakehouse OPTIMIZE primitive, and "
+    "byte-for-byte Spark's maxPartitionBytes scan packing): per source "
+    "partition, files in name order fill linear byte bins "
+    "(bin = running_sum_before DIV target; big files straddle — "
+    "splittable-format semantics). One window cumsum per "
+    "partition-keyed exchange; the small-file metadata bottleneck at "
+    "100 TB is exactly what this plans away.",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.compaction_plan(_docs(spark, sf_dir))
+
+
+@register(
+    "kanon_audit",
+    textstats.kanon_oracle(),
+    doc="k-anonymity / l-diversity release audit (Sweeney; "
+    "Machanavajjhala): quasi-identifier groups (lang, source, 128-char "
+    "length band) with row count, distinct sensitive grades, and the "
+    "k>=5 / l>=2 flags per group — the data-governance gate before a "
+    "corpus ships. One groupBy onto the bounded QI dimension.",
+)
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.kanon_audit(_docs(spark, sf_dir))
