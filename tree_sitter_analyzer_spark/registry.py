@@ -209,6 +209,37 @@ _ROTATIONS_C4 = {
 }
 GATE_ORDER = [_ROTATIONS_C4.get(n, n) for n in GATE_ORDER]
 
+# Continuation-5 rotation (R156-R177 families in; same policy — every
+# rotated-out query stays sweep- and pytest-oracle-verified):
+# hilbert_layout → range_fragmentation (the fragmentation metric IS the
+#   reason the Hilbert layout exists, and its plan computes Hilbert keys
+#   — a strict conceptual superset of the layout audit),
+# dedup_embedding → lsh_recall_audit (the audit composes the minhash
+#   candidate tier AND the exact-Jaccard ground truth — strictly more
+#   dedup machinery per row; embedding-space mechanics keep ann_ivf_topk
+#   + ann_pq_topk in-gate),
+# event_props_stats → watermark_lateness (F5 JSON aggregation is plain
+#   column functions, sweep-covered; the watermark tuning ladder is the
+#   streaming-semantics audit — a new family),
+# cascade_search → decile_drift (T2 early-exit retrieval keeps
+#   mmr_diversified + the ANN tiers in-gate; train/serve drift
+#   monitoring is a brand-new ML-ops family),
+# kde_heatmap → pii_scrub (density surfaces keep emerging_hotspots +
+#   cell_cusum in-gate; the PII compliance scrub is a first-class
+#   training-pipeline op per the task brief),
+# traj_stats → doc_chunks (movement analytics keeps convoy_pairs +
+#   least_cost_path + epidemic_reach in-gate; overlapping chunking is
+#   the retrieval-ingest pipeline op).
+_ROTATIONS_C5 = {
+    "hilbert_layout": "range_fragmentation",
+    "dedup_embedding": "lsh_recall_audit",
+    "event_props_stats": "watermark_lateness",
+    "cascade_search": "decile_drift",
+    "kde_heatmap": "pii_scrub",
+    "traj_stats": "doc_chunks",
+}
+GATE_ORDER = [_ROTATIONS_C5.get(n, n) for n in GATE_ORDER]
+
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side-effect registration),
