@@ -3163,3 +3163,22 @@ def q_burstiness_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (sum_s * sum_s) AS cv2_pm",
         )
     )
+
+
+from .streaming import incremental as _inc2  # noqa: E402
+
+@register(
+    "merkle_diff",
+    _inc2.merkle_diff_oracle(),
+    doc="Merkle partition diff — the anti-entropy sync planner "
+    "(Dynamo/Cassandra merkle trees, Iceberg manifest diffing): "
+    "order-invariant bit_xor row-hash digests per (source, 64-doc "
+    "sub-partition) for two snapshots (B = deterministic same-SQL "
+    "revision of doc_id % 97 rows), compared to flag exactly which "
+    "partitions an incremental sync must touch. Snapshots never join "
+    "row-by-row; row-level classify runs ONLY on flagged partitions.",
+)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _inc2.merkle_diff(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )

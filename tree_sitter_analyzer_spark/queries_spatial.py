@@ -2017,3 +2017,18 @@ def q_range_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_isoband_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.isoband_boundaries(_tiles(spark, sf_dir))
+
+
+@register(
+    "region_similarity",
+    f"{_CTES},\n{pp_ops.region_similarity_oracle()}",
+    doc="Region composition similarity ('neighborhoods that look "
+    "alike'): per res-4 block the tile-kind mix, between block pairs "
+    "the exact-integer TV distance (500*sum|a_k*Tb - b_k*Ta| DIV "
+    "(Ta*Tb)), top-20 most similar pairs. One tile groupBy; the pair "
+    "fan runs on the ~90-block dimension frame densified against 7 "
+    "kinds — regions are coarse by construction, so the dimension-side "
+    "all-pairs stays bounded at any scale. The transpose of Duncan's D.",
+)
+def q_region_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.region_similarity(_tiles(spark, sf_dir))

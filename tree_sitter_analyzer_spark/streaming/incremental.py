@@ -59,3 +59,77 @@ def merge_delta(current: DataFrame, upserts: DataFrame,
         upserts.select(key).unionByName(deletes.select(key)), key, "left_anti"
     )
     return survivors.unionByName(upserts)
+
+
+# ---------------------------------------------------------------------------
+# R178: merkle partition diff — the anti-entropy repair planner (Dynamo/
+# Cassandra merkle trees; Iceberg manifest-level diffing): roll every
+# partition of two snapshots up to an order-independent digest
+# (bit_xor of row hashes — XOR is associative/commutative/idempotent-
+# free, so the digest is partition- and order-invariant and merges
+# map-side), compare digests, and emit exactly WHICH partitions an
+# incremental sync must touch. The snapshots never join row-by-row —
+# the compare happens on the partition-count-sized digest frames, which
+# is the entire point at 100 TB (row-level classify_changes is what you
+# run ONLY on the flagged partitions).
+# Snapshot B is a same-SQL deterministic mutation of A (doc_id % 97
+# rows get a revision suffix), so both engines build both snapshots
+# identically.
+# ---------------------------------------------------------------------------
+
+MERKLE_PART = 64   # docs per sub-partition
+MERKLE_MOD = 97    # doc_id % MOD == 0 rows differ in snapshot B
+
+
+def _merkle_hash_spark(text_expr: str) -> str:
+    from ..functions import md5int_spark
+
+    return md5int_spark(f"CAST(doc_id AS STRING) || '#' || {text_expr}")
+
+
+def merkle_diff(docs: DataFrame) -> DataFrame:
+    """(source, part, n_rows, digest_a, digest_b, changed): partition
+    digests of snapshot A (as stored) vs B (deterministic revision)."""
+    hb = _merkle_hash_spark(
+        f"(CASE WHEN doc_id % {MERKLE_MOD} = 0 THEN text || ' rev2'"
+        " ELSE text END)"
+    )
+    ha = _merkle_hash_spark("text")
+    return (
+        docs.selectExpr(
+            "source",
+            f"doc_id DIV {MERKLE_PART} AS part",
+            f"{ha} AS ha",
+            f"{hb} AS hb",
+        )
+        .groupBy("source", "part")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(ha)").cast("bigint").alias("digest_a"),
+            F.expr("bit_xor(hb)").cast("bigint").alias("digest_b"),
+        )
+        .selectExpr(
+            "source", "part", "n_rows", "digest_a", "digest_b",
+            "CAST(digest_a <> digest_b AS BIGINT) AS changed",
+        )
+    )
+
+
+def merkle_diff_oracle() -> str:
+    from ..functions import md5int_duck
+
+    ha = md5int_duck("CAST(doc_id AS VARCHAR) || '#' || text")
+    hb = md5int_duck(
+        f"CAST(doc_id AS VARCHAR) || '#' || (CASE WHEN doc_id % {MERKLE_MOD}"
+        " = 0 THEN text || ' rev2' ELSE text END)"
+    )
+    return f"""
+WITH mk_h AS (
+  SELECT source, doc_id // {MERKLE_PART} AS part,
+         {ha} AS ha, {hb} AS hb
+  FROM documents)
+SELECT source, part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(ha) AS BIGINT) AS digest_a,
+       CAST(bit_xor(hb) AS BIGINT) AS digest_b,
+       CAST(bit_xor(ha) <> bit_xor(hb) AS BIGINT) AS changed
+FROM mk_h GROUP BY 1, 2"""
