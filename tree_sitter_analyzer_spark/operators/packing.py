@@ -348,3 +348,109 @@ SELECT source, before // {target} AS bin,
        CAST(sum(sz) AS BIGINT) AS total_bytes,
        (1000 * CAST(sum(sz) AS BIGINT)) // {target} AS fill_pm
 FROM cp_f GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# R182: priority sampling (Duffield, Lund & Thorup 2007) — the weighted
+# sample that answers subset-sum questions unbiasedly: priority
+# q_i = w_i·R DIV h_i with h_i md5-uniform in [1, R], keep the top-k
+# by (q, doc_id), threshold tau = the (k+1)-th priority, estimator
+# w-hat_i = max(w_i, tau) for sampled rows and 0 otherwise. All-integer
+# end-to-end, so both engines replay the identical sample AND the
+# identical estimates. The audit groups the estimates by source and
+# reports them beside the exact per-source char totals.
+# Scale shape: top-k is partition-independent, so the Spark side runs
+# the KMV two-phase discipline — per-partition top-(k+1) first (map-side
+# bound: k+1 rows per task survive), then the global top-(k+1) over the
+# tiny survivor frame; tau reaches the sample via a broadcast one-row
+# frame, never a driver collect. The oracle is the flat global window
+# (legitimate because top-k is order- and partition-independent).
+# ---------------------------------------------------------------------------
+
+PRIO_K = 64
+PRIO_R = 1 << 30
+
+_PRIO_H_SPARK = f"(({md5int_spark('CAST(doc_id AS STRING)')}) % {PRIO_R}) + 1"
+_PRIO_H_DUCK = f"(({md5int_duck('CAST(doc_id AS VARCHAR)')}) % {PRIO_R}) + 1"
+
+
+def priority_sample_audit(docs: DataFrame, k: int = PRIO_K) -> DataFrame:
+    """(source, n_docs, n_sampled, exact_chars, est_chars, err_pm):
+    per-source subset-sum estimates from one global k-row priority
+    sample vs the exact totals."""
+    keyed = docs.selectExpr(
+        "doc_id", "source",
+        "CAST(n_chars AS BIGINT) AS w",
+        f"CAST(n_chars AS BIGINT) * {PRIO_R} DIV ({_PRIO_H_SPARK}) AS q",
+    )
+    part = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.desc("q"), F.desc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("prn") <= k + 1)
+    )
+    ranked = part.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("q"), F.desc("doc_id"))),
+    ).where(F.col("rn") <= k + 1)
+    tau = ranked.where(F.col("rn") == k + 1).select(
+        F.col("q").alias("tau")
+    )
+    sampled = (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.expr("sum(greatest(w, tau))").cast("bigint").alias("est_chars"),
+        )
+    )
+    exact = keyed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("exact_chars"),
+    )
+    return (
+        exact.join(sampled, "source", "left")
+        .selectExpr(
+            "source", "n_docs",
+            "coalesce(n_sampled, CAST(0 AS BIGINT)) AS n_sampled",
+            "exact_chars",
+            "coalesce(est_chars, CAST(0 AS BIGINT)) AS est_chars",
+            "(1000 * abs(coalesce(est_chars, CAST(0 AS BIGINT))"
+            " - exact_chars)) DIV exact_chars AS err_pm",
+        )
+    )
+
+
+def priority_sample_oracle(k: int = PRIO_K) -> str:
+    return f"""
+WITH ps_keyed AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         CAST(n_chars AS BIGINT) * {PRIO_R} // ({_PRIO_H_DUCK}) AS q
+  FROM documents),
+ps_rank AS (
+  SELECT *, row_number() OVER (ORDER BY q DESC, doc_id DESC) AS rn
+  FROM ps_keyed),
+ps_tau AS (SELECT q AS tau FROM ps_rank WHERE rn = {k} + 1),
+ps_samp AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(greatest(w, t.tau)) AS BIGINT) AS est_chars
+  FROM ps_rank r CROSS JOIN ps_tau t
+  WHERE r.rn <= {k} GROUP BY 1),
+ps_exact AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS exact_chars
+  FROM ps_keyed GROUP BY 1)
+SELECT e.source, e.n_docs,
+       coalesce(s.n_sampled, 0) AS n_sampled,
+       e.exact_chars,
+       coalesce(s.est_chars, 0) AS est_chars,
+       (1000 * abs(coalesce(s.est_chars, 0) - e.exact_chars))
+         // e.exact_chars AS err_pm
+FROM ps_exact e LEFT JOIN ps_samp s ON s.source = e.source"""

@@ -789,3 +789,167 @@ FROM cu_pr p
 JOIN cu_m m ON m.j = p.j AND m.bucket = p.bucket
 JOIN cu_d d ON d.j = p.j AND d.bucket = p.bucket
 GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# R183: KMV set operations (Beyer et al. 2007) — the sketch answer to
+# "how much do two sets OVERLAP" without ever joining them: for every
+# tile-kind pair, |A∩B| and Jaccard estimated from the two bottom-k
+# hash sketches alone. Correctness hinges on a provable containment:
+# bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B), and any union-sample hash
+# h ≤ tau_union that belongs to A necessarily sits inside A's own
+# bottom-k (tau_A ≥ tau_union since A ⊆ A∪B) — so the membership test
+# against the k-arrays is EXACT, never approximate. jac_est = K∩/k',
+# inter_est = K∩·union_est DIV k', all integers.
+# Scale shape: sketches build with the KMV two-phase partial agg; the
+# pair fan runs on the ~7-row kind dimension (arrays of 64 bigints),
+# never on tiles. The exact columns beside the estimates come from one
+# cell-keyed self-join aggregated in-stream (per-cell kind count ≤ 7).
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(tiles: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(kind_a, kind_b, inter_exact, inter_est, jac_pm_exact,
+    jac_pm_est): per tile-kind pair, exact vs KMV-estimated overlap of
+    their distinct res-9 cell sets."""
+    from .. import grid
+
+    h = md5int_spark("CAST(cell AS STRING)")
+    keyed = (
+        tiles.select(
+            "tile_kind",
+            F.expr(grid.cell_sql("lon", "lat", 9)).alias("cell"),
+        )
+        .dropDuplicates(["tile_kind", "cell"])
+        .select(
+            "tile_kind", "cell",
+            F.expr(f"(({h}) % {KMV_R}) + 1").alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    part = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .groupBy("tile_kind", "pid")
+        .agg(F.expr(f"slice(array_sort(collect_set(h)), 1, {k})").alias("hs"))
+    )
+    sk = part.groupBy("tile_kind").agg(
+        F.expr(
+            f"slice(array_sort(array_distinct(flatten(collect_list(hs)))),"
+            f" 1, {k}) AS bk"
+        )
+    )
+    sizes = keyed.groupBy("tile_kind").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    dim = sk.join(sizes, "tile_kind")
+    a = dim.selectExpr(
+        "tile_kind AS kind_a", "bk AS bk_a", "n_exact AS n_a"
+    )
+    b = dim.selectExpr(
+        "tile_kind AS kind_b", "bk AS bk_b", "n_exact AS n_b"
+    )
+    inter = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "cell")
+        .where(F.expr("x.tile_kind < y.tile_kind"))
+        .groupBy(
+            F.expr("x.tile_kind").alias("kind_a"),
+            F.expr("y.tile_kind").alias("kind_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("inter_exact"))
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("kind_a") < F.col("kind_b"))
+        .join(inter, ["kind_a", "kind_b"], "left")
+        .withColumn(
+            "inter_exact",
+            F.expr("coalesce(inter_exact, CAST(0 AS BIGINT))"),
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                f"slice(array_sort(array_distinct(concat(bk_a, bk_b))),"
+                f" 1, {k})"
+            ),
+        )
+        .withColumn("kp", F.expr("CAST(size(u) AS BIGINT)"))
+        .withColumn(
+            "k_inter",
+            F.expr(
+                "CAST(size(filter(u, x -> array_contains(bk_a, x)"
+                " AND array_contains(bk_b, x))) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "union_est",
+            F.expr(
+                f"CASE WHEN kp < {k} THEN kp ELSE"
+                f" ({k} - 1) * CAST({KMV_R} AS BIGINT)"
+                f" DIV element_at(u, {k}) END"
+            ),
+        )
+        .selectExpr(
+            "kind_a", "kind_b", "inter_exact",
+            "(k_inter * union_est) DIV kp AS inter_est",
+            "(1000 * inter_exact) DIV (n_a + n_b - inter_exact)"
+            " AS jac_pm_exact",
+            "(1000 * k_inter) DIV kp AS jac_pm_est",
+        )
+    )
+
+
+def kmv_set_ops_oracle(k: int = KMV_K) -> str:
+    """Flat global bottom-k per kind (partition-independent). Requires
+    the spliced tiles CTE."""
+    from .. import grid
+
+    h = md5int_duck("CAST(cell AS VARCHAR)")
+    return f"""ks_keyed AS (
+  SELECT DISTINCT tile_kind, cell, ((({h}) % {KMV_R}) + 1) AS h
+  FROM (SELECT tile_kind, {grid.cell_sql('lon', 'lat', 9)} AS cell
+        FROM tiles)),
+ks_rank AS (
+  SELECT tile_kind, h,
+         row_number() OVER (PARTITION BY tile_kind ORDER BY h) AS rn
+  FROM ks_keyed),
+ks_sk AS (
+  SELECT tile_kind, list_sort(list(h)) AS bk
+  FROM ks_rank WHERE rn <= {k} GROUP BY 1),
+ks_sz AS (
+  SELECT tile_kind, CAST(count(*) AS BIGINT) AS n_exact
+  FROM ks_keyed GROUP BY 1),
+ks_dim AS (
+  SELECT s.tile_kind, s.bk, z.n_exact
+  FROM ks_sk s JOIN ks_sz z ON z.tile_kind = s.tile_kind),
+ks_inter AS (
+  SELECT x.tile_kind AS kind_a, y.tile_kind AS kind_b,
+         CAST(count(*) AS BIGINT) AS inter_exact
+  FROM ks_keyed x JOIN ks_keyed y
+    ON y.cell = x.cell AND x.tile_kind < y.tile_kind
+  GROUP BY 1, 2),
+ks_pairs AS (
+  SELECT a.tile_kind AS kind_a, b.tile_kind AS kind_b,
+         coalesce(i.inter_exact, 0) AS inter_exact,
+         a.n_exact AS n_a, b.n_exact AS n_b,
+         list_sort(list_distinct(list_concat(a.bk, b.bk)))[1:{k}] AS u
+  FROM ks_dim a JOIN ks_dim b ON a.tile_kind < b.tile_kind
+  LEFT JOIN ks_inter i
+    ON i.kind_a = a.tile_kind AND i.kind_b = b.tile_kind),
+ks_est AS (
+  SELECT kind_a, kind_b, inter_exact, n_a, n_b,
+         CAST(len(u) AS BIGINT) AS kp,
+         CAST(len(list_filter(u, x -> list_contains(bk_a, x)
+           AND list_contains(bk_b, x))) AS BIGINT) AS k_inter,
+         CASE WHEN len(u) < {k} THEN CAST(len(u) AS BIGINT)
+              ELSE ({k} - 1) * CAST({KMV_R} AS BIGINT) // u[{k}]
+         END AS union_est
+  FROM (SELECT p.*, a2.bk AS bk_a, b2.bk AS bk_b
+        FROM ks_pairs p
+        JOIN ks_dim a2 ON a2.tile_kind = p.kind_a
+        JOIN ks_dim b2 ON b2.tile_kind = p.kind_b))
+SELECT kind_a, kind_b, inter_exact,
+       (k_inter * union_est) // kp AS inter_est,
+       (1000 * inter_exact) // (n_a + n_b - inter_exact) AS jac_pm_exact,
+       (1000 * k_inter) // kp AS jac_pm_est
+FROM ks_est"""

@@ -883,3 +883,96 @@ SELECT lang, source, len_band,
        CAST(count(*) >= {k} AS BIGINT) AS k_ok,
        CAST(count(DISTINCT grade) >= {l_div} AS BIGINT) AS l_ok
 FROM kan_j GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# R180: AUC rank-sum eval — the classifier-discrimination harness
+# (Mann-Whitney/Wilcoxon; Hanley & McNeil 1982) done EXACTLY in
+# integers: label = high-quality doc (quality >= 60, grades A/B), and
+# for each candidate scorer the probability a random positive outranks
+# a random negative, ties at half credit. Instead of the textbook
+# global rank (a full sort at 100 TB), the scores are first histogrammed
+# onto their BOUNDED integer dimension (0..1000 per-mille values — one
+# groupBy with map-side partial agg), and AUC reads off the histogram:
+#   2·num = Σ_s n_pos_s · (2·cum_neg_below(s) + n_neg_s)
+#   auc_pm = 1000·2·num DIV (2·n_pos·n_neg)
+# — the window runs on the ≤1001-row score dimension, never on docs.
+# Scorers: 'diversity' (distinct-token ratio, positively associated —
+# AUC ≈ 0.83 at both gate scales) and 'stop_density' (stopword ratio,
+# negatively associated — AUC ≈ 0.15, exercising the below-chance
+# path). The label is grade-A (quality ≥ 80 — the balanced split:
+# ~1:3 at both sfs; ≥ 60 would be 493:7); the diversity COMPONENT
+# weighs only 30/100 of quality, so neither scorer is degenerate.
+# Reference analog: health_scorer.py's score→grade discipline, evaluated
+# rather than assumed (SURVEY.md A5/R143's NDCG companion).
+# ---------------------------------------------------------------------------
+
+AUC_POS_QUALITY = 80
+
+
+def auc_eval(docs: DataFrame) -> DataFrame:
+    """(scorer, n_pos, n_neg, auc_pm): exact Mann-Whitney AUC of each
+    scorer against the grade-A label, ties at half credit."""
+    from pyspark.sql import Window
+
+    base = text_stats(docs).selectExpr(
+        f"CAST(quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos",
+        "(1000 * n_distinct_tokens) DIV n_tokens AS s_diversity",
+        "(1000 * n_stop) DIV n_tokens AS s_stop_density",
+    )
+    outs = []
+    for scorer in ("diversity", "stop_density"):
+        hist = base.groupBy(F.col(f"s_{scorer}").alias("s")).agg(
+            F.sum("pos").alias("np_s"),
+            F.expr("sum(1 - pos)").alias("nn_s"),
+        )
+        w = (
+            Window.orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        outs.append(
+            hist.withColumn(
+                "cumneg", F.coalesce(F.sum("nn_s").over(w), F.lit(0))
+            )
+            .groupBy()
+            .agg(
+                F.sum("np_s").alias("n_pos"),
+                F.sum("nn_s").alias("n_neg"),
+                F.expr("sum(np_s * (2 * cumneg + nn_s))").alias("num2"),
+            )
+            .selectExpr(
+                f"'{scorer}' AS scorer",
+                "CAST(n_pos AS BIGINT) AS n_pos",
+                "CAST(n_neg AS BIGINT) AS n_neg",
+                "CAST((1000 * num2) DIV (2 * n_pos * n_neg) AS BIGINT)"
+                " AS auc_pm",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def auc_oracle() -> str:
+    arms = []
+    for scorer in ("diversity", "stop_density"):
+        arms.append(f"""
+  SELECT '{scorer}' AS scorer,
+         CAST(sum(np_s) AS BIGINT) AS n_pos,
+         CAST(sum(nn_s) AS BIGINT) AS n_neg,
+         CAST((1000 * sum(np_s * (2 * cumneg + nn_s)))
+           // (2 * sum(np_s) * sum(nn_s)) AS BIGINT) AS auc_pm
+  FROM (
+    SELECT np_s, nn_s,
+           coalesce(sum(nn_s) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+    FROM (
+      SELECT s_{scorer} AS s, sum(pos) AS np_s, sum(1 - pos) AS nn_s
+      FROM auc_lab GROUP BY 1))""")
+    both = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH {quality_oracle_ctes('auc')},
+auc_lab AS (
+  SELECT CAST(q.quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos,
+         (1000 * c.n_distinct_tokens) // c.n_tokens AS s_diversity,
+         (1000 * c.n_stop) // c.n_tokens AS s_stop_density
+  FROM auc_q q JOIN auc_cnt c ON c.doc_id = q.doc_id)
+{both}"""

@@ -1252,3 +1252,113 @@ SELECT pa // {_CV_PACK} AS cx, pa % {_CV_PACK} AS cy,
        pb // {_CV_PACK} AS rcx, pb % {_CV_PACK} AS rcy,
        cooc, sim_milli, CAST(rank AS BIGINT) AS rank
 FROM cv_rk WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# R181: trajectory Hausdorff distance — the METRIC companion to the
+# set-based traj_jaccard (R49): for every candidate user pair, the
+# classic symmetric Hausdorff distance max(h(A→B), h(B→A)) with
+# h(A→B) = max_a min_b d(a,b), d = Chebyshev on the exact res-12
+# integer walk (no floats anywhere). Candidates come ONLY from the
+# traj_jaccard shared-rare-cell equi-join (never all user pairs), and
+# each trajectory enters the point fan DOWN-SAMPLED (every 4th fix,
+# seq <= 256) so the per-pair point fan is capped at 64×64; the
+# quadratic point-pair rows aggregate IN-STREAM (map-side partial
+# min per (pair, anchor point)) and die inside the join stage — the
+# dense-neighborhood discipline. The two directed passes re-run the
+# candidate join once per consumer rather than materializing pair rows.
+# ---------------------------------------------------------------------------
+
+HAUS_SAMPLE = 4
+HAUS_MAX_SEQ = 256
+
+
+def _haus_pts(pings: DataFrame) -> DataFrame:
+    return pings.where(
+        (F.col("seq") % HAUS_SAMPLE == 0) & (F.col("seq") <= HAUS_MAX_SEQ)
+    ).select("user_id", "seq", "ix", "iy")
+
+
+def _haus_directed(
+    cand: DataFrame, pts: DataFrame, src: str, dst: str, out: str
+) -> DataFrame:
+    a = pts.selectExpr(
+        f"user_id AS {src}", "seq AS seq_a", "ix AS ixa", "iy AS iya"
+    )
+    b = pts.selectExpr(
+        f"user_id AS {dst}", "ix AS ixb", "iy AS iyb"
+    )
+    return (
+        cand.join(a, src)
+        .join(b, dst)
+        .groupBy("user_a", "user_b", "seq_a")
+        .agg(
+            F.expr(
+                "min(greatest(abs(ixa - ixb), abs(iya - iyb)))"
+            ).alias("d")
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.max("d").cast("bigint").alias(out))
+    )
+
+
+def hausdorff_pairs(pings: DataFrame) -> DataFrame:
+    """(user_a, user_b, h_ab, h_ba, h_sym): symmetric Hausdorff distance
+    in res-12 integer units per candidate pair."""
+    cand = (
+        traj_jaccard(pings)
+        .select("user_a", "user_b")
+        .localCheckpoint(eager=False)
+    )
+    pts = _haus_pts(pings).localCheckpoint(eager=False)
+    h1 = _haus_directed(cand, pts, "user_a", "user_b", "h_ab")
+    h2 = _haus_directed(cand, pts, "user_b", "user_a", "h_ba")
+    return h1.join(h2, ["user_a", "user_b"]).selectExpr(
+        "user_a", "user_b", "h_ab", "h_ba",
+        "greatest(h_ab, h_ba) AS h_sym",
+    )
+
+
+def hausdorff_oracle(
+    events_clause: str = "events", res: int = 9, max_df: int = 50,
+    min_inter: int = 3,
+) -> str:
+    s = _shift(res)
+    return f"""WITH {pings_oracle_cte(events_clause)},
+hd_vis AS (
+  SELECT DISTINCT user_id, (ix // {s}) * {_PACK} + (iy // {s}) AS cell
+  FROM pings),
+hd_rare AS (
+  SELECT cell FROM hd_vis GROUP BY cell HAVING count(*) <= {max_df}),
+hd_cand AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b
+  FROM hd_vis a JOIN hd_rare r ON a.cell = r.cell
+  JOIN hd_vis b ON b.cell = a.cell AND a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_inter}),
+hd_pts AS (
+  SELECT user_id, seq, ix, iy FROM pings
+  WHERE seq % {HAUS_SAMPLE} = 0 AND seq <= {HAUS_MAX_SEQ}),
+hd_d1 AS (
+  SELECT c.user_a, c.user_b, a.seq,
+         min(greatest(abs(a.ix - b.ix), abs(a.iy - b.iy))) AS d
+  FROM hd_cand c
+  JOIN hd_pts a ON a.user_id = c.user_a
+  JOIN hd_pts b ON b.user_id = c.user_b
+  GROUP BY 1, 2, 3),
+hd_h1 AS (
+  SELECT user_a, user_b, CAST(max(d) AS BIGINT) AS h_ab
+  FROM hd_d1 GROUP BY 1, 2),
+hd_d2 AS (
+  SELECT c.user_a, c.user_b, b.seq,
+         min(greatest(abs(a.ix - b.ix), abs(a.iy - b.iy))) AS d
+  FROM hd_cand c
+  JOIN hd_pts b ON b.user_id = c.user_b
+  JOIN hd_pts a ON a.user_id = c.user_a
+  GROUP BY 1, 2, 3),
+hd_h2 AS (
+  SELECT user_a, user_b, CAST(max(d) AS BIGINT) AS h_ba
+  FROM hd_d2 GROUP BY 1, 2)
+SELECT h1.user_a, h1.user_b, h1.h_ab, h2.h_ba,
+       greatest(h1.h_ab, h2.h_ba) AS h_sym
+FROM hd_h1 h1 JOIN hd_h2 h2
+  ON h2.user_a = h1.user_a AND h2.user_b = h1.user_b"""

@@ -1139,3 +1139,37 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.kanon_audit(_docs(spark, sf_dir))
+
+
+@register(
+    "auc_eval",
+    textstats.auc_oracle(),
+    doc="Exact Mann-Whitney AUC harness (Hanley & McNeil 1982) for two "
+    "quality-predictor scorers vs the grade-A label (the balanced ~1:3 "
+    "split), ties at half "
+    "credit: scores histogrammed onto their bounded 0..1000 integer "
+    "dimension (one map-side-partial groupBy over docs), AUC read off "
+    "the <=1001-row histogram — no global rank ever touches the doc "
+    "frame. 'diversity' lands above chance, 'stop_density' below "
+    "(exercising both sides of 500).",
+)
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.auc_eval(_docs(spark, sf_dir))
+
+
+from .operators import packing as _packing  # noqa: E402
+
+@register(
+    "priority_sample",
+    _packing.priority_sample_oracle(),
+    doc="Priority sampling (Duffield-Lund-Thorup 2007) audit: one "
+    "global k=64 weighted sample (priority = n_chars*R DIV md5-uniform, "
+    "threshold tau = (k+1)-th priority, estimator max(w, tau)) answers "
+    "per-source char-total subset sums, reported beside the exact "
+    "totals with err per-mille. All-integer, so the sample AND the "
+    "estimates replay identically cross-engine; Spark runs the KMV "
+    "two-phase top-k (per-partition top-(k+1), then global over the "
+    "survivor frame), tau rides a broadcast one-row frame.",
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _packing.priority_sample_audit(_docs(spark, sf_dir))

@@ -2032,3 +2032,18 @@ def q_isoband_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_region_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.region_similarity(_tiles(spark, sf_dir))
+
+
+@register(
+    "kmv_set_ops",
+    f"{_CTES},\n{sketch_ops.kmv_set_ops_oracle()}",
+    doc="KMV set-operation estimates (Beyer 2007): per tile-kind pair, "
+    "|A-intersect-B| and Jaccard of the distinct res-9 cell sets from "
+    "the two bottom-k sketches alone — the membership test against the "
+    "k-arrays is provably exact (bottom-k(A-union-B) hashes <= "
+    "tau_union sit inside each owner's own bottom-k). Sketches build "
+    "via two-phase partial agg; the pair fan runs on the ~7-row kind "
+    "dimension; exact columns from one cell-keyed in-stream self-join.",
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_ops.kmv_set_ops(_tiles(spark, sf_dir))

@@ -241,3 +241,19 @@ def q_od_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.covisit_topk(spark, sf_dir)
+
+
+@register(
+    "hausdorff_pairs",
+    traj.hausdorff_oracle(),
+    doc="Symmetric Hausdorff trajectory distance (max of the two "
+    "directed max-min Chebyshev distances on the exact res-12 integer "
+    "walk) per candidate user pair — the metric companion to the "
+    "set-based traj_jaccard. Candidates come only from the shared-rare-"
+    "cell equi-join; each trajectory enters the fan down-sampled (every "
+    "4th fix, seq<=256) so the per-pair point fan caps at 64x64 and "
+    "aggregates in-stream (map-side partial min, then max) — the "
+    "quadratic point rows die inside the join stage.",
+)
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.hausdorff_pairs(_pings(spark, sf_dir))
