@@ -75,6 +75,8 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "forecast_revenue",
                 "market_share",
                 "shipping_delay_priority",
+                # R186: per-second buckets from the NTZ epoch helper
+                "rate_policer",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

@@ -1760,3 +1760,175 @@ SELECT m_endpoints,
          // (m_endpoints * (m_endpoints * m_endpoints - 1))
          AS rho_abs_milli
 FROM as_s"""
+
+
+# ---------------------------------------------------------------------------
+# R184: stress centrality (Shimbel 1953) — the all-integer member of the
+# betweenness family: stress(v) = number of (source, target, path)
+# triples whose shortest path passes THROUGH v. Brandes' two-pass
+# shape, kept exact without Brandes' rational σ(v)/σ(w) dependencies:
+#   forward (per fixed source s): level-synchronous BFS carrying the
+#     shortest-path COUNT σ(v) = Σ_{pred u} σ(u) — one frontier join +
+#     sum-agg per level, new vertices only (anti-join vs seen);
+#   backward: f(v) = Σ_{w ∈ DAG-succ(v)} (f(w) + 1) by descending
+#     depth — f counts shortest-path continuations from v to every
+#     downstream target, so σ(v)·f(v) is EXACTLY the number of
+#     shortest s→t paths interior at v (t ≠ v, v ≠ s). All bigint.
+# Sampled-source discipline (Brandes & Pich 2007): fixed sources {0,1},
+# depth cap 9 > max source ecc (7 — pinned via bfs_khop in pytest, so
+# no truncation ever). Oracle = chained MATERIALIZED CTEs per level
+# (the kcore discipline); Spark checkpoints each forward frontier and
+# every other backward f-frame (the bfs_khop lineage discipline).
+# Scale: each round is one frontier equi-join + map-side-partial agg on
+# vertex keys; frontiers inherit bfs_khop's broadcast-vs-shuffle story.
+# ---------------------------------------------------------------------------
+
+STRESS_SOURCES = (0, 1)
+STRESS_DEPTH = 9
+STRESS_TOPK = 20
+
+
+def _stress_levels(
+    spark: SparkSession, ue: DataFrame, s: int, depth: int
+) -> list[DataFrame]:
+    """Forward pass: per-level (v, sig) frames, levels[d] = vertices
+    first reached at depth d with their shortest-path counts."""
+    lv = spark.range(1).selectExpr(
+        f"CAST({s} AS BIGINT) AS v", "CAST(1 AS BIGINT) AS sig"
+    )
+    levels, seen = [lv], lv.select("v")
+    for d in range(1, depth + 1):
+        nxt = (
+            levels[-1]
+            .selectExpr("v AS u", "sig")
+            .join(ue.selectExpr("src AS u", "dst AS v"), "u")
+            .groupBy("v")
+            .agg(F.sum("sig").cast("bigint").alias("sig"))
+            .join(seen, "v", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # cut the growing lineage
+        seen = seen.unionByName(nxt.select("v"))
+        levels.append(nxt)
+    return levels
+
+
+def stress_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: tuple[int, ...] = STRESS_SOURCES,
+    depth: int = STRESS_DEPTH,
+    topk: int = STRESS_TOPK,
+) -> DataFrame:
+    """(rank, v, stress): top-``topk`` vertices by sampled-source
+    stress centrality on the symmetrized graph."""
+    e = edges.where("src <> dst")
+    ue = (
+        e.select("src", "dst")
+        .unionByName(e.selectExpr("dst AS src", "src AS dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    contribs = []
+    for s in sources:
+        levels = _stress_levels(spark, ue, s, depth)
+        f_next = levels[depth].select(
+            "v", "sig", F.expr("CAST(0 AS BIGINT) AS f")
+        )
+        for d in range(depth - 1, -1, -1):
+            succ = (
+                f_next.selectExpr("v AS w", "f AS fw")
+                .join(ue.selectExpr("src AS v", "dst AS w"), "w")
+                .groupBy("v")
+                .agg(F.expr("sum(fw + 1)").cast("bigint").alias("fp"))
+            )
+            f_cur = (
+                levels[d]
+                .join(succ, "v", "left")
+                .selectExpr(
+                    "v", "sig", "coalesce(fp, CAST(0 AS BIGINT)) AS f"
+                )
+            )
+            if d % 2 == 0:
+                f_cur = f_cur.localCheckpoint(eager=True)
+            if d >= 1:
+                contribs.append(
+                    f_cur.selectExpr("v", "sig * f AS st")
+                )
+            f_next = f_cur
+    return (
+        union_all(contribs)
+        .groupBy("v")
+        .agg(F.sum("st").cast("bigint").alias("stress"))
+        .selectExpr(
+            "v", "stress",
+            "CAST(row_number() OVER (ORDER BY stress DESC, v)"
+            " AS BIGINT) AS rank",
+        )
+        .where(F.col("rank") <= topk)
+        .select("rank", "v", "stress")
+    )
+
+
+def stress_oracle(
+    kind: str = "bfs",
+    sources: tuple[int, ...] = STRESS_SOURCES,
+    depth: int = STRESS_DEPTH,
+    topk: int = STRESS_TOPK,
+) -> str:
+    ctes = [
+        f"sx_e0 AS ({edges_sql(kind)})",
+        "sx_ue AS MATERIALIZED (SELECT src, dst FROM sx_e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM sx_e0 WHERE src <> dst)",
+    ]
+    cons = []
+    for s in sources:
+        p = f"sx{s}"
+        ctes.append(
+            f"{p}_l0 AS (SELECT CAST({s} AS BIGINT) AS v,"
+            f" CAST(1 AS BIGINT) AS sig)"
+        )
+        ctes.append(f"{p}_v0 AS (SELECT v FROM {p}_l0)")
+        for d in range(1, depth + 1):
+            ctes.append(
+                f"{p}_l{d} AS MATERIALIZED (\n"
+                f"  SELECT e.dst AS v, CAST(sum(l.sig) AS BIGINT) AS sig\n"
+                f"  FROM {p}_l{d - 1} l JOIN sx_ue e ON e.src = l.v\n"
+                f"  WHERE e.dst NOT IN (SELECT v FROM {p}_v{d - 1})"
+                f" GROUP BY 1)"
+            )
+            ctes.append(
+                f"{p}_v{d} AS MATERIALIZED (SELECT v FROM {p}_v{d - 1}"
+                f" UNION ALL SELECT v FROM {p}_l{d})"
+            )
+        ctes.append(
+            f"{p}_f{depth} AS (SELECT v, sig, CAST(0 AS BIGINT) AS f"
+            f" FROM {p}_l{depth})"
+        )
+        for d in range(depth - 1, -1, -1):
+            ctes.append(
+                f"{p}_f{d} AS MATERIALIZED (\n"
+                f"  SELECT l.v, l.sig, coalesce(sj.fp, 0) AS f\n"
+                f"  FROM {p}_l{d} l LEFT JOIN (\n"
+                f"    SELECT e.src AS v, CAST(sum(fw.f + 1) AS BIGINT) AS fp\n"
+                f"    FROM sx_ue e JOIN {p}_f{d + 1} fw ON fw.v = e.dst\n"
+                f"    GROUP BY 1) sj ON sj.v = l.v)"
+            )
+        cons.append(
+            "\n  UNION ALL\n".join(
+                f"  SELECT v, sig * f AS st FROM {p}_f{d}"
+                for d in range(1, depth)
+            )
+        )
+    all_cons = "\n  UNION ALL\n".join(cons)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sx_con AS (
+{all_cons}),
+sx_sum AS (
+  SELECT v, CAST(sum(st) AS BIGINT) AS stress FROM sx_con GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY stress DESC, v) AS BIGINT) AS rank,
+       v, stress
+FROM sx_sum QUALIFY rank <= {topk}"""
+    )

@@ -976,3 +976,84 @@ auc_lab AS (
          (1000 * c.n_stop) // c.n_tokens AS s_stop_density
   FROM auc_q q JOIN auc_cnt c ON c.doc_id = q.doc_id)
 {both}"""
+
+
+# ---------------------------------------------------------------------------
+# R185: calibration bins + ECE — the CALIBRATION companion to R180's
+# discrimination AUC (Guo et al. 2017's reliability diagram, done
+# exactly): the diversity score read as a per-mille "confidence" is
+# binned into 10 equal-width bins; per bin the empirical grade-A rate
+# is compared to the mean claimed confidence, and the expected
+# calibration error folds the bins together weighted by population:
+#   ece_pm = Σ_b n_b·|rate_b − conf_b| DIV N
+# All integers (rates/confidences in per-mille, common-denominator
+# fold: |1000·n_pos_b·n_b − conf_sum_b·n_b| stays exact via per-bin
+# pm values first). The honest readout on this corpus: the scorer
+# DISCRIMINATES (AUC 0.83) but is badly CALIBRATED — exactly the
+# distinction the two harnesses exist to separate.
+# Scale: one groupBy onto the 10-row bin dimension; the ECE total
+# reaches the per-bin rows via a broadcast one-row frame (no driver
+# collect) — the modularity-score envelope pattern.
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def calibration_bins(docs: DataFrame) -> DataFrame:
+    """(bin, n, n_pos, conf_pm, rate_pm, gap_pm, ece_pm): reliability
+    table of the diversity scorer vs the grade-A label, with the
+    population-weighted ECE replicated onto every bin row."""
+    base = text_stats(docs).selectExpr(
+        f"CAST(quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos",
+        "(1000 * n_distinct_tokens) DIV n_tokens AS s",
+    )
+    bins = (
+        base.groupBy(
+            F.expr(f"least(s DIV {1000 // CAL_BINS}, {CAL_BINS - 1})")
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("s").cast("bigint").alias("conf_sum"),
+        )
+        .selectExpr(
+            "bin", "n", "n_pos",
+            "conf_sum DIV n AS conf_pm",
+            "(1000 * n_pos) DIV n AS rate_pm",
+            "abs(conf_sum DIV n - (1000 * n_pos) DIV n) AS gap_pm",
+        )
+    )
+    tot = bins.groupBy().agg(
+        F.expr("sum(n * gap_pm) DIV sum(n)").cast("bigint").alias("ece_pm")
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "n_pos", "conf_pm", "rate_pm", "gap_pm", "ece_pm"
+    )
+
+
+def calibration_oracle() -> str:
+    return f"""
+WITH {quality_oracle_ctes('cal')},
+cal_lab AS (
+  SELECT CAST(q.quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos,
+         (1000 * c.n_distinct_tokens) // c.n_tokens AS s
+  FROM cal_q q JOIN cal_cnt c ON c.doc_id = q.doc_id),
+cal_bins AS (
+  SELECT least(s // {1000 // CAL_BINS}, {CAL_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(s) AS BIGINT) AS conf_sum
+  FROM cal_lab GROUP BY 1),
+cal_rows AS (
+  SELECT bin, n, n_pos,
+         conf_sum // n AS conf_pm,
+         (1000 * n_pos) // n AS rate_pm,
+         abs(conf_sum // n - (1000 * n_pos) // n) AS gap_pm
+  FROM cal_bins),
+cal_tot AS (
+  SELECT CAST(sum(n * gap_pm) // sum(n) AS BIGINT) AS ece_pm
+  FROM cal_rows)
+SELECT r.bin, r.n, r.n_pos, r.conf_pm, r.rate_pm, r.gap_pm, t.ece_pm
+FROM cal_rows r CROSS JOIN cal_tot t"""

@@ -310,3 +310,19 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.assortativity(spark, graph.core_edges_df(spark))
+
+
+@register(
+    "stress_centrality",
+    graph.stress_oracle(),
+    doc="Sampled-source stress centrality (Shimbel 1953; Brandes & Pich "
+    "2007 sampling): number of shortest (source, target) paths passing "
+    "through each vertex, top-20 — the all-integer betweenness-family "
+    "member: forward BFS carries shortest-path counts sigma, backward "
+    "pass folds continuation counts f by descending depth, sigma*f is "
+    "exactly the interior path count. Depth cap 9 > max source ecc 7 "
+    "(pinned), chained-MATERIALIZED-CTE oracle, per-round frontier "
+    "checkpoints; each round one frontier equi-join + vertex-keyed agg.",
+)
+def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.stress_centrality(spark, graph.edges_df(spark, "bfs"))

@@ -1173,3 +1173,18 @@ from .operators import packing as _packing  # noqa: E402
 )
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packing.priority_sample_audit(_docs(spark, sf_dir))
+
+
+@register(
+    "calibration_bins",
+    textstats.calibration_oracle(),
+    doc="Reliability diagram + expected calibration error (Guo 2017) "
+    "of the diversity scorer read as per-mille confidence vs the "
+    "grade-A label: 10 equal-width bins, per-bin claimed confidence "
+    "vs empirical rate, population-weighted ECE folded exactly in "
+    "integers and replicated via a broadcast one-row frame. The "
+    "CALIBRATION companion to auc_eval's discrimination (this corpus: "
+    "discriminates well, calibrated badly).",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.calibration_bins(_docs(spark, sf_dir))

@@ -3182,3 +3182,104 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _inc2.merkle_diff(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
+
+
+# --- R186: leaky-bucket rate policer (Lindley virtual queue) ------------------
+#
+# The admission-control meter every ingest front-end runs, made
+# window-expressible: a virtual queue drained at the stream's own mean
+# rate (self-calibrating, so the same SQL is meaningful at every SF)
+# with each event depositing 1000 millitokens. The textbook recurrence
+# X_n = max(0, X_{n-1} + cost − drain) is sequential, but Lindley's
+# closed form makes it ONE window pass:
+#   X_n = D_n − min(0, min_{j≤n} D_j),  D_n = Σcost − drain(t_n)
+# — a cumsum and a running min per type-keyed exchange (the CLAUDE.md
+# min-OVER-ROWS discipline), no recursion, no applyInPandas. An event
+# is violating when its virtual backlog exceeds the 5-event burst cap.
+# (The LOSS-system variant where rejected events don't fill the queue
+# is inherently recursive — this is the color-blind srTCM-style meter,
+# which is the one network calculus actually bounds.)
+
+
+@register(
+    "rate_policer",
+    f"""
+WITH pol_e AS (
+  SELECT event_type, {_EPOCH_US_DUCK_REL} // 1000000 AS s, event_id
+  FROM events),
+pol_w AS (
+  SELECT event_type, s, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY s, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         s - min(s) OVER (PARTITION BY event_type) AS rel,
+         max(s) OVER (PARTITION BY event_type)
+           - min(s) OVER (PARTITION BY event_type) AS span
+  FROM pol_e),
+pol_d AS (
+  SELECT event_type, rn, n,
+         1000 * rn - (1000 * n * rel) // span AS d
+  FROM pol_w),
+pol_x AS (
+  SELECT event_type, n,
+         d - least(min(d) OVER (PARTITION BY event_type ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS x
+  FROM pol_d)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CAST(x > 5000 AS INT)) AS BIGINT) AS n_viol,
+       CAST((1000 * sum(CAST(x > 5000 AS INT))) // max(n) AS BIGINT)
+         AS viol_pm,
+       CAST(max(x) AS BIGINT) AS max_x_milli
+FROM pol_x GROUP BY 1
+""",
+    doc="Leaky-bucket rate policer per event-type stream via Lindley's "
+    "closed form: virtual backlog X_n = D_n - min(0, running min D_j) "
+    "with D = cumulative cost - drain at the stream's own mean rate — "
+    "the sequential token-bucket recurrence collapsed to one cumsum + "
+    "one running min per type-keyed exchange (no recursion, no state "
+    "UDF). Violation = backlog > the 5-event burst cap; both outcome "
+    "classes live at sf0.001 AND sf0.01.",
+)
+def q_rate_policer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"({_EPOCH_US_SPARK_REL}) DIV 1000000 AS s",
+        "event_id",
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("s", "event_id")
+    return (
+        e.select(
+            "event_type",
+            F.row_number().over(wo).alias("rn"),
+            F.count("*").over(wp).alias("n"),
+            (F.col("s") - F.min("s").over(wp)).alias("rel"),
+            (F.max("s").over(wp) - F.min("s").over(wp)).alias("span"),
+        )
+        .selectExpr(
+            "event_type", "rn", "n",
+            "1000 * rn - (1000 * n * rel) DIV span AS d",
+        )
+        .select(
+            "event_type", "n",
+            F.expr(
+                "d - least(min(d) OVER (PARTITION BY event_type ORDER BY rn"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)"
+            ).alias("x"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(sum(CAST(x > 5000 AS INT)) AS BIGINT)")
+            .alias("n_viol"),
+            F.expr("CAST(max(x) AS BIGINT)").alias("max_x_milli"),
+        )
+        .selectExpr(
+            "event_type", "n_events", "n_viol",
+            "(1000 * n_viol) DIV n_events AS viol_pm",
+            "max_x_milli",
+        )
+        .select(
+            "event_type", "n_events", "n_viol", "viol_pm", "max_x_milli"
+        )
+    )
