@@ -77,6 +77,8 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "shipping_delay_priority",
                 # R186: per-second buckets from the NTZ epoch helper
                 "rate_policer",
+                # R188: day buckets from the NTZ epoch helper
+                "forecast_eval",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

@@ -898,3 +898,273 @@ SELECT n_true, n_cand, n_confirmed,
        (1000 * n_confirmed) // greatest(n_true, 1) AS recall_pm,
        (1000 * n_confirmed) // greatest(n_cand, 1) AS cand_precision_pm
 FROM cnt"""
+
+
+# ---------------------------------------------------------------------------
+# R187: block-level dedup with document reconstruction — the
+# FineWeb/RefinedWeb line-dedup stage (Lee et al. 2022 at sub-document
+# granularity): every aligned 16-token block is hashed; a block
+# duplicated ANYWHERE in the corpus survives only at its canonical
+# first occurrence (min packed (doc_id, blk) key — deterministic), and
+# each document is reconstructed from its surviving blocks in order.
+# The per-doc witness is md5 of the reconstructed text, so parity
+# proves the reconstruction byte-for-byte, not just the counts.
+# Scale: the block fan is a narrow sequence+explode (≤ token mass /
+# 16 rows); canonicalization is one hash-keyed window (the block-hash
+# exchange); reconstruction is one doc-keyed agg. No joins grow beyond
+# the block fan. Boilerplate repeated across trillions of docs is
+# exactly what this removes at 100 TB.
+# ---------------------------------------------------------------------------
+
+BLOCK_W = 16
+
+
+def block_dedup(docs: DataFrame, w: int = BLOCK_W) -> DataFrame:
+    """(doc_id, n_blocks, n_dropped, kept_pm, kept_md5i): per document
+    (with ≥1 full block), how much survives block-level corpus dedup
+    and the md5 witness of the reconstructed text."""
+    h = md5int_spark("btxt")
+    blocks = (
+        docs.selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+        )
+        .where(F.expr(f"size(ws) >= {w}"))
+        .selectExpr(
+            "doc_id",
+            f"explode(sequence(0, size(ws) DIV {w} - 1)) AS blk",
+            "ws",
+        )
+        .selectExpr(
+            "doc_id", "blk",
+            f"array_join(slice(ws, blk * {w} + 1, {w}), ' ') AS btxt",
+        )
+        .selectExpr("doc_id", "blk", "btxt", f"{h} AS bh")
+    )
+    keep = blocks.withColumn(
+        "keep",
+        F.expr(
+            "CAST(doc_id * 1024 + blk = min(doc_id * 1024 + blk)"
+            " OVER (PARTITION BY bh) AS BIGINT)"
+        ),
+    )
+    kept_txt = (
+        "array_join(transform(array_sort(collect_list(CASE WHEN keep = 1"
+        " THEN struct(blk, btxt) END)), x -> x.btxt), ' ')"
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.expr("CAST(sum(1 - keep) AS BIGINT)").alias("n_dropped"),
+            F.expr(md5int_spark(f"({kept_txt})")).alias("kept_md5i"),
+        )
+        .selectExpr(
+            "doc_id", "n_blocks", "n_dropped",
+            "(1000 * (n_blocks - n_dropped)) DIV n_blocks AS kept_pm",
+            "kept_md5i",
+        )
+    )
+
+
+def block_dedup_oracle(w: int = BLOCK_W) -> str:
+    h = md5int_duck("btxt")
+    hk = md5int_duck("coalesce(string_agg(CASE WHEN keep = 1 THEN btxt END,"
+                     " ' ' ORDER BY blk), '')")
+    return f"""
+WITH bd_ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+bd_blocks AS (
+  SELECT doc_id, i AS blk,
+         array_to_string(ws[(i * {w} + 1):((i + 1) * {w})], ' ') AS btxt
+  FROM bd_ws, range(0, 1024) t(i)
+  WHERE len(ws) >= (i + 1) * {w}),
+bd_keep AS (
+  SELECT doc_id, blk, btxt,
+         CAST(doc_id * 1024 + blk = min(doc_id * 1024 + blk)
+           OVER (PARTITION BY {h}) AS BIGINT) AS keep
+  FROM bd_blocks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+       CAST((1000 * (count(*) - sum(1 - keep))) // count(*) AS BIGINT)
+         AS kept_pm,
+       {hk} AS kept_md5i
+FROM bd_keep GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# R189: Fellegi-Sunter record linkage (Fellegi & Sunter 1969) in EXACT
+# ODDS form — the probabilistic entity-resolution scorer, with the
+# usual log-weight sum replaced by an exact rational likelihood-ratio
+# PRODUCT (per-mille numerators/denominators, ≤ 1000³ — far inside
+# bigint), so no log ever runs and both engines replay bit-for-bit:
+#   ratio = Π_f (g_f ? m_f : 1000−m_f) / (g_f ? u_f : 1000−u_f)
+# The dirty replica B is a deterministic same-SQL mutation of A
+# (lang 1/11, source 1/13, prefix 1/9, n_chars 1/17), candidates come
+# from a (lang, token-band) blocking equi-join (never all-pairs; the
+# 1/11 lang mutations fall out of the block — real blocking recall
+# loss, counted as fn), m/u agreement rates are ESTIMATED FROM the
+# candidate pairs themselves (truth = same doc_id), and pairs with
+# odds ≥ 1000× are declared matches. Output is the one-row confusion
+# envelope; all three error classes are populated at both gate scales
+# (tp 402 / fp ≤ 2 / fn 98).
+# Scale: blocking join + two in-stream aggregates; the m/u stats ride
+# a broadcast one-row frame back onto the candidate stream.
+# ---------------------------------------------------------------------------
+
+FS_ODDS = 1000  # declare a match at >= 1000x odds
+
+
+def _fs_sides_spark() -> tuple[str, str]:
+    a = """
+  SELECT doc_id AS ida, lang, source, n_chars, substr(text, 1, 16) AS pre,
+         size(filter(split(text, ' '), x -> x <> '')) DIV 32 AS band
+  FROM {d}"""
+    tb = "CASE WHEN doc_id % 9 = 0 THEN 'xx ' || text ELSE text END"
+    b = f"""
+  SELECT doc_id AS idb,
+         CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang_b,
+         CASE WHEN doc_id % 13 = 0 THEN 'srcX' ELSE source END AS source_b,
+         n_chars + CASE WHEN doc_id % 17 = 0 THEN 37 ELSE 0 END
+           AS n_chars_b,
+         substr({tb}, 1, 16) AS pre_b,
+         size(filter(split({tb}, ' '), x -> x <> '')) DIV 32 AS band_b
+  FROM {{d}}"""
+    return a, b
+
+
+def fs_linkage(docs: DataFrame) -> DataFrame:
+    """One-row confusion envelope (n_docs, n_cand, n_true_cand, tp, fp,
+    fn, prec_pm, rec_pm) of Fellegi-Sunter linkage between the corpus
+    and its deterministic dirty replica."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("fs_docs_v")
+    a_sql, b_sql = _fs_sides_spark()
+    a = spark.sql(a_sql.format(d="fs_docs_v"))
+    b = spark.sql(b_sql.format(d="fs_docs_v"))
+    cand = (
+        a.join(
+            b,
+            (a["lang"] == b["lang_b"]) & (a["band"] == b["band_b"]),
+        )
+        .select(
+            F.expr("CAST(source = source_b AS BIGINT)").alias("g_src"),
+            F.expr("CAST(pre = pre_b AS BIGINT)").alias("g_pre"),
+            F.expr("CAST(n_chars = n_chars_b AS BIGINT)").alias("g_len"),
+            (a["ida"] == b["idb"]).cast("bigint").alias("is_m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    st = cand.groupBy().agg(
+        F.expr("CAST(sum(is_m) AS BIGINT)").alias("nm"),
+        F.expr("CAST(count(*) - sum(is_m) AS BIGINT)").alias("nu"),
+        *[
+            F.expr(e).alias(n)
+            for fld in ("src", "pre", "len")
+            for e, n in (
+                (f"1000 * sum(g_{fld} * is_m) DIV sum(is_m)", f"m_{fld}"),
+                (
+                    f"1000 * sum(g_{fld} * (1 - is_m))"
+                    f" DIV (count(*) - sum(is_m))",
+                    f"u_{fld}",
+                ),
+            )
+        ],
+    )
+    num = " * ".join(
+        f"(CASE WHEN g_{f} = 1 THEN m_{f} ELSE 1000 - m_{f} END)"
+        for f in ("src", "pre", "len")
+    )
+    den = " * ".join(
+        f"(CASE WHEN g_{f} = 1 THEN greatest(u_{f}, 1)"
+        f" ELSE greatest(1000 - u_{f}, 1) END)"
+        for f in ("src", "pre", "len")
+    )
+    scored = cand.crossJoin(F.broadcast(st)).selectExpr(
+        "is_m", "nm",
+        f"CAST(({num}) >= {FS_ODDS} * ({den}) AS BIGINT) AS declared",
+    )
+    n_docs = docs.selectExpr("CAST(count(*) AS BIGINT) AS n_docs")
+    return (
+        scored.groupBy()
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_cand"),
+            F.expr("CAST(sum(is_m) AS BIGINT)").alias("n_true_cand"),
+            F.expr("CAST(sum(is_m * declared) AS BIGINT)").alias("tp"),
+            F.expr("CAST(sum((1 - is_m) * declared) AS BIGINT)")
+            .alias("fp"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "n_docs", "n_cand", "n_true_cand", "tp", "fp",
+            "n_docs - tp AS fn",
+            "(1000 * tp) DIV greatest(tp + fp, 1) AS prec_pm",
+            "(1000 * tp) DIV n_docs AS rec_pm",
+        )
+    )
+
+
+def fs_linkage_oracle() -> str:
+    a_sql, b_sql = _fs_sides_spark()
+    a = (
+        a_sql.format(d="documents")
+        .replace("size(filter(split(text, ' '), x -> x <> ''))",
+                 "len(list_filter(string_split(text, ' '), x -> x <> ''))")
+        .replace(" DIV ", " // ")
+    )
+    tb = "CASE WHEN doc_id % 9 = 0 THEN 'xx ' || text ELSE text END"
+    b = (
+        b_sql.format(d="documents")
+        .replace(f"size(filter(split({tb}, ' '), x -> x <> ''))",
+                 f"len(list_filter(string_split({tb}, ' '),"
+                 " x -> x <> ''))")
+        .replace(" DIV ", " // ")
+    )
+    num = " * ".join(
+        f"(CASE WHEN g_{f} = 1 THEN m_{f} ELSE 1000 - m_{f} END)"
+        for f in ("src", "pre", "len")
+    )
+    den = " * ".join(
+        f"(CASE WHEN g_{f} = 1 THEN greatest(u_{f}, 1)"
+        f" ELSE greatest(1000 - u_{f}, 1) END)"
+        for f in ("src", "pre", "len")
+    )
+    mu = ",\n         ".join(
+        f"1000 * sum(g_{f} * is_m) // sum(is_m) AS m_{f},\n"
+        f"         1000 * sum(g_{f} * (1 - is_m))"
+        f" // (count(*) - sum(is_m)) AS u_{f}"
+        for f in ("src", "pre", "len")
+    )
+    return f"""
+WITH fs_a AS ({a}),
+fs_b AS ({b}),
+fs_cand AS (
+  SELECT CAST(a.source = b.source_b AS BIGINT) AS g_src,
+         CAST(a.pre = b.pre_b AS BIGINT) AS g_pre,
+         CAST(a.n_chars = b.n_chars_b AS BIGINT) AS g_len,
+         CAST(a.ida = b.idb AS BIGINT) AS is_m
+  FROM fs_a a JOIN fs_b b ON b.lang_b = a.lang AND b.band_b = a.band),
+fs_st AS (
+  SELECT CAST(sum(is_m) AS BIGINT) AS nm,
+         CAST(count(*) - sum(is_m) AS BIGINT) AS nu,
+         {mu}
+  FROM fs_cand),
+fs_sc AS (
+  SELECT c.is_m,
+         CAST(({num}) >= {FS_ODDS} * ({den}) AS BIGINT) AS declared
+  FROM fs_cand c CROSS JOIN fs_st),
+fs_nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT d.n_docs,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(is_m) AS BIGINT) AS n_true_cand,
+       CAST(sum(is_m * declared) AS BIGINT) AS tp,
+       CAST(sum((1 - is_m) * declared) AS BIGINT) AS fp,
+       d.n_docs - CAST(sum(is_m * declared) AS BIGINT) AS fn,
+       (1000 * CAST(sum(is_m * declared) AS BIGINT))
+         // greatest(CAST(sum(is_m * declared) AS BIGINT)
+                     + CAST(sum((1 - is_m) * declared) AS BIGINT), 1)
+         AS prec_pm,
+       (1000 * CAST(sum(is_m * declared) AS BIGINT)) // d.n_docs AS rec_pm
+FROM fs_sc CROSS JOIN fs_nd d
+GROUP BY d.n_docs"""

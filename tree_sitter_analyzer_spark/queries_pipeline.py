@@ -1188,3 +1188,36 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.calibration_bins(_docs(spark, sf_dir))
+
+
+@register(
+    "block_dedup",
+    dedup.block_dedup_oracle(),
+    doc="Block-level corpus dedup with document reconstruction (the "
+    "FineWeb/RefinedWeb line-dedup stage; Lee et al. 2022 at aligned "
+    "16-token granularity): duplicated blocks survive only at their "
+    "canonical first occurrence (min packed (doc_id, blk) — one "
+    "hash-keyed window), each doc reconstructed from survivors in "
+    "order with an md5 witness proving the rebuilt text byte-for-byte. "
+    "Narrow sequence+explode block fan, doc-keyed rollup; ~60 "
+    "duplicated block groups at both gate scales (non-vacuous drops).",
+)
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.block_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "fs_linkage",
+    dedup.fs_linkage_oracle(),
+    doc="Fellegi-Sunter probabilistic record linkage in exact ODDS "
+    "form: per-field likelihood ratios kept as rational products "
+    "(never logs), m/u agreement rates estimated from the blocked "
+    "candidate pairs themselves, matches declared at >= 1000x odds "
+    "against a deterministic dirty replica (lang/source/prefix/length "
+    "mutations). Blocking equi-join on (lang, token band) — the 1/11 "
+    "lang mutations fall out of the block and are honestly counted as "
+    "recall loss. One-row confusion envelope; tp/fp/fn all populated "
+    "at both gate scales.",
+)
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fs_linkage(_docs(spark, sf_dir))

@@ -3283,3 +3283,151 @@ def q_rate_policer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "n_viol", "viol_pm", "max_x_milli"
         )
     )
+
+
+# --- R188: forecast eval harness (exact MASE) ----------------------------------
+#
+# The forecasting scorecard (Hyndman & Koehler 2006) done exactly: per
+# event-type daily-count series (zero-densified over min..max day),
+# three deterministic forecasters — naive-1 (yesterday), seasonal
+# naive-7 (same weekday last week), train-mean — are scored on the
+# second half of days with the Mean Absolute SCALED Error:
+#   MASE = (Σ_test |y−ŷ| / n_test) / (Σ_train |y_t−y_{t−1}| / n_gaps)
+# kept integer by cross-multiplication (mase_pm = 1000·A·nB DIV nA·B).
+# MASE < 1000 beats the in-sample naive walk — the standard bar.
+# Scale: one type-keyed exchange for the windows; the train stats live
+# on the 5-row type dimension and broadcast back; day fan is bounded
+# by the calendar, never by events.
+
+
+@register(
+    "forecast_eval",
+    f"""
+WITH fe_daily AS (
+  SELECT event_type, {_EPOCH_US_DUCK_REL} // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+fe_dim AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1,
+         min(day) + (max(day) - min(day)) // 2 AS half
+  FROM fe_daily GROUP BY 1),
+fe_cal AS (
+  SELECT m.event_type, unnest(range(m.d0, m.d1 + 1)) AS day,
+         m.d0, m.half
+  FROM fe_dim m),
+fe_s AS (
+  SELECT c.event_type, c.day, c.d0, c.half, coalesce(d.cnt, 0) AS cnt
+  FROM fe_cal c LEFT JOIN fe_daily d
+    ON d.event_type = c.event_type AND d.day = c.day),
+fe_l AS (
+  SELECT *,
+         lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+  FROM fe_s),
+fe_tr AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN day > d0 AND day <= half
+                       THEN abs(cnt - y1) END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN day > d0 AND day <= half THEN 1 END)
+           AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN day <= half THEN cnt END) AS BIGINT)
+           // CAST(sum(CASE WHEN day <= half THEN 1 END) AS BIGINT) AS mu
+  FROM fe_l GROUP BY 1),
+fe_te AS (
+  SELECT l.event_type,
+         CAST(count(*) AS BIGINT) AS na,
+         CAST(sum(abs(l.cnt - l.y1)) AS BIGINT) AS a1,
+         CAST(sum(abs(l.cnt - l.y7)) AS BIGINT) AS a7,
+         CAST(sum(abs(l.cnt - t.mu)) AS BIGINT) AS am,
+         max(t.b) AS b, max(t.nb) AS nb
+  FROM fe_l l JOIN fe_tr t ON t.event_type = l.event_type
+  WHERE l.day > l.half GROUP BY 1)
+SELECT event_type, model, n_test, mase_pm FROM (
+  SELECT event_type, 'naive1' AS model, na AS n_test,
+         CAST((1000 * a1 * nb) // (na * greatest(b, 1)) AS BIGINT)
+           AS mase_pm FROM fe_te
+  UNION ALL
+  SELECT event_type, 'snaive7', na,
+         CAST((1000 * a7 * nb) // (na * greatest(b, 1)) AS BIGINT)
+    FROM fe_te
+  UNION ALL
+  SELECT event_type, 'trainmean', na,
+         CAST((1000 * am * nb) // (na * greatest(b, 1)) AS BIGINT)
+    FROM fe_te)
+""",
+    doc="Forecast scorecard with exact integer MASE (Hyndman & Koehler "
+    "2006): naive-1, seasonal-naive-7, and train-mean forecasters over "
+    "the zero-densified per-type daily series, scored on the second "
+    "half of days against the in-sample naive walk denominator, "
+    "cross-multiplied (no float MAE). One type-keyed window exchange; "
+    "train stats broadcast from the 5-row type dimension.",
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            f"({_EPOCH_US_SPARK_REL}) DIV 86400000000 AS day",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    dim = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.expr("min(day) + (max(day) - min(day)) DIV 2").alias("half"),
+    )
+    cal = dim.selectExpr(
+        "event_type", "explode(sequence(d0, d1)) AS day", "d0", "half"
+    )
+    s = (
+        cal.join(daily, ["event_type", "day"], "left")
+        .selectExpr(
+            "event_type", "day", "d0", "half",
+            "coalesce(cnt, CAST(0 AS BIGINT)) AS cnt",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (
+        s.withColumn("y1", F.lag("cnt", 1).over(w))
+        .withColumn("y7", F.lag("cnt", 7).over(w))
+        .localCheckpoint(eager=False)
+    )
+    tr = lagged.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN day > d0 AND day <= half"
+            " THEN abs(cnt - y1) END) AS BIGINT)"
+        ).alias("b"),
+        F.expr(
+            "CAST(sum(CASE WHEN day > d0 AND day <= half THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("nb"),
+        F.expr(
+            "CAST(sum(CASE WHEN day <= half THEN cnt END) AS BIGINT)"
+            " DIV CAST(sum(CASE WHEN day <= half THEN 1 END) AS BIGINT)"
+        ).alias("mu"),
+    )
+    te = (
+        lagged.where("day > half")
+        .join(F.broadcast(tr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("na"),
+            F.expr("CAST(sum(abs(cnt - y1)) AS BIGINT)").alias("a1"),
+            F.expr("CAST(sum(abs(cnt - y7)) AS BIGINT)").alias("a7"),
+            F.expr("CAST(sum(abs(cnt - mu)) AS BIGINT)").alias("am"),
+            F.max("b").alias("b"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    return te.selectExpr(
+        "event_type",
+        "stack(3, 'naive1', a1, 'snaive7', a7, 'trainmean', am)"
+        " AS (model, a)",
+        "na AS n_test", "b", "nb",
+    ).selectExpr(
+        "event_type", "model", "n_test",
+        "CAST((1000 * a * nb) DIV (n_test * greatest(b, 1)) AS BIGINT)"
+        " AS mase_pm",
+    )
