@@ -1362,3 +1362,149 @@ SELECT h1.user_a, h1.user_b, h1.h_ab, h2.h_ba,
        greatest(h1.h_ab, h2.h_ba) AS h_sym
 FROM hd_h1 h1 JOIN hd_h2 h2
   ON h2.user_a = h1.user_a AND h2.user_b = h1.user_b"""
+
+
+# ---------------------------------------------------------------------------
+# R191: IPF / Furness matrix balancing (Deming & Stephan 1940; the
+# transport-modeling workhorse): rescale the observed res-7 OD flow
+# matrix to DETERMINISTIC new margins — each cell's balanced target
+# t(c) = (outflow(c) + inflow(c)) DIV 2, the "rebalance to symmetric
+# in/out" calibration — by alternating row and column proportional
+# fits, f ← f·t(o) DIV rowsum(o) then f ← f·t(d) DIV colsum(d), in
+# milli-mass integers (floors compound identically on both engines).
+# The output is the CONVERGENCE TABLE: per iteration the absolute
+# margin errors per-mille — the number a planner actually reads.
+# Structurally-absent flows (a cell with inflow target but no outgoing
+# observed pairs) keep the error floor honestly above zero.
+# Scale: every step is a groupBy + equi-join on the OD-pair dimension
+# frame (bounded by observed pairs, never users); 3 rounds, each
+# checkpointed.
+# ---------------------------------------------------------------------------
+
+IPF_ROUNDS = 3
+
+
+def _ipf_margins(cur: DataFrame, key: str) -> DataFrame:
+    return cur.groupBy(key).agg(
+        F.expr("CAST(sum(f) AS BIGINT)").alias("ms")
+    )
+
+
+def _ipf_err(cur: DataFrame, t: DataFrame, key: str) -> DataFrame:
+    """One row: (err_pm,) for the given margin vs targets."""
+    ms = _ipf_margins(cur, key).withColumnRenamed(key, "cell")
+    return (
+        t.join(ms, "cell", "left")
+        .selectExpr("t_m", "coalesce(ms, CAST(0 AS BIGINT)) AS ms")
+        .agg(
+            F.expr("CAST((1000 * sum(abs(ms - t_m))) DIV sum(t_m)"
+                   " AS BIGINT)").alias("err_pm")
+        )
+    )
+
+
+def ipf_balance(pings: DataFrame, rounds: int = IPF_ROUNDS) -> DataFrame:
+    """(iter, row_err_pm, col_err_pm, total_milli): margin convergence
+    of Furness balancing toward the symmetric in/out targets."""
+    flows = od_flows(pings, 7).selectExpr(
+        "origin_cell AS o", "dest_cell AS d",
+        "CAST(n_users * 1000 AS BIGINT) AS f",
+    ).localCheckpoint(eager=True)
+    out0 = flows.groupBy("o").agg(F.expr("sum(f) AS om"))
+    in0 = flows.groupBy("d").agg(F.expr("sum(f) AS im"))
+    t = (
+        out0.selectExpr("o AS cell", "om")
+        .join(in0.selectExpr("d AS cell", "im"), "cell", "full")
+        .selectExpr(
+            "cell",
+            "(coalesce(om, CAST(0 AS BIGINT))"
+            " + coalesce(im, CAST(0 AS BIGINT))) DIV 2 AS t_m",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    cur = flows
+    for it in range(rounds + 1):
+        re = _ipf_err(cur, t, "o").withColumnRenamed("err_pm", "row_err_pm")
+        ce = _ipf_err(cur, t, "d").withColumnRenamed("err_pm", "col_err_pm")
+        tot = cur.agg(F.expr("CAST(sum(f) AS BIGINT) AS total_milli"))
+        rows.append(
+            re.crossJoin(ce)
+            .crossJoin(tot)
+            .selectExpr(
+                f"CAST({it} AS BIGINT) AS iter",
+                "row_err_pm", "col_err_pm", "total_milli",
+            )
+        )
+        if it == rounds:
+            break
+        rs = _ipf_margins(cur, "o").withColumnRenamed("ms", "rs")
+        cur = (
+            cur.join(rs, "o")
+            .join(t.selectExpr("cell AS o", "t_m AS tr"), "o")
+            .selectExpr("o", "d", "(f * tr) DIV rs AS f")
+        )
+        cs = _ipf_margins(cur, "d").withColumnRenamed("ms", "cs")
+        cur = (
+            cur.join(cs, "d")
+            .join(t.selectExpr("cell AS d", "t_m AS tc"), "d")
+            .selectExpr("o", "d", "(f * tc) DIV cs AS f")
+            .localCheckpoint(eager=True)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ipf_oracle(events_clause: str = "events",
+               rounds: int = IPF_ROUNDS) -> str:
+    s = _shift(7)
+    ctes = [f"""ipf_od AS (
+  SELECT user_id,
+         arg_min((ix // {s}) * {_PACK} + (iy // {s}), seq) AS o,
+         arg_max((ix // {s}) * {_PACK} + (iy // {s}), seq) AS d
+  FROM pings GROUP BY 1)""", """ipf_f0 AS (
+  SELECT o, d, CAST(count(*) * 1000 AS BIGINT) AS f
+  FROM ipf_od GROUP BY 1, 2)""", """ipf_t AS (
+  SELECT coalesce(a.cell, b.cell) AS cell,
+         (coalesce(a.om, 0) + coalesce(b.im, 0)) // 2 AS t_m
+  FROM (SELECT o AS cell, sum(f) AS om FROM ipf_f0 GROUP BY 1) a
+  FULL JOIN (SELECT d AS cell, sum(f) AS im FROM ipf_f0 GROUP BY 1) b
+    ON b.cell = a.cell)"""]
+    errs = []
+    for it in range(rounds + 1):
+        p = f"ipf_f{2 * it}"
+        errs.append(f"""
+  SELECT CAST({it} AS BIGINT) AS iter,
+    (SELECT CAST((1000 * sum(abs(coalesce(m.ms, 0) - t.t_m)))
+       // sum(t.t_m) AS BIGINT)
+     FROM ipf_t t LEFT JOIN
+       (SELECT o, CAST(sum(f) AS BIGINT) AS ms FROM {p} GROUP BY 1) m
+       ON m.o = t.cell) AS row_err_pm,
+    (SELECT CAST((1000 * sum(abs(coalesce(m.ms, 0) - t.t_m)))
+       // sum(t.t_m) AS BIGINT)
+     FROM ipf_t t LEFT JOIN
+       (SELECT d, CAST(sum(f) AS BIGINT) AS ms FROM {p} GROUP BY 1) m
+       ON m.d = t.cell) AS col_err_pm,
+    (SELECT CAST(sum(f) AS BIGINT) FROM {p}) AS total_milli""")
+        if it == rounds:
+            break
+        ctes.append(f"""ipf_f{2 * it + 1} AS MATERIALIZED (
+  SELECT c.o, c.d, (c.f * t.t_m) // r.rs AS f
+  FROM ipf_f{2 * it} c
+  JOIN (SELECT o, sum(f) AS rs FROM ipf_f{2 * it} GROUP BY 1) r
+    ON r.o = c.o
+  JOIN ipf_t t ON t.cell = c.o)""")
+        ctes.append(f"""ipf_f{2 * it + 2} AS MATERIALIZED (
+  SELECT c.o, c.d, (c.f * t.t_m) // s.cs AS f
+  FROM ipf_f{2 * it + 1} c
+  JOIN (SELECT d, sum(f) AS cs FROM ipf_f{2 * it + 1} GROUP BY 1) s
+    ON s.d = c.d
+  JOIN ipf_t t ON t.cell = c.d)""")
+    body = "\n  UNION ALL\n".join(errs)
+    return (
+        f"WITH {pings_oracle_cte(events_clause)},\n"
+        + ",\n".join(ctes)
+        + f"\n{body}"
+    )

@@ -3431,3 +3431,197 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * a * nb) DIV (n_test * greatest(b, 1)) AS BIGINT)"
         " AS mase_pm",
     )
+
+
+# --- R190: exact weighted quantiles via the value-dimension histogram ---------
+#
+# Weighted median/quartiles of the line price, weighted by quantity,
+# per return flag — EXACT, with the same move that made AUC scale
+# (R180): instead of a global per-row sort (one reducer per group at
+# 10^12 rows), the weights are first histogrammed onto the bounded
+# (flag, cents) VALUE dimension (one map-side-partial groupBy), and the
+# quantile is the least value whose cumulative weight crosses
+# ceil(q·W) — a window over the value dimension only. Ties need no
+# tie-break key: the histogram absorbs them. The at-extreme-scale
+# approximate companion is histogram_quantiles (R68); this is the exact
+# rung of the same ladder.
+
+
+@register(
+    "weighted_quantiles",
+    """
+WITH wq_h AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100e0) AS BIGINT) AS cents,
+         CAST(sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+           AS w
+  FROM lineitem GROUP BY 1, 2),
+wq_c AS (
+  SELECT flag, cents, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS wt
+  FROM wq_h)
+SELECT flag, CAST(max(wt) AS BIGINT) AS w_total,
+       CAST(min(CASE WHEN 4 * cw >= wt THEN cents END) AS BIGINT)
+         AS p25_cents,
+       CAST(min(CASE WHEN 2 * cw >= wt THEN cents END) AS BIGINT)
+         AS median_cents,
+       CAST(min(CASE WHEN 4 * cw >= 3 * wt THEN cents END) AS BIGINT)
+         AS p75_cents,
+       CAST(min(CASE WHEN 4 * cw >= 3 * wt THEN cents END)
+         - min(CASE WHEN 4 * cw >= wt THEN cents END) AS BIGINT)
+         AS wiqr_cents
+FROM wq_c GROUP BY flag
+""",
+    doc="Exact weighted quantiles (p25/median/p75 of line price cents, "
+    "weighted by quantity) per return flag via the value-dimension "
+    "histogram: weights groupBy onto (flag, cents) with map-side "
+    "partial agg, the quantile is the least value whose cumulative "
+    "weight crosses ceil(q*W) — the window runs on the bounded value "
+    "dimension, never a per-row global sort. Ties absorbed by the "
+    "histogram; the exact rung beside histogram_quantiles' sketch.",
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "CAST(floor(l_extendedprice * 100e0) AS BIGINT) AS cents",
+            "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS q",
+        )
+        .groupBy("flag", "cents")
+        .agg(F.expr("CAST(sum(q) AS BIGINT)").alias("w"))
+    )
+    return (
+        h.select(
+            "flag", "cents", "w",
+            F.expr(
+                "sum(w) OVER (PARTITION BY flag ORDER BY cents"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ).alias("cw"),
+            F.expr("sum(w) OVER (PARTITION BY flag)").alias("wt"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.expr("CAST(max(wt) AS BIGINT)").alias("w_total"),
+            F.expr(
+                "CAST(min(CASE WHEN 4 * cw >= wt THEN cents END)"
+                " AS BIGINT)"
+            ).alias("p25_cents"),
+            F.expr(
+                "CAST(min(CASE WHEN 2 * cw >= wt THEN cents END)"
+                " AS BIGINT)"
+            ).alias("median_cents"),
+            F.expr(
+                "CAST(min(CASE WHEN 4 * cw >= 3 * wt THEN cents END)"
+                " AS BIGINT)"
+            ).alias("p75_cents"),
+        )
+        .selectExpr(
+            "flag", "w_total", "p25_cents", "median_cents", "p75_cents",
+            "p75_cents - p25_cents AS wiqr_cents",
+        )
+    )
+
+
+# --- R192: deletion-cascade audit (right-to-be-forgotten) ----------------------
+#
+# The GDPR/CCPA erasure planner: a deterministic delete set (customers
+# with c_custkey % 97 == 0) cascades customer → orders → lineitem via
+# key semi-joins (the only shape that scales — never row-by-row), and
+# the audit emits per-table deletion counts PLUS an independently
+# derived orphan witness: survivors still referencing a deleted parent,
+# computed from the delete frames themselves (0 proves the cascade
+# closed; a partial cascade would surface here, not vanish).
+
+
+@register(
+    "deletion_cascade",
+    """
+WITH dc_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+dc_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM dc_c)),
+dc_l AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM dc_o)),
+dc_orph_o AS (
+  SELECT count(*) AS n FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM dc_c)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM dc_o)),
+dc_orph_l AS (
+  SELECT count(*) AS n FROM lineitem li
+  WHERE li.l_orderkey IN (SELECT o_orderkey FROM dc_o)
+    AND NOT EXISTS (SELECT 1 FROM dc_l d
+                    WHERE d.l_orderkey = li.l_orderkey
+                      AND d.l_linenumber = li.l_linenumber))
+SELECT tbl, n_rows, n_deleted,
+       CAST((1000 * n_deleted) // n_rows AS BIGINT) AS del_pm,
+       orphans_after
+FROM (
+  SELECT 'customer' AS tbl,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+         CAST((SELECT count(*) FROM dc_c) AS BIGINT) AS n_deleted,
+         CAST(0 AS BIGINT) AS orphans_after
+  UNION ALL
+  SELECT 'orders',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM dc_o) AS BIGINT),
+         CAST((SELECT n FROM dc_orph_o) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM dc_l) AS BIGINT),
+         CAST((SELECT n FROM dc_orph_l) AS BIGINT))
+""",
+    doc="GDPR deletion-cascade audit: customers with custkey % 97 == 0 "
+    "cascade to their orders and lineitems via key semi-joins, with "
+    "per-table deletion counts and an independently derived orphan "
+    "witness (survivors referencing a deleted parent — 0 proves the "
+    "cascade closed). The erasure plan every governed lakehouse needs, "
+    "in the only shape that scales.",
+)
+def q_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dc = cust.where("c_custkey % 97 = 0").select("c_custkey")
+    do = orders.join(
+        F.broadcast(dc), orders["o_custkey"] == dc["c_custkey"], "left_semi"
+    ).select("o_orderkey").localCheckpoint(eager=False)
+    dok = do.withColumnRenamed("o_orderkey", "l_orderkey")
+    dl = li.join(
+        F.broadcast(dok), "l_orderkey", "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    orph_o = (
+        orders.join(F.broadcast(dc), orders["o_custkey"] == dc["c_custkey"],
+                    "left_semi")
+        .join(F.broadcast(do), "o_orderkey", "left_anti")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+    )
+    orph_l = (
+        li.join(F.broadcast(dok), "l_orderkey", "left_semi")
+        .join(dl, ["l_orderkey", "l_linenumber"], "left_anti")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+    )
+
+    def row(tbl, total_df, del_df, orph_df):
+        tot = total_df.agg(F.expr("CAST(count(*) AS BIGINT) AS n_rows"))
+        dele = del_df.agg(F.expr("CAST(count(*) AS BIGINT) AS n_deleted"))
+        return (
+            tot.crossJoin(dele)
+            .crossJoin(orph_df.withColumnRenamed("n", "orphans_after"))
+            .selectExpr(
+                f"'{tbl}' AS tbl", "n_rows", "n_deleted",
+                "(1000 * n_deleted) DIV n_rows AS del_pm",
+                "orphans_after",
+            )
+        )
+
+    zero = cust.sparkSession.range(1).selectExpr("CAST(0 AS BIGINT) AS n")
+    return (
+        row("customer", cust, dc, zero)
+        .unionByName(row("orders", orders, do, orph_o))
+        .unionByName(row("lineitem", li, dl, orph_l))
+    )

@@ -257,3 +257,18 @@ def q_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.hausdorff_pairs(_pings(spark, sf_dir))
+
+
+@register(
+    "ipf_balance",
+    traj.ipf_oracle(),
+    doc="IPF / Furness matrix balancing (Deming-Stephan 1940) of the "
+    "res-7 OD flow matrix toward deterministic symmetric in/out "
+    "margins, in milli-mass integers (floors compound identically "
+    "cross-engine). Output is the per-iteration margin-error "
+    "convergence table a transport planner reads; structurally-absent "
+    "flows keep the error floor honestly non-zero. Every step is a "
+    "groupBy + equi-join on the bounded OD-pair dimension.",
+)
+def q_ipf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.ipf_balance(_pings(spark, sf_dir))

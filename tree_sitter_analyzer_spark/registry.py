@@ -240,6 +240,43 @@ _ROTATIONS_C5 = {
 }
 GATE_ORDER = [_ROTATIONS_C5.get(n, n) for n in GATE_ORDER]
 
+# Continuation-6 rotation (R178-R189 families in; same policy — every
+# rotated-out query stays sweep- and pytest-oracle-verified):
+# incremental_merge → merkle_diff (same I1 incremental-sync family; the
+#   partition-digest planner is what DECIDES the rows the MERGE touches
+#   at 100 TB — the at-scale representative; row-level classify stays
+#   sweep-oracled via incremental_merge + snapshot_diff),
+# bfs_khop → stress_centrality (strict superset: the forward pass IS
+#   the BFS frontier expansion PLUS shortest-path counts, and the
+#   backward fold adds the centrality; plain k-hop reach also stays
+#   in-gate inside epidemic_reach),
+# fuzzy_dup_pairs → fs_linkage (strict upgrade of the entity-resolution
+#   representative: blocked candidates + per-field likelihood-ratio
+#   odds supersede plain edit-distance thresholding; the DP edit
+#   distance stays sweep-oracled),
+# repetition_stats → block_dedup (the sub-document-duplication family's
+#   stronger rung: cross-doc block dedup carries a byte-exact
+#   reconstruction witness; intra-doc n-gram repetition stays sweep),
+# decile_drift → auc_eval (same ML-ops model-quality family; the exact
+#   Mann-Whitney harness + its calibration companion are the richer
+#   readout; drift stays sweep-oracled),
+# pricing_summary → forecast_eval (A2 conditional aggregates stay via
+#   product_profit + the TPC-H sweep tail; the MASE scorecard is a new
+#   eval family),
+# event_sessions → rate_policer (gaps-and-islands session mechanics
+#   stay in-gate via convoy_pairs and sweep via session_window_stats;
+#   the Lindley admission meter is a new streaming-semantics family).
+_ROTATIONS_C6 = {
+    "incremental_merge": "merkle_diff",
+    "bfs_khop": "stress_centrality",
+    "fuzzy_dup_pairs": "fs_linkage",
+    "repetition_stats": "block_dedup",
+    "decile_drift": "auc_eval",
+    "pricing_summary": "forecast_eval",
+    "event_sessions": "rate_policer",
+}
+GATE_ORDER = [_ROTATIONS_C6.get(n, n) for n in GATE_ORDER]
+
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side-effect registration),
