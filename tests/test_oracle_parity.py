@@ -79,6 +79,8 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "rate_policer",
                 # R188: day buckets from the NTZ epoch helper
                 "forecast_eval",
+                # R195: o_orderdate profiled as NTZ epoch days
+                "data_profile",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

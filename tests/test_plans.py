@@ -616,3 +616,53 @@ def test_decontamination_holdout_set_is_broadcast(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_block_dedup_is_join_free(spark):
+    """R187's scale contract: block dedup is ONE hash-keyed window plus
+    a doc-keyed aggregate — no join anywhere in the plan."""
+    from tree_sitter_analyzer_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = plan_of(dedup.block_dedup(docs))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_two_phase_and_broadcast_tau(spark):
+    """R182's scale contract: a per-partition top-(k+1) window bounds
+    what reaches the global rank, and tau reaches the sample via a
+    broadcast — never a shuffled join or a driver collect."""
+    from tree_sitter_analyzer_spark.operators import packing
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = plan_of(packing.priority_sample_audit(docs))
+    assert plan_of(
+        packing.priority_sample_audit(docs), "simple"
+    ).count("Window") >= 2                    # partition phase + global
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row tau broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_fs_linkage_candidates_are_blocked_equi_join(spark):
+    """R189's scale contract: candidate pairs come from the
+    (lang, band) blocking equi-join — no cartesian pair generation;
+    the only nested-loop is the 1-row m/u stats broadcast."""
+    from tree_sitter_analyzer_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = plan_of(dedup.fs_linkage(docs))
+    assert "CartesianProduct" not in plan
+    simple = plan_of(dedup.fs_linkage(docs), "simple")
+    assert simple.count("BroadcastNestedLoopJoin") <= 2  # stats + n_docs
+
+
+def test_hausdorff_point_fan_is_equi_join(spark):
+    """R181's scale contract: the quadratic point fan hangs off
+    user-keyed equi-joins (candidates from the shared-cell join) and
+    aggregates in-stream — no cartesian anywhere."""
+    from tree_sitter_analyzer_spark.operators import trajectory as traj
+
+    pings = traj.pings_df(spark, SF_TINY)
+    plan = plan_of(traj.hausdorff_pairs(pings))
+    assert "CartesianProduct" not in plan

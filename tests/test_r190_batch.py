@@ -1,5 +1,6 @@
-"""R190-R192 batch: python replays + invariants for weighted_quantiles,
-ipf_balance, deletion_cascade. Oracle parity rides test_oracle_parity."""
+"""R190-R195 batch: python replays + invariants for weighted_quantiles,
+ipf_balance, deletion_cascade, packing_audit, ks_test, data_profile.
+Oracle parity rides test_oracle_parity."""
 
 from __future__ import annotations
 
@@ -135,3 +136,76 @@ def test_deletion_cascade_closes_and_counts(spark, duck):
     assert all(v[2] == 0 for v in got.values())  # the cascade closed
     # deeper tables delete at least as many rows as their parent keys
     assert got["lineitem"][1] >= got["orders"][1]
+
+
+# --------------------------------------------------------------------- R193
+def test_packing_audit_bounds_hold(spark):
+    from tree_sitter_analyzer_spark.operators.packing import packing_audit
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    got = packing_audit(docs).toPandas()
+    assert len(got) == 16  # every shard audited
+    for r in got.itertuples():
+        assert r.lb_bins <= r.n_bins <= 2 * r.lb_bins  # next-fit bound
+        assert 1000 <= r.ratio_pm <= 2000
+        assert 0 <= r.waste_pm < 1000
+
+
+# --------------------------------------------------------------------- R194
+def test_ks_test_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        "SELECT c.c_mktsegment, "
+        "CAST(floor(o.o_totalprice * 100e0) AS BIGINT) "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    ).fetchall()
+    s1 = sorted(int(c) for seg, c in rows if seg == "BUILDING")
+    s2 = sorted(int(c) for seg, c in rows if seg == "MACHINERY")
+    n1, n2 = len(s1), len(s2)
+    support = sorted(set(s1) | set(s2))
+    import bisect
+
+    dnum, at = 0, None
+    for v in support:
+        c1 = bisect.bisect_right(s1, v)
+        c2 = bisect.bisect_right(s2, v)
+        d = abs(c1 * n2 - c2 * n1)
+        if d > dnum:
+            dnum, at = d, v
+    d_pm = (1000 * dnum) // (n1 * n2)
+    reject = int(d_pm * d_pm * n1 * n2 > 1844164 * (n1 + n2))
+
+    q = load_all()["ks_test"]
+    r = q.spark_fn(spark, SF_TINY).toPandas().iloc[0]
+    assert (int(r.n1), int(r.n2)) == (n1, n2)
+    assert int(r.d_pm) == d_pm
+    assert int(r.d_at_cents) == at
+    assert int(r.reject05) == reject
+    assert 0 < d_pm < 1000  # a real, non-degenerate statistic
+
+
+# --------------------------------------------------------------------- R195
+def test_data_profile_matches_independent_counts(spark, duck):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    n, nd_cust, mx = duck.sql(
+        "SELECT count(*), count(DISTINCT o_custkey), max(o_orderkey) "
+        "FROM orders"
+    ).fetchone()
+
+    q = load_all()["data_profile"]
+    got = {
+        r.col: (int(r.n_rows), int(r.n_null), int(r.n_distinct),
+                r.min_s, r.max_s)
+        for r in q.spark_fn(spark, SF_TINY).toPandas().itertuples()
+    }
+    assert len(got) == 6
+    assert got["o_custkey"][2] == nd_cust
+    assert got["o_orderkey"][4] == str(mx)
+    assert all(v[0] == n for v in got.values())
+    assert got["o_orderkey"][1] == 0  # keys are complete
+    assert got["o_orderkey"][2] == n  # ...and unique

@@ -454,3 +454,46 @@ SELECT e.source, e.n_docs,
        (1000 * abs(coalesce(s.est_chars, 0) - e.exact_chars))
          // e.exact_chars AS err_pm
 FROM ps_exact e LEFT JOIN ps_samp s ON s.source = e.source"""
+
+
+# ---------------------------------------------------------------------------
+# R193: packing efficiency audit — the quality bound FOR seq_packing:
+# per shard, the next-fit bin count against the LP lower bound
+# ceil(total_tokens / CAP) (no packing can use fewer bins), plus the
+# realized waste per-mille. Next-fit is provably ≤ 2× the bound; this
+# audit shows where the shard actually lands, and a packing regression
+# (a bug that splits bins too eagerly) trips the pinned ceiling.
+# Scale: reads seq_packing's output (bounded: bins per shard) and a
+# per-shard token aggregate — two dimension-frame joins.
+# ---------------------------------------------------------------------------
+
+
+def packing_audit(docs: DataFrame) -> DataFrame:
+    """(grp, n_bins, lb_bins, ratio_pm, waste_pm): next-fit quality vs
+    the LP lower bound per shard."""
+    bins = seq_packing(docs).groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.expr("CAST(sum(fill_tokens) AS BIGINT)").alias("tok"),
+    )
+    return bins.selectExpr(
+        "grp", "n_bins",
+        f"(tok + {PACK_CAP} - 1) DIV {PACK_CAP} AS lb_bins",
+        f"(1000 * n_bins) DIV ((tok + {PACK_CAP} - 1) DIV {PACK_CAP})"
+        " AS ratio_pm",
+        f"(1000 * (n_bins * {PACK_CAP} - tok)) DIV (n_bins * {PACK_CAP})"
+        " AS waste_pm",
+    )
+
+
+def packing_audit_oracle() -> str:
+    return f"""
+WITH pa_bins AS ({seq_packing_oracle()})
+SELECT grp, CAST(count(*) AS BIGINT) AS n_bins,
+       CAST((sum(fill_tokens) + {PACK_CAP} - 1) // {PACK_CAP} AS BIGINT)
+         AS lb_bins,
+       CAST((1000 * count(*))
+         // ((sum(fill_tokens) + {PACK_CAP} - 1) // {PACK_CAP})
+         AS BIGINT) AS ratio_pm,
+       CAST((1000 * (count(*) * {PACK_CAP} - sum(fill_tokens)))
+         // (count(*) * {PACK_CAP}) AS BIGINT) AS waste_pm
+FROM pa_bins GROUP BY grp"""

@@ -1221,3 +1221,16 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fs_linkage(_docs(spark, sf_dir))
+
+
+@register(
+    "packing_audit",
+    _packing.packing_audit_oracle(),
+    doc="Packing efficiency audit: per shard, seq_packing's next-fit "
+    "bin count against the LP lower bound ceil(total_tokens/CAP) (no "
+    "packing can beat it; next-fit is provably <= 2x), with realized "
+    "waste per-mille — the quality bound FOR the batch assembler, read "
+    "off two dimension-frame aggregates.",
+)
+def q_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _packing.packing_audit(_docs(spark, sf_dir))

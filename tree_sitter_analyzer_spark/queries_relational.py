@@ -3625,3 +3625,253 @@ def q_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", orders, do, orph_o))
         .unionByName(row("lineitem", li, dl, orph_l))
     )
+
+
+# --- R194: exact two-sample Kolmogorov-Smirnov test ----------------------------
+#
+# The distribution-drift test beside decile_drift's TV distance: D =
+# sup|ECDF_1 − ECDF_2| between the order-price distributions of two
+# customer segments, EXACT via the value-dimension histogram (the R180/
+# R190 move): per distinct cents value the two cumulative counts, the
+# sup read off the bounded dimension as max|c1·n2 − c2·n1| (common
+# denominator — no float ECDF), the argmax value recovered by a second
+# dimension-frame pass against the broadcast max. The α=0.05 decision
+# uses Smirnov's asymptotic bound cross-multiplied:
+#   reject ⟺ d_pm² · n1·n2 > 1.358²·10⁶ · (n1+n2)
+# (floor-conservative by construction).
+
+
+@register(
+    "ks_test",
+    f"""
+WITH ks_o AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(o.o_totalprice * 100e0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+ks_h AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+           AS h1,
+         CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+           AS h2
+  FROM ks_o GROUP BY 1),
+ks_c AS (
+  SELECT cents,
+         sum(h1) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(h2) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+         sum(h1) OVER () AS n1, sum(h2) OVER () AS n2
+  FROM ks_h),
+ks_m AS (
+  SELECT max(abs(c1 * n2 - c2 * n1)) AS dnum,
+         max(n1) AS n1, max(n2) AS n2
+  FROM ks_c)
+SELECT m.n1, m.n2,
+       CAST((1000 * m.dnum) // (m.n1 * m.n2) AS BIGINT) AS d_pm,
+       CAST(min(c.cents) AS BIGINT) AS d_at_cents,
+       CAST(((1000 * m.dnum) // (m.n1 * m.n2))
+            * ((1000 * m.dnum) // (m.n1 * m.n2)) * m.n1 * m.n2
+            > 1844164 * (m.n1 + m.n2) AS BIGINT) AS reject05
+FROM ks_m m JOIN ks_c c
+  ON abs(c.c1 * m.n2 - c.c2 * m.n1) = m.dnum
+GROUP BY m.n1, m.n2, m.dnum
+""",
+    doc="Exact two-sample Kolmogorov-Smirnov test between the BUILDING "
+    "and MACHINERY segments' order-price distributions: sup|ECDF "
+    "difference| via common-denominator counts on the bounded value "
+    "dimension (no float ECDF), the argmax price recovered exactly, "
+    "and the alpha=0.05 Smirnov decision cross-multiplied (floor-"
+    "conservative). The inferential companion to decile_drift's "
+    "descriptive TV distance.",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(
+        "c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    )
+    h = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .selectExpr(
+            "c_mktsegment AS seg",
+            "CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents",
+        )
+        .groupBy("cents")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("h1"),
+            F.expr(
+                "CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("h2"),
+        )
+    )
+    cum = h.selectExpr(
+        "cents",
+        "sum(h1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS c1",
+        "sum(h2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS c2",
+        "sum(h1) OVER () AS n1",
+        "sum(h2) OVER () AS n2",
+    ).localCheckpoint(eager=False)
+    m = cum.agg(
+        F.expr("max(abs(c1 * n2 - c2 * n1)) AS dnum"),
+        F.expr("max(n1) AS mn1"),
+        F.expr("max(n2) AS mn2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(m))
+        .where("abs(c1 * n2 - c2 * n1) = dnum")
+        .groupBy("mn1", "mn2", "dnum")
+        .agg(F.expr("CAST(min(cents) AS BIGINT) AS d_at_cents"))
+        .selectExpr(
+            "mn1 AS n1", "mn2 AS n2",
+            "CAST((1000 * dnum) DIV (mn1 * mn2) AS BIGINT) AS d_pm",
+            "d_at_cents",
+            "CAST(((1000 * dnum) DIV (mn1 * mn2))"
+            " * ((1000 * dnum) DIV (mn1 * mn2)) * mn1 * mn2"
+            " > 1844164 * (mn1 + mn2) AS BIGINT) AS reject05",
+        )
+    )
+
+
+# --- R195: data-quality profiler ------------------------------------------------
+#
+# The great-expectations/dbt-style column profile as a first-class
+# query: per column of the orders table (keys, enums, price-as-cents,
+# date-as-epoch-day) the null count, exact distinct count, and min/max
+# rendered as engine-portable strings (integers only — float/date
+# formatting never crosses the engine boundary). ONE scan computes
+# every statistic (a single aggregate row), then unpivots to the
+# 6-row column dimension.
+
+
+@register(
+    "data_profile",
+    f"""
+WITH dp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_orderkey) AS BIGINT) AS nn_key,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+         CAST(min(o_orderkey) AS BIGINT) AS mn_key,
+         CAST(max(o_orderkey) AS BIGINT) AS mx_key,
+         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+         CAST(min(o_custkey) AS BIGINT) AS mn_cust,
+         CAST(max(o_custkey) AS BIGINT) AS mx_cust,
+         CAST(count(o_orderstatus) AS BIGINT) AS nn_st,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+         min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+         CAST(count(o_orderpriority) AS BIGINT) AS nn_pr,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_pr,
+         min(o_orderpriority) AS mn_pr, max(o_orderpriority) AS mx_pr,
+         CAST(count(o_totalprice) AS BIGINT) AS nn_tp,
+         CAST(count(DISTINCT CAST(floor(o_totalprice * 100e0) AS BIGINT))
+           AS BIGINT) AS nd_tp,
+         CAST(min(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS BIGINT)
+           AS mn_tp,
+         CAST(max(CAST(floor(o_totalprice * 100e0) AS BIGINT)) AS BIGINT)
+           AS mx_tp,
+         CAST(count(o_orderdate) AS BIGINT) AS nn_dt,
+         CAST(count(DISTINCT date_diff('microsecond',
+           TIMESTAMP '1970-01-01', o_orderdate) // 86400000000)
+           AS BIGINT) AS nd_dt,
+         CAST(min(date_diff('microsecond', TIMESTAMP '1970-01-01',
+           o_orderdate) // 86400000000) AS BIGINT) AS mn_dt,
+         CAST(max(date_diff('microsecond', TIMESTAMP '1970-01-01',
+           o_orderdate) // 86400000000) AS BIGINT) AS mx_dt
+  FROM orders)
+SELECT col, n_rows, n_rows - nn AS n_null, nd AS n_distinct,
+       mn AS min_s, mx AS max_s FROM (
+  SELECT 'o_orderkey' AS col, n_rows, nn_key AS nn, nd_key AS nd,
+         CAST(mn_key AS VARCHAR) AS mn, CAST(mx_key AS VARCHAR) AS mx
+  FROM dp
+  UNION ALL SELECT 'o_custkey', n_rows, nn_cust, nd_cust,
+         CAST(mn_cust AS VARCHAR), CAST(mx_cust AS VARCHAR) FROM dp
+  UNION ALL SELECT 'o_orderstatus', n_rows, nn_st, nd_st, mn_st, mx_st
+  FROM dp
+  UNION ALL SELECT 'o_orderpriority', n_rows, nn_pr, nd_pr, mn_pr, mx_pr
+  FROM dp
+  UNION ALL SELECT 'o_totalprice_cents', n_rows, nn_tp, nd_tp,
+         CAST(mn_tp AS VARCHAR), CAST(mx_tp AS VARCHAR) FROM dp
+  UNION ALL SELECT 'o_orderdate_day', n_rows, nn_dt, nd_dt,
+         CAST(mn_dt AS VARCHAR), CAST(mx_dt AS VARCHAR) FROM dp)
+""",
+    doc="Data-quality column profiler (the great-expectations/dbt "
+    "profile as a query): null count, exact distinct count, and "
+    "engine-portable min/max strings for six orders columns — floats "
+    "profiled as integer cents, dates as epoch days, so no float/date "
+    "formatting ever crosses the engine boundary. ONE scan computes "
+    "every statistic, then unpivots to the 6-row column dimension.",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" o_orderdate) DIV 86400000000"
+    )
+    dp = _t(spark, sf_dir, "orders").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+        F.expr("CAST(count(o_orderkey) AS BIGINT) AS nn_key"),
+        F.expr("CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key"),
+        F.expr("CAST(min(o_orderkey) AS BIGINT) AS mn_key"),
+        F.expr("CAST(max(o_orderkey) AS BIGINT) AS mx_key"),
+        F.expr("CAST(count(o_custkey) AS BIGINT) AS nn_cust"),
+        F.expr("CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust"),
+        F.expr("CAST(min(o_custkey) AS BIGINT) AS mn_cust"),
+        F.expr("CAST(max(o_custkey) AS BIGINT) AS mx_cust"),
+        F.expr("CAST(count(o_orderstatus) AS BIGINT) AS nn_st"),
+        F.expr("CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st"),
+        F.expr("min(o_orderstatus) AS mn_st"),
+        F.expr("max(o_orderstatus) AS mx_st"),
+        F.expr("CAST(count(o_orderpriority) AS BIGINT) AS nn_pr"),
+        F.expr("CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_pr"),
+        F.expr("min(o_orderpriority) AS mn_pr"),
+        F.expr("max(o_orderpriority) AS mx_pr"),
+        F.expr("CAST(count(o_totalprice) AS BIGINT) AS nn_tp"),
+        F.expr(
+            "CAST(count(DISTINCT CAST(floor(o_totalprice * 100e0)"
+            " AS BIGINT)) AS BIGINT) AS nd_tp"
+        ),
+        F.expr(
+            "CAST(min(CAST(floor(o_totalprice * 100e0) AS BIGINT))"
+            " AS BIGINT) AS mn_tp"
+        ),
+        F.expr(
+            "CAST(max(CAST(floor(o_totalprice * 100e0) AS BIGINT))"
+            " AS BIGINT) AS mx_tp"
+        ),
+        F.expr("CAST(count(o_orderdate) AS BIGINT) AS nn_dt"),
+        F.expr(f"CAST(count(DISTINCT {day}) AS BIGINT) AS nd_dt"),
+        F.expr(f"CAST(min({day}) AS BIGINT) AS mn_dt"),
+        F.expr(f"CAST(max({day}) AS BIGINT) AS mx_dt"),
+    )
+    rows = []
+    specs = [
+        ("o_orderkey", "nn_key", "nd_key",
+         "CAST(mn_key AS STRING)", "CAST(mx_key AS STRING)"),
+        ("o_custkey", "nn_cust", "nd_cust",
+         "CAST(mn_cust AS STRING)", "CAST(mx_cust AS STRING)"),
+        ("o_orderstatus", "nn_st", "nd_st", "mn_st", "mx_st"),
+        ("o_orderpriority", "nn_pr", "nd_pr", "mn_pr", "mx_pr"),
+        ("o_totalprice_cents", "nn_tp", "nd_tp",
+         "CAST(mn_tp AS STRING)", "CAST(mx_tp AS STRING)"),
+        ("o_orderdate_day", "nn_dt", "nd_dt",
+         "CAST(mn_dt AS STRING)", "CAST(mx_dt AS STRING)"),
+    ]
+    for col, nn, nd, mn, mx in specs:
+        rows.append(
+            dp.selectExpr(
+                f"'{col}' AS col", "n_rows",
+                f"n_rows - {nn} AS n_null",
+                f"{nd} AS n_distinct",
+                f"{mn} AS min_s", f"{mx} AS max_s",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
