@@ -81,6 +81,8 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "forecast_eval",
                 # R195: o_orderdate profiled as NTZ epoch days
                 "data_profile",
+                # R198: (epoch day+4)%7 weekday buckets
+                "chi2_dow",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

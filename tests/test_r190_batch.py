@@ -209,3 +209,82 @@ def test_data_profile_matches_independent_counts(spark, duck):
     assert all(v[0] == n for v in got.values())
     assert got["o_orderkey"][1] == 0  # keys are complete
     assert got["o_orderkey"][2] == n  # ...and unique
+
+
+# --------------------------------------------------------------------- R196
+def test_shuffle_audit_contrast(spark):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    q = load_all()["shuffle_audit"]
+    got = {
+        r.variant: (int(r.n_docs), int(r.n_runs), int(r.max_run))
+        for r in q.spark_fn(spark, SF_TINY).toPandas().itertuples()
+    }
+    n = got["shuffled"][0]
+    assert got["by_source"][0] == n
+    # the baseline's runs ARE the per-source shares (20 sources)
+    assert got["by_source"][1] == 20
+    assert got["by_source"][2] == n // 20
+    # the md5 order behaves like a random permutation: with 20 equal
+    # sources, P(run of length >= 7 somewhere) < 1e-5
+    assert got["shuffled"][2] < 7
+    assert got["shuffled"][1] > got["by_source"][1] * 10
+
+
+# --------------------------------------------------------------------- R197
+def test_mad_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        "SELECT event_type, CAST(floor(value * 100e0) AS BIGINT) "
+        "FROM events"
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, c in rows:
+        series.setdefault(et, []).append(int(c))
+
+    def hist_median(vals):
+        hist: dict[int, int] = {}
+        for v in vals:
+            hist[v] = hist.get(v, 0) + 1
+        n, cw = len(vals), 0
+        for v in sorted(hist):
+            cw += hist[v]
+            if 2 * cw >= n:
+                return v
+
+    want = {}
+    for et, vals in series.items():
+        med = hist_median(vals)
+        mad = hist_median([abs(v - med) for v in vals])
+        want[et] = (len(vals), med, mad)
+
+    q = load_all()["mad_stats"]
+    got = {
+        r.event_type: (int(r.n), int(r.median_cents), int(r.mad_cents))
+        for r in q.spark_fn(spark, SF_TINY).toPandas().itertuples()
+    }
+    assert got == want
+    assert all(v[2] > 0 for v in got.values())
+
+
+# --------------------------------------------------------------------- R198
+def test_chi2_dow_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        "SELECT (date_diff('microsecond', TIMESTAMP '1970-01-01', ts) "
+        "// 86400000000 + 4) % 7, count(*) FROM events GROUP BY 1"
+    ).fetchall()
+    counts = {int(d): int(c) for d, c in rows}
+    n = sum(counts.values())
+    chi2 = (1000 * sum((7 * o - n) ** 2 for o in counts.values())) // (7 * n)
+
+    q = load_all()["chi2_dow"]
+    r = q.spark_fn(spark, SF_TINY).toPandas().iloc[0]
+    assert int(r.n_events) == n
+    assert int(r.n_days_seen) == len(counts) == 7
+    assert int(r.chi2_milli) == chi2
+    assert int(r.reject05) == int(chi2 > 12592)

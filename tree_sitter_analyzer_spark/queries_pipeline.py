@@ -1234,3 +1234,102 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packing.packing_audit(_docs(spark, sf_dir))
+
+
+# --- R196: training-order shuffle audit ---------------------------------------
+#
+# LLM training is sensitive to DATA ORDER: long runs of same-source
+# documents in a training shard cause loss spikes and effective-batch
+# correlation. The audit scores an ordering by its same-source run
+# structure (gaps-and-islands over the ordered sequence): the md5
+# shuffle key the pipeline would actually sort by, against the
+# pathological sorted-by-source baseline. Deterministic end-to-end, so
+# the expected contrast is pinned (shuffled max run stays small; the
+# baseline's max run is the per-source corpus share).
+# Scale note: run-length needs a global order, so a 100 TB deployment
+# audits per training shard (the shard IS the unit whose order
+# matters); the audit here is that per-shard pass.
+
+
+@register(
+    "shuffle_audit",
+    f"""
+WITH sh_k AS (
+  SELECT source, {_md5d("CAST(doc_id AS VARCHAR)")} AS h, doc_id
+  FROM documents),
+sh_both AS (
+  SELECT 'shuffled' AS variant, source,
+         row_number() OVER (ORDER BY h, doc_id) AS rn
+  FROM sh_k
+  UNION ALL
+  SELECT 'by_source', source,
+         row_number() OVER (ORDER BY source, doc_id) AS rn
+  FROM sh_k),
+sh_runs AS (
+  SELECT variant, source, rn,
+         CASE WHEN lag(source) OVER (PARTITION BY variant ORDER BY rn)
+                   IS DISTINCT FROM source THEN 1 ELSE 0 END AS brk
+  FROM sh_both),
+sh_isl AS (
+  SELECT variant, rn,
+         sum(brk) OVER (PARTITION BY variant ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM sh_runs),
+sh_len AS (
+  SELECT variant, run_id, count(*) AS len
+  FROM sh_isl GROUP BY 1, 2)
+SELECT variant, CAST(sum(len) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST((1000 * count(*)) // sum(len) AS BIGINT) AS runs_pm
+FROM sh_len GROUP BY variant
+""",
+    doc="Training-order shuffle audit: same-source run structure "
+    "(gaps-and-islands) of the md5-shuffled document order vs the "
+    "pathological sorted-by-source baseline — long same-source runs "
+    "in a training shard mean correlated batches. Deterministic, so "
+    "the contrast is pinned: the shuffled order's max run stays near "
+    "the random expectation while the baseline's equals the per-source "
+    "share. At 100 TB this audit runs per training shard (the unit "
+    "whose order matters).",
+)
+def q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import md5int_spark as _m5s
+
+    k = _docs(spark, sf_dir).selectExpr(
+        "source", f"{_m5s('CAST(doc_id AS STRING)')} AS h", "doc_id"
+    )
+    both = k.selectExpr(
+        "'shuffled' AS variant", "source",
+        "row_number() OVER (ORDER BY h, doc_id) AS rn",
+    ).unionByName(
+        k.selectExpr(
+            "'by_source' AS variant", "source",
+            "row_number() OVER (ORDER BY source, doc_id) AS rn",
+        )
+    )
+    return (
+        both.selectExpr(
+            "variant", "rn",
+            "CASE WHEN lag(source) OVER (PARTITION BY variant ORDER BY rn)"
+            " IS DISTINCT FROM source THEN 1 ELSE 0 END AS brk",
+        )
+        .selectExpr(
+            "variant",
+            "sum(brk) OVER (PARTITION BY variant ORDER BY rn"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS run_id",
+        )
+        .groupBy("variant", "run_id")
+        .agg(F.count("*").alias("len"))
+        .groupBy("variant")
+        .agg(
+            F.expr("CAST(sum(len) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_runs"),
+            F.expr("CAST(max(len) AS BIGINT)").alias("max_run"),
+        )
+        .selectExpr(
+            "variant", "n_docs", "n_runs", "max_run",
+            "(1000 * n_runs) DIV n_docs AS runs_pm",
+        )
+    )

@@ -3875,3 +3875,169 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- R197: median absolute deviation (robust scale) ----------------------------
+#
+# The robust-statistics scale estimator beside trimmed_stats' location
+# family: MAD = median(|x − median(x)|) per event-type value stream,
+# EXACT via two value-dimension histogram medians (the R190 crossing
+# trick twice) — first the median over the (type, cents) histogram,
+# then the median of absolute deviations over the (type, |cents−med|)
+# histogram. No per-row global sort at either step; the deviation
+# histogram is one broadcast-median join away from the first.
+
+
+@register(
+    "mad_stats",
+    """
+WITH md_h AS (
+  SELECT event_type, CAST(floor(value * 100e0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+md_c AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM md_h),
+md_m AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN 2 * cw >= n THEN cents END) AS BIGINT)
+           AS median_cents
+  FROM md_c GROUP BY 1),
+md_d AS (
+  SELECT h.event_type, abs(h.cents - m.median_cents) AS dev,
+         CAST(sum(h.c) AS BIGINT) AS c
+  FROM md_h h JOIN md_m m ON m.event_type = h.event_type
+  GROUP BY 1, 2),
+md_dc AS (
+  SELECT event_type, dev, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY dev
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM md_d)
+SELECT d.event_type, m.n, m.median_cents,
+       CAST(min(CASE WHEN 2 * d.cw >= d.n THEN d.dev END) AS BIGINT)
+         AS mad_cents
+FROM md_dc d JOIN md_m m ON m.event_type = d.event_type
+GROUP BY 1, 2, 3
+""",
+    doc="Median absolute deviation per event-type value stream — the "
+    "robust scale estimator beside trimmed_stats' robust location — "
+    "exact via TWO value-dimension histogram medians (the crossing "
+    "trick twice): median over the (type, cents) histogram, then "
+    "median of |cents - median| over the deviation histogram. No "
+    "per-row global sort at either step.",
+)
+def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value * 100e0) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    med = (
+        h.selectExpr(
+            "event_type", "cents", "c",
+            "sum(c) OVER (PARTITION BY event_type ORDER BY cents"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+            "sum(c) OVER (PARTITION BY event_type) AS n",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(min(CASE WHEN 2 * cw >= n THEN cents END)"
+                " AS BIGINT)"
+            ).alias("median_cents"),
+        )
+    )
+    dev = (
+        h.join(F.broadcast(med), "event_type")
+        .selectExpr(
+            "event_type", "n", "median_cents",
+            "abs(cents - median_cents) AS dev", "c",
+        )
+        .groupBy("event_type", "n", "median_cents", "dev")
+        .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("c"))
+    )
+    return (
+        dev.selectExpr(
+            "event_type", "n", "median_cents", "dev", "c",
+            "sum(c) OVER (PARTITION BY event_type ORDER BY dev"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+        )
+        .groupBy("event_type", "n", "median_cents")
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN 2 * cw >= n THEN dev END) AS BIGINT)"
+            ).alias("mad_cents")
+        )
+        .select("event_type", "n", "median_cents", "mad_cents")
+    )
+
+
+# --- R198: exact chi-square goodness-of-fit (day-of-week uniformity) -----------
+#
+# Pearson's GOF test without a single float: against the uniform
+# 7-day expectation E = N/7, the statistic folds to
+#   chi2 = Σ(7·O_i − N)² / (7·N)
+# (common denominators), emitted in milli. df = 6, so the α=0.05
+# decision is chi2_milli > 12592. The inferential companion to
+# dow_profile's descriptive weekday shares.
+
+
+@register(
+    "chi2_dow",
+    f"""
+WITH x2_o AS (
+  SELECT ({_EPOCH_US_DUCK_REL} // 86400000000 + 4) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1),
+x2_n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM x2_o)
+SELECT n.n AS n_events,
+       CAST(count(*) AS BIGINT) AS n_days_seen,
+       CAST((1000 * sum((7 * o.o - n.n) * (7 * o.o - n.n)))
+         // (7 * n.n) AS BIGINT) AS chi2_milli,
+       CAST((1000 * sum((7 * o.o - n.n) * (7 * o.o - n.n)))
+         // (7 * n.n) > 12592 AS BIGINT) AS reject05
+FROM x2_o o CROSS JOIN x2_n n
+GROUP BY n.n
+""",
+    doc="Exact chi-square goodness-of-fit for day-of-week uniformity "
+    "of the event stream: chi2 = sum((7*O - N)^2) / (7*N) in milli "
+    "(common denominators, zero floats), df=6, alpha=0.05 critical "
+    "12.592. The inferential companion to dow_profile; TZ-safe epoch "
+    "days ((day+4)%7 anchors Thursday=0 like the dow_profile "
+    "discipline).",
+)
+def q_chi2_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            f"(({_EPOCH_US_SPARK_REL}) DIV 86400000000 + 4) % 7 AS dow"
+        )
+        .groupBy("dow")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    n = o.agg(F.expr("CAST(sum(o) AS BIGINT) AS n"))
+    return (
+        o.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_days_seen"),
+            F.expr(
+                "CAST((1000 * sum((7 * o - n) * (7 * o - n)))"
+                " DIV (7 * n) AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+        .selectExpr(
+            "n AS n_events", "n_days_seen", "chi2_milli",
+            "CAST(chi2_milli > 12592 AS BIGINT) AS reject05",
+        )
+    )
