@@ -288,3 +288,77 @@ def test_chi2_dow_matches_python_replay(spark, duck):
     assert int(r.n_days_seen) == len(counts) == 7
     assert int(r.chi2_milli) == chi2
     assert int(r.reject05) == int(chi2 > 12592)
+
+
+# --------------------------------------------------------------------- R199
+def test_containment_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.functions import md5int_py
+    from tree_sitter_analyzer_spark.operators.dedup import (
+        BLOCK_W, CONT_MAX_DF, CONT_MIN_PM, containment_pairs,
+    )
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    blocks: dict[int, set] = {}
+    for doc_id, text in rows:
+        ws = [t for t in text.split(" ") if t]
+        bs = {
+            md5int_py(" ".join(ws[i * BLOCK_W:(i + 1) * BLOCK_W]))
+            for i in range(len(ws) // BLOCK_W)
+        }
+        if bs:
+            blocks[int(doc_id)] = bs
+    df: dict[int, int] = {}
+    for bs in blocks.values():
+        for h in bs:
+            df[h] = df.get(h, 0) + 1
+    rare = {h for h, c in df.items() if c <= CONT_MAX_DF}
+    inv: dict[int, list[int]] = {}
+    for d, bs in blocks.items():
+        for h in bs & rare:
+            inv.setdefault(h, []).append(d)
+    inter: dict[tuple[int, int], int] = {}
+    for docs_ in inv.values():
+        for a in docs_:
+            for b in docs_:
+                if a != b:
+                    inter[(a, b)] = inter.get((a, b), 0) + 1
+    want = {}
+    for (a, b), n in inter.items():
+        pm = (1000 * n) // len(blocks[a])
+        if pm >= CONT_MIN_PM:
+            want[(a, b)] = (len(blocks[a]), n, pm)
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    got = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.n_blocks_a), int(r.inter),
+                                       int(r.containment_pm))
+        for r in containment_pairs(docs).toPandas().itertuples()
+    }
+    assert got == want
+    assert len(got) > 10
+    # asymmetry is real: the two directions of some pair score
+    # differently (|A| != |B|), or one direction fails the threshold
+    assert any(
+        (b, a) not in got or got[(a, b)][2] != got[(b, a)][2]
+        for (a, b) in got
+    )
+
+
+# --------------------------------------------------------------------- R200
+def test_ann_dim_audit_ladder_invariants(spark):
+    from tree_sitter_analyzer_spark.operators.similarity import (
+        DIMS_LADDER, ann_dim_audit,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    got = {
+        int(r.dims): (int(r.matched), int(r.recall_pm))
+        for r in ann_dim_audit(emb).toPandas().itertuples()
+    }
+    assert set(got) == set(DIMS_LADDER)
+    # the full width IS the ground truth
+    assert got[DIMS_LADDER[-1]] == (25, 1000)
+    # truncation genuinely costs recall on this corpus
+    assert all(got[d][1] < 1000 for d in DIMS_LADDER[:-1])
+    assert all(0 <= got[d][0] <= 25 for d in DIMS_LADDER)

@@ -1168,3 +1168,100 @@ SELECT d.n_docs,
        (1000 * CAST(sum(is_m * declared) AS BIGINT)) // d.n_docs AS rec_pm
 FROM fs_sc CROSS JOIN fs_nd d
 GROUP BY d.n_docs"""
+
+
+# ---------------------------------------------------------------------------
+# R199: containment pairs (Broder 1997's containment coefficient) — the
+# ASYMMETRIC near-dup relation the symmetric tiers can't express:
+# c(A→B) = |blocks(A) ∩ blocks(B)| / |blocks(A)| finds documents
+# largely CONTAINED in another (quotes, partial copies, supersets) even
+# when Jaccard is low because |B| >> |A|. Reuses the R187 aligned
+# 16-token block vocabulary: candidates from the block-hash inverted
+# index (df-capped — a ubiquitous block carries no containment signal
+# and would quadratically blow the bucket join), intersections
+# aggregated IN-STREAM, sizes joined by key. Both directions of every
+# candidate pair are scored; pairs at ≥ 1/4 containment are reported.
+# ---------------------------------------------------------------------------
+
+CONT_MAX_DF = 20
+CONT_MIN_PM = 250
+
+
+def containment_pairs(docs: DataFrame, w: int = BLOCK_W) -> DataFrame:
+    """(doc_a, doc_b, n_blocks_a, inter, containment_pm): ordered doc
+    pairs where ≥ CONT_MIN_PM of doc_a's blocks also appear in doc_b."""
+    h = md5int_spark("btxt")
+    blocks = (
+        docs.selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+        )
+        .where(F.expr(f"size(ws) >= {w}"))
+        .selectExpr(
+            "doc_id",
+            f"explode(sequence(0, size(ws) DIV {w} - 1)) AS blk",
+            "ws",
+        )
+        .selectExpr(
+            "doc_id",
+            f"{h.replace('btxt', f'array_join(slice(ws, blk * {w} + 1, {w}), chr(32))')}"
+            " AS bh",
+        )
+        .dropDuplicates(["doc_id", "bh"])
+        .localCheckpoint(eager=False)
+    )
+    sizes = blocks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("nb")
+    )
+    rare = (
+        blocks.groupBy("bh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= CONT_MAX_DF)
+        .select("bh")
+    )
+    a = blocks.selectExpr("doc_id AS doc_a", "bh")
+    b = blocks.selectExpr("doc_id AS doc_b", "bh")
+    inter = (
+        a.join(rare, "bh")
+        .join(b, "bh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .selectExpr(
+            "doc_a", "doc_b", "nb AS n_blocks_a", "inter",
+            "(1000 * inter) DIV nb AS containment_pm",
+        )
+        .where(F.col("containment_pm") >= CONT_MIN_PM)
+    )
+
+
+def containment_oracle(w: int = BLOCK_W) -> str:
+    h = md5int_duck("btxt")
+    return f"""
+WITH cp_blocks AS (
+  SELECT DISTINCT doc_id, {h.replace('btxt',
+      f"array_to_string(ws[(i * {w} + 1):((i + 1) * {w})], ' ')")} AS bh
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+       range(0, 1024) t(i)
+  WHERE len(ws) >= (i + 1) * {w}),
+cp_sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+  FROM cp_blocks GROUP BY 1),
+cp_rare AS (
+  SELECT bh FROM cp_blocks GROUP BY bh
+  HAVING count(*) <= {CONT_MAX_DF}),
+cp_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM cp_blocks a JOIN cp_rare r ON r.bh = a.bh
+  JOIN cp_blocks b ON b.bh = a.bh AND b.doc_id <> a.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, s.nb AS n_blocks_a, i.inter,
+       (1000 * i.inter) // s.nb AS containment_pm
+FROM cp_inter i JOIN cp_sizes s ON s.doc_id = i.doc_a
+WHERE (1000 * i.inter) // s.nb >= {CONT_MIN_PM}"""

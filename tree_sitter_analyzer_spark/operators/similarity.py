@@ -735,3 +735,116 @@ SELECT query_id, rank, vec_id, adc_d2 FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_d2, vec_id) AS rank
   FROM pq_adc) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# R200: dimension-truncation recall audit (the Matryoshka/MRL question,
+# public: Kusupati et al. 2022) — what does serving a PREFIX of each
+# embedding cost in retrieval quality? For prefix widths 8/16/32/64,
+# the exact brute-force cosine top-k is recomputed on the truncated
+# vectors and scored against the full-width ground truth as recall@k
+# per-mille. Same integer-quantized cosine as ann_brute_topk, so both
+# engines replay the identical rankings; ties by vec_id.
+# Scale: an EVAL harness — runs on a query sample by design (Q·N
+# broadcast per width, like the brute tier it audits); the per-width
+# passes are independent scans of the same quantized frame.
+# ---------------------------------------------------------------------------
+
+DIMS_LADDER = (8, 16, 32, 64)
+
+
+def _topk_at_dims(q: DataFrame, dims: int, n_queries: int,
+                  k: int) -> DataFrame:
+    t = q.select(
+        "vec_id",
+        F.expr(f"slice(qv, 1, {dims})").alias("tv"),
+    ).select(
+        "vec_id", F.col("tv"),
+        F.expr(_norm_sql("tv")).alias("nrm"),
+    )
+    queries = t.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = t.select(
+        "vec_id", F.col("tv").alias("ca"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr(
+                "CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def ann_dim_audit(emb: DataFrame, n_queries: int = 5,
+                  k: int = 5) -> DataFrame:
+    """(dims, matched, recall_pm): recall@k of prefix-width brute
+    retrieval vs the full-width ground truth."""
+    q = _quantized(emb).localCheckpoint(eager=False)
+    full = _topk_at_dims(q, DIMS_LADDER[-1], n_queries, k)
+    outs = []
+    for d in DIMS_LADDER:
+        t = _topk_at_dims(q, d, n_queries, k)
+        outs.append(
+            t.join(full, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("matched"))
+            .selectExpr(
+                f"CAST({d} AS BIGINT) AS dims", "matched",
+                f"(1000 * matched) DIV {n_queries * k} AS recall_pm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def ann_dim_audit_oracle(n_queries: int = 5, k: int = 5) -> str:
+    arms = []
+    for d in DIMS_LADDER:
+        arms.append(f"""
+  SELECT CAST({d} AS BIGINT) AS dims,
+         CAST(count(*) AS BIGINT) AS matched,
+         (1000 * count(*)) // {n_queries * k} AS recall_pm
+  FROM da_top{d} t JOIN da_top{DIMS_LADDER[-1]} g
+    ON g.query_id = t.query_id AND g.vec_id = t.vec_id""")
+    ctes = ["""da_q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x * 1000e0) AS DOUBLE)) AS qv
+  FROM embeddings)"""]
+    for d in DIMS_LADDER:
+        ctes.append(f"""da_t{d} AS (
+  SELECT vec_id, qv[1:{d}] AS tv,
+         list_sum(list_transform(qv[1:{d}], x -> x * x)) AS nrm
+  FROM da_q)""")
+        ctes.append(f"""da_s{d} AS (
+  SELECT c.vec_id, q.vec_id AS query_id,
+         CAST(floor(1e6 * list_sum(list_transform(range(1, {d} + 1),
+             i -> q.tv[i] * c.tv[i]))
+           / sqrt(q.nrm * c.nrm)) AS BIGINT) AS cos_micro
+  FROM da_t{d} c JOIN da_t{d} q
+    ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)""")
+        ctes.append(f"""da_top{d} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_micro DESC, vec_id) AS rnk
+    FROM da_s{d}) WHERE rnk <= {k})""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\n  UNION ALL\n".join(arms)

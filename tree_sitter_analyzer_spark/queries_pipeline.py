@@ -1333,3 +1333,33 @@ def q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * n_runs) DIV n_docs AS runs_pm",
         )
     )
+
+
+@register(
+    "containment_pairs",
+    dedup.containment_oracle(),
+    doc="Broder containment coefficient pairs — the ASYMMETRIC near-dup "
+    "relation (quotes, partial copies, supersets) the symmetric tiers "
+    "miss: c(A->B) = |blocks(A) n blocks(B)| / |blocks(A)| over the "
+    "aligned 16-token block vocabulary; candidates from the df-capped "
+    "block-hash inverted index, intersections aggregated in-stream, "
+    "ordered pairs at >= 1/4 containment reported.",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "ann_dim_audit",
+    similarity.ann_dim_audit_oracle(),
+    doc="Dimension-truncation recall audit (the Matryoshka/MRL "
+    "question): exact brute cosine top-5 recomputed on 8/16/32/64-dim "
+    "embedding prefixes and scored against the full-width ground truth "
+    "as recall@5 per-mille — what serving a prefix costs in retrieval "
+    "quality. Same integer-quantized cosine as ann_brute_topk; an eval "
+    "harness that runs on a query sample by design.",
+)
+def q_ann_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_dim_audit(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
