@@ -362,3 +362,89 @@ def test_ann_dim_audit_ladder_invariants(spark):
     # truncation genuinely costs recall on this corpus
     assert all(got[d][1] < 1000 for d in DIMS_LADDER[:-1])
     assert all(0 <= got[d][0] <= 25 for d in DIMS_LADDER)
+
+
+# --------------------------------------------------------------------- R201
+def test_rbo_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        "SELECT doc_id % 2, w, count(*) FROM ("
+        "  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))"
+        "    AS w FROM documents) WHERE w <> '' GROUP BY 1, 2"
+    ).fetchall()
+    cnt: dict[int, dict[str, int]] = {0: {}, 1: {}}
+    for half, w, c in rows:
+        cnt[int(half)][w] = int(c)
+    K = 16
+    tops = {
+        h: [w for w, _ in sorted(
+            cnt[h].items(), key=lambda t: (-t[1], t[0])
+        )[:K]]
+        for h in (0, 1)
+    }
+    import math
+    from functools import reduce
+
+    L = reduce(math.lcm, range(1, K + 1)) * (1 << K)
+    coef = {d: L // (d * (1 << d)) for d in range(1, K + 1)}
+    want, cumnum = {}, 0
+    for d in range(1, K + 1):
+        inter = len(set(tops[0][:d]) & set(tops[1][:d]))
+        cumnum += coef[d] * inter
+        denom = sum(coef[e] * e for e in range(1, d + 1))
+        want[d] = (inter, (1000 * cumnum) // denom)
+
+    q = load_all()["rbo_drift"]
+    got = {
+        int(r.d): (int(r.inter_d), int(r.agree_pm))
+        for r in q.spark_fn(spark, SF_TINY).toPandas().itertuples()
+    }
+    assert got == want
+    # identity sanity on the python reference: a list vs itself is 1000
+    cum, full = 0, tops[0]
+    for d in range(1, K + 1):
+        cum += coef[d] * d
+        assert (1000 * cum) // sum(
+            coef[e] * e for e in range(1, d + 1)
+        ) == 1000
+    assert len(full) == K
+
+
+# --------------------------------------------------------------------- R202
+def test_pip_annulus_partitions_outer_membership(spark):
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import pip_join
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    zones = synth.zones_df(spark)
+    got = pip_join.pip_annulus(tiles, zones).toPandas()
+    assert (got.n_annulus + got.n_hole == got.n_outer).all()
+    # the hole genuinely removes matches somewhere
+    assert got.n_hole.sum() > 0
+    assert (got.n_annulus > 0).any()
+    # consistency with the plain PIP join: same outer pair count
+    outer = pip_join.pip_join(tiles, zones, how="inner").count()
+    assert int(got.n_outer.sum()) == outer
+
+
+# --------------------------------------------------------------------- R203
+def test_dedup_threshold_curve_is_monotone_and_anchored(spark):
+    from tree_sitter_analyzer_spark.operators import dedup
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    q = load_all()["dedup_threshold_curve"]
+    got = {
+        int(r.threshold_milli): (int(r.n_pairs), int(r.n_docs_affected))
+        for r in q.spark_fn(spark, SF_TINY).toPandas().itertuples()
+    }
+    ts = sorted(got)
+    assert ts == [500, 600, 700, 800, 900]
+    for lo, hi in zip(ts, ts[1:]):
+        assert got[lo][0] >= got[hi][0]
+        assert got[lo][1] >= got[hi][1]
+    # anchored to the ngram_jaccard operator's own pair set at t=0.5
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    assert got[500][0] == dedup.token_jaccard_pairs(docs, 500).count()
+    assert got[900][0] > 0  # signal survives even the strictest knob

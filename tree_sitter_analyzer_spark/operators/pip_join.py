@@ -584,3 +584,60 @@ def pip_convex_join_scanline(
     return t.join(zc, "cell").where(
         F.expr(synth.convex_pip_predicate("lon", "lat"))
     )
+
+
+# ---------------------------------------------------------------------------
+# R202: polygon-with-hole PIP (annulus membership) — the geometry
+# feature rectangles-only PIP can't express: each zone carries a hole
+# (its centered middle third per axis, area 1/9 — derived from the
+# zone bounds by exact float arithmetic identical on both engines),
+# and a tile is IN the zone iff inside the outer rectangle AND NOT
+# inside the hole. Candidates still come from the broadcast OUTER
+# cover (the hole only ever removes matches, so the cover stays a
+# provable superset); the hole test is one extra codegen'd predicate
+# on the verified pair stream — no second cover, no extra shuffle.
+# ---------------------------------------------------------------------------
+
+HOLE_PRED = (
+    "lon >= (2e0 * xmin + xmax) / 3e0 AND lon < (xmin + 2e0 * xmax) / 3e0"
+    " AND lat >= (2e0 * ymin + ymax) / 3e0"
+    " AND lat < (ymin + 2e0 * ymax) / 3e0"
+)
+
+
+def pip_annulus(tiles: DataFrame, zones: DataFrame,
+                res: int = DEFAULT_RES) -> DataFrame:
+    """(polygon_id, n_outer, n_hole, n_annulus, hole_share_pm): per
+    zone, membership against the holed polygon."""
+    pairs = pip_join(tiles, zones, res, "inner")
+    return (
+        pairs.withColumn(
+            "in_hole", F.expr(f"CAST({HOLE_PRED} AS BIGINT)")
+        )
+        .groupBy("polygon_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outer"),
+            F.expr("CAST(sum(in_hole) AS BIGINT)").alias("n_hole"),
+        )
+        .selectExpr(
+            "polygon_id", "n_outer", "n_hole",
+            "n_outer - n_hole AS n_annulus",
+            "(1000 * n_hole) DIV n_outer AS hole_share_pm",
+        )
+    )
+
+
+def pip_annulus_oracle() -> str:
+    """Naive point-in-holed-polygon counts; requires spliced tiles +
+    zones CTEs."""
+    return f"""pa_pairs AS (
+  SELECT z.polygon_id,
+         CAST({HOLE_PRED} AS BIGINT) AS in_hole
+  FROM tiles t JOIN zones z
+    ON t.lon >= z.xmin AND t.lon < z.xmax
+   AND t.lat >= z.ymin AND t.lat < z.ymax)
+SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_outer,
+       CAST(sum(in_hole) AS BIGINT) AS n_hole,
+       CAST(count(*) - sum(in_hole) AS BIGINT) AS n_annulus,
+       CAST((1000 * sum(in_hole)) // count(*) AS BIGINT) AS hole_share_pm
+FROM pa_pairs GROUP BY polygon_id"""

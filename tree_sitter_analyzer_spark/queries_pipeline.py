@@ -1363,3 +1363,186 @@ def q_ann_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_dim_audit(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     )
+
+
+# --- R201: rank-biased overlap drift of top-token lists -------------------------
+#
+# Webber/Moffat/Zobel 2010's RBO, made EXACT with dyadic weights
+# (p = 1/2, truncated at depth 16 — the EWMA discipline applied to
+# rank agreement): between the two corpus halves' top-16
+# document-frequency token lists,
+#   agreement@d = Σ_e<=d coef_e·|top_e(A) ∩ top_e(B)| / Σ_e<=d coef_e·e
+# with coef_e = L/(e·2^e) over the common denominator
+# L = lcm(1..16)·2^16 = 47233105920 — every coefficient an integer literal, so
+# both engines fold the weighted overlap identically. Full agreement
+# reads 1000 at every depth; drift shows as sub-1000 heads.
+# Scale: token counts are one map-side-partial groupBy; everything
+# after lives on the 2×16-row ranked-list dimension.
+
+_RBO_K = 16
+_RBO_COEF = "CASE d WHEN 1 THEN 23616552960 WHEN 2 THEN 5904138240 WHEN 3 THEN 1968046080 WHEN 4 THEN 738017280 WHEN 5 THEN 295206912 WHEN 6 THEN 123002880 WHEN 7 THEN 52715520 WHEN 8 THEN 23063040 WHEN 9 THEN 10250240 WHEN 10 THEN 4612608 WHEN 11 THEN 2096640 WHEN 12 THEN 960960 WHEN 13 THEN 443520 WHEN 14 THEN 205920 WHEN 15 THEN 96096 WHEN 16 THEN 45045 END"
+_RBO_DENOM = "CASE d WHEN 1 THEN 23616552960 WHEN 2 THEN 35424829440 WHEN 3 THEN 41328967680 WHEN 4 THEN 44281036800 WHEN 5 THEN 45757071360 WHEN 6 THEN 46495088640 WHEN 7 THEN 46864097280 WHEN 8 THEN 47048601600 WHEN 9 THEN 47140853760 WHEN 10 THEN 47186979840 WHEN 11 THEN 47210042880 WHEN 12 THEN 47221574400 WHEN 13 THEN 47227340160 WHEN 14 THEN 47230223040 WHEN 15 THEN 47231664480 WHEN 16 THEN 47232385200 END"
+
+
+@register(
+    "rbo_drift",
+    f"""
+WITH {dedup.WORDS_CTE.strip()},
+rb_cnt AS (
+  SELECT doc_id % 2 AS half, w, count(*) AS c
+  FROM words_nonempty GROUP BY 1, 2),
+rb_rank AS (
+  SELECT half, w,
+         row_number() OVER (PARTITION BY half ORDER BY c DESC, w) AS r
+  FROM rb_cnt),
+rb_m AS (
+  SELECT greatest(a.r, b.r) AS md
+  FROM rb_rank a JOIN rb_rank b ON b.w = a.w AND a.half = 0 AND b.half = 1
+  WHERE a.r <= {_RBO_K} AND b.r <= {_RBO_K}),
+rb_d AS (SELECT unnest(range(1, {_RBO_K} + 1)) AS d),
+rb_i AS (
+  SELECT d.d, CAST(count(m.md) AS BIGINT) AS inter_d
+  FROM rb_d d LEFT JOIN rb_m m ON m.md <= d.d GROUP BY 1),
+rb_c AS (
+  SELECT d, inter_d,
+         sum(({_RBO_COEF}) * inter_d) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumnum
+  FROM rb_i)
+SELECT d, inter_d,
+       CAST((1000 * cumnum) // ({_RBO_DENOM}) AS BIGINT) AS agree_pm
+FROM rb_c
+""",
+    doc="Rank-biased overlap (Webber 2010) between the two corpus "
+    "halves' top-16 document-frequency token lists, exact via dyadic "
+    "p=1/2 weights over the common denominator lcm(1..16)*2^16 — "
+    "every coefficient an integer literal, both engines fold the "
+    "weighted overlap identically. Full agreement = 1000 at every "
+    "depth; head drift shows as sub-1000 early rows. Token counts are "
+    "one groupBy; the rest lives on the 32-row ranked-list dimension.",
+)
+def q_rbo_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id % 2 AS half",
+        "explode(array_distinct(filter(split(text, ' '), x -> x <> '')))"
+        " AS w",
+    )
+    rank = (
+        w.groupBy("half", "w")
+        .agg(F.count("*").alias("c"))
+        .selectExpr(
+            "half", "w",
+            "row_number() OVER (PARTITION BY half ORDER BY c DESC, w)"
+            " AS r",
+        )
+        .where(f"r <= {_RBO_K}")
+    )
+    m = (
+        rank.where("half = 0").selectExpr("w", "r AS ra")
+        .join(rank.where("half = 1").selectExpr("w", "r AS rb"), "w")
+        .selectExpr("greatest(ra, rb) AS md")
+    )
+    d = _docs(spark, sf_dir).sparkSession.range(1, _RBO_K + 1).selectExpr(
+        "id AS d"
+    )
+    return (
+        d.join(F.broadcast(m), F.expr("md <= d"), "left")
+        .groupBy("d")
+        .agg(F.expr("CAST(count(md) AS BIGINT) AS inter_d"))
+        .selectExpr(
+            "d", "inter_d",
+            f"sum(({_RBO_COEF}) * inter_d) OVER (ORDER BY d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS cumnum",
+        )
+        .selectExpr(
+            "CAST(d AS BIGINT) AS d", "inter_d",
+            f"CAST((1000 * cumnum) DIV ({_RBO_DENOM}) AS BIGINT)"
+            " AS agree_pm",
+        )
+    )
+
+
+# --- R203: dedup threshold curve ------------------------------------------------
+#
+# The dedup-POLICY tuning readout: how much duplicate mass does each
+# Jaccard threshold remove? One lossless AllPairs pass at t=0.5 yields
+# every pair with jac >= 500 exactly; the curve then reads off, per
+# candidate threshold 500..900, the surviving pair count and the
+# number of documents touched — the two numbers that decide where a
+# production dedup sets its knob. The pair frame is computed ONCE; the
+# ladder is a 5-row dimension fan over it.
+
+
+@register(
+    "dedup_threshold_curve",
+    f"""
+WITH {dedup.WORDS_CTE.strip()},
+dtc_sizes AS (
+  SELECT doc_id, count(*) AS n FROM words_nonempty GROUP BY doc_id),
+dtc_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM words_nonempty a JOIN words_nonempty b
+    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dtc_pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) AS jac_milli
+  FROM dtc_inter
+  JOIN dtc_sizes sa ON sa.doc_id = doc_a
+  JOIN dtc_sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(floor(1000e0 * c / (sa.n + sb.n - c)) AS BIGINT) >= 500),
+dtc_t AS (SELECT unnest([500, 600, 700, 800, 900]) AS threshold_milli),
+dtc_p AS (
+  SELECT t.threshold_milli,
+         CAST(count(p.jac_milli) AS BIGINT) AS n_pairs
+  FROM dtc_t t LEFT JOIN dtc_pairs p ON p.jac_milli >= t.threshold_milli
+  GROUP BY 1),
+dtc_d AS (
+  SELECT t.threshold_milli, CAST(count(DISTINCT d.doc_id) AS BIGINT)
+           AS n_docs_affected
+  FROM dtc_t t LEFT JOIN (
+    SELECT jac_milli, doc_a AS doc_id FROM dtc_pairs
+    UNION ALL SELECT jac_milli, doc_b FROM dtc_pairs) d
+    ON d.jac_milli >= t.threshold_milli
+  GROUP BY 1)
+SELECT CAST(p.threshold_milli AS BIGINT) AS threshold_milli,
+       p.n_pairs, d.n_docs_affected
+FROM dtc_p p JOIN dtc_d d ON d.threshold_milli = p.threshold_milli
+""",
+    doc="Dedup-policy threshold curve: from ONE lossless AllPairs exact-"
+    "Jaccard pass at t=0.5, the surviving near-dup pair count and the "
+    "distinct documents touched at every candidate threshold "
+    "500..900 per-mille — the two numbers that decide where a "
+    "production dedup sets its knob. The pair frame computes once; "
+    "the ladder is a 5-row dimension fan over it.",
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.token_jaccard_pairs(
+        _docs(spark, sf_dir), 500
+    ).localCheckpoint(eager=False)
+    t = pairs.sparkSession.range(5).selectExpr(
+        "500 + id * 100 AS threshold_milli"
+    )
+    np_ = (
+        t.join(F.broadcast(pairs),
+               F.expr("jac_milli >= threshold_milli"), "left")
+        .groupBy("threshold_milli")
+        .agg(F.expr("CAST(count(jac_milli) AS BIGINT) AS n_pairs"))
+    )
+    docs2 = pairs.selectExpr("jac_milli", "doc_a AS doc_id").unionByName(
+        pairs.selectExpr("jac_milli", "doc_b AS doc_id")
+    )
+    nd = (
+        t.join(F.broadcast(docs2),
+               F.expr("jac_milli >= threshold_milli"), "left")
+        .groupBy("threshold_milli")
+        .agg(
+            F.expr(
+                "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected"
+            )
+        )
+    )
+    return np_.join(nd, "threshold_milli").selectExpr(
+        "CAST(threshold_milli AS BIGINT) AS threshold_milli",
+        "n_pairs", "n_docs_affected",
+    )

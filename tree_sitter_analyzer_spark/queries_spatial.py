@@ -2047,3 +2047,23 @@ def q_region_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.kmv_set_ops(_tiles(spark, sf_dir))
+
+
+@register(
+    "pip_annulus",
+    f"{_CTES},\n{pip_join.pip_annulus_oracle()}",
+    doc="Polygon-with-hole PIP: each zone carries a centered middle-"
+    "third hole (area 1/9, derived from the zone bounds by exact float "
+    "arithmetic identical cross-engine); membership = inside the outer "
+    "rectangle AND NOT inside the hole. Candidates still come from the "
+    "broadcast OUTER cover (a provable superset — holes only remove "
+    "matches); the hole test is one extra codegen'd predicate on the "
+    "verified pair stream. Per zone: outer/hole/annulus counts + hole "
+    "share.",
+)
+def q_pip_annulus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tree_sitter_analyzer_spark.synth as _syn
+
+    return pip_join.pip_annulus(
+        _tiles(spark, sf_dir), _syn.zones_df(spark)
+    )
