@@ -448,3 +448,47 @@ def test_dedup_threshold_curve_is_monotone_and_anchored(spark):
     docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
     assert got[500][0] == dedup.token_jaccard_pairs(docs, 500).count()
     assert got[900][0] > 0  # signal survives even the strictest knob
+
+
+# --------------------------------------------------------------------- R205
+def test_source_shift_diagonal_and_replay(spark, duck):
+    import numpy as np
+
+    from tree_sitter_analyzer_spark.operators.similarity import (
+        QUANT, source_shift,
+    )
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        "SELECT d.source, e.embedding FROM embeddings e "
+        "JOIN documents d ON d.doc_id = e.vec_id"
+    ).fetchall()
+    sums: dict[str, np.ndarray] = {}
+    for src, emb in rows:
+        q = np.floor(np.array(emb, dtype=np.float64) * QUANT).astype(
+            np.int64
+        )
+        sums[src] = sums.get(src, np.zeros(64, dtype=np.int64)) + q
+    want = {}
+    for a in sums:
+        for b in sums:
+            if a <= b:
+                dot = int(np.dot(sums[a], sums[b]))
+                na = int(np.dot(sums[a], sums[a]))
+                nb = int(np.dot(sums[b], sums[b]))
+                import math
+
+                want[(a, b)] = int(
+                    math.floor(1e6 * dot / math.sqrt(float(na) * nb))
+                )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    got = {
+        (r.source_a, r.source_b): int(r.cos_micro)
+        for r in source_shift(emb, docs).toPandas().itertuples()
+    }
+    assert got == want
+    # the diagonal IS the identity
+    assert all(got[(a, b)] == 1000000 for (a, b) in got if a == b)
+    assert len(got) == 20 * 21 // 2

@@ -848,3 +848,83 @@ def ann_dim_audit_oracle(n_queries: int = 5, k: int = 5) -> str:
              ORDER BY cos_micro DESC, vec_id) AS rnk
     FROM da_s{d}) WHERE rnk <= {k})""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\n  UNION ALL\n".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# R205: embedding domain-shift matrix — per source pair, the cosine
+# between the two sources' embedding CENTROIDS. Key trick: cosine is
+# scale-invariant, so cos(mean_A, mean_B) == cos(sum_A, sum_B) and the
+# whole statistic computes on integer SUMS of the quantized vectors —
+# no division until the final micro-cosine. Scale shape: vectors
+# posexplode to (source, dim, val) and aggregate map-side onto the
+# (sources × 64-dim) frame; the pair fan joins per-dim on the bounded
+# dimension frame and the dot aggregates in-stream. The reader: a
+# near-1e6 off-diagonal means two domains are embedding-
+# indistinguishable (this synthetic corpus — pinned); real domain
+# shift reads as depressed off-diagonal entries.
+# ---------------------------------------------------------------------------
+
+
+def source_shift(emb: DataFrame, docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, cos_micro): centroid cosine per unordered
+    source pair (including the diagonal, which pins at 1e6)."""
+    sums = (
+        emb.join(
+            docs.selectExpr("doc_id AS vec_id", "source"), "vec_id"
+        )
+        .selectExpr(
+            "source",
+            f"posexplode({_QVEC}) AS (dim, val)",
+        )
+        .groupBy("source", "dim")
+        .agg(F.expr("CAST(sum(val) AS BIGINT) AS s"))
+        .localCheckpoint(eager=False)
+    )
+    nrm = sums.groupBy("source").agg(
+        F.expr("CAST(sum(s * s) AS BIGINT) AS n2")
+    )
+    a = sums.selectExpr("source AS source_a", "dim", "s AS sa")
+    b = sums.selectExpr("source AS source_b", "dim", "s AS sb")
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.expr("CAST(sum(sa * sb) AS BIGINT) AS dot"))
+    )
+    return (
+        dots.join(
+            nrm.selectExpr("source AS source_a", "n2 AS na"), "source_a"
+        )
+        .join(nrm.selectExpr("source AS source_b", "n2 AS nb"), "source_b")
+        .selectExpr(
+            "source_a", "source_b",
+            "CAST(floor(1e6 * dot / sqrt(CAST(na AS DOUBLE) * nb))"
+            " AS BIGINT) AS cos_micro",
+        )
+    )
+
+
+def source_shift_oracle() -> str:
+    return f"""
+WITH ss_sums AS (
+  SELECT d.source, u.j AS dim,
+         CAST(sum(CAST(floor(u.e * {QUANT}e0) AS BIGINT)) AS BIGINT) AS s
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings) u
+  JOIN documents d ON d.doc_id = u.vec_id
+  GROUP BY 1, 2),
+ss_nrm AS (
+  SELECT source, CAST(sum(s * s) AS BIGINT) AS n2 FROM ss_sums GROUP BY 1),
+ss_dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM ss_sums a JOIN ss_sums b
+    ON b.dim = a.dim AND a.source <= b.source
+  GROUP BY 1, 2)
+SELECT d.source_a, d.source_b,
+       CAST(floor(1e6 * d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2))
+         AS BIGINT) AS cos_micro
+FROM ss_dots d
+JOIN ss_nrm na ON na.source = d.source_a
+JOIN ss_nrm nb ON nb.source = d.source_b"""

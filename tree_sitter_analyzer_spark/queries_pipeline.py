@@ -1546,3 +1546,24 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(threshold_milli AS BIGINT) AS threshold_milli",
         "n_pairs", "n_docs_affected",
     )
+
+
+@register(
+    "embedding_source_shift",
+    similarity.source_shift_oracle(),
+    doc="Embedding domain-shift matrix: centroid cosine per source "
+    "pair, exact on integer SUMS of the quantized vectors (cosine is "
+    "scale-invariant, so cos(mean, mean) == cos(sum, sum) — no "
+    "division before the final micro-cosine). Vectors posexplode onto "
+    "the (source x 64-dim) frame map-side; the pair fan joins per-dim "
+    "on that bounded frame with the dot aggregated in-stream. The "
+    "diagonal pins at 1e6; this synthetic corpus's source centroids "
+    "are near-orthogonal (off-diagonals around 0, some negative — the "
+    "sign path exercised), exactly what independent random domains "
+    "look like; shared structure would read as elevated entries.",
+)
+def q_embedding_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.source_shift(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _docs(spark, sf_dir),
+    )
