@@ -492,3 +492,21 @@ def test_source_shift_diagonal_and_replay(spark, duck):
     # the diagonal IS the identity
     assert all(got[(a, b)] == 1000000 for (a, b) in got if a == b)
     assert len(got) == 20 * 21 // 2
+
+
+# --------------------------------------------------------------------- R205b
+def test_rrf_weights_match_formula(spark):
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    q = load_all()["rrf_fusion"]
+    got = q.spark_fn(spark, SF_TINY).toPandas()
+    assert len(got) == 10
+    for r in got.itertuples():
+        # the literal weight table IS floor(1e6/(60+rank)), both lists
+        assert int(r.rrf_scaled) == (
+            10**6 // (60 + int(r.r_txt)) + 10**6 // (60 + int(r.r_vec))
+        )
+        assert 1 <= int(r.r_txt) <= 40 and 1 <= int(r.r_vec) <= 40
+    # fused order is (rrf desc, doc_id) — verify the emitted ranking
+    vals = list(zip(-got.rrf_scaled, got.doc_id))
+    assert vals == sorted(vals)

@@ -1567,3 +1567,113 @@ def q_embedding_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         _docs(spark, sf_dir),
     )
+
+
+# --- R205: reciprocal rank fusion ------------------------------------------------
+#
+# Cormack/Clarke/Buettcher 2009's RRF — the scale-free, rank-only
+# fusion standard (what real multi-retriever stacks deploy when score
+# scales don't commensurate): fused(d) = sum over lists of 1/(60 +
+# rank_d). The reciprocal weights are irrational in milli, so they
+# enter as the precomputed integer literal table floor(1e6/(60+r)) for
+# r = 1..40 (the NDCG discount-table discipline) — both engines fold
+# identical integers. Complements hybrid_search's SCORE fusion: RRF
+# never reads a score magnitude, only positions, so a miscalibrated
+# retriever cannot poison the blend.
+
+
+@register(
+    "rrf_fusion",
+    None,  # set below (composes the search oracle with the cosine oracle)
+    doc="Reciprocal rank fusion (Cormack 2009) of the text ranking and "
+    "the dense-cosine ranking over the shared top-40 pool: weights "
+    "floor(1e6/(60+r)) as integer literals, fused = w(text rank) + "
+    "w(vector rank), top-10 by fused score. Rank-only — a "
+    "miscalibrated score scale cannot poison the blend (the property "
+    "score-fusion hybrid_search does not have).",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    txt = search_ops.search_captions(docs, SEARCH_QUERY, k=HYBRID_POOL)
+    q = similarity._quantized(emb)
+    qvec = q.where(F.col("vec_id") == 0).select(
+        F.col("qv").alias("qa"), F.col("nrm").alias("qn")
+    )
+    cand = q.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("qv").alias("ca"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        txt.join(cand, "doc_id")
+        .crossJoin(F.broadcast(qvec))
+        .withColumn("dot", F.expr(similarity._DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr(
+                "CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn))"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "r_txt",
+            F.expr(
+                "row_number() OVER (ORDER BY score_micro DESC, doc_id)"
+            ),
+        )
+        .withColumn(
+            "r_vec",
+            F.expr("row_number() OVER (ORDER BY cos_micro DESC, doc_id)"),
+        )
+        .withColumn(
+            "rrf_scaled",
+            F.expr("(CASE r_txt WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873 WHEN 4 THEN 15625 WHEN 5 THEN 15384 WHEN 6 THEN 15151 WHEN 7 THEN 14925 WHEN 8 THEN 14705 WHEN 9 THEN 14492 WHEN 10 THEN 14285 WHEN 11 THEN 14084 WHEN 12 THEN 13888 WHEN 13 THEN 13698 WHEN 14 THEN 13513 WHEN 15 THEN 13333 WHEN 16 THEN 13157 WHEN 17 THEN 12987 WHEN 18 THEN 12820 WHEN 19 THEN 12658 WHEN 20 THEN 12500 WHEN 21 THEN 12345 WHEN 22 THEN 12195 WHEN 23 THEN 12048 WHEN 24 THEN 11904 WHEN 25 THEN 11764 WHEN 26 THEN 11627 WHEN 27 THEN 11494 WHEN 28 THEN 11363 WHEN 29 THEN 11235 WHEN 30 THEN 11111 WHEN 31 THEN 10989 WHEN 32 THEN 10869 WHEN 33 THEN 10752 WHEN 34 THEN 10638 WHEN 35 THEN 10526 WHEN 36 THEN 10416 WHEN 37 THEN 10309 WHEN 38 THEN 10204 WHEN 39 THEN 10101 WHEN 40 THEN 10000 ELSE 0 END) + (CASE r_vec WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873 WHEN 4 THEN 15625 WHEN 5 THEN 15384 WHEN 6 THEN 15151 WHEN 7 THEN 14925 WHEN 8 THEN 14705 WHEN 9 THEN 14492 WHEN 10 THEN 14285 WHEN 11 THEN 14084 WHEN 12 THEN 13888 WHEN 13 THEN 13698 WHEN 14 THEN 13513 WHEN 15 THEN 13333 WHEN 16 THEN 13157 WHEN 17 THEN 12987 WHEN 18 THEN 12820 WHEN 19 THEN 12658 WHEN 20 THEN 12500 WHEN 21 THEN 12345 WHEN 22 THEN 12195 WHEN 23 THEN 12048 WHEN 24 THEN 11904 WHEN 25 THEN 11764 WHEN 26 THEN 11627 WHEN 27 THEN 11494 WHEN 28 THEN 11363 WHEN 29 THEN 11235 WHEN 30 THEN 11111 WHEN 31 THEN 10989 WHEN 32 THEN 10869 WHEN 33 THEN 10752 WHEN 34 THEN 10638 WHEN 35 THEN 10526 WHEN 36 THEN 10416 WHEN 37 THEN 10309 WHEN 38 THEN 10204 WHEN 39 THEN 10101 WHEN 40 THEN 10000 ELSE 0 END)").cast("bigint"),
+        )
+    )
+    win = Window.orderBy(F.desc("rrf_scaled"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            F.col("r_txt").cast("bigint").alias("r_txt"),
+            F.col("r_vec").cast("bigint").alias("r_vec"),
+            "rrf_scaled",
+        )
+    )
+
+
+_PREG["rrf_fusion"].oracle = f"""
+WITH rrf_txt AS ({search_ops.search_captions_oracle(SEARCH_QUERY, HYBRID_POOL)}),
+rrf_qe AS (
+  SELECT {similarity._QVEC_DUCK_D} AS qv,
+         list_dot_product({similarity._QVEC_DUCK_D}, {similarity._QVEC_DUCK_D}) AS nrm
+  FROM embeddings WHERE vec_id = 0
+),
+rrf_sc AS (
+  SELECT t.doc_id, t.score_micro,
+         CAST(floor(1e6 * list_dot_product(rrf_qe.qv, {similarity._QVEC_DUCK_D})
+              / sqrt(rrf_qe.nrm * list_dot_product({similarity._QVEC_DUCK_D}, {similarity._QVEC_DUCK_D}))) AS BIGINT)
+           AS cos_micro
+  FROM rrf_txt t JOIN embeddings e ON e.vec_id = t.doc_id CROSS JOIN rrf_qe
+),
+rrf_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_txt,
+         row_number() OVER (ORDER BY cos_micro DESC, doc_id) AS r_vec
+  FROM rrf_sc
+),
+rrf_f AS (
+  SELECT doc_id, r_txt, r_vec,
+         CAST((CASE r_txt WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873 WHEN 4 THEN 15625 WHEN 5 THEN 15384 WHEN 6 THEN 15151 WHEN 7 THEN 14925 WHEN 8 THEN 14705 WHEN 9 THEN 14492 WHEN 10 THEN 14285 WHEN 11 THEN 14084 WHEN 12 THEN 13888 WHEN 13 THEN 13698 WHEN 14 THEN 13513 WHEN 15 THEN 13333 WHEN 16 THEN 13157 WHEN 17 THEN 12987 WHEN 18 THEN 12820 WHEN 19 THEN 12658 WHEN 20 THEN 12500 WHEN 21 THEN 12345 WHEN 22 THEN 12195 WHEN 23 THEN 12048 WHEN 24 THEN 11904 WHEN 25 THEN 11764 WHEN 26 THEN 11627 WHEN 27 THEN 11494 WHEN 28 THEN 11363 WHEN 29 THEN 11235 WHEN 30 THEN 11111 WHEN 31 THEN 10989 WHEN 32 THEN 10869 WHEN 33 THEN 10752 WHEN 34 THEN 10638 WHEN 35 THEN 10526 WHEN 36 THEN 10416 WHEN 37 THEN 10309 WHEN 38 THEN 10204 WHEN 39 THEN 10101 WHEN 40 THEN 10000 ELSE 0 END) + (CASE r_vec WHEN 1 THEN 16393 WHEN 2 THEN 16129 WHEN 3 THEN 15873 WHEN 4 THEN 15625 WHEN 5 THEN 15384 WHEN 6 THEN 15151 WHEN 7 THEN 14925 WHEN 8 THEN 14705 WHEN 9 THEN 14492 WHEN 10 THEN 14285 WHEN 11 THEN 14084 WHEN 12 THEN 13888 WHEN 13 THEN 13698 WHEN 14 THEN 13513 WHEN 15 THEN 13333 WHEN 16 THEN 13157 WHEN 17 THEN 12987 WHEN 18 THEN 12820 WHEN 19 THEN 12658 WHEN 20 THEN 12500 WHEN 21 THEN 12345 WHEN 22 THEN 12195 WHEN 23 THEN 12048 WHEN 24 THEN 11904 WHEN 25 THEN 11764 WHEN 26 THEN 11627 WHEN 27 THEN 11494 WHEN 28 THEN 11363 WHEN 29 THEN 11235 WHEN 30 THEN 11111 WHEN 31 THEN 10989 WHEN 32 THEN 10869 WHEN 33 THEN 10752 WHEN 34 THEN 10638 WHEN 35 THEN 10526 WHEN 36 THEN 10416 WHEN 37 THEN 10309 WHEN 38 THEN 10204 WHEN 39 THEN 10101 WHEN 40 THEN 10000 ELSE 0 END) AS BIGINT) AS rrf_scaled
+  FROM rrf_r
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, CAST(r_txt AS BIGINT) AS r_txt,
+       CAST(r_vec AS BIGINT) AS r_vec, rrf_scaled
+FROM rrf_f QUALIFY rank <= 10
+"""
