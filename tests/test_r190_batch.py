@@ -510,3 +510,30 @@ def test_rrf_weights_match_formula(spark):
     # fused order is (rrf desc, doc_id) — verify the emitted ranking
     vals = list(zip(-got.rrf_scaled, got.doc_id))
     assert vals == sorted(vals)
+
+
+# --------------------------------------------------------------------- R206
+def test_occ_conflict_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.operators import trajectory  # noqa: F401
+    from tree_sitter_analyzer_spark.streaming.incremental import (
+        OCC_MOD_A, OCC_MOD_B, OCC_PART, occ_conflict_audit,
+    )
+
+    register_views(duck, SF_TINY)
+    ids = [r[0] for r in duck.sql("SELECT doc_id FROM documents").fetchall()]
+    parts: dict[int, list[int]] = {}
+    for d in ids:
+        p = parts.setdefault(int(d) // OCC_PART, [0, 0])
+        p[0] |= int(d) % OCC_MOD_A == 0
+        p[1] |= int(d) % OCC_MOD_B == 0
+    pa = sum(a for a, _ in parts.values())
+    pb = sum(b for _, b in parts.values())
+    nc = sum(a and b for a, b in parts.values())
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    r = occ_conflict_audit(docs).toPandas().iloc[0]
+    assert (int(r.parts_total), int(r.parts_a), int(r.parts_b),
+            int(r.n_conflict)) == (len(parts), pa, pb, nc)
+    assert int(r.n_conflict) <= min(pa, pb)
+    assert 0 < int(r.n_conflict) < len(parts)  # varied, not degenerate
+    assert int(r.must_retry) == 1

@@ -4041,3 +4041,20 @@ def q_chi2_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(chi2_milli > 12592 AS BIGINT) AS reject05",
         )
     )
+
+
+@register(
+    "occ_conflict_audit",
+    _inc2.occ_conflict_oracle(),
+    doc="Optimistic-concurrency conflict audit (the Iceberg/Delta "
+    "snapshot-isolation commit check): two deterministic concurrent "
+    "writers reduce to their 8-doc partition touch-sets, conflicts = "
+    "partitions touched by both, and the "
+    "second committer must retry iff any exist. Row-level edits never "
+    "join — validation cost is O(partitions), the point of partition-"
+    "level conflict detection at 100 TB.",
+)
+def q_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _inc2.occ_conflict_audit(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )

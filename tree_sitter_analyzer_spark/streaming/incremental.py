@@ -133,3 +133,66 @@ SELECT source, part, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(hb) AS BIGINT) AS digest_b,
        CAST(bit_xor(ha) <> bit_xor(hb) AS BIGINT) AS changed
 FROM mk_h GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# R206: optimistic-concurrency conflict audit — the snapshot-isolation
+# validation every lakehouse commit protocol runs (Iceberg/Delta
+# optimistic writers): two deterministic concurrent "transactions"
+# (A edits doc_id % 13 rows, B edits doc_id % 17 rows) are reduced to
+# their PARTITION TOUCH-SETS (8-doc partitions — finer than merkle's
+# 64 so the audit reads real variation, not all-conflict),
+# and the commit check is pure set algebra on the partition-count-
+# sized frames: partitions touched by both writers conflict, and the
+# second committer must retry iff any exist. Row-level edits never
+# join — the validation cost is O(partitions), which is the entire
+# point of partition-level conflict detection at 100 TB.
+# ---------------------------------------------------------------------------
+
+OCC_MOD_A = 13
+OCC_MOD_B = 17
+OCC_PART = 8   # finer than merkle's 64: an 8-doc partition is touched
+               # by writer A with prob ~0.47, by both with ~0.2 — the
+               # audit reads real variation instead of all-conflict
+
+
+def occ_conflict_audit(docs: DataFrame) -> DataFrame:
+    """One row: (parts_total, parts_a, parts_b, n_conflict,
+    conflict_pm, must_retry)."""
+    parts = docs.selectExpr(
+        f"doc_id DIV {OCC_PART} AS part",
+        f"CAST(doc_id % {OCC_MOD_A} = 0 AS BIGINT) AS ta",
+        f"CAST(doc_id % {OCC_MOD_B} = 0 AS BIGINT) AS tb",
+    ).groupBy("part").agg(
+        F.expr("CAST(max(ta) AS BIGINT) AS touched_a"),
+        F.expr("CAST(max(tb) AS BIGINT) AS touched_b"),
+    )
+    return parts.groupBy().agg(
+        F.expr("CAST(count(*) AS BIGINT) AS parts_total"),
+        F.expr("CAST(sum(touched_a) AS BIGINT) AS parts_a"),
+        F.expr("CAST(sum(touched_b) AS BIGINT) AS parts_b"),
+        F.expr(
+            "CAST(sum(touched_a * touched_b) AS BIGINT) AS n_conflict"
+        ),
+    ).selectExpr(
+        "parts_total", "parts_a", "parts_b", "n_conflict",
+        "(1000 * n_conflict) DIV parts_total AS conflict_pm",
+        "CAST(n_conflict > 0 AS BIGINT) AS must_retry",
+    )
+
+
+def occ_conflict_oracle() -> str:
+    return f"""
+WITH occ_p AS (
+  SELECT doc_id // {OCC_PART} AS part,
+         max(CAST(doc_id % {OCC_MOD_A} = 0 AS INT)) AS touched_a,
+         max(CAST(doc_id % {OCC_MOD_B} = 0 AS INT)) AS touched_b
+  FROM documents GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS parts_total,
+       CAST(sum(touched_a) AS BIGINT) AS parts_a,
+       CAST(sum(touched_b) AS BIGINT) AS parts_b,
+       CAST(sum(touched_a * touched_b) AS BIGINT) AS n_conflict,
+       CAST((1000 * sum(touched_a * touched_b)) // count(*) AS BIGINT)
+         AS conflict_pm,
+       CAST(sum(touched_a * touched_b) > 0 AS BIGINT) AS must_retry
+FROM occ_p"""
