@@ -4058,3 +4058,438 @@ def q_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _inc2.occ_conflict_audit(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
+
+
+# --- R207: matrix profile over the daily revenue series -------------------------
+#
+# Keogh's matrix profile (Yeh et al. 2016, ICDM) — the modern
+# time-series primitive: for every length-7 window of the
+# zero-densified daily order-revenue series, the distance to its
+# nearest non-trivial neighbor window. Peaks are DISCORDS (anomalous
+# weeks: nothing else looks like them), valleys are MOTIFS (repeated
+# weekly patterns). Done EXACTLY in integers: daily revenue in whole
+# dollars (bigint), raw squared euclidean distance between window
+# vectors (no z-normalization — the z-normed variant needs float
+# means; the raw-distance profile is the published MASS-free exact
+# form), trivial matches excluded by |i-j| >= m/2. Scale: the pair fan
+# is CALENDAR-bounded (days², never rows²) — the orders table
+# aggregates to the bounded day dimension first with map-side partial
+# agg; windows/rankings run on that ~2.4k-row frame. At SF where daily
+# dollars exceed ~1e9, rescale to kilodollars to keep diff² sums in
+# bigint.
+
+_DAY_US = 86400000000
+_MP_SQ = " + ".join(
+    f"(a.v{k} - b.v{k}) * (a.v{k} - b.v{k})" for k in range(7)
+)
+
+
+@register(
+    "matrix_profile_daily",
+    f"""
+WITH mp_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+mp_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM mp_daily),
+mp_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM mp_cal c LEFT JOIN mp_daily d ON d.day = c.day),
+mp_w AS (
+  SELECT day,
+         v AS v0,
+         lead(v, 1) OVER (ORDER BY day) AS v1,
+         lead(v, 2) OVER (ORDER BY day) AS v2,
+         lead(v, 3) OVER (ORDER BY day) AS v3,
+         lead(v, 4) OVER (ORDER BY day) AS v4,
+         lead(v, 5) OVER (ORDER BY day) AS v5,
+         lead(v, 6) OVER (ORDER BY day) AS v6
+  FROM mp_s),
+mp_win AS (SELECT * FROM mp_w WHERE v6 IS NOT NULL),
+mp_pairs AS (
+  SELECT a.day AS di, b.day AS dj, {_MP_SQ} AS dist
+  FROM mp_win a JOIN mp_win b ON abs(a.day - b.day) >= 4),
+mp_prof AS (
+  SELECT di AS day, min(dist) AS pdist FROM mp_pairs GROUP BY 1),
+mp_nn AS (
+  SELECT p.day, p.pdist, min(q.dj) AS nn_day
+  FROM mp_prof p JOIN mp_pairs q
+    ON q.di = p.day AND q.dist = p.pdist
+  GROUP BY 1, 2),
+mp_rank AS (
+  SELECT 'discord' AS kind,
+         row_number() OVER (ORDER BY pdist DESC, day) AS rnk,
+         day, nn_day, pdist
+  FROM mp_nn
+  UNION ALL
+  SELECT 'motif',
+         row_number() OVER (ORDER BY pdist ASC, day),
+         day, nn_day, pdist
+  FROM mp_nn)
+SELECT kind, CAST(rnk AS BIGINT) AS rank, CAST(day AS BIGINT) AS day,
+       CAST(nn_day AS BIGINT) AS nn_day, CAST(pdist AS BIGINT) AS dist
+FROM mp_rank WHERE rnk <= 5
+""",
+    doc="Exact integer matrix profile (Yeh 2016) over the zero-densified "
+    "daily order-revenue series, window m=7, trivial-match exclusion "
+    "|i-j| >= m/2: top-5 discords (anomalous weeks) and top-5 motifs "
+    "(most-repeated weekly patterns) with their nearest-neighbor day "
+    "and raw squared distance in whole dollars. Pair fan is "
+    "calendar-bounded (days^2, never rows^2); the fact table reduces "
+    "to the day dimension with map-side partial agg first.",
+)
+def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    # windows + rankings live on the bounded calendar dimension (~2.4k
+    # rows) — the single-partition window is dimension-sized by design.
+    lead_cols = ["day", "v AS v0"] + [
+        f"lead(v, {k}) OVER (ORDER BY day) AS v{k}" for k in range(1, 7)
+    ]
+    win = (
+        s.selectExpr(*lead_cols)
+        .where("v6 IS NOT NULL")
+        .localCheckpoint(eager=False)
+    )
+    a = win.selectExpr(
+        "day AS di", *[f"v{k} AS av{k}" for k in range(7)]
+    )
+    b = win.selectExpr(
+        "day AS dj", *[f"v{k} AS bv{k}" for k in range(7)]
+    )
+    sq = " + ".join(
+        f"(av{k} - bv{k}) * (av{k} - bv{k})" for k in range(7)
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where("abs(di - dj) >= 4")
+        .selectExpr("di", "dj", f"{sq} AS dist")
+        .localCheckpoint(eager=False)
+    )
+    prof = pairs.groupBy("di").agg(F.min("dist").alias("pdist"))
+    nn = (
+        prof.join(
+            pairs,
+            (prof["di"] == pairs["di"]) & (prof["pdist"] == pairs["dist"]),
+        )
+        .groupBy(prof["di"].alias("day"), "pdist")
+        .agg(F.min("dj").alias("nn_day"))
+    )
+    ranked = nn.selectExpr(
+        "'discord' AS kind",
+        "row_number() OVER (ORDER BY pdist DESC, day) AS rnk",
+        "day", "nn_day", "pdist",
+    ).unionByName(
+        nn.selectExpr(
+            "'motif' AS kind",
+            "row_number() OVER (ORDER BY pdist ASC, day) AS rnk",
+            "day", "nn_day", "pdist",
+        )
+    )
+    return ranked.where("rnk <= 5").selectExpr(
+        "kind", "CAST(rnk AS BIGINT) AS rank", "CAST(day AS BIGINT) AS day",
+        "CAST(nn_day AS BIGINT) AS nn_day", "CAST(pdist AS BIGINT) AS dist",
+    )
+
+
+# --- R208: Mann-Kendall trend test + Theil-Sen slope ----------------------------
+#
+# The nonparametric monotone-trend standard (Mann 1945, Kendall 1975;
+# Sen 1968) over the same zero-densified daily revenue series: S =
+# SUM over day pairs i<j of sign(v_j - v_i); tie-corrected variance
+# 18*Var = n(n-1)(2n+5) - SUM_t t(t-1)(2t+5); the alpha=0.05 decision
+# cross-multiplied with the continuity correction (|S|-1)^2:
+#   reject <=> 180000*(|S|-1)^2 > 38416 * var18.
+# Theil-Sen slope = exact weighted median (crossing rule) of the
+# per-pair slopes floor(1000*(v_j-v_i)/(d_j-d_i)) — the float divide
+# is deterministic cross-engine (integer-valued rationals divide
+# exactly in IEEE; non-integers sit >= 1/2400 from the floor
+# boundary). Pair fan is calendar-bounded (days^2).
+
+
+@register(
+    "trend_mk",
+    f"""
+WITH mk_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+mk_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM mk_daily),
+mk_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM mk_cal c LEFT JOIN mk_daily d ON d.day = c.day),
+mk_pairs AS (
+  SELECT CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+           AS sgn,
+         CAST(floor(1000e0 * (b.v - a.v) / (b.day - a.day)) AS BIGINT)
+           AS slope_milli
+  FROM mk_s a JOIN mk_s b ON b.day > a.day),
+mk_stat AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM mk_pairs),
+mk_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mk_s),
+mk_ties AS (
+  SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+           AS tsum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM mk_s GROUP BY v)
+  WHERE t > 1),
+mk_h AS (
+  SELECT slope_milli, CAST(count(*) AS BIGINT) AS cnt
+  FROM mk_pairs GROUP BY 1),
+mk_c AS (
+  SELECT slope_milli,
+         sum(cnt) OVER (ORDER BY slope_milli
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS tot
+  FROM mk_h),
+mk_med AS (
+  SELECT min(slope_milli) AS sen_slope_milli FROM mk_c
+  WHERE 2 * cum >= tot)
+SELECT n.n AS n_days, st.s_stat,
+       n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum AS var18,
+       m.sen_slope_milli,
+       CAST(180000 * greatest(abs(st.s_stat) - 1, 0)
+              * greatest(abs(st.s_stat) - 1, 0)
+            > 38416 * (n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum)
+          AS BIGINT) AS reject05,
+       CASE
+         WHEN 180000 * greatest(abs(st.s_stat) - 1, 0)
+                * greatest(abs(st.s_stat) - 1, 0)
+              <= 38416 * (n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum)
+           THEN 'no-trend'
+         WHEN st.s_stat > 0 THEN 'increasing' ELSE 'decreasing'
+       END AS verdict
+FROM mk_stat st, mk_n n, mk_ties t, mk_med m
+""",
+    doc="Mann-Kendall monotone-trend test with tie-corrected variance "
+    "and continuity correction, alpha=0.05 decision fully "
+    "cross-multiplied (no float Z), plus the exact Theil-Sen median "
+    "slope (milli-dollars/day) via the weighted-median crossing rule "
+    "over the per-pair slope histogram. Pair fan is calendar-bounded; "
+    "the fact table reduces to the day dimension first.",
+)
+def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = (
+        cal.join(daily, "day", "left")
+        .selectExpr("day", "coalesce(v, CAST(0 AS BIGINT)) AS v")
+        .localCheckpoint(eager=False)
+    )
+    a = s.selectExpr("day AS da", "v AS va")
+    b = s.selectExpr("day AS db", "v AS vb")
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where("db > da")
+        .selectExpr(
+            "CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END"
+            " AS sgn",
+            "CAST(floor(1000e0 * (vb - va) / (db - da)) AS BIGINT)"
+            " AS slope_milli",
+        )
+        .localCheckpoint(eager=False)
+    )
+    stat = pairs.agg(F.expr("CAST(sum(sgn) AS BIGINT) AS s_stat"))
+    n = s.agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+    ties = (
+        s.groupBy("v")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS t"))
+        .where("t > 1")
+        .agg(
+            F.expr(
+                "coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT),"
+                " 0) AS tsum"
+            )
+        )
+    )
+    med = (
+        pairs.groupBy("slope_milli")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
+        .selectExpr(
+            "slope_milli",
+            "sum(cnt) OVER (ORDER BY slope_milli ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS cum",
+            "sum(cnt) OVER () AS tot",
+        )
+        .where("2 * cum >= tot")
+        .agg(F.expr("min(slope_milli) AS sen_slope_milli"))
+    )
+    return (
+        stat.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .selectExpr(
+            "n AS n_days", "s_stat",
+            "n * (n - 1) * (2 * n + 5) - tsum AS var18",
+            "sen_slope_milli",
+            "CAST(180000 * greatest(abs(s_stat) - 1, 0)"
+            " * greatest(abs(s_stat) - 1, 0)"
+            " > 38416 * (n * (n - 1) * (2 * n + 5) - tsum) AS BIGINT)"
+            " AS reject05",
+            "CASE WHEN 180000 * greatest(abs(s_stat) - 1, 0)"
+            " * greatest(abs(s_stat) - 1, 0)"
+            " <= 38416 * (n * (n - 1) * (2 * n + 5) - tsum)"
+            " THEN 'no-trend' WHEN s_stat > 0 THEN 'increasing'"
+            " ELSE 'decreasing' END AS verdict",
+        )
+    )
+
+
+# --- R209: Kaplan-Meier survival curve -------------------------------------------
+#
+# The product-limit estimator (Kaplan & Meier 1958) on the classic
+# product-analytics survival question: time from a user's FIRST view
+# to their first subsequent purchase, right-censored at a 120-hour
+# horizon (and by the end of the observation window, whichever comes
+# first) — the mixed event/censor structure KM exists for. Per event
+# hour: exact at-risk and event counts (bigints); S(t) emitted as
+# floor(1e6 * prod (n_i-d_i)/n_i) via the deterministic ROWS-ordered
+# exp-sum-ln fold (both engines fold identical doubles in identical
+# order; the 1e-6 grid sits ~1e8 x above the accumulated ULP error),
+# plus the integer-exact Nelson-Aalen cumulative hazard floor(1e6*d/n)
+# summed as bigints. Scale: per-user firsts are one user-keyed
+# map-side-partial agg; the KM table lives on the bounded <=121-row
+# hour dimension.
+
+_HOUR_US = 3600000000
+
+
+@register(
+    "kaplan_meier",
+    f"""
+WITH km_fv AS (
+  SELECT user_id, min(ts) AS fv
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+km_end AS (SELECT max(ts) AS tend FROM events),
+km_fp AS (
+  SELECT e.user_id, min(e.ts) AS fp
+  FROM events e JOIN km_fv v ON v.user_id = e.user_id AND e.ts > v.fv
+  WHERE e.event_type = 'purchase' GROUP BY 1),
+km_obs AS (
+  SELECT v.user_id,
+         date_diff('microsecond', v.fv, p.fp) // {3600000000} AS raw_t,
+         date_diff('microsecond', v.fv, x.tend) // {3600000000} AS span
+  FROM km_fv v CROSS JOIN km_end x
+  LEFT JOIN km_fp p ON p.user_id = v.user_id),
+km_tc AS (
+  SELECT CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND raw_t <= span
+              THEN raw_t ELSE least(120, span) END AS t,
+         CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND raw_t <= span
+              THEN 1 ELSE 0 END AS ev
+  FROM km_obs),
+km_h AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM km_tc GROUP BY 1),
+km_r AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - d - c AS removed,
+         sum(d + c) OVER () AS total
+  FROM km_h)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(total - removed AS BIGINT) AS n_risk,
+       d AS d_events, c AS c_censored,
+       CAST(floor(1e6 * exp(sum(ln(
+           CAST(total - removed - d AS DOUBLE) / (total - removed)))
+         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW))) AS BIGINT) AS s_micro,
+       CAST(sum((1000000 * d) // (total - removed))
+         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS na_micro
+FROM km_r
+""",
+    doc="Kaplan-Meier product-limit survival curve for view-to-purchase "
+    "conversion, right-censored at a 120-hour horizon and at the end "
+    "of the observation window: exact at-risk/event/censor counts per "
+    "hour, S(t) as floor(1e6 * product) via the deterministic "
+    "ROWS-ordered exp-sum-ln fold, and the integer-exact Nelson-Aalen "
+    "cumulative hazard. Per-user firsts are one user-keyed map-side-"
+    "partial agg; the KM table lives on the bounded hour dimension.",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").localCheckpoint(eager=False)
+    fv = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    end = ev.agg(F.max("ts").alias("tend"))
+    fp = (
+        ev.where("event_type = 'purchase'")
+        .join(fv, "user_id")
+        .where("ts > fv")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    obs = (
+        fv.crossJoin(F.broadcast(end))
+        .join(fp, "user_id", "left")
+        .selectExpr(
+            f"timestampdiff(MICROSECOND, fv, fp) DIV 3600000000 AS raw_t",
+            f"timestampdiff(MICROSECOND, fv, tend) DIV 3600000000 AS span",
+        )
+    )
+    h = (
+        obs.selectExpr(
+            "CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND"
+            " raw_t <= span THEN raw_t ELSE least(120, span) END AS t",
+            "CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND"
+            " raw_t <= span THEN 1 ELSE 0 END AS ev",
+        )
+        .groupBy("t")
+        .agg(
+            F.expr("CAST(sum(ev) AS BIGINT)").alias("d"),
+            F.expr("CAST(sum(1 - ev) AS BIGINT)").alias("c"),
+        )
+    )
+    r = h.selectExpr(
+        "t", "d", "c",
+        "sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) - d - c AS removed",
+        "sum(d + c) OVER () AS total",
+    )
+    return r.selectExpr(
+        "CAST(t AS BIGINT) AS t",
+        "CAST(total - removed AS BIGINT) AS n_risk",
+        "d AS d_events", "c AS c_censored",
+        "CAST(floor(1e6 * exp(sum(ln(CAST(total - removed - d AS DOUBLE)"
+        " / (total - removed))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW))) AS BIGINT) AS s_micro",
+        "CAST(sum((1000000 * d) DIV (total - removed)) OVER (ORDER BY t"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS na_micro",
+    )
