@@ -476,3 +476,249 @@ rf_h AS (
 SELECT CAST(z.qi AS BIGINT) AS qi, z.n_cells, z.z_runs, h.h_runs,
        (1000 * h.h_runs) // z.z_runs AS frag_ratio_pm
 FROM rf_z z JOIN rf_h h ON h.qi = z.qi"""
+
+
+# ---------------------------------------------------------------------------
+# R210: zone-map pruning audit (file skipping under two layouts)
+# ---------------------------------------------------------------------------
+#
+# The reason the layout family exists, measured end-to-end: parquet/
+# Iceberg scans skip a file when the query's range predicate is disjoint
+# from the file's min/max column statistics ("zone maps"). This audit
+# materializes those statistics for an equal-frequency 64-file split of
+# the tiles table under (a) Z-order layout and (b) insertion order, runs
+# a fixed 6-query bbox workload against them, and reports exactly how
+# many files and rows each layout forces the scan to touch vs the true
+# match count. The recorded gap IS the I/O win OPTIMIZE ZORDER buys at
+# 10^12 rows. Scale: file stats are a 64-row dimension per layout; the
+# workload join is literal-sized; the true-match counts are one
+# predicate scan with map-side partial agg.
+
+PRUNE_N_FILES = 64
+# (qid, ix0, ix1, iy0, iy1) at res 9 — two hotspot boxes, a wide
+# lat-band, a tall lon-band, a quadrant, and an empty box east of the
+# data extent (pruning must drop ALL files for it).
+PRUNE_WORKLOAD = [
+    (1, 163642, 163648, 64242, 64248),
+    (2, 163755, 163771, 64350, 64366),
+    (3, 163584, 163891, 64300, 64315),
+    (4, 163700, 163715, 64204, 64460),
+    (5, 163584, 163737, 64204, 64332),
+    (6, 163900, 163920, 64204, 64460),
+]
+
+
+def _workload_stack() -> str:
+    rows = ", ".join(
+        f"{q}, {x0}, {x1}, {y0}, {y1}" for q, x0, x1, y0, y1 in PRUNE_WORKLOAD
+    )
+    return (
+        f"stack({len(PRUNE_WORKLOAD)}, {rows})"
+        " AS (qid, qx0, qx1, qy0, qy1)"
+    )
+
+
+def zonemap_prune_audit(
+    tiles: DataFrame, n_files: int = PRUNE_N_FILES, res: int = LAYOUT_RES
+) -> DataFrame:
+    """(layout, qid, files_scanned, files_total, rows_scanned,
+    rows_matched) — integer-exact file-skipping audit."""
+    spark = tiles.sparkSession
+    base = tiles.select(
+        "i",
+        grid.ix_col("lon", res).alias("ix"),
+        grid.iy_col("lat", res).alias("iy"),
+        morton_col("lon", "lat", res).alias("zkey"),
+    ).localCheckpoint(eager=False)
+    wl = F.broadcast(spark.range(1).selectExpr(_workload_stack()))
+    truth = (
+        wl.crossJoin(base)
+        .where("ix >= qx0 AND ix <= qx1 AND iy >= qy0 AND iy <= qy1")
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("rows_matched"))
+    )
+    out = []
+    for lay, order in (("zorder", ["zkey", "i"]), ("by_id", ["i"])):
+        w = F.ntile(n_files).over(Window.orderBy(*[F.col(c) for c in order]))
+        fstats = (
+            base.withColumn("f", w)
+            .groupBy("f")
+            .agg(
+                F.min("ix").alias("fx0"), F.max("ix").alias("fx1"),
+                F.min("iy").alias("fy0"), F.max("iy").alias("fy1"),
+                F.count("*").cast("bigint").alias("n_rows"),
+            )
+        )
+        out.append(
+            fstats.crossJoin(wl)
+            .groupBy("qid")
+            .agg(
+                F.expr(
+                    "CAST(sum(CASE WHEN fx1 >= qx0 AND fx0 <= qx1 AND"
+                    " fy1 >= qy0 AND fy0 <= qy1 THEN 1 ELSE 0 END)"
+                    " AS BIGINT)"
+                ).alias("files_scanned"),
+                F.count("*").cast("bigint").alias("files_total"),
+                F.expr(
+                    "CAST(sum(CASE WHEN fx1 >= qx0 AND fx0 <= qx1 AND"
+                    " fy1 >= qy0 AND fy0 <= qy1 THEN n_rows ELSE 0 END)"
+                    " AS BIGINT)"
+                ).alias("rows_scanned"),
+            )
+            .withColumn("layout", F.lit(lay))
+        )
+    return (
+        out[0].unionByName(out[1])
+        .join(F.broadcast(truth), "qid", "left")
+        .selectExpr(
+            "layout", "CAST(qid AS BIGINT) AS qid", "files_scanned",
+            "files_total", "rows_scanned",
+            "coalesce(rows_matched, CAST(0 AS BIGINT)) AS rows_matched",
+        )
+    )
+
+
+def zonemap_prune_oracle_sql(
+    n_files: int = PRUNE_N_FILES, res: int = LAYOUT_RES
+) -> str:
+    """Identical arithmetic in DuckDB (requires the tiles CTE)."""
+    z = morton_sql("lon", "lat", res)
+    ix = grid.ix_sql("lon", res)
+    iy = grid.iy_sql("lat", res)
+    vals = ", ".join(
+        f"({q}, {x0}, {x1}, {y0}, {y1})"
+        for q, x0, x1, y0, y1 in PRUNE_WORKLOAD
+    )
+    return f"""
+zp_keyed AS (
+  SELECT i, {ix} AS ix, {iy} AS iy, {z} AS zkey FROM tiles),
+zp_wl(qid, qx0, qx1, qy0, qy1) AS (VALUES {vals}),
+zp_truth AS (
+  SELECT w.qid, CAST(count(*) AS BIGINT) AS rows_matched
+  FROM zp_wl w JOIN zp_keyed k
+    ON k.ix >= w.qx0 AND k.ix <= w.qx1
+   AND k.iy >= w.qy0 AND k.iy <= w.qy1
+  GROUP BY 1),
+zp_zf AS (
+  SELECT ntile({n_files}) OVER (ORDER BY zkey, i) AS f, ix, iy
+  FROM zp_keyed),
+zp_if AS (
+  SELECT ntile({n_files}) OVER (ORDER BY i) AS f, ix, iy
+  FROM zp_keyed),
+zp_zs AS (
+  SELECT f, min(ix) AS fx0, max(ix) AS fx1, min(iy) AS fy0,
+         max(iy) AS fy1, CAST(count(*) AS BIGINT) AS n_rows
+  FROM zp_zf GROUP BY 1),
+zp_is AS (
+  SELECT f, min(ix) AS fx0, max(ix) AS fx1, min(iy) AS fy0,
+         max(iy) AS fy1, CAST(count(*) AS BIGINT) AS n_rows
+  FROM zp_if GROUP BY 1),
+zp_agg AS (
+  SELECT 'zorder' AS layout, w.qid,
+         CAST(sum(CASE WHEN s.fx1 >= w.qx0 AND s.fx0 <= w.qx1
+                        AND s.fy1 >= w.qy0 AND s.fy0 <= w.qy1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN s.fx1 >= w.qx0 AND s.fx0 <= w.qx1
+                        AND s.fy1 >= w.qy0 AND s.fy0 <= w.qy1
+                   THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM zp_zs s CROSS JOIN zp_wl w GROUP BY 2
+  UNION ALL
+  SELECT 'by_id', w.qid,
+         CAST(sum(CASE WHEN s.fx1 >= w.qx0 AND s.fx0 <= w.qx1
+                        AND s.fy1 >= w.qy0 AND s.fy0 <= w.qy1
+                   THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN s.fx1 >= w.qx0 AND s.fx0 <= w.qx1
+                        AND s.fy1 >= w.qy0 AND s.fy0 <= w.qy1
+                   THEN s.n_rows ELSE 0 END) AS BIGINT)
+  FROM zp_is s CROSS JOIN zp_wl w GROUP BY 2)
+SELECT a.layout, CAST(a.qid AS BIGINT) AS qid, a.files_scanned,
+       a.files_total, a.rows_scanned,
+       coalesce(t.rows_matched, 0) AS rows_matched
+FROM zp_agg a LEFT JOIN zp_truth t ON t.qid = a.qid
+"""
+
+
+# ---------------------------------------------------------------------------
+# R211: space-filling-curve range decomposition (scan planning)
+# ---------------------------------------------------------------------------
+#
+# The S2/quadkey "covering" primitive: translate a bbox predicate into
+# the minimal set of CONTIGUOUS key ranges on a space-filling curve, so
+# a curve-sorted table serves the bbox with a handful of sequential
+# range scans instead of per-cell point lookups. Computed for BOTH
+# curves over the same bbox: enumerate the bbox's cells (a bounded
+# dimension frame), key each cell (Hilbert via the 18-step state
+# machine; Morton via bit interleaving), sort, and merge consecutive
+# keys gaps-and-islands style. Hilbert's unit-step continuity yields
+# materially fewer ranges than Z-order's diagonal jumps — the recorded
+# range counts ARE that claim. Scale: the frame is bbox-area-sized;
+# the emitted ranges become key-range predicates against the
+# write_zordered layout's parquet min/max stats.
+
+RANGE_BBOX = (163640, 163679, 64240, 64279)  # 40x40 cells at res 9
+
+
+def curve_range_plan(spark, bbox=RANGE_BBOX, k: int = HIL_K) -> DataFrame:
+    x0, x1, y0, y1 = bbox
+    cells = spark.range(1).selectExpr(
+        f"explode(sequence({x0}, {x1})) AS ix"
+    ).selectExpr("ix", f"explode(sequence({y0}, {y1})) AS iy")
+    hk = hilbert_cells(cells, k).selectExpr(
+        "'hilbert' AS curve", "hkey AS key"
+    )
+    zk = cells.selectExpr(
+        "'zorder' AS curve", f"{morton_xy_sql('ix', 'iy')} AS key"
+    )
+    keyed = hk.unionByName(zk)
+    isl = keyed.selectExpr(
+        "curve", "key",
+        "CASE WHEN key = lag(key) OVER (PARTITION BY curve ORDER BY key)"
+        " + 1 THEN 0 ELSE 1 END AS brk",
+    ).selectExpr(
+        "curve", "key",
+        "sum(brk) OVER (PARTITION BY curve ORDER BY key"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid",
+    )
+    return (
+        isl.groupBy("curve", "rid")
+        .agg(
+            F.expr("CAST(min(key) AS BIGINT) AS k0"),
+            F.expr("CAST(max(key) AS BIGINT) AS k1"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+        .selectExpr(
+            "curve", "CAST(rid AS BIGINT) AS range_id", "k0", "k1",
+            "n_cells",
+        )
+    )
+
+
+def curve_range_plan_oracle(bbox=RANGE_BBOX, k: int = HIL_K) -> str:
+    x0, x1, y0, y1 = bbox
+    return f"""
+WITH cells AS (
+  SELECT x.ix, y.iy
+  FROM (SELECT unnest(range({x0}, {x1 + 1})) AS ix) x
+  CROSS JOIN (SELECT unnest(range({y0}, {y1 + 1})) AS iy) y),
+{hilbert_oracle_cte(k)},
+crp_keyed AS (
+  SELECT 'hilbert' AS curve, hkey AS key FROM hkeys
+  UNION ALL
+  SELECT 'zorder', {morton_xy_sql('ix', 'iy')} FROM cells),
+crp_brk AS (
+  SELECT curve, key,
+         CASE WHEN key = lag(key) OVER (PARTITION BY curve ORDER BY key)
+                + 1 THEN 0 ELSE 1 END AS brk
+  FROM crp_keyed),
+crp_isl AS (
+  SELECT curve, key,
+         sum(brk) OVER (PARTITION BY curve ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM crp_brk)
+SELECT curve, CAST(rid AS BIGINT) AS range_id,
+       CAST(min(key) AS BIGINT) AS k0, CAST(max(key) AS BIGINT) AS k1,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM crp_isl GROUP BY 1, 2
+"""

@@ -2067,3 +2067,40 @@ def q_pip_annulus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join.pip_annulus(
         _tiles(spark, sf_dir), _syn.zones_df(spark)
     )
+
+
+# --- R210: zone-map pruning audit ---------------------------------------------
+
+@register(
+    "zonemap_prune",
+    f"{_CTES},\n{layout_ops.zonemap_prune_oracle_sql()}".replace(
+        "WITH ", "WITH ", 1
+    ),
+    doc="File-skipping audit: per-file (min,max) zone maps for an "
+    "equal-frequency 64-file split of the tiles table under Z-order vs "
+    "insertion-order layout, run against a fixed 6-query bbox workload "
+    "(hotspot boxes, wide/tall bands, a quadrant, an empty box): files "
+    "and rows each layout forces the scan to touch vs the true match "
+    "count. The recorded gap is the I/O win OPTIMIZE ZORDER buys at "
+    "10^12 rows; the production path is layout.write_zordered.",
+)
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_ops.zonemap_prune_audit(_tiles(spark, sf_dir))
+
+
+# --- R211: space-filling-curve range decomposition ------------------------------
+
+@register(
+    "curve_range_plan",
+    layout_ops.curve_range_plan_oracle(),
+    doc="S2-style bbox covering: the 40x40-cell query box decomposed "
+    "into minimal contiguous key ranges on BOTH curves — Hilbert (18-"
+    "step state machine) and Z-order (bit interleave) — via gaps-and-"
+    "islands merge over the keyed cell frame. Hilbert's unit-step "
+    "continuity yields materially fewer ranges than Z-order's diagonal "
+    "jumps; the emitted ranges become key-range predicates against the "
+    "curve-sorted layout's parquet min/max stats. The frame is bbox-"
+    "area-sized — never data-sized.",
+)
+def q_curve_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_ops.curve_range_plan(spark)
