@@ -928,3 +928,331 @@ SELECT d.source_a, d.source_b,
 FROM ss_dots d
 JOIN ss_nrm na ON na.source = d.source_a
 JOIN ss_nrm nb ON nb.source = d.source_b"""
+
+
+# --- R212: kNN label-noise detection (confident-learning-lite) ---------------
+#
+# The training-data hygiene op (Northcutt 2021 "confident learning"
+# shape, kNN-vote form): a point whose k nearest neighbors
+# predominantly carry a DIFFERENT label is a label-noise suspect.
+# Candidates come from the same pigeonhole sign-LSH band EQUI-join the
+# dedup tier uses (signature IS the join key — no all-pairs scan);
+# exact integer-cosine verify + top-k per point; majority vote with
+# deterministic (count DESC, label ASC) tie-break. Points with no
+# hamming<=h candidate vote as -1 (isolated). Fully deterministic —
+# the oracle replicates the candidate set itself via the same
+# md5-seeded signatures.
+
+VOTE_K = 5
+VOTE_MAX_HAMMING = 3
+
+
+def knn_label_noise(
+    emb: DataFrame, k: int = VOTE_K, max_hamming: int = VOTE_MAX_HAMMING
+) -> DataFrame:
+    """(own_label, voted_label, n_points) — the kNN-vote label confusion
+    matrix; off-diagonal mass = noise suspects."""
+    from .dedup import band_layout
+
+    q = _quantized(emb)
+    dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
+    sig = q.withColumn("sig", F.expr(_sig_expr(dim_probe)))
+    bands = max_hamming + 1
+    banded = sig.select(
+        "vec_id", "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('b', {i}, 'v', "
+                        f"(shiftright(sig, {shift}) & {(1 << width) - 1}))"
+                    )
+                    for i, (shift, width) in enumerate(
+                        band_layout(N_PLANES, bands)
+                    )
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "vec_id", "sig",
+        F.col("band.b").alias("b"), F.col("band.v").alias("v"),
+    )
+    ba = banded.toDF("ia", "sig_a", "b", "v")
+    bb = banded.toDF("ib", "sig_b", "b", "v")
+    cand = (
+        ba.join(bb, ["b", "v"])
+        .where("ia <> ib")
+        .select("ia", "ib", "sig_a", "sig_b")
+        .dropDuplicates(["ia", "ib"])
+        .where(F.expr(f"bit_count(sig_a ^ sig_b) <= {max_hamming}"))
+        .select("ia", "ib")
+    )
+    va = q.selectExpr("vec_id AS ia", "qv AS qa", "nrm AS qn")
+    vb = q.selectExpr("vec_id AS ib", "qv AS ca", "nrm AS cn")
+    scored = (
+        cand.join(va, "ia").join(vb, "ib")
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cos_micro",
+            F.expr(
+                "CAST(floor(1e6 * dot / sqrt(CAST(qn AS DOUBLE) * cn))"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY ia"
+                " ORDER BY cos_micro DESC, ib)"
+            ),
+        )
+        .where(F.col("rk") <= k)
+        .select("ia", "ib")
+    )
+    lab = emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+    votes = (
+        scored.join(lab.selectExpr("vec_id AS ib", "label AS nb_label"), "ib")
+        .groupBy("ia", "nb_label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "wrk",
+            F.expr(
+                "row_number() OVER (PARTITION BY ia"
+                " ORDER BY cnt DESC, nb_label)"
+            ),
+        )
+        .where("wrk = 1")
+        .selectExpr("ia AS vec_id", "nb_label AS voted_label")
+    )
+    return (
+        lab.join(votes, "vec_id", "left")
+        .selectExpr(
+            "label AS own_label",
+            "coalesce(voted_label, CAST(-1 AS BIGINT)) AS voted_label",
+        )
+        .groupBy("own_label", "voted_label")
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+    )
+
+
+def knn_label_noise_oracle(
+    k: int = VOTE_K, max_hamming: int = VOTE_MAX_HAMMING
+) -> str:
+    from ..functions import md5int_duck
+
+    parts = []
+    for p in range(N_PLANES):
+        h = md5int_duck(f"'p{p}_' || d")
+        parts.append(
+            f"sum(CASE WHEN {h} % 2 = 0 THEN qx ELSE -qx END) AS c{p}"
+        )
+    comps = ",\n         ".join(parts)
+    sig = " + ".join(
+        f"(CASE WHEN c{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH ln_ex AS (
+  SELECT vec_id, unnest({_QVEC_DUCK}) AS qx,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings),
+ln_comps AS (SELECT vec_id, {comps} FROM ln_ex GROUP BY vec_id),
+ln_sigs AS (SELECT vec_id, {sig} AS sig FROM ln_comps),
+ln_q AS (
+  SELECT e.vec_id, e.label, {_QVEC_DUCK_D} AS qv,
+         list_dot_product({_QVEC_DUCK_D}, {_QVEC_DUCK_D}) AS nrm, s.sig
+  FROM embeddings e JOIN ln_sigs s ON s.vec_id = e.vec_id),
+ln_knn AS (
+  SELECT ia, ib FROM (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             CAST(floor(1e6 * list_dot_product(a.qv, b.qv)
+                  / sqrt(a.nrm * b.nrm)) AS BIGINT) DESC, b.vec_id)
+             AS rk
+    FROM ln_q a JOIN ln_q b
+      ON a.vec_id <> b.vec_id
+     AND bit_count(xor(a.sig, b.sig)) <= {max_hamming})
+  WHERE rk <= {k}),
+ln_votes AS (
+  SELECT ia AS vec_id, nb_label AS voted_label FROM (
+    SELECT n.ia, q.label AS nb_label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY n.ia
+             ORDER BY count(*) DESC, q.label) AS wrk
+    FROM ln_knn n JOIN ln_q q ON q.vec_id = n.ib
+    GROUP BY 1, 2)
+  WHERE wrk = 1)
+SELECT CAST(q.label AS BIGINT) AS own_label,
+       CAST(coalesce(v.voted_label, -1) AS BIGINT) AS voted_label,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM ln_q q LEFT JOIN ln_votes v ON v.vec_id = q.vec_id
+GROUP BY 1, 2
+"""
+
+
+# --- R213: cluster validity (Calinski-Harabasz) -------------------------------
+#
+# The linear-cost cluster-quality index (Calinski & Harabasz 1974):
+# CH = [B/(k-1)] / [W/(n-k)] with B/W the between/within sums of
+# squares — computable from per-cluster integer sums alone (no pair
+# fan, unlike silhouette): W = SSQ_total - SUM_g |s_g|^2/n_g and
+# B = SUM_g |s_g|^2/n_g - |S|^2/N over the quantized vectors. Each
+# rational term is floored to milli-units per cluster (integer
+# division — deterministic), then summed as bigints: no distributed
+# float sum anywhere. Evaluated for TWO partitions of the same
+# points — the data's label column and the deterministic IVF
+# nearest-centroid assignment — so the index's discrimination is
+# recorded, not assumed: on this corpus labels are geometry-random
+# (CH ~ 1.0, exactly the null expectation: E[between per df] =
+# E[within per df]) while the geometric partition scores well above
+# it. Scale: one explode to (partition, dim) with map-side partial
+# agg; everything after lives on the k x d dimension frame.
+
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """Deterministic IVF coarse assignment (the ann_ivf_topk quantizer):
+    nearest of the first-N_CENTROIDS vectors by cosine, centroid-id
+    tie-break. Returns (vec_id, label)."""
+    q = _quantized(emb)
+    cents = q.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    return (
+        q.selectExpr("vec_id", "qv AS ca", "nrm AS cn")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY vec_id ORDER BY"
+                " dot / sqrt(CAST(qn AS DOUBLE) * cn) DESC, cid)"
+            ),
+        )
+        .where("rk = 1")
+        .selectExpr("vec_id", "CAST(cid AS BIGINT) AS label")
+    )
+
+
+def cluster_validity(emb: DataFrame) -> DataFrame:
+    """One row per partitioning in {labels, ivf16}: (partitioning, n, k,
+    ssq_q, b_milli, w_milli, ch_milli) over the quantized embeddings."""
+    out = []
+    for pname, lab in (
+        ("labels", emb.select(
+            "vec_id", F.col("label").cast("bigint").alias("label"))),
+        ("ivf16", _ivf_assign(emb)),
+    ):
+        out.append(
+            _cluster_validity_one(emb, lab).selectExpr(
+                f"'{pname}' AS partitioning", "n", "k", "ssq_q",
+                "b_milli", "w_milli", "ch_milli",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def _cluster_validity_one(emb: DataFrame, lab: DataFrame) -> DataFrame:
+    q = _quantized(emb).join(lab, "vec_id")
+    ex = q.selectExpr("label", "posexplode(qv) AS (d, qx)")
+    sd = ex.groupBy("label", "d").agg(
+        F.expr("CAST(sum(qx) AS BIGINT)").alias("sd")
+    )
+    per_g = (
+        q.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.expr("CAST(sum(nrm) AS BIGINT)").alias("ssq_g"),
+        )
+        .join(
+            sd.groupBy("label").agg(
+                F.expr("CAST(sum(sd * sd) AS BIGINT)").alias("gn")
+            ),
+            "label",
+        )
+        .selectExpr(
+            "label", "ng", "ssq_g",
+            "CAST((1000 * gn) DIV ng AS BIGINT) AS gterm_milli",
+        )
+    )
+    glob = (
+        sd.groupBy("d")
+        .agg(F.expr("CAST(sum(sd) AS BIGINT)").alias("gsd"))
+        .agg(F.expr("CAST(sum(gsd * gsd) AS BIGINT)").alias("sn"))
+    )
+    return (
+        per_g.agg(
+            F.expr("CAST(sum(ng) AS BIGINT) AS n"),
+            F.expr("CAST(count(*) AS BIGINT) AS k"),
+            F.expr("CAST(sum(ssq_g) AS BIGINT) AS ssq_q"),
+            F.expr("CAST(sum(gterm_milli) AS BIGINT) AS gsum_milli"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "n", "k", "ssq_q",
+            "gsum_milli - CAST((1000 * sn) DIV n AS BIGINT) AS b_milli",
+            "1000 * ssq_q - gsum_milli AS w_milli",
+            "CAST((1000 * (gsum_milli - CAST((1000 * sn) DIV n AS BIGINT))"
+            " * (n - k)) DIV ((1000 * ssq_q - gsum_milli) * (k - 1))"
+            " AS BIGINT) AS ch_milli",
+        )
+    )
+
+
+def cluster_validity_oracle() -> str:
+    return f"""
+WITH cv_qv AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, {_QVEC_DUCK} AS qv,
+         {_QVEC_DUCK_D} AS qvd,
+         CAST(list_dot_product({_QVEC_DUCK}, {_QVEC_DUCK}) AS BIGINT)
+           AS nrm
+  FROM embeddings),
+cv_asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.vec_id AS cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.qvd, c.qvd)
+               / sqrt(CAST(v.nrm AS DOUBLE) * c.nrm) DESC, c.vec_id)
+             AS rk
+    FROM cv_qv v JOIN cv_qv c ON c.vec_id < {N_CENTROIDS})
+  WHERE rk = 1),
+cv_q AS (
+  SELECT 'labels' AS pt, vec_id, label, qv, nrm FROM cv_qv
+  UNION ALL
+  SELECT 'ivf16', q.vec_id, CAST(a.cid AS BIGINT), q.qv, q.nrm
+  FROM cv_qv q JOIN cv_asn a ON a.vec_id = q.vec_id),
+cv_ex AS (
+  SELECT pt, label, unnest(qv) AS qx,
+         unnest(generate_series(0, len(qv) - 1)) AS d
+  FROM cv_q),
+cv_sd AS (
+  SELECT pt, label, d, CAST(sum(qx) AS BIGINT) AS sd
+  FROM cv_ex GROUP BY 1, 2, 3),
+cv_g AS (
+  SELECT g.pt, g.label, g.ng, g.ssq_g,
+         CAST((1000 * n.gn) // g.ng AS BIGINT) AS gterm_milli
+  FROM (SELECT pt, label, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(nrm) AS BIGINT) AS ssq_g
+        FROM cv_q GROUP BY 1, 2) g
+  JOIN (SELECT pt, label, CAST(sum(sd * sd) AS BIGINT) AS gn
+        FROM cv_sd GROUP BY 1, 2) n
+    ON n.pt = g.pt AND n.label = g.label),
+cv_glob AS (
+  SELECT pt, CAST(sum(gsd * gsd) AS BIGINT) AS sn FROM (
+    SELECT pt, d, CAST(sum(sd) AS BIGINT) AS gsd FROM cv_sd
+    GROUP BY 1, 2) GROUP BY 1),
+cv_agg AS (
+  SELECT pt, CAST(sum(ng) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ssq_g) AS BIGINT) AS ssq_q,
+         CAST(sum(gterm_milli) AS BIGINT) AS gsum_milli
+  FROM cv_g GROUP BY 1)
+SELECT a.pt AS partitioning, a.n, a.k, a.ssq_q,
+       a.gsum_milli - CAST((1000 * g.sn) // a.n AS BIGINT) AS b_milli,
+       1000 * a.ssq_q - a.gsum_milli AS w_milli,
+       CAST((1000 * (a.gsum_milli - CAST((1000 * g.sn) // a.n AS BIGINT))
+             * (a.n - a.k)) // ((1000 * a.ssq_q - a.gsum_milli)
+                                * (a.k - 1))
+         AS BIGINT) AS ch_milli
+FROM cv_agg a JOIN cv_glob g ON g.pt = a.pt
+"""

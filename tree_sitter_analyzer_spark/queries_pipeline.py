@@ -1677,3 +1677,147 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT)
        CAST(r_vec AS BIGINT) AS r_vec, rrf_scaled
 FROM rrf_f QUALIFY rank <= 10
 """
+
+
+# --- R212: kNN label-noise detection ---------------------------------------------
+
+
+@register(
+    "knn_label_noise",
+    similarity.knn_label_noise_oracle(),
+    doc="Label-noise suspects via kNN vote (confident-learning shape, "
+    "Northcutt 2021): each embedding's k=5 nearest neighbors by exact "
+    "integer cosine — candidates from the pigeonhole sign-LSH band "
+    "equi-join (hamming<=3), the signature IS the join key — majority "
+    "vote with (count desc, label) tie-break, emitted as the "
+    "own-label x voted-label confusion matrix (off-diagonal mass = "
+    "suspects; -1 = isolated). Deterministic end-to-end: the oracle "
+    "replays the candidate generation itself. On this corpus agreement "
+    "sits at the 1/k chance level — the honest signature of labels "
+    "independent of embedding geometry (cluster_validity pins the same "
+    "fact: CH ~ 1.0 null for labels vs 3x for the geometric "
+    "partition).",
+)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_label_noise(_emb(spark, sf_dir))
+
+
+# --- R213: cluster validity (Calinski-Harabasz) ----------------------------------
+
+
+@register(
+    "cluster_validity",
+    similarity.cluster_validity_oracle(),
+    doc="Calinski-Harabasz cluster-validity index over the label "
+    "clustering of the quantized embeddings: between/within sums of "
+    "squares from per-cluster integer sum vectors alone (linear cost — "
+    "no pair fan, unlike silhouette), each rational term floored to "
+    "milli-units per cluster then summed as bigints (no distributed "
+    "float sum). One explode to (label, dim) with map-side partial "
+    "agg; the rest lives on the k x d dimension frame.",
+)
+def q_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cluster_validity(_emb(spark, sf_dir))
+
+
+# --- R214: inter-rater agreement (Cohen's kappa) ----------------------------------
+#
+# The annotation-QA harness: two independent deterministic graders —
+# grader A bands on n_chars, grader B bands on whitespace word count —
+# and Cohen's kappa (1960) for chance-corrected agreement:
+# kappa = (N*diag - SUM_g r_g*c_g) / (N^2 - SUM_g r_g*c_g), exact
+# integers until the final milli floor (magnitudes < 2^53, the double
+# floor is deterministic). The confusion matrix is the payload;
+# kappa/po/pe ride every row. Scale: one scan -> 16-cell matrix via
+# map-side partial agg; margins on the 4-row grade dimension.
+
+_GRADE_A = (
+    "(CASE WHEN n_chars >= 450 THEN 'A' WHEN n_chars >= 300 THEN 'B'"
+    " WHEN n_chars >= 150 THEN 'C' ELSE 'D' END)"
+)
+
+
+@register(
+    "rater_kappa",
+    f"""
+WITH rk_g AS (
+  SELECT {_GRADE_A} AS ga,
+         (CASE WHEN wc >= 80 THEN 'A' WHEN wc >= 55 THEN 'B'
+               WHEN wc >= 27 THEN 'C' ELSE 'D' END) AS gb
+  FROM (
+    SELECT n_chars,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS wc
+    FROM documents)),
+rk_conf AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n
+  FROM rk_g GROUP BY 1, 2),
+rk_m AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN ga = gb THEN n ELSE 0 END) AS BIGINT)
+           AS diag
+  FROM rk_conf),
+rk_pe AS (
+  SELECT CAST(sum(ra * ca) AS BIGINT) AS pe_num FROM (
+    SELECT coalesce(r.ga, c.gb) AS g,
+           coalesce(r.ra, 0) AS ra, coalesce(c.ca, 0) AS ca
+    FROM (SELECT ga, CAST(sum(n) AS BIGINT) AS ra FROM rk_conf
+          GROUP BY 1) r
+    FULL OUTER JOIN (SELECT gb, CAST(sum(n) AS BIGINT) AS ca
+                     FROM rk_conf GROUP BY 1) c ON c.gb = r.ga))
+SELECT f.ga AS grade_a, f.gb AS grade_b, f.n,
+       m.nn AS n_total,
+       CAST(floor(1000e0 * m.diag / m.nn) AS BIGINT) AS po_milli,
+       CAST(floor(1000e0 * p.pe_num / (m.nn * m.nn)) AS BIGINT)
+         AS pe_milli,
+       CAST(floor(1000e0 * (m.nn * m.diag - p.pe_num)
+                  / (m.nn * m.nn - p.pe_num)) AS BIGINT) AS kappa_milli
+FROM rk_conf f CROSS JOIN rk_m m CROSS JOIN rk_pe p
+""",
+    doc="Cohen's kappa inter-rater agreement between two deterministic "
+    "graders (char-count bands vs word-count bands) over documents: "
+    "the full grade confusion matrix with exact counts, plus observed/"
+    "chance agreement and chance-corrected kappa in milli (exact "
+    "integers to the final floor). One scan to a 16-cell matrix via "
+    "map-side partial agg; margins on the 4-row grade dimension.",
+)
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    g = docs.selectExpr(
+        "n_chars",
+        "size(filter(split(text, ' '), x -> x <> '')) AS wc",
+    ).selectExpr(
+        f"{_GRADE_A} AS ga",
+        "CASE WHEN wc >= 80 THEN 'A' WHEN wc >= 55 THEN 'B'"
+        " WHEN wc >= 27 THEN 'C' ELSE 'D' END AS gb",
+    )
+    conf = (
+        g.groupBy("ga", "gb")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    m = conf.agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS nn"),
+        F.expr(
+            "CAST(sum(CASE WHEN ga = gb THEN n ELSE 0 END) AS BIGINT)"
+            " AS diag"
+        ),
+    )
+    ra = conf.groupBy("ga").agg(F.expr("CAST(sum(n) AS BIGINT) AS ra"))
+    ca = conf.groupBy("gb").agg(F.expr("CAST(sum(n) AS BIGINT) AS ca"))
+    pe = (
+        ra.join(ca, ra["ga"] == ca["gb"], "full_outer")
+        .selectExpr("coalesce(ra, 0) AS ra", "coalesce(ca, 0) AS ca")
+        .agg(F.expr("CAST(sum(ra * ca) AS BIGINT) AS pe_num"))
+    )
+    return (
+        conf.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(pe))
+        .selectExpr(
+            "ga AS grade_a", "gb AS grade_b", "n", "nn AS n_total",
+            "CAST(floor(1000e0 * diag / nn) AS BIGINT) AS po_milli",
+            "CAST(floor(1000e0 * pe_num / (nn * nn)) AS BIGINT)"
+            " AS pe_milli",
+            "CAST(floor(1000e0 * (nn * diag - pe_num)"
+            " / (nn * nn - pe_num)) AS BIGINT) AS kappa_milli",
+        )
+    )
