@@ -572,3 +572,152 @@ SELECT ranker, sum(g) AS dcg_scaled, sum(ig) AS idcg_scaled,
        (1000 * sum(g)) // sum(ig) AS ndcg_milli
 FROM ndcg_rows GROUP BY ranker
 """
+
+
+# ---------------------------------------------------------------------------
+# R216: WAND pruning audit — how much of the posting lists the
+# upper-bound heap walk (Broder 2003 "Efficient query evaluation using
+# a two-level retrieval process") never has to score. Exact and
+# integer: per query term the max achievable BM25 contribution over
+# its posting (UB_t); the true top-k threshold theta = the k-th exact
+# BM25 score; a candidate doc is WAND-skippable iff the sum of the
+# UBs of the terms it matches is < theta. Emitted per term (posting
+# length, UB, skippable entries) with theta and the global candidate/
+# skippable counts attached. Scale: rides the same inverted-index
+# token equi-join as bm25_search — posting-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+def wand_prune_audit(
+    docs: DataFrame, query: str, k: int = 10, max_df: float = 0.9
+) -> DataFrame:
+    """``max_df`` is deliberately looser than bm25_search's noise cap:
+    WAND exists to mix rare and common terms — the skipping win comes
+    precisely from common terms' low upper bounds."""
+    toks0 = _doc_tokens(docs).localCheckpoint(eager=False)
+    dl = toks0.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(1000 * sum(dl)) DIV count(*)").alias("avgdl_milli"),
+    )
+    dfreq = toks0.groupBy("tok").agg(F.count("*").alias("df"))
+    q_terms = sorted(set(t for t in query.split() if t))
+    qdf = docs.sparkSession.createDataFrame(
+        [(t,) for t in q_terms], "tok string"
+    )
+    terms = (
+        toks0.join(F.broadcast(qdf), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            F.col("df")
+            <= F.expr(f"CAST(floor({max_df}e0 * n_docs) AS BIGINT)")
+        )
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "((1000000 DIV df) * (22 * tf * avgdl_milli))"
+                " DIV (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"
+            ),
+        )
+        .select("tok", "doc_id", "df", "term_micro")
+        .localCheckpoint(eager=False)
+    )
+    doc_scores = terms.groupBy("doc_id").agg(
+        F.expr("CAST(sum(term_micro) AS BIGINT)").alias("score")
+    )
+    theta = (
+        doc_scores.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .agg(F.expr("CAST(min(score) AS BIGINT) AS theta_micro"))
+    )
+    ub = terms.groupBy("tok").agg(
+        F.expr("CAST(max(term_micro) AS BIGINT)").alias("ub_micro"),
+        F.expr("CAST(max(df) AS BIGINT)").alias("df"),
+    )
+    doc_ub = (
+        terms.join(ub.select("tok", "ub_micro"), "tok")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(ub_micro) AS BIGINT)").alias("ub_sum"))
+        .crossJoin(F.broadcast(theta))
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN ub_sum < theta_micro THEN 1 ELSE 0 END AS skip",
+        )
+        .localCheckpoint(eager=False)
+    )
+    glob = doc_ub.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.expr("CAST(sum(skip) AS BIGINT) AS n_skippable"),
+    )
+    per_term = (
+        terms.join(doc_ub, "doc_id")
+        .groupBy("tok")
+        .agg(F.expr("CAST(sum(skip) AS BIGINT) AS posting_skippable"))
+        .join(ub, "tok")
+    )
+    return (
+        per_term.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "tok", "df", "ub_micro", "posting_skippable",
+            "theta_micro", "n_candidates", "n_skippable",
+        )
+    )
+
+
+def wand_prune_oracle(query: str, k: int = 10, max_df: float = 0.9) -> str:
+    q_terms = sorted(set(t for t in query.split() if t))
+    q_values = ", ".join(f"('{t}')" for t in q_terms)
+    return f"""
+WITH wp_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+wp_toks AS (
+  SELECT doc_id, tok, count(*) AS tf FROM wp_raw WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+wp_dl AS (SELECT doc_id, sum(tf) AS dl FROM wp_toks GROUP BY doc_id),
+wp_stats AS (
+  SELECT count(*) AS n_docs, (1000 * sum(dl)) // count(*) AS avgdl_milli
+  FROM wp_dl),
+wp_df AS (SELECT tok, count(*) AS df FROM wp_toks GROUP BY tok),
+wp_q(tok) AS (VALUES {q_values}),
+wp_terms AS (
+  SELECT t.tok, t.doc_id, d.df,
+         ((1000000 // d.df) * (22 * t.tf * s.avgdl_milli))
+           // (10 * t.tf * s.avgdl_milli + 3 * s.avgdl_milli
+               + 9000 * l.dl) AS term_micro
+  FROM wp_toks t
+  JOIN wp_q USING (tok) JOIN wp_df d USING (tok)
+  JOIN wp_dl l USING (doc_id) CROSS JOIN wp_stats s
+  WHERE d.df <= CAST(floor({max_df}e0 * s.n_docs) AS BIGINT)),
+wp_theta AS (
+  SELECT CAST(min(score) AS BIGINT) AS theta_micro FROM (
+    SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score
+    FROM wp_terms GROUP BY 1
+    ORDER BY score DESC, doc_id LIMIT {k})),
+wp_ub AS (
+  SELECT tok, CAST(max(term_micro) AS BIGINT) AS ub_micro,
+         CAST(max(df) AS BIGINT) AS df
+  FROM wp_terms GROUP BY 1),
+wp_docub AS (
+  SELECT t.doc_id,
+         CASE WHEN CAST(sum(u.ub_micro) AS BIGINT) < max(h.theta_micro)
+              THEN 1 ELSE 0 END AS skip
+  FROM wp_terms t JOIN wp_ub u USING (tok) CROSS JOIN wp_theta h
+  GROUP BY 1),
+wp_glob AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(skip) AS BIGINT) AS n_skippable
+  FROM wp_docub)
+SELECT u.tok, u.df, u.ub_micro,
+       CAST(p.posting_skippable AS BIGINT) AS posting_skippable,
+       h.theta_micro, g.n_candidates, g.n_skippable
+FROM wp_ub u
+JOIN (SELECT t.tok, sum(d.skip) AS posting_skippable
+      FROM wp_terms t JOIN wp_docub d USING (doc_id) GROUP BY 1) p
+  USING (tok)
+CROSS JOIN wp_theta h CROSS JOIN wp_glob g
+"""

@@ -1821,3 +1821,155 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (nn * nn - pe_num)) AS BIGINT) AS kappa_milli",
         )
     )
+
+
+# --- R215: Kruskal-Wallis rank test across sources --------------------------------
+#
+# The k-group nonparametric ANOVA (Kruskal & Wallis 1952) on document
+# length by source, EXACT via the value-dimension histogram: average
+# ranks enter as the integer 2*rank identity (2*avgrank of value v =
+# 2*cum_before + cnt_v + 1 — denominator 2 carried symbolically),
+# per-group rank sums are bigints, the tie correction
+# (1 - SUM(t^3-t)/(N^3-N)) cross-multiplies, and the alpha=0.05
+# decision reads a literal chi-square critical table (df 1..30). No
+# per-row global sort — ranks come from cumulative counts on the
+# bounded distinct-value dimension (the R180/R190 discipline).
+
+_CHI2_05_MILLI = (
+    "CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815"
+    " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592"
+    " WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919"
+    " WHEN 10 THEN 18307 WHEN 11 THEN 19675 WHEN 12 THEN 21026"
+    " WHEN 13 THEN 22362 WHEN 14 THEN 23685 WHEN 15 THEN 24996"
+    " WHEN 16 THEN 26296 WHEN 17 THEN 27587 WHEN 18 THEN 28869"
+    " WHEN 19 THEN 30144 WHEN 20 THEN 31410 WHEN 21 THEN 32671"
+    " WHEN 22 THEN 33924 WHEN 23 THEN 35172 WHEN 24 THEN 36415"
+    " WHEN 25 THEN 37652 WHEN 26 THEN 38885 WHEN 27 THEN 40113"
+    " WHEN 28 THEN 41337 WHEN 29 THEN 42557 ELSE 43773 END"
+)
+
+
+@register(
+    "kruskal_wallis",
+    f"""
+WITH kw_h AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, source,
+         CAST(count(*) AS BIGINT) AS hs
+  FROM documents GROUP BY 1, 2),
+kw_v AS (SELECT v, CAST(sum(hs) AS BIGINT) AS cnt FROM kw_h GROUP BY 1),
+kw_c AS (
+  SELECT v, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) - cnt AS cumb
+  FROM kw_v),
+kw_r AS (
+  SELECT h.source,
+         CAST(sum(h.hs * (2 * c.cumb + c.cnt + 1)) AS BIGINT) AS r2,
+         CAST(sum(h.hs) AS BIGINT) AS ng
+  FROM kw_h h JOIN kw_c c ON c.v = h.v GROUP BY 1),
+kw_t AS (
+  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM kw_v),
+kw_a AS (
+  SELECT CAST(sum((1000 * r2 * r2) // (4 * ng)) AS BIGINT) AS a_milli,
+         CAST(count(*) AS BIGINT) AS k
+  FROM kw_r),
+kw_s AS (
+  SELECT n, k, tsum,
+         (12 * a_milli) // (n * (n + 1)) - 3000 * (n + 1) AS h_milli
+  FROM kw_t CROSS JOIN kw_a),
+kw_f AS (
+  SELECT n, k, tsum, h_milli,
+         (h_milli * (n * n * n - n)) // (n * n * n - n - tsum)
+           AS hc_milli,
+         k - 1 AS df
+  FROM kw_s)
+SELECT r.source, r.ng, r.r2 AS ranksum2, f.n, f.k, f.h_milli,
+       f.hc_milli,
+       CAST(f.hc_milli > ({_CHI2_05_MILLI}) AS BIGINT) AS reject05
+FROM kw_r r CROSS JOIN kw_f f
+""",
+    doc="Kruskal-Wallis rank test of document length across the 20 "
+    "sources, exact via the value-dimension histogram: integer 2*rank "
+    "identity for tied average ranks, bigint per-source rank sums, "
+    "cross-multiplied tie correction, alpha=0.05 decision from a "
+    "literal chi-square table (df 1..30). Per-source rows carry the "
+    "global statistic; no per-row global sort anywhere.",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = (
+        docs.selectExpr("CAST(n_chars AS BIGINT) AS v", "source")
+        .groupBy("v", "source")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("hs"))
+        .localCheckpoint(eager=False)
+    )
+    vh = h.groupBy("v").agg(F.expr("CAST(sum(hs) AS BIGINT)").alias("cnt"))
+    c = vh.selectExpr(
+        "v", "cnt",
+        "sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) - cnt AS cumb",
+    )
+    r = (
+        h.join(c, "v")
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "CAST(sum(hs * (2 * cumb + cnt + 1)) AS BIGINT)"
+            ).alias("r2"),
+            F.expr("CAST(sum(hs) AS BIGINT)").alias("ng"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = vh.agg(
+        F.expr("CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum"),
+        F.expr("CAST(sum(cnt) AS BIGINT) AS n"),
+    )
+    a = r.agg(
+        F.expr(
+            "CAST(sum((1000 * r2 * r2) DIV (4 * ng)) AS BIGINT) AS a_milli"
+        ),
+        F.expr("CAST(count(*) AS BIGINT) AS k"),
+    )
+    f = (
+        t.crossJoin(F.broadcast(a))
+        .selectExpr(
+            "n", "k", "tsum",
+            "(12 * a_milli) DIV (n * (n + 1)) - 3000 * (n + 1) AS h_milli",
+        )
+        .selectExpr(
+            "n", "k", "tsum", "h_milli",
+            "(h_milli * (n * n * n - n)) DIV (n * n * n - n - tsum)"
+            " AS hc_milli",
+            "k - 1 AS df",
+        )
+    )
+    return r.crossJoin(F.broadcast(f)).selectExpr(
+        "source", "ng", "r2 AS ranksum2", "n", "k", "h_milli", "hc_milli",
+        f"CAST(hc_milli > ({_CHI2_05_MILLI}) AS BIGINT) AS reject05",
+    )
+
+
+# --- R216: WAND pruning audit ----------------------------------------------------
+
+
+@register(
+    "wand_prune",
+    search_ops.wand_prune_oracle("dup window key value", k=10),
+    doc="WAND upper-bound pruning audit (Broder 2003) over the integer "
+    "BM25 index for the standing query: per query term the posting "
+    "length, max-score upper bound, and how many of its posting "
+    "entries the heap walk never scores; attached: the exact top-10 "
+    "threshold theta and the global candidate/skippable counts. All "
+    "integer (the BM25 contributions are exact rationals); rides the "
+    "same inverted-index token equi-join as bm25_search — posting-"
+    "sized, never corpus-sized. Uses a 0.9 df cap (looser than "
+    "bm25_search's 0.5 noise cap) because WAND exists to mix rare and "
+    "common terms — the skipping win IS the common terms' low upper "
+    "bounds.",
+)
+def q_wand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.wand_prune_audit(
+        _docs(spark, sf_dir), "dup window key value", k=10
+    )

@@ -2104,3 +2104,102 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_curve_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_ops.curve_range_plan(spark)
+
+
+# --- R217: G-test of independence (block x tile kind) ----------------------------
+#
+# The log-likelihood-ratio independence test (Sokal & Rohlf; the
+# chi-square's better-behaved sibling, also = 2N x mutual information
+# in nats): does tile KIND depend on WHERE the tile is (res-4 block)?
+# G = 2 SUM_ij n_ij ln(n_ij N / (r_i c_j)); each cell's term is
+# floored to micro-nats independently (bigint) then summed — no
+# distributed float sum; ln/sqrt enter only per bounded-dimension cell
+# (the rrf/cos_micro discipline). Effect size as Cramer's V from G.
+# Scale: one scan to the (block, kind) contingency matrix with
+# map-side partial agg; margins/terms live on the bounded block x kind
+# dimension frame.
+
+
+@register(
+    "gtest_independence",
+    f"""{_CTES},
+gt_cell AS (
+  SELECT {grid.ix_sql('lon', 4)} * 100000 + {grid.iy_sql('lat', 4)}
+           AS block,
+         tile_kind AS kind, CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+gt_r AS (SELECT block, CAST(sum(n) AS BIGINT) AS rm FROM gt_cell
+         GROUP BY 1),
+gt_c AS (SELECT kind, CAST(sum(n) AS BIGINT) AS cm FROM gt_cell
+         GROUP BY 1),
+gt_n AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM gt_cell),
+gt_t AS (
+  SELECT CAST(sum(CAST(floor(2e6 * x.n *
+           ln((CAST(x.n AS DOUBLE) * t.nn) / (CAST(r.rm AS DOUBLE) * c.cm)))
+           AS BIGINT)) AS BIGINT) AS g_micro
+  FROM gt_cell x JOIN gt_r r ON r.block = x.block
+  JOIN gt_c c ON c.kind = x.kind CROSS JOIN gt_n t),
+gt_d AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM gt_r) AS r_blocks,
+         (SELECT CAST(count(*) AS BIGINT) FROM gt_c) AS c_kinds)
+SELECT t.nn AS n, d.r_blocks, d.c_kinds,
+       (d.r_blocks - 1) * (d.c_kinds - 1) AS df,
+       g.g_micro,
+       greatest(g.g_micro, 0) // (2 * t.nn) AS mi_micro,
+       CAST(floor(1000e0 * sqrt(greatest(g.g_micro, 0)
+            / (1e6 * t.nn * least(d.r_blocks - 1, d.c_kinds - 1))))
+         AS BIGINT) AS cramers_v_milli
+FROM gt_t g CROSS JOIN gt_n t CROSS JOIN gt_d d
+""",
+    doc="G-test of independence between res-4 block and tile kind "
+    "(= 2N x mutual information in nats): per-cell micro-nat terms "
+    "floored to bigints then summed (no distributed float sum), with "
+    "degrees of freedom and Cramer's V effect size from G. One scan "
+    "to the contingency matrix with map-side partial agg; everything "
+    "after lives on the bounded block x kind dimension frame.",
+)
+def q_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = _tiles(spark, sf_dir)
+    cell = (
+        tiles.selectExpr(
+            f"{grid.ix_sql('lon', 4)} * 100000 + {grid.iy_sql('lat', 4)}"
+            " AS block",
+            "tile_kind AS kind",
+        )
+        .groupBy("block", "kind")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    rm = cell.groupBy("block").agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("rm")
+    )
+    cm = cell.groupBy("kind").agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("cm")
+    )
+    nn = cell.agg(F.expr("CAST(sum(n) AS BIGINT) AS nn"))
+    dims = rm.agg(F.expr("CAST(count(*) AS BIGINT) AS r_blocks")).crossJoin(
+        cm.agg(F.expr("CAST(count(*) AS BIGINT) AS c_kinds"))
+    )
+    g = (
+        cell.join(rm, "block")
+        .join(F.broadcast(cm), "kind")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "CAST(floor(2e6 * n * ln((CAST(n AS DOUBLE) * nn)"
+            " / (CAST(rm AS DOUBLE) * cm))) AS BIGINT) AS term_micro"
+        )
+        .agg(F.expr("CAST(sum(term_micro) AS BIGINT) AS g_micro"))
+    )
+    return (
+        g.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "nn AS n", "r_blocks", "c_kinds",
+            "(r_blocks - 1) * (c_kinds - 1) AS df",
+            "g_micro",
+            "greatest(g_micro, 0) DIV (2 * nn) AS mi_micro",
+            "CAST(floor(1000e0 * sqrt(greatest(g_micro, 0)"
+            " / (1e6 * nn * least(r_blocks - 1, c_kinds - 1))))"
+            " AS BIGINT) AS cramers_v_milli",
+        )
+    )
