@@ -439,20 +439,22 @@ def connected_components(
     return labels.select("v", F.col("label").alias("component"))
 
 
-def connected_components_oracle(kind: str = "bfs", max_rounds: int = 20) -> str:
-    # cap the closure at the SAME normalized step count as the Spark loop
-    # (uncapped, the oracle would out-propagate Spark on any graph whose
-    # eccentricity-from-min-label exceeds the budget)
-    steps = _even_steps(max_rounds)
+def connected_components_oracle(kind: str = "bfs") -> str:
+    # UNCAPPED hop-free pair closure: the Spark loop runs to its scalar
+    # fixpoint (true components whenever it converges, which the parity
+    # test itself pins), so the matching oracle is the full closure.
+    # Carrying a hop counter to mirror the round budget multiplied the
+    # recursive working set by the diameter — (start, cur, hops) triples
+    # instead of (start, cur) pairs — costing ~130 s per parity/sweep
+    # run for zero semantic difference on a converged run.
     return f"""
 WITH RECURSIVE base AS ({edges_sql(kind)}),
 ue AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
 verts AS (SELECT DISTINCT src AS v FROM ue),
-walk(start, cur, hops) AS (
-  SELECT v, v, 0 FROM verts
+walk(start, cur) AS (
+  SELECT v, v FROM verts
   UNION
-  SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN ue e ON e.src = w.cur
-  WHERE w.hops < {steps}
+  SELECT w.start, e.dst FROM walk w JOIN ue e ON e.src = w.cur
 )
 SELECT start AS v, min(cur) AS component FROM walk GROUP BY start
 """
@@ -1932,3 +1934,227 @@ SELECT CAST(row_number() OVER (ORDER BY stress DESC, v) AS BIGINT) AS rank,
        v, stress
 FROM sx_sum QUALIFY rank <= {topk}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# R218: bipartiteness check with odd-edge witnesses
+# ---------------------------------------------------------------------------
+#
+# Two-colorability per component, made deterministic: color = BFS-layer
+# parity from the component's CANONICAL root (its min vertex id — the
+# same label connected_components emits), so the emitted parity classes
+# and the odd-edge witness count are well-defined quantities, not
+# traversal accidents. A component is bipartite iff NO undirected edge
+# joins two vertices of equal parity (self-loops are odd cycles of
+# length 1 and count as witnesses). Scale: the component pass is the
+# existing min-label propagation; the layering pass is one more
+# frontier BFS (frontier-only checkpoints, shuffled vertex-keyed
+# joins); the witness pass is two hash joins of the edge list against
+# the (v, parity) frame.
+
+
+def bipartite_check(
+    spark: SparkSession, edges: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    comp = connected_components(spark, edges).localCheckpoint(eager=False)
+    ue = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    roots = comp.select(F.col("component").alias("v")).dropDuplicates(["v"])
+    visited = roots.withColumn("dist", F.lit(0).cast("bigint"))
+    frontier = visited.localCheckpoint(eager=True)
+    d = 0
+    while d < max_rounds:
+        d += 1
+        nxt = (
+            frontier.join(ue, frontier["v"] == ue["src"])
+            .select(F.col("dst").alias("v"))
+            .dropDuplicates(["v"])
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier)
+    parity = visited.selectExpr("v", "dist % 2 AS par", "dist")
+    up = ue.where("src <= dst").selectExpr("src AS u", "dst AS w")
+    odd = (
+        up.join(parity.selectExpr("v AS u", "par AS pu"), "u")
+        .join(parity.selectExpr("v AS w", "par AS pw"), "w")
+        .join(comp.selectExpr("v AS u", "component"), "u")
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.expr(
+                "CAST(sum(CASE WHEN pu = pw THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_odd_edges"),
+        )
+    )
+    per_comp = (
+        comp.join(parity.select("v", "dist"), "v")
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.expr("CAST(max(dist) AS BIGINT)").alias("max_depth"),
+        )
+    )
+    return (
+        per_comp.join(odd, "component", "left")
+        .selectExpr(
+            "CAST(component AS BIGINT) AS component", "n_vertices",
+            "coalesce(n_edges, CAST(0 AS BIGINT)) AS n_edges",
+            "coalesce(n_odd_edges, CAST(0 AS BIGINT)) AS n_odd_edges",
+            "CAST(coalesce(n_odd_edges, 0) = 0 AS BIGINT) AS is_bipartite",
+            "max_depth",
+        )
+    )
+
+
+def bipartite_oracle(kind: str = "bfs", max_rounds: int = 40) -> str:
+    return f"""
+WITH RECURSIVE base AS ({edges_sql(kind)}),
+-- explicit DISTINCT wrapper: inside WITH RECURSIVE DuckDB treats a bare
+-- A UNION B CTE as base+step recursion, which here degrades to UNION ALL
+-- (min-agg consumers never noticed; the edge COUNTS below would)
+ue AS (SELECT DISTINCT * FROM (
+  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
+verts AS (SELECT DISTINCT src AS v FROM ue),
+-- UNCAPPED hop-free pair closure (the dbscan-oracle move): state is
+-- reachable PAIRS, each discovered once — carrying a hop counter would
+-- multiply the working set by the diameter for no semantic gain (Spark's
+-- CC runs to fixpoint, so the uncapped closure is the matching oracle)
+walkc(start, cur) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT w.start, e.dst FROM walkc w JOIN ue e ON e.src = w.cur
+),
+comp AS (SELECT start AS v, min(cur) AS component FROM walkc GROUP BY 1),
+roots AS (SELECT DISTINCT component AS v FROM comp),
+walkb(v, d) AS (
+  SELECT v, 0 FROM roots
+  UNION
+  SELECT e.dst, w.d + 1 FROM walkb w JOIN ue e ON e.src = w.v
+  WHERE w.d < {max_rounds}
+),
+dist AS (SELECT v, CAST(min(d) AS BIGINT) AS dist FROM walkb GROUP BY 1),
+up AS (SELECT src AS u, dst AS w FROM ue WHERE src <= dst),
+odd AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN du.dist % 2 = dw.dist % 2 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_odd_edges
+  FROM up
+  JOIN dist du ON du.v = up.u JOIN dist dw ON dw.v = up.w
+  JOIN comp c ON c.v = up.u
+  GROUP BY 1),
+pc AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(max(d.dist) AS BIGINT) AS max_depth
+  FROM comp c JOIN dist d ON d.v = c.v GROUP BY 1)
+SELECT CAST(pc.component AS BIGINT) AS component, pc.n_vertices,
+       coalesce(odd.n_edges, 0) AS n_edges,
+       coalesce(odd.n_odd_edges, 0) AS n_odd_edges,
+       CAST(coalesce(odd.n_odd_edges, 0) = 0 AS BIGINT) AS is_bipartite,
+       pc.max_depth
+FROM pc LEFT JOIN odd ON odd.component = pc.component
+"""
+
+
+# ---------------------------------------------------------------------------
+# R219: harmonic centrality of sampled sources (depth-capped)
+# ---------------------------------------------------------------------------
+#
+# Harmonic centrality (Boldi & Vigna 2014's recommended closeness
+# variant — defined even on disconnected graphs): H(s) = SUM_v 1/d(s,v).
+# Computed EXACTLY for 8 deterministic seed vertices with the depth
+# capped at 12 (the graph's small diameter dominates the cap): every
+# reciprocal distance enters as the integer 27720/d (27720 = lcm(1..12)
+# — no float harmonic sum), so H is a bigint in 1/27720 units.
+# Scale: one multi-source frontier BFS carrying (seed, v) state —
+# frontier-only checkpoints, vertex-keyed shuffled joins, state bounded
+# by seeds x V.
+
+HARMONIC_SEEDS = [0, 5, 10, 50, 100, 500, 1000, 1500]
+HARMONIC_CAP = 12
+_HARMONIC_LCM = 27720
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int] | None = None,
+    cap: int = HARMONIC_CAP,
+) -> DataFrame:
+    seeds = HARMONIC_SEEDS if seeds is None else seeds
+    ue = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds], "s bigint"
+    ).selectExpr("s", "CAST(s AS BIGINT) AS v", "CAST(0 AS BIGINT) AS dist")
+    visited = seed_df
+    frontier = seed_df.localCheckpoint(eager=True)
+    d = 0
+    while d < cap:
+        d += 1
+        nxt = (
+            frontier.join(ue, frontier["v"] == ue["src"])
+            .select("s", F.col("dst").alias("v"))
+            .dropDuplicates(["s", "v"])
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier)
+    return (
+        visited.where("dist > 0")
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.expr(
+                f"CAST(sum({_HARMONIC_LCM} DIV dist) AS BIGINT)"
+            ).alias("harmonic_num"),
+            F.expr("CAST(sum(dist) AS BIGINT)").alias("sum_dist"),
+        )
+        .selectExpr(
+            "s AS seed", "n_reached", "harmonic_num", "sum_dist",
+        )
+    )
+
+
+def harmonic_oracle(
+    kind: str = "bfs",
+    seeds: list[int] | None = None,
+    cap: int = HARMONIC_CAP,
+) -> str:
+    seeds = HARMONIC_SEEDS if seeds is None else seeds
+    vals = ", ".join(f"(CAST({s} AS BIGINT))" for s in seeds)
+    return f"""
+WITH RECURSIVE base AS ({edges_sql(kind)}),
+ue AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+seeds(s) AS (VALUES {vals}),
+walk(s, v, d) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN ue e ON e.src = w.v
+  WHERE w.d < {cap}
+),
+dist AS (SELECT s, v, CAST(min(d) AS BIGINT) AS dist FROM walk
+         GROUP BY 1, 2)
+SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum({_HARMONIC_LCM} // dist) AS BIGINT) AS harmonic_num,
+       CAST(sum(dist) AS BIGINT) AS sum_dist
+FROM dist WHERE dist > 0 GROUP BY 1
+"""

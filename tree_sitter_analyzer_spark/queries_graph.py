@@ -326,3 +326,33 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.stress_centrality(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "bipartite_check",
+    graph.bipartite_oracle("bfs"),
+    doc="Two-colorability per component with deterministic witnesses: "
+    "color = BFS-layer parity from the component's canonical min-id "
+    "root (the connected_components label), odd-edge count = edges "
+    "joining equal-parity endpoints (self-loops are length-1 odd "
+    "cycles). Per component: sizes, odd-edge witnesses, bipartite "
+    "verdict, eccentricity-from-root. Min-label CC pass + one "
+    "frontier BFS (frontier-only checkpoints) + two hash joins for "
+    "the witness pass.",
+)
+def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.bipartite_check(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "harmonic_centrality",
+    graph.harmonic_oracle("bfs"),
+    doc="Harmonic centrality (Boldi & Vigna 2014) of 8 deterministic "
+    "seed vertices, depth-capped at 12: every reciprocal distance "
+    "enters as the integer 27720/d (lcm(1..12) — no float harmonic "
+    "sum), H in exact 1/27720 units plus reached counts and distance "
+    "sums. One multi-source frontier BFS carrying (seed, v) state; "
+    "frontier-only checkpoints; vertex-keyed shuffled joins.",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.harmonic_centrality(spark, graph.edges_df(spark, "bfs"))
