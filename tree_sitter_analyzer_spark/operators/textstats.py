@@ -1057,3 +1057,102 @@ cal_tot AS (
   FROM cal_rows)
 SELECT r.bin, r.n, r.n_pos, r.conf_pm, r.rate_pm, r.gap_pm, t.ece_pm
 FROM cal_rows r CROSS JOIN cal_tot t"""
+
+
+# ---------------------------------------------------------------------------
+# R222: t-closeness audit (Li, Li & Venkatasubramanian 2007) — the rung
+# above kanon_audit's k-anonymity/l-diversity: distinct sensitive values
+# per group are not enough if the group's DISTRIBUTION differs from the
+# corpus (skewness attack). Per QI group: exact total-variation distance
+# between its quality-grade distribution and the global one,
+# cross-multiplied to integers (tv_milli = 1000 * SUM |n_gq*N - m_q*n| /
+# (2*n*N) over the FULL grade alphabet — absent grades contribute their
+# global mass). One groupBy to the QI x grade cells; the TV fan lives on
+# the bounded QI x 4-grade grid.
+# ---------------------------------------------------------------------------
+
+TCLOSE_T_MILLI = 200
+
+
+def tcloseness_audit(
+    docs: DataFrame, t_milli: int = TCLOSE_T_MILLI
+) -> DataFrame:
+    """(lang, source, len_band, n, tv_milli, t_ok)."""
+    g = text_stats(docs).select("doc_id", "grade")
+    j = (
+        docs.join(g, "doc_id")
+        .selectExpr(
+            "lang", "source",
+            f"CAST(n_chars AS BIGINT) DIV {_KANON_BAND} AS len_band",
+            "grade",
+        )
+        .localCheckpoint(eager=False)
+    )
+    cell = j.groupBy("lang", "source", "len_band", "grade").agg(
+        F.count("*").cast("bigint").alias("ng")
+    )
+    grp = j.groupBy("lang", "source", "len_band").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    glob = j.groupBy("grade").agg(F.count("*").cast("bigint").alias("m"))
+    nn = j.agg(F.count("*").cast("bigint").alias("nn"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(nn))
+        .join(cell, ["lang", "source", "len_band", "grade"], "left")
+        .selectExpr(
+            "lang", "source", "len_band", "n", "nn",
+            "abs(coalesce(ng, 0) * nn - m * n) AS term",
+        )
+    )
+    return (
+        grid.groupBy("lang", "source", "len_band", "n")
+        .agg(
+            F.expr(
+                "CAST((1000 * sum(term)) DIV (2 * max(n) * max(nn))"
+                " AS BIGINT)"
+            ).alias("tv_milli")
+        )
+        .selectExpr(
+            "lang", "source", "len_band", "n", "tv_milli",
+            f"CAST(tv_milli <= {t_milli} AS BIGINT) AS t_ok",
+        )
+    )
+
+
+def tcloseness_oracle(t_milli: int = TCLOSE_T_MILLI) -> str:
+    return f"""
+WITH {quality_oracle_ctes('tc')},
+tc_gr AS (
+  SELECT doc_id,
+         CASE WHEN quality >= 80 THEN 'A' WHEN quality >= 60 THEN 'B'
+              WHEN quality >= 40 THEN 'C' ELSE 'D' END AS grade
+  FROM tc_q),
+tc_j AS (
+  SELECT d.lang, d.source,
+         CAST(d.n_chars AS BIGINT) // {_KANON_BAND} AS len_band, g.grade
+  FROM documents d JOIN tc_gr g ON g.doc_id = d.doc_id),
+tc_cell AS (
+  SELECT lang, source, len_band, grade,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM tc_j GROUP BY 1, 2, 3, 4),
+tc_grp AS (
+  SELECT lang, source, len_band, CAST(count(*) AS BIGINT) AS n
+  FROM tc_j GROUP BY 1, 2, 3),
+tc_glob AS (SELECT grade, CAST(count(*) AS BIGINT) AS m FROM tc_j
+            GROUP BY 1),
+tc_nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tc_j),
+tc_grid AS (
+  SELECT g.lang, g.source, g.len_band, g.n, x.nn,
+         abs(coalesce(c.ng, 0) * x.nn - o.m * g.n) AS term
+  FROM tc_grp g CROSS JOIN tc_glob o CROSS JOIN tc_nn x
+  LEFT JOIN tc_cell c
+    ON c.lang = g.lang AND c.source = g.source
+   AND c.len_band = g.len_band AND c.grade = o.grade)
+SELECT lang, source, len_band, n,
+       CAST((1000 * sum(term)) // (2 * max(n) * max(nn)) AS BIGINT)
+         AS tv_milli,
+       CAST(CAST((1000 * sum(term)) // (2 * max(n) * max(nn)) AS BIGINT)
+            <= {t_milli} AS BIGINT) AS t_ok
+FROM tc_grid GROUP BY 1, 2, 3, 4
+"""

@@ -1973,3 +1973,21 @@ def q_wand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.wand_prune_audit(
         _docs(spark, sf_dir), "dup window key value", k=10
     )
+
+
+# --- R222: t-closeness audit -------------------------------------------------------
+
+
+@register(
+    "tcloseness_audit",
+    textstats.tcloseness_oracle(),
+    doc="t-closeness release audit (Li 2007) — the rung above "
+    "kanon_audit: per quasi-identifier group the exact total-variation "
+    "distance between its sensitive-grade distribution and the "
+    "corpus-wide one, cross-multiplied to milli integers (absent "
+    "grades contribute their full global mass), flagged against "
+    "t=0.2. Defends against the skewness attack l-diversity misses. "
+    "One groupBy to QI x grade cells; TV on the bounded grid.",
+)
+def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tcloseness_audit(_docs(spark, sf_dir))

@@ -4493,3 +4493,201 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         " AS na_micro",
     )
+
+
+# --- R220: snapshot retention / vacuum planner -----------------------------------
+#
+# The Iceberg/Delta VACUUM decision as a query: given a deterministic
+# snapshot->file membership history (files of 16 docs each; file f
+# enters the table at snapshot a(f) = f % 7 and is rewritten out after
+# a Lehmer-derived lifetime), retain the last 3 snapshots and classify
+# every file: RETAINED (referenced by a kept snapshot) vs ORPHAN
+# (referenced only by expired ones — reclaimable). Exact set algebra on
+# file-interval endpoints: O(files) with map-side partial agg, no
+# per-snapshot fan-out. Companion to merkle_diff (what changed) and
+# compaction_plan (how to rewrite): this one decides what may be
+# DELETED.
+
+_SNAP_LAST, _SNAP_KEEP = 9, 3
+_SNAP_LIFE = "(1 + ((((f % 2147483647) * 48271 % 2147483647 + 999983) * 69621 % 2147483647) % 6))"
+
+
+@register(
+    "snapshot_expiry",
+    f"""
+WITH se_f AS (
+  SELECT doc_id // 16 AS f, CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1),
+se_iv AS (
+  SELECT f, bytes, f % 7 AS added_at,
+         f % 7 + {_SNAP_LIFE} AS removed_at
+  FROM se_f),
+se_cls AS (
+  SELECT added_at,
+         CASE WHEN removed_at > {_SNAP_LAST - _SNAP_KEEP}
+              THEN 'retained' ELSE 'orphan' END AS status,
+         bytes
+  FROM se_iv
+  WHERE added_at <= {_SNAP_LAST})
+SELECT CAST(added_at AS BIGINT) AS added_at, status,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes
+FROM se_cls GROUP BY 1, 2
+""",
+    doc="Snapshot retention / vacuum planner (the Iceberg expire-"
+    "snapshots decision): deterministic file intervals (added at f%7, "
+    "Lehmer lifetime), retain the last 3 of 10 snapshots, classify "
+    "every file retained-vs-orphan with reclaimable bytes, grouped by "
+    "the snapshot that introduced it. A file is retained iff its "
+    "removal strictly follows the oldest kept snapshot. Exact interval "
+    "algebra, O(files), map-side partial agg.",
+)
+def q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.selectExpr("doc_id DIV 16 AS f", "n_chars")
+        .groupBy("f")
+        .agg(F.expr("CAST(sum(n_chars) AS BIGINT)").alias("bytes"))
+    )
+    return (
+        f.selectExpr(
+            "f", "bytes", "f % 7 AS added_at",
+            f"f % 7 + {_SNAP_LIFE} AS removed_at",
+        )
+        .where(f"added_at <= {_SNAP_LAST}")
+        .selectExpr(
+            "CAST(added_at AS BIGINT) AS added_at",
+            f"CASE WHEN removed_at > {_SNAP_LAST - _SNAP_KEEP}"
+            " THEN 'retained' ELSE 'orphan' END AS status",
+            "bytes",
+        )
+        .groupBy("added_at", "status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.expr("CAST(sum(bytes) AS BIGINT)").alias("bytes"),
+        )
+    )
+
+
+# --- R221: selectivity estimation q-error audit -----------------------------------
+#
+# The query-optimizer calibration harness (Leis 2015 "How good are
+# query optimizers, really?" popularized q-error): an equal-frequency
+# 8-bucket histogram on order price (the ntile move — the deterministic
+# stand-in for ANALYZE), the textbook uniform-within-bucket range
+# estimator, and per-workload-query q-error = max(est,act)/min(est,act)
+# — all cross-multiplied integers (per-bucket milli floors). The
+# histogram is the 8-row dimension; actuals are one predicate scan with
+# map-side partial agg.
+
+_QE_WORKLOAD = [
+    (1, 25_000_000, 25_500_000),
+    (2, 10_000_000, 15_000_000),
+    (3, 5_000_000, 45_000_000),
+    (4, 48_000_000, 50_000_000),
+    (5, 0, 100_000),
+    (6, 0, 50_000_000),
+]
+_QE_VALUES = ", ".join(f"({q}, {lo}, {hi})" for q, lo, hi in _QE_WORKLOAD)
+_QE_STACK = (
+    f"stack({len(_QE_WORKLOAD)}, "
+    + ", ".join(f"{q}, {lo}, {hi}" for q, lo, hi in _QE_WORKLOAD)
+    + ") AS (qid, qlo, qhi)"
+)
+
+
+@register(
+    "selectivity_qerror",
+    f"""
+WITH qe_c AS (
+  SELECT CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders),
+qe_b AS (
+  SELECT cents, ntile(8) OVER (ORDER BY cents, o_orderkey) AS b
+  FROM qe_c),
+qe_h AS (
+  SELECT b, CAST(min(cents) AS BIGINT) AS lo,
+         CAST(max(cents) AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS rows_b
+  FROM qe_b GROUP BY 1),
+qe_w(qid, qlo, qhi) AS (VALUES {_QE_VALUES}),
+qe_est AS (
+  SELECT w.qid, w.qlo, w.qhi,
+         CAST(coalesce(sum(
+           (1000 * h.rows_b *
+            greatest(least(h.hi, w.qhi) - greatest(h.lo, w.qlo) + 1, 0))
+           // (h.hi - h.lo + 1)), 0) AS BIGINT) AS est_milli
+  FROM qe_w w LEFT JOIN qe_h h
+    ON h.hi >= w.qlo AND h.lo <= w.qhi
+  GROUP BY 1, 2, 3),
+qe_act AS (
+  SELECT w.qid, CAST(count(c.cents) AS BIGINT) AS act_rows
+  FROM qe_w w LEFT JOIN qe_c c
+    ON c.cents >= w.qlo AND c.cents <= w.qhi
+  GROUP BY 1)
+SELECT e.qid, CAST(e.qlo AS BIGINT) AS qlo, CAST(e.qhi AS BIGINT) AS qhi,
+       a.act_rows, e.est_milli,
+       CAST((1000 * greatest(e.est_milli, 1000 * a.act_rows))
+            // greatest(least(e.est_milli, 1000 * a.act_rows), 1)
+         AS BIGINT) AS qerr_milli
+FROM qe_est e JOIN qe_act a ON a.qid = e.qid
+""",
+    doc="Selectivity-estimation q-error audit (Leis 2015): equal-"
+    "frequency 8-bucket price histogram (deterministic ntile ANALYZE "
+    "stand-in), uniform-within-bucket range estimates vs exact counts "
+    "for a 6-query range workload, q-error = max/min cross-multiplied "
+    "in milli. Includes an empty range (estimator must return 0) and "
+    "the full range (must be exact). Histogram is an 8-row dimension; "
+    "actuals are one predicate scan with map-side partial agg.",
+)
+def q_selectivity_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents",
+        "o_orderkey",
+    ).localCheckpoint(eager=False)
+    h = (
+        o.selectExpr(
+            "cents",
+            "ntile(8) OVER (ORDER BY cents, o_orderkey) AS b",
+        )
+        .groupBy("b")
+        .agg(
+            F.expr("CAST(min(cents) AS BIGINT)").alias("lo"),
+            F.expr("CAST(max(cents) AS BIGINT)").alias("hi"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("rows_b"),
+        )
+    )
+    w = o.sparkSession.range(1).selectExpr(_QE_STACK)
+    est = (
+        w.join(
+            F.broadcast(h),
+            (h["hi"] >= w["qlo"]) & (h["lo"] <= w["qhi"]),
+            "left",
+        )
+        .groupBy("qid", "qlo", "qhi")
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum((1000 * rows_b *"
+                " greatest(least(hi, qhi) - greatest(lo, qlo) + 1, 0))"
+                " DIV (hi - lo + 1)), 0) AS BIGINT)"
+            ).alias("est_milli")
+        )
+    )
+    act = (
+        F.broadcast(w.select("qid", "qlo", "qhi"))
+        .join(
+            o,
+            (o["cents"] >= w["qlo"]) & (o["cents"] <= w["qhi"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.expr("CAST(count(cents) AS BIGINT)").alias("act_rows"))
+    )
+    return est.join(act, "qid").selectExpr(
+        "qid", "CAST(qlo AS BIGINT) AS qlo", "CAST(qhi AS BIGINT) AS qhi",
+        "act_rows", "est_milli",
+        "CAST((1000 * greatest(est_milli, 1000 * act_rows))"
+        " DIV greatest(least(est_milli, 1000 * act_rows), 1) AS BIGINT)"
+        " AS qerr_milli",
+    )
