@@ -1991,3 +1991,28 @@ def q_wand_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tcloseness_audit(_docs(spark, sf_dir))
+
+
+# --- R223: GLCM texture features ---------------------------------------------------
+
+
+@register(
+    "glcm_texture",
+    None,  # decoded-pixel op (Philox-seeded pixels are not SQL-
+    # expressible); exact numpy-reference replay in tests/test_r223_glcm.py
+    doc="Haralick GLCM texture rollup per tile kind: integer-luma gray, "
+    "8-level quantization, directed right-neighbor co-occurrence "
+    "matrix, and the unnormalized contrast / angular-second-moment / "
+    "milli-floored homogeneity reductions — all bigints, aggregation-"
+    "order-proof. One Arrow mapInPandas decode pass (the S6 extraction "
+    "shape); 5 integers per tile leave the worker. Rows-only for the "
+    "driver; pixel-exactness is pytest-gated against the numpy "
+    "reference.",
+)
+def q_glcm_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.glcm_texture(tiles)

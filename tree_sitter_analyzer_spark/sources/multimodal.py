@@ -386,3 +386,76 @@ def audio_features(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# R223: GLCM texture features (Haralick 1973) — the classic image-texture
+# descriptor, exact and integer: per decoded tile, integer-luma gray
+# (299R+587G+114B)//1000, 8-level quantization (>>5), the directed
+# gray-level co-occurrence matrix for the right-neighbor offset (0,1),
+# and the unnormalized Haralick reductions — contrast SUM c_ij(i-j)^2,
+# angular-second-moment SUM c_ij^2, and milli-floored homogeneity
+# SUM (1000 c_ij)//(1+|i-j|) — all bigints, so the per-kind rollup is
+# aggregation-order-proof. Scale: one Arrow mapInPandas decode pass
+# (the S6 extraction-worker shape), features reduce per tile inside
+# the batch; only 5 integers per tile leave the worker.
+# ---------------------------------------------------------------------------
+
+GLCM_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("n_pairs", LongType()),
+    StructField("contrast", LongType()),
+    StructField("energy", LongType()),
+    StructField("hom_milli", LongType()),
+]
+
+
+def glcm_features_np(px: "np.ndarray") -> tuple[int, int, int, int]:
+    """numpy reference: (n_pairs, contrast, energy, hom_milli) for one
+    decoded (h, w, 3) uint8 image — the same arithmetic the Spark pass
+    runs (used verbatim by the pytest oracle)."""
+    gray = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    q = gray >> 5  # 8 levels
+    a, b = q[:, :-1], q[:, 1:]
+    idx = a * 8 + b
+    c = np.bincount(idx.ravel(), minlength=64).astype(np.int64)
+    i, j = np.divmod(np.arange(64), 8)
+    contrast = int((c * (i - j) ** 2).sum())
+    energy = int((c * c).sum())
+    hom = int(((1000 * c) // (1 + np.abs(i - j))).sum())
+    return int(a.size), contrast, energy, hom
+
+
+def glcm_texture(df: DataFrame) -> DataFrame:
+    """Per-kind GLCM texture rollup over decoded tiles:
+    (tile_kind, n_tiles, n_pairs, contrast, energy, hom_milli)."""
+    schema = StructType(GLCM_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                px = decode_px(buf)
+                rows.append((kind,) + glcm_features_np(px))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tile_kind", "n_pairs", "contrast", "energy",
+                    "hom_milli",
+                ],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.count("*").cast("bigint").alias("n_tiles"),
+        F.expr("CAST(sum(n_pairs) AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(sum(contrast) AS BIGINT)").alias("contrast"),
+        F.expr("CAST(sum(energy) AS BIGINT)").alias("energy"),
+        F.expr("CAST(sum(hom_milli) AS BIGINT)").alias("hom_milli"),
+    )
