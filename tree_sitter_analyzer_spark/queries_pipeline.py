@@ -2016,3 +2016,120 @@ def q_glcm_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth.tiles_df(spark, sf_dir).where("i <= 8000")
     )
     return multimodal.glcm_texture(tiles)
+
+
+# --- R226: bigram-LM surprisal scoring (perplexity filter) --------------------------
+#
+# The CCNet/Gopher-style LM quality filter one rung above
+# surprisal_filter's unigram model: train an add-1-smoothed BIGRAM
+# model on the even-doc_id half of the corpus, score the odd half, and
+# surface the highest-perplexity documents. Every bigram's surprisal
+# enters as the independently-floored integer
+# floor(1e6 * ln((c1 + V)/(c12 + 1))) — bigint sums, no distributed
+# float accumulation; unseen histories/bigrams fall out of the same
+# formula via coalesce(0). Scale: token frames are inverted-index
+# shaped (doc-keyed explode with map-side partial agg); the model join
+# is bigram-keyed; only per-doc integer totals leave.
+
+
+@register(
+    "bigram_surprisal",
+    """
+WITH bs_tok AS (
+  SELECT doc_id, unnest(ws) AS tok,
+         unnest(generate_series(1, len(ws))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)),
+bs_bg AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM bs_tok a JOIN bs_tok b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bs_c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bs_bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+bs_c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bs_c2 GROUP BY 1),
+bs_v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM bs_tok WHERE doc_id % 2 = 0),
+bs_sc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(floor(1e6 * ln(
+           CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)
+           / (coalesce(c2.c2, 0) + 1))) AS BIGINT)) AS BIGINT)
+           AS sur_micro
+  FROM bs_bg g
+  LEFT JOIN bs_c2 c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+  LEFT JOIN bs_c1 c1 ON c1.w1 = g.w1
+  CROSS JOIN bs_v v
+  WHERE g.doc_id % 2 = 1
+  GROUP BY 1)
+SELECT CAST(row_number() OVER (
+         ORDER BY sur_micro // n_bigrams DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_bigrams, sur_micro,
+       CAST(sur_micro // n_bigrams AS BIGINT) AS per_tok_micro
+FROM bs_sc
+QUALIFY rank <= 15
+""",
+    doc="Bigram-LM perplexity filter (the CCNet quality-scoring shape): "
+    "add-1-smoothed bigram model trained on the even-doc half, odd "
+    "half scored; per-bigram surprisal floor(1e6*ln((c1+V)/(c12+1))) "
+    "as independently-floored bigints (unseen histories fall out of "
+    "the same formula), top-15 highest per-token surprisal docs. "
+    "Token frames are inverted-index shaped; the model join is "
+    "bigram-keyed; only per-doc integer totals leave the shuffle.",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.selectExpr(
+            "doc_id", "filter(split(text, ' '), x -> x <> '') AS ws"
+        )
+        .selectExpr("doc_id", "posexplode(ws) AS (pos0, tok)")
+        .selectExpr("doc_id", "tok", "pos0 + 1 AS pos")
+        .localCheckpoint(eager=False)
+    )
+    a = tok.selectExpr("doc_id", "tok AS w1", "pos")
+    b = tok.selectExpr("doc_id", "tok AS w2", "pos - 1 AS pos")
+    bg = a.join(b, ["doc_id", "pos"]).select("doc_id", "w1", "w2")
+    bg = bg.localCheckpoint(eager=False)
+    c2 = (
+        bg.where("doc_id % 2 = 0")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.expr("CAST(sum(c2) AS BIGINT)").alias("c1"))
+    v = (
+        tok.where("doc_id % 2 = 0")
+        .agg(F.expr("CAST(count(DISTINCT tok) AS BIGINT) AS v"))
+    )
+    sc = (
+        bg.where("doc_id % 2 = 1")
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(CAST(floor(1e6 * ln("
+                "CAST(coalesce(c1, 0) + v AS DOUBLE)"
+                " / (coalesce(c2, 0) + 1))) AS BIGINT)) AS BIGINT)"
+            ).alias("sur_micro"),
+        )
+    )
+    return (
+        sc.selectExpr(
+            "doc_id", "n_bigrams", "sur_micro",
+            "CAST(sur_micro DIV n_bigrams AS BIGINT) AS per_tok_micro",
+            "row_number() OVER (ORDER BY sur_micro DIV n_bigrams DESC,"
+            " doc_id) AS rnk",
+        )
+        .where("rnk <= 15")
+        .selectExpr(
+            "CAST(rnk AS BIGINT) AS rank", "doc_id", "n_bigrams",
+            "sur_micro", "per_tok_micro",
+        )
+    )

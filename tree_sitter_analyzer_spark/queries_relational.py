@@ -4691,3 +4691,184 @@ def q_selectivity_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         " DIV greatest(least(est_milli, 1000 * act_rows), 1) AS BIGINT)"
         " AS qerr_milli",
     )
+
+
+# --- R224: per-user contribution bounding (DP-prep audit) -------------------------
+#
+# The differential-privacy preprocessing step (Wilson et al. 2020,
+# "Differentially private SQL with bounded user contribution"): before
+# any DP release, each user's row contribution must be clipped to a
+# bound C — this audit reports exactly what a C=100 clip costs. Per-user
+# event counts reduce user-keyed with map-side partial agg; the
+# contribution histogram (value dimension) yields max/p95 via the
+# crossing rule; dropped-mass bias is cross-multiplied to milli.
+
+_CLIP_C = 100
+
+
+@register(
+    "contribution_bounding",
+    f"""
+WITH cb_u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+cb_h AS (SELECT n, CAST(count(*) AS BIGINT) AS cnt FROM cb_u GROUP BY 1),
+cb_c AS (
+  SELECT n, cnt,
+         sum(cnt) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS users
+  FROM cb_h),
+cb_p AS (
+  SELECT min(n) AS p95_contribution FROM cb_c WHERE 20 * cum >= 19 * users)
+SELECT CAST(sum(u.n) AS BIGINT) AS total_rows,
+       CAST(sum(least(u.n, {_CLIP_C})) AS BIGINT) AS kept_rows,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN u.n > {_CLIP_C} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_users,
+       CAST(max(u.n) AS BIGINT) AS max_contribution,
+       CAST(max(p.p95_contribution) AS BIGINT) AS p95_contribution,
+       CAST((1000 * (sum(u.n) - sum(least(u.n, {_CLIP_C}))))
+            // sum(u.n) AS BIGINT) AS dropped_milli
+FROM cb_u u CROSS JOIN cb_p p
+""",
+    doc="Contribution-bounding audit (the DP-SQL clip step, Wilson "
+    "2020): per-user event counts clipped at C=100 — total vs kept "
+    "rows, clipped-user count, max and exact p95 contribution (value-"
+    "histogram crossing rule), and the dropped-mass bias in milli. "
+    "User-keyed map-side partial agg; the histogram lives on the "
+    "bounded contribution dimension.",
+)
+def q_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        u.groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .selectExpr(
+            "n",
+            "sum(cnt) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS cum",
+            "sum(cnt) OVER () AS users",
+        )
+        .where("20 * cum >= 19 * users")
+        .agg(F.expr("min(n) AS p95_contribution"))
+    )
+    return u.crossJoin(F.broadcast(p)).agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS total_rows"),
+        F.expr(f"CAST(sum(least(n, {_CLIP_C})) AS BIGINT) AS kept_rows"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_users"),
+        F.expr(
+            f"CAST(sum(CASE WHEN n > {_CLIP_C} THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_clipped_users"
+        ),
+        F.expr("CAST(max(n) AS BIGINT) AS max_contribution"),
+        F.expr("CAST(max(p95_contribution) AS BIGINT) AS p95_contribution"),
+        F.expr(
+            f"CAST((1000 * (sum(n) - sum(least(n, {_CLIP_C}))))"
+            " DIV sum(n) AS BIGINT) AS dropped_milli"
+        ),
+    )
+
+
+# --- R225: Markov stationary distribution (integer power iteration) ---------------
+#
+# The long-run occupancy of the user-journey Markov chain: 4 integer-
+# quantized power-iteration steps over the event-transition matrix
+# (the pagerank_fixed discipline — micro-unit bigint mass, per-term
+# floors, so the k-step result is bit-identical across engines and
+# partitionings): pi_{{k+1}}(j) = SUM_i (pi_k(i) * n_ij) DIV t_i.
+# Every iteration is emitted so convergence is visible in the result.
+# The chain frame is the bounded 5x5 type dimension; floors leak <=
+# n_states micro per step (documented, visible in the mass column).
+
+_MK_ITERS = 4
+
+
+def _markov_ctes() -> str:
+    steps = [
+        """mk_seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events),
+mk_p AS (
+  SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM mk_seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+mk_t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS t FROM mk_p GROUP BY 1),
+mk_s AS (SELECT cur AS state FROM mk_t),
+mk_ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM mk_s),
+mk_it0 AS (
+  SELECT state, CAST(1000000 // ns AS BIGINT) AS pi
+  FROM mk_s CROSS JOIN mk_ns)"""
+    ]
+    for k in range(1, _MK_ITERS + 1):
+        steps.append(
+            f"""mk_it{k} AS (
+  SELECT p.nxt AS state,
+         CAST(sum((i.pi * p.n) // t.t) AS BIGINT) AS pi
+  FROM mk_it{k - 1} i
+  JOIN mk_p p ON p.cur = i.state JOIN mk_t t ON t.cur = i.state
+  GROUP BY 1)"""
+        )
+    return ",\n".join(steps)
+
+
+@register(
+    "markov_stationary",
+    f"""
+WITH {_markov_ctes()}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS iteration, state, pi AS pi_micro FROM mk_it{k}"
+      for k in range(_MK_ITERS + 1)
+  )})
+""",
+    doc="Stationary distribution of the user-journey Markov chain via 4 "
+    "integer-quantized power-iteration steps (the pagerank_fixed "
+    "discipline: micro-unit bigint mass, per-term floors — bit-"
+    "identical across engines and partitionings); every iteration "
+    "emitted so convergence is visible. Transition frame is the "
+    "bounded 5x5 type dimension; one user-keyed window to build it.",
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.selectExpr(
+        "event_type",
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id) AS nxt",
+    )
+    p = (
+        seq.where("nxt IS NOT NULL")
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t = p.groupBy("cur").agg(F.expr("CAST(sum(n) AS BIGINT)").alias("t"))
+    pt = p.join(t, "cur").localCheckpoint(eager=False)
+    states = t.select(F.col("cur").alias("state"))
+    ns = states.agg(F.count("*").cast("bigint").alias("ns"))
+    pi = states.crossJoin(F.broadcast(ns)).selectExpr(
+        "state", "CAST(1000000 DIV ns AS BIGINT) AS pi"
+    )
+    outs = [pi.selectExpr("0 AS iteration", "state", "pi AS pi_micro")]
+    for k in range(1, _MK_ITERS + 1):
+        pi = (
+            pi.join(pt, pi["state"] == pt["cur"])
+            .selectExpr("nxt AS state", "(pi * n) DIV t AS term")
+            .groupBy("state")
+            .agg(F.expr("CAST(sum(term) AS BIGINT)").alias("pi"))
+        )
+        outs.append(
+            pi.selectExpr(f"{k} AS iteration", "state", "pi AS pi_micro")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.selectExpr(
+        "CAST(iteration AS BIGINT) AS iteration", "state", "pi_micro"
+    )
