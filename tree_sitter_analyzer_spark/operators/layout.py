@@ -722,3 +722,111 @@ SELECT curve, CAST(rid AS BIGINT) AS range_id,
        CAST(count(*) AS BIGINT) AS n_cells
 FROM crp_isl GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# R228: column-encoding audit — what the layout buys COMPRESSION
+# ---------------------------------------------------------------------------
+#
+# Zone maps (zonemap_prune) measure what the layout buys SCANS; this
+# audit measures what it buys STORAGE: per file (the same 64-way
+# equal-frequency split), the run count (RLE proxy) and distinct count
+# (dictionary proxy) of two columns — the res-9 CELL id, which the
+# Z-order sort makes contiguous (runs collapse to ~distinct cells per
+# file), and TILE KIND, which is independent of space (the honest
+# counter-example: spatial sorting cannot help it). Exact integers:
+# runs = 1 + SUM(value != lag value) within the file in layout order.
+
+ENC_COLUMNS = ("cell9", "kind")
+
+
+def encoding_audit(
+    tiles: DataFrame, n_files: int = PRUNE_N_FILES, res: int = LAYOUT_RES
+) -> DataFrame:
+    """(layout, column, n_rows, total_runs, total_distinct,
+    rows_per_run_milli) — RLE/dictionary effectiveness per layout."""
+    base = tiles.select(
+        "i",
+        F.expr(
+            f"{grid.ix_sql('lon', res)} * {grid.IX_MUL}"
+            f" + {grid.iy_sql('lat', res)}"
+        ).alias("cell9"),
+        F.col("tile_kind").alias("kind"),
+        morton_col("lon", "lat", res).alias("zkey"),
+    ).localCheckpoint(eager=False)
+    out = []
+    for lay, order in (("zorder", ["zkey", "i"]), ("by_id", ["i"])):
+        ocols = ", ".join(order)
+        w = F.ntile(n_files).over(Window.orderBy(*[F.col(c) for c in order]))
+        filed = base.withColumn("f", w)
+        for col in ENC_COLUMNS:
+            runs = filed.selectExpr(
+                "f", col,
+                f"CASE WHEN {col} = lag({col}) OVER (PARTITION BY f"
+                f" ORDER BY {ocols}) THEN 0 ELSE 1 END AS brk",
+            )
+            out.append(
+                runs.groupBy("f")
+                .agg(
+                    F.count("*").cast("bigint").alias("rows_f"),
+                    F.expr("CAST(sum(brk) AS BIGINT)").alias("runs_f"),
+                    F.countDistinct(col).cast("bigint").alias("dist_f"),
+                )
+                .agg(
+                    F.expr("CAST(sum(rows_f) AS BIGINT)").alias("n_rows"),
+                    F.expr("CAST(sum(runs_f) AS BIGINT)").alias(
+                        "total_runs"
+                    ),
+                    F.expr("CAST(sum(dist_f) AS BIGINT)").alias(
+                        "total_distinct"
+                    ),
+                )
+                .selectExpr(
+                    f"'{lay}' AS layout", f"'{col}' AS column_name",
+                    "n_rows", "total_runs", "total_distinct",
+                    "CAST((1000 * n_rows) DIV total_runs AS BIGINT)"
+                    " AS rows_per_run_milli",
+                )
+            )
+    res_df = out[0]
+    for o in out[1:]:
+        res_df = res_df.unionByName(o)
+    return res_df
+
+
+def encoding_audit_oracle(
+    n_files: int = PRUNE_N_FILES, res: int = LAYOUT_RES
+) -> str:
+    z = morton_sql("lon", "lat", res)
+    ix = grid.ix_sql("lon", res)
+    iy = grid.iy_sql("lat", res)
+    parts = []
+    for lay, ocols in (("zorder", "zkey, i"), ("by_id", "i")):
+        for col in ENC_COLUMNS:
+            parts.append(f"""
+  SELECT '{lay}' AS layout, '{col}' AS column_name,
+         CAST(sum(rows_f) AS BIGINT) AS n_rows,
+         CAST(sum(runs_f) AS BIGINT) AS total_runs,
+         CAST(sum(dist_f) AS BIGINT) AS total_distinct,
+         CAST((1000 * sum(rows_f)) // sum(runs_f) AS BIGINT)
+           AS rows_per_run_milli
+  FROM (
+    SELECT f, CAST(count(*) AS BIGINT) AS rows_f,
+           CAST(sum(brk) AS BIGINT) AS runs_f,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS dist_f
+    FROM (
+      SELECT f, {col},
+             CASE WHEN {col} = lag({col}) OVER (PARTITION BY f
+               ORDER BY {ocols}) THEN 0 ELSE 1 END AS brk
+      FROM (
+        SELECT *, ntile({n_files}) OVER (ORDER BY {ocols}) AS f
+        FROM ea_keyed))
+    GROUP BY f)""")
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+ea_keyed AS (
+  SELECT i, {ix} * {grid.IX_MUL} + {iy} AS cell9,
+         tile_kind AS kind, {z} AS zkey
+  FROM tiles)
+{body}
+"""

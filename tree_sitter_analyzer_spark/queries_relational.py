@@ -4872,3 +4872,219 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.selectExpr(
         "CAST(iteration AS BIGINT) AS iteration", "state", "pi_micro"
     )
+
+
+# --- R227: AMS F2 sketch audit ------------------------------------------------------
+#
+# The Alon-Matias-Szegedy second-moment sketch (AMS 1996, the Godel-
+# prize streaming result): F2 = SUM_k f_k^2 of the l_partkey stream,
+# estimated by 16 independent +/-1-hash estimators z_j = SUM_rows
+# s_j(key) (md5-seeded signs, one scan, map-side partial agg), combined
+# median-of-means (4 groups of 4; lower-middle mean pair averaged) and
+# audited against the EXACT F2 from the frequency histogram. All
+# bigints: z^2 <= rows^2 stays in range, the estimate/error cross-
+# multiply to milli. The sketch costs one 16-column scan vs the exact
+# path's key-dimension shuffle — the audit records what that buys.
+
+_AMS_J = 16
+
+
+def _ams_signs(engine: str) -> list[str]:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    cat = (
+        "concat('ams{j}_', CAST(l_partkey AS STRING))"
+        if engine == "spark"
+        else "'ams{j}_' || CAST(l_partkey AS VARCHAR)"
+    )
+    return [
+        f"CAST(sum(CASE WHEN {md5(cat.format(j=j))} % 2 = 0"
+        f" THEN 1 ELSE -1 END) AS BIGINT) AS z{j}"
+        for j in range(_AMS_J)
+    ]
+
+
+_AMS_MEANS = ", ".join(
+    f"(z{4 * g} * z{4 * g} + z{4 * g + 1} * z{4 * g + 1}"
+    f" + z{4 * g + 2} * z{4 * g + 2} + z{4 * g + 3} * z{4 * g + 3})"
+    f" DIV 4 AS m{g}"
+    for g in range(4)
+)
+
+
+@register(
+    "f2_sketch_audit",
+    f"""
+WITH f2_z AS (
+  SELECT {', '.join(_ams_signs('duck'))},
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem),
+f2_m AS (
+  SELECT n_rows, {_AMS_MEANS.replace(' DIV ', ' // ')} FROM f2_z),
+f2_med AS (
+  SELECT n_rows,
+         (list_sort([m0, m1, m2, m3])[2]
+          + list_sort([m0, m1, m2, m3])[3]) // 2 AS est_f2
+  FROM f2_m),
+f2_ex AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM lineitem
+        GROUP BY l_partkey))
+SELECT e.exact_f2, m.est_f2, e.n_keys, m.n_rows,
+       CAST((1000 * abs(m.est_f2 - e.exact_f2)) // e.exact_f2 AS BIGINT)
+         AS err_milli
+FROM f2_med m CROSS JOIN f2_ex e
+""",
+    doc="AMS second-moment sketch audit (Alon-Matias-Szegedy 1996): 16 "
+    "md5-seeded +/-1 estimators over the l_partkey stream in ONE "
+    "16-column scan (map-side partial agg), median-of-means combine "
+    "(4x4, middle pair averaged), vs the exact F2 from the key "
+    "histogram — relative error recorded in milli. All-bigint; the "
+    "sketch needs no key shuffle, the exact path does.",
+)
+def q_f2_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.agg(
+        *[F.expr(e) for e in _ams_signs("spark")],
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    med = z.selectExpr("n_rows", *_AMS_MEANS.split(", ")).selectExpr(
+        "n_rows",
+        "(array_sort(array(m0, m1, m2, m3))[1]"
+        " + array_sort(array(m0, m1, m2, m3))[2]) DIV 2 AS est_f2",
+    )
+    ex = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .agg(
+            F.expr("CAST(sum(f * f) AS BIGINT) AS exact_f2"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_keys"),
+        )
+    )
+    return med.crossJoin(F.broadcast(ex)).selectExpr(
+        "exact_f2", "est_f2", "n_keys", "n_rows",
+        "CAST((1000 * abs(est_f2 - exact_f2)) DIV exact_f2 AS BIGINT)"
+        " AS err_milli",
+    )
+
+
+# --- R229: SPRT sequential A/B monitor ----------------------------------------------
+#
+# Wald's sequential probability ratio test (1945) — the always-valid
+# streaming alternative to ab_test_harness's fixed-horizon z-test:
+# per arm, replay the time-ordered purchase stream and accumulate the
+# integer log-likelihood ratio for H1: p=0.35 vs H0: p=0.25 on the
+# high-value-conversion Bernoulli (increments are the PRECOMPUTED
+# literals floor(1e6*ln(.35/.25)) = 336472 and floor(1e6*ln(.65/.75))
+# = -143101 — the rrf integer-table discipline), stopping at the Wald
+# boundaries +/-ln(19) (alpha = beta = 0.05). Batch form = the exact
+# replay of the streaming monitor: the cumsum window is ordered by the
+# unique (ts, event_id) stream key within each arm partition — state
+# is one bigint per arm in the streaming deployment.
+
+_SPRT_UP = 2944439     # ceil(1e6 * ln(19)) — conservative
+_SPRT_DOWN = -2944439
+
+
+@register(
+    "sprt_monitor",
+    f"""
+WITH sp_obs AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         ts, event_id,
+         CASE WHEN value >= 150e0 THEN 1 ELSE 0 END AS x
+  FROM events WHERE event_type = 'purchase'),
+sp_c AS (
+  SELECT arm, ts, event_id, x,
+         row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+           AS rn,
+         sum(CASE WHEN x = 1 THEN 336472 ELSE -143101 END)
+           OVER (PARTITION BY arm ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS llr
+  FROM sp_obs),
+sp_x AS (
+  SELECT arm, min(rn) AS cross_at_n
+  FROM sp_c WHERE llr >= {_SPRT_UP} OR llr <= {_SPRT_DOWN}
+  GROUP BY 1),
+sp_f AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(x) AS BIGINT) AS successes,
+         CAST(max(CASE WHEN rn = n2.mx THEN llr END) AS BIGINT)
+           AS llr_final_micro
+  FROM sp_c JOIN (SELECT arm AS a2, max(rn) AS mx FROM sp_c GROUP BY 1)
+    n2 ON n2.a2 = sp_c.arm
+  GROUP BY 1)
+SELECT f.arm, f.n_obs, f.successes, f.llr_final_micro,
+       CAST(coalesce(x.cross_at_n, -1) AS BIGINT) AS cross_at_n,
+       CASE WHEN x.cross_at_n IS NULL THEN 'continue'
+            WHEN (SELECT c.llr FROM sp_c c
+                  WHERE c.arm = f.arm AND c.rn = x.cross_at_n)
+                 >= {_SPRT_UP} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM sp_f f LEFT JOIN sp_x x ON x.arm = f.arm
+""",
+    doc="Wald SPRT sequential A/B monitor — the always-valid streaming "
+    "alternative to the fixed-horizon z-test: per md5-parity arm, the "
+    "time-ordered purchase stream accumulates the integer log-"
+    "likelihood ratio for p=0.35 vs p=0.25 high-value conversion "
+    "(precomputed literal increments, the rrf table discipline), "
+    "stopping at the +/-ln(19) Wald boundaries; first-crossing index "
+    "and decision per arm. Batch = exact replay of the streaming "
+    "monitor whose state is one bigint per arm.",
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import md5int_spark
+
+    ev = _t(spark, sf_dir, "events").where("event_type = 'purchase'")
+    obs = ev.selectExpr(
+        f"CASE WHEN {md5int_spark('CAST(user_id AS STRING)')} % 2 = 0"
+        " THEN 'A' ELSE 'B' END AS arm",
+        "ts", "event_id",
+        "CASE WHEN value >= 150e0 THEN 1 ELSE 0 END AS x",
+    )
+    c = obs.selectExpr(
+        "arm", "x",
+        "row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)"
+        " AS rn",
+        "sum(CASE WHEN x = 1 THEN 336472 ELSE -143101 END)"
+        " OVER (PARTITION BY arm ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr",
+    ).localCheckpoint(eager=False)
+    xx = (
+        c.where(f"llr >= {_SPRT_UP} OR llr <= {_SPRT_DOWN}")
+        .groupBy("arm")
+        .agg(F.expr("min(rn) AS cross_at_n"))
+    )
+    mx = c.groupBy("arm").agg(F.expr("max(rn) AS mx"))
+    f = (
+        c.join(mx, "arm")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.expr("CAST(sum(x) AS BIGINT)").alias("successes"),
+            F.expr(
+                "CAST(max(CASE WHEN rn = mx THEN llr END) AS BIGINT)"
+            ).alias("llr_final_micro"),
+        )
+    )
+    cross_val = c.selectExpr("arm AS a3", "rn AS rn3", "llr AS llr3")
+    return (
+        f.join(xx, "arm", "left")
+        .join(
+            cross_val,
+            (F.col("arm") == F.col("a3"))
+            & (F.col("cross_at_n") == F.col("rn3")),
+            "left",
+        )
+        .selectExpr(
+            "arm", "n_obs", "successes", "llr_final_micro",
+            "CAST(coalesce(cross_at_n, -1) AS BIGINT) AS cross_at_n",
+            f"CASE WHEN cross_at_n IS NULL THEN 'continue'"
+            f" WHEN llr3 >= {_SPRT_UP} THEN 'accept_h1'"
+            " ELSE 'accept_h0' END AS decision",
+        )
+    )

@@ -2203,3 +2203,20 @@ def q_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS cramers_v_milli",
         )
     )
+
+
+# --- R228: column-encoding (RLE/dictionary) layout audit ---------------------------
+
+@register(
+    "encoding_audit",
+    f"{_CTES},\n{layout_ops.encoding_audit_oracle()}",
+    doc="Column-encoding effectiveness per layout: exact run counts "
+    "(RLE proxy) and per-file distinct counts (dictionary proxy) of "
+    "the res-9 cell id and tile kind under Z-order vs insertion-order "
+    "64-file splits. The cell column's runs collapse under the "
+    "spatial sort (the storage win beside zonemap_prune's scan win); "
+    "tile kind is the honest counter-example a spatial sort cannot "
+    "compress. runs = 1 + SUM(value != lag) within file, all bigint.",
+)
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_ops.encoding_audit(_tiles(spark, sf_dir))
