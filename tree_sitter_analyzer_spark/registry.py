@@ -277,6 +277,43 @@ _ROTATIONS_C6 = {
 }
 GATE_ORDER = [_ROTATIONS_C6.get(n, n) for n in GATE_ORDER]
 
+# Continuation-7 rotation (R207-R229 families in; same policy — every
+# rotated-out query stays sweep- and pytest-oracle-verified):
+# top_tiles_per_zone → matrix_profile_daily (A6 per-group top-k window
+#   mechanics stay in-gate via skyline_tiles and the retrieval rankers;
+#   the distance-profile anomaly/motif detector is a new time-series
+#   family beside cell_cusum's thresholds),
+# uncovered_zones → zonemap_prune (A8 dimension-keyed gap analysis stays
+#   sweep-oracled via sparse_zones + pip_audit; the zone-map audit gives
+#   the LAYOUT family its end-to-end I/O number — the at-scale reason
+#   range_fragmentation is already in-gate),
+# quadtree_leaves → curve_range_plan (adaptive tiling stays sweep-
+#   oracled; the bbox→key-range covering is what a curve-sorted layout
+#   is FOR, and its plan computes both curves' keys),
+# semivariogram → kaplan_meier (geostatistics keeps emerging_hotspots +
+#   accessibility_2sfca in-gate and idw/kriging-adjacent ops in the
+#   sweep; survival analysis had no representative anywhere),
+# watermark_lateness → sprt_monitor (streaming-semantics keeps
+#   rate_policer in-gate; the always-valid sequential decision is a new
+#   streaming family rung),
+# surprisal_filter → bigram_surprisal (strict upgrade: the add-1 bigram
+#   LM subsumes the unigram surprisal band filter; unigram stays
+#   sweep-oracled),
+# dedup_survivors → knn_label_noise (the dedup family keeps block_dedup
+#   + lsh_recall_audit + pixel_verify_pairs + decontamination in-gate;
+#   the kNN-vote label audit opens the training-label-QA family, and its
+#   gate row exercises the banded sign-LSH join too).
+_ROTATIONS_C7 = {
+    "top_tiles_per_zone": "matrix_profile_daily",
+    "uncovered_zones": "zonemap_prune",
+    "quadtree_leaves": "curve_range_plan",
+    "semivariogram": "kaplan_meier",
+    "watermark_lateness": "sprt_monitor",
+    "surprisal_filter": "bigram_surprisal",
+    "dedup_survivors": "knn_label_noise",
+}
+GATE_ORDER = [_ROTATIONS_C7.get(n, n) for n in GATE_ORDER]
+
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side-effect registration),
