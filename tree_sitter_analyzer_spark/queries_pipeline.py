@@ -2133,3 +2133,214 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sur_micro", "per_tok_micro",
         )
     )
+
+
+# --- R230: exact 1-Wasserstein (earth-mover) drift per source -------------------
+#
+# The W1 companion to tcloseness_audit's TV distance and ks_test's sup
+# norm: per source, the exact earth-mover distance between that source's
+# document-length distribution and the whole corpus's, in CHARACTER
+# units. W1(F_s, F) = integral |F_s - F| dx, computed exactly on the
+# bounded value dimension (R180/R190 histogram discipline): per distinct
+# n_chars value the two cumulative counts with a common denominator
+# (n_s * N — no float ECDF anywhere), each |c_s*N - c*n_s| weighted by
+# the gap to the NEXT distinct value (the integral's step width), then
+# one integer DIV at the end. Unlike KS (sup at one point) and TV
+# (per-bin mass), W1 is the drift metric that respects the metric on the
+# value axis — ML-monitoring's standard distribution-shift number.
+# Frame = sources x distinct lengths (both bounded dimensions); one
+# groupBy histogram then windows only on the bounded frame.
+
+
+@register(
+    "wasserstein_drift",
+    """
+WITH wd_vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+wd_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY 1),
+wd_hist AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS h
+  FROM documents GROUP BY 1, 2),
+wd_tot AS (
+  SELECT v, CAST(sum(h) AS BIGINT) AS ht FROM wd_hist GROUP BY 1),
+wd_dense AS (
+  SELECT s.source, s.ns, x.v, coalesce(h.h, 0) AS h, t.ht
+  FROM wd_src s CROSS JOIN wd_vals x
+  JOIN wd_tot t ON t.v = x.v
+  LEFT JOIN wd_hist h ON h.source = s.source AND h.v = x.v),
+wd_cum AS (
+  SELECT source, ns, v,
+         sum(h) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         sum(ht) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+         sum(ht) OVER (PARTITION BY source) AS n,
+         lead(v) OVER (PARTITION BY source ORDER BY v) AS vnext
+  FROM wd_dense),
+wd_w AS (
+  SELECT source, min(ns) AS ns, min(n) AS n,
+         CAST(sum(abs(cs * n - ct * ns) * (vnext - v)) AS BIGINT) AS num
+  FROM wd_cum WHERE vnext IS NOT NULL GROUP BY source)
+SELECT source, ns AS n_docs,
+       CAST((1000 * num) // (ns * n) AS BIGINT) AS w1_millichars,
+       CAST(row_number() OVER (
+         ORDER BY (1000 * num) // (ns * n) DESC, source) AS BIGINT) AS rnk
+FROM wd_w
+""",
+    doc="Exact 1-Wasserstein (earth-mover) distance between each "
+    "source's document-length distribution and the corpus one, in "
+    "milli-character units: |cumulative-count difference| with common "
+    "denominator ns*N, weighted by the gap to the next distinct value "
+    "(the ECDF integral, no floats), one integer DIV per source. The "
+    "metric-aware drift number beside KS's sup and t-closeness's TV; "
+    "frame bounded by sources x distinct lengths.",
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vals = docs.selectExpr("n_chars AS v").distinct()
+    src = docs.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS ns")
+    )
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS h")
+    )
+    tot = hist.groupBy("v").agg(F.expr("CAST(sum(h) AS BIGINT) AS ht"))
+    dense = (
+        src.crossJoin(F.broadcast(vals))
+        .join(F.broadcast(tot), "v")
+        .join(F.broadcast(hist), ["source", "v"], "left")
+        .selectExpr("source", "ns", "v", "coalesce(h, 0) AS h", "ht")
+    )
+    cum = dense.selectExpr(
+        "source", "ns", "v",
+        "sum(h) OVER (PARTITION BY source ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs",
+        "sum(ht) OVER (PARTITION BY source ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct",
+        "sum(ht) OVER (PARTITION BY source) AS n",
+        "lead(v) OVER (PARTITION BY source ORDER BY v) AS vnext",
+    )
+    w = (
+        cum.where("vnext IS NOT NULL")
+        .groupBy("source")
+        .agg(
+            F.expr("min(ns) AS ns"),
+            F.expr("min(n) AS n"),
+            F.expr(
+                "CAST(sum(abs(cs * n - ct * ns) * (vnext - v)) AS BIGINT)"
+                " AS num"
+            ),
+        )
+    )
+    return w.selectExpr(
+        "source", "ns AS n_docs",
+        "CAST((1000 * num) DIV (ns * n) AS BIGINT) AS w1_millichars",
+        "CAST(row_number() OVER ("
+        "ORDER BY (1000 * num) DIV (ns * n) DESC, source) AS BIGINT)"
+        " AS rnk",
+    )
+
+
+# --- R231: McNemar's paired test between two en-detectors ----------------------
+#
+# The paired-classifier significance test beside rater_kappa's agreement
+# number (Cohen kappa asks "do they agree"; McNemar asks "is one BETTER
+# against truth"): two deterministic binary detectors for the 'en' label
+# over the same documents — A = marker PRESENCE (any of the_a_of_and
+# occurs as a whole word), B = stopword DENSITY (>= 10% of tokens are
+# stopwords) — scored against lang = 'en'. Only the DISCORDANT pairs
+# (A right & B wrong, or vice versa) carry information; the synthetic
+# labels are metadata-random w.r.t. the English-ish token stream, so
+# accuracy honestly reads near the label base rate (the R212
+# labels-independent-of-features discipline) while the paired-test
+# mechanics — discordance counting, continuity correction, decision —
+# are fully exercised. Continuity-corrected chi2 cross-multiplied:
+#   reject at alpha=.05  <=>  1000000*(|b-c|-1)^2 > 3841459*(b+c)
+# (3.841459 = chi2_{1,.95}; GREATEST(|b-c|-1, 0) guards b == c).
+# One scan to a 4-cell paired-outcome matrix via map-side partial agg.
+
+_MC_A = "CAST(ev_en > 0 AS BIGINT)"
+_MC_B = "CAST(10 * n_stop >= n_tokens AS BIGINT)"
+_MC_TRUTH = "CAST(lang = 'en' AS BIGINT)"
+
+
+@register(
+    "mcnemar_test",
+    f"""
+WITH mc_base AS (
+  SELECT lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+mc_feat AS (
+  SELECT lang,
+         {textstats._count_words_duck(textstats.LANG_MARKERS["en"])}
+           AS ev_en,
+         {textstats._count_words_duck(textstats.STOPWORDS)} AS n_stop,
+         len(ws) AS n_tokens
+  FROM mc_base),
+mc_scored AS (
+  SELECT CAST(({_MC_A}) = ({_MC_TRUTH}) AS BIGINT) AS a_ok,
+         CAST(({_MC_B}) = ({_MC_TRUTH}) AS BIGINT) AS b_ok
+  FROM mc_feat),
+mc_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(a_ok * b_ok) AS BIGINT) AS both_right,
+         CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS both_wrong,
+         CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS a_only,
+         CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS b_only
+  FROM mc_scored)
+SELECT n_total, both_right, both_wrong, a_only, b_only,
+       CAST(CASE WHEN a_only + b_only = 0 THEN 0
+            ELSE (1000 * GREATEST(abs(a_only - b_only) - 1, 0)
+                       * GREATEST(abs(a_only - b_only) - 1, 0))
+                 // (a_only + b_only) END AS BIGINT) AS chi2_milli,
+       CAST(1000000 * GREATEST(abs(a_only - b_only) - 1, 0)
+                    * GREATEST(abs(a_only - b_only) - 1, 0)
+            > 3841459 * (a_only + b_only) AS BIGINT) AS reject05
+FROM mc_m
+""",
+    doc="McNemar's continuity-corrected paired test between two "
+    "deterministic 'en' detectors (A = whole-word marker presence, "
+    "B = >=10% stopword density) scored against the lang label: the "
+    "4-cell paired-outcome matrix, chi2 in milli over the discordant "
+    "pairs only, and the alpha=.05 decision fully cross-multiplied "
+    "(3841459 = 1e6 * chi2_{1,.95}); GREATEST(|b-c|-1, 0) guards the "
+    "b == c edge. The is-one-better inferential sibling of "
+    "rater_kappa's do-they-agree number; one scan, map-side partial "
+    "agg to 5 integers. Labels are metadata-random w.r.t. the token "
+    "stream, so accuracy honestly reads the base rate (R212 "
+    "discipline) while discordance is real.",
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feat = docs.selectExpr(
+        "lang",
+        "filter(split(text, ' '), x -> x <> '') AS ws",
+    ).selectExpr(
+        "lang",
+        f"{textstats._count_words_sql(textstats.LANG_MARKERS['en'])}"
+        " AS ev_en",
+        f"{textstats._count_words_sql(textstats.STOPWORDS)} AS n_stop",
+        "size(ws) AS n_tokens",
+    )
+    scored = feat.selectExpr(
+        f"CAST(({_MC_A}) = ({_MC_TRUTH}) AS BIGINT) AS a_ok",
+        f"CAST(({_MC_B}) = ({_MC_TRUTH}) AS BIGINT) AS b_ok",
+    )
+    m = scored.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_total"),
+        F.expr("CAST(sum(a_ok * b_ok) AS BIGINT) AS both_right"),
+        F.expr("CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS both_wrong"),
+        F.expr("CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS a_only"),
+        F.expr("CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS b_only"),
+    )
+    return m.selectExpr(
+        "n_total", "both_right", "both_wrong", "a_only", "b_only",
+        "CAST(CASE WHEN a_only + b_only = 0 THEN 0"
+        " ELSE (1000 * GREATEST(abs(a_only - b_only) - 1, 0)"
+        " * GREATEST(abs(a_only - b_only) - 1, 0))"
+        " DIV (a_only + b_only) END AS BIGINT) AS chi2_milli",
+        "CAST(1000000 * GREATEST(abs(a_only - b_only) - 1, 0)"
+        " * GREATEST(abs(a_only - b_only) - 1, 0)"
+        " > 3841459 * (a_only + b_only) AS BIGINT) AS reject05",
+    )

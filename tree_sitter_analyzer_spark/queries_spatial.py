@@ -2220,3 +2220,128 @@ def q_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_ops.encoding_audit(_tiles(spark, sf_dir))
+
+
+# --- R232: Jenks natural-breaks classification of cell densities ------------------
+#
+# The cartographic classifier every GIS ships as its choropleth default
+# (Jenks 1967 / Fisher optimal partition), done EXACTLY for k=3 on the
+# bounded value dimension: per-res-8-cell tile counts collapse to a
+# (count value, n_cells) histogram; candidate break pairs (t1 < t2) fan
+# over that bounded dimension's self-join (values^2, never cells^2);
+# minimizing within-class squared deviation == maximizing
+# sum_c s_c^2/n_c, scored as the deterministic integer
+# sum_c 1000*s_c^2 DIV n_c (the cluster_validity per-term-floor
+# discipline — every engine computes identical bigints), argmax with
+# (t1, t2) tie-break. Class stats come off cumulative sums, so the fan
+# carries 8 integers per candidate, nothing rescans cells.
+
+
+@register(
+    "jenks_breaks",
+    f"""{_CTES},
+jk_cell AS (
+  SELECT {grid.cell_sql('lon', 'lat', 8)} AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1),
+jk_vh AS (
+  SELECT n AS v, CAST(count(*) AS BIGINT) AS w FROM jk_cell GROUP BY 1),
+jk_cum AS (
+  SELECT v,
+         sum(w) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         sum(w * v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         sum(w) OVER () AS tn,
+         sum(w * v) OVER () AS ts,
+         max(v) OVER () AS vmax
+  FROM jk_vh),
+jk_cand AS (
+  SELECT a.v AS t1, b.v AS t2,
+         (1000 * a.cs * a.cs) // a.cn
+       + (1000 * (b.cs - a.cs) * (b.cs - a.cs)) // (b.cn - a.cn)
+       + (1000 * (a.ts - b.cs) * (a.ts - b.cs)) // (a.tn - b.cn)
+           AS score_milli
+  FROM jk_cum a JOIN jk_cum b ON b.v > a.v AND b.v < a.vmax),
+jk_best AS (
+  SELECT t1, t2, score_milli FROM jk_cand
+  ORDER BY score_milli DESC, t1, t2 LIMIT 1)
+SELECT CAST(CASE WHEN h.v <= b.t1 THEN 1 WHEN h.v <= b.t2 THEN 2
+            ELSE 3 END AS BIGINT) AS class_id,
+       CAST(min(h.v) AS BIGINT) AS lo,
+       CAST(max(h.v) AS BIGINT) AS hi,
+       CAST(sum(h.w) AS BIGINT) AS n_cells,
+       CAST(sum(h.w * h.v) AS BIGINT) AS n_tiles,
+       CAST((1000 * sum(h.w * h.v)) // sum(h.w) AS BIGINT) AS mean_milli,
+       CAST(min(b.t1) AS BIGINT) AS break1,
+       CAST(min(b.t2) AS BIGINT) AS break2,
+       CAST(min(b.score_milli) AS BIGINT) AS score_milli
+FROM jk_vh h CROSS JOIN jk_best b
+GROUP BY 1
+""",
+    doc="Jenks/Fisher natural-breaks (k=3) classification of per-res-8-"
+    "cell tile densities — the GIS choropleth default classifier, exact "
+    "on the bounded count-value histogram: break-pair candidates fan "
+    "over the value dimension's self-join (values^2, never cells^2), "
+    "scored by the deterministic integer sum of per-class "
+    "1000*s^2 DIV n terms (maximizing between-class separation), "
+    "argmax tie-broken by (t1, t2). Emits the 3 classes with ranges, "
+    "cell/tile counts, milli means and the chosen breaks.",
+)
+def q_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=8)
+    vh = (
+        t.groupBy("cell")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+        .groupBy(F.col("n").alias("v"))
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS w"))
+    )
+    cum = vh.selectExpr(
+        "v",
+        "sum(w) OVER (ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn",
+        "sum(w * v) OVER (ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs",
+        "sum(w) OVER () AS tn",
+        "sum(w * v) OVER () AS ts",
+        "max(v) OVER () AS vmax",
+    ).localCheckpoint(eager=False)
+    a = cum.selectExpr(
+        "v AS t1", "cn AS n1", "cs AS s1", "tn", "ts", "vmax"
+    )
+    b = cum.selectExpr("v AS t2", "cn AS n2", "cs AS s2")
+    cand = (
+        a.join(F.broadcast(b), F.expr("t2 > t1 AND t2 < vmax"))
+        .selectExpr(
+            "t1", "t2",
+            "(1000 * s1 * s1) DIV n1"
+            " + (1000 * (s2 - s1) * (s2 - s1)) DIV (n2 - n1)"
+            " + (1000 * (ts - s2) * (ts - s2)) DIV (tn - n2)"
+            " AS score_milli",
+        )
+    )
+    best = cand.orderBy(
+        F.desc("score_milli"), F.asc("t1"), F.asc("t2")
+    ).limit(1)
+    return (
+        vh.crossJoin(F.broadcast(best))
+        .groupBy(
+            F.expr(
+                "CAST(CASE WHEN v <= t1 THEN 1 WHEN v <= t2 THEN 2"
+                " ELSE 3 END AS BIGINT)"
+            ).alias("class_id")
+        )
+        .agg(
+            F.expr("CAST(min(v) AS BIGINT) AS lo"),
+            F.expr("CAST(max(v) AS BIGINT) AS hi"),
+            F.expr("CAST(sum(w) AS BIGINT) AS n_cells"),
+            F.expr("CAST(sum(w * v) AS BIGINT) AS n_tiles"),
+            F.expr(
+                "CAST((1000 * sum(w * v)) DIV sum(w) AS BIGINT)"
+                " AS mean_milli"
+            ),
+            F.expr("CAST(min(t1) AS BIGINT) AS break1"),
+            F.expr("CAST(min(t2) AS BIGINT) AS break2"),
+            F.expr("CAST(min(score_milli) AS BIGINT) AS score_milli"),
+        )
+    )
