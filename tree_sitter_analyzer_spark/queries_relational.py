@@ -5088,3 +5088,214 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'accept_h0' END AS decision",
         )
     )
+
+
+# --- R234: classical seasonal decomposition of daily revenue -----------------------
+#
+# The textbook additive decomposition (the moving-average classical
+# method STL refines), exact in integers on the bounded calendar
+# dimension: zero-densified daily order revenue (the matrix_profile
+# frame), trend = centered 7-day moving SUM (full windows only, so
+# detrended = 7*v - s7 stays a pure bigint — the trend division by 7
+# never happens), per-weekday seasonal index = sign-split milli mean of
+# the detrended series (the langid_agreement negative-DIV discipline:
+# sign + floored abs — engine DIV semantics on negatives never enter),
+# plus each weekday's share of total revenue. Weekday = day % 7 (epoch
+# day 0 was a Thursday; the label is the portable residue, not an
+# engine dayofweek). Windows only on the ~2.4k-row calendar dimension.
+
+
+@register(
+    "seasonal_decomposition",
+    f"""
+WITH sd_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+sd_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM sd_daily),
+sd_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM sd_cal c LEFT JOIN sd_daily d ON d.day = c.day),
+sd_w AS (
+  SELECT day, v,
+         sum(v) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+         count(*) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+  FROM sd_s),
+sd_d AS (
+  SELECT day % 7 AS dow, v, 7 * v - s7 AS detr7
+  FROM sd_w WHERE c7 = 7),
+sd_g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(v) AS BIGINT) AS revenue,
+         CAST(sum(detr7) AS BIGINT) AS sum_detr7
+  FROM sd_d GROUP BY 1),
+sd_t AS (SELECT CAST(sum(revenue) AS BIGINT) AS tot FROM sd_g)
+SELECT CAST(g.dow AS BIGINT) AS dow, g.n_days, g.revenue,
+       CAST((1000 * g.revenue) // t.tot AS BIGINT) AS share_milli,
+       CAST(CASE WHEN g.sum_detr7 >= 0 THEN 1 ELSE -1 END AS BIGINT)
+         AS seas_sign,
+       CAST((1000 * abs(g.sum_detr7)) // (7 * g.n_days) AS BIGINT)
+         AS seas_abs_milli
+FROM sd_g g CROSS JOIN sd_t t
+""",
+    doc="Classical additive seasonal decomposition of zero-densified "
+    "daily order revenue: centered 7-day moving-sum trend (full "
+    "windows only, so the detrended series 7*v - s7 is a pure "
+    "bigint), per-weekday seasonal index as sign + floored abs milli "
+    "mean (negative-DIV discipline), and each weekday's revenue "
+    "share. Weekday = epoch-day % 7 — the portable residue, no "
+    "engine dayofweek. All windows on the bounded calendar "
+    "dimension.",
+)
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    w = s.selectExpr(
+        "day", "v",
+        "sum(v) OVER (ORDER BY day"
+        " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7",
+        "count(*) OVER (ORDER BY day"
+        " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7",
+    )
+    g = (
+        w.where("c7 = 7")
+        .selectExpr("day % 7 AS dow", "v", "7 * v - s7 AS detr7")
+        .groupBy("dow")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_days"),
+            F.expr("CAST(sum(v) AS BIGINT) AS revenue"),
+            F.expr("CAST(sum(detr7) AS BIGINT) AS sum_detr7"),
+        )
+    )
+    t = g.agg(F.expr("CAST(sum(revenue) AS BIGINT) AS tot"))
+    return g.crossJoin(F.broadcast(t)).selectExpr(
+        "CAST(dow AS BIGINT) AS dow", "n_days", "revenue",
+        "CAST((1000 * revenue) DIV tot AS BIGINT) AS share_milli",
+        "CAST(CASE WHEN sum_detr7 >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+        " AS seas_sign",
+        "CAST((1000 * abs(sum_detr7)) DIV (7 * n_days) AS BIGINT)"
+        " AS seas_abs_milli",
+    )
+
+
+# --- R235: functional / inclusion dependency discovery audit -----------------------
+#
+# The data-profiling primitive behind every schema-discovery tool
+# (Metanome / HyFD / Spider families): for a fixed candidate catalog,
+# the EXACT violation counts of functional dependencies (X -> Y fails
+# on every X group carrying >1 distinct Y) and inclusion dependencies
+# (A subset-of B fails on every distinct A value absent from B).
+# TPC-H's own constructed dependencies give both polarities real
+# positives and real negatives: n_name -> n_regionkey and
+# c_name -> c_mktsegment hold (the name columns are unique by
+# construction), o_custkey subset-of c_custkey is the enforced FK,
+# while o_orderkey subset-of l_orderkey honestly fails (orders whose
+# lineitems were never generated) and the segment/priority FDs fail
+# wide.
+# Each FD is one keyed agg (map-side partial); each IND is a distinct
+# plus a broadcast anti-join — both the shapes that survive 10^12 rows.
+
+
+_FD_CANDS = [
+    ("nation", "n_name", "n_regionkey"),
+    ("customer", "c_name", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+_IND_CANDS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDS:
+        parts.append(f"""
+SELECT 'fd' AS kind, '{tbl}.{lhs}' AS lhs, '{tbl}.{rhs}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS BIGINT)
+         AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM {tbl} GROUP BY 1)""")
+    for ltbl, lcol, rtbl, rcol in _IND_CANDS:
+        parts.append(f"""
+SELECT 'ind' AS kind, '{ltbl}.{lcol}' AS lhs, '{rtbl}.{rcol}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+       CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) = 0 AS BIGINT) AS holds
+FROM (SELECT l.v, r.{rcol} IS NULL AS miss
+      FROM (SELECT DISTINCT {lcol} AS v FROM {ltbl}) l
+      LEFT JOIN (SELECT DISTINCT {rcol} FROM {rtbl}) r
+        ON r.{rcol} = l.v)""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "fd_ind_audit",
+    _fd_oracle(),
+    doc="Dependency-discovery audit (Metanome/HyFD/Spider family) over a "
+    "fixed candidate catalog: exact violating-group counts for 4 "
+    "functional dependencies (the name-keyed ones hold — n_name and "
+    "c_name are unique; the segment/priority ones honestly fail) and exact "
+    "missing-value counts for 4 inclusion dependencies (the enforced "
+    "FKs hold; o_orderkey subset-of l_orderkey fails on lineitem-less "
+    "orders). FDs are one keyed agg each, INDs a distinct + "
+    "broadcast anti-join — the 10^12-row shapes.",
+)
+def q_fd_ind_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in _FD_CANDS:
+        g = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.expr(f"count(DISTINCT {rhs}) AS nd"))
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT) AS n_keys"),
+                F.expr(
+                    "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)"
+                    " AS BIGINT) AS n_viol"
+                ),
+            )
+            .selectExpr(
+                f"'fd' AS kind", f"'{tbl}.{lhs}' AS lhs",
+                f"'{tbl}.{rhs}' AS rhs", "n_keys", "n_viol",
+                "CAST(n_viol = 0 AS BIGINT) AS holds",
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    for ltbl, lcol, rtbl, rcol in _IND_CANDS:
+        lv = _t(spark, sf_dir, ltbl).selectExpr(f"{lcol} AS v").distinct()
+        rv = _t(spark, sf_dir, rtbl).selectExpr(f"{rcol} AS v").distinct()
+        miss = lv.join(F.broadcast(rv), "v", "left_anti").agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_viol")
+        )
+        tot = lv.agg(F.expr("CAST(count(*) AS BIGINT) AS n_keys"))
+        g = tot.crossJoin(miss).selectExpr(
+            "'ind' AS kind", f"'{ltbl}.{lcol}' AS lhs",
+            f"'{rtbl}.{rcol}' AS rhs", "n_keys", "n_viol",
+            "CAST(n_viol = 0 AS BIGINT) AS holds",
+        )
+        out = out.unionByName(g)
+    return out

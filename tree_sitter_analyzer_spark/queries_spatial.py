@@ -2345,3 +2345,102 @@ def q_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(min(score_milli) AS BIGINT) AS score_milli"),
         )
     )
+
+
+# --- R233: standard deviational ellipse (directional distribution) -----------------
+#
+# ArcGIS's Directional Distribution tool (Lefever 1926 SDE), exact in
+# integers: tile coordinates floor to milli-degree offsets from the
+# region origin (identical doubles on both engines, so identical
+# floors), each band's SSCP matrix comes from SUMS alone — the central
+# second moments are n*Sxx - Sx^2 etc., exact bigints with NO division
+# or mean subtraction anywhere. The major-axis orientation is emitted
+# as the exact rational tan(2*theta) = theta2_num/theta2_den
+# (= 2*Cxy / (Cxx - Cyy)) plus a division-free diagonal/axis class from
+# the covariance sign. Bands = hot (within the 0.011-degree Chebyshev
+# box of a synthetic hotspot) vs cold — the three hotspot centers lie
+# on a NE-SW diagonal, so the hot band reads a strongly correlated
+# NE-SW ellipse (r ~ 0.99) against the cold band's isotropic r ~ 0:
+# anisotropy is measured, not assumed. One scan, map-side partial agg to 6 integers
+# per band.
+
+_SDE_XM = "CAST(floor((lon - 139.5e0) * 1000e0) AS BIGINT)"
+_SDE_YM = "CAST(floor((lat - 35.4e0) * 1000e0) AS BIGINT)"
+_SDE_BAND = (
+    "(CASE WHEN "
+    + " OR ".join(
+        f"(abs(lon - {hx!r}e0) <= 0.011e0 AND abs(lat - {hy!r}e0)"
+        f" <= 0.011e0)"
+        for hx, hy in synth.HOTSPOTS
+    )
+    + " THEN 'hot' ELSE 'cold' END)"
+)
+_SDE_ORIENT = (
+    "CASE WHEN cxy > 0 THEN 'NE-SW' WHEN cxy < 0 THEN 'NW-SE'"
+    " WHEN cxx >= cyy THEN 'E-W' ELSE 'N-S' END"
+)
+
+
+@register(
+    "std_ellipse",
+    f"""{_CTES},
+sde_pt AS (
+  SELECT {_SDE_BAND} AS band, {_SDE_XM} AS x, {_SDE_YM} AS y FROM tiles),
+sde_m AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM sde_pt GROUP BY 1),
+sde_c AS (
+  SELECT band, n,
+         (1000 * sx) // n AS mean_dx_micro,
+         (1000 * sy) // n AS mean_dy_micro,
+         n * sxx - sx * sx AS cxx,
+         n * syy - sy * sy AS cyy,
+         n * sxy - sx * sy AS cxy
+  FROM sde_m)
+SELECT band, n, mean_dx_micro, mean_dy_micro, cxx, cyy, cxy,
+       2 * cxy AS theta2_num, cxx - cyy AS theta2_den,
+       {_SDE_ORIENT} AS orient
+FROM sde_c
+""",
+    doc="Standard deviational ellipse (ArcGIS Directional Distribution) "
+    "per hotspot band: milli-degree integer offsets, central SSCP "
+    "moments from sums alone (n*Sxx - Sx^2 — no division, no mean "
+    "subtraction), exact rational tan(2*theta) = 2*Cxy/(Cxx - Cyy) "
+    "for the major-axis orientation plus a division-free NE-SW / "
+    "NW-SE / E-W / N-S class from the covariance sign. The hot band's "
+    "near-perfectly-correlated NE-SW ellipse (the hotspot centers lie "
+    "on that diagonal) against the cold band's isotropic one is the "
+    "recorded discrimination. One scan to 6 integers per band.",
+)
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tiles(spark, sf_dir)
+    m = (
+        t.selectExpr(
+            f"{_SDE_BAND} AS band", f"{_SDE_XM} AS x", f"{_SDE_YM} AS y"
+        )
+        .groupBy("band")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(sum(x) AS BIGINT) AS sx"),
+            F.expr("CAST(sum(y) AS BIGINT) AS sy"),
+            F.expr("CAST(sum(x * x) AS BIGINT) AS sxx"),
+            F.expr("CAST(sum(y * y) AS BIGINT) AS syy"),
+            F.expr("CAST(sum(x * y) AS BIGINT) AS sxy"),
+        )
+    )
+    return m.selectExpr(
+        "band", "n",
+        "(1000 * sx) DIV n AS mean_dx_micro",
+        "(1000 * sy) DIV n AS mean_dy_micro",
+        "n * sxx - sx * sx AS cxx",
+        "n * syy - sy * sy AS cyy",
+        "n * sxy - sx * sy AS cxy",
+    ).selectExpr(
+        "band", "n", "mean_dx_micro", "mean_dy_micro", "cxx", "cyy",
+        "cxy", "2 * cxy AS theta2_num", "cxx - cyy AS theta2_den",
+        f"{_SDE_ORIENT} AS orient",
+    )
