@@ -1508,3 +1508,135 @@ def ipf_oracle(events_clause: str = "events",
         + ",\n".join(ctes)
         + f"\n{body}"
     )
+
+
+# ---------------------------------------------------------------------------
+# R236: radiation-model flows (Simini et al., Nature 2012 — the
+# parameter-free spatial-interaction model that replaced gravity's
+# fitted exponents). For each observed OD pair (i, j):
+#
+#   T_ij = T_i * m_i * n_j / ((m_i + s_ij) * (m_i + n_j + s_ij))
+#
+# where m_i / n_j are the origin/destination "populations" (total pings
+# in the res-7 cell — all activity, not just endpoints), T_i the total
+# observed outflow of i, and s_ij the population inside the open disk of
+# radius d_ij around i, EXCLUDING both endpoints (strict d² compare —
+# exact on the integer cell-center grid, no sqrt ever needed).
+#
+# Exactness: the prediction is evaluated as the STAGED integer floor
+#   ((10^6·T_i·m_i DIV (m_i+s_ij)) · n_j) DIV (m_i+n_j+s_ij)
+# — two independent floors, identical in both engines, keeping every
+# intermediate under ~10^13 (one combined numerator could reach 10^18+
+# at sf≥1). Scale: locations are the bounded active res-7 cell
+# dimension, so the s_ij disk sum is a broadcast theta-join of the
+# OD-pair frame against that dimension (pairs × locations, never
+# pings × anything); masses and flows are two keyed aggregations of
+# the ping stream with map-side partials.
+# ---------------------------------------------------------------------------
+
+
+def radiation_flows(pings: DataFrame, res: int = 7) -> DataFrame:
+    """Radiation-model predicted flow per observed inter-cell OD pair."""
+    s = _shift(res)
+    cell = f"(ix DIV {s}) * {_PACK} + (iy DIV {s})"
+    loc = (
+        pings.selectExpr(f"{cell} AS k")
+        .groupBy("k")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("mk"))
+        .selectExpr(f"k", f"k DIV {_PACK} AS kx", f"k % {_PACK} AS ky", "mk")
+        .localCheckpoint(eager=False)
+    )
+    od = od_flows(pings, res=res).where("origin_cell <> dest_cell")
+    o_out = od.groupBy("origin_cell").agg(
+        F.expr("CAST(sum(n_users) AS BIGINT)").alias("t_i")
+    )
+    pairs = (
+        od.join(o_out, "origin_cell")
+        .join(
+            F.broadcast(
+                loc.selectExpr(
+                    "k AS origin_cell", "kx AS oxc", "ky AS oyc", "mk AS m_i"
+                )
+            ),
+            "origin_cell",
+        )
+        .join(
+            F.broadcast(
+                loc.selectExpr(
+                    "k AS dest_cell", "kx AS dxc", "ky AS dyc", "mk AS n_j"
+                )
+            ),
+            "dest_cell",
+        )
+        .withColumn(
+            "d2",
+            F.expr("(oxc-dxc)*(oxc-dxc) + (oyc-dyc)*(oyc-dyc)"),
+        )
+    )
+    sij = (
+        pairs.join(
+            F.broadcast(loc),
+            F.expr(
+                "k <> origin_cell AND k <> dest_cell"
+                " AND (kx-oxc)*(kx-oxc) + (ky-oyc)*(ky-oyc) < d2"
+            ),
+            "left",
+        )
+        .groupBy(
+            "origin_cell", "dest_cell", "n_users", "t_i", "m_i", "n_j", "d2"
+        )
+        .agg(F.expr("CAST(coalesce(sum(mk), 0) AS BIGINT)").alias("s_ij"))
+    )
+    return sij.selectExpr(
+        "origin_cell",
+        "dest_cell",
+        "CAST(n_users AS BIGINT) AS n_obs",
+        "t_i",
+        "m_i",
+        "n_j",
+        "d2",
+        "s_ij",
+        "(((1000000 * t_i * m_i) DIV (m_i + s_ij)) * n_j)"
+        " DIV (m_i + n_j + s_ij) AS pred_micro",
+    )
+
+
+def radiation_oracle(events_clause: str = "events", res: int = 7) -> str:
+    s = _shift(res)
+    c = f"(ix // {s}) * {_PACK} + (iy // {s})"
+    return f"""WITH {pings_oracle_cte(events_clause)},
+rd_loc AS (
+  SELECT {c} AS k, CAST(count(*) AS BIGINT) AS mk FROM pings GROUP BY 1),
+rd_lc AS (
+  SELECT k, k // {_PACK} AS kx, k % {_PACK} AS ky, mk FROM rd_loc),
+rd_u AS (
+  SELECT user_id, arg_min({c}, seq) AS origin_cell,
+         arg_max({c}, seq) AS dest_cell
+  FROM pings GROUP BY user_id),
+rd_od AS (
+  SELECT origin_cell, dest_cell, count(*) AS n_users
+  FROM rd_u WHERE origin_cell <> dest_cell GROUP BY 1, 2),
+rd_o AS (
+  SELECT origin_cell, CAST(sum(n_users) AS BIGINT) AS t_i
+  FROM rd_od GROUP BY 1),
+rd_p AS (
+  SELECT od.origin_cell, od.dest_cell, od.n_users, o.t_i,
+         a.kx AS oxc, a.ky AS oyc, a.mk AS m_i,
+         b.kx AS dxc, b.ky AS dyc, b.mk AS n_j,
+         (a.kx-b.kx)*(a.kx-b.kx) + (a.ky-b.ky)*(a.ky-b.ky) AS d2
+  FROM rd_od od
+  JOIN rd_o o USING (origin_cell)
+  JOIN rd_lc a ON a.k = od.origin_cell
+  JOIN rd_lc b ON b.k = od.dest_cell),
+rd_s AS (
+  SELECT p.origin_cell, p.dest_cell, p.n_users, p.t_i, p.m_i, p.n_j, p.d2,
+         CAST(coalesce(sum(l.mk), 0) AS BIGINT) AS s_ij
+  FROM rd_p p LEFT JOIN rd_lc l
+    ON l.k <> p.origin_cell AND l.k <> p.dest_cell
+   AND (l.kx-p.oxc)*(l.kx-p.oxc) + (l.ky-p.oyc)*(l.ky-p.oyc) < p.d2
+  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+SELECT origin_cell, dest_cell, CAST(n_users AS BIGINT) AS n_obs,
+       t_i, m_i, n_j, d2, s_ij,
+       (((1000000 * t_i * m_i) // (m_i + s_ij)) * n_j)
+         // (m_i + n_j + s_ij) AS pred_micro
+FROM rd_s"""

@@ -2344,3 +2344,136 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * GREATEST(abs(a_only - b_only) - 1, 0)"
         " > 3841459 * (a_only + b_only) AS BIGINT) AS reject05",
     )
+
+
+# --- R238: BPE merge learning (tokenizer training) ----------------------------------
+#
+# The first 6 merges of byte-pair encoding learned EXACTLY from the
+# corpus (Sennrich et al. 2016 / Gage 1994) — the tokenizer-training
+# primitive of every modern LLM data pipeline. Classic formulation:
+# training runs on the WORD-TYPE histogram (word -> corpus frequency),
+# never the raw corpus — one distributed scan collapses the corpus to
+# that bounded vocabulary dimension, and the 6 merge rounds iterate on
+# it. Per round: adjacent symbol pairs (posexplode + pos+1 self-join,
+# the bigram_surprisal alignment) weighted by word frequency, argmax
+# with (count DESC, left ASC, right ASC) ties, then the winning pair is
+# merged via left-to-right non-overlapping string replace (exactly the
+# reference algorithm's greedy re-tokenization).
+#
+# Symbol boundaries are kept unambiguous by wrapping every symbol in
+# underscores ('the' -> '_t__h__e_'; '_' never occurs in the corpus and
+# a guard test pins that): pair (a,b) is the substring '_a__b_', whose
+# replacement by '_ab_' can neither match across symbol boundaries nor
+# miss an adjacent occurrence. Both engines' replace() are
+# left-to-right non-overlapping, so merged representations stay
+# bit-identical; a python replay in tests re-runs the textbook
+# algorithm independently.
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_pairs(reps: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts (weighted by word frequency) of the
+    current representation frame (word, freq, rep)."""
+    tok = reps.selectExpr(
+        "word", "freq",
+        "posexplode(split(trim(BOTH '_' FROM rep), '__')) AS (pos, sym)",
+    ).localCheckpoint(eager=False)
+    a = tok.selectExpr("word", "freq", "pos", "sym AS lft")
+    b = tok.selectExpr("word", "pos - 1 AS pos", "sym AS rgt")
+    return (
+        a.join(b, ["word", "pos"])
+        .groupBy("lft", "rgt")
+        .agg(F.expr("CAST(sum(freq) AS BIGINT)").alias("cnt"))
+    )
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        """bp_w AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1)""",
+        r"""bp_r0 AS (
+  SELECT word, freq, regexp_replace(word, '(.)', '_\1_', 'g') AS rep
+  FROM bp_w)""",
+    ]
+    outs = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(f"""bp_t{i} AS (
+  SELECT word, freq,
+         unnest(string_split(trim(rep, '_'), '__')) AS sym,
+         unnest(generate_series(1, len(string_split(trim(rep, '_'), '__'))))
+           AS pos
+  FROM bp_r{p})""")
+        ctes.append(f"""bp_p{i} AS (
+  SELECT a.sym AS lft, b.sym AS rgt, CAST(sum(a.freq) AS BIGINT) AS cnt
+  FROM bp_t{i} a JOIN bp_t{i} b
+    ON b.word = a.word AND b.pos = a.pos + 1
+  GROUP BY 1, 2)""")
+        ctes.append(f"""bp_b{i} AS (
+  SELECT lft, rgt, cnt FROM bp_p{i}
+  ORDER BY cnt DESC, lft, rgt LIMIT 1)""")
+        ctes.append(f"""bp_r{i} AS (
+  SELECT word, freq,
+         replace(rep, '_' || lft || '__' || rgt || '_',
+                 '_' || lft || rgt || '_') AS rep
+  FROM bp_r{p} CROSS JOIN bp_b{i})""")
+        outs.append(
+            f"SELECT CAST({i} AS BIGINT) AS merge_rank, lft, rgt,"
+            f" lft || rgt AS merged, cnt AS pair_count FROM bp_b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register(
+    "bpe_merges",
+    _bpe_oracle(),
+    doc="BPE tokenizer training (Sennrich 2016 / Gage 1994), first 6 "
+    "merges learned exactly: corpus collapses to the bounded word-type "
+    "histogram in one scan (the shape real BPE trainers use), then per "
+    "round adjacent-symbol pair counts weighted by word frequency, "
+    "deterministic argmax (count DESC, pair ASC), and a boundary-safe "
+    "underscore-delimited string merge identical in both engines. "
+    "Emits (merge_rank, lft, rgt, merged, pair_count); python replay "
+    "of the textbook algorithm in tests.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wt = (
+        docs.selectExpr(
+            "explode(filter(split(text, ' '), x -> x <> '')) AS word"
+        )
+        .groupBy("word")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("freq"))
+    )
+    reps = wt.selectExpr(
+        "word", "freq", "regexp_replace(word, '(.)', '_$1_') AS rep"
+    ).localCheckpoint(eager=False)
+    merges = None
+    for i in range(1, _BPE_ROUNDS + 1):
+        best = (
+            _bpe_pairs(reps)
+            .orderBy(F.desc("cnt"), "lft", "rgt")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        rec = best.selectExpr(
+            f"CAST({i} AS BIGINT) AS merge_rank", "lft", "rgt",
+            "lft || rgt AS merged", "cnt AS pair_count",
+        )
+        merges = rec if merges is None else merges.unionByName(rec)
+        if i < _BPE_ROUNDS:
+            reps = (
+                reps.crossJoin(F.broadcast(best))
+                .selectExpr(
+                    "word", "freq",
+                    "replace(rep, '_' || lft || '__' || rgt || '_',"
+                    " '_' || lft || rgt || '_') AS rep",
+                )
+                .localCheckpoint(eager=False)
+            )
+    return merges

@@ -5299,3 +5299,137 @@ def q_fd_ind_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(g)
     return out
+
+
+# --- R237: exact Shapley-value channel attribution ---------------------------------
+#
+# The game-theoretic rung above linear_attribution's positional split
+# (Shapley 1953; the standard data-driven attribution model in the
+# marketing-science literature, e.g. Zhao et al. 2018): channels are
+# the 4 non-purchase event types, a converted user's JOURNEY is the set
+# of distinct channels touched strictly before their first purchase,
+# and the coalition value v(S) = number of conversions whose journey is
+# contained in S. The Shapley value of channel c is
+#   phi_c = sum over S not containing c of |S|!(k-1-|S|)!/k! * (v(S u c) - v(S)).
+#
+# Everything lives on the bounded 2^k subset dimension (k=4 -> 16
+# subsets): journeys collapse to bitmask counts (one user-keyed agg),
+# v(S) is a subset-sum join (mask & S = mask) of 16 x <=16 rows, the
+# factorial weights are CASE literals on bit_count, and phi arrives as
+# the exact integer numerator phi_num = 24*phi (k! = 24) plus
+# phi_micro = 10^6*phi_num DIV 24. Efficiency (sum phi = v(full) -
+# v(empty)) is pinned in tests. Scale: one scan to first-purchase
+# timestamps, one user-keyed semi-band join for touches, then nothing
+# larger than 2^k ever shuffles.
+
+_SHAP_CHAN = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+    " WHEN 'signup' THEN 4 ELSE 8 END"
+)
+_SHAP_W = "CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+_SHAP_NAME = (
+    "CASE b WHEN 1 THEN 'click' WHEN 2 THEN 'error'"
+    " WHEN 4 THEN 'signup' ELSE 'view' END"
+)
+
+
+@register(
+    "shapley_attribution",
+    f"""
+WITH sh_conv AS (
+  SELECT user_id, min(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+sh_touch AS (
+  SELECT DISTINCT e.user_id, {_SHAP_CHAN} AS b
+  FROM events e JOIN sh_conv c ON c.user_id = e.user_id
+  WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'),
+sh_mask AS (
+  SELECT c.user_id, CAST(coalesce(sum(t.b), 0) AS BIGINT) AS mask
+  FROM sh_conv c LEFT JOIN sh_touch t ON t.user_id = c.user_id
+  GROUP BY 1),
+sh_cm AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS conv FROM sh_mask GROUP BY 1),
+sh_v AS (
+  SELECT s.s, CAST(coalesce(sum(m.conv), 0) AS BIGINT) AS v
+  FROM range(16) s(s) LEFT JOIN sh_cm m ON (m.mask & s.s) = m.mask
+  GROUP BY 1),
+sh_ch AS (
+  SELECT CASE i WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS b
+  FROM range(4) t(i)),
+sh_phi AS (
+  SELECT c.b,
+         CAST(sum(({_SHAP_W}) * (v1.v - v0.v)) AS BIGINT) AS phi_num
+  FROM sh_ch c
+  JOIN (SELECT s AS s0, v FROM sh_v) v0 ON (v0.s0 & c.b) = 0
+  JOIN (SELECT s AS s1, v FROM sh_v) v1 ON v1.s1 = v0.s0 + c.b
+  GROUP BY 1),
+sh_nt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_touched FROM sh_touch GROUP BY 1)
+SELECT {_SHAP_NAME.replace('CASE b', 'CASE p.b')} AS channel,
+       CAST(coalesce(n.n_touched, 0) AS BIGINT) AS n_touched,
+       p.phi_num,
+       (1000000 * p.phi_num) // 24 AS phi_micro
+FROM sh_phi p LEFT JOIN sh_nt n ON n.b = p.b
+""",
+    doc="Exact Shapley-value channel attribution (Shapley 1953, the "
+    "data-driven attribution standard): journeys = distinct channels "
+    "touched strictly before first purchase, coalition value v(S) = "
+    "conversions with journey within S, phi as the exact integer "
+    "numerator (k!=24 denominator) from CASE-literal factorial weights "
+    "on the 2^4 subset dimension. One user-keyed agg + one user-keyed "
+    "join; nothing larger than 16 rows shuffles after that. Efficiency "
+    "sum(phi)=v(full)-v(empty) is test-pinned.",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .where("ts < conv_ts AND event_type <> 'purchase'")
+        .selectExpr("user_id", f"{_SHAP_CHAN} AS b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mask = (
+        conv.join(touch, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(coalesce(sum(b), 0) AS BIGINT)").alias("mask"))
+    )
+    cm = mask.groupBy("mask").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("conv")
+    )
+    subs = ev.sparkSession.range(16).selectExpr("id AS s")
+    v = (
+        subs.join(F.broadcast(cm), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.expr("CAST(coalesce(sum(conv), 0) AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    chan = ev.sparkSession.range(4).selectExpr(
+        "CASE id WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS b"
+    )
+    v0 = v.selectExpr("s AS s0", "v AS v0")
+    v1 = v.selectExpr("s AS s1", "v AS v1")
+    phi = (
+        chan.join(F.broadcast(v0), F.expr("(s0 & b) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = s0 + b"))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                f"CAST(sum(({_SHAP_W}) * (v1 - v0)) AS BIGINT)"
+            ).alias("phi_num")
+        )
+    )
+    nt = touch.groupBy("b").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_touched")
+    )
+    return phi.join(F.broadcast(nt), "b", "left").selectExpr(
+        f"{_SHAP_NAME} AS channel",
+        "CAST(coalesce(n_touched, 0) AS BIGINT) AS n_touched",
+        "phi_num",
+        "(1000000 * phi_num) DIV 24 AS phi_micro",
+    )

@@ -272,3 +272,21 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ipf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.ipf_balance(_pings(spark, sf_dir))
+
+
+@register(
+    "radiation_flows",
+    traj.radiation_oracle(),
+    doc="Radiation-model flows (Simini 2012) — the parameter-free "
+    "spatial-interaction law beside od_gravity's fitted null: per "
+    "observed inter-cell OD pair, T_i*m_i*n_j / ((m_i+s_ij)*"
+    "(m_i+n_j+s_ij)) with s_ij = activity mass strictly inside the "
+    "d_ij disk around the origin, both endpoints excluded — exact on "
+    "integer squared cell-center distances, evaluated as two staged "
+    "integer floors so intermediates stay ~10^13. Locations are the "
+    "bounded active-cell dimension: the disk sum is a broadcast "
+    "theta-join of OD pairs against it (pairs x locations, never "
+    "pings x anything).",
+)
+def q_radiation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.radiation_flows(_pings(spark, sf_dir))
