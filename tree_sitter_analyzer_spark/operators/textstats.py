@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the n-gram/stopword langid
 # heuristic. The synthetic corpus is English-ish tokens with metadata
@@ -1156,3 +1157,118 @@ SELECT lang, source, len_band, n,
             <= {t_milli} AS BIGINT) AS t_ok
 FROM tc_grid GROUP BY 1, 2, 3, 4
 """
+
+
+# ---------------------------------------------------------------------------
+# R239: isotonic recalibration (PAVA) of the reliability table — the
+# post-hoc calibrator (Zadrozny & Elkan 2002) every production scoring
+# pipeline runs after measuring the miscalibration calibration_bins
+# reports. Computed EXACTLY via the minimax characterization of isotonic
+# regression:  iso_i = max_{j<=i} min_{k>=i} rate(j..k)  — and because
+# floor is monotone it commutes with max/min, so evaluating every
+# segment rate as the floored integer 1000*(P_k - P0_j) DIV (N_k - N0_j)
+# yields exactly floor(1000 * iso_exact). No sequential pooling loop,
+# no floats: the whole solve is one triple fan over the bounded bin
+# dimension (B^3 = 1000 tuples for B = 10), engine-identical.
+#
+# Scale: the corpus collapses to the B-bin (n, n_pos) table in one scan
+# (calibration_bins' shape); everything after lives on B rows.
+# ---------------------------------------------------------------------------
+
+
+def isotonic_calibration(docs: DataFrame) -> DataFrame:
+    """(bin, n, n_pos, rate_pm, iso_pm, pooled): the reliability table's
+    empirical positive rate and its exact isotonic (PAVA) fit."""
+    base = text_stats(docs).selectExpr(
+        f"CAST(quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos",
+        "(1000 * n_distinct_tokens) DIV n_tokens AS s",
+    )
+    bins = (
+        base.groupBy(
+            F.expr(f"least(s DIV {1000 // CAL_BINS}, {CAL_BINS - 1})")
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "n_pos",
+        F.sum("n_pos").over(w).alias("cp"),
+        F.sum("n").over(w).alias("cn"),
+    ).selectExpr(
+        "bin", "n", "n_pos", "cp", "cn",
+        "cp - n_pos AS cp0", "cn - n AS cn0",
+    )
+    j = cum.selectExpr("bin AS jb", "cp0", "cn0")
+    k = cum.selectExpr("bin AS kb", "cp", "cn")
+    seg = (
+        j.join(F.broadcast(k), F.expr("kb >= jb"))
+        .selectExpr(
+            "jb", "kb", "(1000 * (cp - cp0)) DIV (cn - cn0) AS r"
+        )
+    )
+    mins = (
+        cum.selectExpr("bin AS ib")
+        .join(F.broadcast(seg), F.expr("jb <= ib AND kb >= ib"))
+        .groupBy("ib", "jb")
+        .agg(F.min("r").alias("mr"))
+    )
+    iso = (
+        mins.groupBy("ib")
+        .agg(F.expr("CAST(max(mr) AS BIGINT)").alias("iso_pm"))
+        .selectExpr("ib AS bin", "iso_pm")
+    )
+    return (
+        cum.join(F.broadcast(iso), "bin")
+        .selectExpr(
+            "bin", "n", "n_pos",
+            "(1000 * n_pos) DIV n AS rate_pm",
+            "iso_pm",
+            "CAST(iso_pm <> (1000 * n_pos) DIV n AS BIGINT) AS pooled",
+        )
+    )
+
+
+def isotonic_oracle() -> str:
+    return f"""
+WITH {quality_oracle_ctes('iso')},
+iso_lab AS (
+  SELECT CAST(q.quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos,
+         (1000 * c.n_distinct_tokens) // c.n_tokens AS s
+  FROM iso_q q JOIN iso_cnt c ON c.doc_id = q.doc_id),
+iso_bins AS (
+  SELECT least(s // {1000 // CAL_BINS}, {CAL_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM iso_lab GROUP BY 1),
+iso_cum AS (
+  SELECT bin, n, n_pos,
+         sum(n_pos) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM iso_bins),
+iso_c AS (
+  SELECT bin, n, n_pos, cp, cn, cp - n_pos AS cp0, cn - n AS cn0
+  FROM iso_cum),
+iso_seg AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         (1000 * (k.cp - j.cp0)) // (k.cn - j.cn0) AS r
+  FROM iso_c j JOIN iso_c k ON k.bin >= j.bin),
+iso_min AS (
+  SELECT i.bin AS ib, s.jb, min(s.r) AS mr
+  FROM iso_c i JOIN iso_seg s ON s.jb <= i.bin AND s.kb >= i.bin
+  GROUP BY 1, 2),
+iso_fit AS (
+  SELECT ib AS bin, CAST(max(mr) AS BIGINT) AS iso_pm
+  FROM iso_min GROUP BY 1)
+SELECT c.bin, c.n, c.n_pos,
+       (1000 * c.n_pos) // c.n AS rate_pm,
+       f.iso_pm,
+       CAST(f.iso_pm <> (1000 * c.n_pos) // c.n AS BIGINT) AS pooled
+FROM iso_c c JOIN iso_fit f ON f.bin = c.bin"""

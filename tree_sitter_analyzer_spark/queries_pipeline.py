@@ -2477,3 +2477,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
     return merges
+
+
+# --- R239: isotonic (PAVA) recalibration of the reliability table -------------------
+
+
+@register(
+    "isotonic_calibration",
+    textstats.isotonic_oracle(),
+    doc="Isotonic recalibration (Zadrozny-Elkan 2002) of the diversity-"
+    "scorer reliability table, solved EXACTLY via the minimax "
+    "characterization iso_i = max_{j<=i} min_{k>=i} rate(j..k): floor "
+    "commutes with max/min, so per-segment floored integer rates give "
+    "exactly floor(1000*iso) — no sequential pooling loop, no floats, "
+    "one triple fan over the bounded 10-bin dimension. Emits raw vs "
+    "pooled per-mille rates + pooled flag; monotonicity and the "
+    "textbook-PAVA replay are test-pinned.",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.isotonic_calibration(_docs(spark, sf_dir))

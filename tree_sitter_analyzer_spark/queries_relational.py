@@ -5433,3 +5433,250 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phi_num",
         "(1000000 * phi_num) DIV 24 AS phi_micro",
     )
+
+
+# --- R240: split-conformal prediction intervals -------------------------------------
+#
+# Conformal prediction (Vovk et al. 2005; Angelopoulos & Bates 2023
+# tutorial form), the distribution-free interval calibration every
+# production forecaster should ship: orders split 3 ways by key residue
+# (train / calibration / test), the "model" is the per-priority train
+# mean (integer cents), nonconformity = |cents - pred|, and the
+# interval half-width q is the EXACT ceil((n_cal+1)(1-alpha))-th order
+# statistic of the calibration scores (alpha = 0.2) — computed by the
+# histogram crossing rule (groupBy(score) with map-side partials, one
+# per-priority cumsum window on the score-value dimension, min value
+# whose cumulative count crosses k), never a per-row global sort.
+# Test-half coverage is then counted exactly; the conformal guarantee
+# (coverage >= 1 - alpha in expectation) shows up honestly per group.
+
+_DC_DAY = "86400000000"
+_DC_DAY_SPARK = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " o_orderdate) DIV " + _DC_DAY
+)
+_DC_DAY_DUCK = (
+    "date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate) // "
+    + _DC_DAY
+)
+_CF_CENTS = "CAST(floor(o_totalprice * 100e0) AS BIGINT)"
+
+
+@register(
+    "conformal_interval",
+    f"""
+WITH cf_o AS (
+  SELECT o_orderpriority AS prio, o_orderkey % 3 AS split,
+         {_CF_CENTS} AS cents
+  FROM orders),
+cf_pred AS (
+  SELECT prio, CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents
+  FROM cf_o WHERE split = 0 GROUP BY 1),
+cf_cal AS (
+  SELECT o.prio, abs(o.cents - p.pred_cents) AS s
+  FROM cf_o o JOIN cf_pred p ON p.prio = o.prio WHERE o.split = 1),
+cf_h AS (
+  SELECT prio, s, CAST(count(*) AS BIGINT) AS c FROM cf_cal GROUP BY 1, 2),
+cf_cum AS (
+  SELECT prio, s, sum(c) OVER (PARTITION BY prio ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY prio) AS n_cal
+  FROM cf_h),
+cf_q AS (
+  SELECT prio, CAST(min(n_cal) AS BIGINT) AS n_cal,
+         CAST((4 * (min(n_cal) + 1) + 4) // 5 AS BIGINT) AS k,
+         CAST(min(CASE WHEN cum >= (4 * (n_cal + 1) + 4) // 5
+                       THEN s END) AS BIGINT) AS q_cents
+  FROM cf_cum GROUP BY 1),
+cf_test AS (
+  SELECT o.prio, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CAST(abs(o.cents - p.pred_cents) <= q.q_cents AS BIGINT))
+              AS BIGINT) AS n_covered
+  FROM cf_o o
+  JOIN cf_pred p ON p.prio = o.prio
+  JOIN cf_q q ON q.prio = o.prio
+  WHERE o.split = 2 GROUP BY 1)
+SELECT q.prio AS priority, p.pred_cents, q.n_cal, q.k, q.q_cents,
+       t.n_test, t.n_covered,
+       (1000 * t.n_covered) // t.n_test AS coverage_milli
+FROM cf_q q JOIN cf_pred p ON p.prio = q.prio
+JOIN cf_test t ON t.prio = q.prio
+""",
+    doc="Split-conformal prediction intervals (Vovk 2005) per order "
+    "priority: key-residue train/cal/test split, per-priority train-"
+    "mean model in integer cents, interval half-width = the exact "
+    "ceil((n+1)*0.8)-th calibration order statistic via the histogram "
+    "crossing rule (value-dimension cumsum, never a per-row global "
+    "sort), exact test coverage counted beside the 800-milli target. "
+    "The distribution-free guarantee, audited distributed.",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS prio", "o_orderkey % 3 AS split",
+        f"{_CF_CENTS} AS cents",
+    )
+    pred = (
+        o.where("split = 0")
+        .groupBy("prio")
+        .agg(F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
+            "pred_cents"))
+    )
+    cal = (
+        o.where("split = 1")
+        .join(F.broadcast(pred), "prio")
+        .selectExpr("prio", "abs(cents - pred_cents) AS s")
+    )
+    h = cal.groupBy("prio", "s").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("c")
+    )
+    wp = Window.partitionBy("prio").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("prio")
+    cum = h.select(
+        "prio", "s",
+        F.sum("c").over(wp).alias("cum"),
+        F.sum("c").over(wa).alias("n_cal"),
+    )
+    qf = cum.groupBy("prio").agg(
+        F.expr("CAST(min(n_cal) AS BIGINT)").alias("n_cal"),
+        F.expr(
+            "CAST((4 * (min(n_cal) + 1) + 4) DIV 5 AS BIGINT)"
+        ).alias("k"),
+        F.expr(
+            "CAST(min(CASE WHEN cum >= (4 * (n_cal + 1) + 4) DIV 5"
+            " THEN s END) AS BIGINT)"
+        ).alias("q_cents"),
+    )
+    test = (
+        o.where("split = 2")
+        .join(F.broadcast(pred), "prio")
+        .join(F.broadcast(qf.select("prio", "q_cents")), "prio")
+        .groupBy("prio")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_test"),
+            F.expr(
+                "CAST(sum(CAST(abs(cents - pred_cents) <= q_cents"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        qf.join(F.broadcast(pred), "prio")
+        .join(F.broadcast(test), "prio")
+        .selectExpr(
+            "prio AS priority", "pred_cents", "n_cal", "k", "q_cents",
+            "n_test", "n_covered",
+            "(1000 * n_covered) DIV n_test AS coverage_milli",
+        )
+    )
+
+
+# --- R241: difference-in-differences estimator ---------------------------------------
+#
+# The workhorse causal-inference design (Card & Krueger 1994 form):
+# treated = even customer keys, post = orders on/after epoch day 10408
+# (1998-07-01), outcome = order value in integer cents. The DiD effect
+# is the difference of the four floored cell means
+# (mean_milli = 1000*sum DIV n, independently floored — identical
+# cross-engine), and the PLACEBO effect re-runs the same contrast
+# entirely inside the pre period split at day 9770 (1996-10-01) — the
+# parallel-trends falsification every DiD needs. One scan to the 4
+# (group x period) cells + one to the 4 placebo cells; everything else
+# is scalar algebra on those 8 rows.
+
+
+@register(
+    "did_estimator",
+    f"""
+WITH dd_o AS (
+  SELECT CAST(o_custkey % 2 = 0 AS BIGINT) AS treated,
+         {_DC_DAY_DUCK} AS day, {_CF_CENTS} AS cents
+  FROM orders),
+dd_cell AS (
+  SELECT treated, CAST(day >= 10408 AS BIGINT) AS post,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM dd_o GROUP BY 1, 2),
+dd_m AS (
+  SELECT treated, post, n_orders, sum_cents,
+         (1000 * sum_cents) // n_orders AS mean_milli
+  FROM dd_cell),
+dd_eff AS (
+  SELECT max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+       - max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END)
+       - max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+       + max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END)
+           AS effect_milli
+  FROM dd_m),
+dd_pcell AS (
+  SELECT treated, CAST(day >= 9770 AS BIGINT) AS post,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sc
+  FROM dd_o WHERE day < 10408 GROUP BY 1, 2),
+dd_peff AS (
+  SELECT max(CASE WHEN treated = 1 AND post = 1 THEN (1000 * sc) // n END)
+       - max(CASE WHEN treated = 1 AND post = 0 THEN (1000 * sc) // n END)
+       - max(CASE WHEN treated = 0 AND post = 1 THEN (1000 * sc) // n END)
+       + max(CASE WHEN treated = 0 AND post = 0 THEN (1000 * sc) // n END)
+           AS placebo_milli
+  FROM dd_pcell)
+SELECT m.treated, m.post, m.n_orders, m.sum_cents, m.mean_milli,
+       e.effect_milli, p.placebo_milli
+FROM dd_m m CROSS JOIN dd_eff e CROSS JOIN dd_peff p
+""",
+    doc="Difference-in-differences (Card-Krueger design): treated = even "
+    "customer keys, post = epoch day >= 10408, outcome = order cents; "
+    "effect = the 4-cell contrast of independently floored milli means, "
+    "plus the pre-period placebo contrast (split day 9770) — the "
+    "parallel-trends falsification. Two scans to 8 bounded cells, then "
+    "scalar algebra; the honest null reads near zero on both.",
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_custkey % 2 = 0 AS BIGINT) AS treated",
+        f"{_DC_DAY_SPARK} AS day",
+        f"{_CF_CENTS} AS cents",
+    ).localCheckpoint(eager=False)
+    cell = (
+        o.groupBy("treated", F.expr("CAST(day >= 10408 AS BIGINT)")
+                 .alias("post"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+            F.expr("CAST(sum(cents) AS BIGINT)").alias("sum_cents"),
+        )
+        .selectExpr(
+            "treated", "post", "n_orders", "sum_cents",
+            "(1000 * sum_cents) DIV n_orders AS mean_milli",
+        )
+        .localCheckpoint(eager=False)
+    )
+    eff = cell.agg(
+        F.expr(
+            "max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)"
+            " - max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END)"
+            " - max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)"
+            " + max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END)"
+        ).alias("effect_milli")
+    )
+    peff = (
+        o.where("day < 10408")
+        .groupBy("treated", F.expr("CAST(day >= 9770 AS BIGINT)")
+                 .alias("post"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(cents) AS BIGINT)").alias("sc"),
+        )
+        .agg(
+            F.expr(
+                "max(CASE WHEN treated = 1 AND post = 1"
+                " THEN (1000 * sc) DIV n END)"
+                " - max(CASE WHEN treated = 1 AND post = 0"
+                " THEN (1000 * sc) DIV n END)"
+                " - max(CASE WHEN treated = 0 AND post = 1"
+                " THEN (1000 * sc) DIV n END)"
+                " + max(CASE WHEN treated = 0 AND post = 0"
+                " THEN (1000 * sc) DIV n END)"
+            ).alias("placebo_milli")
+        )
+    )
+    return cell.crossJoin(F.broadcast(eff)).crossJoin(F.broadcast(peff))
