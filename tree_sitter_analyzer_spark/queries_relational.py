@@ -5680,3 +5680,232 @@ def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cell.crossJoin(F.broadcast(eff)).crossJoin(F.broadcast(peff))
+
+
+# --- R243: Haar wavelet energy decomposition of daily revenue -----------------------
+#
+# The discrete Haar transform (Haar 1910; Mallat's fast DWT) on the
+# daily-revenue series, exact in integers: the calendar extent is
+# trimmed to whole 16-day (level-4) blocks, detail coefficients at
+# level l are d_l(b) = s_{l-1}(2b) - s_{l-1}(2b+1) — computed directly
+# from the daily histogram as sum(v * (1 - 2*half_l)) per block, so no
+# level feeds the next and absent days contribute exactly 0 (no
+# densify) — and the per-level energies sum(d^2) obey the exact
+# unnormalized Parseval identity 16*ssq = 8*E1 + 4*E2 + 2*E3 + E4 + S4
+# (pinned in pytest). Values are hecto-dollars (dollars DIV 100) to
+# keep block-sum squares far from bigint overflow at 100x the bench
+# scale. One scan fans the bounded day dimension over 4 literal
+# levels; everything downstream is keyed on (level, block).
+
+_HR_V_SPARK = "CAST(floor(o_totalprice) AS BIGINT) DIV 100"
+_HR_V_DUCK = "CAST(floor(o_totalprice) AS BIGINT) // 100"
+
+
+@register(
+    "haar_energy",
+    f"""
+WITH hr_daily AS (
+  SELECT {_DC_DAY_DUCK} AS day,
+         CAST(sum({_HR_V_DUCK}) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+hr_ext AS (
+  SELECT min(day) AS d0, (max(day) - min(day) + 1) // 16 AS nb16
+  FROM hr_daily),
+hr_t AS (
+  SELECT d.day - e.d0 AS rel, d.v, e.nb16
+  FROM hr_daily d CROSS JOIN hr_ext e
+  WHERE d.day - e.d0 < 16 * e.nb16),
+hr_lv (l, p, ph) AS (VALUES (1, 2, 1), (2, 4, 2), (3, 8, 4), (4, 16, 8)),
+hr_d AS (
+  SELECT lv.l, t.rel // lv.p AS block,
+         CAST(sum(t.v * (1 - 2 * ((t.rel // lv.ph) % 2))) AS BIGINT) AS d
+  FROM hr_t t CROSS JOIN hr_lv lv GROUP BY 1, 2),
+hr_e AS (
+  SELECT l, CAST(sum(d * d) AS BIGINT) AS energy FROM hr_d GROUP BY 1),
+hr_s AS (
+  SELECT CAST(sum(s * s) AS BIGINT) AS senergy
+  FROM (SELECT rel // 16 AS block, sum(v) AS s FROM hr_t GROUP BY 1)),
+hr_r AS (SELECT CAST(sum(v * v) AS BIGINT) AS ssq FROM hr_t)
+SELECT part, CAST(level AS BIGINT) AS level, n_blocks, energy FROM (
+  SELECT 'detail' AS part, e.l AS level,
+         CAST(x.nb16 * (16 // lv.p) AS BIGINT) AS n_blocks, e.energy
+  FROM hr_e e JOIN hr_lv lv ON lv.l = e.l CROSS JOIN hr_ext x
+  UNION ALL
+  SELECT 'smooth', 4, CAST(x.nb16 AS BIGINT), s.senergy
+  FROM hr_s s CROSS JOIN hr_ext x
+  UNION ALL
+  SELECT 'raw', 0, CAST(16 * x.nb16 AS BIGINT), r.ssq
+  FROM hr_r r CROSS JOIN hr_ext x)
+""",
+    doc="Discrete Haar wavelet energy decomposition of daily revenue "
+    "(hecto-dollars): extent trimmed to whole 16-day blocks, level "
+    "1-4 detail energies computed directly from the daily histogram "
+    "(sign fan, no level-to-level dependency, absent days are exact "
+    "zeros), plus the level-4 smooth energy and the raw sum of "
+    "squares — tied together by the exact unnormalized Parseval "
+    "identity 16*ssq = 8*E1 + 4*E2 + 2*E3 + E4 + S4 (pytest-pinned).",
+)
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(f"{_DC_DAY_SPARK} AS day", f"{_HR_V_SPARK} AS hd")
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(hd) AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    ext = daily.agg(
+        F.expr("min(day) AS d0"),
+        F.expr("(max(day) - min(day) + 1) DIV 16 AS nb16"),
+    )
+    t = (
+        daily.crossJoin(F.broadcast(ext))
+        .where("day - d0 < 16 * nb16")
+        .selectExpr("day - d0 AS rel", "v", "nb16")
+        .localCheckpoint(eager=False)
+    )
+    lv = t.sparkSession.sql(
+        "SELECT * FROM VALUES (1, 2, 1), (2, 4, 2), (3, 8, 4), (4, 16, 8)"
+        " AS hr_lv(l, p, ph)"
+    )
+    e = (
+        t.crossJoin(F.broadcast(lv))
+        .groupBy("l", F.expr("rel DIV p").alias("block"))
+        .agg(
+            F.expr(
+                "CAST(sum(v * (1 - 2 * ((rel DIV ph) % 2))) AS BIGINT)"
+            ).alias("d")
+        )
+        .groupBy("l")
+        .agg(F.expr("CAST(sum(d * d) AS BIGINT)").alias("energy"))
+    )
+    s = (
+        t.groupBy(F.expr("rel DIV 16").alias("block"))
+        .agg(F.expr("sum(v) AS s"))
+        .agg(F.expr("CAST(sum(s * s) AS BIGINT)").alias("senergy"))
+    )
+    r = t.agg(F.expr("CAST(sum(v * v) AS BIGINT)").alias("ssq"))
+    det = (
+        e.join(F.broadcast(lv), "l")
+        .crossJoin(F.broadcast(ext))
+        .selectExpr(
+            "'detail' AS part", "CAST(l AS BIGINT) AS level",
+            "CAST(nb16 * (16 DIV p) AS BIGINT) AS n_blocks", "energy",
+        )
+    )
+    smo = s.crossJoin(F.broadcast(ext)).selectExpr(
+        "'smooth' AS part", "CAST(4 AS BIGINT) AS level",
+        "CAST(nb16 AS BIGINT) AS n_blocks", "senergy AS energy",
+    )
+    raw = r.crossJoin(F.broadcast(ext)).selectExpr(
+        "'raw' AS part", "CAST(0 AS BIGINT) AS level",
+        "CAST(16 * nb16 AS BIGINT) AS n_blocks", "ssq AS energy",
+    )
+    return det.unionByName(smo).unionByName(raw)
+
+
+# --- R244: sweepline peak concurrency of shipment intervals -------------------------
+#
+# The classic event-sweepline max-overlap reduction (the interval
+# scheduling / room-booking primitive) per return flag: every lineitem
+# holds an inclusive [shipdate, shipdate + handling] day interval
+# (handling = l_partkey % 30 days — this corpus's lineitem carries no
+# receiptdate, so the duration is a deterministic synthetic column
+# evaluated identically by both engines, per CLAUDE.md parity
+# discipline); +1/-1 delta events at start and end+1 collapse to the
+# bounded calendar dimension (groupBy(flag, day) with map-side
+# partials — interval rows die in the first exchange), a per-flag
+# cumsum over that bounded dimension yields the active count, and the
+# peak plus its FIRST day (min day achieving the max) are read off
+# exactly. Mean duration in floored milli-days rides the same scan.
+
+_IP_SDAY = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " l_shipdate) DIV " + _DC_DAY
+)
+_IP_SDAY_DUCK = (
+    "date_diff('microsecond', TIMESTAMP '1970-01-01', l_shipdate) // "
+    + _DC_DAY
+)
+
+
+@register(
+    "interval_peak",
+    f"""
+WITH ip_iv AS (
+  SELECT l_returnflag AS flag, {_IP_SDAY_DUCK} AS sday,
+         {_IP_SDAY_DUCK} + l_partkey % 30 AS eday
+  FROM lineitem),
+ip_ev AS (
+  SELECT flag, sday AS day, 1 AS delta FROM ip_iv
+  UNION ALL
+  SELECT flag, eday + 1, -1 FROM ip_iv),
+ip_h AS (
+  SELECT flag, day, CAST(sum(delta) AS BIGINT) AS delta
+  FROM ip_ev GROUP BY 1, 2),
+ip_c AS (
+  SELECT flag, day,
+         sum(delta) OVER (PARTITION BY flag ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+  FROM ip_h),
+ip_p AS (
+  SELECT flag, day, active, max(active) OVER (PARTITION BY flag) AS peak
+  FROM ip_c),
+ip_agg AS (
+  SELECT flag, CAST(max(peak) AS BIGINT) AS peak_active,
+         CAST(min(CASE WHEN active = peak THEN day END) AS BIGINT)
+           AS peak_day
+  FROM ip_p GROUP BY 1),
+ip_n AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(eday - sday + 1) AS BIGINT) AS sum_days
+  FROM ip_iv GROUP BY 1)
+SELECT n.flag, n.n_intervals, n.sum_days,
+       (1000 * n.sum_days) // n.n_intervals AS mean_days_milli,
+       a.peak_active, a.peak_day
+FROM ip_n n JOIN ip_agg a ON a.flag = n.flag
+""",
+    doc="Sweepline peak concurrency of [shipdate, shipdate + handling] "
+    "day intervals per return flag (handling = l_partkey % 30, a "
+    "deterministic synthetic duration — the corpus lineitem has no "
+    "receiptdate): +1/-1 delta events collapse to the bounded "
+    "calendar dimension with map-side partial aggregation, a per-flag "
+    "cumsum yields the active count, and the peak with its first "
+    "achieving day is exact. Mean interval length in floored "
+    "milli-days rides the same scan.",
+)
+def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS flag", f"{_IP_SDAY} AS sday",
+        f"{_IP_SDAY} + l_partkey % 30 AS eday",
+    )
+    ev = iv.selectExpr(
+        "flag",
+        "explode(array(struct(sday AS day, 1 AS delta),"
+        " struct(eday + 1 AS day, -1 AS delta))) AS e",
+    ).selectExpr("flag", "e.day AS day", "e.delta AS delta")
+    h = ev.groupBy("flag", "day").agg(
+        F.expr("CAST(sum(delta) AS BIGINT)").alias("delta")
+    )
+    c = h.selectExpr(
+        "flag", "day",
+        "sum(delta) OVER (PARTITION BY flag ORDER BY day"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active",
+    ).selectExpr(
+        "flag", "day", "active",
+        "max(active) OVER (PARTITION BY flag) AS peak",
+    )
+    agg = c.groupBy("flag").agg(
+        F.expr("CAST(max(peak) AS BIGINT)").alias("peak_active"),
+        F.expr(
+            "CAST(min(CASE WHEN active = peak THEN day END) AS BIGINT)"
+        ).alias("peak_day"),
+    )
+    n = iv.groupBy("flag").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_intervals"),
+        F.expr("CAST(sum(eday - sday + 1) AS BIGINT)").alias("sum_days"),
+    )
+    return n.join(agg, "flag").selectExpr(
+        "flag", "n_intervals", "sum_days",
+        "(1000 * sum_days) DIV n_intervals AS mean_days_milli",
+        "peak_active", "peak_day",
+    )

@@ -2444,3 +2444,154 @@ def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cxy", "2 * cxy AS theta2_num", "cxx - cyy AS theta2_den",
         f"{_SDE_ORIENT} AS orient",
     )
+
+
+# --- R242: Kendall tau-b between per-cell density and hot-tile mass -----------------
+#
+# The rank-correlation complement to the engine's Spearman step
+# (spearman_acf) and RBO list drift: exact Kendall tau-b (Kendall 1938;
+# tau-b tie correction per Agresti) between x = tiles-per-cell and
+# y = hot-tiles-per-cell, keyed by tile kind. The pair counting runs on
+# the distinct (x, y) VALUE-PAIR histogram — bounded by the fixed res-8
+# grid, never cells^2 over raw rows: concordant/discordant masses are
+# one theta self-join of that bounded histogram (a.x < b.x, split by
+# the y comparison), tie masses come from the marginal histograms, and
+# tau itself is emitted via the portable exact-integer sqrt of
+# (n0-n1)(n0-n2) (double sqrt, then a one-step integer correction —
+# exact for arguments < 2^53) as sign + floored abs milli. Mirrors the
+# reference's ranked similarity scoring (code_similarity.py) as a
+# distributed rank statistic.
+
+_KT_ISQRT = (
+    "CASE WHEN (s0 + 1) * (s0 + 1) <= den2 THEN s0 + 1 "
+    "WHEN s0 * s0 > den2 THEN s0 - 1 ELSE s0 END"
+)
+
+
+@register(
+    "kendall_cells",
+    f"""{_CTES},
+kt_cell AS (
+  SELECT tile_kind, {grid.cell_sql('lon', 'lat', 8)} AS cell,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(i % 5 = 0 AS BIGINT)) AS BIGINT) AS y
+  FROM tiles GROUP BY 1, 2),
+kt_h AS (
+  SELECT tile_kind, x, y, CAST(count(*) AS BIGINT) AS w
+  FROM kt_cell GROUP BY 1, 2, 3),
+kt_pairs AS (
+  SELECT a.tile_kind,
+         CAST(sum(CASE WHEN a.y < b.y THEN a.w * b.w ELSE 0 END)
+              AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN a.y > b.y THEN a.w * b.w ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM kt_h a JOIN kt_h b
+    ON b.tile_kind = a.tile_kind AND a.x < b.x
+  GROUP BY 1),
+kt_tx AS (
+  SELECT tile_kind, CAST(sum(tw * (tw - 1) // 2) AS BIGINT) AS ties_x
+  FROM (SELECT tile_kind, x, sum(w) AS tw FROM kt_h GROUP BY 1, 2)
+  GROUP BY 1),
+kt_ty AS (
+  SELECT tile_kind, CAST(sum(tw * (tw - 1) // 2) AS BIGINT) AS ties_y
+  FROM (SELECT tile_kind, y, sum(w) AS tw FROM kt_h GROUP BY 1, 2)
+  GROUP BY 1),
+kt_n AS (
+  SELECT tile_kind, CAST(sum(w) AS BIGINT) AS n_cells FROM kt_h
+  GROUP BY 1),
+kt_all AS (
+  SELECT n.tile_kind, n.n_cells,
+         coalesce(p.nc, 0) AS nc, coalesce(p.nd, 0) AS nd,
+         tx.ties_x, ty.ties_y,
+         (n.n_cells * (n.n_cells - 1) // 2 - tx.ties_x)
+       * (n.n_cells * (n.n_cells - 1) // 2 - ty.ties_y) AS den2
+  FROM kt_n n
+  LEFT JOIN kt_pairs p ON p.tile_kind = n.tile_kind
+  JOIN kt_tx tx ON tx.tile_kind = n.tile_kind
+  JOIN kt_ty ty ON ty.tile_kind = n.tile_kind),
+kt_s AS (
+  SELECT *, CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS BIGINT) AS s0
+  FROM kt_all)
+SELECT tile_kind, n_cells, nc, nd, ties_x, ties_y,
+       CAST(CASE WHEN nc >= nd THEN 1 ELSE -1 END AS BIGINT) AS tau_sign,
+       CAST((1000 * abs(nc - nd)) // ({_KT_ISQRT}) AS BIGINT)
+         AS tau_abs_milli
+FROM kt_s
+""",
+    doc="Exact Kendall tau-b (tie-corrected) between tiles-per-cell and "
+    "hot-tiles-per-cell, per tile kind: concordant/discordant masses "
+    "via one theta self-join of the bounded distinct-(x,y) pair "
+    "histogram (never cells^2 over raw rows), marginal tie masses, "
+    "and tau as sign + floored abs milli over the exact integer sqrt "
+    "of (n0-n1)(n0-n2) (double sqrt + one-step correction, exact "
+    "below 2^53).",
+)
+def q_kendall_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = pip_join.tile_cells(_tiles(spark, sf_dir), res=8)
+    h = (
+        t.groupBy("tile_kind", "cell")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("x"),
+            F.expr("CAST(sum(CAST(i % 5 = 0 AS BIGINT)) AS BIGINT)")
+            .alias("y"),
+        )
+        .groupBy("tile_kind", "x", "y")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    a = h.selectExpr("tile_kind AS ka", "x AS xa", "y AS ya", "w AS wa")
+    b = h.selectExpr("tile_kind AS kb", "x AS xb", "y AS yb", "w AS wb")
+    pairs = (
+        a.join(F.broadcast(b), F.expr("kb = ka AND xa < xb"))
+        .groupBy(F.col("ka").alias("tile_kind"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN ya < yb THEN wa * wb ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("nc"),
+            F.expr(
+                "CAST(sum(CASE WHEN ya > yb THEN wa * wb ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("nd"),
+        )
+    )
+    tx = (
+        h.groupBy("tile_kind", "x")
+        .agg(F.expr("sum(w) AS tw"))
+        .groupBy("tile_kind")
+        .agg(F.expr("CAST(sum(tw * (tw - 1) DIV 2) AS BIGINT)")
+             .alias("ties_x"))
+    )
+    ty = (
+        h.groupBy("tile_kind", "y")
+        .agg(F.expr("sum(w) AS tw"))
+        .groupBy("tile_kind")
+        .agg(F.expr("CAST(sum(tw * (tw - 1) DIV 2) AS BIGINT)")
+             .alias("ties_y"))
+    )
+    n = h.groupBy("tile_kind").agg(
+        F.expr("CAST(sum(w) AS BIGINT)").alias("n_cells")
+    )
+    allk = (
+        n.join(pairs, "tile_kind", "left")
+        .join(F.broadcast(tx), "tile_kind")
+        .join(F.broadcast(ty), "tile_kind")
+        .selectExpr(
+            "tile_kind", "n_cells",
+            "coalesce(nc, CAST(0 AS BIGINT)) AS nc",
+            "coalesce(nd, CAST(0 AS BIGINT)) AS nd",
+            "ties_x", "ties_y",
+            "(n_cells * (n_cells - 1) DIV 2 - ties_x)"
+            " * (n_cells * (n_cells - 1) DIV 2 - ties_y) AS den2",
+        )
+        .selectExpr(
+            "*",
+            "CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS BIGINT) AS s0",
+        )
+    )
+    return allk.selectExpr(
+        "tile_kind", "n_cells", "nc", "nd", "ties_x", "ties_y",
+        "CAST(CASE WHEN nc >= nd THEN 1 ELSE -1 END AS BIGINT) AS tau_sign",
+        f"CAST((1000 * abs(nc - nd)) DIV ({_KT_ISQRT}) AS BIGINT)"
+        " AS tau_abs_milli",
+    )
