@@ -2496,3 +2496,278 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.isotonic_calibration(_docs(spark, sf_dir))
+
+# --- R245: vocabulary coverage (Chao1 + Good-Turing) ---------------------------------
+#
+# Species-richness estimation over the token vocabulary (Chao 1984;
+# Good 1953): from each source's word-frequency histogram, the
+# frequency-of-frequencies f1/f2 give the bias-corrected Chao1 estimate
+# of the TRUE vocabulary size (observed + f1(f1-1)/(2(f2+1))) and the
+# Good-Turing estimate of the unseen-token probability mass (f1/N).
+# Scale shape: token explode -> (source, tok) count with map-side
+# partials -> (source, tf) histogram (bounded by distinct frequencies)
+# -> one row per source. No per-row sort, no vocab^2 anywhere.
+
+
+@register(
+    "vocab_coverage",
+    """
+WITH vc_tok AS (
+  SELECT doc_id, source, tok FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+vc_tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM vc_tok GROUP BY 1, 2),
+vc_ff AS (
+  SELECT source, tf, CAST(count(*) AS BIGINT) AS ff
+  FROM vc_tf GROUP BY 1, 2),
+vc_agg AS (
+  SELECT source,
+         CAST(sum(tf * ff) AS BIGINT) AS n_tokens,
+         CAST(sum(ff) AS BIGINT) AS n_types,
+         CAST(coalesce(sum(CASE WHEN tf = 1 THEN ff END), 0) AS BIGINT)
+           AS f1,
+         CAST(coalesce(sum(CASE WHEN tf = 2 THEN ff END), 0) AS BIGINT)
+           AS f2
+  FROM vc_ff GROUP BY 1)
+SELECT source, n_tokens, n_types, f1, f2,
+       CAST(n_types + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1,
+       CAST((1000 * f1) // n_tokens AS BIGINT) AS gt_unseen_milli
+FROM vc_agg
+""",
+    doc="Chao1 vocabulary-size estimate + Good-Turing unseen-mass per "
+    "source from the frequency-of-frequencies histogram: f1/f2 "
+    "singleton/doubleton counts, bias-corrected chao1 = D + "
+    "f1(f1-1)/(2(f2+1)), unseen mass f1/N in milli. Token explode -> "
+    "two keyed histograms (map-side partials) -> one row per source; "
+    "the species-richness dual of zipf_audit's rank-frequency fit.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    ff = tf.groupBy("source", "tf").agg(F.count("*").alias("ff"))
+    return ff.groupBy("source").agg(
+        F.expr("CAST(sum(tf * ff) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(sum(ff) AS BIGINT)").alias("n_types"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN tf = 1 THEN ff END), 0) AS BIGINT)"
+        ).alias("f1"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN tf = 2 THEN ff END), 0) AS BIGINT)"
+        ).alias("f2"),
+    ).selectExpr(
+        "source", "n_tokens", "n_types", "f1", "f2",
+        "CAST(n_types + CAST(floor((f1 * (f1 - 1)) / (2 * (f2 + 1)))"
+        " AS BIGINT) AS BIGINT) AS chao1",
+        "CAST(floor((1000 * f1) / n_tokens) AS BIGINT) AS gt_unseen_milli",
+    )
+
+
+# --- R246: Heaps' law vocabulary-growth curve ----------------------------------------
+#
+# Heaps/Herdan law (V ~ K * N^beta): cumulative type and token counts
+# over ten ingestion buckets (bucket = doc_id*10 / (max_id+1) — a pure
+# arithmetic split, NO global sort; doc_ids are contiguous so buckets
+# are equal-sized). A word's first-appearance bucket is min(bucket)
+# over its postings — one keyed agg — and every cumulative quantity is
+# a window over the BOUNDED 10-bucket dimension (CLAUDE.md value-
+# dimension discipline). growth_milli per bucket shows the sub-linear
+# flattening the law predicts.
+
+
+@register(
+    "heaps_law",
+    """
+WITH hl_mx AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+hl_tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+hl_b AS (
+  SELECT (t.doc_id * 10) // x.mx AS b, t.tok
+  FROM hl_tok t CROSS JOIN hl_mx x),
+hl_docs AS (
+  SELECT (d.doc_id * 10) // x.mx AS b, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d CROSS JOIN hl_mx x GROUP BY 1),
+hl_toks AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS toks FROM hl_b GROUP BY 1),
+hl_first AS (
+  SELECT tok, CAST(min(b) AS BIGINT) AS fb FROM hl_b GROUP BY 1),
+hl_new AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_types
+  FROM hl_first GROUP BY 1),
+hl_row AS (
+  SELECT t.b, d.n_docs, t.toks, coalesce(n.new_types, 0) AS new_types
+  FROM hl_toks t JOIN hl_docs d ON d.b = t.b
+  LEFT JOIN hl_new n ON n.b = t.b),
+hl_cum AS (
+  SELECT b, n_docs, new_types,
+         sum(toks) OVER (ORDER BY b) AS cum_tokens,
+         sum(new_types) OVER (ORDER BY b) AS cum_types
+  FROM hl_row)
+SELECT CAST(b AS BIGINT) AS bucket, n_docs,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(cum_types AS BIGINT) AS cum_types,
+       CAST((1000 * cum_types) // cum_tokens AS BIGINT)
+         AS type_token_milli,
+       CAST(coalesce((1000 * cum_types)
+         // lag(cum_types) OVER (ORDER BY b), 0) AS BIGINT)
+         AS growth_milli
+FROM hl_cum
+""",
+    doc="Heaps'-law vocabulary growth over ten arithmetic ingestion "
+    "buckets: cumulative tokens/types, per-bucket new types, "
+    "type-token ratio and bucket-over-bucket growth in milli. First-"
+    "appearance bucket is one keyed min; all cumulatives are windows "
+    "on the bounded 10-bucket dimension — no global sort at any scale. "
+    "The growth-curve complement to zipf_audit and vocab_coverage.",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    mx = docs.selectExpr("max(doc_id) + 1 AS mx")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    b = toks.crossJoin(F.broadcast(mx)).selectExpr(
+        "CAST(floor((doc_id * 10) / mx) AS BIGINT) AS b", "tok"
+    )
+    docs_b = (
+        docs.crossJoin(F.broadcast(mx))
+        .selectExpr("CAST(floor((doc_id * 10) / mx) AS BIGINT) AS b")
+        .groupBy("b")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"))
+    )
+    toks_b = b.groupBy("b").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("toks")
+    )
+    first = b.groupBy("tok").agg(
+        F.expr("CAST(min(b) AS BIGINT)").alias("fb")
+    )
+    new = first.groupBy(F.col("fb").alias("b")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("new_types")
+    )
+    row = (
+        toks_b.join(docs_b, "b")
+        .join(new, "b", "left")
+        .selectExpr(
+            "b", "n_docs", "toks", "coalesce(new_types, 0) AS new_types"
+        )
+    )
+    return row.selectExpr(
+        "b", "n_docs", "new_types",
+        "sum(toks) OVER (ORDER BY b) AS cum_tokens",
+        "sum(new_types) OVER (ORDER BY b) AS cum_types",
+    ).selectExpr(
+        "CAST(b AS BIGINT) AS bucket", "n_docs",
+        "CAST(cum_tokens AS BIGINT) AS cum_tokens",
+        "CAST(new_types AS BIGINT) AS new_types",
+        "CAST(cum_types AS BIGINT) AS cum_types",
+        "CAST(floor((1000 * cum_types) / cum_tokens) AS BIGINT)"
+        " AS type_token_milli",
+        "CAST(coalesce(CAST(floor((1000 * cum_types)"
+        " / (lag(cum_types) OVER (ORDER BY b))) AS BIGINT), 0) AS BIGINT)"
+        " AS growth_milli",
+    )
+
+
+# --- R247: LLM watermark detection (green-list z-score) -----------------------------
+#
+# Kirchenbauer et al. 2023 ("A Watermark for Large Language Models"):
+# a generation-time watermark biases each token toward a "green list"
+# seeded by the previous token's hash; the detector recounts green
+# tokens and flags docs whose one-sided binomial z-score is large.
+# gamma = 1/4 here: green(prev, tok) = md5int(prev || '|' || tok) % 4
+# = 0, z^2 = (4g - n)^2 / (3n) exactly in milli (one-sided: 0 when
+# 4g <= n, so no negative integer division anywhere — engines disagree
+# on negative // semantics, CLAUDE.md). Per-source rollup: flagged =
+# z^2 >= 4000 milli (z >= 2). Scale shape: one window lag per doc
+# (doc-keyed, never global), then two keyed aggs.
+
+
+@register(
+    "watermark_detect",
+    """
+WITH wm_tok AS (
+  SELECT doc_id, source, tok, pos FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents)
+  WHERE tok <> ''),
+wm_pair AS (
+  SELECT doc_id, source,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+  FROM wm_tok),
+wm_doc AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN (CAST(('0x' || substr(md5(prev || '|' || tok),1,8)) AS BIGINT)) % 4 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS g
+  FROM wm_pair WHERE prev IS NOT NULL GROUP BY 1, 2),
+wm_z AS (
+  SELECT source, n, g,
+         CASE WHEN 4 * g > n
+              THEN (1000 * (4 * g - n) * (4 * g - n)) // (3 * n)
+              ELSE 0 END AS z2_milli
+  FROM wm_doc)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN z2_milli >= 4000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged,
+       CAST((1000 * sum(g)) // sum(n) AS BIGINT) AS green_milli,
+       CAST(sum(z2_milli) // count(*) AS BIGINT) AS mean_z2_milli
+FROM wm_z GROUP BY source
+""",
+    doc="Kirchenbauer-style watermark detector over the corpus: green-"
+    "list membership hashed from the previous token (gamma=1/4), "
+    "per-doc one-sided z^2 in exact milli ((4g-n)^2*1000 DIV 3n, "
+    "zero when green <= expected so no negative division), per-source "
+    "flagged count at z>=2 + green rate. One doc-keyed lag window + "
+    "two keyed aggs; the generation-provenance audit beside "
+    "bigram_surprisal's fluency one.",
+)
+def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("tok", 1).over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    doc = pairs.groupBy("doc_id", "source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN (CAST(conv(substr(md5(prev || '|' || tok),1,8),16,10) AS BIGINT)) % 4 = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("g"),
+    )
+    z = doc.selectExpr(
+        "source", "n", "g",
+        "CASE WHEN 4 * g > n THEN CAST(floor((1000 * (4 * g - n)"
+        " * (4 * g - n)) / (3 * n)) AS BIGINT) ELSE 0 END AS z2_milli",
+    )
+    return z.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN z2_milli >= 4000 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("flagged"),
+        F.expr("CAST(floor((1000 * sum(g)) / sum(n)) AS BIGINT)").alias(
+            "green_milli"
+        ),
+        F.expr("CAST(floor(sum(z2_milli) / count(*)) AS BIGINT)").alias(
+            "mean_z2_milli"
+        ),
+    )
