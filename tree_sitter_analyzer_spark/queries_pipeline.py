@@ -2564,9 +2564,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f2"),
     ).selectExpr(
         "source", "n_tokens", "n_types", "f1", "f2",
-        "CAST(n_types + CAST(floor((f1 * (f1 - 1)) / (2 * (f2 + 1)))"
-        " AS BIGINT) AS BIGINT) AS chao1",
-        "CAST(floor((1000 * f1) / n_tokens) AS BIGINT) AS gt_unseen_milli",
+        "CAST(n_types + (f1 * (f1 - 1)) DIV (2 * (f2 + 1)) AS BIGINT)"
+        " AS chao1",
+        "(1000 * f1) DIV n_tokens AS gt_unseen_milli",
     )
 
 
@@ -2637,11 +2637,11 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     b = toks.crossJoin(F.broadcast(mx)).selectExpr(
-        "CAST(floor((doc_id * 10) / mx) AS BIGINT) AS b", "tok"
+        "(doc_id * 10) DIV mx AS b", "tok"
     )
     docs_b = (
         docs.crossJoin(F.broadcast(mx))
-        .selectExpr("CAST(floor((doc_id * 10) / mx) AS BIGINT) AS b")
+        .selectExpr("(doc_id * 10) DIV mx AS b")
         .groupBy("b")
         .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"))
     )
@@ -2670,10 +2670,9 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(cum_tokens AS BIGINT) AS cum_tokens",
         "CAST(new_types AS BIGINT) AS new_types",
         "CAST(cum_types AS BIGINT) AS cum_types",
-        "CAST(floor((1000 * cum_types) / cum_tokens) AS BIGINT)"
-        " AS type_token_milli",
-        "CAST(coalesce(CAST(floor((1000 * cum_types)"
-        " / (lag(cum_types) OVER (ORDER BY b))) AS BIGINT), 0) AS BIGINT)"
+        "(1000 * cum_types) DIV cum_tokens AS type_token_milli",
+        "CAST(coalesce((1000 * cum_types)"
+        " DIV (lag(cum_types) OVER (ORDER BY b)), 0) AS BIGINT)"
         " AS growth_milli",
     )
 
@@ -2755,8 +2754,8 @@ def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = doc.selectExpr(
         "source", "n", "g",
-        "CASE WHEN 4 * g > n THEN CAST(floor((1000 * (4 * g - n)"
-        " * (4 * g - n)) / (3 * n)) AS BIGINT) ELSE 0 END AS z2_milli",
+        "CASE WHEN 4 * g > n THEN (1000 * (4 * g - n)"
+        " * (4 * g - n)) DIV (3 * n) ELSE 0 END AS z2_milli",
     )
     return z.groupBy("source").agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
@@ -2764,10 +2763,82 @@ def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CASE WHEN z2_milli >= 4000 THEN 1 ELSE 0 END)"
             " AS BIGINT)"
         ).alias("flagged"),
-        F.expr("CAST(floor((1000 * sum(g)) / sum(n)) AS BIGINT)").alias(
-            "green_milli"
-        ),
-        F.expr("CAST(floor(sum(z2_milli) / count(*)) AS BIGINT)").alias(
+        F.expr("(1000 * sum(g)) DIV sum(n)").alias("green_milli"),
+        F.expr("sum(z2_milli) DIV count(*)").alias(
             "mean_z2_milli"
         ),
+    )
+
+
+# --- R250: capture-recapture vocabulary estimate -------------------------------------
+#
+# Lincoln-Petersen / Chapman mark-recapture (the ecology estimator,
+# here as a dedup-era data tool): treat even-doc_id documents as the
+# "marking" occasion and odd ones as the "recapture", count each
+# source's vocabulary in each half and the overlap, and estimate the
+# TRUE vocabulary as Chapman's bias-corrected
+# (n1+1)(n2+1)/(m+1) - 1. Sits beside vocab_coverage's Chao1 (same
+# target, different design: two-occasion overlap vs singleton curve).
+# One (source, tok) agg carrying two boolean maxes — no vocab^2.
+
+
+@register(
+    "capture_recapture",
+    """
+WITH cr_tok AS (
+  SELECT source, tok,
+         max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_even,
+         max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_odd
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+cr_agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(in_even) AS BIGINT) AS n1,
+         CAST(sum(in_odd) AS BIGINT) AS n2,
+         CAST(sum(in_even * in_odd) AS BIGINT) AS m
+  FROM cr_tok GROUP BY 1)
+SELECT source, n_types, n1, n2, m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman,
+       CAST((1000 * n_types) // ((n1 + 1) * (n2 + 1) // (m + 1) - 1)
+         AS BIGINT) AS seen_milli
+FROM cr_agg
+""",
+    doc="Chapman capture-recapture estimate of each source's true "
+    "vocabulary: even-doc occasion vs odd-doc occasion, overlap m, "
+    "bias-corrected (n1+1)(n2+1)/(m+1)-1, and the observed-coverage "
+    "ratio in milli. One (source,tok) agg with two boolean maxes; "
+    "the two-occasion dual of vocab_coverage's Chao1.",
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "source",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(
+            F.expr(
+                "max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)"
+            ).alias("in_even"),
+            F.expr(
+                "max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)"
+            ).alias("in_odd"),
+        )
+    )
+    agg = tok.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_types"),
+        F.expr("CAST(sum(in_even) AS BIGINT)").alias("n1"),
+        F.expr("CAST(sum(in_odd) AS BIGINT)").alias("n2"),
+        F.expr("CAST(sum(in_even * in_odd) AS BIGINT)").alias("m"),
+    )
+    return agg.selectExpr(
+        "source", "n_types", "n1", "n2", "m",
+        "CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT) AS chapman",
+        "CAST((1000 * n_types)"
+        " DIV ((n1 + 1) * (n2 + 1) DIV (m + 1) - 1) AS BIGINT)"
+        " AS seen_milli",
     )

@@ -5909,3 +5909,209 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(1000 * sum_days) DIV n_intervals AS mean_days_milli",
         "peak_active", "peak_day",
     )
+
+
+# --- R248: Poisson bootstrap standard error -----------------------------------------
+#
+# The production-scale bootstrap (Chamandy et al. 2012 — the Poisson
+# bootstrap): resampling-with-replacement is impossible at 10^12 rows,
+# but each replicate's multiplicity for a row is approximately iid
+# Poisson(1), so B=64 replicates are ONE pass: fan each row to (row, b),
+# draw w ~ Poisson(1) from the md5 hash of (key, b) via fixed 32-bit
+# inverse-CDF thresholds (floor(cum_k * 2^32) literals, k=0..6, else 7),
+# and map-side-partial-aggregate (flag, b) sums — fanned rows die inside
+# their first exchange. Replicate means stay in CENTS (milli would
+# overflow: (3.8e9)^2 > 2^63); the SE over the bounded 64-replicate
+# dimension uses the exact-isqrt discipline (R242).
+
+
+@register(
+    "poisson_bootstrap",
+    """
+WITH pb_rows AS (
+  SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)
+           AS BIGINT) AS cents
+  FROM lineitem),
+pb_fan AS (
+  SELECT flag, cents, t.b, CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(b AS VARCHAR)),1,8)) AS BIGINT) AS u
+  FROM pb_rows CROSS JOIN generate_series(0, 63) AS t(b)),
+pb_rep AS (
+  SELECT flag, b, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * cents) AS BIGINT) AS swc
+  FROM (SELECT flag, b, cents, (CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 WHEN u < 4294609777 THEN 6 ELSE 7 END) AS w FROM pb_fan)
+  GROUP BY 1, 2),
+pb_m AS (SELECT flag, b, swc // sw AS m FROM pb_rep WHERE sw > 0),
+pb_var AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n_reps,
+         CAST(min(m) AS BIGINT) AS rep_min_cents,
+         CAST(max(m) AS BIGINT) AS rep_max_cents,
+         (count(*) * sum(m * m) - sum(m) * sum(m))
+           // (count(*) * (count(*) - 1)) AS v
+  FROM pb_m GROUP BY 1),
+pb_se AS (
+  SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+  FROM pb_var),
+pb_base AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST((1000 * sum(cents)) // count(*) AS BIGINT)
+           AS mean_cents_milli
+  FROM pb_rows GROUP BY 1)
+SELECT b.flag, b.n_rows, b.mean_cents_milli, s.n_reps,
+       s.rep_min_cents, s.rep_max_cents,
+       CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1 WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT) AS boot_se_cents
+FROM pb_base b JOIN pb_se s ON s.flag = b.flag
+""",
+    doc="Poisson bootstrap (Chamandy 2012) of the per-returnflag mean "
+    "revenue: 64 one-pass replicates, per-row multiplicity ~Poisson(1) "
+    "from fixed 32-bit md5 inverse-CDF thresholds, replicate means in "
+    "exact cents, SE over the bounded replicate dimension via exact "
+    "isqrt. The only bootstrap shape that works at 10^12 rows — no "
+    "resampling pass, fanned rows die in the first exchange.",
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The seed parquet is one file — spread the rows BEFORE the 64x
+    # replicate fan or the whole md5 draw runs on a single task.
+    rows = (
+        _t(spark, sf_dir, "lineitem")
+        .repartition(32, "l_orderkey")
+        .selectExpr(
+            "l_returnflag AS flag", "l_orderkey", "l_linenumber",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+            " AS BIGINT) AS cents",
+        )
+    )
+    fan = rows.select(
+        "flag", "cents", "l_orderkey", "l_linenumber",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).selectExpr("flag", "cents", "b", "CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '-' || CAST(l_linenumber AS STRING) || '|' || CAST(b AS STRING)),1,8),16,10) AS BIGINT) AS u")
+    rep = (
+        fan.selectExpr("flag", "b", "cents", "(CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 WHEN u < 4294609777 THEN 6 ELSE 7 END) AS w")
+        .groupBy("flag", "b")
+        .agg(
+            F.expr("CAST(sum(w) AS BIGINT)").alias("sw"),
+            F.expr("CAST(sum(w * cents) AS BIGINT)").alias("swc"),
+        )
+    )
+    m = rep.where("sw > 0").selectExpr(
+        "flag", "b", "swc DIV sw AS m"
+    )
+    var = m.groupBy("flag").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_reps"),
+        F.expr("CAST(min(m) AS BIGINT)").alias("rep_min_cents"),
+        F.expr("CAST(max(m) AS BIGINT)").alias("rep_max_cents"),
+        F.expr(
+            "(count(*) * sum(m * m) - sum(m) * sum(m))"
+            " DIV (count(*) * (count(*) - 1))"
+        ).alias("v"),
+    ).withColumn(
+        "s0", F.expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)")
+    )
+    base = rows.groupBy("flag").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+        F.expr(
+            "(1000 * sum(cents)) DIV count(*)"
+        ).alias("mean_cents_milli"),
+    )
+    return base.join(var, "flag").selectExpr(
+        "flag", "n_rows", "mean_cents_milli", "n_reps",
+        "rep_min_cents", "rep_max_cents",
+        "CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1 WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT) AS boot_se_cents",
+    )
+
+
+# --- R249: delete-one-block jackknife --------------------------------------------
+#
+# The block jackknife (Quenouille 1956/Tukey 1958, delete-a-group
+# variant — the estimator production survey systems actually use at
+# scale, e.g. delete-a-group jackknife in census estimation): 10
+# arithmetic blocks by l_orderkey % 10, leave-one-block-out means from
+# the TOTALS alone (S - s_i)/(N - n_i) — one scan to 10 bounded cells,
+# no resampling pass. Leave-out means stay in CENTS for the variance
+# algebra (milli would overflow the squared sums); pseudo-values and
+# the jackknife SE ride the exact-isqrt discipline (R242). The
+# deterministic sibling of poisson_bootstrap's randomized replicates.
+
+
+@register(
+    "jackknife_blocks",
+    """
+WITH jk_rows AS (
+  SELECT l_orderkey % 10 AS blk,
+         CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)
+           AS BIGINT) AS cents
+  FROM lineitem),
+jk_blk AS (
+  SELECT blk, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(cents) AS BIGINT) AS s_i
+  FROM jk_rows GROUP BY 1),
+jk_tot AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS g
+  FROM jk_blk),
+jk_loo AS (
+  SELECT b.blk, b.n_i, t.g,
+         (t.s - b.s_i) // (t.n - b.n_i) AS loo_cents,
+         (1000 * (t.s - b.s_i)) // (t.n - b.n_i) AS loo_milli,
+         (1000 * t.s) // t.n AS mean_milli
+  FROM jk_blk b CROSS JOIN jk_tot t),
+jk_var AS (
+  SELECT ((g - 1) * (g * sum(loo_cents * loo_cents)
+           - sum(loo_cents) * sum(loo_cents))) // (g * g) AS v
+  FROM jk_loo GROUP BY g),
+jk_se AS (
+  SELECT v, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+  FROM jk_var)
+SELECT CAST(l.blk AS BIGINT) AS blk, l.n_i, l.loo_milli,
+       CAST(l.g * l.mean_milli - (l.g - 1) * l.loo_milli AS BIGINT)
+         AS pseudo_milli,
+       l.mean_milli AS mean_cents_milli,
+       CAST((CASE WHEN (e.s0 + 1) * (e.s0 + 1) <= e.v THEN e.s0 + 1
+                  WHEN e.s0 * e.s0 > e.v THEN e.s0 - 1
+                  ELSE e.s0 END) AS BIGINT) AS jk_se_cents
+FROM jk_loo l CROSS JOIN jk_se e
+""",
+    doc="Delete-a-group jackknife over 10 arithmetic l_orderkey blocks: "
+    "leave-one-out means from totals alone (no resampling pass), "
+    "pseudo-values, and the jackknife SE of the mean revenue via "
+    "exact isqrt — one scan to 10 bounded cells. The deterministic "
+    "variance estimate beside poisson_bootstrap's randomized one.",
+)
+def q_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey % 10 AS blk",
+        "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+        " AS BIGINT) AS cents",
+    )
+    blk = rows.groupBy("blk").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_i"),
+        F.expr("CAST(sum(cents) AS BIGINT)").alias("s_i"),
+    )
+    tot = blk.agg(
+        F.expr("CAST(sum(n_i) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(s_i) AS BIGINT)").alias("s"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("g"),
+    )
+    loo = blk.crossJoin(F.broadcast(tot)).selectExpr(
+        "blk", "n_i", "g",
+        "(s - s_i) DIV (n - n_i) AS loo_cents",
+        "(1000 * (s - s_i)) DIV (n - n_i) AS loo_milli",
+        "(1000 * s) DIV n AS mean_milli",
+    )
+    var = loo.groupBy("g").agg(
+        F.expr(
+            "((g - 1) * (g * sum(loo_cents * loo_cents)"
+            " - sum(loo_cents) * sum(loo_cents))) DIV (g * g)"
+        ).alias("v")
+    ).withColumn(
+        "s0", F.expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)")
+    ).select("v", "s0")
+    return loo.crossJoin(F.broadcast(var)).selectExpr(
+        "CAST(blk AS BIGINT) AS blk", "n_i", "loo_milli",
+        "CAST(g * mean_milli - (g - 1) * loo_milli AS BIGINT)"
+        " AS pseudo_milli",
+        "mean_milli AS mean_cents_milli",
+        "CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1"
+        " WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)"
+        " AS jk_se_cents",
+    )
