@@ -2842,3 +2842,190 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         " DIV ((n1 + 1) * (n2 + 1) DIV (m + 1) - 1) AS BIGINT)"
         " AS seen_milli",
     )
+
+
+# --- R251: cross-document n-gram novelty (self-BLEU complement) -----------------------
+#
+# Generation-diversity screening (Zhu et al. 2018's self-BLEU, run the
+# scalable way): a doc whose 3-grams all appear in OTHER docs is
+# boilerplate/templated; a doc of corpus-unique 3-grams is novel. Per
+# doc: distinct 3-grams; per 3-gram: document frequency (one keyed
+# agg); novelty = share of the doc's distinct grams with df = 1, in
+# milli. Per-source rollup + the corpus singleton share. Costs one
+# doc-keyed window pass + two keyed aggs — never grams x grams.
+
+
+@register(
+    "ngram_novelty",
+    """
+WITH nv_tok AS (
+  SELECT doc_id, source, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''),
+nv_n AS (SELECT doc_id, max(rn) AS n FROM nv_tok GROUP BY 1),
+nv_g AS (
+  SELECT t.doc_id, t.source,
+         t.tok || ' ' || lead(t.tok, 1) OVER w || ' '
+           || lead(t.tok, 2) OVER w AS g3, t.rn, n.n
+  FROM nv_tok t JOIN nv_n n ON n.doc_id = t.doc_id
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.rn)),
+nv_dg AS (
+  SELECT DISTINCT doc_id, source, g3 FROM nv_g WHERE rn <= n - 2),
+nv_df AS (
+  SELECT g3, CAST(count(*) AS BIGINT) AS df FROM nv_dg GROUP BY 1),
+nv_doc AS (
+  SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM nv_dg d JOIN nv_df f ON f.g3 = d.g3 GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS grams,
+       CAST(sum(n_unique) AS BIGINT) AS unique_grams,
+       CAST((1000 * sum(n_unique)) // sum(n_grams) AS BIGINT)
+         AS novelty_milli,
+       CAST(sum((1000 * n_unique) // n_grams) // count(*) AS BIGINT)
+         AS mean_doc_novelty_milli
+FROM nv_doc GROUP BY source
+""",
+    doc="Self-BLEU-style cross-document 3-gram novelty per source: "
+    "distinct grams per doc, corpus document frequency per gram, "
+    "novelty = share of df=1 grams in milli (both pooled and "
+    "mean-of-docs). One doc-keyed window + two keyed aggs — the "
+    "templated-boilerplate screen beside repetition_stats's "
+    "within-doc one and decontamination's cross-split one.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wd = Window.partitionBy("doc_id")
+    g = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.max("rn").over(wd))
+        .withColumn(
+            "g3",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ),
+        )
+        .where(F.col("rn") <= F.col("n") - 2)
+        .select("doc_id", "source", "g3")
+        .distinct()
+    )
+    df = g.groupBy("g3").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("df")
+    )
+    doc = g.join(df, "g3").groupBy("doc_id", "source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_grams"),
+        F.expr(
+            "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_unique"),
+    )
+    return doc.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(sum(n_grams) AS BIGINT)").alias("grams"),
+        F.expr("CAST(sum(n_unique) AS BIGINT)").alias("unique_grams"),
+        F.expr(
+            "(1000 * sum(n_unique)) DIV sum(n_grams)"
+        ).alias("novelty_milli"),
+        F.expr(
+            "sum((1000 * n_unique) DIV n_grams) DIV count(*)"
+        ).alias("mean_doc_novelty_milli"),
+    )
+
+
+# --- R252: any-gap sequential pattern support ----------------------------------------
+#
+# Sequential pattern mining's counting primitive (GSP/PrefixSpan,
+# Srikant-Agrawal 1996): a user supports pattern A -> B iff SOME
+# occurrence of A precedes SOME occurrence of B (any gap) — exactly
+# min_seq(A) < max_seq(B) on the per-user event order, so support for
+# ALL type pairs needs only the per-(user, type) min/max sequence
+# numbers: a 5-type bounded dimension per user, self-joined with
+# renamed keys per side (the ambiguous-self-join discipline). The
+# any-gap complement to event_transitions' adjacent-only Markov counts.
+
+
+@register(
+    "seq_patterns",
+    """
+WITH sp_seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq
+  FROM events),
+sp_ut AS (
+  SELECT user_id, event_type, min(seq) AS mn, max(seq) AS mx
+  FROM sp_seq GROUP BY 1, 2),
+sp_users AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS users_with
+  FROM sp_ut GROUP BY 1),
+sp_pairs AS (
+  SELECT a.event_type AS a, b.event_type AS b,
+         CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+           AS support
+  FROM sp_ut a JOIN sp_ut b ON a.user_id = b.user_id
+  WHERE a.event_type <> b.event_type
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.support,
+       u.users_with AS users_with_a,
+       CAST((1000 * p.support) // u.users_with AS BIGINT) AS conf_milli
+FROM sp_pairs p JOIN sp_users u ON u.event_type = p.a
+""",
+    doc="Any-gap sequential pattern support (GSP/PrefixSpan counting "
+    "primitive): user supports A->B iff min_seq(A) < max_seq(B); "
+    "computed from per-(user,type) min/max sequence numbers only — a "
+    "bounded 5-type dimension per user, renamed-key self-join, two "
+    "keyed aggs. Support + confidence per ordered type pair; the "
+    "any-gap complement to event_transitions' adjacent bigrams.",
+)
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.window import Window
+
+    seq = ev.withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    ut = seq.groupBy("user_id", "event_type").agg(
+        F.min("seq").alias("mn"), F.max("seq").alias("mx")
+    )
+    users = ut.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("users_with")
+    )
+    a = ut.selectExpr(
+        "user_id AS ua", "event_type AS a", "mn AS amn"
+    )
+    b = ut.selectExpr(
+        "user_id AS ub", "event_type AS b", "mx AS bmx"
+    )
+    pairs = (
+        a.join(b, F.expr("ua = ub AND a <> b"))
+        .groupBy("a", "b")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN amn < bmx THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("support")
+        )
+    )
+    return pairs.join(
+        users.selectExpr("event_type AS a", "users_with"), "a"
+    ).selectExpr(
+        "a", "b", "support", "users_with AS users_with_a",
+        "(1000 * support) DIV users_with AS conf_milli",
+    )

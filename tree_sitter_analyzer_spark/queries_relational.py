@@ -6115,3 +6115,95 @@ def q_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)"
         " AS jk_se_cents",
     )
+
+
+# --- R253: k-fold cross-validation of the group-mean model ----------------------------
+#
+# The model-eval loop every pipeline needs, run as pure aggregation:
+# 5 folds by l_orderkey % 5; for each fold, the "model" is the
+# train-side per-returnflag mean revenue, and the held-out SSE comes
+# from MOMENTS alone (sum, sum of squares, count per (flag, fold) —
+# SSE = sc2 - 2*m*sc + n*m^2), so the whole CV is ONE scan to a
+# 15-cell bounded dimension plus arithmetic. Revenue in integer
+# DOLLARS: cents^2 sums would pass 2^63 at sf>=0.1 (the documented
+# rescale-at-scale discipline). RMSE via exact isqrt (R242).
+
+
+@register(
+    "kfold_eval",
+    """
+WITH kf_rows AS (
+  SELECT l_returnflag AS flag, l_orderkey % 5 AS fold,
+         CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)
+           AS d
+  FROM lineitem),
+kf_cell AS (
+  SELECT flag, fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(d * d) AS BIGINT) AS sd2
+  FROM kf_rows GROUP BY 1, 2),
+kf_tot AS (
+  SELECT flag, CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sd) AS BIGINT)
+           AS st
+  FROM kf_cell GROUP BY 1),
+kf_eval AS (
+  SELECT c.flag, c.fold, c.n AS n_test,
+         (t.st - c.sd) // (t.nt - c.n) AS train_mean_dollars,
+         c.sd2 - 2 * ((t.st - c.sd) // (t.nt - c.n)) * c.sd
+           + c.n * ((t.st - c.sd) // (t.nt - c.n))
+               * ((t.st - c.sd) // (t.nt - c.n)) AS sse
+  FROM kf_cell c JOIN kf_tot t ON t.flag = c.flag),
+kf_v AS (
+  SELECT flag, fold, n_test, train_mean_dollars, sse // n_test AS v
+  FROM kf_eval),
+kf_s AS (
+  SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+  FROM kf_v)
+SELECT flag, CAST(fold AS BIGINT) AS fold, n_test,
+       CAST(train_mean_dollars AS BIGINT) AS train_mean_dollars,
+       CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                  WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)
+         AS rmse_dollars
+FROM kf_s
+""",
+    doc="5-fold CV of the per-returnflag train-mean model from moments "
+    "alone: one scan to a 15-cell (flag, fold) dimension, held-out "
+    "SSE = sd2 - 2m*sd + n*m^2 with the train mean from leave-fold-"
+    "out totals, RMSE via exact isqrt. Revenue in integer dollars so "
+    "squared sums stay under 2^63 at scale.",
+)
+def q_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS flag", "l_orderkey % 5 AS fold",
+        "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+        " AS d",
+    )
+    cell = rows.groupBy("flag", "fold").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(d) AS BIGINT)").alias("sd"),
+        F.expr("CAST(sum(d * d) AS BIGINT)").alias("sd2"),
+    )
+    tot = cell.groupBy("flag").agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("nt"),
+        F.expr("CAST(sum(sd) AS BIGINT)").alias("st"),
+    )
+    ev = cell.join(tot, "flag").selectExpr(
+        "flag", "fold", "n AS n_test",
+        "(st - sd) DIV (nt - n) AS train_mean_dollars",
+        "sd2 - 2 * ((st - sd) DIV (nt - n)) * sd"
+        " + n * ((st - sd) DIV (nt - n)) * ((st - sd) DIV (nt - n))"
+        " AS sse",
+    )
+    v = ev.selectExpr(
+        "flag", "fold", "n_test", "train_mean_dollars",
+        "sse DIV n_test AS v",
+    ).withColumn(
+        "s0", F.expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)")
+    )
+    return v.selectExpr(
+        "flag", "CAST(fold AS BIGINT) AS fold", "n_test",
+        "CAST(train_mean_dollars AS BIGINT) AS train_mean_dollars",
+        "CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1"
+        " WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)"
+        " AS rmse_dollars",
+    )
