@@ -3029,3 +3029,65 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b", "support", "users_with AS users_with_a",
         "(1000 * support) DIV users_with AS conf_milli",
     )
+
+
+# --- R254-R256: decoded-pixel CV feature suite ---------------------------------------
+
+
+@register(
+    "otsu_threshold",
+    None,  # decoded-pixel op (Philox-seeded pixels are not SQL-
+    # expressible); exact numpy-reference replay in tests/test_r254_cv.py
+    doc="Otsu auto-threshold per decoded tile (6-bit luma histogram, "
+    "deterministic integer class-separation argmax, smallest-t ties), "
+    "rolled up per kind with threshold range, separation mass, and "
+    "foreground share in milli. One Arrow mapInPandas decode pass; 4 "
+    "integers per tile leave the worker. Rows-only for the driver; "
+    "pixel-exactness is pytest-gated against the numpy reference.",
+)
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.otsu_stats(tiles)
+
+
+@register(
+    "sobel_edge_stats",
+    None,  # decoded-pixel op; numpy replay in tests/test_r254_cv.py
+    doc="Sobel gradient stats per decoded tile: integer 3x3 kernels on "
+    "luma, L1 magnitude, fixed-threshold edge density — per-kind "
+    "rollup with edge share and mean gradient in milli. Interior "
+    "pixels only (no padding policy to disagree on); one Arrow "
+    "mapInPandas pass. Rows-only; pytest-gated vs numpy.",
+)
+def q_sobel_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.sobel_stats(tiles)
+
+
+@register(
+    "vignette_profile",
+    None,  # decoded-pixel op; numpy replay in tests/test_r254_cv.py
+    doc="Radial luma (vignetting) profile: three concentric zones by "
+    "exact integer squared distance from the doubled-coordinate "
+    "center, per-(kind, zone) luma mass and mean level in milli — "
+    "the center-bright/edge-dark image-QA screen. One Arrow "
+    "mapInPandas pass. Rows-only; pytest-gated vs numpy.",
+)
+def q_vignette_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.radial_profile(tiles)

@@ -459,3 +459,219 @@ def glcm_texture(df: DataFrame) -> DataFrame:
         F.expr("CAST(sum(energy) AS BIGINT)").alias("energy"),
         F.expr("CAST(sum(hom_milli) AS BIGINT)").alias("hom_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R254: Otsu threshold per tile. Reference analog: the reference's
+# per-format extraction workers compute per-file structural summaries
+# (ast_cache.py:581-593); here the classic CV auto-threshold (Otsu
+# 1979) runs per decoded tile on a 6-bit luma histogram. Deterministic
+# integer definition (floored milli class means, squared separation
+# weighted by w0*w1; ties -> smallest threshold) — chosen so every
+# intermediate stays far under 2^63 for 128x128 tiles and the numpy
+# reference replays it bit-for-bit. Only 4 integers per tile leave the
+# Arrow worker.
+# ---------------------------------------------------------------------------
+
+OTSU_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("thr", LongType()),
+    StructField("sep_q", LongType()),
+    StructField("fg_px", LongType()),
+]
+
+
+def otsu_features_np(px: "np.ndarray") -> tuple[int, int, int]:
+    """numpy reference: (thr, sep_q, fg_px) for one decoded (h, w, 3)
+    uint8 image. 6-bit luma histogram; sep_q = w0*w1*(mu0-mu1)^2 with
+    mu in floored milli-levels; argmax with smallest-t tie-break."""
+    gray = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    q = gray >> 2  # 6-bit levels 0..63
+    hist = np.bincount(q.ravel(), minlength=64).astype(np.int64)
+    n = int(hist.sum())
+    s = int((hist * np.arange(64, dtype=np.int64)).sum())
+    w0 = np.cumsum(hist)[:-1]  # t = 0..62: class0 = levels <= t
+    s0 = np.cumsum(hist * np.arange(64, dtype=np.int64))[:-1]
+    valid = (w0 > 0) & (w0 < n)
+    mu0 = np.zeros(63, dtype=np.int64)
+    mu1 = np.zeros(63, dtype=np.int64)
+    mu0[valid] = (1000 * s0[valid]) // w0[valid]
+    mu1[valid] = (1000 * (s - s0[valid])) // (n - w0[valid])
+    sep = np.where(valid, w0 * (n - w0) * (mu0 - mu1) ** 2, -1)
+    thr = int(np.argmax(sep))  # argmax takes the FIRST max: smallest t
+    fg = int(n - w0[thr])
+    return thr, int(sep[thr]), fg
+
+
+def otsu_stats(df: DataFrame) -> DataFrame:
+    """Per-kind Otsu rollup over decoded tiles: (tile_kind, n_tiles,
+    sum_thr, min_thr, max_thr, sum_sep_q, fg_milli)."""
+    schema = StructType(OTSU_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + otsu_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows, columns=["tile_kind", "thr", "sep_q", "fg_px"]
+            )
+
+    feats = df.select("tile_kind", "bytes", "w", "h").mapInPandas(
+        gen, schema=schema
+    )
+    from pyspark.sql import functions as F
+
+    tot = df.selectExpr(
+        "tile_kind", "CAST(w AS BIGINT) * CAST(h AS BIGINT) AS px"
+    ).groupBy("tile_kind").agg(
+        F.expr("CAST(sum(px) AS BIGINT)").alias("total_px")
+    )
+    agg = feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(thr) AS BIGINT)").alias("sum_thr"),
+        F.expr("CAST(min(thr) AS BIGINT)").alias("min_thr"),
+        F.expr("CAST(max(thr) AS BIGINT)").alias("max_thr"),
+        F.expr("CAST(sum(sep_q) AS BIGINT)").alias("sum_sep_q"),
+        F.expr("CAST(sum(fg_px) AS BIGINT)").alias("fg_px"),
+    )
+    return agg.join(tot, "tile_kind").selectExpr(
+        "tile_kind", "n_tiles", "sum_thr", "min_thr", "max_thr",
+        "sum_sep_q", "(1000 * fg_px) DIV total_px AS fg_milli",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R255: Sobel gradient / edge-density stats per tile. The standard 3x3
+# Sobel kernels on integer luma, L1 gradient magnitude (|Gx| + |Gy| —
+# the classic fast approximation, exactly integer), edge = magnitude
+# >= 512 (a mid-range fixed threshold: max |Gx|+|Gy| = 2040). Interior
+# pixels only — no padding policy to disagree on.
+# ---------------------------------------------------------------------------
+
+SOBEL_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("n_interior", LongType()),
+    StructField("grad_sum", LongType()),
+    StructField("edges", LongType()),
+]
+
+
+def sobel_features_np(px: "np.ndarray") -> tuple[int, int, int]:
+    """numpy reference: (n_interior, grad_sum, edges) for one decoded
+    (h, w, 3) uint8 image."""
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    gx = (
+        g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+        - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
+    )
+    gy = (
+        g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+        - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+    )
+    mag = np.abs(gx) + np.abs(gy)
+    return int(mag.size), int(mag.sum()), int((mag >= 512).sum())
+
+
+def sobel_stats(df: DataFrame) -> DataFrame:
+    """Per-kind Sobel rollup: (tile_kind, n_tiles, n_interior,
+    grad_sum, edges, edge_milli, mean_grad_milli)."""
+    schema = StructType(SOBEL_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + sobel_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_kind", "n_interior", "grad_sum", "edges"],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(n_interior) AS BIGINT)").alias("n_interior"),
+        F.expr("CAST(sum(grad_sum) AS BIGINT)").alias("grad_sum"),
+        F.expr("CAST(sum(edges) AS BIGINT)").alias("edges"),
+    ).selectExpr(
+        "tile_kind", "n_tiles", "n_interior", "grad_sum", "edges",
+        "(1000 * edges) DIV n_interior AS edge_milli",
+        "(1000 * grad_sum) DIV n_interior AS mean_grad_milli",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R256: radial luma (vignetting) profile. Three concentric zones by
+# exact integer squared distance from the doubled-coordinate center
+# (dy2 = 2r - (h-1): no half-pixel floats anywhere): zone 0 if
+# 9*d2 <= D2, zone 1 if 9*d2 <= 4*D2, else 2, with D2 = (h-1)^2 +
+# (w-1)^2. Per-zone luma sums detect center-bright/edge-dark bias —
+# the image-QA vignetting screen.
+# ---------------------------------------------------------------------------
+
+RADIAL_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("zone", LongType()),
+    StructField("n_px", LongType()),
+    StructField("luma_sum", LongType()),
+]
+
+
+def radial_profile_np(px: "np.ndarray") -> list[tuple[int, int, int]]:
+    """numpy reference: [(zone, n_px, luma_sum)] for one decoded
+    (h, w, 3) uint8 image."""
+    h, w = px.shape[:2]
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    ys = 2 * np.arange(h, dtype=np.int64)[:, None] - (h - 1)
+    xs = 2 * np.arange(w, dtype=np.int64)[None, :] - (w - 1)
+    d2 = ys * ys + xs * xs
+    big = (h - 1) ** 2 + (w - 1) ** 2
+    zone = np.where(9 * d2 <= 4 * big, np.where(9 * d2 <= big, 0, 1), 2)
+    out = []
+    for z in (0, 1, 2):
+        m = zone == z
+        out.append((z, int(m.sum()), int(g[m].sum())))
+    return out
+
+
+def radial_profile(df: DataFrame) -> DataFrame:
+    """Per-(kind, zone) luma rollup: (tile_kind, zone, n_tiles, n_px,
+    luma_sum, mean_luma_milli)."""
+    schema = StructType(RADIAL_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                for z, n, s in radial_profile_np(decode_px(buf)):
+                    rows.append((kind, z, n, s))
+            yield pd.DataFrame(
+                rows, columns=["tile_kind", "zone", "n_px", "luma_sum"]
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind", "zone").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(n_px) AS BIGINT)").alias("n_px"),
+        F.expr("CAST(sum(luma_sum) AS BIGINT)").alias("luma_sum"),
+    ).selectExpr(
+        "tile_kind", "zone", "n_tiles", "n_px", "luma_sum",
+        "(1000 * luma_sum) DIV (255 * n_px) AS mean_luma_milli",
+    )
