@@ -2158,3 +2158,75 @@ SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
        CAST(sum(dist) AS BIGINT) AS sum_dist
 FROM dist WHERE dist > 0 GROUP BY 1
 """
+
+
+# --- Katz centrality, 3-truncated (SURVEY.md R259) --------------------------
+#
+# Katz 1953: x(v) = sum over walk lengths k of beta^k * (# walks of
+# length k ending at v). Truncated at k = 3 with beta = 1/4 and the
+# whole sum scaled by 4^3 = 64, every quantity is an exact walk COUNT:
+# katz_q = 16*w1 + 4*w2 + w3. Walk counts come from the textbook
+# iteration x_{k+1}(v) = sum over in-edges (u,v) of x_k(u), x_0 = 1 —
+# one vertex-keyed join + sum-agg per round, never materializing walks
+# (the pagerank_fixed discipline without the quantized division).
+
+
+def katz3(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(v, w1, w2, w3, katz_q) for every vertex of the directed graph."""
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    verts = (
+        e.selectExpr("src AS v")
+        .union(e.selectExpr("dst AS v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    x = verts.selectExpr("v", "CAST(1 AS BIGINT) AS w")
+    walks = []
+    for _ in range(3):
+        nxt = (
+            e.join(x.selectExpr("v AS src", "w"), "src")
+            .groupBy("dst")
+            .agg(F.expr("CAST(sum(w) AS BIGINT)").alias("w"))
+            .selectExpr("dst AS v", "w")
+        )
+        # left-join back onto the full vertex set: vertices with no
+        # in-edges have zero walks but must stay in the frame
+        x = verts.join(nxt, "v", "left").selectExpr(
+            "v", "coalesce(w, CAST(0 AS BIGINT)) AS w"
+        ).localCheckpoint(eager=False)
+        walks.append(x)
+    w1, w2, w3 = (
+        wk.selectExpr("v", f"w AS w{i + 1}") for i, wk in enumerate(walks)
+    )
+    return (
+        w1.join(w2, "v")
+        .join(w3, "v")
+        .selectExpr(
+            "v", "w1", "w2", "w3",
+            "16 * w1 + 4 * w2 + w3 AS katz_q",
+        )
+    )
+
+
+def katz3_oracle(kind: str = "dag") -> str:
+    steps = []
+    for k in range(3):
+        steps.append(f"""
+nx{k} AS (
+  SELECT e.dst AS v, CAST(sum(x{k}.w) AS BIGINT) AS w
+  FROM edges0 e JOIN x{k} ON x{k}.v = e.src GROUP BY e.dst),
+x{k + 1} AS (
+  SELECT verts.v, coalesce(nx{k}.w, 0) AS w
+  FROM verts LEFT JOIN nx{k} ON nx{k}.v = verts.v)""")
+    return f"""
+WITH edges0 AS ({edges_sql(kind)}),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
+x0 AS (SELECT v, CAST(1 AS BIGINT) AS w FROM verts),
+{",".join(steps)}
+SELECT v1.v, CAST(v1.w AS BIGINT) AS w1, CAST(v2.w AS BIGINT) AS w2,
+       CAST(v3.w AS BIGINT) AS w3,
+       CAST(16 * v1.w + 4 * v2.w + v3.w AS BIGINT) AS katz_q
+FROM x1 v1 JOIN x2 v2 ON v2.v = v1.v JOIN x3 v3 ON v3.v = v1.v
+"""

@@ -356,3 +356,18 @@ def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.harmonic_centrality(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "katz_centrality",
+    graph.katz3_oracle("dag"),
+    doc="3-truncated Katz centrality (Katz 1953) with beta=1/4 scaled "
+    "by 64 so everything is an exact walk count: katz_q = 16*w1 + "
+    "4*w2 + w3, walk counts via the textbook x_{k+1}(v) = sum of "
+    "x_k over in-neighbors — one vertex-keyed join + agg per round, "
+    "walks never materialized. Oracle: 3 unrolled CTE steps. The "
+    "damped-influence ranking beside pagerank3's stochastic one and "
+    "hits_ranks' mutual-reinforcement one.",
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.katz3(spark, graph.edges_df(spark, "dag"))

@@ -6207,3 +6207,210 @@ def q_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)"
         " AS rmse_dollars",
     )
+
+
+# --- R257: exact autocorrelation function of daily revenue ----------------------------
+#
+# The Box-Jenkins identification tool (ACF, lags 1..7) on the
+# zero-densified daily order-revenue series, exact in integers:
+# deviations against the FLOORED mean (d_t = v_t - S DIV n — a
+# deterministic estimator both engines and the python replay share;
+# avoids the n-scaled-deviation overflow at big SF), c_k = sum d_t
+# d_{t+k} over the bounded calendar dimension via a lag-fan equi-join
+# (7 x 2500 rows), acf_k = sign + (1000|c_k|) DIV c_0 (negative-DIV
+# discipline). Daily values in kilodollars so d^2 sums stay far under
+# 2^63 at any SF. The linear-ACF complement to spearman_acf's rank one.
+
+
+@register(
+    "revenue_acf",
+    f"""
+WITH ra_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+ra_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM ra_daily),
+ra_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM ra_cal c LEFT JOIN ra_daily d ON d.day = c.day),
+ra_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) // count(*) AS mu
+  FROM ra_s),
+ra_d AS (
+  SELECT s.day, s.v - m.mu AS d FROM ra_s s CROSS JOIN ra_m m),
+ra_c0 AS (SELECT CAST(sum(d * d) AS BIGINT) AS c0 FROM ra_d),
+ra_k AS (
+  SELECT a.lag, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(x.d * y.d) AS BIGINT) AS ck
+  FROM (SELECT unnest(range(1, 8)) AS lag) a
+  JOIN ra_d x ON TRUE
+  JOIN ra_d y ON y.day = x.day + a.lag
+  GROUP BY 1)
+SELECT CAST(k.lag AS BIGINT) AS lag, k.n_terms,
+       CAST(CASE WHEN k.ck >= 0 THEN 1 ELSE -1 END AS BIGINT)
+         AS acf_sign,
+       CAST((1000 * abs(k.ck)) // z.c0 AS BIGINT) AS acf_abs_milli
+FROM ra_k k CROSS JOIN ra_c0 z
+""",
+    doc="Exact ACF (lags 1-7) of zero-densified daily order revenue in "
+    "kilodollars: floored-mean deviations, lag-fan equi-join on the "
+    "bounded calendar dimension, sign + milli magnitude against c0. "
+    "The Box-Jenkins identification tool beside spearman_acf (rank), "
+    "seasonal_decomposition (weekly), and haar_energy (multi-scale).",
+)
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    m = s.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(v) AS BIGINT) DIV count(*)").alias("mu"),
+    )
+    d = s.crossJoin(F.broadcast(m)).selectExpr("day", "v - mu AS d")
+    d = d.localCheckpoint(eager=False)
+    c0 = d.agg(F.expr("CAST(sum(d * d) AS BIGINT)").alias("c0"))
+    lags = spark.range(1, 8).selectExpr("id AS lag")
+    x = d.selectExpr("day AS xday", "d AS xd")
+    y = d.selectExpr("day AS yday", "d AS yd")
+    k = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.expr("yday = xday + lag"))
+        .groupBy("lag")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_terms"),
+            F.expr("CAST(sum(xd * yd) AS BIGINT)").alias("ck"),
+        )
+    )
+    return k.crossJoin(F.broadcast(c0)).selectExpr(
+        "CAST(lag AS BIGINT) AS lag", "n_terms",
+        "CAST(CASE WHEN ck >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+        " AS acf_sign",
+        "CAST((1000 * abs(ck)) DIV c0 AS BIGINT) AS acf_abs_milli",
+    )
+
+
+# --- R258: offline changepoint (binary segmentation, first split) ---------------------
+#
+# The first step of binary segmentation (Scott-Knott / CUSUM-offline
+# family): the split day s maximizing the per-term-floored
+# between-segment score S1^2 DIV n1 + S2^2 DIV n2 (the Jenks/R232
+# per-class floor discipline — minimizing SSE is equivalent to
+# maximizing sum-of-squared-segment-means mass), with >= 7 days per
+# side and smallest-day ties. Everything reads off ONE cumulative-sum
+# window pass over the bounded calendar dimension — no split x day
+# fan. Kilodollar units keep S^2 under 2^63 at any SF.
+
+
+@register(
+    "changepoint_split",
+    f"""
+WITH cp_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+cp_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM cp_daily),
+cp_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM cp_cal c LEFT JOIN cp_daily d ON d.day = c.day),
+cp_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+  FROM cp_s),
+cp_cum AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS n1,
+         sum(v) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+  FROM cp_s),
+cp_sc AS (
+  SELECT c.day, c.n1, t.n - c.n1 AS n2, c.s1, t.s - c.s1 AS s2,
+         (c.s1 * c.s1) // c.n1
+           + ((t.s - c.s1) * (t.s - c.s1)) // (t.n - c.n1) AS score
+  FROM cp_cum c CROSS JOIN cp_t t
+  WHERE c.n1 >= 7 AND t.n - c.n1 >= 7),
+cp_best AS (
+  SELECT day, n1, n2, s1, s2, score,
+         row_number() OVER (ORDER BY score DESC, day) AS rk
+  FROM cp_sc)
+SELECT CAST(day AS BIGINT) AS split_day,
+       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right,
+       CAST((1000 * s1) // n1 AS BIGINT) AS mean_left_milli,
+       CAST((1000 * s2) // n2 AS BIGINT) AS mean_right_milli,
+       CAST(score AS BIGINT) AS score
+FROM cp_best WHERE rk = 1
+""",
+    doc="Offline changepoint (binary segmentation, first split) on "
+    "zero-densified daily order revenue: argmax of the per-term-"
+    "floored between-segment mass S1^2 DIV n1 + S2^2 DIV n2 over all "
+    "split days (>=7 days per side, smallest-day ties) — one cumsum "
+    "window over the bounded calendar, no split x day fan. The "
+    "offline complement to cell_cusum/sprt_monitor's sequential "
+    "monitors.",
+)
+def q_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    t = s.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(v) AS BIGINT)").alias("s"),
+    )
+    cum = s.selectExpr(
+        "day",
+        "row_number() OVER (ORDER BY day) AS n1",
+        "sum(v) OVER (ORDER BY day"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1",
+    )
+    sc = (
+        cum.crossJoin(F.broadcast(t))
+        .where("n1 >= 7 AND n - n1 >= 7")
+        .selectExpr(
+            "day", "n1", "n - n1 AS n2", "s1", "s - s1 AS s2",
+            "(s1 * s1) DIV n1 + ((s - s1) * (s - s1)) DIV (n - n1)"
+            " AS score",
+        )
+    )
+    best = sc.selectExpr(
+        "*", "row_number() OVER (ORDER BY score DESC, day) AS rk"
+    ).where("rk = 1")
+    return best.selectExpr(
+        "CAST(day AS BIGINT) AS split_day",
+        "CAST(n1 AS BIGINT) AS n_left", "CAST(n2 AS BIGINT) AS n_right",
+        "CAST((1000 * s1) DIV n1 AS BIGINT) AS mean_left_milli",
+        "CAST((1000 * s2) DIV n2 AS BIGINT) AS mean_right_milli",
+        "CAST(score AS BIGINT) AS score",
+    )
