@@ -6414,3 +6414,279 @@ def q_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * s2) DIV n2 AS BIGINT) AS mean_right_milli",
         "CAST(score AS BIGINT) AS score",
     )
+
+
+# --- R260: weekly top-k churn --------------------------------------------------------
+#
+# Leaderboard stability: the week-over-week Jaccard of the weekly
+# top-10 revenue parts (revenue DESC, partkey ASC ties). rbo_drift
+# compares two rankings ONCE; this tracks set churn along the whole
+# bounded week dimension — (week, part) agg, top-k window per week,
+# consecutive-week equi-join on part, one Jaccard row per adjacent
+# week pair. Never parts x parts.
+
+
+@register(
+    "topk_churn",
+    f"""
+WITH tc_wk AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', l_shipdate)
+           // ({_DAY_US} * 7) AS week, l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount)
+           * 100e0) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+tc_top AS (
+  SELECT week, l_partkey FROM (
+    SELECT week, l_partkey,
+           row_number() OVER (PARTITION BY week
+             ORDER BY c DESC, l_partkey) AS rk
+    FROM tc_wk)
+  WHERE rk <= 10),
+tc_n AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n FROM tc_top GROUP BY 1),
+tc_int AS (
+  SELECT a.week, CAST(count(*) AS BIGINT) AS inter
+  FROM tc_top a JOIN tc_top b
+    ON b.week = a.week + 1 AND b.l_partkey = a.l_partkey
+  GROUP BY 1)
+SELECT CAST(a.week AS BIGINT) AS week, a.n AS n_a, b.n AS n_b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST((1000 * coalesce(i.inter, 0))
+         // (a.n + b.n - coalesce(i.inter, 0)) AS BIGINT)
+         AS jaccard_milli
+FROM tc_n a JOIN tc_n b ON b.week = a.week + 1
+LEFT JOIN tc_int i ON i.week = a.week
+""",
+    doc="Week-over-week Jaccard churn of the weekly top-10 revenue "
+    "parts (deterministic ties): (week,part) agg, per-week top-k "
+    "window, consecutive-week equi-join — leaderboard stability along "
+    "the whole bounded week dimension, the temporal complement to "
+    "rbo_drift's one-shot ranking comparison.",
+)
+def q_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" l_shipdate) DIV ({_DAY_US} * 7) AS week",
+            "l_partkey",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+            " AS BIGINT) AS cents",
+        )
+        .groupBy("week", "l_partkey")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("c"))
+    )
+    top = wk.selectExpr(
+        "week", "l_partkey",
+        "row_number() OVER (PARTITION BY week"
+        " ORDER BY c DESC, l_partkey) AS rk",
+    ).where("rk <= 10").select("week", "l_partkey").localCheckpoint(
+        eager=False
+    )
+    n = top.groupBy("week").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n")
+    )
+    a = top.selectExpr("week AS wa", "l_partkey AS pa")
+    b = top.selectExpr("week AS wb", "l_partkey AS pb")
+    inter = (
+        a.join(b, F.expr("wb = wa + 1 AND pb = pa"))
+        .groupBy("wa")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("inter"))
+    )
+    na = n.selectExpr("week", "n AS n_a")
+    nb = n.selectExpr("week - 1 AS week", "n AS n_b")
+    return (
+        na.join(nb, "week")
+        .join(inter.selectExpr("wa AS week", "inter"), "week", "left")
+        .selectExpr(
+            "CAST(week AS BIGINT) AS week", "n_a", "n_b",
+            "CAST(coalesce(inter, 0) AS BIGINT) AS inter",
+            "CAST((1000 * coalesce(inter, 0))"
+            " DIV (n_a + n_b - coalesce(inter, 0)) AS BIGINT)"
+            " AS jaccard_milli",
+        )
+    )
+
+
+# --- R261: rapid repeat-purchase pairs -------------------------------------------------
+#
+# Transactional near-duplicate detection (the fraud/double-billing
+# screen): two lineitems of the SAME customer and SAME part from
+# DIFFERENT orders shipping within 14 days. The join is keyed on
+# (custkey, partkey) — content-partitioned equi-join, the banded-join
+# discipline: the +-14-day band is a post-filter on an already-tiny
+# candidate set, never a theta-join over raw rows. Ordered okey pair
+# dedups without DISTINCT.
+
+
+@register(
+    "repeat_purchase_pairs",
+    f"""
+WITH rp_r AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', l.l_shipdate)
+           // {_DAY_US} AS day,
+         l.l_orderkey AS ok, l.l_linenumber AS ln
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT a.cust AS cust, a.part AS part,
+       a.ok AS ok_a, b.ok AS ok_b,
+       CAST(abs(a.day - b.day) AS BIGINT) AS day_gap
+FROM rp_r a JOIN rp_r b
+  ON a.cust = b.cust AND a.part = b.part AND a.ok < b.ok
+WHERE b.day BETWEEN a.day - 14 AND a.day + 14
+""",
+    doc="Rapid repeat-purchase pairs: same customer + same part from "
+    "two different orders shipping within 14 days — the transactional "
+    "double-billing screen. Equi-join on (cust, part) with the day "
+    "band as a candidate post-filter (banded-join discipline); "
+    "ordered orderkey pair dedups without a DISTINCT.",
+)
+def q_repeat_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey", "o_custkey"
+            ),
+            F.expr("o_orderkey = l_orderkey"),
+        )
+        .selectExpr(
+            "o_custkey AS cust", "l_partkey AS part",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" l_shipdate) DIV {_DAY_US} AS day",
+            "l_orderkey AS ok", "l_linenumber AS ln",
+        )
+    )
+    a = r.selectExpr(
+        "cust AS ca", "part AS pa", "day AS da", "ok AS oka"
+    )
+    b = r.selectExpr(
+        "cust AS cb", "part AS pb", "day AS db", "ok AS okb"
+    )
+    return a.join(
+        b,
+        F.expr(
+            "ca = cb AND pa = pb AND oka < okb"
+            " AND db BETWEEN da - 14 AND da + 14"
+        ),
+    ).selectExpr(
+        "ca AS cust", "pa AS part", "oka AS ok_a", "okb AS ok_b",
+        "CAST(abs(da - db) AS BIGINT) AS day_gap",
+    )
+
+
+# --- R262: Lo-MacKinlay variance-ratio test --------------------------------------------
+#
+# The random-walk diagnostic (Lo & MacKinlay 1988): if daily revenue
+# innovations were iid, the variance of q-day block sums would be q x
+# the daily variance — VR(q) = 1. Exact integer definition on the
+# zero-densified kilodollar series: floored-mean deviations, block
+# sums over whole non-overlapping q-blocks, staged double-floor
+# (n * cq DIV (q * m), then * 1000 DIV c1 — the R236 discipline) so
+# nothing passes 2^63 at any SF. q in {2, 4, 8}; VR < 1 flags
+# mean-reversion, > 1 momentum.
+
+
+@register(
+    "variance_ratio",
+    f"""
+WITH vrt_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+vrt_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM vrt_daily),
+vrt_s AS (
+  SELECT c.day - (SELECT min(day) FROM vrt_cal) AS t,
+         coalesce(d.v, 0) AS v
+  FROM vrt_cal c LEFT JOIN vrt_daily d ON d.day = c.day),
+vrt_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) // count(*) AS mu
+  FROM vrt_s),
+vrt_c1 AS (
+  SELECT CAST(sum((s.v - m.mu) * (s.v - m.mu)) AS BIGINT) AS c1
+  FROM vrt_s s CROSS JOIN vrt_m m),
+vrt_q AS (SELECT unnest([2, 4, 8]) AS q),
+vrt_blk AS (
+  SELECT q.q, s.t // q.q AS blk, CAST(sum(s.v) AS BIGINT) AS bs,
+         CAST(count(*) AS BIGINT) AS bn
+  FROM vrt_s s CROSS JOIN vrt_q q
+  GROUP BY 1, 2),
+vrt_cq AS (
+  SELECT b.q, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum((b.bs - b.q * mm.mu) * (b.bs - b.q * mm.mu))
+           AS BIGINT) AS cq
+  FROM vrt_blk b CROSS JOIN vrt_m mm
+  WHERE b.bn = b.q
+  GROUP BY 1)
+SELECT CAST(c.q AS BIGINT) AS q, c.m AS n_blocks,
+       CAST((1000 * ((m2.n * c.cq) // (c.q * c.m))) // z.c1 AS BIGINT)
+         AS vr_milli
+FROM vrt_cq c CROSS JOIN vrt_m m2 CROSS JOIN vrt_c1 z
+""",
+    doc="Lo-MacKinlay variance ratio VR(q) for q=2,4,8 on zero-"
+    "densified daily revenue: exact kilodollar integers, floored-mean "
+    "deviations, whole non-overlapping blocks only, staged double-"
+    "floor so nothing passes 2^63. VR<1000 milli = mean-reversion, "
+    ">1000 = momentum; the random-walk diagnostic beside revenue_acf.",
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    lo = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = lo.selectExpr("explode(sequence(d0, d1)) AS day", "d0")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day - d0 AS t", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    ).localCheckpoint(eager=False)
+    m = s.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(v) AS BIGINT) DIV count(*)").alias("mu"),
+    )
+    c1 = s.crossJoin(F.broadcast(m)).agg(
+        F.expr("CAST(sum((v - mu) * (v - mu)) AS BIGINT)").alias("c1")
+    )
+    qs = spark.range(1, 4).selectExpr(
+        "CAST(pow(2, id) AS BIGINT) AS q"
+    )
+    blk = (
+        s.crossJoin(F.broadcast(qs))
+        .groupBy("q", F.expr("t DIV q").alias("blk"))
+        .agg(
+            F.expr("CAST(sum(v) AS BIGINT)").alias("bs"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("bn"),
+        )
+    )
+    cq = (
+        blk.where("bn = q")
+        .crossJoin(F.broadcast(m.selectExpr("mu")))
+        .groupBy("q")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("m"),
+            F.expr(
+                "CAST(sum((bs - q * mu) * (bs - q * mu)) AS BIGINT)"
+            ).alias("cq"),
+        )
+    )
+    return (
+        cq.crossJoin(F.broadcast(m.selectExpr("n")))
+        .crossJoin(F.broadcast(c1))
+        .selectExpr(
+            "CAST(q AS BIGINT) AS q", "m AS n_blocks",
+            "CAST((1000 * ((n * cq) DIV (q * m))) DIV c1 AS BIGINT)"
+            " AS vr_milli",
+        )
+    )
