@@ -1962,3 +1962,206 @@ iso_open AS (
          CAST(count(*) AS BIGINT) AS n_edges
   FROM iso_j WHERE nband IS NULL GROUP BY 1)
 SELECT * FROM iso_occ UNION ALL SELECT * FROM iso_open"""
+
+
+# --- R263: density peaks (strict local maxima) -------------------------------
+#
+# Topological peak detection on the res-8 density raster: an occupied
+# cell is a PEAK iff its tile count strictly exceeds every 8-neighbor
+# count (absent neighbors count 0 — strictness makes the answer
+# tie-free and deterministic). kde_heatmap/getis_ord rank hotness;
+# this extracts the mode CELLS themselves (the local-maxima step of
+# every peak-finding pipeline). Aggregate-first: the 8-offset fan runs
+# over per-cell rows, never tiles.
+
+
+def density_peaks(tiles: DataFrame, res: int = 8) -> DataFrame:
+    from .pip_join import tile_cells
+
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+        .localCheckpoint(eager=False)
+    )
+    nbr = (
+        per_cell.withColumn("off", F.explode(grid.disk_offsets_expr(1)))
+        .where("off.dx <> 0 OR off.dy <> 0")
+        .select(
+            F.expr(
+                grid.cell_from_ixiy_sql("ix + off.dx", "iy + off.dy", res)
+            ).alias("cell"),
+            "n",
+        )
+        .groupBy("cell")
+        .agg(F.max("n").alias("nbr_max"))
+    )
+    return (
+        per_cell.select("cell", F.col("n").alias("n_tiles"))
+        .join(nbr, "cell", "left")
+        .selectExpr(
+            "cell", "n_tiles",
+            "CAST(coalesce(nbr_max, 0) AS BIGINT) AS nbr_max",
+        )
+        .where("n_tiles > nbr_max")
+        .selectExpr(
+            "cell", "n_tiles", "nbr_max",
+            "n_tiles - nbr_max AS prominence",
+        )
+    )
+
+
+def density_peaks_oracle_sql(res: int = 8) -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    return f"""
+dp_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+dp_offs(dx, dy) AS (VALUES {offs}),
+dp_nbr AS (
+  SELECT p.ix + o.dx AS ix, p.iy + o.dy AS iy, max(p.n) AS nbr_max
+  FROM dp_cell p CROSS JOIN dp_offs o GROUP BY 1, 2)
+SELECT {grid.cell_from_ixiy_sql('p.ix', 'p.iy', res)} AS cell,
+       p.n AS n_tiles,
+       CAST(coalesce(b.nbr_max, 0) AS BIGINT) AS nbr_max,
+       CAST(p.n - coalesce(b.nbr_max, 0) AS BIGINT) AS prominence
+FROM dp_cell p LEFT JOIN dp_nbr b ON b.ix = p.ix AND b.iy = p.iy
+WHERE p.n > coalesce(b.nbr_max, 0)"""
+
+
+# --- R264: directional (anisotropic) semivariogram ---------------------------
+#
+# The geostatistics anisotropy probe (Matheron variogram by direction):
+# gamma(dir, h) = sum (v(c) - v(c + h*dir))^2 / (2 * n_pairs) over
+# occupied-cell pairs, for E/NE/N/NW directions and lags 1..3 cells.
+# The isotropic semivariogram operator fits one curve; this one
+# detects direction-dependent structure (the hot band's NE-SW axis,
+# cf. std_ellipse R233). 12 (dir, lag) fans over the per-cell frame,
+# equi-joined on the shifted (ix, iy) — aggregate-first, never tiles².
+
+
+_VG_DIRS = [("E", 1, 0), ("NE", 1, 1), ("N", 0, 1), ("NW", -1, 1)]
+
+
+def directional_variogram(tiles: DataFrame, res: int = 8) -> DataFrame:
+    from .pip_join import tile_cells
+
+    per_cell = (
+        tile_cells(tiles, res)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .withColumn("ix", grid.cell_to_ix(F.col("cell"), res))
+        .withColumn("iy", grid.cell_to_iy(F.col("cell")))
+        .select("ix", "iy", "n")
+        .localCheckpoint(eager=False)
+    )
+    dirs = ", ".join(
+        f"named_struct('dir', '{d}', 'dx', {dx}, 'dy', {dy}, 'h', {h})"
+        for d, dx, dy in _VG_DIRS
+        for h in (1, 2, 3)
+    )
+    a = per_cell.selectExpr("ix AS ax", "iy AS ay", "n AS av")
+    b = per_cell.selectExpr("ix AS bx", "iy AS by", "n AS bv")
+    fan = a.selectExpr("ax", "ay", "av", f"explode(array({dirs})) AS f")
+    return (
+        fan.join(
+            b,
+            F.expr("bx = ax + f.dx * f.h AND by = ay + f.dy * f.h"),
+        )
+        .groupBy(F.expr("f.dir").alias("dir"), F.expr("f.h").alias("h"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"),
+            F.expr(
+                "CAST(sum((av - bv) * (av - bv)) AS BIGINT)"
+            ).alias("gamma_sum"),
+        )
+        .selectExpr(
+            "dir", "CAST(h AS BIGINT) AS h", "n_pairs", "gamma_sum",
+            "(1000 * gamma_sum) DIV (2 * n_pairs) AS gamma_milli",
+        )
+    )
+
+
+def directional_variogram_oracle_sql(res: int = 8) -> str:
+    rows = ", ".join(
+        f"('{d}', {dx}, {dy}, {h})"
+        for d, dx, dy in _VG_DIRS
+        for h in (1, 2, 3)
+    )
+    return f"""
+dv_cell AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+dv_dirs(dir, dx, dy, h) AS (VALUES {rows})
+SELECT d.dir, CAST(d.h AS BIGINT) AS h,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS gamma_sum,
+       CAST((1000 * sum((a.n - b.n) * (a.n - b.n)))
+         // (2 * count(*)) AS BIGINT) AS gamma_milli
+FROM dv_cell a CROSS JOIN dv_dirs d
+JOIN dv_cell b ON b.ix = a.ix + d.dx * d.h AND b.iy = a.iy + d.dy * d.h
+GROUP BY d.dir, d.h"""
+
+
+# --- R265: per-cell kind diversity (Hill numbers) -----------------------------
+#
+# Ecology's diversity indices on the composition raster: per occupied
+# res-7 cell, species richness (distinct tile kinds), exact Simpson
+# concentration sum n_i(n_i - 1) / (N(N - 1)) in milli, and the Hill
+# q=2 effective-kind count 1000*N^2 DIV sum n_i^2. density_gini ranks
+# the INEQUALITY of density across cells; this measures the MIX within
+# each cell. Two keyed aggs, both map-side-partial friendly.
+
+
+def kind_diversity(tiles: DataFrame, res: int = 7) -> DataFrame:
+    from .pip_join import tile_cells
+
+    ck = (
+        tile_cells(tiles, res)
+        .groupBy("cell", "tile_kind")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        ck.groupBy("cell")
+        .agg(
+            F.expr("CAST(sum(n) AS BIGINT)").alias("n_tiles"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("richness"),
+            F.expr("CAST(sum(n * (n - 1)) AS BIGINT)").alias("pairs2"),
+            F.expr("CAST(sum(n * n) AS BIGINT)").alias("sq"),
+        )
+        .where("n_tiles > 1")
+        .selectExpr(
+            "cell", "n_tiles", "richness",
+            "(1000 * pairs2) DIV (n_tiles * (n_tiles - 1))"
+            " AS simpson_milli",
+            "(1000 * n_tiles * n_tiles) DIV sq AS hill2_milli",
+        )
+    )
+
+
+def kind_diversity_oracle_sql(res: int = 7) -> str:
+    return f"""
+kd_ck AS (
+  SELECT {grid.cell_sql('lon', 'lat', res)} AS cell, tile_kind,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+kd_c AS (
+  SELECT cell, CAST(sum(n) AS BIGINT) AS n_tiles,
+         CAST(count(*) AS BIGINT) AS richness,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS pairs2,
+         CAST(sum(n * n) AS BIGINT) AS sq
+  FROM kd_ck GROUP BY 1)
+SELECT cell, n_tiles, richness,
+       CAST((1000 * pairs2) // (n_tiles * (n_tiles - 1)) AS BIGINT)
+         AS simpson_milli,
+       CAST((1000 * n_tiles * n_tiles) // sq AS BIGINT) AS hill2_milli
+FROM kd_c WHERE n_tiles > 1"""

@@ -2595,3 +2595,46 @@ def q_kendall_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST((1000 * abs(nc - nd)) DIV ({_KT_ISQRT}) AS BIGINT)"
         " AS tau_abs_milli",
     )
+
+
+# --- R263-R265: density peaks, directional variogram, kind diversity -----------------
+
+
+@register(
+    "density_peaks",
+    f"{_CTES},\n{zonal.density_peaks_oracle_sql(8)}",
+    doc="Strict local maxima of the res-8 density raster: occupied "
+    "cells whose tile count beats every 8-neighbor count (absent "
+    "neighbors = 0; strictness makes peaks tie-free). Emits cell, "
+    "count, neighbor max, prominence. Aggregate-first 8-offset fan — "
+    "the mode-extraction step beside kde_heatmap's smoothing and "
+    "getis_ord's inference.",
+)
+def q_density_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.density_peaks(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "directional_variogram",
+    f"{_CTES},\n{zonal.directional_variogram_oracle_sql(8)}",
+    doc="Anisotropic semivariogram: gamma(dir, h) over E/NE/N/NW "
+    "directions at lags 1-3 cells on per-cell tile counts — "
+    "direction-dependent spatial structure (the hot band's NE-SW "
+    "axis shows as a lower NE gamma), exact integers, occupied-pair "
+    "equi-joins on shifted (ix, iy), never tiles².",
+)
+def q_directional_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.directional_variogram(_tiles(spark, sf_dir), res=8)
+
+
+@register(
+    "kind_diversity",
+    f"{_CTES},\n{zonal.kind_diversity_oracle_sql(7)}",
+    doc="Per-cell composition diversity (res 7): tile-kind richness, "
+    "exact Simpson concentration milli (sum n_i(n_i-1)/(N(N-1))), and "
+    "Hill q=2 effective kinds (1000*N^2 DIV sum n_i^2) — the "
+    "within-cell MIX measure beside density_gini's across-cell "
+    "inequality. Two keyed aggs, map-side partials.",
+)
+def q_kind_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.kind_diversity(_tiles(spark, sf_dir), res=7)
