@@ -1640,3 +1640,107 @@ SELECT origin_cell, dest_cell, CAST(n_users AS BIGINT) AS n_obs,
        (((1000000 * t_i * m_i) // (m_i + s_ij)) * n_j)
          // (m_i + n_j + s_ij) AS pred_micro
 FROM rd_s"""
+
+
+# ---------------------------------------------------------------------------
+# R268: spatial Markov transitions (Rey 2001)
+# ---------------------------------------------------------------------------
+
+def spatial_markov(pings: DataFrame) -> DataFrame:
+    """Rey's spatial Markov chain on the res-9 occupancy raster: split
+    the extent into two epochs at the mid-day, classify each occupied
+    cell's ping count (1: n<=2, 2: n<=5, 3: n>5 — fixed thresholds,
+    engine-portable), and tabulate epoch-1 -> epoch-2 class
+    transitions CONDITIONED on the cell's epoch-1 8-neighbor max class
+    (0 = no occupied neighbor). Class 0 in epoch 2 = the cell emptied.
+    Everything after the (cell, epoch) agg runs on the bounded cell
+    dimension; the neighbor pass is the aggregate-first 8-offset fan.
+    """
+    s9 = _shift(9)
+    # (the scalar mid-day has to come from the data; compute it first)
+    mid = pings.agg(
+        F.expr("(min(day) + max(day) + 1) DIV 2").alias("m")
+    )
+    cnt = (
+        pings.crossJoin(F.broadcast(mid))
+        .selectExpr(
+            f"ix DIV {s9} AS cx", f"iy DIV {s9} AS cy",
+            "CASE WHEN day < m THEN 1 ELSE 2 END AS ep",
+        )
+        .groupBy("cx", "cy", "ep")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .selectExpr(
+            "cx", "cy", "ep",
+            "CASE WHEN n <= 2 THEN 1 WHEN n <= 5 THEN 2 ELSE 3 END"
+            " AS cls",
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = cnt.where("ep = 1").selectExpr("cx", "cy", "cls AS c1")
+    e2 = cnt.where("ep = 2").selectExpr(
+        "cx AS x2", "cy AS y2", "cls AS c2"
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    nbr = (
+        e1.selectExpr("cx", "cy", "c1", f"explode(array({offs})) AS o")
+        .selectExpr("cx + o.dx AS nx", "cy + o.dy AS ny", "c1 AS c")
+        .groupBy("nx", "ny")
+        .agg(F.expr("CAST(max(c) AS BIGINT)").alias("nbr_cls"))
+    )
+    base = (
+        e1.join(
+            nbr.selectExpr("nx AS cx", "ny AS cy", "nbr_cls"),
+            ["cx", "cy"], "left",
+        )
+        .join(
+            e2, F.expr("x2 = cx AND y2 = cy"), "left"
+        )
+        .selectExpr(
+            "CAST(coalesce(nbr_cls, 0) AS BIGINT) AS nbr_cls",
+            "CAST(c1 AS BIGINT) AS c1",
+            "CAST(coalesce(c2, 0) AS BIGINT) AS c2",
+        )
+    )
+    return base.groupBy("nbr_cls", "c1", "c2").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_cells")
+    )
+
+
+def spatial_markov_oracle() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    s9 = _shift(9)
+    return f"""WITH {pings_oracle_cte()},
+sm_mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM pings),
+sm_cnt AS (
+  SELECT ix // {s9} AS cx, iy // {s9} AS cy,
+         CASE WHEN day < (SELECT m FROM sm_mid) THEN 1 ELSE 2 END AS ep,
+         count(*) AS n
+  FROM pings GROUP BY 1, 2, 3),
+sm_cls AS (
+  SELECT cx, cy, ep,
+         CASE WHEN n <= 2 THEN 1 WHEN n <= 5 THEN 2 ELSE 3 END AS cls
+  FROM sm_cnt),
+sm_e1 AS (SELECT cx, cy, cls AS c1 FROM sm_cls WHERE ep = 1),
+sm_e2 AS (SELECT cx, cy, cls AS c2 FROM sm_cls WHERE ep = 2),
+sm_offs(dx, dy) AS (VALUES {offs}),
+sm_nbr AS (
+  SELECT e.cx + o.dx AS cx, e.cy + o.dy AS cy, max(e.c1) AS nbr_cls
+  FROM sm_e1 e CROSS JOIN sm_offs o GROUP BY 1, 2)
+SELECT CAST(coalesce(n.nbr_cls, 0) AS BIGINT) AS nbr_cls,
+       CAST(a.c1 AS BIGINT) AS c1,
+       CAST(coalesce(b.c2, 0) AS BIGINT) AS c2,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM sm_e1 a
+LEFT JOIN sm_nbr n ON n.cx = a.cx AND n.cy = a.cy
+LEFT JOIN sm_e2 b ON b.cx = a.cx AND b.cy = a.cy
+GROUP BY 1, 2, 3"""

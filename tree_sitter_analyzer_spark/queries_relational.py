@@ -6690,3 +6690,204 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS vr_milli",
         )
     )
+
+
+# --- R266: Bradley-Terry pairwise-preference ranking -----------------------------------
+#
+# The pairwise-comparison ranking model behind every LLM arena
+# leaderboard (Bradley-Terry 1952, minorization-maximization updates):
+# players = the 5 order priorities; a "match" happens per customer
+# holding both priorities, won by the larger total spend (exact cents;
+# ties -> lexicographically smaller priority — deterministic). Two MM
+# iterations from the uniform start, all in floored milli strengths
+# (term = 1e6*n_ij DIV (s_i + s_j), s' = 1e6*w_i DIV sum terms) — the
+# bounded 5x5 pair dimension makes the whole solve arithmetic. Win
+# counting is ONE renamed-key self-join over the per-(cust, prio)
+# spend frame (<= 5 rows per customer).
+
+
+@register(
+    "bradley_terry",
+    """
+WITH bt_cp AS (
+  SELECT o_custkey AS cust, o_orderpriority AS prio,
+         CAST(sum(CAST(floor(o_totalprice * 100e0) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+bt_m AS (
+  SELECT a.prio AS i, b.prio AS j,
+         CAST(count(*) AS BIGINT) AS n_ij,
+         CAST(sum(CASE WHEN a.cents > b.cents
+                       OR (a.cents = b.cents AND a.prio < b.prio)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS w_ij
+  FROM bt_cp a JOIN bt_cp b
+    ON a.cust = b.cust AND a.prio <> b.prio
+  GROUP BY 1, 2),
+bt_p AS (
+  SELECT i AS prio, CAST(sum(n_ij) AS BIGINT) AS n_i,
+         CAST(sum(w_ij) AS BIGINT) AS w_i
+  FROM bt_m GROUP BY 1),
+bt_s1 AS (
+  SELECT prio, n_i, w_i, (2000 * w_i) // n_i AS s1 FROM bt_p),
+bt_d2 AS (
+  SELECT m.i AS prio,
+         CAST(sum((1000000 * m.n_ij) // (a.s1 + b.s1)) AS BIGINT) AS d
+  FROM bt_m m
+  JOIN bt_s1 a ON a.prio = m.i
+  JOIN bt_s1 b ON b.prio = m.j
+  GROUP BY 1)
+SELECT s.prio, s.n_i AS matches, s.w_i AS wins, s.s1 AS s1_milli,
+       CAST((1000000 * s.w_i) // d.d AS BIGINT) AS s2_milli,
+       CAST(row_number() OVER (
+         ORDER BY (1000000 * s.w_i) // d.d DESC, s.prio) AS BIGINT)
+         AS rnk
+FROM bt_s1 s JOIN bt_d2 d ON d.prio = s.prio
+""",
+    doc="Bradley-Terry strengths of the 5 order priorities from per-"
+    "customer pairwise spend comparisons (exact cents, deterministic "
+    "ties), two MM iterations in floored milli — the arena-"
+    "leaderboard model as pure bounded-dimension arithmetic; one "
+    "renamed-key self-join counts every match.",
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cp = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS cust", "o_orderpriority AS prio",
+            "CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents",
+        )
+        .groupBy("cust", "prio")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    a = cp.selectExpr("cust AS ca", "prio AS pa", "cents AS xa")
+    b = cp.selectExpr("cust AS cb", "prio AS pb", "cents AS xb")
+    m = (
+        a.join(b, F.expr("ca = cb AND pa <> pb"))
+        .groupBy(F.col("pa").alias("i"), F.col("pb").alias("j"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_ij"),
+            F.expr(
+                "CAST(sum(CASE WHEN xa > xb OR (xa = xb AND pa < pb)"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("w_ij"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    p = m.groupBy(F.col("i").alias("prio")).agg(
+        F.expr("CAST(sum(n_ij) AS BIGINT)").alias("n_i"),
+        F.expr("CAST(sum(w_ij) AS BIGINT)").alias("w_i"),
+    )
+    s1 = p.selectExpr(
+        "prio", "n_i", "w_i", "(2000 * w_i) DIV n_i AS s1"
+    )
+    d2 = (
+        m.join(s1.selectExpr("prio AS i", "s1 AS si"), "i")
+        .join(s1.selectExpr("prio AS j", "s1 AS sj"), "j")
+        .groupBy(F.col("i").alias("prio"))
+        .agg(
+            F.expr(
+                "CAST(sum((1000000 * n_ij) DIV (si + sj)) AS BIGINT)"
+            ).alias("d")
+        )
+    )
+    return s1.join(d2, "prio").selectExpr(
+        "prio", "n_i AS matches", "w_i AS wins", "s1 AS s1_milli",
+        "(1000000 * w_i) DIV d AS s2_milli",
+        "CAST(row_number() OVER (ORDER BY (1000000 * w_i) DIV d DESC,"
+        " prio) AS BIGINT) AS rnk",
+    )
+
+
+# --- R267: robust distribution shape (Bowley skew + Moors kurtosis) --------------------
+#
+# Moment skewness/kurtosis need cubed and fourth-power sums (overflow
+# at scale and float-fragile); the quantile-based estimators don't:
+# Bowley 1901 skewness (Q3 + Q1 - 2*Q2)/(Q3 - Q1) and Moors 1988
+# kurtosis ((E7-E5) + (E3-E1))/(E6-E2) from octiles — all order
+# statistics read off ONE cumulative window over the bounded
+# value-dimension histogram (the CLAUDE.md discipline), signs emitted
+# separately (negative-DIV discipline).
+
+
+@register(
+    "robust_shape",
+    """
+WITH rs_h AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)
+           AS d,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+rs_c AS (
+  SELECT flag, d, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS n
+  FROM rs_h),
+rs_q AS (
+  SELECT flag, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN 8 * cw >= 1 * n THEN d END) AS e1,
+         min(CASE WHEN 8 * cw >= 2 * n THEN d END) AS q1,
+         min(CASE WHEN 8 * cw >= 3 * n THEN d END) AS e3,
+         min(CASE WHEN 8 * cw >= 4 * n THEN d END) AS q2,
+         min(CASE WHEN 8 * cw >= 5 * n THEN d END) AS e5,
+         min(CASE WHEN 8 * cw >= 6 * n THEN d END) AS q3,
+         min(CASE WHEN 8 * cw >= 7 * n THEN d END) AS e7
+  FROM rs_c GROUP BY flag)
+SELECT flag, n,
+       CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+       CAST(q3 AS BIGINT) AS q3,
+       CAST(CASE WHEN q3 + q1 >= 2 * q2 THEN 1 ELSE -1 END AS BIGINT)
+         AS bowley_sign,
+       CAST((1000 * abs(q3 + q1 - 2 * q2)) // (q3 - q1) AS BIGINT)
+         AS bowley_abs_milli,
+       CAST((1000 * ((e7 - e5) + (e3 - e1))) // (q3 - q1) AS BIGINT)
+         AS moors_milli
+FROM rs_q
+""",
+    doc="Quantile-based distribution shape per return flag: Bowley "
+    "skewness (sign + milli) and Moors octile kurtosis, every order "
+    "statistic from ONE cumulative window over the bounded dollar-"
+    "value histogram — the overflow-proof alternative to cubed/"
+    "fourth-power moment sums at 10^12 rows.",
+)
+def q_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+            " AS d",
+        )
+        .groupBy("flag", "d")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("w"))
+    )
+    c = h.selectExpr(
+        "flag", "d", "w",
+        "sum(w) OVER (PARTITION BY flag ORDER BY d"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+        "sum(w) OVER (PARTITION BY flag) AS n",
+    )
+    q = c.groupBy("flag").agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n"),
+        *[
+            F.expr(
+                f"min(CASE WHEN 8 * cw >= {k} * n THEN d END)"
+            ).alias(name)
+            for k, name in [
+                (1, "e1"), (2, "q1"), (3, "e3"), (4, "q2"),
+                (5, "e5"), (6, "q3"), (7, "e7"),
+            ]
+        ],
+    )
+    return q.selectExpr(
+        "flag", "n",
+        "CAST(q1 AS BIGINT) AS q1", "CAST(q2 AS BIGINT) AS q2",
+        "CAST(q3 AS BIGINT) AS q3",
+        "CAST(CASE WHEN q3 + q1 >= 2 * q2 THEN 1 ELSE -1 END AS BIGINT)"
+        " AS bowley_sign",
+        "(1000 * abs(q3 + q1 - 2 * q2)) DIV (q3 - q1)"
+        " AS bowley_abs_milli",
+        "(1000 * ((e7 - e5) + (e3 - e1))) DIV (q3 - q1) AS moors_milli",
+    )

@@ -290,3 +290,17 @@ def q_ipf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_radiation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.radiation_flows(_pings(spark, sf_dir))
+
+
+@register(
+    "spatial_markov",
+    traj.spatial_markov_oracle(),
+    doc="Rey 2001 spatial Markov chain on the res-9 occupancy raster: "
+    "two-epoch split at the mid-day, fixed count classes (<=2, <=5, "
+    ">5; 0 = emptied), epoch transitions conditioned on the epoch-1 "
+    "8-neighbor max class — does a hot neighborhood pull a cell up? "
+    "All arithmetic on the bounded cell dimension after one (cell, "
+    "epoch) agg; aggregate-first neighbor fan.",
+)
+def q_spatial_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.spatial_markov(_pings(spark, sf_dir))
