@@ -6891,3 +6891,343 @@ def q_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS bowley_abs_milli",
         "(1000 * ((e7 - e5) + (e3 - e1))) DIV (q3 - q1) AS moors_milli",
     )
+
+
+# --- R269: one-step Huber M-estimator ---------------------------------------------------
+#
+# The robust-location workhorse (Huber 1964, one Newton step from the
+# median — the estimator asymptotics textbooks actually recommend):
+# m1 = median + sum(clip(x - median, +-k)) / n with k = 2 * MAD.
+# Median and MAD read off the bounded value-dimension histogram
+# (CLAUDE.md discipline); the clipped sum is one more pass over the
+# SAME histogram (clip is monotone in the value, so the histogram
+# loses nothing). Against trimmed_stats (reject) and mad_stats
+# (scale), this is the third robust tool: downweight.
+
+
+@register(
+    "huber_location",
+    """
+WITH hb_h AS (
+  SELECT event_type, CAST(floor(value * 100e0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+hb_c AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hb_h),
+hb_m AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN 2 * cw >= n THEN cents END) AS BIGINT) AS med
+  FROM hb_c GROUP BY 1),
+hb_d AS (
+  SELECT h.event_type, abs(h.cents - m.med) AS dev,
+         CAST(sum(h.c) AS BIGINT) AS c
+  FROM hb_h h JOIN hb_m m ON m.event_type = h.event_type
+  GROUP BY 1, 2),
+hb_dc AS (
+  SELECT event_type, dev, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY dev
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hb_d),
+hb_mad AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 2 * cw >= n THEN dev END) AS BIGINT) AS mad
+  FROM hb_dc GROUP BY 1),
+hb_psi AS (
+  SELECT h.event_type,
+         CAST(sum(h.c * greatest(least(h.cents - m.med, 2 * d.mad),
+           -2 * d.mad)) AS BIGINT) AS psi,
+         CAST(sum(h.c * CASE WHEN abs(h.cents - m.med) > 2 * d.mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+  FROM hb_h h
+  JOIN hb_m m ON m.event_type = h.event_type
+  JOIN hb_mad d ON d.event_type = h.event_type
+  GROUP BY 1)
+SELECT m.event_type, m.n, m.med AS median_cents, d.mad AS mad_cents,
+       p.n_clipped,
+       CAST(CASE WHEN p.psi >= 0 THEN m.med + p.psi // m.n
+                 ELSE m.med - ((-p.psi) // m.n) END AS BIGINT)
+         AS huber_cents
+FROM hb_m m
+JOIN hb_mad d ON d.event_type = m.event_type
+JOIN hb_psi p ON p.event_type = m.event_type
+""",
+    doc="One-step Huber M-estimator per event-type value stream: one "
+    "Newton step from the histogram median with k = 2*MAD clipping — "
+    "median, MAD, and the clipped correction all read off the SAME "
+    "bounded value-dimension histogram; negative correction floored "
+    "toward zero explicitly (negative-DIV discipline). The downweight "
+    "member of the robust family beside trimmed_stats and mad_stats.",
+)
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = ev.selectExpr(
+        "event_type", "CAST(floor(value * 100e0) AS BIGINT) AS cents"
+    ).groupBy("event_type", "cents").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("c")
+    ).localCheckpoint(eager=False)
+    c = h.selectExpr(
+        "event_type", "cents", "c",
+        "sum(c) OVER (PARTITION BY event_type ORDER BY cents"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+        "sum(c) OVER (PARTITION BY event_type) AS n",
+    )
+    m = c.groupBy("event_type").agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(min(CASE WHEN 2 * cw >= n THEN cents END) AS BIGINT)"
+        ).alias("med"),
+    )
+    d = h.join(m, "event_type").selectExpr(
+        "event_type", "abs(cents - med) AS dev", "c"
+    ).groupBy("event_type", "dev").agg(
+        F.expr("CAST(sum(c) AS BIGINT)").alias("c")
+    )
+    dc = d.selectExpr(
+        "event_type", "dev", "c",
+        "sum(c) OVER (PARTITION BY event_type ORDER BY dev"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+        "sum(c) OVER (PARTITION BY event_type) AS n",
+    )
+    mad = dc.groupBy("event_type").agg(
+        F.expr(
+            "CAST(min(CASE WHEN 2 * cw >= n THEN dev END) AS BIGINT)"
+        ).alias("mad")
+    )
+    psi = (
+        h.join(m, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(sum(c * greatest(least(cents - med, 2 * mad),"
+                " -2 * mad)) AS BIGINT)"
+            ).alias("psi"),
+            F.expr(
+                "CAST(sum(c * CASE WHEN abs(cents - med) > 2 * mad"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_clipped"),
+        )
+    )
+    return (
+        m.join(mad, "event_type")
+        .join(psi, "event_type")
+        .selectExpr(
+            "event_type", "n", "med AS median_cents", "mad AS mad_cents",
+            "n_clipped",
+            "CAST(CASE WHEN psi >= 0 THEN med + psi DIV n"
+            " ELSE med - ((-psi) DIV n) END AS BIGINT) AS huber_cents",
+        )
+    )
+
+
+# --- R270: revenue streaks (gaps-and-islands) -------------------------------------------
+#
+# The classic gaps-and-islands reduction: maximal runs of consecutive
+# days with daily revenue above the global FLOORED-MEAN threshold,
+# via the day - row_number() grouping key on the bounded calendar —
+# longest streak, streak count, and total above-days per side of the
+# threshold. One window pass + one keyed agg; never row-adjacent
+# self-joins.
+
+
+@register(
+    "revenue_streaks",
+    f"""
+WITH st_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+st_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM st_daily),
+st_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM st_cal c LEFT JOIN st_daily d ON d.day = c.day),
+st_mu AS (
+  SELECT CAST(sum(v) AS BIGINT) // count(*) AS mu FROM st_s),
+st_f AS (
+  SELECT day, CASE WHEN v > (SELECT mu FROM st_mu) THEN 1 ELSE 0 END
+           AS hot
+  FROM st_s),
+st_g AS (
+  SELECT hot, day - row_number() OVER (PARTITION BY hot ORDER BY day)
+           AS grp, day
+  FROM st_f),
+st_runs AS (
+  SELECT hot, grp, CAST(count(*) AS BIGINT) AS len,
+         CAST(min(day) AS BIGINT) AS start_day
+  FROM st_g GROUP BY 1, 2)
+SELECT CAST(hot AS BIGINT) AS hot,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(len) AS BIGINT) AS n_days,
+       CAST(max(len) AS BIGINT) AS longest,
+       CAST(min(CASE WHEN len = (SELECT max(r2.len) FROM st_runs r2
+         WHERE r2.hot = st_runs.hot) THEN start_day END) AS BIGINT)
+         AS longest_start
+FROM st_runs GROUP BY 1
+""",
+    doc="Gaps-and-islands over the zero-densified daily revenue "
+    "calendar: maximal runs above/below the floored-mean threshold "
+    "via the day - row_number() grouping key — longest streak with "
+    "its earliest start day, run counts, day totals. One window pass "
+    "+ one keyed agg on the bounded calendar.",
+)
+def q_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    mu = s.agg(
+        F.expr("CAST(sum(v) AS BIGINT) DIV count(*)").alias("mu")
+    )
+    f = s.crossJoin(F.broadcast(mu)).selectExpr(
+        "day", "CASE WHEN v > mu THEN 1 ELSE 0 END AS hot"
+    )
+    g = f.selectExpr(
+        "hot",
+        "day - row_number() OVER (PARTITION BY hot ORDER BY day) AS grp",
+        "day",
+    )
+    runs = g.groupBy("hot", "grp").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("len"),
+        F.expr("CAST(min(day) AS BIGINT)").alias("start_day"),
+    ).localCheckpoint(eager=False)
+    mx = runs.groupBy("hot").agg(F.expr("max(len)").alias("mxlen"))
+    return (
+        runs.join(mx, "hot")
+        .groupBy("hot")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_runs"),
+            F.expr("CAST(sum(len) AS BIGINT)").alias("n_days"),
+            F.expr("CAST(max(len) AS BIGINT)").alias("longest"),
+            F.expr(
+                "CAST(min(CASE WHEN len = mxlen THEN start_day END)"
+                " AS BIGINT)"
+            ).alias("longest_start"),
+        )
+        .selectExpr(
+            "CAST(hot AS BIGINT) AS hot", "n_runs", "n_days",
+            "longest", "longest_start",
+        )
+    )
+
+
+# --- R271: ABC (Pareto) classification ---------------------------------------------------
+#
+# Inventory/catalog ABC analysis the scale-correct way: parts are
+# classed by the VALUE-histogram of their revenue, not by a global
+# rank — class A = parts whose per-part revenue >= the value v where
+# the revenue-share accumulated from the top crosses 80%, B = to 95%,
+# C = rest (ties at the cut all take the better class: value-keyed
+# determinism, no per-part rank). One (part) agg -> one bounded
+# value-histogram window pass -> class rollup.
+
+
+@register(
+    "abc_classification",
+    """
+WITH ab_p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1),
+ab_h AS (
+  SELECT rev, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(rev) AS BIGINT) AS mass
+  FROM ab_p GROUP BY 1),
+ab_c AS (
+  SELECT rev, c, mass,
+         sum(mass) OVER (ORDER BY rev DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         sum(mass) OVER () AS tot
+  FROM ab_h),
+ab_cuts AS (
+  SELECT CAST(max(CASE WHEN 100 * cm >= 80 * tot THEN rev END)
+           AS BIGINT) AS v80,
+         CAST(max(CASE WHEN 100 * cm >= 95 * tot THEN rev END)
+           AS BIGINT) AS v95,
+         CAST(max(tot) AS BIGINT) AS tot
+  FROM ab_c)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS revenue,
+       CAST((1000 * sum(rev)) // max(tot) AS BIGINT) AS share_milli
+FROM (
+  SELECT p.rev, t.tot,
+         CASE WHEN p.rev >= t.v80 THEN 'A'
+              WHEN p.rev >= t.v95 THEN 'B' ELSE 'C' END AS cls
+  FROM ab_p p CROSS JOIN ab_cuts t)
+GROUP BY cls
+""",
+    doc="ABC/Pareto classification of parts by revenue via the "
+    "value-dimension histogram (no global per-part rank): cut values "
+    "where top-accumulated revenue share crosses 80%/95%, ties take "
+    "the better class, per-class part counts + exact revenue shares. "
+    "One part agg + one bounded histogram window.",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_partkey",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+            " AS d",
+        )
+        .groupBy("l_partkey")
+        .agg(F.expr("CAST(sum(d) AS BIGINT)").alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    h = p.groupBy("rev").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("c"),
+        F.expr("CAST(sum(rev) AS BIGINT)").alias("mass"),
+    )
+    c = h.selectExpr(
+        "rev", "c", "mass",
+        "sum(mass) OVER (ORDER BY rev DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm",
+        "sum(mass) OVER () AS tot",
+    )
+    cuts = c.agg(
+        F.expr(
+            "CAST(max(CASE WHEN 100 * cm >= 80 * tot THEN rev END)"
+            " AS BIGINT)"
+        ).alias("v80"),
+        F.expr(
+            "CAST(max(CASE WHEN 100 * cm >= 95 * tot THEN rev END)"
+            " AS BIGINT)"
+        ).alias("v95"),
+        F.expr("CAST(max(tot) AS BIGINT)").alias("tot"),
+    )
+    return (
+        p.crossJoin(F.broadcast(cuts))
+        .selectExpr(
+            "rev", "tot",
+            "CASE WHEN rev >= v80 THEN 'A'"
+            " WHEN rev >= v95 THEN 'B' ELSE 'C' END AS cls",
+        )
+        .groupBy("cls")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_parts"),
+            F.expr("CAST(sum(rev) AS BIGINT)").alias("revenue"),
+            F.expr(
+                "CAST((1000 * sum(rev)) DIV max(tot) AS BIGINT)"
+            ).alias("share_milli"),
+        )
+    )
