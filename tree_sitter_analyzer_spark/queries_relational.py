@@ -7231,3 +7231,151 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_milli"),
         )
     )
+
+
+# --- R273: Simpson's-paradox detector ----------------------------------------------------
+#
+# The classic aggregation trap, audited: the sign of the association
+# between discount and quantity, pooled vs within each return flag.
+# Association = exact integer covariance numerator n*sum(xy) -
+# sum(x)*sum(y) (x = discount milli, y = quantity units — both
+# bounded, products < 2^63 at any SF). A pooled sign disagreeing with
+# every within-group sign IS the paradox; either way the audit emits
+# the full sign table so the analyst sees reversal or consistency.
+# One scan to (flag) cells + one pooled row.
+
+
+@register(
+    "simpson_paradox",
+    """
+WITH sx_r AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_discount * 1000e0) AS BIGINT) AS x,
+         CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS y
+  FROM lineitem),
+sx_g AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM sx_r GROUP BY 1
+  UNION ALL
+  SELECT '_pooled', CAST(count(*) AS BIGINT),
+         CAST(sum(x) AS BIGINT), CAST(sum(y) AS BIGINT),
+         CAST(sum(x * y) AS BIGINT)
+  FROM sx_r)
+SELECT flag, n,
+       CAST(CASE WHEN n * sxy > sx * sy THEN 1
+                 WHEN n * sxy < sx * sy THEN -1 ELSE 0 END AS BIGINT)
+         AS cov_sign,
+       CAST((1000 * sx) // n AS BIGINT) AS mean_x_milli,
+       CAST((1000 * sy) // n AS BIGINT) AS mean_y_milli
+FROM sx_g
+""",
+    doc="Simpson's-paradox audit of the discount→quantity association: "
+    "exact integer covariance numerator sign per return flag AND "
+    "pooled — a pooled sign contradicting every group is the paradox; "
+    "the audit emits the full sign table either way. One scan to "
+    "bounded cells.",
+)
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS flag",
+        "CAST(floor(l_discount * 1000e0) AS BIGINT) AS x",
+        "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS y",
+    ).localCheckpoint(eager=False)
+    g = r.groupBy("flag").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+    )
+    pooled = r.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+    ).selectExpr("'_pooled' AS flag", "n", "sx", "sy", "sxy")
+    return g.unionByName(pooled).selectExpr(
+        "flag", "n",
+        "CAST(CASE WHEN n * sxy > sx * sy THEN 1"
+        " WHEN n * sxy < sx * sy THEN -1 ELSE 0 END AS BIGINT)"
+        " AS cov_sign",
+        "CAST((1000 * sx) DIV n AS BIGINT) AS mean_x_milli",
+        "CAST((1000 * sy) DIV n AS BIGINT) AS mean_y_milli",
+    )
+
+
+# --- R274: arc price elasticity ladder -----------------------------------------------------
+#
+# The economist's unit-free demand-response measure without logs: arc
+# (midpoint) elasticity between ADJACENT discount buckets, epsilon =
+# ((q2-q1)/(q2+q1)) / ((p2-p1)/(p2+p1)) with p = mean net price milli
+# and q = mean quantity milli per bucket, both floored — signed exact
+# rational emitted as sign + abs milli via full cross-multiplication
+# (no negative division anywhere). The 11-value discount dimension is
+# bounded; everything after one scan is arithmetic.
+
+
+@register(
+    "arc_elasticity",
+    """
+WITH ae_b AS (
+  SELECT CAST(floor(l_discount * 100e0) AS BIGINT) AS disc,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount)
+           * 100e0) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem GROUP BY 1),
+ae_m AS (
+  SELECT disc, n, (1000 * cents) // n AS p, (1000 * qty) // n AS q
+  FROM ae_b),
+ae_adj AS (
+  SELECT a.disc AS d1, b.disc AS d2, a.n + b.n AS n_rows,
+         a.p AS p1, b.p AS p2, a.q AS q1, b.q AS q2
+  FROM ae_m a JOIN ae_m b ON b.disc = a.disc + 1)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(p1 AS BIGINT) AS p1_milli, CAST(p2 AS BIGINT) AS p2_milli,
+       CAST(q1 AS BIGINT) AS q1_milli, CAST(q2 AS BIGINT) AS q2_milli,
+       CAST(CASE WHEN (q2 - q1) * (p2 - p1) > 0 THEN 1
+                 WHEN (q2 - q1) * (p2 - p1) < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS eps_sign,
+       CAST((1000 * abs(q2 - q1) * (p2 + p1))
+         // (abs(p2 - p1) * (q2 + q1)) AS BIGINT) AS eps_abs_milli
+FROM ae_adj
+""",
+    doc="Arc (midpoint) price elasticity between adjacent discount "
+    "buckets: epsilon = ((q2-q1)(p2+p1)) / ((p2-p1)(q2+q1)) with "
+    "floored per-bucket mean net price / quantity milli, sign via "
+    "cross-multiplication (no negative DIV), on the bounded 11-value "
+    "discount dimension. The unit-free demand-response ladder.",
+)
+def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(floor(l_discount * 100e0) AS BIGINT) AS disc",
+        "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+        " AS BIGINT) AS cents",
+        "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS qty",
+    ).groupBy("disc").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(cents) AS BIGINT)").alias("cents"),
+        F.expr("CAST(sum(qty) AS BIGINT)").alias("qty"),
+    )
+    m = b.selectExpr(
+        "disc", "n", "(1000 * cents) DIV n AS p", "(1000 * qty) DIV n AS q"
+    ).localCheckpoint(eager=False)
+    a = m.selectExpr("disc AS d1", "n AS na", "p AS p1", "q AS q1")
+    bb = m.selectExpr("disc AS d2", "n AS nb", "p AS p2", "q AS q2")
+    adj = a.join(bb, F.expr("d2 = d1 + 1"))
+    return adj.selectExpr(
+        "CAST(d1 AS BIGINT) AS d1", "CAST(d2 AS BIGINT) AS d2",
+        "CAST(na + nb AS BIGINT) AS n_rows",
+        "CAST(p1 AS BIGINT) AS p1_milli", "CAST(p2 AS BIGINT) AS p2_milli",
+        "CAST(q1 AS BIGINT) AS q1_milli", "CAST(q2 AS BIGINT) AS q2_milli",
+        "CAST(CASE WHEN (q2 - q1) * (p2 - p1) > 0 THEN 1"
+        " WHEN (q2 - q1) * (p2 - p1) < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        " AS eps_sign",
+        "CAST((1000 * abs(q2 - q1) * (p2 + p1))"
+        " DIV (abs(p2 - p1) * (q2 + q1)) AS BIGINT) AS eps_abs_milli",
+    )

@@ -2638,3 +2638,110 @@ def q_directional_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kind_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.kind_diversity(_tiles(spark, sf_dir), res=7)
+
+
+# --- R272: MAUP resolution-loss ladder ------------------------------------------------
+#
+# The Modifiable Areal Unit Problem, quantified: representing the
+# res-9 density raster by its res-{8,7,6} parents loses within-parent
+# variance — exactly SSE(r) = sum over res-9 cells of (n - parent
+# floored mean)^2. Emits the ladder (parent res, parents, cells,
+# sse, retained_milli = 1000*(1 - sse/sse_null) vs the global-mean
+# null). Tells you which rollup resolution still carries the signal —
+# the aggregation-design question every tiling pipeline faces.
+# Shapes: one res-9 agg, then three parent aggs on the bounded cell
+# dimension (the pyramid_rollup discipline).
+
+
+@register(
+    "resolution_loss",
+    f"""{_CTES},
+rl_c9 AS (
+  SELECT {grid.ix_sql('lon', 9)} AS ix, {grid.iy_sql('lat', 9)} AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+rl_mu AS (
+  SELECT CAST(sum(n) AS BIGINT) // count(*) AS mu,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM rl_c9),
+rl_null AS (
+  SELECT CAST(sum((c.n - m.mu) * (c.n - m.mu)) AS BIGINT) AS sse0
+  FROM rl_c9 c CROSS JOIN rl_mu m),
+rl_lad AS (
+  SELECT r.res, c.ix // (1 << (9 - r.res)) AS px,
+         c.iy // (1 << (9 - r.res)) AS py, c.n
+  FROM rl_c9 c CROSS JOIN (SELECT unnest([8, 7, 6]) AS res) r),
+rl_pm AS (
+  SELECT res, px, py, CAST(sum(n) AS BIGINT) // count(*) AS pmu,
+         CAST(count(*) AS BIGINT) AS kids
+  FROM rl_lad GROUP BY 1, 2, 3),
+rl_sse AS (
+  SELECT l.res, CAST(count(DISTINCT (l.px, l.py)) AS BIGINT)
+           AS n_parents,
+         CAST(sum((l.n - p.pmu) * (l.n - p.pmu)) AS BIGINT) AS sse
+  FROM rl_lad l JOIN rl_pm p
+    ON p.res = l.res AND p.px = l.px AND p.py = l.py
+  GROUP BY 1)
+SELECT CAST(s.res AS BIGINT) AS res, s.n_parents, m.n_cells, s.sse,
+       CAST(1000 - (1000 * s.sse) // z.sse0 AS BIGINT)
+         AS retained_milli
+FROM rl_sse s CROSS JOIN rl_mu m CROSS JOIN rl_null z
+""",
+    doc="MAUP quantified: SSE of representing res-9 per-cell counts by "
+    "their res-8/7/6 parent floored means, as a ladder with the "
+    "variance share retained vs the global-mean null (milli). One "
+    "res-9 agg + bounded parent aggs — which rollup resolution still "
+    "carries the density signal.",
+)
+def q_resolution_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import grid
+
+    tiles = _tiles(spark, sf_dir)
+    c9 = (
+        tiles.selectExpr(
+            f"{grid.ix_sql('lon', 9)} AS ix",
+            f"{grid.iy_sql('lat', 9)} AS iy",
+        )
+        .groupBy("ix", "iy")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mu = c9.agg(
+        F.expr("CAST(sum(n) AS BIGINT) DIV count(*)").alias("mu"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_cells"),
+    )
+    null = c9.crossJoin(F.broadcast(mu)).agg(
+        F.expr("CAST(sum((n - mu) * (n - mu)) AS BIGINT)").alias("sse0")
+    )
+    lad = c9.selectExpr(
+        "ix", "iy", "n", "explode(array(8, 7, 6)) AS res"
+    ).selectExpr(
+        "res", "ix DIV (1 << (9 - res)) AS px",
+        "iy DIV (1 << (9 - res)) AS py", "n",
+    )
+    pm = lad.groupBy("res", "px", "py").agg(
+        F.expr("CAST(sum(n) AS BIGINT) DIV count(*)").alias("pmu"),
+    )
+    sse = (
+        lad.join(pm, ["res", "px", "py"])
+        .groupBy("res")
+        .agg(
+            F.expr(
+                "CAST(count(DISTINCT px, py) AS BIGINT)"
+            ).alias("n_parents"),
+            F.expr(
+                "CAST(sum((n - pmu) * (n - pmu)) AS BIGINT)"
+            ).alias("sse"),
+        )
+    )
+    return (
+        sse.crossJoin(F.broadcast(mu.selectExpr("n_cells")))
+        .crossJoin(F.broadcast(null))
+        .selectExpr(
+            "CAST(res AS BIGINT) AS res", "n_parents", "n_cells", "sse",
+            "CAST(1000 - (1000 * sse) DIV sse0 AS BIGINT)"
+            " AS retained_milli",
+        )
+    )
