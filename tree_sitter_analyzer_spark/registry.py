@@ -314,6 +314,42 @@ _ROTATIONS_C7 = {
 }
 GATE_ORDER = [_ROTATIONS_C7.get(n, n) for n in GATE_ORDER]
 
+# Continuation-8 rotation (R245-R274 families in; same policy — every
+# rotated-out query stays sweep- and pytest-oracle-verified):
+# cell_cusum → poisson_bootstrap (sequential monitoring keeps
+#   sprt_monitor + matrix_profile_daily in-gate; the one-pass Poisson
+#   bootstrap opens the uncertainty-quantification family — the only
+#   bootstrap shape that exists at 10^12 rows),
+# doc_chunks → vocab_coverage (retrieval-ingest chunking stays
+#   sweep-oracled; Chao1/Good-Turing unseen-vocabulary estimation is a
+#   new corpus-planning family, cross-checked by capture_recapture),
+# mmr_diversified → watermark_detect (reranking keeps ann_ivf/pq +
+#   lsh_recall_audit + bigram_surprisal in-gate; LLM-watermark
+#   provenance screening is a new pipeline family),
+# gabriel_graph → directional_variogram (proximity-graph mechanics stay
+#   via knn + dbscan_clusters in-gate; geostatistics lost its only gate
+#   row when kaplan_meier took semivariogram's slot — the anisotropic
+#   ladder restores it with strictly more machinery),
+# zone_dissolve → spatial_markov (overlay/CC composition stays via
+#   area_overlay + connected_components in-gate; neighbor-conditioned
+#   spatio-temporal class dynamics is a new family),
+# funnel_stages → seq_patterns (ordered-event conversion stays
+#   sweep-oracled via funnel_stages + event_transitions; the any-gap
+#   GSP/PrefixSpan support is the general sequence-mining primitive),
+# rate_policer → bradley_terry (streaming admission control stays
+#   sweep-oracled beside sprt_monitor in-gate; pairwise-preference
+#   ranking — the arena-leaderboard aggregation — had no row anywhere).
+_ROTATIONS_C8 = {
+    "cell_cusum": "poisson_bootstrap",
+    "doc_chunks": "vocab_coverage",
+    "mmr_diversified": "watermark_detect",
+    "gabriel_graph": "directional_variogram",
+    "zone_dissolve": "spatial_markov",
+    "funnel_stages": "seq_patterns",
+    "rate_policer": "bradley_terry",
+}
+GATE_ORDER = [_ROTATIONS_C8.get(n, n) for n in GATE_ORDER]
+
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side-effect registration),
