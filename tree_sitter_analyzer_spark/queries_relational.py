@@ -7379,3 +7379,344 @@ def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * abs(q2 - q1) * (p2 + p1))"
         " DIV (abs(p2 - p1) * (q2 + q1)) AS BIGINT) AS eps_abs_milli",
     )
+
+
+# --- R275: newsvendor optimal stocking quantile --------------------------------------
+#
+# The canonical stochastic-inventory result (critical fractile): with
+# unit sale price 3 and unit cost 1, the profit-maximizing stock is
+# the 2/3 demand quantile. Demand = zero-densified daily quantity per
+# return flag; the quantile is the histogram crossing (least q with
+# 3*cum >= 2*N over the bounded daily-demand value dimension), and the
+# expected profit at q* is EXACT from the same cumulative pass:
+# E[min(D,q)] * N = sum_{d<=q} d*c_d + q*(N - cum(q)). Negative-safe:
+# the per-day profit is emitted as a sign + abs milli pair.
+
+
+@register(
+    "newsvendor",
+    f"""
+WITH nv_daily AS (
+  SELECT l_returnflag AS flag,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', l_shipdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+           AS d
+  FROM lineitem GROUP BY 1, 2),
+nv_cal AS (
+  SELECT f.flag, c.day
+  FROM (SELECT DISTINCT flag FROM nv_daily) f
+  CROSS JOIN (SELECT unnest(range((SELECT min(day) FROM nv_daily),
+    (SELECT max(day) FROM nv_daily) + 1)) AS day) c),
+nv_s AS (
+  SELECT c.flag, c.day, coalesce(x.d, 0) AS d
+  FROM nv_cal c LEFT JOIN nv_daily x
+    ON x.flag = c.flag AND x.day = c.day),
+nv_h AS (
+  SELECT flag, d, CAST(count(*) AS BIGINT) AS c
+  FROM nv_s GROUP BY 1, 2),
+nv_c AS (
+  SELECT flag, d, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(c * d) OVER (PARTITION BY flag ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmass,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM nv_h),
+nv_q AS (
+  SELECT flag, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN 3 * cw >= 2 * n THEN d END) AS BIGINT)
+           AS q_star
+  FROM nv_c GROUP BY 1),
+nv_e AS (
+  SELECT q.flag, q.n, q.q_star,
+         CAST(max(CASE WHEN c.d <= q.q_star THEN c.cmass END)
+           + q.q_star * (q.n - max(CASE WHEN c.d <= q.q_star
+             THEN c.cw END)) AS BIGINT) AS emin_n
+  FROM nv_q q JOIN nv_c c ON c.flag = q.flag
+  GROUP BY 1, 2, 3)
+SELECT flag, n AS n_days, q_star, emin_n,
+       CAST(CASE WHEN 3 * emin_n >= q_star * n THEN 1 ELSE -1 END
+         AS BIGINT) AS profit_sign,
+       CAST((1000 * abs(3 * emin_n - q_star * n)) // n AS BIGINT)
+         AS profit_abs_milli
+FROM nv_e
+""",
+    doc="Newsvendor critical fractile (price 3, cost 1 → 2/3 demand "
+    "quantile) on zero-densified daily quantity per flag: histogram-"
+    "crossing quantile + EXACT expected profit from the same "
+    "cumulative pass (E[min(D,q)]·N = sum d·c + q·tail), sign + milli "
+    "per day. The stochastic-inventory classic as one bounded "
+    "histogram window.",
+)
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" l_shipdate) DIV {_DAY_US} AS day",
+            "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS q",
+        )
+        .groupBy("flag", "day")
+        .agg(F.expr("CAST(sum(q) AS BIGINT)").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ext = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = (
+        daily.select("flag").distinct()
+        .crossJoin(F.broadcast(ext))
+        .selectExpr("flag", "explode(sequence(d0, d1)) AS day")
+    )
+    s = cal.join(daily, ["flag", "day"], "left").selectExpr(
+        "flag", "day", "coalesce(d, CAST(0 AS BIGINT)) AS d"
+    )
+    h = s.groupBy("flag", "d").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("c")
+    )
+    c = h.selectExpr(
+        "flag", "d", "c",
+        "sum(c) OVER (PARTITION BY flag ORDER BY d"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw",
+        "sum(c * d) OVER (PARTITION BY flag ORDER BY d"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmass",
+        "sum(c) OVER (PARTITION BY flag) AS n",
+    ).localCheckpoint(eager=False)
+    q = c.groupBy("flag").agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("nq"),
+        F.expr(
+            "CAST(min(CASE WHEN 3 * cw >= 2 * n THEN d END) AS BIGINT)"
+        ).alias("q_star"),
+    )
+    e = (
+        q.join(c.select("flag", "d", "cw", "cmass"), "flag")
+        .groupBy("flag")
+        .agg(
+            F.expr("CAST(max(nq) AS BIGINT)").alias("n"),
+            F.expr("CAST(max(q_star) AS BIGINT)").alias("q_star"),
+            F.expr(
+                "CAST(max(CASE WHEN d <= q_star THEN cmass END)"
+                " + max(q_star) * (max(nq) - max(CASE WHEN d <= q_star"
+                " THEN cw END)) AS BIGINT)"
+            ).alias("emin_n"),
+        )
+    )
+    return e.selectExpr(
+        "flag", "n AS n_days", "q_star", "emin_n",
+        "CAST(CASE WHEN 3 * emin_n >= q_star * n THEN 1 ELSE -1 END"
+        " AS BIGINT) AS profit_sign",
+        "CAST((1000 * abs(3 * emin_n - q_star * n)) DIV n AS BIGINT)"
+        " AS profit_abs_milli",
+    )
+
+
+# --- R276: Laspeyres / Paasche / Fisher price index --------------------------------------
+#
+# The index-number triad (the CPI machinery): split the extent at the
+# mid shipdate, per part and epoch compute the floored unit net price
+# (milli-cents per unit), keep parts traded in BOTH epochs, and emit
+# Laspeyres (base-quantity weights), Paasche (current weights), and
+# Fisher (geometric mean via exact isqrt of L*P) in milli. Bounded by
+# the part dimension; one scan + one part-keyed self-join.
+
+
+@register(
+    "price_index",
+    f"""
+WITH pi_mid AS (
+  SELECT (min(date_diff('microsecond', TIMESTAMP '1970-01-01',
+           l_shipdate) // {_DAY_US})
+        + max(date_diff('microsecond', TIMESTAMP '1970-01-01',
+           l_shipdate) // {_DAY_US}) + 1) // 2 AS m
+  FROM lineitem),
+pi_pe AS (
+  SELECT l_partkey AS part,
+         CASE WHEN date_diff('microsecond', TIMESTAMP '1970-01-01',
+           l_shipdate) // {_DAY_US} < (SELECT m FROM pi_mid)
+           THEN 0 ELSE 1 END AS ep,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount)
+           * 100e0) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem GROUP BY 1, 2),
+pi_p AS (
+  SELECT part, ep, qty, (1000 * cents) // qty AS p
+  FROM pi_pe WHERE qty > 0),
+pi_j AS (
+  SELECT a.part, a.p AS p0, a.qty AS q0, b.p AS p1, b.qty AS q1
+  FROM pi_p a JOIN pi_p b ON b.part = a.part
+  WHERE a.ep = 0 AND b.ep = 1),
+pi_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(p1 * q0) AS BIGINT) AS l_num,
+         CAST(sum(p0 * q0) AS BIGINT) AS l_den,
+         CAST(sum(p1 * q1) AS BIGINT) AS p_num,
+         CAST(sum(p0 * q1) AS BIGINT) AS p_den
+  FROM pi_j),
+pi_i AS (
+  SELECT n_parts,
+         (1000 * l_num) // l_den AS lasp,
+         (1000 * p_num) // p_den AS paas
+  FROM pi_s),
+pi_f AS (
+  SELECT *, lasp * paas AS v,
+         CAST(floor(sqrt(CAST(lasp * paas AS DOUBLE))) AS BIGINT) AS s0
+  FROM pi_i)
+SELECT n_parts, CAST(lasp AS BIGINT) AS laspeyres_milli,
+       CAST(paas AS BIGINT) AS paasche_milli,
+       CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                  WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)
+         AS fisher_milli
+FROM pi_f
+""",
+    doc="Index-number triad between the two halves of the shipdate "
+    "extent: per-part floored unit net prices (milli-cents/unit), "
+    "parts traded in both epochs, Laspeyres (base weights), Paasche "
+    "(current weights), Fisher via exact isqrt of L*P — the CPI "
+    "machinery as one scan + one part-keyed self-join.",
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey AS part",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" l_shipdate) DIV {_DAY_US} AS day",
+        "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+        " AS BIGINT) AS cents",
+        "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS qty",
+    ).localCheckpoint(eager=False)
+    mid = rows.agg(
+        F.expr("(min(day) + max(day) + 1) DIV 2").alias("m")
+    )
+    pe = (
+        rows.crossJoin(F.broadcast(mid))
+        .selectExpr(
+            "part", "CASE WHEN day < m THEN 0 ELSE 1 END AS ep",
+            "cents", "qty",
+        )
+        .groupBy("part", "ep")
+        .agg(
+            F.expr("CAST(sum(cents) AS BIGINT)").alias("cents"),
+            F.expr("CAST(sum(qty) AS BIGINT)").alias("qty"),
+        )
+        .where("qty > 0")
+        .selectExpr("part", "ep", "qty", "(1000 * cents) DIV qty AS p")
+        .localCheckpoint(eager=False)
+    )
+    a = pe.where("ep = 0").selectExpr(
+        "part", "p AS p0", "qty AS q0"
+    )
+    b = pe.where("ep = 1").selectExpr(
+        "part AS pb", "p AS p1", "qty AS q1"
+    )
+    j = a.join(b, F.expr("pb = part"))
+    s = j.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_parts"),
+        F.expr("CAST(sum(p1 * q0) AS BIGINT)").alias("l_num"),
+        F.expr("CAST(sum(p0 * q0) AS BIGINT)").alias("l_den"),
+        F.expr("CAST(sum(p1 * q1) AS BIGINT)").alias("p_num"),
+        F.expr("CAST(sum(p0 * q1) AS BIGINT)").alias("p_den"),
+    )
+    i = s.selectExpr(
+        "n_parts",
+        "(1000 * l_num) DIV l_den AS lasp",
+        "(1000 * p_num) DIV p_den AS paas",
+    ).selectExpr(
+        "n_parts", "lasp", "paas", "lasp * paas AS v",
+        "CAST(floor(sqrt(CAST(lasp * paas AS DOUBLE))) AS BIGINT) AS s0",
+    )
+    return i.selectExpr(
+        "n_parts", "CAST(lasp AS BIGINT) AS laspeyres_milli",
+        "CAST(paas AS BIGINT) AS paasche_milli",
+        "CAST((CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1"
+        " WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END) AS BIGINT)"
+        " AS fisher_milli",
+    )
+
+
+# --- R277: Friedman blocked-rank test ------------------------------------------------------
+#
+# The blocked nonparametric k-treatment test (Friedman 1937 — the
+# repeated-measures sibling of kruskal_wallis): blocks = customers
+# holding ALL 5 order priorities, treatment value = total spend in
+# exact cents, within-block ranks 1..5 (deterministic: spend ASC,
+# priority ASC ties — no midranks, documented), chi2_F =
+# 12/(n k (k+1)) * sum R_j^2 - 3 n (k+1) exact in milli. Complete
+# blocks only, per the textbook design; one customer-keyed rank window
+# over a <=5-row dimension per block.
+
+
+@register(
+    "friedman_test",
+    """
+WITH fr_cp AS (
+  SELECT o_custkey AS cust, o_orderpriority AS prio,
+         CAST(sum(CAST(floor(o_totalprice * 100e0) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+fr_full AS (
+  SELECT cust FROM fr_cp GROUP BY cust HAVING count(*) = 5),
+fr_r AS (
+  SELECT c.cust, c.prio,
+         row_number() OVER (PARTITION BY c.cust
+           ORDER BY c.cents, c.prio) AS rk
+  FROM fr_cp c JOIN fr_full f ON f.cust = c.cust),
+fr_j AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rk) AS BIGINT) AS r_j
+  FROM fr_r GROUP BY 1),
+fr_t AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(r_j * r_j) AS BIGINT) AS sr2
+  FROM fr_j)
+SELECT j.prio, j.r_j,
+       CAST((1000 * j.r_j) // t.n AS BIGINT) AS mean_rank_milli,
+       t.n AS n_blocks,
+       CAST((12000 * t.sr2) // (t.n * 5 * 6) - 3000 * t.n * 6
+         AS BIGINT) AS chi2_milli
+FROM fr_j j CROSS JOIN fr_t t
+""",
+    doc="Friedman blocked-rank test across the 5 order priorities: "
+    "blocks = customers holding all 5, within-block deterministic "
+    "ranks of exact-cents spend (spend ASC, priority ties ASC — "
+    "documented, no midranks), chi2 = 12/(nk(k+1))*sum R_j^2 - "
+    "3n(k+1) exact in milli. The repeated-measures sibling of "
+    "kruskal_wallis; complete blocks per the textbook design.",
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cp = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS cust", "o_orderpriority AS prio",
+            "CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents",
+        )
+        .groupBy("cust", "prio")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    full = cp.groupBy("cust").agg(
+        F.expr("count(*)").alias("k")
+    ).where("k = 5").select("cust")
+    r = cp.join(full, "cust").selectExpr(
+        "cust", "prio",
+        "row_number() OVER (PARTITION BY cust"
+        " ORDER BY cents, prio) AS rk",
+    )
+    j = r.groupBy("prio").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(rk) AS BIGINT)").alias("r_j"),
+    )
+    t = j.agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("nt"),
+        F.expr("CAST(sum(r_j * r_j) AS BIGINT)").alias("sr2"),
+    )
+    return j.select("prio", "r_j").crossJoin(
+        F.broadcast(t)
+    ).selectExpr(
+        "prio", "r_j",
+        "CAST((1000 * r_j) DIV nt AS BIGINT) AS mean_rank_milli",
+        "nt AS n_blocks",
+        "CAST((12000 * sr2) DIV (nt * 5 * 6) - 3000 * nt * 6 AS BIGINT)"
+        " AS chi2_milli",
+    )
