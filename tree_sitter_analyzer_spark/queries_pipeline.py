@@ -3091,3 +3091,83 @@ def q_vignette_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth.tiles_df(spark, sf_dir).where("i <= 8000")
     )
     return multimodal.radial_profile(tiles)
+
+
+# --- R278: Cochran's Q test over three document detectors -----------------------------
+#
+# The k-treatment extension of McNemar (Cochran 1950): are three
+# binary screens — A: contains the whole word 'dup', B: >= 300 chars,
+# C: >= 50 tokens — equally likely to fire across the same documents?
+# Q = (k(k-1) sum C_j^2 - (k-1) S^2) / (k S - sum R_i^2) exactly in
+# milli, from two keyed aggs (column totals; row-total moments). The
+# blocked-binary member of the nonparametric family (kruskal_wallis:
+# independent ordinal, friedman_test: blocked ordinal, mcnemar_test:
+# paired binary).
+
+
+@register(
+    "cochran_q",
+    """
+WITH cq_d AS (
+  SELECT doc_id,
+         CASE WHEN position(' dup ' IN ' ' || text || ' ') > 0
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+              >= 50 THEN 1 ELSE 0 END AS c
+  FROM documents),
+cq_rows AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS ca,
+         CAST(sum(b) AS BIGINT) AS cb,
+         CAST(sum(c) AS BIGINT) AS cc,
+         CAST(sum(a + b + c) AS BIGINT) AS s,
+         CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sr2
+  FROM cq_d)
+SELECT det, hits, CAST((1000 * hits) // n AS BIGINT) AS rate_milli,
+       n AS n_docs,
+       CAST((1000 * (3 * 2 * (ca * ca + cb * cb + cc * cc)
+         - 2 * s * s)) // (3 * s - sr2) AS BIGINT) AS q_milli
+FROM cq_rows,
+     (SELECT unnest(['marker', 'len300', 'tok50']) AS det) d,
+     LATERAL (SELECT CASE det WHEN 'marker' THEN ca
+                              WHEN 'len300' THEN cb
+                              ELSE cc END AS hits) h
+""",
+    doc="Cochran's Q across three binary doc screens (whole-word 'dup' "
+    "marker, >=300 chars, >=50 tokens): exact milli Q from column "
+    "totals + row-total moments in two keyed aggs — the blocked-"
+    "binary member of the nonparametric family beside mcnemar_test "
+    "(paired), friedman_test (blocked ordinal), kruskal_wallis.",
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).selectExpr(
+        "CASE WHEN position(' dup ' IN ' ' || text || ' ') > 0"
+        " THEN 1 ELSE 0 END AS a",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b",
+        "CASE WHEN length(text) - length(replace(text, ' ', '')) + 1"
+        " >= 50 THEN 1 ELSE 0 END AS c",
+    )
+    rows = d.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(a) AS BIGINT)").alias("ca"),
+        F.expr("CAST(sum(b) AS BIGINT)").alias("cb"),
+        F.expr("CAST(sum(c) AS BIGINT)").alias("cc"),
+        F.expr("CAST(sum(a + b + c) AS BIGINT)").alias("s"),
+        F.expr(
+            "CAST(sum((a + b + c) * (a + b + c)) AS BIGINT)"
+        ).alias("sr2"),
+    )
+    return rows.selectExpr(
+        "explode(array("
+        "named_struct('det', 'marker', 'hits', ca),"
+        "named_struct('det', 'len300', 'hits', cb),"
+        "named_struct('det', 'tok50', 'hits', cc))) AS x",
+        "n", "ca", "cb", "cc", "s", "sr2",
+    ).selectExpr(
+        "x.det AS det", "x.hits AS hits",
+        "(1000 * x.hits) DIV n AS rate_milli",
+        "n AS n_docs",
+        "CAST((1000 * (3 * 2 * (ca * ca + cb * cb + cc * cc)"
+        " - 2 * s * s)) DIV (3 * s - sr2) AS BIGINT) AS q_milli",
+    )

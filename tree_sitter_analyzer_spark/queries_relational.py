@@ -7720,3 +7720,200 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((12000 * sr2) DIV (nt * 5 * 6) - 3000 * nt * 6 AS BIGINT)"
         " AS chi2_milli",
     )
+
+
+# --- R279: Page trend test (ordered alternatives) -----------------------------------------
+#
+# Page 1963: given friedman_test's blocked ranks, test for a MONOTONE
+# trend across the naturally ordered priorities 1-URGENT..5-LOW
+# (lexicographic == numeric here). L = sum j * R_j; under the null
+# E[L] = n k (k+1)^2 / 4 and Var[L] = n k^2 (k+1)(k^2-1) / 144 — for
+# k = 5: E = 45n, Var = 25n. z^2 in milli via the one-sided sign
+# split (no negative division). Same deterministic complete-block
+# ranks as friedman_test; one extra weighted sum.
+
+
+@register(
+    "page_trend",
+    """
+WITH pg_cp AS (
+  SELECT o_custkey AS cust, o_orderpriority AS prio,
+         CAST(sum(CAST(floor(o_totalprice * 100e0) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+pg_full AS (
+  SELECT cust FROM pg_cp GROUP BY cust HAVING count(*) = 5),
+pg_r AS (
+  SELECT c.cust, c.prio,
+         row_number() OVER (PARTITION BY c.cust
+           ORDER BY c.cents, c.prio) AS rk
+  FROM pg_cp c JOIN pg_full f ON f.cust = c.cust),
+pg_j AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rk) AS BIGINT) AS r_j,
+         CAST(CAST(substr(prio, 1, 1) AS BIGINT) AS BIGINT) AS j
+  FROM pg_r GROUP BY 1)
+SELECT CAST(max(n) AS BIGINT) AS n_blocks,
+       CAST(sum(j * r_j) AS BIGINT) AS l_stat,
+       CAST(45 * max(n) AS BIGINT) AS e_l,
+       CAST(CASE WHEN sum(j * r_j) >= 45 * max(n) THEN 1 ELSE -1 END
+         AS BIGINT) AS trend_sign,
+       CAST((1000 * (sum(j * r_j) - 45 * max(n))
+         * (sum(j * r_j) - 45 * max(n))) // (25 * max(n)) AS BIGINT)
+         AS z2_milli
+FROM pg_j
+""",
+    doc="Page's trend test for ordered alternatives across the 5 "
+    "priorities: L = sum j*R_j over friedman_test's deterministic "
+    "complete-block ranks, exact null moments (E=45n, Var=25n for "
+    "k=5), z^2 milli with an explicit sign column (squares are "
+    "sign-safe). Detects monotone spend ordering that Friedman's "
+    "omnibus chi2 dilutes.",
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cp = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS cust", "o_orderpriority AS prio",
+            "CAST(floor(o_totalprice * 100e0) AS BIGINT) AS cents",
+        )
+        .groupBy("cust", "prio")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    full = cp.groupBy("cust").agg(F.expr("count(*)").alias("k")).where(
+        "k = 5"
+    ).select("cust")
+    r = cp.join(full, "cust").selectExpr(
+        "cust", "prio",
+        "row_number() OVER (PARTITION BY cust"
+        " ORDER BY cents, prio) AS rk",
+    )
+    j = r.groupBy("prio").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(rk) AS BIGINT)").alias("r_j"),
+    ).selectExpr(
+        "prio", "n", "r_j",
+        "CAST(substr(prio, 1, 1) AS BIGINT) AS j",
+    )
+    return j.agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n_blocks"),
+        F.expr("CAST(sum(j * r_j) AS BIGINT)").alias("l_stat"),
+    ).selectExpr(
+        "n_blocks", "l_stat",
+        "CAST(45 * n_blocks AS BIGINT) AS e_l",
+        "CAST(CASE WHEN l_stat >= 45 * n_blocks THEN 1 ELSE -1 END"
+        " AS BIGINT) AS trend_sign",
+        "CAST((1000 * (l_stat - 45 * n_blocks)"
+        " * (l_stat - 45 * n_blocks)) DIV (25 * n_blocks) AS BIGINT)"
+        " AS z2_milli",
+    )
+
+
+# --- R280: XmR (individuals + moving range) control chart ----------------------------------
+#
+# The Shewhart individuals chart (XmR — the SPC default when each day
+# is one observation): moving range MR_t = |v_t - v_{t-1}| on
+# zero-densified daily kilodollar revenue, center lines as floored
+# means, control limits x_bar +- 2660*MR_bar/1000 (E2 = 2.660 for
+# n = 2, the standard constant, embedded in milli) and the MR upper
+# limit 3267*MR_bar/1000 (D4 = 3.267). One lag window + one agg; the
+# out-of-control day counts are the chart's reading. The Shewhart
+# member of the monitoring family (cusum: drift, ewma: smoothed,
+# sprt: sequential decision).
+
+
+@register(
+    "xmr_chart",
+    f"""
+WITH xm_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+xm_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM xm_daily),
+xm_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM xm_cal c LEFT JOIN xm_daily d ON d.day = c.day),
+xm_mr AS (
+  SELECT day, v,
+         abs(v - lag(v) OVER (ORDER BY day)) AS mr
+  FROM xm_s),
+xm_lim AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) // count(*) AS xbar,
+         CAST(sum(mr) AS BIGINT) // (count(*) - 1) AS mrbar
+  FROM xm_mr)
+SELECT l.n AS n_days, l.xbar, l.mrbar,
+       CAST(l.xbar + (2660 * l.mrbar) // 1000 AS BIGINT) AS ucl,
+       CAST(l.xbar - (2660 * l.mrbar) // 1000 AS BIGINT) AS lcl,
+       CAST(sum(CASE WHEN m.v > l.xbar + (2660 * l.mrbar) // 1000
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(sum(CASE WHEN m.v < l.xbar - (2660 * l.mrbar) // 1000
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN m.mr > (3267 * l.mrbar) // 1000
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_mr_above
+FROM xm_mr m CROSS JOIN xm_lim l
+GROUP BY 1, 2, 3, 4, 5
+""",
+    doc="XmR individuals control chart on zero-densified daily revenue "
+    "(kilodollars): moving range via one lag window, floored center "
+    "lines, E2/D4 constants in milli (2660/3267), out-of-control day "
+    "counts both sides + MR breaches. The Shewhart member of the "
+    "monitoring family beside cell_cusum, ewma_anomalies, and "
+    "sprt_monitor.",
+)
+def q_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    mr = s.selectExpr(
+        "day", "v", "abs(v - lag(v) OVER (ORDER BY day)) AS mr"
+    ).localCheckpoint(eager=False)
+    lim = mr.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(v) AS BIGINT) DIV count(*)").alias("xbar"),
+        F.expr(
+            "CAST(sum(mr) AS BIGINT) DIV (count(*) - 1)"
+        ).alias("mrbar"),
+    )
+    return (
+        mr.crossJoin(F.broadcast(lim))
+        .groupBy("n", "xbar", "mrbar")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN v > xbar + (2660 * mrbar) DIV 1000"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_above"),
+            F.expr(
+                "CAST(sum(CASE WHEN v < xbar - (2660 * mrbar) DIV 1000"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_below"),
+            F.expr(
+                "CAST(sum(CASE WHEN mr > (3267 * mrbar) DIV 1000"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_mr_above"),
+        )
+        .selectExpr(
+            "n AS n_days", "xbar", "mrbar",
+            "CAST(xbar + (2660 * mrbar) DIV 1000 AS BIGINT) AS ucl",
+            "CAST(xbar - (2660 * mrbar) DIV 1000 AS BIGINT) AS lcl",
+            "n_above", "n_below", "n_mr_above",
+        )
+    )
