@@ -3171,3 +3171,79 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * (3 * 2 * (ca * ca + cb * cb + cc * cc)"
         " - 2 * s * s)) DIV (3 * s - sr2) AS BIGINT) AS q_milli",
     )
+
+
+# --- R283: embedding isotropy audit ---------------------------------------------------------
+#
+# Ethayarajh 2019 / Mu 2018: contextual-embedding spaces are
+# anisotropic — the mean pairwise cosine is far above 0, degrading
+# retrieval. The audit computes the mean pairwise DOT exactly WITHOUT
+# any pair join via the sum-vector identity:
+#   sum_{i != j} <v_i, v_j> = ||sum v||^2 - sum ||v||^2
+# over the quantized integer vectors (floor(x*1000), the similarity-
+# suite discipline). One posexplode + two keyed aggs per label; the
+# isotropy ratio (mean pair dot / mean norm^2) in signed milli. The
+# zero-pair shape survives 10^12 vectors.
+
+
+@register(
+    "embedding_isotropy",
+    """
+WITH ei_q AS (
+  SELECT label, vec_id, pos,
+         CAST(floor(x * 1000e0) AS BIGINT) AS q
+  FROM (SELECT label, vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)),
+ei_norm AS (
+  SELECT label, vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+  FROM ei_q GROUP BY 1, 2),
+ei_sumv AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS sq
+  FROM ei_q GROUP BY 1, 2),
+ei_g AS (
+  SELECT n.label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n.n2) AS BIGINT) AS sum_n2
+  FROM ei_norm n GROUP BY 1),
+ei_s2 AS (
+  SELECT label, CAST(sum(sq * sq) AS BIGINT) AS s2
+  FROM ei_sumv GROUP BY 1)
+SELECT CAST(g.label AS BIGINT) AS label, g.n, g.sum_n2, s.s2,
+       CAST(CASE WHEN s.s2 >= g.sum_n2 THEN 1 ELSE -1 END AS BIGINT)
+         AS aniso_sign,
+       CAST((1000 * abs(s.s2 - g.sum_n2)) // ((g.n - 1) * g.sum_n2)
+         AS BIGINT) AS iso_abs_milli
+FROM ei_g g JOIN ei_s2 s ON s.label = g.label
+""",
+    doc="Embedding-space isotropy audit (Ethayarajh 2019) with ZERO "
+    "pair joins: mean pairwise dot via the sum-vector identity "
+    "||sum v||^2 - sum ||v||^2 on quantized integer vectors, per "
+    "label; isotropy ratio (mean pair dot / mean norm^2) as sign + "
+    "milli. One posexplode + two keyed aggs — survives 10^12 vectors.",
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _emb(spark, sf_dir).selectExpr(
+        "label", "vec_id",
+        "posexplode(transform(embedding,"
+        " x -> CAST(floor(x * 1000e0) AS BIGINT))) AS (pos, q)",
+    )
+    norm = q.groupBy("label", "vec_id").agg(
+        F.expr("CAST(sum(q * q) AS BIGINT)").alias("n2")
+    )
+    sumv = q.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(q) AS BIGINT)").alias("sq")
+    )
+    g = norm.groupBy("label").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(n2) AS BIGINT)").alias("sum_n2"),
+    )
+    s2 = sumv.groupBy("label").agg(
+        F.expr("CAST(sum(sq * sq) AS BIGINT)").alias("s2")
+    )
+    return g.join(s2, "label").selectExpr(
+        "CAST(label AS BIGINT) AS label", "n", "sum_n2", "s2",
+        "CAST(CASE WHEN s2 >= sum_n2 THEN 1 ELSE -1 END AS BIGINT)"
+        " AS aniso_sign",
+        "CAST((1000 * abs(s2 - sum_n2)) DIV ((n - 1) * sum_n2)"
+        " AS BIGINT) AS iso_abs_milli",
+    )

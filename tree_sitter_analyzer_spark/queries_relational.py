@@ -7917,3 +7917,125 @@ def q_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above", "n_below", "n_mr_above",
         )
     )
+
+
+# --- R281: HHI supplier-concentration index ------------------------------------------------
+#
+# The antitrust concentration measure (Herfindahl-Hirschman, in basis
+# points as the DOJ reports it): per nation, supplier revenue shares
+# squared and summed. Exact integer staging: hhi_bp = (10000 * (sum
+# r_i^2 DIV S)) DIV S — the staged double-floor (R236 discipline)
+# keeps sum r^2's 10000x scale-up out of the 2^63 danger zone at any
+# SF. Revenue in integer dollars (the documented rescale ladder). Two
+# keyed aggs after one fact⋈supplier join.
+
+
+@register(
+    "hhi_concentration",
+    """
+WITH hh_r AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount))
+           AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+hh_n AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rev) AS BIGINT) AS s,
+         CAST(sum(rev * rev) AS BIGINT) AS sr2,
+         CAST(max(rev) AS BIGINT) AS top_rev
+  FROM hh_r GROUP BY 1)
+SELECT CAST(nation AS BIGINT) AS nation, n_suppliers,
+       CAST((10000 * (sr2 // s)) // s AS BIGINT) AS hhi_bp,
+       CAST((10000 * top_rev) // s AS BIGINT) AS top_share_bp
+FROM hh_n
+""",
+    doc="Herfindahl-Hirschman supplier-concentration index per nation "
+    "in basis points (staged double-floor keeps sum r^2's scale-up "
+    "under 2^63 at any SF; dollars per the rescale ladder), plus the "
+    "top-supplier share. The antitrust measure beside density_gini's "
+    "inequality and kind_diversity's Simpson.",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "supplier").selectExpr(
+                "s_suppkey", "s_nationkey"
+            ),
+            F.expr("s_suppkey = l_suppkey"),
+        )
+        .selectExpr(
+            "s_nationkey AS nation", "l_suppkey AS supp",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+            " AS d",
+        )
+        .groupBy("nation", "supp")
+        .agg(F.expr("CAST(sum(d) AS BIGINT)").alias("rev"))
+    )
+    n = r.groupBy("nation").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_suppliers"),
+        F.expr("CAST(sum(rev) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum(rev * rev) AS BIGINT)").alias("sr2"),
+        F.expr("CAST(max(rev) AS BIGINT)").alias("top_rev"),
+    )
+    return n.selectExpr(
+        "CAST(nation AS BIGINT) AS nation", "n_suppliers",
+        "CAST((10000 * (sr2 DIV s)) DIV s AS BIGINT) AS hhi_bp",
+        "CAST((10000 * top_rev) DIV s AS BIGINT) AS top_share_bp",
+    )
+
+
+# --- R282: unsold-parts coverage gap -------------------------------------------------------
+#
+# Dimension-keyed gap analysis on the PART side (the relational
+# sibling of uncovered_zones' spatial audit): per brand, how many
+# catalog parts never appear in lineitem — keyed from the dimension
+# (parts) so a bug wiping all sales of a brand FLAGS instead of
+# dropping the brand (CLAUDE.md audit discipline). One broadcast-able
+# distinct + left anti-join.
+
+
+@register(
+    "unsold_parts",
+    """
+WITH up_sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+up_b AS (
+  SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS unsold
+  FROM part p LEFT JOIN up_sold s ON s.l_partkey = p.p_partkey
+  GROUP BY 1)
+SELECT brand, n_parts, unsold,
+       CAST((1000 * unsold) // n_parts AS BIGINT) AS unsold_milli
+FROM up_b
+""",
+    doc="Unsold-parts coverage gap per brand: catalog parts never "
+    "appearing in lineitem, keyed from the DIMENSION side so an "
+    "empty-sales brand flags instead of vanishing (the audit "
+    "discipline). Distinct + left anti-join semantics via LEFT JOIN "
+    "null-count; broadcast-able sold-keys set.",
+)
+def q_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sold = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .selectExpr("p_partkey", "p_brand AS brand")
+        .join(
+            F.broadcast(sold), F.expr("l_partkey = p_partkey"), "left"
+        )
+        .groupBy("brand")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_parts"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("unsold"),
+        )
+        .selectExpr(
+            "brand", "n_parts", "unsold",
+            "(1000 * unsold) DIV n_parts AS unsold_milli",
+        )
+    )
