@@ -8039,3 +8039,286 @@ def q_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * unsold) DIV n_parts AS unsold_milli",
         )
     )
+
+
+# --- R284: exact OLS daily-revenue trend ---------------------------------------------------
+#
+# Parametric least-squares trend per returnflag on the zero-densified
+# daily revenue series (kilodollars, the R257 rescale ladder), EXACT in
+# integers: deviations about the floored means (dx = x - Sx DIV n) with
+# the exact remainder correction, so slope = Sxy/Sxx is the true OLS
+# slope as a rational — n*Sxy = n*sum(dx*dy) - rx*ry where rx = sum(dx)
+# in [0, n). Staged double-floor (R236/R281 discipline) for the milli
+# outputs: sxy = (n*sum dxdy - rx*ry) DIV n stays ~n times smaller than
+# the n-scaled numerator, so 1000x fits 2^63 at any SF. r2_milli =
+# (slope_abs_milli * |sxy|) DIV syy — exact composition of the two
+# floors, bounded by construction (r2 <= 1 up to floor slack). The
+# parametric sibling of trend_mk (Mann-Kendall) and theil_sen.
+
+
+@register(
+    "ols_trend",
+    f"""
+WITH ot_daily AS (
+  SELECT l_returnflag AS flag,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', l_shipdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) // 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+ot_cal AS (
+  SELECT f.flag, c.day
+  FROM (SELECT DISTINCT flag FROM ot_daily) f
+  CROSS JOIN (SELECT unnest(range(min(day), max(day) + 1)) AS day
+              FROM ot_daily) c),
+ot_s AS (
+  SELECT c.flag, c.day AS x, coalesce(d.v, 0) AS y
+  FROM ot_cal c LEFT JOIN ot_daily d
+    ON d.flag = c.flag AND d.day = c.day),
+ot_m AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) // count(*) AS mx,
+         CAST(sum(y) AS BIGINT) // count(*) AS my
+  FROM ot_s GROUP BY 1),
+ot_d AS (
+  SELECT s.flag, m.n, s.x - m.mx AS dx, s.y - m.my AS dy
+  FROM ot_s s JOIN ot_m m ON m.flag = s.flag),
+ot_a AS (
+  SELECT flag, any_value(n) AS n,
+         CAST(sum(dx * dy) AS BIGINT) AS sdxdy,
+         CAST(sum(dx * dx) AS BIGINT) AS sdx2,
+         CAST(sum(dy * dy) AS BIGINT) AS sdy2,
+         CAST(sum(dx) AS BIGINT) AS rx,
+         CAST(sum(dy) AS BIGINT) AS ry
+  FROM ot_d GROUP BY 1),
+ot_e AS (
+  -- negative-DIV discipline: n*sdxdy - rx*ry is the only signed
+  -- numerator; floor its |.| so Spark DIV and DuckDB // agree.
+  SELECT flag, n,
+         CASE WHEN n * sdxdy - rx * ry >= 0 THEN 1 ELSE -1 END AS sg,
+         abs(n * sdxdy - rx * ry) // n AS sxy_abs,
+         (n * sdx2 - rx * rx) // n AS sxx,
+         GREATEST((n * sdy2 - ry * ry) // n, 1) AS syy
+  FROM ot_a)
+SELECT flag, n AS n_days,
+       CAST(sg AS BIGINT) AS slope_sign,
+       CAST((1000 * sxy_abs) // sxx AS BIGINT) AS slope_abs_milli,
+       CAST((((1000 * sxy_abs) // sxx) * sxy_abs) // syy AS BIGINT)
+         AS r2_milli
+FROM ot_e
+""",
+    doc="Exact OLS trend of zero-densified daily revenue (kilodollars) "
+    "per returnflag: floored-mean deviations with the exact remainder "
+    "correction make slope = Sxy/Sxx the true OLS rational; staged "
+    "double-floor milli outputs; r2 as the exact composition "
+    "(slope_milli * |sxy|) DIV syy. Parametric sibling of trend_mk / "
+    "theil_sen; everything lives on the bounded calendar dimension.",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" l_shipdate) DIV {_DAY_US} AS day",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+            " AS dollars",
+        )
+        .groupBy("flag", "day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = (
+        daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .selectExpr("explode(sequence(d0, d1)) AS day")
+        .crossJoin(daily.select("flag").distinct())
+    )
+    s = cal.join(daily, ["flag", "day"], "left").selectExpr(
+        "flag", "day AS x", "coalesce(v, CAST(0 AS BIGINT)) AS y"
+    )
+    m = s.groupBy("flag").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT) DIV count(*)").alias("mx"),
+        F.expr("CAST(sum(y) AS BIGINT) DIV count(*)").alias("my"),
+    )
+    a = (
+        s.join(F.broadcast(m), "flag")
+        .selectExpr("flag", "n", "x - mx AS dx", "y - my AS dy")
+        .groupBy("flag")
+        .agg(
+            F.expr("any_value(n)").alias("n"),
+            F.expr("CAST(sum(dx * dy) AS BIGINT)").alias("sdxdy"),
+            F.expr("CAST(sum(dx * dx) AS BIGINT)").alias("sdx2"),
+            F.expr("CAST(sum(dy * dy) AS BIGINT)").alias("sdy2"),
+            F.expr("CAST(sum(dx) AS BIGINT)").alias("rx"),
+            F.expr("CAST(sum(dy) AS BIGINT)").alias("ry"),
+        )
+    )
+    e = a.selectExpr(
+        "flag", "n",
+        "CASE WHEN n * sdxdy - rx * ry >= 0 THEN 1 ELSE -1 END AS sg",
+        "abs(n * sdxdy - rx * ry) DIV n AS sxy_abs",
+        "(n * sdx2 - rx * rx) DIV n AS sxx",
+        "GREATEST((n * sdy2 - ry * ry) DIV n, CAST(1 AS BIGINT)) AS syy",
+    )
+    return e.selectExpr(
+        "flag", "n AS n_days",
+        "CAST(sg AS BIGINT) AS slope_sign",
+        "CAST((1000 * sxy_abs) DIV sxx AS BIGINT) AS slope_abs_milli",
+        "CAST((((1000 * sxy_abs) DIV sxx) * sxy_abs) DIV syy AS BIGINT)"
+        " AS r2_milli",
+    )
+
+
+# --- R286: two-group log-rank survival test ------------------------------------------------
+#
+# The Mantel-Cox log-rank test beside kaplan_meier's single curve: do
+# even- and odd-id user cohorts convert (first view -> first purchase)
+# at the same hazard? Same censoring contract as KM (120h horizon +
+# end-of-window). Exact integer per-term floors on the bounded <=121-
+# row hour dimension (the R258 per-term-floor discipline):
+#   e1_t  = d_t * ((1000*n1_t) DIV n_t)            [milli]
+#   v_t   = p1m * p2m * (d_t*(n_t-d_t) DIV (n_t-1)) [micro; pgm = per-
+#           group milli at-risk share]
+#   chi2_milli = (1000*diff*diff) DIV V  with diff = 1000*O1 - E1 milli
+# The inner shares are <=1000 at ANY scale, so every product is bounded
+# by d_t * 1e6 — no n^2 terms ever form (realistic diff ~ sqrt(n)*1000
+# documented). Group split is deterministic (user_id % 2).
+
+
+@register(
+    "logrank_test",
+    f"""
+WITH lr_fv AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS g, min(ts) AS fv
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+lr_end AS (SELECT max(ts) AS tend FROM events),
+lr_fp AS (
+  SELECT e.user_id, min(e.ts) AS fp
+  FROM events e JOIN lr_fv v ON v.user_id = e.user_id AND e.ts > v.fv
+  WHERE e.event_type = 'purchase' GROUP BY 1),
+lr_obs AS (
+  SELECT v.g,
+         date_diff('microsecond', v.fv, p.fp) // {_HOUR_US} AS raw_t,
+         date_diff('microsecond', v.fv, x.tend) // {_HOUR_US} AS span
+  FROM lr_fv v CROSS JOIN lr_end x
+  LEFT JOIN lr_fp p ON p.user_id = v.user_id),
+lr_tc AS (
+  SELECT g,
+         CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND raw_t <= span
+              THEN raw_t ELSE least(120, span) END AS t,
+         CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND raw_t <= span
+              THEN 1 ELSE 0 END AS ev
+  FROM lr_obs),
+lr_h AS (
+  SELECT t,
+         CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r2
+  FROM lr_tc GROUP BY 1),
+lr_r AS (
+  SELECT t, d1, d2,
+         sum(r1) OVER () - (sum(r1) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - r1)
+           AS n1,
+         sum(r2) OVER () - (sum(r2) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - r2)
+           AS n2
+  FROM lr_h),
+lr_terms AS (
+  SELECT d1, d2, n1, n2, n1 + n2 AS nt, d1 + d2 AS dt,
+         (1000 * n1) // (n1 + n2) AS p1m,
+         (1000 * n2) // (n1 + n2) AS p2m
+  FROM lr_r WHERE n1 + n2 > 0),
+lr_sum AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+         CAST(sum(dt * p1m) AS BIGINT) AS e1_milli,
+         CAST(sum(p1m * p2m * (dt * (nt - dt) // GREATEST(nt - 1, 1)))
+           AS BIGINT) AS v_micro,
+         CAST(max(n1) AS BIGINT) AS n1_users,
+         CAST(max(n2) AS BIGINT) AS n2_users
+  FROM lr_terms)
+SELECT n1_users, n2_users, o1, o2, e1_milli, v_micro,
+       CAST(CASE WHEN 1000 * o1 - e1_milli >= 0 THEN 1 ELSE -1 END
+         AS BIGINT) AS diff_sign,
+       CAST((1000 * abs(1000 * o1 - e1_milli) * abs(1000 * o1 - e1_milli))
+         // GREATEST(v_micro, 1) AS BIGINT) AS chi2_milli
+FROM lr_sum
+""",
+    doc="Mantel-Cox log-rank test: even vs odd user-id cohorts on the "
+    "kaplan_meier view->purchase conversion (same 120h + window "
+    "censoring). Per-term integer floors on the bounded hour dimension "
+    "keep every product <= d_t*1e6 at any SF; chi2 in milli with the "
+    "sign of O1-E1. The two-sample complement of kaplan_meier.",
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").localCheckpoint(eager=False)
+    fv = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+        .selectExpr("user_id", "CAST(user_id % 2 AS BIGINT) AS g", "fv")
+    )
+    tend = ev.agg(F.max("ts").alias("tend"))
+    fp = (
+        ev.where("event_type = 'purchase'")
+        .join(fv.selectExpr("user_id", "fv AS fv2"), "user_id")
+        .where("ts > fv2")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    obs = (
+        fv.crossJoin(F.broadcast(tend))
+        .join(fp, "user_id", "left")
+        .selectExpr(
+            "g",
+            f"timestampdiff(MICROSECOND, fv, fp) DIV {_HOUR_US} AS raw_t",
+            f"timestampdiff(MICROSECOND, fv, tend) DIV {_HOUR_US} AS span",
+        )
+    )
+    tc = obs.selectExpr(
+        "g",
+        "CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND raw_t <= span"
+        " THEN raw_t ELSE least(120, span) END AS t",
+        "CASE WHEN raw_t IS NOT NULL AND raw_t <= 120 AND raw_t <= span"
+        " THEN 1 ELSE 0 END AS ev",
+    )
+    h = tc.groupBy("t").agg(
+        F.expr("CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT)").alias("d1"),
+        F.expr("CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT)").alias("d2"),
+        F.expr("CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("r1"),
+        F.expr("CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("r2"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    r = h.select(
+        "t", "d1", "d2",
+        (F.sum("r1").over(wall) - (F.sum("r1").over(w) - F.col("r1"))).alias("n1"),
+        (F.sum("r2").over(wall) - (F.sum("r2").over(w) - F.col("r2"))).alias("n2"),
+    )
+    terms = r.where("n1 + n2 > 0").selectExpr(
+        "d1", "d2", "n1", "n2", "n1 + n2 AS nt", "d1 + d2 AS dt",
+        "(1000 * n1) DIV (n1 + n2) AS p1m",
+        "(1000 * n2) DIV (n1 + n2) AS p2m",
+    )
+    s = terms.agg(
+        F.expr("CAST(sum(d1) AS BIGINT)").alias("o1"),
+        F.expr("CAST(sum(d2) AS BIGINT)").alias("o2"),
+        F.expr("CAST(sum(dt * p1m) AS BIGINT)").alias("e1_milli"),
+        F.expr(
+            "CAST(sum(p1m * p2m * (dt * (nt - dt)"
+            " DIV GREATEST(nt - 1, CAST(1 AS BIGINT)))) AS BIGINT)"
+        ).alias("v_micro"),
+        F.expr("CAST(max(n1) AS BIGINT)").alias("n1_users"),
+        F.expr("CAST(max(n2) AS BIGINT)").alias("n2_users"),
+    )
+    return s.selectExpr(
+        "n1_users", "n2_users", "o1", "o2", "e1_milli", "v_micro",
+        "CAST(CASE WHEN 1000 * o1 - e1_milli >= 0 THEN 1 ELSE -1 END"
+        " AS BIGINT) AS diff_sign",
+        "CAST((1000 * abs(1000 * o1 - e1_milli)"
+        " * abs(1000 * o1 - e1_milli))"
+        " DIV GREATEST(v_micro, CAST(1 AS BIGINT)) AS BIGINT)"
+        " AS chi2_milli",
+    )

@@ -2745,3 +2745,22 @@ def q_resolution_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS retained_milli",
         )
     )
+
+
+# --- round 3 (cont. 9): geographically weighted regression --------------------
+
+
+@register(
+    "gwr_local",
+    f"{_CTES},\n{pp_ops.gwr_oracle_sql()}",
+    doc="Geographically weighted regression (Fotheringham GWR): per res-7 "
+    "focal cell, a kernel-weighted local OLS of the density surface "
+    "(per-mille of max count, bounded <=1000 at any SF) on squared grid "
+    "distance to the nearest hotspot; triangular-squared kernel on the "
+    "Chebyshev ring, exact integer slope = sign + milli. The spatially-"
+    "varying-coefficient sibling of ols_trend: slopes differ near "
+    "hotspots vs the flat background. Cells collapse first; the 81-"
+    "offset fan + packed-key equi-join aggregates in-stream.",
+)
+def q_gwr_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pp_ops.gwr_local(_tiles(spark, sf_dir))
