@@ -2230,3 +2230,471 @@ SELECT v1.v, CAST(v1.w AS BIGINT) AS w1, CAST(v2.w AS BIGINT) AS w2,
        CAST(16 * v1.w + 4 * v2.w + v3.w AS BIGINT) AS katz_q
 FROM x1 v1 JOIN x2 v2 ON v2.v = v1.v JOIN x3 v3 ON v3.v = v1.v
 """
+
+
+# ---------------------------------------------------------------------------
+# R288: subgraph motif census (wedges, triangles, 3-stars, 4-cycles)
+# ---------------------------------------------------------------------------
+#
+# The graphlet-census primitives beyond triangle_count: wedge count
+# Σ C(deg,2) and 3-star count Σ C(deg,3) read off the degree dimension
+# alone; triangles reuse the oriented two-hop join; 4-cycles use the
+# diagonal identity C4 = ½ Σ_{u<v} C(codeg(u,v), 2) — every 4-cycle
+# u-x-v-y has exactly TWO diagonal pairs {u,v},{x,y}, so the sum is
+# provably even. codeg comes from the wedge fan (adjacency self-joined
+# on the middle vertex, endpoints ordered u<v) aggregated IN-STREAM —
+# the pair frame dies inside its join stage (density-quadratic
+# discipline); nothing is ever all-pairs in the vertex count.
+
+
+def motif_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    ue = _undirected(edges).localCheckpoint(eager=False)
+    ad = ue.selectExpr("a AS x", "b AS y").unionByName(
+        ue.selectExpr("b AS x", "a AS y")
+    )
+    deg = ad.groupBy("x").agg(F.count("*").cast("bigint").alias("deg"))
+    base = deg.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_vertices"),
+        F.expr("CAST(sum(deg) AS BIGINT) DIV 2").alias("n_edges"),
+        F.expr("CAST(sum(deg * (deg - 1) DIV 2) AS BIGINT)").alias(
+            "wedges"
+        ),
+        F.expr(
+            "CAST(sum(deg * (deg - 1) * (deg - 2) DIV 6) AS BIGINT)"
+        ).alias("stars3"),
+    )
+    # triangles: oriented a<b<c two-hop + closing-edge semi join
+    e1 = ue.selectExpr("a", "b")
+    e2 = ue.selectExpr("a AS b", "b AS c")
+    tri = (
+        e1.join(e2, "b")
+        .join(ue.selectExpr("a", "b AS c"), ["a", "c"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    # 4-cycles via diagonal codegree pairs (in-stream aggregation)
+    w1 = ad.selectExpr("x AS m", "y AS u")
+    w2 = ad.selectExpr("x AS m", "y AS v")
+    c4 = (
+        w1.join(w2, "m")
+        .where("u < v")
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("cd"))
+        .agg(
+            F.expr(
+                "CAST(sum(cd * (cd - 1) DIV 2) AS BIGINT) DIV 2"
+            ).alias("cycles4")
+        )
+    )
+    return base.crossJoin(tri).crossJoin(c4)
+
+
+def motif_counts_oracle(kind: str = "bfs") -> str:
+    return f"""
+WITH mo_base AS ({edges_sql(kind)}),
+mo_ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM mo_base WHERE src <> dst),
+mo_ad AS (
+  SELECT a AS x, b AS y FROM mo_ue
+  UNION ALL SELECT b, a FROM mo_ue),
+mo_deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS deg FROM mo_ad GROUP BY 1),
+mo_b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(deg) AS BIGINT) // 2 AS n_edges,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges,
+         CAST(sum(deg * (deg - 1) * (deg - 2) // 6) AS BIGINT) AS stars3
+  FROM mo_deg),
+mo_tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM mo_ue e1 JOIN mo_ue e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM mo_ue e3
+                WHERE e3.a = e1.a AND e3.b = e2.b)),
+mo_cd AS (
+  SELECT w1.y AS u, w2.y AS v, CAST(count(*) AS BIGINT) AS cd
+  FROM mo_ad w1 JOIN mo_ad w2 ON w2.x = w1.x
+  WHERE w1.y < w2.y GROUP BY 1, 2),
+mo_c4 AS (
+  SELECT CAST(sum(cd * (cd - 1) // 2) AS BIGINT) // 2 AS cycles4
+  FROM mo_cd)
+SELECT n_vertices, n_edges, wedges, stars3, triangles, cycles4
+FROM mo_b CROSS JOIN mo_tri CROSS JOIN mo_c4"""
+
+
+# ---------------------------------------------------------------------------
+# R289: parallel Louvain move phase (one synchronized round)
+# ---------------------------------------------------------------------------
+#
+# The building block of distributed Louvain community detection (Blondel
+# 2008; the synchronized-moves variant used by every Spark/Pregel
+# implementation): from a deterministic 16-block seed partition
+# (c0 = v % 16), every vertex simultaneously evaluates moving to each
+# NEIGHBOR community B. Exact cross-multiplied modularity gain (x 2m, no
+# floats):  g(B) = 2m*(e_vB - e_vA') - k_v*(Σ_B - Σ_A')   with
+# A' = A\{v} (Σ_A' = Σ_A - k_v; e_vA' = e_vA, no self-loops). Move to
+# the argmax iff g > 0, ties by smallest B then handled by unique
+# ordering. Modularity before/after in per-community-floored milli
+# (qa = (1000 e_C) DIV m, qb = (1000 Σ_C²) DIV 4m²) with the sign
+# discipline — synchronized moves do NOT guarantee monotone Q (two
+# vertices can swap), so both values are reported honestly.
+#
+# Scale shape: e_vC comes from adjacency ⋈ labels aggregated in-stream
+# on (v, comm); Σ_C and the gain argmax are vertex/community-keyed aggs;
+# nothing is quadratic in vertices.
+
+LOUVAIN_BLOCKS = 16
+
+
+def louvain_move(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    ue = _undirected(edges).localCheckpoint(eager=False)
+    m = ue.agg(F.expr("CAST(count(*) AS BIGINT)").alias("m"))
+    ad = ue.selectExpr("a AS v", "b AS u").unionByName(
+        ue.selectExpr("b AS v", "a AS u")
+    )
+    deg = ad.groupBy("v").agg(F.count("*").cast("bigint").alias("k"))
+    lab = deg.selectExpr("v", f"v % {LOUVAIN_BLOCKS} AS c", "k")
+    sig = lab.groupBy("c").agg(F.expr("CAST(sum(k) AS BIGINT)").alias("sig"))
+    # edges from v into each neighbor community (in-stream agg)
+    evc = (
+        ad.join(
+            lab.selectExpr("v AS u", "c AS cu"), "u"
+        )
+        .groupBy("v", "cu")
+        .agg(F.count("*").cast("bigint").alias("e"))
+    )
+    own = lab.selectExpr("v", "c AS ca", "k")
+    ea = (
+        own.join(
+            evc.selectExpr("v AS v2", "cu", "e"),
+            F.expr("v2 = v AND cu = ca"),
+            "left",
+        )
+        .selectExpr("v", "ca", "k", "coalesce(e, CAST(0 AS BIGINT)) AS ea")
+    )
+    cand = (
+        evc.join(ea.selectExpr("v", "ca", "k", "ea"), "v")
+        .where("cu <> ca")
+        .join(F.broadcast(sig.selectExpr("c AS cu", "sig AS sigb")), "cu")
+        .join(F.broadcast(sig.selectExpr("c AS ca", "sig AS siga")), "ca")
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "v", "ca", "cu",
+            "2 * m * (e - ea) - k * (sigb - (siga - k)) AS g",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wv = Window.partitionBy("v").orderBy(F.desc("g"), F.asc("cu"))
+    best = (
+        cand.withColumn("rk", F.row_number().over(wv))
+        .where("rk = 1 AND g > 0")
+        .selectExpr("v", "cu AS c_new")
+    )
+    moved = lab.join(best, "v", "left").selectExpr(
+        "v", "c", "coalesce(c_new, c) AS c1", "k"
+    ).localCheckpoint(eager=False)
+
+    def q_parts(labels: DataFrame, ccol: str):
+        ein = (
+            ue.join(labels.selectExpr(f"v AS a", f"{ccol} AS cA"), "a")
+            .join(labels.selectExpr(f"v AS b", f"{ccol} AS cB"), "b")
+            .where("cA = cB")
+            .groupBy("cA")
+            .agg(F.count("*").cast("bigint").alias("ein"))
+        )
+        sg = labels.groupBy(ccol).agg(
+            F.expr("CAST(sum(k) AS BIGINT)").alias("sg")
+        ).withColumnRenamed(ccol, "cA")
+        return (
+            sg.join(ein, "cA", "left")
+            .crossJoin(F.broadcast(m))
+            .selectExpr(
+                "(1000 * coalesce(ein, CAST(0 AS BIGINT))) DIV m AS qa",
+                "(1000 * sg * sg) DIV (4 * m * m) AS qb",
+            )
+            .agg(
+                F.expr("CAST(sum(qa) - sum(qb) AS BIGINT)").alias("q")
+            )
+        )
+
+    q0 = q_parts(moved, "c").selectExpr("q AS q0")
+    q1 = q_parts(moved, "c1").selectExpr("q AS q1")
+    nm = moved.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_vertices"),
+        F.expr(
+            "CAST(sum(CASE WHEN c1 <> c THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_moved"),
+        F.expr("CAST(count(DISTINCT c1) AS BIGINT)").alias("n_comms_after"),
+    )
+    return (
+        nm.crossJoin(q0).crossJoin(q1).crossJoin(m)
+        .selectExpr(
+            "n_vertices", "m AS n_edges", "n_moved", "n_comms_after",
+            "CAST(CASE WHEN q0 >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+            " AS q0_sign",
+            "CAST(abs(q0) AS BIGINT) AS q0_abs_milli",
+            "CAST(CASE WHEN q1 >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+            " AS q1_sign",
+            "CAST(abs(q1) AS BIGINT) AS q1_abs_milli",
+        )
+    )
+
+
+def louvain_move_oracle(kind: str = "bfs") -> str:
+    nb = LOUVAIN_BLOCKS
+    return f"""
+WITH lv_base AS ({edges_sql(kind)}),
+lv_ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM lv_base WHERE src <> dst),
+lv_m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lv_ue),
+lv_ad AS (
+  SELECT a AS v, b AS u FROM lv_ue UNION ALL SELECT b, a FROM lv_ue),
+lv_lab AS (
+  SELECT v, v % {nb} AS c, CAST(count(*) AS BIGINT) AS k
+  FROM lv_ad GROUP BY 1, 2),
+lv_sig AS (
+  SELECT c, CAST(sum(k) AS BIGINT) AS sig FROM lv_lab GROUP BY 1),
+lv_evc AS (
+  SELECT d.v, l.c AS cu, CAST(count(*) AS BIGINT) AS e
+  FROM lv_ad d JOIN lv_lab l ON l.v = d.u GROUP BY 1, 2),
+lv_ea AS (
+  SELECT o.v, o.c AS ca, o.k, coalesce(x.e, 0) AS ea
+  FROM lv_lab o LEFT JOIN lv_evc x ON x.v = o.v AND x.cu = o.c),
+lv_cand AS (
+  SELECT e.v, a.ca, e.cu,
+         2 * m.m * (e.e - a.ea) - a.k * (sb.sig - (sa.sig - a.k)) AS g
+  FROM lv_evc e
+  JOIN lv_ea a ON a.v = e.v
+  JOIN lv_sig sb ON sb.c = e.cu
+  JOIN lv_sig sa ON sa.c = a.ca
+  CROSS JOIN lv_m m
+  WHERE e.cu <> a.ca),
+lv_best AS (
+  SELECT v, cu AS c_new
+  FROM (SELECT v, cu, g,
+               row_number() OVER (PARTITION BY v ORDER BY g DESC, cu)
+                 AS rk
+        FROM lv_cand)
+  WHERE rk = 1 AND g > 0),
+lv_mv AS (
+  SELECT l.v, l.c, coalesce(b.c_new, l.c) AS c1, l.k
+  FROM lv_lab l LEFT JOIN lv_best b ON b.v = l.v),
+lv_q0 AS (
+  SELECT CAST(sum(qa) - sum(qb) AS BIGINT) AS q0 FROM (
+    SELECT (1000 * coalesce(e.ein, 0)) // m.m AS qa,
+           (1000 * s.sg * s.sg) // (4 * m.m * m.m) AS qb
+    FROM (SELECT c AS cA, CAST(sum(k) AS BIGINT) AS sg
+          FROM lv_mv GROUP BY 1) s
+    LEFT JOIN (SELECT la.c AS cA, CAST(count(*) AS BIGINT) AS ein
+               FROM lv_ue u JOIN lv_mv la ON la.v = u.a
+               JOIN lv_mv lb ON lb.v = u.b
+               WHERE la.c = lb.c GROUP BY 1) e ON e.cA = s.cA
+    CROSS JOIN lv_m m)),
+lv_q1 AS (
+  SELECT CAST(sum(qa) - sum(qb) AS BIGINT) AS q1 FROM (
+    SELECT (1000 * coalesce(e.ein, 0)) // m.m AS qa,
+           (1000 * s.sg * s.sg) // (4 * m.m * m.m) AS qb
+    FROM (SELECT c1 AS cA, CAST(sum(k) AS BIGINT) AS sg
+          FROM lv_mv GROUP BY 1) s
+    LEFT JOIN (SELECT la.c1 AS cA, CAST(count(*) AS BIGINT) AS ein
+               FROM lv_ue u JOIN lv_mv la ON la.v = u.a
+               JOIN lv_mv lb ON lb.v = u.b
+               WHERE la.c1 = lb.c1 GROUP BY 1) e ON e.cA = s.cA
+    CROSS JOIN lv_m m)),
+lv_nm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(CASE WHEN c1 <> c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved,
+         CAST(count(DISTINCT c1) AS BIGINT) AS n_comms_after
+  FROM lv_mv)
+SELECT n_vertices, m.m AS n_edges, n_moved, n_comms_after,
+       CAST(CASE WHEN q0 >= 0 THEN 1 ELSE -1 END AS BIGINT) AS q0_sign,
+       CAST(abs(q0) AS BIGINT) AS q0_abs_milli,
+       CAST(CASE WHEN q1 >= 0 THEN 1 ELSE -1 END AS BIGINT) AS q1_sign,
+       CAST(abs(q1) AS BIGINT) AS q1_abs_milli
+FROM lv_nm CROSS JOIN lv_q0 CROSS JOIN lv_q1 CROSS JOIN lv_m m"""
+
+
+# ---------------------------------------------------------------------------
+# R287: minimum spanning forest (distributed Borůvka)
+# ---------------------------------------------------------------------------
+#
+# Borůvka's algorithm — THE distributed MST method (every round is pure
+# vertex/comp-keyed joins; active component count at least halves per
+# round). Weights are md5-derived ints 1..100 made GLOBALLY UNIQUE by
+# packing the edge into the low bits (wkey = w·2^44 + a·2^22 + b), so
+# the MST is unique and both engines (and the python Kruskal replay)
+# must produce the identical edge SET — an algorithm-independent oracle
+# on top of the engine-parity one.
+#
+# Per round: (1) every component picks its minimum-wkey outgoing edge
+# (cut property: all picks are MST edges; unique weights ⇒ no cycles),
+# (2) components merge by MIN-LABEL propagation over the selection
+# graph, run to a SCALAR fixpoint — labels only decrease, so the
+# (count, sum) probe is a complete convergence check (the
+# connected_components discipline; two steps per checkpoint). The
+# DuckDB oracle replicates rounds 1:1 but collapses labels with an
+# UNCAPPED recursive min-label closure — if the Spark fixpoint ever
+# stopped early, parity would fail (the dissolve/percolation oracle
+# discipline).
+
+MST_ROUNDS = 5
+
+
+def _mst_edges(spark: SparkSession) -> DataFrame:
+    from ..functions import md5int_spark
+
+    ue = _undirected(edges_df(spark, "bfs"))
+    h = md5int_spark("concat(CAST(a AS STRING), ',', CAST(b AS STRING))")
+    return ue.selectExpr(
+        "a", "b",
+        f"1 + ({h}) % 100 AS w",
+        f"(1 + ({h}) % 100) * {1 << 44} + a * {1 << 22} + b AS wkey",
+    )
+
+
+def _mst_edges_sql() -> str:
+    from ..functions import md5int_duck
+
+    h = md5int_duck("CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)")
+    return f"""
+  SELECT a, b, 1 + ({h}) % 100 AS w,
+         (1 + ({h}) % 100) * {1 << 44} + a * {1 << 22} + b AS wkey
+  FROM (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({edges_sql('bfs')}) WHERE src <> dst)"""
+
+
+def mst_boruvka(
+    spark: SparkSession,
+    rounds: int = MST_ROUNDS,
+    max_collapse: int = 20,
+) -> DataFrame:
+    ue = _mst_edges(spark).localCheckpoint(eager=False)
+    lab = (
+        ue.selectExpr("a AS v")
+        .unionByName(ue.selectExpr("b AS v"))
+        .distinct()
+        .selectExpr("v", "v AS c")
+        .localCheckpoint(eager=True)
+    )
+    sel_all = None
+    for _ in range(rounds):
+        el = (
+            ue.join(lab.selectExpr("v AS a", "c AS ca"), "a")
+            .join(lab.selectExpr("v AS b", "c AS cb"), "b")
+            .where("ca <> cb")
+        )
+        x = el.selectExpr(
+            "ca AS cs", "cb AS cd", "wkey", "a", "b", "w"
+        ).unionByName(
+            el.selectExpr("cb AS cs", "ca AS cd", "wkey", "a", "b", "w")
+        )
+        pick = (
+            x.groupBy("cs")
+            .agg(F.min("wkey").alias("mk"))
+            .selectExpr("cs AS pcs", "mk")
+        )
+        sel = (
+            x.join(pick, F.expr("pcs = cs AND mk = wkey"))
+            .select("cs", "cd", "wkey", "a", "b", "w")
+            .localCheckpoint(eager=True)
+        )
+        if sel.isEmpty():
+            break
+        mst_e = sel.select("wkey", "a", "b", "w").distinct()
+        sel_all = mst_e if sel_all is None else sel_all.unionByName(mst_e)
+        # merge by min-label propagation over the selection graph
+        g = (
+            sel.selectExpr("cs", "cd")
+            .unionByName(sel.selectExpr("cd AS cs", "cs AS cd"))
+            .dropDuplicates(["cs", "cd"])
+            .localCheckpoint(eager=False)
+        )
+        t = lab.select("c").distinct().selectExpr("c AS node", "c AS nl")
+
+        def cstep(tt: DataFrame) -> DataFrame:
+            cand = tt.join(g, F.expr("cs = node")).selectExpr(
+                "cd AS node", "nl"
+            )
+            return (
+                tt.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("nl").alias("nl"))
+            )
+
+        prev_sig = None
+        for _j in range(max_collapse // 2):
+            t = cstep(cstep(t)).localCheckpoint(eager=True)
+            row = t.agg(
+                F.count("*").alias("n"), F.sum("nl").alias("s")
+            ).first()
+            sig = (row["n"], row["s"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        lab = (
+            lab.join(t.selectExpr("node AS c", "nl"), "c")
+            .selectExpr("v", "nl AS c")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sel_all.select("wkey", "a", "b", "w")
+        .distinct()
+        .select("a", "b", F.col("w").cast("bigint").alias("w"))
+    )
+
+
+def mst_oracle_sql(rounds: int = MST_ROUNDS) -> str:
+    chain = [f"ms_ue AS MATERIALIZED ({_mst_edges_sql()})"]
+    chain.append(
+        "l0 AS MATERIALIZED (SELECT v, v AS c FROM "
+        "(SELECT a AS v FROM ms_ue UNION SELECT b FROM ms_ue))"
+    )
+    for r in range(rounds):
+        chain.append(
+            f"x{r} AS MATERIALIZED ("
+            f" SELECT l1.c AS cs, l2.c AS cd, e.wkey, e.a, e.b, e.w"
+            f" FROM ms_ue e JOIN l{r} l1 ON l1.v = e.a"
+            f" JOIN l{r} l2 ON l2.v = e.b WHERE l1.c <> l2.c"
+            f" UNION ALL"
+            f" SELECT l2.c, l1.c, e.wkey, e.a, e.b, e.w"
+            f" FROM ms_ue e JOIN l{r} l1 ON l1.v = e.a"
+            f" JOIN l{r} l2 ON l2.v = e.b WHERE l1.c <> l2.c)"
+        )
+        chain.append(
+            f"s{r} AS MATERIALIZED ("
+            f" SELECT x.cs, x.cd, x.wkey, x.a, x.b, x.w FROM x{r} x"
+            f" JOIN (SELECT cs, min(wkey) AS mk FROM x{r} GROUP BY 1) p"
+            f" ON p.cs = x.cs AND p.mk = x.wkey)"
+        )
+        chain.append(
+            f"g{r} AS MATERIALIZED ("
+            f" SELECT DISTINCT cs, cd FROM"
+            f" (SELECT cs, cd FROM s{r}"
+            f"  UNION ALL SELECT cd, cs FROM s{r}))"
+        )
+        # UNCAPPED min-label closure over the selection graph
+        chain.append(
+            f"ch{r} AS MATERIALIZED ("
+            f" WITH RECURSIVE rc AS ("
+            f"   SELECT c AS node, c AS nl"
+            f"   FROM (SELECT DISTINCT c FROM l{r})"
+            f"   UNION"
+            f"   SELECT gg.cd, rc.nl FROM rc"
+            f"   JOIN g{r} gg ON gg.cs = rc.node)"
+            f" SELECT node, min(nl) AS nl FROM rc GROUP BY 1)"
+        )
+        chain.append(
+            f"l{r+1} AS MATERIALIZED ("
+            f" SELECT l.v, h.nl AS c FROM l{r} l"
+            f" JOIN ch{r} h ON h.node = l.c)"
+        )
+    sels = " UNION ".join(
+        f"SELECT wkey, a, b, w FROM s{r}" for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\nSELECT a, b, CAST(w AS BIGINT) AS w FROM ({sels})"
+    )

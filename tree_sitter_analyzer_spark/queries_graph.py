@@ -371,3 +371,50 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.katz3(spark, graph.edges_df(spark, "dag"))
+
+
+# --- round 3 (cont. 9): motif census + parallel Louvain move -----------------
+
+
+@register(
+    "motif_counts",
+    graph.motif_counts_oracle("bfs"),
+    doc="Subgraph motif census: wedges ΣC(deg,2) and 3-stars ΣC(deg,3) "
+    "off the degree dimension, triangles via the oriented two-hop "
+    "join, 4-cycles via the diagonal identity C4 = ½ΣC(codeg,2) with "
+    "the codegree frame aggregated in-stream (pair rows die inside "
+    "their join stage). The graphlet primitives beyond triangle_count.",
+)
+def q_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.motif_counts(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "louvain_move",
+    graph.louvain_move_oracle("bfs"),
+    doc="One synchronized parallel-Louvain move phase from a 16-block "
+    "seed partition: exact cross-multiplied modularity gain (x2m, no "
+    "floats), argmax move per vertex with smallest-community ties, "
+    "per-community-floored milli modularity before/after with the "
+    "sign discipline (synchronized moves are honestly non-monotone). "
+    "The distributed community-detection building block beside "
+    "label_propagation and kcore_community.",
+)
+def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.louvain_move(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "mst_boruvka",
+    graph.mst_oracle_sql(),
+    doc="Minimum spanning forest via distributed Borůvka: per round every "
+    "component picks its min-unique-weight outgoing edge (cut property "
+    "=> all picks are MST edges), picks form a functional pointer "
+    "graph whose 2-cycles break to the smaller root, pointer JUMPING "
+    "collapses chains in log steps. Unique packed weights make the MST "
+    "unique, so the engine-parity oracle (UNCAPPED recursive pointer "
+    "chase) and the algorithm-independent python Kruskal replay must "
+    "both produce the identical edge set.",
+)
+def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.mst_boruvka(spark)
