@@ -3247,3 +3247,94 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * abs(s2 - sum_n2)) DIV ((n - 1) * sum_n2)"
         " AS BIGINT) AS iso_abs_milli",
     )
+
+
+
+
+# --- R290: differential-privacy geometric-mechanism release --------------------------------
+#
+# The missing rung of the privacy family (k-anon/l-div = kanon_audit,
+# t-closeness = tcloseness_audit, sensitivity capping =
+# contribution_bounding): an actual NOISE MECHANISM. Weekly per-type
+# event counts released under the two-sided geometric mechanism with
+# ratio 1/2 (epsilon = ln 2, sensitivity 1 per event): noise =
+# rho(h1) - rho(h2), the difference of two iid Geometric(1/2)
+# trailing-zero draws off md5(type||week||side) — the SAME rho
+# construction as HLL's, so the draw is exact, engine-portable, and
+# (deliberately) a deterministic REPLAY of the mechanism: the md5 seed
+# stands where a production run puts secure randomness (the
+# poisson_bootstrap inverse-CDF discipline). Released counts clamp at
+# 0; true/released/signed error ride along so utility (E|noise| ~ 1.5,
+# var 4) is auditable. Scale: one keyed agg over events, noise is
+# per-GROUP (bounded dimension), never per-row.
+
+_DPR_DAY_US = 86400000000
+
+
+def _dp_noise_sql(md5int) -> str:
+    from .operators.sketch import _rho_case
+
+    h1 = md5int("concat(event_type, '#', CAST(wk AS STRING), '#a')")
+    h2 = md5int("concat(event_type, '#', CAST(wk AS STRING), '#b')")
+    return f"({_rho_case(h1, 32)} - {_rho_case(h2, 32)})"
+
+
+def _dp_noise_duck() -> str:
+    from .functions import md5int_duck
+    from .operators.sketch import _rho_case
+
+    h1 = md5int_duck("event_type || '#' || CAST(wk AS VARCHAR) || '#a'")
+    h2 = md5int_duck("event_type || '#' || CAST(wk AS VARCHAR) || '#b'")
+    return f"({_rho_case(h1, 32)} - {_rho_case(h2, 32)})"
+
+
+@register(
+    "dp_release",
+    f"""
+WITH dpr_g AS (
+  SELECT event_type,
+         (date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+           // {_DPR_DAY_US}) // 7 AS wk,
+         CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1, 2),
+dpr_n AS (
+  SELECT event_type, wk, true_n,
+         CAST({_dp_noise_duck()} AS BIGINT) AS noise
+  FROM dpr_g)
+SELECT event_type, CAST(wk AS BIGINT) AS wk, true_n, noise,
+       GREATEST(true_n + noise, 0) AS released,
+       GREATEST(true_n + noise, 0) - true_n AS err
+FROM dpr_n
+""",
+    doc="Differential-privacy release of weekly per-type event counts "
+    "under the two-sided geometric mechanism (ratio 1/2, eps = ln 2, "
+    "sensitivity 1): noise = difference of two iid Geometric(1/2) "
+    "trailing-zero draws off md5 (HLL's rho construction — exact, "
+    "portable, deterministic replay per the bootstrap discipline). "
+    "Zero-clamped release with the signed error for the utility "
+    "audit. Noise is per-group on the bounded dimension, never "
+    "per-row.",
+)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import md5int_spark
+
+    g = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" DIV {_DPR_DAY_US}) DIV 7 AS wk",
+        )
+        .groupBy("event_type", "wk")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("true_n"))
+    )
+    n = g.selectExpr(
+        "event_type", "wk", "true_n",
+        f"CAST({_dp_noise_sql(md5int_spark)} AS BIGINT) AS noise",
+    )
+    return n.selectExpr(
+        "event_type", "CAST(wk AS BIGINT) AS wk", "true_n", "noise",
+        "GREATEST(true_n + noise, CAST(0 AS BIGINT)) AS released",
+        "GREATEST(true_n + noise, CAST(0 AS BIGINT)) - true_n AS err",
+    )

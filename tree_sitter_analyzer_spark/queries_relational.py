@@ -8322,3 +8322,275 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " DIV GREATEST(v_micro, CAST(1 AS BIGINT)) AS BIGINT)"
         " AS chi2_milli",
     )
+
+
+# --- R291: Yannakakis semi-join program (acyclic multi-way join) ----------------------------
+#
+# The classic full-reducer evaluation of an acyclic join (Yannakakis
+# 1981): bottom-up semi-joins strip dangling tuples, top-down
+# semi-joins finish the reduction, and only THEN does the join run —
+# at 100 TB this is the difference between intermediate results
+# bounded by the OUTPUT size and a chain join that materializes
+# billions of dangling rows. Chain here: region('ASIA') — nation —
+# customer — orders(1995H1) — lineitem(qty < 10). The audit emits the
+# fully-reduced cardinality of EVERY relation (= rows that appear in
+# at least one final join row — the Yannakakis guarantee) beside the
+# final join count and exact revenue cents; the oracle re-derives each
+# reduction with independent EXISTS subqueries.
+
+
+@register(
+    "yannakakis_chain",
+    """
+WITH yk_n AS (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'),
+yk_c AS (
+  SELECT c.c_custkey FROM customer c
+  JOIN yk_n n ON n.n_nationkey = c.c_nationkey),
+yk_o AS (
+  SELECT o.o_orderkey FROM orders o
+  JOIN yk_c c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1995-07-01'),
+yk_l AS (
+  SELECT l.l_orderkey,
+         CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 100e0)
+           AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN yk_o o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_quantity < 10e0),
+yk_o2 AS (
+  SELECT o_orderkey FROM yk_o
+  WHERE EXISTS (SELECT 1 FROM yk_l l WHERE l.l_orderkey = o_orderkey)),
+yk_c2 AS (
+  SELECT c_custkey FROM yk_c
+  WHERE EXISTS (SELECT 1 FROM orders o JOIN yk_o2 k
+                ON k.o_orderkey = o.o_orderkey
+                WHERE o.o_custkey = c_custkey)),
+yk_n2 AS (
+  SELECT n_nationkey FROM yk_n
+  WHERE EXISTS (SELECT 1 FROM customer c JOIN yk_c2 k
+                ON k.c_custkey = c.c_custkey
+                WHERE c.c_nationkey = n_nationkey))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM yk_n2) AS n_nation_red,
+       (SELECT CAST(count(*) AS BIGINT) FROM yk_c2) AS n_cust_red,
+       (SELECT CAST(count(*) AS BIGINT) FROM yk_o2) AS n_orders_red,
+       (SELECT CAST(count(*) AS BIGINT) FROM yk_l) AS n_lineitem_red,
+       (SELECT CAST(count(*) AS BIGINT) FROM yk_l) AS join_rows,
+       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM yk_l)
+         AS rev_cents
+""",
+    doc="Yannakakis full-reducer program over the acyclic chain "
+    "region(ASIA)-nation-customer-orders(1995H1)-lineitem(qty<10): "
+    "bottom-up then top-down LEFT SEMI passes strip every dangling "
+    "tuple BEFORE the join, so intermediates are bounded by the output "
+    "— the at-scale discipline for multi-way joins. Emits each "
+    "relation's fully-reduced cardinality + final count + exact "
+    "revenue cents; oracle re-derives reductions via independent "
+    "EXISTS subqueries.",
+)
+def q_yannakakis_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP_NTZ '1995-07-01 00:00:00'"
+    )
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity < 10e0")
+    # bottom-up semi-join reduction (root = lineitem)
+    n1 = nation.join(
+        F.broadcast(region.select("r_regionkey")),
+        F.expr("r_regionkey = n_regionkey"),
+        "left_semi",
+    )
+    c1 = cust.join(
+        F.broadcast(n1.select("n_nationkey")),
+        F.expr("n_nationkey = c_nationkey"),
+        "left_semi",
+    )
+    o1 = orders.join(
+        c1.select("c_custkey"), F.expr("c_custkey = o_custkey"), "left_semi"
+    )
+    l1 = li.join(
+        o1.select("o_orderkey"), F.expr("o_orderkey = l_orderkey"),
+        "left_semi",
+    )
+    # top-down passes complete the full reduction
+    o2 = o1.join(
+        l1.select("l_orderkey"), F.expr("l_orderkey = o_orderkey"),
+        "left_semi",
+    )
+    c2 = c1.join(
+        _t(spark, sf_dir, "orders")
+        .join(
+            o2.select(F.col("o_orderkey").alias("k2")),
+            F.expr("k2 = o_orderkey"),
+            "left_semi",
+        )
+        .select("o_custkey"),
+        F.expr("o_custkey = c_custkey"),
+        "left_semi",
+    )
+    n2 = n1.join(
+        cust.join(
+            c2.select(F.col("c_custkey").alias("k3")),
+            F.expr("k3 = c_custkey"),
+            "left_semi",
+        ).select("c_nationkey"),
+        F.expr("c_nationkey = n_nationkey"),
+        "left_semi",
+    )
+    counts = [
+        n2.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_nation_red")),
+        c2.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_cust_red")),
+        o2.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_orders_red")),
+        l1.selectExpr(
+            "CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0)"
+            " AS BIGINT) AS cents"
+        ).agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_lineitem_red"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("join_rows"),
+            F.expr("CAST(coalesce(sum(cents), 0) AS BIGINT)").alias(
+                "rev_cents"
+            ),
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+# --- R292: maximum-drawdown statistics -------------------------------------------------------
+#
+# The risk-analytics classic over the DETRENDED cumulative daily
+# revenue curve (deviations from the floored mean, kilodollars — the
+# raw cumulative is monotone by construction, so drawdown is only
+# meaningful on the detrended equity curve): running max, drawdown = peak - cum,
+# trough = argmax drawdown (min-day ties), the peak day that trough
+# fell from, the first recovery day (cum back >= peak; -1 if never),
+# and the peak-to-trough duration. Windows live on the bounded
+# calendar dimension only — never a per-row sort at corpus scale.
+
+
+@register(
+    "drawdown_stats",
+    f"""
+WITH dd_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+dd_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM dd_daily),
+dd_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM dd_cal c LEFT JOIN dd_daily d ON d.day = c.day),
+dd_m AS (
+  SELECT CAST(sum(v) AS BIGINT) // count(*) AS mu FROM dd_s),
+dd_c AS (
+  SELECT day,
+         sum(v - mu) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dd_s CROSS JOIN dd_m),
+dd_r AS (
+  SELECT day, cum,
+         max(cum) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM dd_c),
+dd_t AS (
+  SELECT day AS trough_day, cum AS trough_cum, runmax AS peak_cum,
+         runmax - cum AS max_dd
+  FROM (SELECT day, cum, runmax,
+               row_number() OVER (ORDER BY runmax - cum DESC, day) AS rk
+        FROM dd_r)
+  WHERE rk = 1),
+dd_p AS (
+  SELECT CAST(min(r.day) AS BIGINT) AS peak_day
+  FROM dd_r r CROSS JOIN dd_t t
+  WHERE r.cum = t.peak_cum AND r.day <= t.trough_day),
+dd_rec AS (
+  SELECT CAST(coalesce(min(r.day), -1) AS BIGINT) AS recovery_day
+  FROM dd_r r CROSS JOIN dd_t t
+  WHERE r.day > t.trough_day AND r.cum >= t.peak_cum)
+SELECT CAST(t.trough_day AS BIGINT) AS trough_day,
+       CAST(t.max_dd AS BIGINT) AS max_dd_kd,
+       CAST(t.peak_cum AS BIGINT) AS peak_cum_kd,
+       p.peak_day, r.recovery_day,
+       CAST(t.trough_day AS BIGINT) - p.peak_day AS dd_days
+FROM dd_t t CROSS JOIN dd_p p CROSS JOIN dd_rec r
+""",
+    doc="Maximum drawdown of the DETRENDED cumulative daily revenue "
+    "curve (floored-mean deviations, kilodollars): "
+    "running-max window on the bounded calendar, trough = argmax "
+    "drawdown with min-day ties, originating peak day, first recovery "
+    "day (-1 if never) and peak-to-trough duration. The finance risk "
+    "statistic beside xmr_chart / revenue_streaks / changepoint_split.",
+)
+def q_drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    mu = s.agg(
+        F.expr("CAST(sum(v) AS BIGINT) DIV count(*)").alias("mu")
+    )
+    s = s.crossJoin(F.broadcast(mu)).selectExpr("day", "v - mu AS v")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        s.withColumn("cum", F.sum("v").over(w))
+        .withColumn("runmax", F.max(F.col("cum")).over(w))
+        .select("day", "cum", "runmax")
+        .localCheckpoint(eager=False)
+    )
+    wt = Window.orderBy(F.desc(F.expr("runmax - cum")), F.asc("day"))
+    t = (
+        r.withColumn("rk", F.row_number().over(wt))
+        .where("rk = 1")
+        .selectExpr(
+            "day AS trough_day", "cum AS trough_cum",
+            "runmax AS peak_cum", "runmax - cum AS max_dd",
+        )
+    )
+    p = (
+        r.crossJoin(F.broadcast(t))
+        .where("cum = peak_cum AND day <= trough_day")
+        .agg(F.expr("CAST(min(day) AS BIGINT)").alias("peak_day"))
+    )
+    rec = (
+        r.crossJoin(F.broadcast(t))
+        .where("day > trough_day AND cum >= peak_cum")
+        .agg(
+            F.expr("CAST(coalesce(min(day), -1) AS BIGINT)").alias(
+                "recovery_day"
+            )
+        )
+    )
+    return (
+        t.crossJoin(p)
+        .crossJoin(rec)
+        .selectExpr(
+            "CAST(trough_day AS BIGINT) AS trough_day",
+            "CAST(max_dd AS BIGINT) AS max_dd_kd",
+            "CAST(peak_cum AS BIGINT) AS peak_cum_kd",
+            "peak_day", "recovery_day",
+            "CAST(trough_day AS BIGINT) - peak_day AS dd_days",
+        )
+    )
