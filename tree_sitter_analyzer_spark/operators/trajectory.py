@@ -1744,3 +1744,108 @@ FROM sm_e1 a
 LEFT JOIN sm_nbr n ON n.cx = a.cx AND n.cy = a.cy
 LEFT JOIN sm_e2 b ON b.cx = a.cx AND b.cy = a.cy
 GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# R293: mean-squared-displacement ladder (diffusion profile)
+# ---------------------------------------------------------------------------
+
+MSD_LAGS = (1, 2, 4, 8, 16)
+
+
+def msd_ladder(pings: DataFrame) -> DataFrame:
+    """Mean squared displacement vs time lag — the mobility-physics
+    diffusion diagnostic (Brockmann 2006 / Gonzalez 2008 family): for
+    each lag tau in (1,2,4,8,16) fixes, MSD(tau) = mean over (user, t)
+    of |p_{t+tau} - p_t|^2 in squared res-12 grid units.
+
+    All-integer (the pings discipline): squared displacements are exact
+    bigints, the milli mean is the staged-floor identity 1000*(S DIV n)
+    + (1000*(S % n)) DIV n == floor(1000*S/n) with every intermediate
+    far under 2^63 at any SF (per-row sq <= 2*(20*16)^2 ~ 2e5).
+    ``ratio_milli`` doubles the lag (MSD(2tau)/MSD(tau), milli): ~2000
+    flags normal diffusion, <2000 sub-diffusive dwell-trapping. -1
+    sentinel on the first rung.
+
+    Scale shape: every lead() shares ONE user-keyed window exchange;
+    the unpivoted (lag, sq) stream aggregates map-side into 5 rows.
+    Reference analog: ordered per-file span sequences
+    (``ast_cache.py`` row order) re-read as displacement series.
+    """
+    w = Window.partitionBy("user_id").orderBy("seq")
+    d = pings.select(
+        "user_id",
+        "seq",
+        "ix",
+        "iy",
+        *[
+            (
+                (F.lead("ix", t).over(w) - F.col("ix"))
+                * (F.lead("ix", t).over(w) - F.col("ix"))
+                + (F.lead("iy", t).over(w) - F.col("iy"))
+                * (F.lead("iy", t).over(w) - F.col("iy"))
+            ).alias(f"sq_{t}")
+            for t in MSD_LAGS
+        ],
+    )
+    stack = ", ".join(f"{t}L, sq_{t}" for t in MSD_LAGS)
+    long = d.selectExpr(
+        f"stack({len(MSD_LAGS)}, {stack}) AS (lag, sq)"
+    ).where("sq IS NOT NULL")
+    agg = long.groupBy("lag").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(sum(sq) AS BIGINT)").alias("sum_sq"),
+    )
+    m = agg.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "n_pairs",
+        "1000 * (sum_sq DIV n_pairs)"
+        " + (1000 * (sum_sq % n_pairs)) DIV n_pairs AS msd_milli",
+    ).localCheckpoint(eager=False)
+    prev = m.selectExpr("lag AS plag", "msd_milli AS pmsd")
+    return (
+        m.join(F.broadcast(prev), F.expr("plag * 2 = lag"), "left")
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "msd_milli",
+            "CAST(CASE WHEN pmsd IS NULL OR pmsd = 0 THEN -1"
+            " ELSE (1000 * msd_milli) DIV pmsd END AS BIGINT)"
+            " AS ratio_milli",
+        )
+    )
+
+
+def msd_oracle(events_clause: str = "events") -> str:
+    leads = ",\n         ".join(
+        f"lead(ix, {t}) OVER w AS x{t}, lead(iy, {t}) OVER w AS y{t}"
+        for t in MSD_LAGS
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {t} AS lag, (x{t} - ix) * (x{t} - ix)"
+        f" + (y{t} - iy) * (y{t} - iy) AS sq"
+        f" FROM msd_p WHERE x{t} IS NOT NULL"
+        for t in MSD_LAGS
+    )
+    return f"""WITH {pings_oracle_cte(events_clause)},
+msd_p AS (
+  SELECT user_id, seq, ix, iy,
+         {leads}
+  FROM pings
+  WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+msd_long AS (
+{arms}),
+msd_a AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sq) AS BIGINT) AS sum_sq
+  FROM msd_long GROUP BY 1),
+msd_m AS (
+  SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         1000 * (sum_sq // n_pairs)
+           + (1000 * (sum_sq % n_pairs)) // n_pairs AS msd_milli
+  FROM msd_a)
+SELECT m.lag, m.n_pairs, m.msd_milli,
+       CAST(CASE WHEN p.msd_milli IS NULL OR p.msd_milli = 0 THEN -1
+            ELSE (1000 * m.msd_milli) // p.msd_milli END AS BIGINT)
+         AS ratio_milli
+FROM msd_m m LEFT JOIN msd_m p ON p.lag * 2 = m.lag"""

@@ -8594,3 +8594,215 @@ def q_drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(trough_day AS BIGINT) - peak_day AS dd_days",
         )
     )
+
+
+# --- R294: Wald-Wolfowitz runs test ----------------------------------------------------
+#
+# The classic randomness diagnostic on SIGNS: dichotomize the
+# zero-densified daily kilodollar revenue at its exact median (the
+# (n+1) DIV 2 order statistic under the unique (v, day) tie-break),
+# count runs of consecutive equal signs, and compare against the
+# permutation expectation E[R] = 1 + 2*n1*n2/n. Everything lives on
+# the bounded calendar dimension (~2.4k days at ANY SF — the
+# value-dimension histogram discipline), so the global rank window is
+# scale-safe. Exact integer z^2 in milli via the staged-floor
+# composition (num^2 first, variance factors after); sign(R - E) is
+# the exact cross-multiplication sign((R-1)*n - 2*n1*n2). The signs
+# complement of turning_points' local-extrema test and trend_mk's
+# monotone-trend test.
+
+
+@register(
+    "runs_test",
+    f"""
+WITH rt_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+rt_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM rt_daily),
+rt_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM rt_cal c LEFT JOIN rt_daily d ON d.day = c.day),
+rt_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt_s),
+rt_rk AS (
+  SELECT day, v, row_number() OVER (ORDER BY v, day) AS rk FROM rt_s),
+rt_med AS (
+  SELECT r.v AS med FROM rt_rk r CROSS JOIN rt_n t
+  WHERE r.rk = (t.n + 1) // 2),
+rt_sgn AS (
+  SELECT s.day, CASE WHEN s.v > m.med THEN 1 ELSE 0 END AS a
+  FROM rt_s s CROSS JOIN rt_med m),
+rt_ch AS (
+  SELECT a, lag(a) OVER (ORDER BY day) AS pa FROM rt_sgn),
+rt_agg AS (
+  SELECT CAST(1 + sum(CASE WHEN pa IS NOT NULL AND a <> pa
+                  THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+         CAST(sum(a) AS BIGINT) AS n1,
+         CAST(count(*) - sum(a) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM rt_ch)
+SELECT runs, n1, n2, n,
+       CAST(CASE WHEN (runs - 1) * n - 2 * n1 * n2 > 0 THEN 1
+            WHEN (runs - 1) * n - 2 * n1 * n2 < 0 THEN -1
+            ELSE 0 END AS BIGINT) AS z_sign,
+       CAST(((1000 * ((runs - 1) * n - 2 * n1 * n2)
+              * ((runs - 1) * n - 2 * n1 * n2)) // (2 * n1 * n2))
+            * (n - 1) // (2 * n1 * n2 - n) AS BIGINT) AS z2_milli
+FROM rt_agg
+""",
+    doc="Wald-Wolfowitz runs test on daily revenue signs vs the exact "
+    "median: runs count, above/below splits, cross-multiplied "
+    "sign(R - E) and staged-floor z^2 milli. Bounded-calendar "
+    "dimension only — scale-safe at any SF; the randomness "
+    "diagnostic beside trend_mk and revenue_acf.",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    ).localCheckpoint(eager=False)
+    n = s.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+    rk = s.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "day"))
+    )
+    med = (
+        rk.crossJoin(F.broadcast(n))
+        .where("rk = (n + 1) DIV 2")
+        .selectExpr("v AS med")
+    )
+    sgn = s.crossJoin(F.broadcast(med)).selectExpr(
+        "day", "CASE WHEN v > med THEN 1 ELSE 0 END AS a"
+    )
+    ch = sgn.withColumn("pa", F.lag("a").over(Window.orderBy("day")))
+    agg = ch.agg(
+        F.expr(
+            "CAST(1 + sum(CASE WHEN pa IS NOT NULL AND a <> pa"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("runs"),
+        F.expr("CAST(sum(a) AS BIGINT)").alias("n1"),
+        F.expr("CAST(count(*) - sum(a) AS BIGINT)").alias("n2"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+    )
+    return agg.selectExpr(
+        "runs", "n1", "n2", "n",
+        "CAST(CASE WHEN (runs - 1) * n - 2 * n1 * n2 > 0 THEN 1"
+        " WHEN (runs - 1) * n - 2 * n1 * n2 < 0 THEN -1"
+        " ELSE 0 END AS BIGINT) AS z_sign",
+        "CAST(((1000 * ((runs - 1) * n - 2 * n1 * n2)"
+        " * ((runs - 1) * n - 2 * n1 * n2)) DIV (2 * n1 * n2))"
+        " * (n - 1) DIV (2 * n1 * n2 - n) AS BIGINT) AS z2_milli",
+    )
+
+
+# --- R295: turning-point test ----------------------------------------------------------
+#
+# The local-extrema randomness diagnostic (Kendall): count interior
+# days that are strict local maxima or minima of the zero-densified
+# daily series; under iid continuity E[T] = 2(n-2)/3 and
+# Var[T] = (16n - 29)/90, so z^2 = 10*d^2/(16n - 29) with
+# d = 3T - 2(n-2) exactly (the /3 folded into d — no intermediate
+# floor at all until the final milli). Ties (zero-revenue runs at
+# tiny SF) are strict-inequality non-extrema: a zero-inflated series
+# HONESTLY reads as non-random (strong negative sign at sf0.001),
+# while the dense sf0.01+ series sits near expectation — both outcome
+# classes are real. Bounded-calendar dimension only.
+
+
+@register(
+    "turning_points",
+    f"""
+WITH tp_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', o_orderdate)
+           // {_DAY_US} AS day,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+tp_cal AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM tp_daily),
+tp_s AS (
+  SELECT c.day, coalesce(d.v, 0) AS v
+  FROM tp_cal c LEFT JOIN tp_daily d ON d.day = c.day),
+tp_w AS (
+  SELECT v, lag(v) OVER (ORDER BY day) AS pv,
+         lead(v) OVER (ORDER BY day) AS nv
+  FROM tp_s),
+tp_agg AS (
+  SELECT CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS t_points,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM tp_w)
+SELECT n_days, t_points,
+       CAST((2000 * (n_days - 2)) // 3 AS BIGINT) AS e_tp_milli,
+       CAST(CASE WHEN 3 * t_points - 2 * (n_days - 2) > 0 THEN 1
+            WHEN 3 * t_points - 2 * (n_days - 2) < 0 THEN -1
+            ELSE 0 END AS BIGINT) AS tp_sign,
+       CAST((10000 * (3 * t_points - 2 * (n_days - 2))
+             * (3 * t_points - 2 * (n_days - 2)))
+            // (16 * n_days - 29) AS BIGINT) AS z2_milli
+FROM tp_agg
+""",
+    doc="Turning-point test (Kendall) on zero-densified daily revenue: "
+    "strict local extrema vs E[T] = 2(n-2)/3, exact integer z^2 via "
+    "d = 3T - 2(n-2) (no floor before the final milli). The "
+    "local-extrema complement of runs_test; zero-inflated tiny-SF "
+    "series honestly read non-random.",
+)
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" o_orderdate) DIV {_DAY_US} AS day",
+            "CAST(floor(o_totalprice) AS BIGINT) AS dollars",
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cal = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).selectExpr("explode(sequence(d0, d1)) AS day")
+    s = cal.join(daily, "day", "left").selectExpr(
+        "day", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    w = Window.orderBy("day")
+    t = s.select(
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    agg = t.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL"
+            " AND ((v > pv AND v > nv) OR (v < pv AND v < nv))"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("t_points"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_days"),
+    )
+    return agg.selectExpr(
+        "n_days", "t_points",
+        "CAST((2000 * (n_days - 2)) DIV 3 AS BIGINT) AS e_tp_milli",
+        "CAST(CASE WHEN 3 * t_points - 2 * (n_days - 2) > 0 THEN 1"
+        " WHEN 3 * t_points - 2 * (n_days - 2) < 0 THEN -1"
+        " ELSE 0 END AS BIGINT) AS tp_sign",
+        "CAST((10000 * (3 * t_points - 2 * (n_days - 2))"
+        " * (3 * t_points - 2 * (n_days - 2)))"
+        " DIV (16 * n_days - 29) AS BIGINT) AS z2_milli",
+    )

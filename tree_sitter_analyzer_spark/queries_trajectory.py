@@ -304,3 +304,17 @@ def q_radiation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_spatial_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.spatial_markov(_pings(spark, sf_dir))
+
+
+@register(
+    "msd_ladder",
+    traj.msd_oracle(),
+    doc="Mean-squared-displacement ladder (lags 1,2,4,8,16 fixes): the "
+    "mobility-physics diffusion diagnostic over the ping walk — exact "
+    "integer squared displacements, staged-floor milli means, and the "
+    "lag-doubling ratio (~2000 = normal diffusion, <2000 = dwell "
+    "trapping). Every lead() shares ONE user-keyed window exchange; "
+    "the (lag, sq) stream collapses map-side into 5 rows.",
+)
+def q_msd_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.msd_ladder(_pings(spark, sf_dir))
