@@ -1272,3 +1272,102 @@ SELECT c.bin, c.n, c.n_pos,
        f.iso_pm,
        CAST(f.iso_pm <> (1000 * c.n_pos) // c.n AS BIGINT) AS pooled
 FROM iso_c c JOIN iso_fit f ON f.bin = c.bin"""
+
+
+# ---------------------------------------------------------------------------
+# R298: precision-recall AUC — the IMBALANCE-honest companion to R180's
+# ROC AUC (Davis & Goadrich 2006): with a ~1:3 positive rate, ROC can
+# look healthy while PR collapses toward the prevalence baseline. Same
+# bounded 0..1000 score histogram (no global rank over docs); blocks
+# processed score-descending, per-block precision in exact milli off
+# cumulative TP/FP, trapezoid fold between consecutive block
+# boundaries ((S DIV 2) DIV n_pos — every term < 2^63 at 10^12 docs
+# since sum(np_s * <= 2000) <= 2000 * n).
+# ---------------------------------------------------------------------------
+
+
+def pr_auc_eval(docs: DataFrame) -> DataFrame:
+    """(scorer, n_pos, n_neg, prevalence_milli, pr_auc_milli):
+    trapezoid PR-AUC of each scorer vs the grade-A label off the
+    bounded score histogram. Baseline = prevalence; a scorer only
+    earns its keep above it."""
+    from pyspark.sql import Window
+
+    base = text_stats(docs).selectExpr(
+        f"CAST(quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos",
+        "(1000 * n_distinct_tokens) DIV n_tokens AS s_diversity",
+        "(1000 * n_stop) DIV n_tokens AS s_stop_density",
+    )
+    outs = []
+    for scorer in ("diversity", "stop_density"):
+        hist = base.groupBy(F.col(f"s_{scorer}").alias("s")).agg(
+            F.sum("pos").alias("np_s"),
+            F.expr("sum(1 - pos)").alias("nn_s"),
+        )
+        w = Window.orderBy(F.desc("s")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wl = Window.orderBy(F.desc("s"))
+        blocks = (
+            hist.withColumn("ctp", F.sum("np_s").over(w))
+            .withColumn("cfp", F.sum("nn_s").over(w))
+            .withColumn(
+                "p_milli", F.expr("(1000 * ctp) DIV (ctp + cfp)")
+            )
+            .withColumn(
+                "prev_p",
+                F.coalesce(F.lag("p_milli").over(wl), F.col("p_milli")),
+            )
+        )
+        outs.append(
+            blocks.groupBy()
+            .agg(
+                F.sum("np_s").alias("n_pos"),
+                F.sum("nn_s").alias("n_neg"),
+                F.expr("sum(np_s * (p_milli + prev_p))").alias("s2"),
+            )
+            .selectExpr(
+                f"'{scorer}' AS scorer",
+                "CAST(n_pos AS BIGINT) AS n_pos",
+                "CAST(n_neg AS BIGINT) AS n_neg",
+                "CAST((1000 * n_pos) DIV (n_pos + n_neg) AS BIGINT)"
+                " AS prevalence_milli",
+                "CAST((s2 DIV 2) DIV n_pos AS BIGINT) AS pr_auc_milli",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def pr_auc_oracle() -> str:
+    arms = []
+    for scorer in ("diversity", "stop_density"):
+        arms.append(f"""
+  SELECT '{scorer}' AS scorer,
+         CAST(sum(np_s) AS BIGINT) AS n_pos,
+         CAST(sum(nn_s) AS BIGINT) AS n_neg,
+         CAST((1000 * sum(np_s)) // (sum(np_s) + sum(nn_s)) AS BIGINT)
+           AS prevalence_milli,
+         CAST((sum(np_s * (p_milli + prev_p)) // 2) // sum(np_s)
+           AS BIGINT) AS pr_auc_milli
+  FROM (
+    SELECT np_s, nn_s, p_milli,
+           coalesce(lag(p_milli) OVER (ORDER BY s DESC), p_milli)
+             AS prev_p
+    FROM (
+      SELECT s, np_s, nn_s,
+             (1000 * sum(np_s) OVER cum)
+               // (sum(np_s) OVER cum + sum(nn_s) OVER cum) AS p_milli
+      FROM (
+        SELECT s_{scorer} AS s, sum(pos) AS np_s, sum(1 - pos) AS nn_s
+        FROM pra_lab GROUP BY 1)
+      WINDOW cum AS (ORDER BY s DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))""")
+    both = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH {quality_oracle_ctes('pra')},
+pra_lab AS (
+  SELECT CAST(q.quality >= {AUC_POS_QUALITY} AS BIGINT) AS pos,
+         (1000 * c.n_distinct_tokens) // c.n_tokens AS s_diversity,
+         (1000 * c.n_stop) // c.n_tokens AS s_stop_density
+  FROM pra_q q JOIN pra_cnt c ON c.doc_id = q.doc_id)
+{both}"""

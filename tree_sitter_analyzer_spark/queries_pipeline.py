@@ -3338,3 +3338,111 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GREATEST(true_n + noise, CAST(0 AS BIGINT)) AS released",
         "GREATEST(true_n + noise, CAST(0 AS BIGINT)) - true_n AS err",
     )
+
+
+@register(
+    "pr_auc_eval",
+    textstats.pr_auc_oracle(),
+    doc="Trapezoid precision-recall AUC (Davis & Goadrich 2006) for the "
+    "two quality scorers vs the grade-A label — the imbalance-honest "
+    "companion to auc_eval's ROC: same bounded 0..1000 score "
+    "histogram (no global rank over docs), exact milli precisions "
+    "off cumulative TP/FP, trapezoid fold, prevalence baseline "
+    "carried so a scorer only earns its keep above it.",
+)
+def q_pr_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.pr_auc_eval(_docs(spark, sf_dir))
+
+
+# --- R296: local-DP randomized response ------------------------------------------------
+#
+# Warner 1965 — the LOCAL rung of the privacy family (dp_release is
+# the central-DP rung: one trusted aggregator adds noise to exact
+# counts; here every ROW is perturbed before aggregation, the
+# deployed shape of Apple/Google telemetry). Mechanism p = 3/4: an
+# md5 coin per event keeps the true sensitive bit with prob 3/4 and
+# flips it otherwise; the debiased prevalence estimate inverts the
+# channel, est = (4*n_yes - n)/(2n). Sign/abs DIV discipline (the
+# estimator CAN go negative at small n); the signed utility error is
+# pure arithmetic on already-floored terms.
+
+
+def _rr_bit_spark() -> str:
+    from .functions import md5int_spark
+
+    coin = md5int_spark("concat('rr#', CAST(event_id AS STRING))")
+    return (
+        f"CASE WHEN ({coin}) % 4 < 3 THEN sens ELSE 1 - sens END"
+    )
+
+
+def _rr_bit_duck() -> str:
+    from .functions import md5int_duck
+
+    coin = md5int_duck("'rr#' || CAST(event_id AS VARCHAR)")
+    return (
+        f"CASE WHEN ({coin}) % 4 < 3 THEN sens ELSE 1 - sens END"
+    )
+
+
+@register(
+    "randomized_response",
+    f"""
+WITH rr_b AS (
+  SELECT event_type,
+         CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS sens,
+         event_id
+  FROM events),
+rr_r AS (
+  SELECT event_type, sens, {_rr_bit_duck()} AS rep FROM rr_b),
+rr_g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sens) AS BIGINT) AS true_yes,
+         CAST(sum(rep) AS BIGINT) AS rep_yes
+  FROM rr_r GROUP BY 1)
+SELECT event_type, n, true_yes, rep_yes,
+       CAST((1000 * true_yes) // n AS BIGINT) AS true_pm,
+       CAST(CASE WHEN 4 * rep_yes - n > 0 THEN 1
+            WHEN 4 * rep_yes - n < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS est_sign,
+       CAST((1000 * abs(4 * rep_yes - n)) // (2 * n) AS BIGINT)
+         AS est_abs_pm,
+       CAST(CASE WHEN 4 * rep_yes - n > 0 THEN 1
+            WHEN 4 * rep_yes - n < 0 THEN -1 ELSE 0 END
+            * ((1000 * abs(4 * rep_yes - n)) // (2 * n))
+            - (1000 * true_yes) // n AS BIGINT) AS err_pm
+FROM rr_g
+""",
+    doc="Warner 1965 randomized response — the LOCAL-DP rung beside "
+    "dp_release's central mechanism: every event's sensitive bit "
+    "(user_id % 5 = 0 cohort) flips with prob 1/4 on an md5 coin "
+    "BEFORE aggregation; the debiased per-type prevalence estimate "
+    "(4*n_yes - n)/(2n) inverts the channel under the sign/abs DIV "
+    "discipline, with the signed utility error beside the exact "
+    "truth. Per-row perturb + one groupBy — the telemetry shape.",
+)
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type",
+        "CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS sens",
+        "event_id",
+    )
+    r = b.selectExpr("event_type", "sens", f"{_rr_bit_spark()} AS rep")
+    g = r.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(sens) AS BIGINT)").alias("true_yes"),
+        F.expr("CAST(sum(rep) AS BIGINT)").alias("rep_yes"),
+    )
+    return g.selectExpr(
+        "event_type", "n", "true_yes", "rep_yes",
+        "CAST((1000 * true_yes) DIV n AS BIGINT) AS true_pm",
+        "CAST(CASE WHEN 4 * rep_yes - n > 0 THEN 1"
+        " WHEN 4 * rep_yes - n < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        " AS est_sign",
+        "CAST((1000 * abs(4 * rep_yes - n)) DIV (2 * n) AS BIGINT)"
+        " AS est_abs_pm",
+        "CAST(CASE WHEN 4 * rep_yes - n > 0 THEN 1"
+        " WHEN 4 * rep_yes - n < 0 THEN -1 ELSE 0 END"
+        " * ((1000 * abs(4 * rep_yes - n)) DIV (2 * n))"
+        " - (1000 * true_yes) DIV n AS BIGINT) AS err_pm",
+    )

@@ -8806,3 +8806,140 @@ def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (3 * t_points - 2 * (n_days - 2)))"
         " DIV (16 * n_days - 29) AS BIGINT) AS z2_milli",
     )
+
+
+# --- R297: CUPED variance reduction ----------------------------------------------------
+#
+# Deng et al. 2013 — THE industry experimentation primitive: shrink a
+# post-period metric's variance with a pre-period covariate,
+# var(Y - theta*X) = Syy - Sxy^2/Sxx, so the achievable reduction is
+# exactly rho^2. Unit = customer; X = 1995-1997 revenue, Y = 1998+
+# revenue, both in deca-kilodollars so the 10^12-row budget holds:
+# per-customer revenue is SF-invariant (TPC-H scales customers, not
+# orders-per-customer), dev <= ~10^3, dev^2 <= 10^6, and with
+# customers <= 2.5*10^10 at 10^12 lineitems Sxy <= 2.5e16 —
+# 1000*|Sxy| and theta_abs_milli*|Sxy| both stay under 2^63. Deviations
+# against floored means (the revenue_acf estimator both engines and
+# the replay share); Sxy keeps its sign through the sum (products of
+# signed devs — no DIV touches a negative), then the sign/abs split.
+
+
+@register(
+    "cuped_adjust",
+    """
+WITH cu_x AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 10000
+           AS BIGINT) AS x
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1),
+cu_y AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 10000
+           AS BIGINT) AS y
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  GROUP BY 1),
+cu_u AS (
+  SELECT coalesce(x.c, y.c) AS c, coalesce(x.x, 0) AS x,
+         coalesce(y.y, 0) AS y
+  FROM cu_x x FULL OUTER JOIN cu_y y ON x.c = y.c),
+cu_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) // count(*) AS mx,
+         CAST(sum(y) AS BIGINT) // count(*) AS my
+  FROM cu_u),
+cu_s AS (
+  SELECT m.n, m.mx, m.my,
+         CAST(sum((u.x - m.mx) * (u.x - m.mx)) AS BIGINT) AS sxx,
+         CAST(sum((u.y - m.my) * (u.y - m.my)) AS BIGINT) AS syy,
+         CAST(sum((u.x - m.mx) * (u.y - m.my)) AS BIGINT) AS sxy
+  FROM cu_u u CROSS JOIN cu_m m GROUP BY 1, 2, 3)
+SELECT n, mx AS mean_pre_dkd, my AS mean_post_dkd, sxx, syy,
+       CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END
+         AS BIGINT) AS theta_sign,
+       CAST(CASE WHEN sxx = 0 THEN 0
+            ELSE (1000 * abs(sxy)) // sxx END AS BIGINT)
+         AS theta_abs_milli,
+       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0
+            ELSE (((1000 * abs(sxy)) // sxx) * abs(sxy)) // syy END
+         AS BIGINT) AS var_reduction_pm
+FROM cu_s
+""",
+    doc="CUPED variance reduction (Deng 2013): per-customer pre-period "
+    "(<1998) revenue as covariate for post-period revenue, both in "
+    "deca-kilodollars (the 10^12-row overflow budget); floored-mean "
+    "deviations, signed Sxy with the sign/abs DIV split, theta in "
+    "milli and the achievable variance reduction rho^2 in per-mille "
+    "via the staged floor ((1000|Sxy|) DIV Sxx * |Sxy|) DIV Syy. Two "
+    "customer-keyed aggs + one full-outer align; no per-row state. "
+    "Honest null readout on this corpus: synthetic periods are "
+    "independent (no activity persistence), so rho^2 ~ 0 — CUPED "
+    "correctly reports nothing to gain; the two SFs land on opposite "
+    "theta signs, exercising both sign paths.",
+)
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    x = (
+        o.where("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice) AS BIGINT))"
+                " DIV 10000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    y = (
+        o.where("o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice) AS BIGINT))"
+                " DIV 10000 AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    u = (
+        x.withColumnRenamed("c", "cx")
+        .join(
+            y.withColumnRenamed("c", "cy"),
+            F.expr("cx = cy"),
+            "full_outer",
+        )
+        .selectExpr(
+            "coalesce(x, CAST(0 AS BIGINT)) AS x",
+            "coalesce(y, CAST(0 AS BIGINT)) AS y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = u.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT) DIV count(*)").alias("mx"),
+        F.expr("CAST(sum(y) AS BIGINT) DIV count(*)").alias("my"),
+    )
+    s = (
+        u.crossJoin(F.broadcast(m))
+        .groupBy("n", "mx", "my")
+        .agg(
+            F.expr(
+                "CAST(sum((x - mx) * (x - mx)) AS BIGINT)"
+            ).alias("sxx"),
+            F.expr(
+                "CAST(sum((y - my) * (y - my)) AS BIGINT)"
+            ).alias("syy"),
+            F.expr(
+                "CAST(sum((x - mx) * (y - my)) AS BIGINT)"
+            ).alias("sxy"),
+        )
+    )
+    return s.selectExpr(
+        "n", "mx AS mean_pre_dkd", "my AS mean_post_dkd", "sxx", "syy",
+        "CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS theta_sign",
+        "CAST(CASE WHEN sxx = 0 THEN 0"
+        " ELSE (1000 * abs(sxy)) DIV sxx END AS BIGINT)"
+        " AS theta_abs_milli",
+        "CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0"
+        " ELSE (((1000 * abs(sxy)) DIV sxx) * abs(sxy)) DIV syy END"
+        " AS BIGINT) AS var_reduction_pm",
+    )
