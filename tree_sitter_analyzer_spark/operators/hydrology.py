@@ -226,3 +226,126 @@ hy_sizes AS (
   FROM hy_basin b JOIN hy_v c ON c.v = b.v GROUP BY 1)
 SELECT s.basin, s.n_cells, s.n_tiles, pk.n AS peak_n
 FROM hy_sizes s JOIN hy_v pk ON pk.v = s.basin"""
+
+
+# ---------------------------------------------------------------------------
+# R299: Strahler stream order over the ascent drainage forest — the classic
+# stream-network hierarchy (Strahler 1957): leaves are order 1; a node
+# where >= 2 children attain the max child order is max+1, else max. The
+# recurrence iterated from all-1 is MONOTONE (m never decreases; the
+# at-max child count can only grow while m holds), so a fixed unroll of
+# STRAHLER_ROUNDS synchronized updates over the cell quotient converges
+# for any forest of depth <= rounds (the k-core fixed-unroll discipline;
+# convergence pinned round N-1 == round N in tests). Per-round cost: one
+# child->parent equi-join + one parent-keyed agg on the bounded cell
+# frame — never touches tile rows.
+# ---------------------------------------------------------------------------
+
+STRAHLER_ROUNDS = 8
+
+
+def strahler_orders(
+    tiles: DataFrame, res: int = FLOW_RES, rounds: int = STRAHLER_ROUNDS
+) -> DataFrame:
+    """Per-order histogram of the drainage forest: (strahler, n_cells,
+    n_tiles, rb_milli) where rb is the bifurcation ratio
+    n(order)/n(order+1) x1000 (Horton's law reads ~3000-5000 on real
+    networks; -1 sentinel on the top order)."""
+    cells = cell_frame(tiles, res).localCheckpoint(eager=False)
+    par = ascent_parent(cells).localCheckpoint(eager=False)
+    edges = par.where("p <> v").selectExpr("v AS child", "p AS parent")
+    ord_df = cells.selectExpr("v", "CAST(1 AS BIGINT) AS ord")
+    for k in range(rounds):
+        ch = (
+            edges.join(
+                ord_df.selectExpr("v AS child", "ord AS cord"), "child"
+            )
+            .groupBy("parent", "cord")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            ch.groupBy("parent")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cord").alias("m"),
+                        F.col("c").alias("cm"),
+                    )
+                ).alias("b")
+            )
+            .selectExpr(
+                "parent AS v",
+                "b.m + CASE WHEN b.cm >= 2 THEN 1 ELSE 0 END AS cand",
+            )
+        )
+        nxt = (
+            cells.select("v")
+            .join(best, "v", "left")
+            .selectExpr(
+                "v", "CAST(greatest(coalesce(cand, 1), 1) AS BIGINT) AS ord"
+            )
+        )
+        if k % 2 == 1:
+            nxt = nxt.localCheckpoint(eager=False)
+        ord_df = nxt
+    hist = (
+        cells.join(ord_df, "v")
+        .groupBy("ord")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_cells"),
+            F.expr("CAST(sum(n) AS BIGINT)").alias("n_tiles"),
+        )
+    )
+    nxt_h = hist.selectExpr("ord AS nord", "n_cells AS nn_cells")
+    return (
+        hist.join(F.broadcast(nxt_h), F.expr("nord = ord + 1"), "left")
+        .selectExpr(
+            "CAST(ord AS BIGINT) AS strahler",
+            "n_cells",
+            "n_tiles",
+            "CAST(CASE WHEN nn_cells IS NULL THEN -1"
+            " ELSE (1000 * n_cells) DIV nn_cells END AS BIGINT)"
+            " AS rb_milli",
+        )
+    )
+
+
+def strahler_oracle(
+    res: int = FLOW_RES, rounds: int = STRAHLER_ROUNDS
+) -> str:
+    """Chained MATERIALIZED per-round CTEs replicating the synchronized
+    update 1:1 (the k-core oracle discipline — materialization is
+    load-bearing against exponential re-inlining)."""
+    ctes = [
+        "st_e AS MATERIALIZED (SELECT v AS child, p AS parent"
+        " FROM hy_parent WHERE p <> v)",
+        "st_s0 AS MATERIALIZED (SELECT v, CAST(1 AS BIGINT) AS ord"
+        " FROM hy_v)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""st_c{k} AS MATERIALIZED (
+  SELECT e.parent, o.ord AS cord, count(*) AS c
+  FROM st_e e JOIN st_s{k} o ON o.v = e.child GROUP BY 1, 2),
+st_b{k} AS MATERIALIZED (
+  SELECT parent AS v,
+         cord + CASE WHEN c >= 2 THEN 1 ELSE 0 END AS cand
+  FROM (SELECT parent, cord, c,
+               row_number() OVER (PARTITION BY parent
+                 ORDER BY cord DESC, c DESC) AS rn
+        FROM st_c{k})
+  WHERE rn = 1),
+st_s{k + 1} AS MATERIALIZED (
+  SELECT b.v, CAST(greatest(coalesce(m.cand, 1), 1) AS BIGINT) AS ord
+  FROM hy_v b LEFT JOIN st_b{k} m ON m.v = b.v)""")
+    chain = ",\n".join(ctes)
+    return f"""{_base_ctes(res)},
+{chain},
+st_hist AS (
+  SELECT o.ord, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(c.n) AS BIGINT) AS n_tiles
+  FROM st_s{rounds} o JOIN hy_v c ON c.v = o.v GROUP BY 1)
+SELECT CAST(a.ord AS BIGINT) AS strahler, a.n_cells, a.n_tiles,
+       CAST(CASE WHEN b.n_cells IS NULL THEN -1
+            ELSE (1000 * a.n_cells) // b.n_cells END AS BIGINT)
+         AS rb_milli
+FROM st_hist a LEFT JOIN st_hist b ON b.ord = a.ord + 1"""
