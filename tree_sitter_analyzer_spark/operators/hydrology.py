@@ -349,3 +349,125 @@ SELECT CAST(a.ord AS BIGINT) AS strahler, a.n_cells, a.n_tiles,
             ELSE (1000 * a.n_cells) // b.n_cells END AS BIGINT)
          AS rb_milli
 FROM st_hist a LEFT JOIN st_hist b ON b.ord = a.ord + 1"""
+
+
+# ---------------------------------------------------------------------------
+# R302: adjusted Rand index — partition-agreement audit (Hubert & Arabie
+# 1985) between the watershed attraction-basin partition and the naive
+# res-5 grid-block partition of the SAME occupied res-7 cells: how much
+# of the drainage structure does a fixed coarse grid already capture?
+# (the zonation/MAUP question beside resolution_loss). Pair-counting
+# done exactly on the bounded cell quotient: I = sum C(n_ij,2) over the
+# contingency table, ARI = (I - E)/(M - E) cross-multiplied through
+# C(n,2) and doubled so every compared quantity is an integer —
+# num2 = 2*(I*C2n - A2*B2), den2 = (A2+B2)*C2n - 2*A2*B2, sign/abs DIV.
+# Every magnitude is geometry-bounded (occupied cells, not tiles).
+# ---------------------------------------------------------------------------
+
+ARI_BLOCK_SHIFT = 2  # res-7 cell -> res-5 block
+
+
+def basin_block_ari(
+    tiles: DataFrame, res: int = FLOW_RES, rounds: int = DOUBLING_ROUNDS
+) -> DataFrame:
+    cells = cell_frame(tiles, res).localCheckpoint(eager=False)
+    cur = ascent_parent(cells).localCheckpoint(eager=False)
+    for k in range(rounds):
+        nxt = (
+            cur.alias("a")
+            .join(cur.alias("b"), F.col("a.p") == F.col("b.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.p").alias("p"))
+        )
+        if k % 2 == 1:
+            nxt = nxt.localCheckpoint(eager=False)
+        cur = nxt
+    lab = cells.join(cur.selectExpr("v", "p AS basin"), "v").selectExpr(
+        "basin",
+        f"(cx DIV {1 << ARI_BLOCK_SHIFT}) * {_PACK}"
+        f" + (cy DIV {1 << ARI_BLOCK_SHIFT}) AS block",
+    )
+    cont = lab.groupBy("basin", "block").agg(F.count("*").alias("nij"))
+    i2 = cont.agg(
+        F.expr("CAST(sum(nij * (nij - 1) DIV 2) AS BIGINT)").alias("i2"),
+        F.expr("CAST(sum(nij) AS BIGINT)").alias("n"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs_nonzero"),
+    )
+    a2 = (
+        cont.groupBy("basin")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(
+            F.expr("CAST(sum(ai * (ai - 1) DIV 2) AS BIGINT)").alias("a2"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_basins"),
+        )
+    )
+    b2 = (
+        cont.groupBy("block")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(
+            F.expr("CAST(sum(bj * (bj - 1) DIV 2) AS BIGINT)").alias("b2"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_blocks"),
+        )
+    )
+    return (
+        i2.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(b2))
+        .selectExpr(
+            "n AS n_cells", "n_basins", "n_blocks", "i2", "a2", "b2",
+            "2 * (i2 * (n * (n - 1) DIV 2) - a2 * b2) AS num2",
+            "(a2 + b2) * (n * (n - 1) DIV 2) - 2 * a2 * b2 AS den2",
+        )
+        .selectExpr(
+            "n_cells", "n_basins", "n_blocks", "i2", "a2", "b2",
+            "CAST(CASE WHEN num2 > 0 THEN 1 WHEN num2 < 0 THEN -1"
+            " ELSE 0 END AS BIGINT) AS ari_sign",
+            "CAST(CASE WHEN den2 = 0 THEN 0"
+            " ELSE (1000 * abs(num2)) DIV abs(den2) END AS BIGINT)"
+            " AS ari_abs_milli",
+        )
+    )
+
+
+def ari_oracle(
+    res: int = FLOW_RES, rounds: int = DOUBLING_ROUNDS
+) -> str:
+    cap = 1 << rounds
+    return f"""{_base_ctes(res)},
+ar_w(v, cur, hops) AS (
+  SELECT v, v, 0 FROM hy_v
+  UNION ALL
+  SELECT w.v, p.p, w.hops + 1
+  FROM ar_w w JOIN hy_parent p ON p.v = w.cur
+  WHERE w.hops < {cap}),
+ar_lab AS (
+  SELECT w.cur AS basin,
+         (c.cx // {1 << ARI_BLOCK_SHIFT}) * {_PACK}
+           + (c.cy // {1 << ARI_BLOCK_SHIFT}) AS block
+  FROM ar_w w JOIN hy_v c ON c.v = w.v
+  WHERE w.hops = {cap}),
+ar_cont AS (
+  SELECT basin, block, count(*) AS nij FROM ar_lab GROUP BY 1, 2),
+ar_i AS (
+  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS i2,
+         CAST(sum(nij) AS BIGINT) AS n
+  FROM ar_cont),
+ar_a AS (
+  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS a2,
+         CAST(count(*) AS BIGINT) AS n_basins
+  FROM (SELECT basin, sum(nij) AS ai FROM ar_cont GROUP BY 1)),
+ar_b AS (
+  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS b2,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM (SELECT block, sum(nij) AS bj FROM ar_cont GROUP BY 1)),
+ar_x AS (
+  SELECT i.n AS n_cells, a.n_basins, b.n_blocks, i.i2, a.a2, b.b2,
+         2 * (i.i2 * (i.n * (i.n - 1) // 2) - a.a2 * b.b2) AS num2,
+         (a.a2 + b.b2) * (i.n * (i.n - 1) // 2) - 2 * a.a2 * b.b2
+           AS den2
+  FROM ar_i i CROSS JOIN ar_a a CROSS JOIN ar_b b)
+SELECT n_cells, n_basins, n_blocks, i2, a2, b2,
+       CAST(CASE WHEN num2 > 0 THEN 1 WHEN num2 < 0 THEN -1 ELSE 0 END
+         AS BIGINT) AS ari_sign,
+       CAST(CASE WHEN den2 = 0 THEN 0
+            ELSE (1000 * abs(num2)) // abs(den2) END AS BIGINT)
+         AS ari_abs_milli
+FROM ar_x"""

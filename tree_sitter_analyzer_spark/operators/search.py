@@ -721,3 +721,203 @@ JOIN (SELECT t.tok, sum(d.skip) AS posting_skippable
   USING (tok)
 CROSS JOIN wp_theta h CROSS JOIN wp_glob g
 """
+
+
+# ---------------------------------------------------------------------------
+# R303: Rocchio pseudo-relevance feedback (Rocchio 1971 / RM-style PRF) —
+# the classic query-expansion loop every retrieval stack grows next:
+# run BM25, treat the top-FB docs as pseudo-relevant, mine their
+# highest-weight terms (Rocchio weight = idf * collection tf inside the
+# feedback set, the integer 1000000 DIV df spelling — no ln(); the RM3
+# support filter requires a term in >= 2 feedback docs, or PRF adopts
+# one document's idiosyncratic rare tokens — observed failure mode), union
+# them into the query, re-run BM25. Fully deterministic (doc_id / tok
+# tie-breaks), so the DuckDB oracle replicates the whole two-pass loop
+# including the data-dependent expansion term set.
+#
+# Scale shape: both retrieval passes are posting-list equi-joins (never
+# a corpus-wide rank); the feedback-term mining aggregates the tokens of
+# FB docs only (a semi-join on the bounded feedback set).
+# ---------------------------------------------------------------------------
+
+ROCCHIO_FB = 10   # pseudo-relevant depth
+ROCCHIO_EXP = 5   # expansion terms adopted
+
+
+def _bm25_frame(toks0, dfreq, dl, stats, qdf):
+    """(doc_id, n_matched, bm25_micro) for an arbitrary term frame."""
+    return (
+        toks0.join(F.broadcast(qdf), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            F.col("df")
+            <= F.expr(f"CAST(floor({MAX_DOC_FREQ}e0 * n_docs) AS BIGINT)")
+        )
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "((1000000 DIV df) * (22 * tf * avgdl_milli))"
+                " DIV (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum("term_micro").alias("bm25_micro"),
+        )
+    )
+
+
+def rocchio_expand(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb: int = ROCCHIO_FB,
+    n_exp: int = ROCCHIO_EXP,
+) -> DataFrame:
+    """Final reranked top-k after one PRF round: (rank, doc_id,
+    n_matched, bm25_micro, was_in_base)."""
+    # Deterministic same-SQL topical enrichment (the pii_scrub
+    # discipline): the synthetic corpus has a ~30-token near-ubiquitous
+    # vocabulary, so PRF would honestly find NO mid-frequency expansion
+    # candidates; appending one topic token (doc_id % 8) restores the
+    # topical structure PRF exists for, and the pigeonhole principle
+    # guarantees >= 2 of the 10 feedback docs share a topic at ANY
+    # scale — the expansion set is never vacuously empty.
+    docs = docs.selectExpr(
+        "doc_id",
+        "concat(text, ' topic', CAST(doc_id % 8 AS STRING)) AS text",
+    )
+    toks0 = _doc_tokens(docs).localCheckpoint(eager=False)
+    dl = toks0.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(1000 * sum(dl)) DIV count(*)").alias("avgdl_milli"),
+    )
+    dfreq = toks0.groupBy("tok").agg(F.count("*").alias("df"))
+    q_terms = sorted(set(t for t in query.split() if t))
+    qdf = docs.sparkSession.createDataFrame(
+        [(t,) for t in q_terms], "tok string"
+    )
+    base = _bm25_frame(toks0, dfreq, dl, stats, qdf)
+    base_top = (
+        base.orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(fb)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    not_q = ", ".join(f"'{t}'" for t in q_terms)
+    exp = (
+        toks0.join(base_top, "doc_id", "left_semi")
+        .groupBy("tok")
+        .agg(
+            F.expr("CAST(sum(tf) AS BIGINT)").alias("tf_fb"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("fb_df"),
+        )
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            F.expr(
+                f"tok NOT IN ({not_q}) AND fb_df >= 2 AND df <="
+                f" CAST(floor({MAX_DOC_FREQ}e0 * n_docs) AS BIGINT)"
+            )
+        )
+        .selectExpr("tok", "(1000000 DIV df) * tf_fb AS w")
+        .orderBy(F.desc("w"), "tok")
+        .limit(n_exp)
+        .select("tok")
+    )
+    q1 = qdf.unionByName(exp).localCheckpoint(eager=False)
+    final = _bm25_frame(toks0, dfreq, dl, stats, q1)
+    w = Window.orderBy(F.desc("bm25_micro"), "doc_id")
+    return (
+        final.orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .join(
+            base_top.selectExpr("doc_id", "1 AS was_in_base"),
+            "doc_id",
+            "left",
+        )
+        .selectExpr(
+            "rank", "doc_id", "n_matched", "bm25_micro",
+            "CAST(coalesce(was_in_base, 0) AS BIGINT) AS was_in_base",
+        )
+    )
+
+
+def rocchio_oracle(
+    query: str,
+    k: int = 10,
+    fb: int = ROCCHIO_FB,
+    n_exp: int = ROCCHIO_EXP,
+) -> str:
+    q_terms = sorted(set(t for t in query.split() if t))
+    q_values = ", ".join(f"('{t}')" for t in q_terms)
+    not_q = ", ".join(f"'{t}'" for t in q_terms)
+    return f"""
+WITH ro_raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           text || ' topic' || CAST(doc_id % 8 AS VARCHAR), ' ')) AS tok
+  FROM documents
+),
+ro_toks AS (
+  SELECT doc_id, tok, count(*) AS tf FROM ro_raw WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+ro_dl AS (SELECT doc_id, sum(tf) AS dl FROM ro_toks GROUP BY doc_id),
+ro_stats AS (
+  SELECT count(*) AS n_docs, (1000 * sum(dl)) // count(*) AS avgdl_milli
+  FROM ro_dl),
+ro_df AS (SELECT tok, count(*) AS df FROM ro_toks GROUP BY tok),
+ro_q0(tok) AS (VALUES {q_values}),
+ro_base AS (
+  SELECT t.doc_id,
+         sum(((1000000 // d.df) * (22 * t.tf * s.avgdl_milli))
+             // (10 * t.tf * s.avgdl_milli + 3 * s.avgdl_milli
+                 + 9000 * l.dl)) AS bm25_micro
+  FROM ro_toks t
+  JOIN ro_q0 USING (tok)
+  JOIN ro_df d USING (tok)
+  JOIN ro_dl l USING (doc_id)
+  CROSS JOIN ro_stats s
+  WHERE d.df <= CAST(floor({MAX_DOC_FREQ}e0 * s.n_docs) AS BIGINT)
+  GROUP BY t.doc_id),
+ro_fb AS (
+  SELECT doc_id FROM ro_base
+  ORDER BY bm25_micro DESC, doc_id LIMIT {fb}),
+ro_exp AS (
+  SELECT t.tok
+  FROM ro_toks t
+  JOIN ro_df d USING (tok)
+  CROSS JOIN ro_stats s
+  WHERE t.doc_id IN (SELECT doc_id FROM ro_fb)
+    AND t.tok NOT IN ({not_q})
+    AND d.df <= CAST(floor({MAX_DOC_FREQ}e0 * s.n_docs) AS BIGINT)
+  GROUP BY t.tok, d.df
+  HAVING count(*) >= 2
+  ORDER BY (1000000 // d.df) * sum(t.tf) DESC, t.tok LIMIT {n_exp}),
+ro_q1(tok) AS (
+  SELECT tok FROM ro_q0 UNION SELECT tok FROM ro_exp),
+ro_final AS (
+  SELECT t.doc_id, count(*) AS n_matched,
+         sum(((1000000 // d.df) * (22 * t.tf * s.avgdl_milli))
+             // (10 * t.tf * s.avgdl_milli + 3 * s.avgdl_milli
+                 + 9000 * l.dl)) AS bm25_micro
+  FROM ro_toks t
+  JOIN ro_q1 USING (tok)
+  JOIN ro_df d USING (tok)
+  JOIN ro_dl l USING (doc_id)
+  CROSS JOIN ro_stats s
+  WHERE d.df <= CAST(floor({MAX_DOC_FREQ}e0 * s.n_docs) AS BIGINT)
+  GROUP BY t.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+         AS INT) AS rank,
+       doc_id, n_matched, bm25_micro,
+       CAST(CASE WHEN doc_id IN (SELECT doc_id FROM ro_fb)
+            THEN 1 ELSE 0 END AS BIGINT) AS was_in_base
+FROM ro_final
+ORDER BY bm25_micro DESC, doc_id LIMIT {k}"""

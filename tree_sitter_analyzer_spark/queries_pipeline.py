@@ -3446,3 +3446,39 @@ def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * ((1000 * abs(4 * rep_yes - n)) DIV (2 * n))"
         " - (1000 * true_yes) DIV n AS BIGINT) AS err_pm",
     )
+
+
+@register(
+    "rocchio_expand",
+    search_ops.rocchio_oracle(SEARCH_QUERY, 10),
+    doc="Rocchio pseudo-relevance feedback: BM25 top-10 as pseudo-"
+    "relevant, their 5 highest idf*tf terms (integer 1000000 DIV df "
+    "weights, df-capped, query terms excluded) unioned into the query, "
+    "BM25 re-run — final top-10 with was_in_base marking churn. Both "
+    "passes are posting-list equi-joins; term mining semi-joins the "
+    "bounded feedback set. Fully deterministic, so the oracle replays "
+    "the whole two-pass loop including the data-dependent expansion.",
+)
+def q_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_ops.rocchio_expand(_docs(spark, sf_dir), SEARCH_QUERY, 10)
+
+
+@register(
+    "blob_census",
+    None,  # decoded-pixel op; numpy replay in tests/test_r302_batch.py
+    doc="4-connected blob census of the Otsu foreground per decoded "
+    "tile (vectorized min-label propagation to fixpoint — pure numpy, "
+    "deterministic), rolled up per kind: blob count, largest blob, "
+    "foreground px, blobs-per-tile and mean blob size in milli. One "
+    "Arrow mapInPandas decode pass; 3 integers per tile leave the "
+    "worker. Rows-only for the driver; pixel-exactness pytest-gated "
+    "against the numpy reference.",
+)
+def q_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.blob_stats(tiles)

@@ -2881,3 +2881,20 @@ def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kriging_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pp_ops.kriging_loo(_tiles(spark, sf_dir))
+
+
+@register(
+    "adjusted_rand",
+    _CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n"
+    + hydro_ops.ari_oracle(),
+    doc="Adjusted Rand index (Hubert & Arabie 1985) between the "
+    "watershed basin partition and the naive res-5 block partition of "
+    "the same occupied res-7 cells — how much drainage structure a "
+    "fixed coarse grid already captures (the zonation/MAUP audit "
+    "beside resolution_loss). Exact pair-counting on the bounded cell "
+    "quotient, cross-multiplied through C(n,2) and doubled so every "
+    "compared value is an integer; sign/abs DIV discipline.",
+)
+def q_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hydro_ops.basin_block_ari(_tiles(spark, sf_dir))
