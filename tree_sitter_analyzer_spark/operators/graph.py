@@ -2698,3 +2698,140 @@ def mst_oracle_sql(rounds: int = MST_ROUNDS) -> str:
         + ",\n".join(chain)
         + f"\nSELECT a, b, CAST(w AS BIGINT) AS w FROM ({sels})"
     )
+
+
+# ---------------------------------------------------------------------------
+# R305: Luby maximal independent set (Luby 1986, public) — THE classic
+# parallel symmetry-breaking primitive (vertex coloring, scheduling,
+# parallel matching all reduce to it). Per round every live vertex draws
+# a deterministic priority (md5 of (round, vertex) — the bootstrap /
+# DeepWalk coin discipline, identical on both engines) made globally
+# UNIQUE by packing the vertex id into the low bits; a vertex enters the
+# MIS iff its key is strictly greater than every live neighbor's key
+# (no live neighbor → enters unconditionally); winners and their
+# neighbors leave the live set. Expected constant fraction of EDGES dies
+# per round, so MIS_ROUNDS = 8 empties the 2000-vertex graph with huge
+# margin (the test pins live-after-8 == 0 AND rounds-7 == rounds-8).
+# Scale shape: each round is one vertex-keyed equi-join + max-agg + two
+# anti/semi-joins — never all-pairs; the live frontier shrinks
+# geometrically and is checkpointed per round (frontier-only, per the
+# BFS checkpoint lesson). Oracle: the identical 8 rounds as chained
+# MATERIALIZED DuckDB CTEs. Reference analog: the parallel worker
+# scheduling of independent extraction units (ast_cache.py:498-505).
+# ---------------------------------------------------------------------------
+
+MIS_ROUNDS = 8
+_MIS_PACK = 2048  # > V_BFS: key = prio * 2048 + v is globally unique
+
+
+def _mis_key_spark(r: int) -> str:
+    from ..functions import md5int_spark
+
+    h = md5int_spark(f"concat('mis{r}_', CAST(v AS STRING))")
+    return f"CAST({h} * {_MIS_PACK} + v AS BIGINT)"
+
+
+def _mis_key_duck(r: int) -> str:
+    from ..functions import md5int_duck
+
+    h = md5int_duck(f"'mis{r}_' || CAST(v AS VARCHAR)")
+    return f"CAST({h} * {_MIS_PACK} + v AS BIGINT)"
+
+
+def luby_mis(
+    spark: SparkSession, edges: DataFrame, rounds: int = MIS_ROUNDS
+) -> DataFrame:
+    """(v, mis_round) for every vertex selected into the maximal
+    independent set, with the round it was selected in."""
+    ue = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    live_v = ue.select(F.col("src").alias("v")).distinct()
+    live_e = ue
+    picked: list[DataFrame] = []
+    for r in range(rounds):
+        keys = live_v.selectExpr(
+            "v", f"{_mis_key_spark(r)} AS mkey"
+        ).localCheckpoint(eager=True)
+        if keys.isEmpty():
+            break
+        # max live-neighbor key per vertex: edge (src,dst) carries src's
+        # key to dst (ue is symmetric, so every neighbor pair is seen)
+        nbr_max = (
+            live_e.join(
+                keys.selectExpr("v AS src", "mkey AS skey"), "src"
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.max("skey").alias("mx"))
+        )
+        winners = (
+            keys.join(nbr_max, "v", "left")
+            .where("mx IS NULL OR mkey > mx")
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        picked.append(winners.selectExpr("v", f"CAST({r} AS BIGINT) AS mis_round"))
+        removed = winners.unionByName(
+            live_e.join(winners.selectExpr("v AS src"), "src", "left_semi")
+            .select(F.col("dst").alias("v"))
+        ).distinct()
+        live_v = live_v.join(removed, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        live_e = (
+            live_e.join(live_v.selectExpr("v AS src"), "src", "left_semi")
+            .join(live_v.selectExpr("v AS dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def luby_mis_oracle(rounds: int = MIS_ROUNDS, kind: str = "bfs") -> str:
+    chain = [
+        f"mis_base AS MATERIALIZED ({edges_sql(kind)})",
+        "ue AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM mis_base UNION SELECT dst, src FROM mis_base)"
+        " WHERE src != dst)",
+        "lv0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM ue)",
+        "le0 AS MATERIALIZED (SELECT src, dst FROM ue)",
+    ]
+    for r in range(rounds):
+        chain.append(
+            f"k{r} AS MATERIALIZED (SELECT v, {_mis_key_duck(r)} AS mkey"
+            f" FROM lv{r})"
+        )
+        chain.append(
+            f"mx{r} AS MATERIALIZED (SELECT e.dst AS v, max(k.mkey) AS mx"
+            f" FROM le{r} e JOIN k{r} k ON k.v = e.src GROUP BY 1)"
+        )
+        chain.append(
+            f"w{r} AS MATERIALIZED (SELECT k.v FROM k{r} k"
+            f" LEFT JOIN mx{r} m ON m.v = k.v"
+            f" WHERE m.mx IS NULL OR k.mkey > m.mx)"
+        )
+        chain.append(
+            f"rm{r} AS MATERIALIZED (SELECT v FROM w{r}"
+            f" UNION SELECT e.dst FROM le{r} e JOIN w{r} w ON w.v = e.src)"
+        )
+        chain.append(
+            f"lv{r+1} AS MATERIALIZED (SELECT v FROM lv{r}"
+            f" WHERE v NOT IN (SELECT v FROM rm{r}))"
+        )
+        chain.append(
+            f"le{r+1} AS MATERIALIZED (SELECT e.src, e.dst FROM le{r} e"
+            f" JOIN lv{r+1} a ON a.v = e.src JOIN lv{r+1} b ON b.v = e.dst)"
+        )
+    sels = " UNION ALL ".join(
+        f"SELECT v, CAST({r} AS BIGINT) AS mis_round FROM w{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(chain) + f"\nSELECT * FROM ({sels})"

@@ -2165,3 +2165,125 @@ SELECT cell, n_tiles, richness,
          AS simpson_milli,
        CAST((1000 * n_tiles * n_tiles) // sq AS BIGINT) AS hill2_milli
 FROM kd_c WHERE n_tiles > 1"""
+
+
+# ---------------------------------------------------------------------------
+# R306: hillshade raster (Horn 1981 illumination, the cartography
+# classic) — per occupied res-HS_RES cell the integer cosine (milli)
+# between the surface normal and a fixed light vector (azimuth 315°,
+# altitude 45°). Kept exact cross-engine with ZERO trig at runtime:
+# the light vector is the integer literal (−500, 500, 707) (×1000,
+# |L|² = 999849 → isqrt 999 folded in as a literal) and the surface is
+# the PER-MILLE-OF-MAX density (the GWR normalization — z ≤ 1000 at ANY
+# SF, so every magnitude below is SF-invariant). Horn's 3×3 weighted
+# gradient (gx = (ne+2e+se) − (nw+2w+sw), gy likewise) comes from the
+# slope_aspect 8-offset fan with per-direction weights; the normal is
+# (−gx, −gy, HS_NZ) and
+#   shade_milli = (1000 · (500·gx − 500·gy + HS_NZ·707))
+#                 DIV (isqrt(gx² + gy² + HS_NZ²) · 999),   clamped ≥ 0
+# — numerator clamped BEFORE the DIV (negative DIV diverges between
+# engines). isqrt rides the R242 floor(sqrt) discipline. Flat cells
+# read exactly 707 (cos 45°). Aggregate-first + fixed 8-offset LEFT
+# equi-join: one exchange, never a full grid.
+# ---------------------------------------------------------------------------
+
+HS_RES = 7
+HS_NZ = 2000          # Horn's 8·cellsize with one z-unit per per-mille step
+_HS_L = (-500, 500, 707)   # light: azimuth 315°, altitude 45°, ×1000
+_HS_LNORM = 999            # isqrt(500² + 500² + 707²)
+# (dx, dy, wx, wy): Horn weights — wx contributes to gx, wy to gy.
+_HS_DIRS = [
+    (-1, 1, -1, 1), (0, 1, 0, 2), (1, 1, 1, 1),
+    (-1, 0, -2, 0), (1, 0, 2, 0),
+    (-1, -1, -1, -1), (0, -1, 0, -2), (1, -1, 1, -1),
+]
+
+
+def _hs_shade_exprs(gx: str, gy: str) -> tuple[str, str]:
+    lx, ly, lz = _HS_L
+    # -lx/-ly because the normal is (-gx, -gy, nz)
+    num = f"({-lx} * {gx} + {-ly} * {gy} + {HS_NZ * lz})"
+    den = (
+        f"(CAST(floor(sqrt(CAST({gx} * {gx} + {gy} * {gy}"
+        f" + {HS_NZ * HS_NZ} AS DOUBLE))) AS BIGINT) * {_HS_LNORM})"
+    )
+    shade = (
+        f"(CASE WHEN {num} <= 0 THEN 0"
+        f" ELSE (1000 * {num}) DIV {den} END)"
+    )
+    cls = (
+        f"(CASE WHEN {shade} < 500 THEN 'shadow'"
+        f" WHEN {shade} < 690 THEN 'dim'"
+        f" WHEN {shade} <= 725 THEN 'flat'"
+        f" WHEN {shade} <= 900 THEN 'lit' ELSE 'bright' END)"
+    )
+    return shade, cls
+
+
+def hillshade(tiles: DataFrame, res: int = HS_RES) -> DataFrame:
+    """(cx, cy, z, gx, gy, shade_milli, shade_class) per occupied cell."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    zmax = occ.agg(F.max("n").alias("zmax"))
+    zs = occ.crossJoin(F.broadcast(zmax)).selectExpr(
+        "cx", "cy", "CAST((1000 * n) DIV zmax AS BIGINT) AS z"
+    ).localCheckpoint(eager=False)
+    home = zs.selectExpr(f"cx * {_SL_PACK} + cy AS key", "z AS nz_")
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {wx} AS wx, {wy} AS wy)"
+        for dx, dy, wx, wy in _HS_DIRS
+    )
+    fan = zs.withColumn("o", F.explode(F.expr(f"array({offs})"))).select(
+        "cx", "cy", "z",
+        F.col("o.wx").alias("wx"), F.col("o.wy").alias("wy"),
+        F.expr(f"(cx + o.dx) * {_SL_PACK} + (cy + o.dy)").alias("key"),
+    )
+    g = (
+        fan.join(home, "key", "left")
+        .groupBy("cx", "cy", "z")
+        .agg(
+            F.expr("CAST(sum(wx * coalesce(nz_, 0)) AS BIGINT)").alias("gx"),
+            F.expr("CAST(sum(wy * coalesce(nz_, 0)) AS BIGINT)").alias("gy"),
+        )
+    )
+    shade, cls = _hs_shade_exprs("gx", "gy")
+    return g.selectExpr(
+        "cx", "cy", "z", "gx", "gy",
+        f"CAST({shade} AS BIGINT) AS shade_milli",
+        f"{cls} AS shade_class",
+    )
+
+
+def hillshade_oracle(res: int = HS_RES) -> str:
+    dirs = ", ".join(
+        f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _HS_DIRS
+    )
+    shade, cls = _hs_shade_exprs("gx", "gy")
+    shade = shade.replace(" DIV ", " // ")
+    cls = cls.replace(" DIV ", " // ")
+    return f"""
+hs_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+hs_z AS (
+  SELECT cx, cy, CAST((1000 * n) // (SELECT max(n) FROM hs_occ) AS BIGINT) AS z
+  FROM hs_occ),
+hs_dirs(dx, dy, wx, wy) AS (VALUES {dirs}),
+hs_g AS (
+  SELECT o.cx, o.cy, o.z,
+         CAST(sum(r.wx * coalesce(b.z, 0)) AS BIGINT) AS gx,
+         CAST(sum(r.wy * coalesce(b.z, 0)) AS BIGINT) AS gy
+  FROM hs_z o CROSS JOIN hs_dirs r
+  LEFT JOIN hs_z b ON b.cx = o.cx + r.dx AND b.cy = o.cy + r.dy
+  GROUP BY 1, 2, 3)
+SELECT cx, cy, z, gx, gy,
+       CAST({shade} AS BIGINT) AS shade_milli,
+       {cls} AS shade_class
+FROM hs_g"""

@@ -418,3 +418,18 @@ def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.mst_boruvka(spark)
+
+
+@register(
+    "luby_mis",
+    graph.luby_mis_oracle(),
+    doc="Luby maximal independent set — the classic parallel "
+    "symmetry-breaking primitive: per round every live vertex draws a "
+    "deterministic unique priority (md5(round, v) packed with v) and "
+    "enters the MIS iff it beats every live neighbor; winners + their "
+    "neighbors leave. One vertex-keyed join + max-agg per round, "
+    "frontier-only checkpoints; 8 rounds provably drain the graph "
+    "(pinned). Oracle: identical rounds as chained MATERIALIZED CTEs.",
+)
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.luby_mis(spark, graph.edges_df(spark, "bfs"))

@@ -8943,3 +8943,133 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE (((1000 * abs(sxy)) DIV sxx) * abs(sxy)) DIV syy END"
         " AS BIGINT) AS var_reduction_pm",
     )
+
+
+# --- R307: Wilcoxon signed-rank test ----------------------------------------------------
+#
+# The PAIRED nonparametric location test (Wilcoxon 1945) — completes the
+# rank-test family (auc_eval = two independent samples, kruskal_wallis =
+# k samples, friedman_test = blocked ranks): daily revenue (kilodollars)
+# of 1997 paired against 1996 by calendar (month, day) over the full
+# non-leap 365-day calendar (zero-densified; Feb 29 has no partner and
+# is excluded by construction). Zero differences drop (the standard
+# treatment); |d| ranks use DOUBLED average ranks (2·cum + t + 1 per tie
+# group) so ties stay exact integers; with W2 = Σ ranks2 of positive d,
+# E[W2] = n(n+1)/2 and Var[W2]·12 = 2n(n+1)(2n+1) − Σ(t³−t), so
+#   diff2 = 2·W2 − n(n+1)   (doubles away E's half)
+#   z²_milli = (3000·diff2²) DIV (2n(n+1)(2n+1) − Σ(t³−t))
+# — numerator a perfect square ≥ 0, denominator provably > 0, so DIV
+# and // agree. Everything lives on the BOUNDED calendar dimension
+# (n ≤ 365 at ANY SF): the global rank window is scale-safe.
+
+
+@register(
+    "wilcoxon_signed",
+    """
+WITH wx_daily AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         day(o_orderdate) AS d,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+           AS BIGINT) AS v
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1, 2, 3),
+wx_mlen(m, len) AS (VALUES (1,31),(2,28),(3,31),(4,30),(5,31),(6,30),
+                           (7,31),(8,31),(9,30),(10,31),(11,30),(12,31)),
+wx_cal AS (SELECT m, unnest(range(1, len + 1)) AS d FROM wx_mlen),
+wx_pairs AS (
+  SELECT coalesce(b.v, 0) - coalesce(a.v, 0) AS dd
+  FROM wx_cal c
+  LEFT JOIN wx_daily a ON a.y = 1996 AND a.m = c.m AND a.d = c.d
+  LEFT JOIN wx_daily b ON b.y = 1997 AND b.m = c.m AND b.d = c.d
+  WHERE coalesce(b.v, 0) - coalesce(a.v, 0) != 0),
+wx_g AS (
+  SELECT abs(dd) AS ad, count(*) AS t,
+         sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS p
+  FROM wx_pairs GROUP BY 1),
+wx_r AS (
+  SELECT ad, t, p,
+         coalesce(sum(t) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM wx_g),
+wx_a AS (
+  SELECT CAST(sum(p * (2 * cum + t + 1)) AS BIGINT) AS w2,
+         CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM wx_r)
+SELECT n AS n_pairs, w2, tie3,
+  CAST(CASE WHEN 2 * w2 - n * (n + 1) > 0 THEN 1
+            WHEN 2 * w2 - n * (n + 1) < 0 THEN -1
+            ELSE 0 END AS BIGINT) AS z_sign,
+  CAST((3000 * (2 * w2 - n * (n + 1)) * (2 * w2 - n * (n + 1)))
+    // (2 * n * (n + 1) * (2 * n + 1) - tie3) AS BIGINT) AS z2_milli
+FROM wx_a
+""",
+    doc="Wilcoxon signed-rank test of 1997-vs-1996 daily revenue paired "
+    "by calendar day (zero-densified non-leap calendar, zero diffs "
+    "dropped): doubled average ranks keep ties exact, z² milli "
+    "cross-multiplied with the tie-corrected variance — all on the "
+    "bounded calendar dimension, scale-safe at any SF.",
+)
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .where("year(o_orderdate) IN (1996, 1997)")
+        .groupBy(
+            F.expr("year(o_orderdate)").alias("y"),
+            F.expr("month(o_orderdate)").alias("m"),
+            F.expr("day(o_orderdate)").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) DIV 1000"
+                " AS BIGINT)"
+            ).alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mlens = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    structs = ", ".join(
+        f"struct({m + 1} AS m, {ln} AS len)" for m, ln in enumerate(mlens)
+    )
+    cal = (
+        daily.sparkSession.range(1)
+        .selectExpr(f"explode(array({structs})) AS s")
+        .selectExpr("s.m AS m", "explode(sequence(1, s.len)) AS d")
+    )
+    y96 = daily.where("y = 1996").selectExpr("m", "d", "v AS v96")
+    y97 = daily.where("y = 1997").selectExpr("m", "d", "v AS v97")
+    pairs = (
+        cal.join(y96, ["m", "d"], "left")
+        .join(y97, ["m", "d"], "left")
+        .selectExpr(
+            "coalesce(v97, CAST(0 AS BIGINT))"
+            " - coalesce(v96, CAST(0 AS BIGINT)) AS dd"
+        )
+        .where("dd != 0")
+    )
+    byad = pairs.selectExpr(
+        "abs(dd) AS ad", "CASE WHEN dd > 0 THEN 1 ELSE 0 END AS pos"
+    ).groupBy("ad").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("t"),
+        F.expr("CAST(sum(pos) AS BIGINT)").alias("p"),
+    )
+    ranked = byad.withColumn(
+        "cum",
+        F.expr(
+            "coalesce(sum(t) OVER (ORDER BY ad"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " CAST(0 AS BIGINT))"
+        ),
+    )
+    agg = ranked.agg(
+        F.expr("CAST(sum(p * (2 * cum + t + 1)) AS BIGINT)").alias("w2"),
+        F.expr("CAST(sum(t) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(t * t * t - t) AS BIGINT)").alias("tie3"),
+    )
+    return agg.selectExpr(
+        "n AS n_pairs", "w2", "tie3",
+        "CAST(CASE WHEN 2 * w2 - n * (n + 1) > 0 THEN 1"
+        " WHEN 2 * w2 - n * (n + 1) < 0 THEN -1"
+        " ELSE 0 END AS BIGINT) AS z_sign",
+        "CAST((3000 * (2 * w2 - n * (n + 1)) * (2 * w2 - n * (n + 1)))"
+        " DIV (2 * n * (n + 1) * (2 * n + 1) - tie3) AS BIGINT) AS z2_milli",
+    )

@@ -2898,3 +2898,18 @@ def q_kriging_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hydro_ops.basin_block_ari(_tiles(spark, sf_dir))
+
+
+@register(
+    "hillshade",
+    f"{_CTES},{zonal.hillshade_oracle()}",
+    doc="Horn hillshade over the per-mille-normalized res-7 density DEM: "
+    "integer cosine (milli) between the 3x3 weighted-gradient surface "
+    "normal and the literal light vector (azimuth 315, altitude 45), "
+    "zero runtime trig (light components and |L| are integer literals; "
+    "normal norm via the R242 isqrt discipline); numerator clamped "
+    "before DIV (negative-DIV divergence), flat cells read exactly 707. "
+    "Aggregate-first + 8-offset weighted LEFT equi-join fan.",
+)
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.hillshade(_tiles(spark, sf_dir))
