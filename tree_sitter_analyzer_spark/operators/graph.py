@@ -2835,3 +2835,77 @@ def luby_mis_oracle(rounds: int = MIS_ROUNDS, kind: str = "bfs") -> str:
         for r in range(rounds)
     )
     return "WITH " + ",\n".join(chain) + f"\nSELECT * FROM ({sels})"
+
+
+# ---------------------------------------------------------------------------
+# R308: bill-of-materials rollup via POINTER DOUBLING (Wyllie 1979 list
+# ranking, the classic O(log depth) parallel hierarchy walk) — the
+# warehouse "explode the assembly tree" op: a deterministic part
+# hierarchy (parent(p) = p DIV 4, roots 1-3, edge quantity
+# 1 + md5('bom_'||p) % 3) is walked upward with MULTIPLICATIVE path
+# state: each jump composes (ancestor, qty product, depth) with the
+# ancestor's own state, so 5 rounds cover depth 2^5 = 32 (a 4-ary tree
+# needs depth > 32 only past 4^32 parts). Roots are absorbing
+# self-loops. Per round ONE part-keyed equi-join — never per-level
+# sequential walks; the oracle is an UNCAPPED recursive CTE climbing
+# the same tree edge-by-edge, so algorithm-level agreement (doubling
+# vs linear walk) is what the parity proves. Path qty ≤ 3^depth keeps
+# every product < 2^63 for any feasible part count.
+# ---------------------------------------------------------------------------
+
+BOM_ROUNDS = 5
+
+
+def _bom_qty_spark() -> str:
+    from ..functions import md5int_spark
+
+    h = md5int_spark("concat('bom_', CAST(p AS STRING))")
+    return f"CAST(1 + pmod({h}, 3) AS BIGINT)"
+
+
+def _bom_qty_duck(var: str = "cur") -> str:
+    from ..functions import md5int_duck
+
+    h = md5int_duck(f"'bom_' || CAST({var} AS VARCHAR)")
+    return f"CAST(1 + ({h}) % 3 AS BIGINT)"
+
+
+def bom_rollup(parts: DataFrame, rounds: int = BOM_ROUNDS) -> DataFrame:
+    """(part, root, path_qty, depth) for every part in the synthetic
+    4-ary assembly tree over p_partkey."""
+    st = parts.selectExpr("p_partkey AS p").selectExpr(
+        "p",
+        "CASE WHEN p DIV 4 = 0 THEN p ELSE p DIV 4 END AS anc",
+        f"CASE WHEN p DIV 4 = 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE {_bom_qty_spark()} END AS qty",
+        "CASE WHEN p DIV 4 = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(1 AS BIGINT) END AS depth",
+    )
+    for i in range(rounds):
+        t = st.selectExpr(
+            "p AS tp", "anc AS tanc", "qty AS tqty", "depth AS tdepth"
+        )
+        st = st.join(t, F.col("anc") == F.col("tp")).selectExpr(
+            "p", "tanc AS anc", "qty * tqty AS qty",
+            "depth + tdepth AS depth",
+        )
+        if i % 2 == 1:
+            st = st.localCheckpoint(eager=False)
+    return st.selectExpr(
+        "p AS part", "anc AS root", "qty AS path_qty", "depth"
+    )
+
+
+def bom_oracle_sql() -> str:
+    """UNCAPPED recursive climb — splice after a CTE list providing
+    ``part`` (the view itself suffices; uses only p_partkey)."""
+    return f"""
+WITH RECURSIVE bom_walk(p, cur, qty, depth) AS (
+  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  FROM part
+  UNION ALL
+  SELECT w.p, w.cur // 4, w.qty * {_bom_qty_duck('w.cur')}, w.depth + 1
+  FROM bom_walk w WHERE w.cur // 4 >= 1
+)
+SELECT p AS part, cur AS root, qty AS path_qty, depth
+FROM bom_walk WHERE cur // 4 = 0"""

@@ -3482,3 +3482,150 @@ def q_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth.tiles_df(spark, sf_dir).where("i <= 8000")
     )
     return multimodal.blob_stats(tiles)
+
+
+# --- R310: distributed batch perceptron -------------------------------------------------
+#
+# ML TRAINING as a Spark job (Rosenblatt 1958, batch form): the whole
+# training loop is integer-exact and engine-replicable — per round the
+# misclassification "gradient" Σ_{y·(w·x+b) ≤ 0} y·x is ONE map-side
+# partial aggregation over the full scan, and the 5-scalar weight state
+# rides a broadcast 1-row frame (never a driver collect). Features are
+# deterministic md5 integers in [−10, 10]; labels come from a planted
+# hyperplane (3, −2, 1, 4) with margin-0 rows excluded, so the task is
+# separable and the trajectory meaningful. 4 rounds; output = the full
+# (round, w, b, n_miss) trajectory with initial w = 0 (round 0 reads
+# n_miss = n: every margin is 0 and 0 counts as misclassified).
+# Overflow: |x| ≤ 10, |w| grows ≤ 10n/round → margins < 2^63 at 10^12
+# docs. Oracle: the identical 4 rounds unrolled as chained CTEs.
+
+_PC_ROUNDS = 4
+_PC_TRUE_W = (3, -2, 1, 4)
+
+
+def _pc_feats(engine: str) -> list[str]:
+    from .functions import md5int_duck, md5int_spark
+
+    cols = []
+    for i in range(1, 5):
+        if engine == "spark":
+            h = md5int_spark(f"concat('pf{i}_', CAST(doc_id AS STRING))")
+            cols.append(f"CAST(pmod({h}, 21) - 10 AS BIGINT) AS x{i}")
+        else:
+            h = md5int_duck(f"'pf{i}_' || CAST(doc_id AS VARCHAR)")
+            cols.append(f"CAST(({h}) % 21 - 10 AS BIGINT) AS x{i}")
+    return cols
+
+
+def _pc_label() -> str:
+    a, b, c, d = _PC_TRUE_W
+    m = f"({a} * x1 + {b} * x2 + {c} * x3 + {d} * x4)"
+    return (
+        f"CAST(CASE WHEN {m} > 0 THEN 1 WHEN {m} < 0 THEN -1"
+        f" ELSE 0 END AS BIGINT) AS y"
+    )
+
+
+def _pc_oracle() -> str:
+    chain = [
+        f"pc_d0 AS (SELECT doc_id, {', '.join(_pc_feats('duck'))}"
+        " FROM documents)",
+        f"pc_d AS (SELECT * FROM (SELECT doc_id, x1, x2, x3, x4,"
+        f" {_pc_label()} FROM pc_d0) WHERE y != 0)",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,"
+        " CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,"
+        " CAST(0 AS BIGINT) AS b)",
+    ]
+    for r in range(_PC_ROUNDS):
+        chain.append(
+            f"m{r} AS (SELECT"
+            f" CAST(count(*) FILTER (WHERE y * (w1*x1 + w2*x2 + w3*x3"
+            f" + w4*x4 + b) <= 0) AS BIGINT) AS miss,"
+            + ", ".join(
+                f"CAST(coalesce(sum(y * x{i}) FILTER (WHERE y * (w1*x1"
+                f" + w2*x2 + w3*x3 + w4*x4 + b) <= 0), 0) AS BIGINT) AS g{i}"
+                for i in range(1, 5)
+            )
+            + f", CAST(coalesce(sum(y) FILTER (WHERE y * (w1*x1 + w2*x2"
+            f" + w3*x3 + w4*x4 + b) <= 0), 0) AS BIGINT) AS gb"
+            f" FROM pc_d CROSS JOIN w{r})"
+        )
+        chain.append(
+            f"w{r+1} AS (SELECT w1 + g1 AS w1, w2 + g2 AS w2,"
+            f" w3 + g3 AS w3, w4 + g4 AS w4, b + gb AS b"
+            f" FROM w{r} CROSS JOIN m{r})"
+        )
+    chain.append(
+        f"mf AS (SELECT CAST(count(*) FILTER (WHERE y * (w1*x1 + w2*x2"
+        f" + w3*x3 + w4*x4 + b) <= 0) AS BIGINT) AS miss"
+        f" FROM pc_d CROSS JOIN w{_PC_ROUNDS})"
+    )
+    sels = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, w1, w2, w3, w4, b,"
+        f" (SELECT miss FROM m{r}) AS n_miss FROM w{r}"
+        for r in range(_PC_ROUNDS)
+    )
+    sels += (
+        f" UNION ALL SELECT CAST({_PC_ROUNDS} AS BIGINT), w1, w2, w3, w4,"
+        f" b, (SELECT miss FROM mf) FROM w{_PC_ROUNDS}"
+    )
+    return "WITH " + ",\n".join(chain) + f"\nSELECT * FROM ({sels})"
+
+
+@register(
+    "perceptron_train",
+    _pc_oracle(),
+    doc="Distributed batch perceptron on a planted separable task: per "
+    "round the misclassification gradient is ONE map-side partial agg "
+    "over the doc scan, weights ride a broadcast 1-row frame (no "
+    "driver collect); md5 integer features, planted hyperplane labels, "
+    "4 rounds, full trajectory output. Oracle: identical rounds as "
+    "chained CTEs; python replay + miss-decrease pin in tests.",
+)
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", *_pc_feats("spark"))
+        .selectExpr("doc_id", "x1", "x2", "x3", "x4", _pc_label())
+        .where("y != 0")
+        .localCheckpoint(eager=False)
+    )
+    w = spark.range(1).selectExpr(
+        *[f"CAST(0 AS BIGINT) AS w{i}" for i in range(1, 5)],
+        "CAST(0 AS BIGINT) AS b",
+    )
+    margin = "y * (w1*x1 + w2*x2 + w3*x3 + w4*x4 + b)"
+    rows = []
+    for r in range(_PC_ROUNDS + 1):
+        g = d.crossJoin(F.broadcast(w)).agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN {margin} <= 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("miss"),
+            *[
+                F.expr(
+                    f"CAST(coalesce(sum(CASE WHEN {margin} <= 0"
+                    f" THEN y * x{i} ELSE 0 END), 0) AS BIGINT)"
+                ).alias(f"g{i}")
+                for i in range(1, 5)
+            ],
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN {margin} <= 0 THEN y"
+                " ELSE 0 END), 0) AS BIGINT)"
+            ).alias("gb"),
+        ).localCheckpoint(eager=True)
+        rows.append(
+            w.crossJoin(F.broadcast(g)).selectExpr(
+                f"CAST({r} AS BIGINT) AS round",
+                "w1", "w2", "w3", "w4", "b", "miss AS n_miss",
+            )
+        )
+        if r < _PC_ROUNDS:
+            w = w.crossJoin(F.broadcast(g)).selectExpr(
+                "w1 + g1 AS w1", "w2 + g2 AS w2", "w3 + g3 AS w3",
+                "w4 + g4 AS w4", "b + gb AS b",
+            ).localCheckpoint(eager=True)
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out

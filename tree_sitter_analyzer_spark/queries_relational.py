@@ -9073,3 +9073,163 @@ def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((3000 * (2 * w2 - n * (n + 1)) * (2 * w2 - n * (n + 1)))"
         " DIV (2 * n * (n + 1) * (2 * n + 1) - tie3) AS BIGINT) AS z2_milli",
     )
+
+
+# --- R308: bill-of-materials rollup (pointer doubling) ----------------------------------
+
+from .operators import graph as graph_ops  # noqa: E402
+
+
+@register(
+    "bom_rollup",
+    graph_ops.bom_oracle_sql(),
+    doc="Bill-of-materials explosion over the deterministic 4-ary part "
+    "hierarchy (parent = p DIV 4, md5 edge quantities 1-3): pointer "
+    "DOUBLING composes (ancestor, qty product, depth) in log rounds — "
+    "5 rounds cover depth 32 = 4^32 parts; one part-keyed equi-join "
+    "per round. Oracle: uncapped recursive CTE climbing edge-by-edge "
+    "(a genuinely different algorithm agreeing at the fixpoint).",
+)
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_ops.bom_rollup(_t(spark, sf_dir, "part"))
+
+
+# --- R309: decision stump (CART single split) --------------------------------------------
+#
+# The depth-1 CART tree (Breiman 1984) — "which single threshold best
+# separates the classes" — recovering a PLANTED noisy rule (the
+# pii_scrub/rocchio planted-signal discipline, since the synthetic
+# lineitem's native columns are independent by construction): the label
+# is (l_quantity >= 25) flipped with probability 1/20 on an md5 coin
+# keyed by (orderkey, linenumber), identical SQL on both engines. The
+# feature dimension is l_quantity (bounded 1-50 at ANY SF). Per
+# candidate threshold: per-mille class rates pL = (1000·posL) DIV nL,
+# binary Gini per side imp = (2·p·(1000−p)) DIV 1000 ≤ 500, weighted
+# objective (nL·impL + nR·impR) DIV N — every magnitude ≤ 1000·N. The
+# argmin rides ONE packed bigint (obj·100000 + q) so tie-breaks
+# (smallest threshold) are engine-identical; the test pins that the
+# recovered threshold is the planted 24/25 boundary and the gain is
+# large. Windows live on the bounded value dimension only.
+
+_STUMP_COIN_S = (
+    "pmod(" + _md5s("concat('st_', CAST(l_orderkey AS STRING), '_',"
+    " CAST(l_linenumber AS STRING))") + ", 20)"
+)
+_STUMP_COIN_D = (
+    "(" + _md5d("'st_' || CAST(l_orderkey AS VARCHAR) || '_' ||"
+    " CAST(l_linenumber AS VARCHAR)") + ") % 20"
+)
+
+
+def _stump_label(coin: str) -> str:
+    rule = "(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)"
+    return f"(CASE WHEN {coin} = 0 THEN 1 - {rule} ELSE {rule} END)"
+
+
+@register(
+    "decision_stump",
+    f"""
+WITH st_h AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n,
+         sum({_stump_label(_STUMP_COIN_D)}) AS pos
+  FROM lineitem GROUP BY 1),
+st_tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                  CAST(sum(pos) AS BIGINT) AS tp FROM st_h),
+st_c AS (
+  SELECT q,
+         CAST(sum(n) OVER (ORDER BY q) AS BIGINT) AS cn,
+         CAST(sum(pos) OVER (ORDER BY q) AS BIGINT) AS cp
+  FROM st_h),
+st_obj AS (
+  SELECT q, cn AS nl, cp AS pl, tn - cn AS nr, tp - cp AS pr,
+         ((cn * ((2 * ((1000 * cp) // cn)
+                    * (1000 - (1000 * cp) // cn)) // 1000)
+          + (tn - cn) * ((2 * ((1000 * (tp - cp)) // (tn - cn))
+                    * (1000 - (1000 * (tp - cp)) // (tn - cn))) // 1000))
+          // tn) AS obj
+  FROM st_c CROSS JOIN st_tot WHERE cn < tn),
+st_best AS (
+  SELECT min(obj * 100000 + q) AS packed FROM st_obj),
+st_row AS (
+  SELECT o.q AS split_q, o.obj AS obj_milli,
+         o.nl AS n_left, o.pl AS pos_left,
+         o.nr AS n_right, o.pr AS pos_right,
+         t.tn AS n,
+         ((2 * ((1000 * t.tp) // t.tn)
+             * (1000 - (1000 * t.tp) // t.tn)) // 1000) AS imp0_milli
+  FROM st_obj o CROSS JOIN st_tot t CROSS JOIN st_best b
+  WHERE o.obj * 100000 + o.q = b.packed)
+SELECT split_q,
+       obj_milli,
+       imp0_milli,
+       imp0_milli - obj_milli AS gain_milli,
+       n_left, pos_left, n_right, pos_right,
+       CAST((1000 * (GREATEST(pos_left, n_left - pos_left)
+                   + GREATEST(pos_right, n_right - pos_right))) // n
+         AS BIGINT) AS acc_milli
+FROM st_row
+""",
+    doc="CART decision stump recovering a planted noisy rule (label = "
+    "quantity >= 25 flipped 1-in-20 on an md5 coin): per-mille Gini "
+    "per side on the bounded 1-50 quantity dimension, weighted "
+    "objective, argmin packed (obj, q) for engine-identical ties, "
+    "baseline impurity + gain + stump accuracy. Scale-safe at 10^12 "
+    "rows (bounded value dimension, no global sort).",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS q",
+            f"{_stump_label(_STUMP_COIN_S)} AS y",
+        )
+        .groupBy("q")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(y) AS BIGINT)").alias("pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = h.agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("tn"),
+        F.expr("CAST(sum(pos) AS BIGINT)").alias("tp"),
+    )
+    c = h.selectExpr(
+        "q",
+        "CAST(sum(n) OVER (ORDER BY q) AS BIGINT) AS cn",
+        "CAST(sum(pos) OVER (ORDER BY q) AS BIGINT) AS cp",
+    )
+    obj = (
+        c.crossJoin(F.broadcast(tot))
+        .where("cn < tn")
+        .selectExpr(
+            "q", "cn AS nl", "cp AS pl", "tn - cn AS nr", "tp - cp AS pr",
+            "tn", "tp",
+            "((cn * ((2 * ((1000 * cp) DIV cn)"
+            " * (1000 - (1000 * cp) DIV cn)) DIV 1000)"
+            " + (tn - cn) * ((2 * ((1000 * (tp - cp)) DIV (tn - cn))"
+            " * (1000 - (1000 * (tp - cp)) DIV (tn - cn))) DIV 1000))"
+            " DIV tn) AS obj",
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = obj.agg(F.expr("min(obj * 100000 + q)").alias("packed"))
+    row = (
+        obj.crossJoin(F.broadcast(best))
+        .where("obj * 100000 + q = packed")
+        .selectExpr(
+            "q AS split_q", "obj AS obj_milli",
+            "nl AS n_left", "pl AS pos_left",
+            "nr AS n_right", "pr AS pos_right", "tn AS n",
+            "((2 * ((1000 * tp) DIV tn)"
+            " * (1000 - (1000 * tp) DIV tn)) DIV 1000) AS imp0_milli",
+        )
+    )
+    return row.selectExpr(
+        "split_q", "obj_milli", "imp0_milli",
+        "imp0_milli - obj_milli AS gain_milli",
+        "n_left", "pos_left", "n_right", "pos_right",
+        "CAST((1000 * (GREATEST(pos_left, n_left - pos_left)"
+        " + GREATEST(pos_right, n_right - pos_right))) DIV n"
+        " AS BIGINT) AS acc_milli",
+    )
