@@ -2287,3 +2287,348 @@ SELECT cx, cy, z, gx, gy,
        CAST({shade} AS BIGINT) AS shade_milli,
        {cls} AS shade_class
 FROM hs_g"""
+
+
+# ---------------------------------------------------------------------------
+# R311: Hough line transform (Hough 1962 / Duda-Hart 1972, the classic
+# parametric line detector) over the thresholded res-HOUGH_RES density
+# raster — the image-axis voting op: every foreground cell (per-mille
+# density ≥ HOUGH_FG_MILLI, the hillshade normalization so the
+# threshold is SF-invariant) votes for every (theta, rho) line through
+# it. ZERO runtime trig: cos/sin are milli integer literals baked at
+# codegen time (identical SQL text both engines); rho_milli =
+# cx·cos + cy·sin is offset by 2^28 (provably positive: |rho| ≤ 6·10^7)
+# before the width-HOUGH_RHO_W DIV so floor/trunc agree. The
+# accumulator is BOUNDED (thetas × rho bins over a fixed extent), so
+# the groupBy is map-side partial and the final rank window is on the
+# bounded accumulator dimension only — never a per-row global sort.
+# Reference analog: candidate generation before exact verification
+# (_ast_cache_schema.py FTS index role).
+# ---------------------------------------------------------------------------
+
+HOUGH_RES = 7
+HOUGH_FG_MILLI = 250
+HOUGH_RHO_W = 3000          # bin width: 3 cells × milli
+HOUGH_RHO_OFF = 1 << 28
+HOUGH_TOPN = 10
+
+
+def _hough_trig() -> list[tuple[int, int, int]]:
+    import math
+
+    out = []
+    for k in range(12):                      # 0°..165° step 15°
+        a = k * math.pi / 12
+        out.append((k * 15, round(1000 * math.cos(a)),
+                    round(1000 * math.sin(a))))
+    return out
+
+
+def hough_lines(tiles: DataFrame, res: int = HOUGH_RES) -> DataFrame:
+    """Top-HOUGH_TOPN (rank, theta_deg, rho_bin, votes, cx_min, cx_max)
+    line peaks in the thresholded density raster."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    zmax = occ.agg(F.max("n").alias("zmax"))
+    fg = occ.crossJoin(F.broadcast(zmax)).where(
+        f"(1000 * n) DIV zmax >= {HOUGH_FG_MILLI}"
+    )
+    trig = ", ".join(
+        f"struct({t} AS t, {c} AS c, {s} AS s)" for t, c, s in _hough_trig()
+    )
+    votes = (
+        fg.withColumn("o", F.explode(F.expr(f"array({trig})")))
+        .selectExpr(
+            "o.t AS theta_deg",
+            f"(cx * o.c + cy * o.s + {HOUGH_RHO_OFF})"
+            f" DIV {HOUGH_RHO_W} AS rho_bin",
+            "cx",
+        )
+        .groupBy("theta_deg", "rho_bin")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("votes"),
+            F.expr("CAST(min(cx) AS BIGINT)").alias("cx_min"),
+            F.expr("CAST(max(cx) AS BIGINT)").alias("cx_max"),
+        )
+    )
+    return votes.selectExpr(
+        "CAST(row_number() OVER (ORDER BY votes DESC, theta_deg, rho_bin)"
+        " AS BIGINT) AS rank",
+        "CAST(theta_deg AS BIGINT) AS theta_deg",
+        "rho_bin", "votes", "cx_min", "cx_max",
+    ).where(f"rank <= {HOUGH_TOPN}")
+
+
+def hough_oracle(res: int = HOUGH_RES) -> str:
+    trig = ", ".join(f"({t}, {c}, {s})" for t, c, s in _hough_trig())
+    return f"""
+hg_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+hg_fg AS (
+  SELECT cx, cy FROM hg_occ
+  WHERE (1000 * n) // (SELECT max(n) FROM hg_occ) >= {HOUGH_FG_MILLI}),
+hg_trig(t, c, s) AS (VALUES {trig}),
+hg_votes AS (
+  SELECT t AS theta_deg,
+         (cx * c + cy * s + {HOUGH_RHO_OFF}) // {HOUGH_RHO_W} AS rho_bin,
+         CAST(count(*) AS BIGINT) AS votes,
+         CAST(min(cx) AS BIGINT) AS cx_min,
+         CAST(max(cx) AS BIGINT) AS cx_max
+  FROM hg_fg CROSS JOIN hg_trig GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY votes DESC, theta_deg, rho_bin)
+         AS BIGINT) AS rank,
+       CAST(theta_deg AS BIGINT) AS theta_deg,
+       rho_bin, votes, cx_min, cx_max
+FROM hg_votes
+QUALIFY rank <= {HOUGH_TOPN}"""
+
+
+# ---------------------------------------------------------------------------
+# R312: integral image (summed-area table, Crow 1984 / the Viola-Jones
+# feature basis) over the res-SAT_RES count raster, with an IN-ROW
+# audit: the bounded extent is DENSIFIED (sequence cross-product —
+# ~77×65 cells, SF-invariant because the synthetic lon/lat box is
+# fixed), the SAT is two chained cumulative windows (column prefix
+# within x ordered by y, then row prefix within y ordered by x), and
+# SAT_BOXES md5-seeded rectangles are answered BOTH ways: the O(1)
+# 4-corner lookup c11−c01−c10+c00 and the direct bounded range-join
+# sum — emitted side by side so any divergence is visible in the rows
+# themselves (the audit-op discipline). Out-of-extent corners
+# coalesce to 0 (everything left/below the extent min has no mass).
+# ---------------------------------------------------------------------------
+
+SAT_RES = 7
+SAT_BOXES = 20
+
+
+def integral_image(tiles: DataFrame, res: int = SAT_RES) -> DataFrame:
+    """(box_id, x0, y0, x1, y1, sat_sum, direct_sum, exact_match) for
+    SAT_BOXES deterministic rectangles over the count raster."""
+    from ..functions import md5int_spark
+
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    ext = occ.agg(
+        F.expr("CAST(min(cx) AS BIGINT)").alias("xmin"),
+        F.expr("CAST(max(cx) AS BIGINT)").alias("xmax"),
+        F.expr("CAST(min(cy) AS BIGINT)").alias("ymin"),
+        F.expr("CAST(max(cy) AS BIGINT)").alias("ymax"),
+    ).localCheckpoint(eager=True)
+    dense = (
+        ext.selectExpr(
+            "explode(sequence(xmin, xmax)) AS x", "ymin", "ymax"
+        )
+        .selectExpr("x", "explode(sequence(ymin, ymax)) AS y")
+        .join(
+            occ.selectExpr("cx AS x", "cy AS y", "n"), ["x", "y"], "left"
+        )
+        .selectExpr("x", "y", "coalesce(n, CAST(0 AS BIGINT)) AS v")
+    )
+    sat = dense.selectExpr(
+        "x", "y",
+        "CAST(sum(v) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS colcum",
+    ).selectExpr(
+        "x", "y",
+        "CAST(sum(colcum) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS s",
+    ).localCheckpoint(eager=False)
+
+    def seed(tag: str) -> str:
+        return md5int_spark(f"concat('{tag}', CAST(b AS STRING))")
+
+    boxes = (
+        ext.selectExpr(
+            f"explode(sequence(0, {SAT_BOXES - 1})) AS b",
+            "xmin", "xmax", "ymin", "ymax",
+        )
+        .selectExpr(
+            "CAST(b AS BIGINT) AS box_id",
+            f"xmin + pmod({seed('sbx0_')}, xmax - xmin + 1) AS xa",
+            f"xmin + pmod({seed('sbx1_')}, xmax - xmin + 1) AS xb",
+            f"ymin + pmod({seed('sby0_')}, ymax - ymin + 1) AS ya",
+            f"ymin + pmod({seed('sby1_')}, ymax - ymin + 1) AS yb",
+        )
+        .selectExpr(
+            "box_id",
+            "least(xa, xb) AS x0", "least(ya, yb) AS y0",
+            "greatest(xa, xb) AS x1", "greatest(ya, yb) AS y1",
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = boxes
+    for cn, xe, ye in [
+        ("c11", "x1", "y1"), ("c01", "x0 - 1", "y1"),
+        ("c10", "x1", "y0 - 1"), ("c00", "x0 - 1", "y0 - 1"),
+    ]:
+        side = sat.selectExpr(f"x AS {cn}x", f"y AS {cn}y", f"s AS {cn}")
+        b = b.join(
+            F.broadcast(side),
+            F.expr(f"{cn}x = {xe} AND {cn}y = {ye}"),
+            "left",
+        ).drop(f"{cn}x", f"{cn}y")
+    direct = (
+        boxes.join(
+            occ,
+            F.expr("cx BETWEEN x0 AND x1 AND cy BETWEEN y0 AND y1"),
+            "left",
+        )
+        .groupBy("box_id")
+        .agg(F.expr("CAST(coalesce(sum(n), 0) AS BIGINT)").alias("direct_sum"))
+    )
+    return (
+        b.selectExpr(
+            "box_id", "x0", "y0", "x1", "y1",
+            "coalesce(c11, 0) - coalesce(c01, 0) - coalesce(c10, 0)"
+            " + coalesce(c00, 0) AS sat_sum",
+        )
+        .join(direct, "box_id")
+        .selectExpr(
+            "box_id", "x0", "y0", "x1", "y1", "sat_sum", "direct_sum",
+            "sat_sum = direct_sum AS exact_match",
+        )
+    )
+
+
+def integral_oracle(res: int = SAT_RES) -> str:
+    from ..functions import md5int_duck
+
+    def seed(tag: str) -> str:
+        return md5int_duck(f"'{tag}' || CAST(b AS VARCHAR)")
+
+    return f"""
+sa_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+sa_ext AS (
+  SELECT CAST(min(cx) AS BIGINT) AS xmin, CAST(max(cx) AS BIGINT) AS xmax,
+         CAST(min(cy) AS BIGINT) AS ymin, CAST(max(cy) AS BIGINT) AS ymax
+  FROM sa_occ),
+sa_xs AS (SELECT unnest(generate_series(xmin, xmax)) AS x FROM sa_ext),
+sa_ys AS (SELECT unnest(generate_series(ymin, ymax)) AS y FROM sa_ext),
+sa_dense AS (
+  SELECT x, y, coalesce(n, CAST(0 AS BIGINT)) AS v
+  FROM sa_xs CROSS JOIN sa_ys
+  LEFT JOIN sa_occ ON cx = x AND cy = y),
+sa_col AS (
+  SELECT x, y,
+         CAST(sum(v) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS colcum
+  FROM sa_dense),
+sa_sat AS (
+  SELECT x, y,
+         CAST(sum(colcum) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS s
+  FROM sa_col),
+sa_seed AS (
+  SELECT CAST(b AS BIGINT) AS box_id,
+         xmin + ({seed('sbx0_')}) % (xmax - xmin + 1) AS xa,
+         xmin + ({seed('sbx1_')}) % (xmax - xmin + 1) AS xb,
+         ymin + ({seed('sby0_')}) % (ymax - ymin + 1) AS ya,
+         ymin + ({seed('sby1_')}) % (ymax - ymin + 1) AS yb
+  FROM sa_ext, (SELECT unnest(generate_series(0, {SAT_BOXES - 1})) AS b)),
+sa_boxes AS (
+  SELECT box_id, least(xa, xb) AS x0, least(ya, yb) AS y0,
+         greatest(xa, xb) AS x1, greatest(ya, yb) AS y1
+  FROM sa_seed),
+sa_corners AS (
+  SELECT bo.*,
+         coalesce(s11.s, 0) - coalesce(s01.s, 0) - coalesce(s10.s, 0)
+           + coalesce(s00.s, 0) AS sat_sum
+  FROM sa_boxes bo
+  LEFT JOIN sa_sat s11 ON s11.x = bo.x1 AND s11.y = bo.y1
+  LEFT JOIN sa_sat s01 ON s01.x = bo.x0 - 1 AND s01.y = bo.y1
+  LEFT JOIN sa_sat s10 ON s10.x = bo.x1 AND s10.y = bo.y0 - 1
+  LEFT JOIN sa_sat s00 ON s00.x = bo.x0 - 1 AND s00.y = bo.y0 - 1),
+sa_direct AS (
+  SELECT bo.box_id,
+         CAST(coalesce(sum(o.n), 0) AS BIGINT) AS direct_sum
+  FROM sa_boxes bo LEFT JOIN sa_occ o
+    ON o.cx BETWEEN bo.x0 AND bo.x1 AND o.cy BETWEEN bo.y0 AND bo.y1
+  GROUP BY 1)
+SELECT c.box_id, c.x0, c.y0, c.x1, c.y1, c.sat_sum, d.direct_sum,
+       c.sat_sum = d.direct_sum AS exact_match
+FROM sa_corners c JOIN sa_direct d ON c.box_id = d.box_id"""
+
+
+# ---------------------------------------------------------------------------
+# R313: histogram equalization (the classic contrast-enhancement
+# remap, Gonzalez-Woods §3.3 / OpenCV equalizeHist) of the per-mille
+# density raster quantized to 64 gray levels (g = z DIV 16): per level
+# the cumulative count, then the standard remap
+#   eq255 = ((cdf(g) − cdf_min) · 255) DIV (N − cdf_min)
+# — integer-exact, provably non-negative (cdf ≥ cdf_min), monotone,
+# and endpoint-pinned (the top occupied level maps to exactly 255).
+# Bounded value dimension (≤ 64 levels): the per-level groupBy is
+# map-side partial and the cdf window runs on ≤ 64 rows at ANY SF.
+# ---------------------------------------------------------------------------
+
+EQ_RES = 7
+
+
+def hist_equalization(tiles: DataFrame, res: int = EQ_RES) -> DataFrame:
+    """(level, n_cells, cdf, eq255) per occupied 64-level gray bin."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    zmax = occ.agg(F.max("n").alias("zmax"))
+    lev = (
+        occ.crossJoin(F.broadcast(zmax))
+        .selectExpr("((1000 * n) DIV zmax) DIV 16 AS level")
+        .groupBy("level")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_cells"))
+    )
+    cdf = lev.selectExpr(
+        "level", "n_cells",
+        "CAST(sum(n_cells) OVER (ORDER BY level) AS BIGINT) AS cdf",
+    )
+    tot = cdf.agg(
+        F.expr("CAST(min(cdf) AS BIGINT)").alias("cmin"),
+        F.expr("CAST(max(cdf) AS BIGINT)").alias("ntot"),
+    )
+    return cdf.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(level AS BIGINT) AS level", "n_cells", "cdf",
+        "CAST(CASE WHEN ntot = cmin THEN 255"
+        " ELSE ((cdf - cmin) * 255) DIV (ntot - cmin) END AS BIGINT)"
+        " AS eq255",
+    )
+
+
+def hist_eq_oracle(res: int = EQ_RES) -> str:
+    return f"""
+he_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+he_lev AS (
+  SELECT ((1000 * n) // (SELECT max(n) FROM he_occ)) // 16 AS level,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM he_occ GROUP BY 1),
+he_cdf AS (
+  SELECT level, n_cells,
+         CAST(sum(n_cells) OVER (ORDER BY level) AS BIGINT) AS cdf
+  FROM he_lev),
+he_tot AS (
+  SELECT CAST(min(cdf) AS BIGINT) AS cmin, CAST(max(cdf) AS BIGINT) AS ntot
+  FROM he_cdf)
+SELECT CAST(level AS BIGINT) AS level, n_cells, cdf,
+       CAST(CASE WHEN ntot = cmin THEN 255
+            ELSE ((cdf - cmin) * 255) // (ntot - cmin) END AS BIGINT)
+         AS eq255
+FROM he_cdf CROSS JOIN he_tot"""

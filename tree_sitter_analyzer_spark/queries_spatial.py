@@ -2913,3 +2913,42 @@ def q_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.hillshade(_tiles(spark, sf_dir))
+
+
+@register(
+    "hough_lines",
+    f"{_CTES},{zonal.hough_oracle()}",
+    doc="Hough line transform (Duda-Hart 1972) over the thresholded "
+    "per-mille density raster: every foreground cell votes for 12 "
+    "(theta, rho) lines with milli cos/sin integer literals (zero "
+    "runtime trig), rho offset positive before the width-3 bin DIV; "
+    "bounded accumulator -> map-side agg + rank window on the "
+    "accumulator only; top-10 peaks with deterministic tie-breaks.",
+)
+def q_hough_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.hough_lines(_tiles(spark, sf_dir))
+
+
+@register(
+    "integral_image",
+    f"{_CTES},{zonal.integral_oracle()}",
+    doc="Summed-area table (Crow 1984, the Viola-Jones basis) over the "
+    "densified bounded res-7 count raster (two chained cumulative "
+    "windows), answering 20 md5-seeded rectangles BOTH ways in the "
+    "same row: O(1) 4-corner lookup vs direct range-join sum, with an "
+    "exact_match audit column (out-of-extent corners coalesce to 0).",
+)
+def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.integral_image(_tiles(spark, sf_dir))
+
+
+@register(
+    "hist_equalization",
+    f"{_CTES},{zonal.hist_eq_oracle()}",
+    doc="Histogram equalization (Gonzalez-Woods 3.3) of the per-mille "
+    "density raster quantized to 64 gray levels: per-level cdf window "
+    "on the bounded value dimension, remap eq255 = ((cdf-cdfmin)*255) "
+    "DIV (N-cdfmin) — integer-exact, monotone, top level pinned 255.",
+)
+def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.hist_equalization(_tiles(spark, sf_dir))
