@@ -2909,3 +2909,129 @@ WITH RECURSIVE bom_walk(p, cur, qty, depth) AS (
 )
 SELECT p AS part, cur AS root, qty AS path_qty, depth
 FROM bom_walk WHERE cur // 4 = 0"""
+
+
+# ---------------------------------------------------------------------------
+# R314: parallel maximal matching (Israeli-Itai 1986 local-minimum
+# rounds) on the same fixed 2000-vertex graph as Luby MIS — the
+# edge-side symmetry-breaking primitive (and a 2-approx minimum vertex
+# cover: the matched endpoints). Per round every live edge draws a
+# globally-unique deterministic key (md5(round, u, v) packed with
+# u·2048+v) and enters the matching iff it is the MINIMUM at BOTH
+# endpoints; matched endpoints and their incident edges leave. One
+# vertex-keyed min-agg + one equi-join per round; MM_ROUNDS = 8
+# provably drains this graph (pinned in tests). Oracle: identical
+# rounds as chained MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+MM_ROUNDS = 8
+_MM_PACK = 4194304   # 2^22 > 2048·2000 + 2000: key = prio·PACK + u·2048 + v
+
+
+def _mm_key_spark(r: int) -> str:
+    from ..functions import md5int_spark
+
+    h = md5int_spark(
+        f"concat('mm{r}_', CAST(u AS STRING), '_', CAST(v AS STRING))"
+    )
+    return f"CAST({h} * {_MM_PACK} + u * 2048 + v AS BIGINT)"
+
+
+def _mm_key_duck(r: int) -> str:
+    from ..functions import md5int_duck
+
+    h = md5int_duck(
+        f"'mm{r}_' || CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)"
+    )
+    return f"CAST(({h}) * {_MM_PACK} + u * 2048 + v AS BIGINT)"
+
+
+def maximal_matching(
+    spark: SparkSession, edges: DataFrame, rounds: int = MM_ROUNDS
+) -> DataFrame:
+    """(u, v, mm_round) for every edge selected into the maximal
+    matching, with the round it was selected in."""
+    le = (
+        edges.selectExpr(
+            "least(src, dst) AS u", "greatest(src, dst) AS v"
+        )
+        .where("u != v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    picked: list[DataFrame] = []
+    for r in range(rounds):
+        keys = le.selectExpr(
+            "u", "v", f"{_mm_key_spark(r)} AS ekey"
+        ).localCheckpoint(eager=True)
+        if keys.isEmpty():
+            break
+        vmin = (
+            keys.selectExpr("u AS w", "ekey")
+            .unionByName(keys.selectExpr("v AS w", "ekey"))
+            .groupBy("w")
+            .agg(F.min("ekey").alias("mn"))
+        )
+        winners = (
+            keys.join(vmin.selectExpr("w AS u", "mn AS mnu"), "u")
+            .join(vmin.selectExpr("w AS v", "mn AS mnv"), "v")
+            .where("ekey = mnu AND ekey = mnv")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        picked.append(
+            winners.selectExpr("u", "v", f"CAST({r} AS BIGINT) AS mm_round")
+        )
+        mv = (
+            winners.selectExpr("u AS w")
+            .unionByName(winners.selectExpr("v AS w"))
+            .distinct()
+        )
+        le = (
+            le.join(mv.selectExpr("w AS u"), "u", "left_anti")
+            .join(mv.selectExpr("w AS v"), "v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def maximal_matching_oracle(
+    rounds: int = MM_ROUNDS, kind: str = "bfs"
+) -> str:
+    chain = [
+        f"mm_base AS MATERIALIZED ({edges_sql(kind)})",
+        "mle0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        " greatest(src, dst) AS v FROM mm_base WHERE src != dst)",
+    ]
+    for r in range(rounds):
+        chain.append(
+            f"mk{r} AS MATERIALIZED (SELECT u, v, {_mm_key_duck(r)} AS ekey"
+            f" FROM mle{r})"
+        )
+        chain.append(
+            f"mv{r} AS MATERIALIZED (SELECT w, min(ekey) AS mn FROM"
+            f" (SELECT u AS w, ekey FROM mk{r}"
+            f"  UNION ALL SELECT v AS w, ekey FROM mk{r}) GROUP BY 1)"
+        )
+        chain.append(
+            f"mw{r} AS MATERIALIZED (SELECT k.u, k.v FROM mk{r} k"
+            f" JOIN mv{r} a ON a.w = k.u JOIN mv{r} b ON b.w = k.v"
+            f" WHERE k.ekey = a.mn AND k.ekey = b.mn)"
+        )
+        chain.append(
+            f"mmv{r} AS MATERIALIZED"
+            f" (SELECT u AS w FROM mw{r} UNION SELECT v FROM mw{r})"
+        )
+        chain.append(
+            f"mle{r+1} AS MATERIALIZED (SELECT u, v FROM mle{r}"
+            f" WHERE u NOT IN (SELECT w FROM mmv{r})"
+            f" AND v NOT IN (SELECT w FROM mmv{r}))"
+        )
+    sels = " UNION ALL ".join(
+        f"SELECT u, v, CAST({r} AS BIGINT) AS mm_round FROM mw{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(chain) + f"\nSELECT * FROM ({sels})"

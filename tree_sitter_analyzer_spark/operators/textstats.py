@@ -1371,3 +1371,93 @@ pra_lab AS (
          (1000 * c.n_stop) // c.n_tokens AS s_stop_density
   FROM pra_q q JOIN pra_cnt c ON c.doc_id = q.doc_id)
 {both}"""
+
+
+# ---------------------------------------------------------------------------
+# R316: recursive (c,l)-diversity audit (Machanavajjhala 2007 §4) — the
+# rung between kanon_audit (distinct-l) and tcloseness_audit: a QI
+# group is recursive (c,l)-diverse iff the MOST FREQUENT sensitive
+# value is outweighed by the tail from rank l on, r1 < c·(r_l+…+r_m).
+# Defends against probabilistic inference where distinct-l still
+# passes (one dominant grade + token others). Exact integers: counts
+# ranked (count DESC, grade) — the rank-l tail SUM is invariant to
+# equal-count tie order, and the tie-break makes the ranking itself
+# engine-identical. Same QI key as kanon (lang, source, len_band);
+# bounded sensitive dimension (4 grades) ⇒ per-group windows touch
+# ≤ 4 rows.
+# ---------------------------------------------------------------------------
+
+RCL_C = 2
+RCL_L = 2
+
+
+def l_diversity(
+    docs: DataFrame, c: int = RCL_C, l_div: int = RCL_L
+) -> DataFrame:
+    """(lang, source, len_band, n, n_grades, r1, tail_l, rcl_ok)."""
+    g = text_stats(docs).select("doc_id", "grade")
+    cells = (
+        docs.join(g, "doc_id")
+        .groupBy(
+            "lang", "source",
+            F.expr(f"CAST(n_chars AS BIGINT) DIV {_KANON_BAND}").alias(
+                "len_band"
+            ),
+            "grade",
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = cells.selectExpr(
+        "lang", "source", "len_band", "c",
+        "CAST(row_number() OVER (PARTITION BY lang, source, len_band"
+        " ORDER BY c DESC, grade) AS BIGINT) AS rk",
+    )
+    return (
+        ranked.groupBy("lang", "source", "len_band")
+        .agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("n"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_grades"),
+            F.expr("CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT)").alias(
+                "r1"
+            ),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN rk >= {l_div} THEN c END), 0)"
+                " AS BIGINT)"
+            ).alias("tail_l"),
+        )
+        .selectExpr(
+            "lang", "source", "len_band", "n", "n_grades", "r1", "tail_l",
+            f"CAST(r1 < {c} * tail_l AS BIGINT) AS rcl_ok",
+        )
+    )
+
+
+def l_diversity_oracle(c: int = RCL_C, l_div: int = RCL_L) -> str:
+    return f"""
+WITH {quality_oracle_ctes('rcl')},
+rcl_gr AS (
+  SELECT doc_id,
+         CASE WHEN quality >= 80 THEN 'A' WHEN quality >= 60 THEN 'B'
+              WHEN quality >= 40 THEN 'C' ELSE 'D' END AS grade
+  FROM rcl_q),
+rcl_cells AS (
+  SELECT d.lang, d.source,
+         CAST(d.n_chars AS BIGINT) // {_KANON_BAND} AS len_band, g.grade,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN rcl_gr g ON g.doc_id = d.doc_id
+  GROUP BY 1, 2, 3, 4),
+rcl_rk AS (
+  SELECT lang, source, len_band, c,
+         CAST(row_number() OVER (PARTITION BY lang, source, len_band
+           ORDER BY c DESC, grade) AS BIGINT) AS rk
+  FROM rcl_cells)
+SELECT lang, source, len_band,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_grades,
+       CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS r1,
+       CAST(coalesce(sum(CASE WHEN rk >= {l_div} THEN c END), 0)
+         AS BIGINT) AS tail_l,
+       CAST(max(CASE WHEN rk = 1 THEN c END)
+          < {c} * coalesce(sum(CASE WHEN rk >= {l_div} THEN c END), 0)
+         AS BIGINT) AS rcl_ok
+FROM rcl_rk GROUP BY 1, 2, 3"""

@@ -433,3 +433,19 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.luby_mis(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "maximal_matching",
+    graph.maximal_matching_oracle(),
+    doc="Parallel maximal matching (Israeli-Itai local-minimum rounds) "
+    "— the edge-side symmetry-breaking primitive beside luby_mis, and "
+    "a 2-approx minimum vertex cover (the matched endpoints): per "
+    "round every live edge draws a unique deterministic key and joins "
+    "the matching iff it is the minimum at BOTH endpoints; matched "
+    "endpoints leave. One vertex-keyed min-agg + equi-join per round; "
+    "8 rounds provably drain the graph (pinned). Oracle: identical "
+    "rounds as chained MATERIALIZED CTEs.",
+)
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.maximal_matching(spark, graph.edges_df(spark, "bfs"))

@@ -3629,3 +3629,18 @@ def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@register(
+    "l_diversity",
+    textstats.l_diversity_oracle(),
+    doc="Recursive (c,l)-diversity audit (Machanavajjhala 2007) — the "
+    "rung between kanon_audit (distinct-l) and tcloseness_audit: per "
+    "QI group the top sensitive-grade count must be outweighed by the "
+    "rank-l tail, r1 < c*(r_l+...+r_m), catching one-dominant-grade "
+    "groups distinct-l passes. Ranked (count DESC, grade) so the "
+    "ranking is engine-identical and the tail sum tie-invariant; "
+    "bounded 4-grade dimension per group.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.l_diversity(_docs(spark, sf_dir))

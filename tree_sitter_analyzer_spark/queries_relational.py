@@ -9233,3 +9233,111 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + GREATEST(pos_right, n_right - pos_right))) DIV n"
         " AS BIGINT) AS acc_milli",
     )
+
+
+# --- R315: Theil-Sen robust slope ---------------------------------------------------------
+#
+# The median-of-pairwise-slopes estimator (Theil 1950, Sen 1968) — the
+# ROBUST sibling of ols_trend (29% breakdown vs OLS's zero) on the same
+# zero-densified 1996 daily revenue (kilodollars) per returnflag: all
+# C(366,2) = 66,795 day pairs per flag, slope_milli = trunc((1000·Δy)/Δx)
+# spelled sign-safely (CASE on the numerator sign so Spark DIV trunc ==
+# DuckDB // floor on the positive operand), LOWER MEDIAN picked as the
+# smallest slope whose cumulative pair count reaches (N+1) DIV 2 over
+# the value-grouped histogram — the bounded-dimension exact order
+# statistic (calendar² pairs, SF-invariant). Self-join sides renamed
+# per projection (shared-lineage discipline).
+
+_TS_D96 = 9496  # days 1970-01-01 .. 1996-01-01
+
+
+@register(
+    "theil_sen",
+    f"""
+WITH tsn_daily AS (
+  SELECT l_returnflag AS flag,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', l_shipdate)
+           // {_DAY_US} - {_TS_D96} AS x,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) // 1000 AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+tsn_cal AS (
+  SELECT f.flag, c.x
+  FROM (SELECT DISTINCT flag FROM tsn_daily) f
+  CROSS JOIN (SELECT unnest(range(0, 366)) AS x) c),
+tsn_s AS (
+  SELECT c.flag, c.x, coalesce(d.v, 0) AS y
+  FROM tsn_cal c LEFT JOIN tsn_daily d ON d.flag = c.flag AND d.x = c.x),
+tsn_p AS (
+  SELECT a.flag,
+         CASE WHEN b.y - a.y >= 0
+              THEN (1000 * (b.y - a.y)) // (b.x - a.x)
+              ELSE -((1000 * (a.y - b.y)) // (b.x - a.x)) END AS s
+  FROM tsn_s a JOIN tsn_s b ON b.flag = a.flag AND b.x > a.x),
+tsn_h AS (SELECT flag, s, CAST(count(*) AS BIGINT) AS c
+          FROM tsn_p GROUP BY 1, 2),
+tsn_c AS (
+  SELECT flag, s, c,
+         CAST(sum(c) OVER (PARTITION BY flag ORDER BY s) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS np
+  FROM tsn_h)
+SELECT flag, CAST(min(np) AS BIGINT) AS n_pairs,
+       CAST(min(s) AS BIGINT) AS ts_slope_milli
+FROM tsn_c WHERE cum >= (np + 1) // 2 GROUP BY 1
+""",
+    doc="Theil-Sen robust trend of zero-densified 1996 daily revenue "
+    "(kilodollars) per returnflag: exact lower median of all C(366,2) "
+    "pairwise slopes via the value-grouped cumulative histogram "
+    "(bounded calendar^2 dimension); per-pair slope_milli spelled "
+    "sign-safely so Spark DIV and DuckDB // agree; the 29%-breakdown "
+    "robust sibling of ols_trend / trend_mk.",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" l_shipdate) DIV {_DAY_US} - {_TS_D96} AS x",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+            " AS dollars",
+        )
+        .groupBy("flag", "x")
+        .agg(F.expr("CAST(sum(dollars) DIV 1000 AS BIGINT)").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    s = (
+        daily.select("flag").distinct()
+        .crossJoin(
+            daily.sparkSession.range(366).selectExpr("CAST(id AS BIGINT) AS x")
+        )
+        .join(daily, ["flag", "x"], "left")
+        .selectExpr("flag", "x", "coalesce(v, CAST(0 AS BIGINT)) AS y")
+        .localCheckpoint(eager=False)
+    )
+    a = s.selectExpr("flag", "x AS ax", "y AS ay")
+    b = s.selectExpr("flag AS bflag", "x AS bx", "y AS by")
+    pairs = a.join(
+        b, F.expr("bflag = flag AND bx > ax")
+    ).selectExpr(
+        "flag",
+        "CASE WHEN by - ay >= 0 THEN (1000 * (by - ay)) DIV (bx - ax)"
+        " ELSE -((1000 * (ay - by)) DIV (bx - ax)) END AS s",
+    )
+    h = pairs.groupBy("flag", "s").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("c")
+    )
+    cum = h.selectExpr(
+        "flag", "s", "c",
+        "CAST(sum(c) OVER (PARTITION BY flag ORDER BY s) AS BIGINT) AS cum",
+        "CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS np",
+    )
+    return (
+        cum.where("cum >= (np + 1) DIV 2")
+        .groupBy("flag")
+        .agg(
+            F.expr("CAST(min(np) AS BIGINT)").alias("n_pairs"),
+            F.expr("CAST(min(s) AS BIGINT)").alias("ts_slope_milli"),
+        )
+    )
