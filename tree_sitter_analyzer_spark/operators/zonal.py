@@ -2632,3 +2632,75 @@ SELECT CAST(level AS BIGINT) AS level, n_cells, cdf,
             ELSE ((cdf - cmin) * 255) // (ntot - cmin) END AS BIGINT)
          AS eq255
 FROM he_cdf CROSS JOIN he_tot"""
+
+
+# ---------------------------------------------------------------------------
+# R319: run-length encoding profile of the thresholded raster — the
+# compression-side texture statistic (RLE is the classic bilevel
+# codec primitive, ITU G3 fax / Golomb 1966), swept over a THRESHOLD
+# LADDER so the profile carries multi-scale structure (high cuts
+# leave only hotspot cores in 2-3-cell runs; low cuts produce runs up
+# to the full extent width): foreground = per-mille density >= thr,
+# runs of consecutive foreground cells within each raster row found
+# by gaps-and-islands (island = cx - row_number ordered by cx, the
+# sessionization trick on the spatial axis), then the run-length
+# histogram per threshold. Windows partition by (thr, raster row) —
+# bounded width at ANY SF; the histogram groupBy is map-side partial.
+# ---------------------------------------------------------------------------
+
+RLE_THRS = (5, 10, 25, 250)
+
+
+def rle_runs(tiles: DataFrame, res: int = HOUGH_RES) -> DataFrame:
+    """(thr_milli, run_len, n_runs) horizontal-run histogram ladder."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    zmax = occ.agg(F.max("n").alias("zmax"))
+    thrs = ", ".join(str(t) for t in RLE_THRS)
+    fg = (
+        occ.crossJoin(F.broadcast(zmax))
+        .withColumn("thr", F.explode(F.expr(f"array({thrs})")))
+        .where("(1000 * n) DIV zmax >= thr")
+    )
+    runs = (
+        fg.selectExpr(
+            "thr", "cy", "cx",
+            "cx - row_number() OVER (PARTITION BY thr, cy ORDER BY cx)"
+            " AS island",
+        )
+        .groupBy("thr", "cy", "island")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("run_len"))
+    )
+    return runs.groupBy("thr", "run_len").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_runs")
+    ).selectExpr("CAST(thr AS BIGINT) AS thr_milli", "run_len", "n_runs")
+
+
+def rle_oracle(res: int = HOUGH_RES) -> str:
+    thrs = ", ".join(f"({t})" for t in RLE_THRS)
+    return f"""
+rl_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         count(*) AS n
+  FROM tiles GROUP BY 1, 2),
+rl_thr(thr) AS (VALUES {thrs}),
+rl_fg AS (
+  SELECT t.thr, o.cx, o.cy FROM rl_occ o CROSS JOIN rl_thr t
+  WHERE (1000 * o.n) // (SELECT max(n) FROM rl_occ) >= t.thr),
+rl_runs AS (
+  SELECT thr, cy,
+         cx - row_number() OVER (PARTITION BY thr, cy ORDER BY cx)
+           AS island
+  FROM rl_fg),
+rl_len AS (
+  SELECT thr, cy, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM rl_runs GROUP BY 1, 2, 3)
+SELECT CAST(thr AS BIGINT) AS thr_milli, run_len,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM rl_len GROUP BY 1, 2"""

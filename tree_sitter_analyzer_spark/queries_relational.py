@@ -9341,3 +9341,259 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(min(s) AS BIGINT)").alias("ts_slope_milli"),
         )
     )
+
+
+# --- R317: Viterbi forward DP via PARALLEL PREFIX (tropical scan) -------------------------
+#
+# HMM regime decoding as a Spark job with LOG-DEPTH parallelism: the
+# Viterbi forward recursion c_d[j] = min_i c_{d-1}[i] + T[i][j] +
+# E[j][o_d] is a chain of (min,+) TROPICAL matrix products, which is
+# ASSOCIATIVE — so all 366 daily prefixes P_d = M_1 (x) ... (x) M_d are
+# computed by a Hillis-Steele scan in ceil(log2(366)) = 9 rounds of one
+# day-keyed equi-join each (the Ladner-Fischer/Blelloch prefix-scan
+# idea applied to Viterbi; the same doubling discipline as bom_rollup).
+# Model: 3 sticky regimes (stay 0, switch 4), emission cost 2*|o-j|
+# over the 1996 daily-revenue tercile symbol o in {0,1,2} (per-mille
+# of max, SF-invariant thresholds). Every cost <= 366*8 — tiny ints.
+# Oracle: the SEQUENTIAL 366-step recursive-CTE DP (a genuinely
+# different evaluation order agreeing at every prefix).
+
+_VT_SWITCH = 4
+
+
+def _vt_obs_duck() -> str:
+    return f"""
+vt_daily AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', l_shipdate)
+           // {_DAY_US} - {_TS_D96} + 1 AS d,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+vt_cal AS (SELECT unnest(range(1, 367)) AS d),
+vt_z AS (
+  SELECT c.d, coalesce(v.v, 0) AS v
+  FROM vt_cal c LEFT JOIN vt_daily v ON v.d = c.d),
+vt_obs AS (
+  SELECT d, CASE WHEN z < 250 THEN 0 WHEN z < 750 THEN 1 ELSE 2 END AS o
+  FROM (SELECT d, (1000 * v) // (SELECT max(v) FROM vt_z) AS z FROM vt_z))"""
+
+
+def _vt_best(c0: str, c1: str, c2: str) -> tuple[str, str]:
+    best = f"LEAST({c0}, {c1}, {c2})"
+    state = (
+        f"(CASE WHEN {c0} <= {c1} AND {c0} <= {c2} THEN 0"
+        f" WHEN {c1} <= {c2} THEN 1 ELSE 2 END)"
+    )
+    return best, state
+
+
+def _vt_oracle() -> str:
+    s = _VT_SWITCH
+    steps = []
+    for j in range(3):
+        ts = [0 if i == j else s for i in range(3)]
+        steps.append(
+            f"LEAST(w.c0 + {ts[0]}, w.c1 + {ts[1]}, w.c2 + {ts[2]})"
+            f" + 2 * abs(o.o - {j})"
+        )
+    best, state = _vt_best("c0", "c1", "c2")
+    return f"""
+WITH RECURSIVE {_vt_obs_duck()},
+vt_walk(d, c0, c1, c2) AS (
+  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT w.d + 1, {steps[0]}, {steps[1]}, {steps[2]}
+  FROM vt_walk w JOIN vt_obs o ON o.d = w.d + 1
+)
+SELECT CAST(d AS BIGINT) AS day, c0, c1, c2,
+       CAST({state} AS BIGINT) AS best_state,
+       CAST({best} AS BIGINT) AS best_cost
+FROM vt_walk"""
+
+
+@register(
+    "viterbi_scan",
+    _vt_oracle(),
+    doc="Viterbi forward DP (3 sticky regimes over 1996 daily-revenue "
+    "terciles) computed by a Hillis-Steele PARALLEL-PREFIX scan on the "
+    "(min,+) tropical semiring: 9 doubling rounds of one day-keyed "
+    "equi-join replace the 366-step sequential recursion — the "
+    "log-depth shape for sequence DP at scale. Oracle: the sequential "
+    "recursive-CTE DP, a genuinely different evaluation order "
+    "agreeing at EVERY prefix day.",
+)
+def q_viterbi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _VT_SWITCH
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" l_shipdate) DIV {_DAY_US} - {_TS_D96} + 1 AS d",
+            "CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)"
+            " AS dollars",
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(dollars) AS BIGINT)").alias("v"))
+    )
+    z = (
+        spark.range(1, 367).selectExpr("CAST(id AS BIGINT) AS d")
+        .join(daily, "d", "left")
+        .selectExpr("d", "coalesce(v, CAST(0 AS BIGINT)) AS v")
+    )
+    vmax = z.agg(F.max("v").alias("vmax"))
+    obs = z.crossJoin(F.broadcast(vmax)).selectExpr(
+        "d",
+        "CASE WHEN (1000 * v) DIV vmax < 250 THEN 0"
+        " WHEN (1000 * v) DIV vmax < 750 THEN 1 ELSE 2 END AS o",
+    )
+    cells = ", ".join(
+        f"struct({i} AS i, {j} AS j, {0 if i == j else s} AS t)"
+        for i in range(3) for j in range(3)
+    )
+    p = obs.withColumn("m", F.explode(F.expr(f"array({cells})"))).selectExpr(
+        "d", "m.i AS i", "m.j AS j",
+        "CAST(m.t + 2 * abs(o - m.j) AS BIGINT) AS c",
+    ).localCheckpoint(eager=False)
+    for k in range(9):
+        shift = 1 << k
+        upper = p.where(f"d > {shift}")
+        lower = p.where(f"d <= {shift}")
+        left = p.selectExpr("d AS ld", "i AS li", "j AS lm", "c AS lc")
+        comp = (
+            upper.join(
+                left, F.expr(f"ld = d - {shift} AND lm = i")
+            )
+            .groupBy("d", F.col("li").alias("gi"), "j")
+            .agg(F.expr("CAST(min(lc + c) AS BIGINT)").alias("c"))
+            .selectExpr("d", "gi AS i", "j", "c")
+        )
+        p = comp.unionByName(lower.select("d", "i", "j", "c"))
+        if k % 2 == 1:
+            p = p.localCheckpoint(eager=True)
+    vec = p.groupBy("d").agg(
+        *[
+            F.expr(f"CAST(min(CASE WHEN j = {j} THEN c END) AS BIGINT)")
+            .alias(f"c{j}")
+            for j in range(3)
+        ]
+    )
+    best, state = _vt_best("c0", "c1", "c2")
+    day0 = spark.range(1).selectExpr(
+        "CAST(0 AS BIGINT) AS day",
+        "CAST(0 AS BIGINT) AS c0", "CAST(0 AS BIGINT) AS c1",
+        "CAST(0 AS BIGINT) AS c2",
+        "CAST(0 AS BIGINT) AS best_state", "CAST(0 AS BIGINT) AS best_cost",
+    )
+    return day0.unionByName(
+        vec.selectExpr(
+            "d AS day", "c0", "c1", "c2",
+            f"CAST({state} AS BIGINT) AS best_state",
+            f"CAST({best} AS BIGINT) AS best_cost",
+        )
+    )
+
+
+# --- R318: EOQ inventory policy with exact optimality certificate -------------------------
+#
+# The economic order quantity (Harris 1913 / Wilson lot size) per part
+# sold in 1996: q* = sqrt(2DS/H) with D = annual demand, S = $100
+# fixed order cost, H = 20% of retail price per unit-year — but made
+# INTEGER-EXACT end to end: qf = exact isqrt((2DS) DIV h) (floor(sqrt)
+# + one-step Newton correction, the R248 discipline), then the true
+# integer optimum of TRC(q) = DS/q + qH/2 picked by the EXACT rational
+# comparison TRC(q) <= TRC(q+1) <=> 2DS <= q(q+1)h — no floating TRC
+# is ever formed, and the emitted certificate (q-1 side AND q+1 side)
+# PROVES per row that q_opt is the argmin (provably q_opt is qf or
+# qf+1; tests replay the full argmin). Every magnitude <= 2DS < 2^63
+# at 10^12 rows.
+
+_EOQ_S_CENTS = 10000
+
+
+@register(
+    "eoq_policy",
+    f"""
+WITH eq_d AS (
+  SELECT l_partkey AS part, CAST(sum(CAST(l_quantity AS BIGINT))
+           AS BIGINT) AS d_annual
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+eq_h AS (
+  SELECT p_partkey AS part,
+         GREATEST(CAST(floor(p_retailprice * 100e0) AS BIGINT) // 5,
+                  CAST(1 AS BIGINT)) AS h_cents
+  FROM part),
+eq_j AS (
+  SELECT d.part, d.d_annual, h.h_cents,
+         2 * d.d_annual * {_EOQ_S_CENTS} AS n2ds
+  FROM eq_d d JOIN eq_h h ON h.part = d.part),
+eq_s AS (
+  SELECT *, CAST(floor(sqrt(CAST(n2ds // h_cents AS DOUBLE)))
+             AS BIGINT) AS s0
+  FROM eq_j),
+eq_f AS (
+  SELECT part, d_annual, h_cents, n2ds,
+         GREATEST(CASE WHEN (s0 + 1) * (s0 + 1) <= n2ds // h_cents
+                       THEN s0 + 1
+                       WHEN s0 * s0 > n2ds // h_cents THEN s0 - 1
+                       ELSE s0 END, CAST(1 AS BIGINT)) AS qf
+  FROM eq_s),
+eq_q AS (
+  SELECT part, d_annual, h_cents, n2ds,
+         CASE WHEN n2ds > qf * (qf + 1) * h_cents THEN qf + 1
+              ELSE qf END AS eoq_q
+  FROM eq_f)
+SELECT part, d_annual, h_cents, eoq_q,
+       (d_annual + eoq_q - 1) // eoq_q AS orders_yr,
+       CAST((eoq_q = 1 OR n2ds >= eoq_q * (eoq_q - 1) * h_cents)
+            AND n2ds <= eoq_q * (eoq_q + 1) * h_cents AS BIGINT) AS opt_ok
+FROM eq_q
+""",
+    doc="EOQ inventory policy per 1996-sold part (Harris-Wilson lot "
+    "size): exact isqrt of (2DS) DIV h with Newton correction, then "
+    "the TRUE integer argmin of DS/q + qh/2 picked by the exact "
+    "rational comparison 2DS vs q(q+1)h (no floating TRC ever "
+    "formed); the emitted opt_ok column is a per-row optimality "
+    "CERTIFICATE (both neighbors weakly worse). ceil orders/yr.",
+)
+def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)")
+            .alias("d_annual")
+        )
+    )
+    h = _t(spark, sf_dir, "part").selectExpr(
+        "p_partkey AS part",
+        "GREATEST(CAST(floor(p_retailprice * 100e0) AS BIGINT) DIV 5,"
+        " CAST(1 AS BIGINT)) AS h_cents",
+    )
+    j = d.join(h, "part").selectExpr(
+        "part", "d_annual", "h_cents",
+        f"2 * d_annual * {_EOQ_S_CENTS} AS n2ds",
+    )
+    f = j.selectExpr(
+        "*",
+        "CAST(floor(sqrt(CAST(n2ds DIV h_cents AS DOUBLE))) AS BIGINT)"
+        " AS s0",
+    ).selectExpr(
+        "part", "d_annual", "h_cents", "n2ds",
+        "GREATEST(CASE WHEN (s0 + 1) * (s0 + 1) <= n2ds DIV h_cents"
+        " THEN s0 + 1"
+        " WHEN s0 * s0 > n2ds DIV h_cents THEN s0 - 1 ELSE s0 END,"
+        " CAST(1 AS BIGINT)) AS qf",
+    )
+    q = f.selectExpr(
+        "part", "d_annual", "h_cents", "n2ds",
+        "CASE WHEN n2ds > qf * (qf + 1) * h_cents THEN qf + 1 ELSE qf END"
+        " AS eoq_q",
+    )
+    return q.selectExpr(
+        "part", "d_annual", "h_cents", "eoq_q",
+        "(d_annual + eoq_q - 1) DIV eoq_q AS orders_yr",
+        "CAST((eoq_q = 1 OR n2ds >= eoq_q * (eoq_q - 1) * h_cents)"
+        " AND n2ds <= eoq_q * (eoq_q + 1) * h_cents AS BIGINT) AS opt_ok",
+    )

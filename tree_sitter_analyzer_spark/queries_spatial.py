@@ -2952,3 +2952,17 @@ def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.hist_equalization(_tiles(spark, sf_dir))
+
+
+@register(
+    "rle_profile",
+    f"{_CTES},{zonal.rle_oracle()}",
+    doc="Run-length encoding LADDER of the thresholded density raster "
+    "(bilevel-codec primitive, ITU G3 / Golomb 1966) at 4 per-mille "
+    "cuts (5,10,25,250) for multi-scale texture: horizontal "
+    "foreground runs via gaps-and-islands per raster row (island = cx "
+    "- row_number), then the run-length histogram; windows bounded by "
+    "raster width, histogram map-side partial.",
+)
+def q_rle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.rle_runs(_tiles(spark, sf_dir))
