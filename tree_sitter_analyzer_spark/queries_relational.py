@@ -9597,3 +9597,343 @@ def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((eoq_q = 1 OR n2ds >= eoq_q * (eoq_q - 1) * h_cents)"
         " AND n2ds <= eoq_q * (eoq_q + 1) * h_cents AS BIGINT) AS opt_ok",
     )
+
+
+# --- R320: one-way ANOVA F (floored-mean integer form) -----------------------------------
+#
+# The classic k-sample location test (Fisher 1925) on per-mille daily
+# revenue across the three returnflag groups over the zero-densified
+# 1996 leap calendar (366 days x 3 groups = 1098 bounded observations
+# at ANY SF). Per-day group revenue is normalized to per-mille of the
+# global daily max (the viterbi_scan trick: values 0..1000, SF-
+# invariant thresholds), means are FLOORED integers (the revenue_acf
+# discipline — deterministic, engine-identical), so SSB / SSW are exact
+# integers and F_milli = (1000*SSB*(n-k)) DIV (SSW*(k-1)) stays < 2^52
+# with every intermediate bounded by the calendar dimension. Completes
+# the location-test ladder: auc_eval (2 samples, rank), kruskal_wallis
+# (k samples, rank), friedman_test (blocked rank) — this is the
+# parametric k-sample rung, and levene_bf (R321) its variance sibling.
+
+
+def _anova_core_sql(val: str) -> str:
+    """Shared ANOVA machinery over av_z(g, doy, {val}) — floored-mean
+    integer sums of squares + F_milli. Used by anova_f and levene_bf."""
+    return f"""
+av_g AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum({val}) AS BIGINT) AS sg
+  FROM av_v GROUP BY 1),
+av_t AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS k
+  FROM av_g),
+av_m AS (
+  SELECT g, ng, sg, sg // ng AS mg, n, k, s // n AS m
+  FROM av_g, av_t),
+av_w AS (
+  SELECT CAST(sum((v.{val} - m.mg) * (v.{val} - m.mg)) AS BIGINT) AS ssw
+  FROM av_v v JOIN av_m m ON m.g = v.g),
+av_b AS (
+  SELECT CAST(sum(ng * (mg - m) * (mg - m)) AS BIGINT) AS ssb,
+         max(n) AS n, max(k) AS k
+  FROM av_m)
+SELECT b.n AS n_obs, b.k AS k_groups, b.ssb, w.ssw,
+       CAST(CASE WHEN w.ssw = 0 THEN CAST(0 AS BIGINT)
+            ELSE (1000 * b.ssb * (b.n - b.k)) // (w.ssw * (b.k - 1))
+            END AS BIGINT) AS f_milli
+FROM av_b b, av_w w
+"""
+
+
+_ANOVA_Z_SQL = """
+av_daily AS (
+  SELECT l_returnflag AS g,
+         dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+av_cal AS (
+  SELECT t.g, unnest(range(1, 367)) AS doy
+  FROM (VALUES ('A'), ('N'), ('R')) t(g)),
+av_mx AS (SELECT GREATEST(max(v), CAST(1 AS BIGINT)) AS vmax
+          FROM av_daily),
+av_z AS (
+  SELECT c.g, c.doy,
+         (1000 * coalesce(d.v, CAST(0 AS BIGINT))) // vmax AS z
+  FROM av_cal c
+  LEFT JOIN av_daily d ON d.g = c.g AND d.doy = c.doy, av_mx)
+"""
+
+
+@register(
+    "anova_f",
+    "WITH " + _ANOVA_Z_SQL + ",\nav_v AS (SELECT g, doy, z FROM av_z),"
+    + _anova_core_sql("z"),
+    doc="One-way ANOVA F across the three returnflag groups on per-mille "
+    "daily 1996 revenue (zero-densified 366-day leap calendar, 1098 "
+    "bounded observations at any SF): floored-mean integer sums of "
+    "squares, F_milli cross-multiplied — the parametric k-sample rung "
+    "beside kruskal_wallis; every intermediate bounded by the calendar "
+    "dimension.",
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = _anova_z_frame(spark, sf_dir)
+    return _anova_core_spark(z.selectExpr("g", "doy", "z AS v"))
+
+
+def _anova_z_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    cal = (
+        spark.range(1)
+        .selectExpr("explode(array('A', 'N', 'R')) AS g")
+        .selectExpr("g", "explode(sequence(1, 366)) AS doy")
+    )
+    mx = daily.agg(
+        F.expr("GREATEST(max(v), CAST(1 AS BIGINT))").alias("vmax")
+    )
+    return (
+        cal.join(daily, ["g", "doy"], "left")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "g", "doy",
+            "(1000 * coalesce(v, CAST(0 AS BIGINT))) DIV vmax AS z",
+        )
+    )
+
+
+def _anova_core_spark(v: DataFrame) -> DataFrame:
+    """Floored-mean ANOVA over v(g, doy, v) — mirrors _anova_core_sql."""
+    grp = v.groupBy("g").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("ng"),
+        F.expr("CAST(sum(v) AS BIGINT)").alias("sg"),
+    )
+    tot = grp.agg(
+        F.expr("CAST(sum(ng) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(sg) AS BIGINT)").alias("s"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("k"),
+    )
+    m = grp.crossJoin(F.broadcast(tot)).selectExpr(
+        "g AS mg_g", "ng", "sg", "sg DIV ng AS mg", "n", "k",
+        "s DIV n AS m",
+    )
+    ssw = (
+        v.join(F.broadcast(m), F.expr("g = mg_g"))
+        .agg(F.expr("CAST(sum((v - mg) * (v - mg)) AS BIGINT)").alias("ssw"))
+    )
+    ssb = m.agg(
+        F.expr("CAST(sum(ng * (mg - m) * (mg - m)) AS BIGINT)").alias("ssb"),
+        F.expr("max(n)").alias("n"),
+        F.expr("max(k)").alias("k"),
+    )
+    return ssb.crossJoin(F.broadcast(ssw)).selectExpr(
+        "n AS n_obs", "k AS k_groups", "ssb", "ssw",
+        "CAST(CASE WHEN ssw = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (1000 * ssb * (n - k)) DIV (ssw * (k - 1))"
+        " END AS BIGINT) AS f_milli",
+    )
+
+
+# --- R321: Brown-Forsythe (robust Levene) variance-homogeneity test -----------------------
+#
+# Levene 1960 with the Brown-Forsythe 1974 median centering — "do the
+# three returnflag groups have the SAME daily-revenue spread?" — the
+# variance sibling of anova_f: per group the DOUBLED lower-median pair
+# (ranks 183+184 of the fixed 366-day column, so the even-n median
+# stays an exact integer), deviations w = |2z - m2|, then the same
+# floored-mean integer ANOVA machinery on w. Both outcomes reachable
+# (equal-spread vs heteroskedastic); deterministic ties via (z, doy).
+
+
+@register(
+    "levene_bf",
+    "WITH " + _ANOVA_Z_SQL + """,
+av_r AS (
+  SELECT g, doy, z,
+         row_number() OVER (PARTITION BY g ORDER BY z, doy) AS rn
+  FROM av_z),
+av_md AS (
+  SELECT g AS md_g,
+         CAST(sum(CASE WHEN rn IN (183, 184) THEN z ELSE 0 END)
+           AS BIGINT) AS m2
+  FROM av_r GROUP BY 1),
+av_v AS (
+  SELECT z.g, z.doy, abs(2 * z.z - m.m2) AS w
+  FROM av_z z JOIN av_md m ON m.md_g = z.g),
+""" + _anova_core_sql("w"),
+    doc="Brown-Forsythe robust variance-homogeneity test across "
+    "returnflag groups on per-mille daily 1996 revenue: per-group "
+    "DOUBLED lower-median pair (ranks 183+184 of the fixed 366-day "
+    "column) keeps the even-n median an exact integer, deviations "
+    "|2z - m2| feed the same floored-mean integer ANOVA machinery as "
+    "anova_f — the spread rung of the k-sample family.",
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = _anova_z_frame(spark, sf_dir).localCheckpoint(eager=False)
+    med = (
+        z.withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY g ORDER BY z, doy)"
+            ),
+        )
+        .groupBy(F.col("g").alias("md_g"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN rn IN (183, 184) THEN z ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("m2")
+        )
+    )
+    w = z.join(F.broadcast(med), F.expr("g = md_g")).selectExpr(
+        "g", "doy", "abs(2 * z - m2) AS v"
+    )
+    return _anova_core_spark(w)
+
+
+# --- R322: instrumental-variable (Wald) estimator ---------------------------------------
+#
+# The simplest causal-inference estimator beyond OLS (Wald 1940;
+# Angrist-Krueger instruments): beta_IV = Cov(z,y) / Cov(z,x) where the
+# daily high-tax-band share z instruments the mean discount level x
+# against the return rate y — completing the causal ladder did_estimator
+# (parallel trends) / cuped_adjust (variance reduction) / iv_wald
+# (endogeneity). Everything on the BOUNDED daily dimension: per 1996
+# shipping day, z/x/y are per-mille integer shares, deviations use
+# floored means (revenue_acf discipline), and the three slopes (IV,
+# OLS, first stage) are emitted sign-safely (CASE on the sign, DIV on
+# the positive operand) so Spark DIV == DuckDB // exactly. The OLS-vs-
+# IV gap in the output is the endogeneity diagnostic.
+
+
+@register(
+    "iv_wald",
+    """
+WITH iv_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l_tax >= 0.04e0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS na,
+    CAST(sum(CAST(floor(l_discount * 1000e0) AS BIGINT))
+      AS BIGINT) AS sdelay,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      AS BIGINT) AS nr
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+iv_z AS (
+  SELECT doy, (1000 * na) // n AS z, (1000 * sdelay) // n AS x,
+         (1000 * nr) // n AS y
+  FROM iv_d),
+iv_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(z) AS BIGINT) // CAST(count(*) AS BIGINT) AS mz,
+         CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mx,
+         CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS my
+  FROM iv_z),
+iv_s AS (
+  SELECT nd,
+    CAST(sum((z - mz) * (x - mx)) AS BIGINT) AS szx,
+    CAST(sum((z - mz) * (y - my)) AS BIGINT) AS szy,
+    CAST(sum((x - mx) * (y - my)) AS BIGINT) AS sxy,
+    CAST(sum((x - mx) * (x - mx)) AS BIGINT) AS sxx,
+    CAST(sum((z - mz) * (z - mz)) AS BIGINT) AS szz
+  FROM iv_z, iv_m GROUP BY nd)
+SELECT nd AS n_days, szx, szy, sxy, sxx, szz,
+  CAST(CASE WHEN szx = 0 THEN 0
+       WHEN (szy > 0) = (szx > 0) AND szy != 0 THEN 1
+       WHEN szy = 0 THEN 0 ELSE -1 END AS BIGINT) AS iv_sign,
+  CAST(CASE WHEN szx = 0 THEN 0
+       ELSE (1000 * abs(szy)) // abs(szx) END AS BIGINT)
+    AS iv_abs_milli,
+  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END
+    AS BIGINT) AS ols_sign,
+  CAST((1000 * abs(sxy)) // GREATEST(sxx, 1) AS BIGINT)
+    AS ols_abs_milli,
+  CAST(CASE WHEN szx > 0 THEN 1 WHEN szx < 0 THEN -1 ELSE 0 END
+    AS BIGINT) AS fs_sign,
+  CAST((1000 * abs(szx)) // GREATEST(szz, 1) AS BIGINT)
+    AS fs_abs_milli
+FROM iv_s
+""",
+    doc="Instrumental-variable Wald estimator on the bounded 1996 daily "
+    "dimension: per-mille high-tax-band share instruments the mean "
+    "discount level against the return rate; floored-mean deviations, all three "
+    "slopes (IV, OLS, first stage) emitted sign-safely in milli — the "
+    "endogeneity rung of the causal family beside did_estimator and "
+    "cuped_adjust.",
+)
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_tax >= 0.04e0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("na"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_discount * 1000e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sdelay"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("nr"),
+        )
+        .selectExpr(
+            "doy", "(1000 * na) DIV n AS z", "(1000 * sdelay) DIV n AS x",
+            "(1000 * nr) DIV n AS y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = d.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("nd"),
+        F.expr(
+            "CAST(sum(z) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("mz"),
+        F.expr(
+            "CAST(sum(x) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("mx"),
+        F.expr(
+            "CAST(sum(y) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("my"),
+    )
+    s = d.crossJoin(F.broadcast(m)).groupBy("nd").agg(
+        F.expr("CAST(sum((z - mz) * (x - mx)) AS BIGINT)").alias("szx"),
+        F.expr("CAST(sum((z - mz) * (y - my)) AS BIGINT)").alias("szy"),
+        F.expr("CAST(sum((x - mx) * (y - my)) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(sum((x - mx) * (x - mx)) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum((z - mz) * (z - mz)) AS BIGINT)").alias("szz"),
+    )
+    return s.selectExpr(
+        "nd AS n_days", "szx", "szy", "sxy", "sxx", "szz",
+        "CAST(CASE WHEN szx = 0 THEN 0"
+        " WHEN (szy > 0) = (szx > 0) AND szy != 0 THEN 1"
+        " WHEN szy = 0 THEN 0 ELSE -1 END AS BIGINT) AS iv_sign",
+        "CAST(CASE WHEN szx = 0 THEN 0"
+        " ELSE (1000 * abs(szy)) DIV abs(szx) END AS BIGINT)"
+        " AS iv_abs_milli",
+        "CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS ols_sign",
+        "CAST((1000 * abs(sxy)) DIV GREATEST(sxx, 1) AS BIGINT)"
+        " AS ols_abs_milli",
+        "CAST(CASE WHEN szx > 0 THEN 1 WHEN szx < 0 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS fs_sign",
+        "CAST((1000 * abs(szx)) DIV GREATEST(szz, 1) AS BIGINT)"
+        " AS fs_abs_milli",
+    )
