@@ -3644,3 +3644,68 @@ def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.l_diversity(_docs(spark, sf_dir))
+
+
+# --- R323-R325: decoded-pixel CV feature suite II (corners / texture / moments) ----------
+
+
+@register(
+    "harris_corners",
+    None,  # decoded-pixel op (Philox-seeded pixels are not SQL-
+    # expressible); exact numpy-reference replay in tests/test_r323_cv.py
+    doc="Harris-Stephens corner response per decoded tile: Sobel "
+    "gradients on integer luma, 3x3 box-summed structure tensor, "
+    "response R20 = 20*det - trace^2 (k = 1/20 cross-multiplied away "
+    "— integer-exact), corners = R20 > 10^9. Per-kind rollup with "
+    "corner density in milli and the DIV-1024-reduced response mass. "
+    "One Arrow mapInPandas pass; 4 integers per tile leave the "
+    "worker. Rows-only; pytest-gated vs the numpy reference.",
+)
+def q_harris_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.harris_stats(tiles)
+
+
+@register(
+    "lbp_texture",
+    None,  # decoded-pixel op; numpy replay in tests/test_r323_cv.py
+    doc="Local binary patterns per decoded tile (8-bit clockwise "
+    "neighbor codes, bit set iff neighbor >= center): uniform-pattern "
+    "share (codes with <= 2 circular transitions) in milli, histogram "
+    "energy, dominant code (smallest-code ties). The micro-texture "
+    "rung beside glcm_texture and rle_profile. Rows-only; pytest-"
+    "gated vs the numpy reference.",
+)
+def q_lbp_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.lbp_stats(tiles)
+
+
+@register(
+    "image_moments",
+    None,  # decoded-pixel op; numpy replay in tests/test_r323_cv.py
+    doc="Integer image moments per decoded tile: luma-weighted raw "
+    "moments, FLOORED centroid, exact central second moments "
+    "mu20/mu02/mu11 about it, and anisotropy certificates "
+    "(mu20 > mu02, mu11 > 0) classifying dominant intensity "
+    "orientation with no atan2 ever formed. Per-kind rollup. "
+    "Rows-only; pytest-gated vs the numpy reference.",
+)
+def q_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.moments_stats(tiles)

@@ -762,3 +762,257 @@ def blob_stats(df: DataFrame) -> DataFrame:
             " ELSE (1000 * fg_px) DIV sum_blobs END AS mean_blob_px_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R323: Harris-Stephens corner response per tile (Harris 1988). Integer-
+# exact house form: Sobel gradients on integer luma, 3x3 box-summed
+# structure tensor (Sxx, Syy, Sxy) over the interior-of-interior, and
+# the response written as R20 = 20*det - trace^2 (k = 1/20 cross-
+# multiplied away — no floats anywhere). A pixel is a corner when
+# R20 > 10^9 (calibrated mid-range on the synthetic corpus: per-tile
+# positive fractions span ~0.3-0.99 so the threshold separates). Sum
+# of corner responses leaves the worker pre-reduced by DIV 1024 so
+# per-kind rollups stay far under 2^63 at any corpus size.
+# ---------------------------------------------------------------------------
+
+HARRIS_T = 1_000_000_000
+
+HARRIS_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("n_resp", LongType()),
+    StructField("corners", LongType()),
+    StructField("resp_red", LongType()),
+    StructField("max_r20", LongType()),
+]
+
+
+def harris_features_np(px: "np.ndarray") -> tuple[int, int, int, int]:
+    """numpy reference: (n_resp, corners, resp_red, max_r20) for one
+    decoded (h, w, 3) uint8 image. resp_red = sum over corners of
+    R20 DIV 1024."""
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    gx = (
+        g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+        - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
+    )
+    gy = (
+        g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+        - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+    )
+
+    def box3(a: "np.ndarray") -> "np.ndarray":
+        return (
+            a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+            + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+            + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:]
+        )
+
+    sxx, syy, sxy = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+    r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    corner = r20 > HARRIS_T
+    resp_red = int((r20[corner] // 1024).sum()) if corner.any() else 0
+    mx = int(r20.max()) if r20.size else 0
+    return int(r20.size), int(corner.sum()), resp_red, mx
+
+
+def harris_stats(df: DataFrame) -> DataFrame:
+    """Per-kind Harris corner rollup: (tile_kind, n_tiles, n_resp,
+    corners, corner_milli, resp_red, max_r20)."""
+    schema = StructType(HARRIS_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + harris_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_kind", "n_resp", "corners", "resp_red",
+                         "max_r20"],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(n_resp) AS BIGINT)").alias("n_resp"),
+        F.expr("CAST(sum(corners) AS BIGINT)").alias("corners"),
+        F.expr("CAST(sum(resp_red) AS BIGINT)").alias("resp_red"),
+        F.expr("CAST(max(max_r20) AS BIGINT)").alias("max_r20"),
+    ).selectExpr(
+        "tile_kind", "n_tiles", "n_resp", "corners",
+        "(1000 * corners) DIV n_resp AS corner_milli",
+        "resp_red", "max_r20",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R324: local binary patterns (Ojala 1996) — the classic micro-texture
+# descriptor beside the GLCM family: per interior pixel an 8-bit code
+# (clockwise neighbors from top-left, bit set iff neighbor >= center),
+# the per-tile 256-bin histogram reduced to (uniform-pattern count,
+# energy = sum of squared bin counts, dominant code). "Uniform" = at
+# most 2 circular 0/1 transitions (the 58 rotation-robust patterns
+# that carry most texture information). All integers; the dominant-
+# code argmax ties break to the smallest code (np.argmax first-max).
+# ---------------------------------------------------------------------------
+
+_LBP_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, 1),
+             (1, 1), (1, 0), (1, -1), (0, -1)]
+_LBP_UNIFORM = np.array(
+    [1 if bin(((c << 1) | (c >> 7)) & 0xFF ^ c).count("1") <= 2 else 0
+     for c in range(256)],
+    dtype=np.int64,
+)
+
+LBP_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("n_interior", LongType()),
+    StructField("uniform_px", LongType()),
+    StructField("energy", LongType()),
+    StructField("dom_code", LongType()),
+    StructField("dom_count", LongType()),
+]
+
+
+def lbp_features_np(px: "np.ndarray") -> tuple[int, int, int, int, int]:
+    """numpy reference: (n_interior, uniform_px, energy, dom_code,
+    dom_count) for one decoded (h, w, 3) uint8 image."""
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    c = g[1:-1, 1:-1]
+    code = np.zeros_like(c)
+    for bit, (dy, dx) in enumerate(_LBP_OFFS):
+        nb = g[1 + dy:g.shape[0] - 1 + dy, 1 + dx:g.shape[1] - 1 + dx]
+        code |= (nb >= c).astype(np.int64) << bit
+    hist = np.bincount(code.ravel(), minlength=256).astype(np.int64)
+    uniform = int((hist * _LBP_UNIFORM).sum())
+    energy = int((hist * hist).sum())
+    dom = int(np.argmax(hist))
+    return int(c.size), uniform, energy, dom, int(hist[dom])
+
+
+def lbp_stats(df: DataFrame) -> DataFrame:
+    """Per-kind LBP texture rollup: (tile_kind, n_tiles, n_interior,
+    uniform_px, uniform_milli, energy, dom_code_min, dom_code_max,
+    dom_count)."""
+    schema = StructType(LBP_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + lbp_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_kind", "n_interior", "uniform_px",
+                         "energy", "dom_code", "dom_count"],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(n_interior) AS BIGINT)").alias("n_interior"),
+        F.expr("CAST(sum(uniform_px) AS BIGINT)").alias("uniform_px"),
+        F.expr("CAST(sum(energy) AS BIGINT)").alias("energy"),
+        F.expr("CAST(min(dom_code) AS BIGINT)").alias("dom_code_min"),
+        F.expr("CAST(max(dom_code) AS BIGINT)").alias("dom_code_max"),
+        F.expr("CAST(sum(dom_count) AS BIGINT)").alias("dom_count"),
+    ).selectExpr(
+        "tile_kind", "n_tiles", "n_interior", "uniform_px",
+        "(1000 * uniform_px) DIV n_interior AS uniform_milli",
+        "energy", "dom_code_min", "dom_code_max", "dom_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R325: integer image moments (Hu 1962 precursors) — luma-weighted raw
+# moments m00/m10/m01, FLOORED centroid (the engine's floored-mean
+# discipline), and exact central second moments mu20/mu02/mu11 about
+# that integer centroid. The anisotropy certificates (mu20 > mu02;
+# mu11 > 0) classify each tile's dominant intensity orientation with
+# no atan2 ever formed. x = column, y = row.
+# ---------------------------------------------------------------------------
+
+MOMENTS_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("m00", LongType()),
+    StructField("cx", LongType()),
+    StructField("cy", LongType()),
+    StructField("mu20", LongType()),
+    StructField("mu02", LongType()),
+    StructField("mu11", LongType()),
+]
+
+
+def moments_features_np(
+    px: "np.ndarray",
+) -> tuple[int, int, int, int, int, int]:
+    """numpy reference: (m00, cx, cy, mu20, mu02, mu11) for one decoded
+    (h, w, 3) uint8 image — floored integer centroid, exact central
+    second moments about it."""
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    h, w = g.shape
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    m00 = int(g.sum())
+    m10 = int((g * xs).sum())
+    m01 = int((g * ys).sum())
+    cx = m10 // max(m00, 1)
+    cy = m01 // max(m00, 1)
+    mu20 = int((g * (xs - cx) ** 2).sum())
+    mu02 = int((g * (ys - cy) ** 2).sum())
+    mu11 = int((g * (xs - cx) * (ys - cy)).sum())
+    return m00, cx, cy, mu20, mu02, mu11
+
+
+def moments_stats(df: DataFrame) -> DataFrame:
+    """Per-kind image-moment rollup: (tile_kind, n_tiles, m00_sum,
+    cx_sum, cy_sum, mu20_sum, mu02_sum, mu11_sum, aniso_x_tiles,
+    mu11_pos_tiles)."""
+    schema = StructType(MOMENTS_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + moments_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_kind", "m00", "cx", "cy", "mu20", "mu02",
+                         "mu11"],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(m00) AS BIGINT)").alias("m00_sum"),
+        F.expr("CAST(sum(cx) AS BIGINT)").alias("cx_sum"),
+        F.expr("CAST(sum(cy) AS BIGINT)").alias("cy_sum"),
+        F.expr("CAST(sum(mu20) AS BIGINT)").alias("mu20_sum"),
+        F.expr("CAST(sum(mu02) AS BIGINT)").alias("mu02_sum"),
+        F.expr("CAST(sum(mu11) AS BIGINT)").alias("mu11_sum"),
+        F.expr(
+            "CAST(sum(CASE WHEN mu20 > mu02 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("aniso_x_tiles"),
+        F.expr(
+            "CAST(sum(CASE WHEN mu11 > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("mu11_pos_tiles"),
+    )
