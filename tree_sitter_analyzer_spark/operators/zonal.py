@@ -2704,3 +2704,120 @@ rl_len AS (
 SELECT CAST(thr AS BIGINT) AS thr_milli, run_len,
        CAST(count(*) AS BIGINT) AS n_runs
 FROM rl_len GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# R327: Gonzalez k-center seeding (Gonzalez 1985) — the farthest-point
+# traversal that 2-approximates the k-center clustering objective, run
+# on the occupied res-KC_RES cell raster (a BOUNDED dimension: the
+# fixed extent keeps the cell count SF-invariant, so per-round global
+# argmax windows are scale-safe). Round 1 picks the densest cell
+# (ties -> smallest cx, cy); each later round picks the cell FARTHEST
+# from the chosen set (exact integer squared cell distance). The
+# five chosen seeds are driver-side scalars (the engine's scalar-probe
+# discipline: one 1-row collect per round, never a row fan-in), and
+# the final assignment packs (min-dist, seed round) into ONE bigint
+# (d*8 + r: equal d -> earlier seed wins) so the per-seed rollup and
+# the coverage radius certificate radius2 = max(min-dist^2) are exact.
+# ---------------------------------------------------------------------------
+
+KC_RES = 7
+KC_K = 5
+
+
+def _kc_d2(sx: int, sy: int) -> str:
+    return (
+        f"((cx - ({sx})) * (cx - ({sx}))"
+        f" + (cy - ({sy})) * (cy - ({sy})))"
+    )
+
+
+def kcenter_seeds(
+    tiles: DataFrame, res: int = KC_RES, k: int = KC_K
+) -> DataFrame:
+    """(seed_round, sx, sy, n_cells, mass, radius2) for the k Gonzalez
+    farthest-point seeds over the occupied cell raster."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        occ.orderBy(F.desc("n"), "cx", "cy").limit(1).collect()[0]
+    )
+    seeds = [(int(first.cx), int(first.cy))]
+    while len(seeds) < k:
+        dexpr = "LEAST(" + ", ".join(
+            _kc_d2(sx, sy) for sx, sy in seeds
+        ) + ")" if len(seeds) > 1 else _kc_d2(*seeds[0])
+        nxt = (
+            occ.selectExpr("cx", "cy", f"{dexpr} AS d")
+            .orderBy(F.desc("d"), "cx", "cy")
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((int(nxt.cx), int(nxt.cy)))
+    packed = "LEAST(" + ", ".join(
+        f"({_kc_d2(sx, sy)} * 8 + {i + 1})"
+        for i, (sx, sy) in enumerate(seeds)
+    ) + ")"
+    asg = occ.selectExpr("cx", "cy", "n", f"{packed} AS p")
+    agg = asg.groupBy(F.expr("p % 8").alias("seed_round")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_cells"),
+        F.expr("CAST(sum(n) AS BIGINT)").alias("mass"),
+        F.expr("CAST(max(p DIV 8) AS BIGINT)").alias("radius2"),
+    )
+    sstructs = ", ".join(
+        f"struct(CAST({i + 1} AS BIGINT) AS seed_round,"
+        f" CAST({sx} AS BIGINT) AS sx, CAST({sy} AS BIGINT) AS sy)"
+        for i, (sx, sy) in enumerate(seeds)
+    )
+    sdf = tiles.sparkSession.range(1).selectExpr(
+        f"inline(array({sstructs}))"
+    )
+    return agg.join(F.broadcast(sdf), "seed_round").select(
+        "seed_round", "sx", "sy", "n_cells", "mass", "radius2"
+    )
+
+
+def kcenter_oracle(res: int = KC_RES, k: int = KC_K) -> str:
+    """Chained-CTE Gonzalez traversal — computes the seeds itself (no
+    Spark-derived values) and the same packed assignment."""
+    parts = [
+        f"""kc_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+kc_s1 AS (SELECT cx, cy FROM kc_occ ORDER BY n DESC, cx, cy LIMIT 1),
+kc_p1 AS (
+  SELECT o.cx, o.cy, o.n,
+         ((o.cx - s.cx) * (o.cx - s.cx)
+          + (o.cy - s.cy) * (o.cy - s.cy)) * 8 + 1 AS p
+  FROM kc_occ o, kc_s1 s)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""kc_s{r} AS (
+  SELECT cx, cy FROM kc_p{r - 1} ORDER BY p // 8 DESC, cx, cy LIMIT 1),
+kc_p{r} AS (
+  SELECT o.cx, o.cy, o.n,
+         LEAST(o.p, ((o.cx - s.cx) * (o.cx - s.cx)
+                     + (o.cy - s.cy) * (o.cy - s.cy)) * 8 + {r}) AS p
+  FROM kc_p{r - 1} o, kc_s{r} s)""")
+    seed_union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS seed_round, CAST(cx AS BIGINT)"
+        f" AS sx, CAST(cy AS BIGINT) AS sy FROM kc_s{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"kc_seeds AS ({seed_union})")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT a.seed_round, s.sx, s.sy, a.n_cells, a.mass, a.radius2
+FROM (
+  SELECT p % 8 AS seed_round, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS mass,
+         CAST(max(p // 8) AS BIGINT) AS radius2
+  FROM kc_p{k} GROUP BY 1) a
+JOIN kc_seeds s ON s.seed_round = a.seed_round"""

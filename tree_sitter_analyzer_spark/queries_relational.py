@@ -9937,3 +9937,174 @@ def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * abs(szx)) DIV GREATEST(szz, 1) AS BIGINT)"
         " AS fs_abs_milli",
     )
+
+
+# --- R326: exact DFT power at the weekly frequency --------------------------------------
+#
+# Frequency-domain analysis enters the time-series family (acf = lag
+# domain, seasonal_decomposition = additive components): the discrete
+# Fourier power of per-mille daily 1996 revenue at the weekly period,
+# harmonics k = 1..3, with cos/sin as MILLI INTEGER LITERALS baked at
+# codegen (the hough_lines zero-runtime-trig discipline — identical
+# text both engines). Phase index (doy*k) % 7 folds every harmonic
+# through ONE 7-row trig table; C = sum z*cos_milli, S = sum z*sin_milli,
+# power = C^2 + S^2 <= 1.3e17 < 2^63 at the bounded 366-day dimension.
+# A strong weekly rhythm shows as power(k=1) far above the higher
+# harmonics.
+
+_DFT_COS7 = [1000, 623, -223, -901, -901, -223, 623]
+_DFT_SIN7 = [0, 782, 975, 434, -434, -975, -782]
+
+
+def _dft_trig_rows() -> str:
+    return ", ".join(
+        f"({j}, {_DFT_COS7[j]}, {_DFT_SIN7[j]})" for j in range(7)
+    )
+
+
+@register(
+    "dft_weekly_power",
+    f"""
+WITH df_daily AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+df_mx AS (SELECT GREATEST(max(v), CAST(1 AS BIGINT)) AS vmax FROM df_daily),
+df_z AS (
+  SELECT doy, (1000 * v) // vmax AS z FROM df_daily, df_mx),
+df_trig(j, c_milli, s_milli) AS (VALUES {_dft_trig_rows()}),
+df_k(k) AS (VALUES (1), (2), (3)),
+df_terms AS (
+  SELECT k.k, z.z, t.c_milli, t.s_milli
+  FROM df_z z CROSS JOIN df_k k
+  JOIN df_trig t ON t.j = (z.doy * k.k) % 7)
+SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(z * c_milli) AS BIGINT) AS c_sum,
+       CAST(sum(z * s_milli) AS BIGINT) AS s_sum,
+       CAST(sum(z * c_milli) * sum(z * c_milli)
+            + sum(z * s_milli) * sum(z * s_milli) AS BIGINT) AS power
+FROM df_terms GROUP BY 1
+""",
+    doc="Exact DFT power of per-mille daily 1996 revenue at the weekly "
+    "period, harmonics k=1..3: cos/sin are milli integer literals "
+    "(hough_lines zero-runtime-trig discipline), phase (doy*k) % 7 "
+    "folds all harmonics through one 7-row trig table; power = C^2 + "
+    "S^2 exact on the bounded calendar dimension — the frequency-"
+    "domain rung of the time-series family.",
+)
+def q_dft_weekly_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    mx = daily.agg(
+        F.expr("GREATEST(max(v), CAST(1 AS BIGINT))").alias("vmax")
+    )
+    z = daily.crossJoin(F.broadcast(mx)).selectExpr(
+        "doy", "(1000 * v) DIV vmax AS z"
+    )
+    trig_structs = ", ".join(
+        f"struct({j} AS j, {_DFT_COS7[j]} AS c_milli,"
+        f" {_DFT_SIN7[j]} AS s_milli)"
+        for j in range(7)
+    )
+    trig = spark.range(1).selectExpr(
+        f"inline(array({trig_structs}))"
+    )
+    terms = (
+        z.selectExpr("doy", "z", "explode(array(1, 2, 3)) AS k")
+        .join(F.broadcast(trig), F.expr("j = (doy * k) % 7"))
+    )
+    return terms.groupBy("k").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_days"),
+        F.expr("CAST(sum(z * c_milli) AS BIGINT)").alias("c_sum"),
+        F.expr("CAST(sum(z * s_milli) AS BIGINT)").alias("s_sum"),
+        F.expr(
+            "CAST(sum(z * c_milli) * sum(z * c_milli)"
+            " + sum(z * s_milli) * sum(z * s_milli) AS BIGINT)"
+        ).alias("power"),
+    )
+
+
+# --- R328: 7-day rolling LOWER-median smoother ------------------------------------------
+#
+# The robust rung of the rolling-window family (rolling_order_activity
+# = RANGE sums, ewma_anomalies = exponential smoothing): per day the
+# exact LOWER MEDIAN (4th of the 7 sorted values) of daily revenue in
+# kilodollars over the trailing week — computed by sorting the
+# collected 7-element window array (array_sort / list_sort: a total
+# order on bigints, engine-identical; no percentile function whose tie
+# rule could differ). Only full windows emit (doy >= 7 over the
+# densified calendar). The residual |v - med7| column is the
+# outlier-score output. Bounded calendar dimension -> scale-safe.
+
+
+@register(
+    "rolling_median7",
+    """
+WITH rm_daily AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) // 1000 AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+rm_cal AS (SELECT unnest(range(1, 367)) AS doy),
+rm_z AS (
+  SELECT c.doy, coalesce(d.v, CAST(0 AS BIGINT)) AS v
+  FROM rm_cal c LEFT JOIN rm_daily d ON d.doy = c.doy),
+rm_w AS (
+  SELECT doy, v,
+         list(v) OVER (ORDER BY doy
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+  FROM rm_z)
+SELECT doy, v, list_sort(win)[4] AS med7,
+       abs(v - list_sort(win)[4]) AS resid
+FROM rm_w WHERE doy >= 7
+""",
+    doc="7-day rolling LOWER median of daily 1996 revenue "
+    "(kilodollars) over the densified calendar: exact 4th of the 7 "
+    "sorted trailing values via array sort (no engine percentile tie "
+    "rules), residual |v - med7| as the robust outlier score; full "
+    "windows only. The robust smoother beside ewma_anomalies.",
+)
+def q_rolling_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) DIV 1000 AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    cal = spark.range(1).selectExpr(
+        "explode(sequence(1, 366)) AS doy"
+    )
+    z = cal.join(daily, ["doy"], "left").selectExpr(
+        "doy", "coalesce(v, CAST(0 AS BIGINT)) AS v"
+    )
+    w = z.withColumn(
+        "win",
+        F.expr(
+            "collect_list(v) OVER (ORDER BY doy"
+            " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ),
+    )
+    return w.where("doy >= 7").selectExpr(
+        "doy", "v",
+        "element_at(array_sort(win), 4) AS med7",
+        "abs(v - element_at(array_sort(win), 4)) AS resid",
+    )

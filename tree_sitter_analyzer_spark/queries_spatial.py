@@ -2966,3 +2966,19 @@ def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.rle_runs(_tiles(spark, sf_dir))
+
+
+@register(
+    "kcenter_seeds",
+    f"{_CTES},{zonal.kcenter_oracle()}",
+    doc="Gonzalez k-center seeding (farthest-point traversal, the "
+    "2-approximation to the k-center objective) over the occupied "
+    "res-7 cell raster: round 1 takes the densest cell, each later "
+    "round the cell farthest from the chosen set (exact integer "
+    "squared cell distance, ties -> smallest cx, cy); assignment "
+    "packs (min-dist, seed round) into one bigint so per-seed "
+    "rollups and the coverage-radius certificate are exact. Seeds "
+    "are 1-row scalar probes (bounded cell dimension).",
+)
+def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.kcenter_seeds(_tiles(spark, sf_dir))
