@@ -1256,3 +1256,130 @@ SELECT a.pt AS partitioning, a.n, a.k, a.ssq_q,
          AS BIGINT) AS ch_milli
 FROM cv_agg a JOIN cv_glob g ON g.pt = a.pt
 """
+
+
+# ---------------------------------------------------------------------------
+# R329: dominant principal direction by POWER ITERATION (von Mises
+# 1929) — spectral analytics over the embedding table with no matrix
+# library and no floats. The (uncentered) second-moment matrix
+# S[j,k] = sum_i q_ij * q_ik is built JOIN-FREE: each row emits its
+# 64x64 outer product through one nested higher-order lambda and the
+# 4096-key hash aggregate eats the amplification in-stage (map-side
+# partial agg — the in-stream discipline; no shuffle of exploded
+# rows by vector id). Quantized components clamp to ±QUANT so every
+# Gram entry stays <= 1e6 * n < 2^63 at 10^12 rows. S is then
+# normalized per-mille of its max |entry| (same eigenvectors), and
+# three power-iteration steps run on the BOUNDED 64-row vector
+# frame (sign-safe per-mille renormalization each step: CASE on the
+# sign, DIV on the positive operand). Output: the per-dimension
+# trajectory (v1, v2, v3) — max |component| of each iterate is
+# exactly 1000.
+# ---------------------------------------------------------------------------
+
+PCA_DIM = 64
+PCA_ITERS = 3
+
+_PCA_QVEC = (
+    f"transform(embedding, x -> GREATEST(LEAST(CAST(floor(x * {QUANT}e0)"
+    f" AS BIGINT), {QUANT}), -{QUANT}))"
+)
+
+
+def pca_power(emb: DataFrame) -> DataFrame:
+    """(j, v1, v2, v3) — three sign-safe per-mille power iterates of
+    the normalized second-moment matrix of quantized embeddings."""
+    pairs = emb.selectExpr(f"{_PCA_QVEC} AS qv").selectExpr(
+        "explode(flatten(transform(qv, (xj, j) ->"
+        " transform(qv, (xk, k) -> struct(j, k, xj * xk AS p))))) AS e"
+    )
+    s = pairs.groupBy(
+        F.expr("e.j").alias("j"), F.expr("e.k").alias("k")
+    ).agg(F.expr("CAST(sum(e.p) AS BIGINT)").alias("s"))
+    smax = s.agg(
+        F.expr("GREATEST(max(abs(s)), CAST(1 AS BIGINT))").alias("smax")
+    )
+    spm = (
+        s.crossJoin(F.broadcast(smax))
+        .selectExpr(
+            "j AS sj", "k AS sk",
+            "CASE WHEN s >= 0 THEN (1000 * s) DIV smax"
+            " ELSE -((1000 * (-s)) DIV smax) END AS spm",
+        )
+        .localCheckpoint(eager=False)
+    )
+    spark = emb.sparkSession
+    v = spark.range(PCA_DIM).selectExpr(
+        "CAST(id AS INT) AS vj", "CAST(1000 AS BIGINT) AS v"
+    )
+    iters = []
+    for _ in range(PCA_ITERS):
+        w = (
+            spm.join(v, F.expr("sk = vj"))
+            .groupBy(F.col("sj").alias("wj"))
+            .agg(F.expr("CAST(sum(spm * v) AS BIGINT)").alias("w"))
+        )
+        wmax = w.agg(
+            F.expr("GREATEST(max(abs(w)), CAST(1 AS BIGINT))")
+            .alias("wmax")
+        )
+        v = (
+            w.crossJoin(F.broadcast(wmax))
+            .selectExpr(
+                "wj AS vj",
+                "CASE WHEN w >= 0 THEN (1000 * w) DIV wmax"
+                " ELSE -((1000 * (-w)) DIV wmax) END AS v",
+            )
+            .localCheckpoint(eager=False)
+        )
+        iters.append(v)
+    out = iters[0].selectExpr("vj AS j", "v AS v1")
+    out = out.join(iters[1].selectExpr("vj AS j2", "v AS v2"),
+                   F.expr("j = j2")).drop("j2")
+    out = out.join(iters[2].selectExpr("vj AS j3", "v AS v3"),
+                   F.expr("j = j3")).drop("j3")
+    return out.select("j", "v1", "v2", "v3")
+
+
+def pca_power_oracle() -> str:
+    """Chained-CTE replica: Gram via double range cross join, the same
+    per-mille normalization and three sign-safe iterates."""
+    qv = (
+        f"list_transform(embedding, x -> GREATEST(LEAST(CAST("
+        f"floor(x * {QUANT}e0) AS BIGINT), {QUANT}), -{QUANT}))"
+    )
+    norm = (
+        "CASE WHEN {x} >= 0 THEN (1000 * {x}) // {mx}"
+        " ELSE -((1000 * (-({x}))) // {mx}) END"
+    )
+    step = """pc_w{r} AS (
+  SELECT s.j AS wj, CAST(sum(s.spm * v.v) AS BIGINT) AS w
+  FROM pc_spm s JOIN pc_v{p} v ON v.vj = s.k GROUP BY 1),
+pc_wm{r} AS (
+  SELECT GREATEST(max(abs(w)), CAST(1 AS BIGINT)) AS wmax FROM pc_w{r}),
+pc_v{r} AS (
+  SELECT wj AS vj, CAST(""" + norm.format(x="w", mx="wmax") + """
+    AS BIGINT) AS v
+  FROM pc_w{r}, pc_wm{r})"""
+    steps = ",\n".join(
+        step.format(r=r, p=r - 1 if r > 1 else 0) for r in (1, 2, 3)
+    )
+    return f"""
+WITH pc_q AS (SELECT {qv} AS qv FROM embeddings),
+pc_jk AS (SELECT unnest(range(0, {PCA_DIM})) AS j),
+pc_s AS (
+  SELECT j.j, k.j AS k,
+         CAST(sum(q.qv[j.j + 1] * q.qv[k.j + 1]) AS BIGINT) AS s
+  FROM pc_q q CROSS JOIN pc_jk j CROSS JOIN pc_jk k
+  GROUP BY 1, 2),
+pc_sm AS (
+  SELECT GREATEST(max(abs(s)), CAST(1 AS BIGINT)) AS smax FROM pc_s),
+pc_spm AS (
+  SELECT j, k, CAST({norm.format(x="s", mx="smax")} AS BIGINT) AS spm
+  FROM pc_s, pc_sm),
+pc_v0 AS (
+  SELECT CAST(unnest(range(0, {PCA_DIM})) AS INT) AS vj,
+         CAST(1000 AS BIGINT) AS v),
+{steps}
+SELECT CAST(a.vj AS INT) AS j, a.v AS v1, b.v AS v2, c.v AS v3
+FROM pc_v1 a JOIN pc_v2 b ON b.vj = a.vj JOIN pc_v3 c ON c.vj = a.vj
+"""

@@ -3709,3 +3709,25 @@ def q_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth.tiles_df(spark, sf_dir).where("i <= 8000")
     )
     return multimodal.moments_stats(tiles)
+
+
+# --- R329: dominant principal direction by power iteration -------------------------------
+
+from .operators import similarity as _sim_pca  # noqa: E402
+
+
+@register(
+    "pca_power",
+    _sim_pca.pca_power_oracle(),
+    doc="Dominant principal direction of the embedding table by three "
+    "power-iteration steps (von Mises) — spectral analytics with no "
+    "matrix library and no floats: the 64x64 second-moment matrix is "
+    "built JOIN-FREE (each row emits its outer product via one nested "
+    "higher-order lambda; the 4096-key map-side hash agg eats the "
+    "amplification in-stage), normalized per-mille of its max entry "
+    "(same eigenvectors), then three sign-safe per-mille iterates on "
+    "the bounded 64-row vector frame. Output is the full trajectory "
+    "(v1, v2, v3); max |component| of each iterate is exactly 1000.",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim_pca.pca_power(_emb(spark, sf_dir))

@@ -10108,3 +10108,266 @@ def q_rolling_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(array_sort(win), 4) AS med7",
         "abs(v - element_at(array_sort(win), 4)) AS resid",
     )
+
+
+# --- R330: exact 2-feature ridge regression (Cramer closed form) -------------------------
+#
+# Multivariate regression enters the family (ols_trend is univariate):
+# ridge normal equations (X'X + lambda*I) w = X'y for TWO features on
+# the bounded 1996 daily dimension — y = per-CENT daily revenue,
+# x1 = per-cent order-line count, x2 = per-cent mean discount (per-
+# cent, not per-mille, so every Cramer product stays < 2^55). Floored
+# means center the deviations (revenue_acf discipline); the 2x2 solve
+# is CRAMER'S RULE on exact integers:
+#   det = (S11 + L)(S22 + L) - S12^2   (> 0: Cauchy-Schwarz + L > 0)
+#   w1_num = b1 (S22 + L) - b2 S12 ; w2_num = (S11 + L) b2 - S12 b1
+# and the weights leave sign-safely in milli. No matrix library, no
+# floats, one aggregation pass.
+
+_RIDGE_L = 100
+
+
+@register(
+    "ridge_2f",
+    f"""
+WITH rg_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+      AS BIGINT)) AS BIGINT) AS rev,
+    CAST(sum(CAST(floor(l_discount * 100e0) AS BIGINT)) AS BIGINT) AS sd
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+rg_mx AS (
+  SELECT GREATEST(max(rev), CAST(1 AS BIGINT)) AS rmax,
+         GREATEST(max(n), CAST(1 AS BIGINT)) AS nmax
+  FROM rg_d),
+rg_z AS (
+  SELECT doy, (100 * rev) // rmax AS y, (100 * n) // nmax AS x1,
+         sd // n AS x2
+  FROM rg_d, rg_mx),
+rg_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS my,
+         CAST(sum(x1) AS BIGINT) // CAST(count(*) AS BIGINT) AS m1,
+         CAST(sum(x2) AS BIGINT) // CAST(count(*) AS BIGINT) AS m2
+  FROM rg_z),
+rg_s AS (
+  SELECT nd,
+    CAST(sum((x1 - m1) * (x1 - m1)) AS BIGINT) + {_RIDGE_L} AS a11,
+    CAST(sum((x1 - m1) * (x2 - m2)) AS BIGINT) AS a12,
+    CAST(sum((x2 - m2) * (x2 - m2)) AS BIGINT) + {_RIDGE_L} AS a22,
+    CAST(sum((x1 - m1) * (y - my)) AS BIGINT) AS b1,
+    CAST(sum((x2 - m2) * (y - my)) AS BIGINT) AS b2
+  FROM rg_z, rg_m GROUP BY nd)
+SELECT nd AS n_days, a11, a12, a22, b1, b2,
+  a11 * a22 - a12 * a12 AS det,
+  CAST(CASE WHEN b1 * a22 - b2 * a12 > 0 THEN 1
+       WHEN b1 * a22 - b2 * a12 < 0 THEN -1 ELSE 0 END AS BIGINT)
+    AS w1_sign,
+  CAST((1000 * abs(b1 * a22 - b2 * a12)) // (a11 * a22 - a12 * a12)
+    AS BIGINT) AS w1_abs_milli,
+  CAST(CASE WHEN a11 * b2 - a12 * b1 > 0 THEN 1
+       WHEN a11 * b2 - a12 * b1 < 0 THEN -1 ELSE 0 END AS BIGINT)
+    AS w2_sign,
+  CAST((1000 * abs(a11 * b2 - a12 * b1)) // (a11 * a22 - a12 * a12)
+    AS BIGINT) AS w2_abs_milli
+FROM rg_s
+""",
+    doc="Exact 2-feature ridge regression on the bounded 1996 daily "
+    "dimension (y = per-cent revenue, x1 = per-cent line count, x2 = "
+    "mean discount in per-cent): floored-mean deviations, Cramer's "
+    "rule on exact integers (det > 0 by Cauchy-Schwarz + lambda), "
+    "weights emitted sign-safely in milli — multivariate regression "
+    "with no matrix library and no floats.",
+)
+def q_ridge_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("rev"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_discount * 100e0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sd"),
+        )
+    )
+    mx = d.agg(
+        F.expr("GREATEST(max(rev), CAST(1 AS BIGINT))").alias("rmax"),
+        F.expr("GREATEST(max(n), CAST(1 AS BIGINT))").alias("nmax"),
+    )
+    z = d.crossJoin(F.broadcast(mx)).selectExpr(
+        "doy", "(100 * rev) DIV rmax AS y", "(100 * n) DIV nmax AS x1",
+        "sd DIV n AS x2",
+    ).localCheckpoint(eager=False)
+    m = z.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("nd"),
+        F.expr(
+            "CAST(sum(y) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("my"),
+        F.expr(
+            "CAST(sum(x1) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("m1"),
+        F.expr(
+            "CAST(sum(x2) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("m2"),
+    )
+    s = z.crossJoin(F.broadcast(m)).groupBy("nd").agg(
+        F.expr(
+            f"CAST(sum((x1 - m1) * (x1 - m1)) AS BIGINT) + {_RIDGE_L}"
+        ).alias("a11"),
+        F.expr("CAST(sum((x1 - m1) * (x2 - m2)) AS BIGINT)").alias("a12"),
+        F.expr(
+            f"CAST(sum((x2 - m2) * (x2 - m2)) AS BIGINT) + {_RIDGE_L}"
+        ).alias("a22"),
+        F.expr("CAST(sum((x1 - m1) * (y - my)) AS BIGINT)").alias("b1"),
+        F.expr("CAST(sum((x2 - m2) * (y - my)) AS BIGINT)").alias("b2"),
+    )
+    return s.selectExpr(
+        "nd AS n_days", "a11", "a12", "a22", "b1", "b2",
+        "a11 * a22 - a12 * a12 AS det",
+        "CAST(CASE WHEN b1 * a22 - b2 * a12 > 0 THEN 1"
+        " WHEN b1 * a22 - b2 * a12 < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        " AS w1_sign",
+        "CAST((1000 * abs(b1 * a22 - b2 * a12))"
+        " DIV (a11 * a22 - a12 * a12) AS BIGINT) AS w1_abs_milli",
+        "CAST(CASE WHEN a11 * b2 - a12 * b1 > 0 THEN 1"
+        " WHEN a11 * b2 - a12 * b1 < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        " AS w2_sign",
+        "CAST((1000 * abs(a11 * b2 - a12 * b1))"
+        " DIV (a11 * a22 - a12 * a12) AS BIGINT) AS w2_abs_milli",
+    )
+
+
+# --- R331: Little's law self-audit (L = lambda * W) --------------------------------------
+#
+# The fundamental queueing identity audited the engine's audit-op way:
+# an order is "in system" from o_orderdate to its last line's shipdate
+# (clipped to the 1996 window). The total order-day mass is computed
+# by TWO independent methods in the same row — (a) the direct per-
+# order sum of clipped durations, and (b) a +1/-1 day-sweepline over
+# the bounded calendar (cumsum of boundary events, then sum of the
+# per-day concurrency) — and exact_match certifies they agree, which
+# is precisely Little's law in integer form: L*366 = lambda*366 * W
+# both count order-days. l_milli / w_milli / lambda_milli leave as
+# floored milli rates for the human reader.
+
+
+@register(
+    "littles_law",
+    """
+WITH ll_o AS (
+  SELECT o.o_orderkey,
+         dayofyear(CAST(o.o_orderdate AS DATE)) AS s,
+         LEAST(CAST(date_diff('day', DATE '1996-01-01',
+                 CAST(max(l.l_shipdate) AS DATE)) AS BIGINT) + 1,
+               CAST(366 AS BIGINT)) AS e_raw
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) = 1996
+  GROUP BY 1, 2),
+ll_iv AS (
+  SELECT o_orderkey, s, GREATEST(e_raw, CAST(s AS BIGINT)) AS e
+  FROM ll_o),
+ll_direct AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(e - s + 1) AS BIGINT) AS od_direct
+  FROM ll_iv),
+ll_b AS (
+  SELECT s AS d, CAST(count(*) AS BIGINT) AS delta FROM ll_iv GROUP BY 1
+  UNION ALL
+  SELECT CAST(e + 1 AS INT) AS d, CAST(-count(*) AS BIGINT) AS delta
+  FROM ll_iv GROUP BY e),
+ll_cal AS (SELECT unnest(range(1, 367)) AS d),
+ll_conc AS (
+  SELECT c.d,
+         CAST(sum(coalesce(b.delta, 0)) OVER (ORDER BY c.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS open_orders
+  FROM ll_cal c
+  LEFT JOIN (SELECT d, CAST(sum(delta) AS BIGINT) AS delta
+             FROM ll_b GROUP BY 1) b ON b.d = c.d),
+ll_sweep AS (
+  SELECT CAST(sum(open_orders) AS BIGINT) AS od_sweep,
+         CAST(max(open_orders) AS BIGINT) AS peak_open
+  FROM ll_conc)
+SELECT d.n_orders, d.od_direct, s.od_sweep, s.peak_open,
+       CAST(d.od_direct = s.od_sweep AS BIGINT) AS exact_match,
+       CAST((1000 * d.od_direct) // 366 AS BIGINT) AS l_milli,
+       CAST((1000 * d.od_direct) // d.n_orders AS BIGINT) AS w_milli,
+       CAST((1000 * d.n_orders) // 366 AS BIGINT) AS lambda_milli
+FROM ll_direct d, ll_sweep s
+""",
+    doc="Little's law L = lambda*W audited in integer form: order "
+    "in-system intervals (orderdate -> last line shipdate, clipped to "
+    "the 1996 window), order-day mass computed TWO independent ways "
+    "in one row — direct clipped-duration sum vs a +1/-1 day-"
+    "sweepline cumsum over the bounded calendar — with an exact_match "
+    "certificate; floored milli L, W, lambda for the reader. The "
+    "queueing rung of the audit-op family.",
+)
+def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .where("year(o_orderdate) = 1996")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.expr("l_orderkey = o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.expr("dayofyear(CAST(o_orderdate AS DATE))").alias("s"),
+        )
+        .agg(
+            F.expr(
+                "LEAST(CAST(datediff(max(l_shipdate), DATE '1996-01-01')"
+                " AS BIGINT) + 1, CAST(366 AS BIGINT)) AS e_raw"
+            )
+        )
+        .selectExpr(
+            "o_orderkey", "s",
+            "GREATEST(e_raw, CAST(s AS BIGINT)) AS e",
+        )
+        .localCheckpoint(eager=False)
+    )
+    direct = iv.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+        F.expr("CAST(sum(e - s + 1) AS BIGINT)").alias("od_direct"),
+    )
+    starts = iv.groupBy(F.col("s").alias("d")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("delta")
+    )
+    ends = iv.groupBy(F.expr("CAST(e + 1 AS INT)").alias("d")).agg(
+        F.expr("CAST(-count(*) AS BIGINT)").alias("delta")
+    )
+    bounds = (
+        starts.unionByName(ends)
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(delta) AS BIGINT)").alias("delta"))
+    )
+    cal = iv.sparkSession.range(1).selectExpr(
+        "explode(sequence(1, 366)) AS d"
+    )
+    conc = cal.join(bounds, ["d"], "left").selectExpr(
+        "d",
+        "CAST(sum(coalesce(delta, CAST(0 AS BIGINT))) OVER (ORDER BY d"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS open_orders",
+    )
+    sweep = conc.agg(
+        F.expr("CAST(sum(open_orders) AS BIGINT)").alias("od_sweep"),
+        F.expr("CAST(max(open_orders) AS BIGINT)").alias("peak_open"),
+    )
+    return direct.crossJoin(F.broadcast(sweep)).selectExpr(
+        "n_orders", "od_direct", "od_sweep", "peak_open",
+        "CAST(od_direct = od_sweep AS BIGINT) AS exact_match",
+        "CAST((1000 * od_direct) DIV 366 AS BIGINT) AS l_milli",
+        "CAST((1000 * od_direct) DIV n_orders AS BIGINT) AS w_milli",
+        "CAST((1000 * n_orders) DIV 366 AS BIGINT) AS lambda_milli",
+    )
