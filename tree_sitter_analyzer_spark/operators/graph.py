@@ -3035,3 +3035,177 @@ def maximal_matching_oracle(
         for r in range(rounds)
     )
     return "WITH " + ",\n".join(chain) + f"\nSELECT * FROM ({sels})"
+
+
+# ---------------------------------------------------------------------------
+# R332: CPM critical path with slack (Kelley-Walker 1959) — project
+# scheduling joins the graph suite. The deterministic layered DAG
+# lives on HASHED part keys: node n = md5('cpn:'||p_partkey) % 4096
+# (hashing spreads every SF's key range uniformly across layers —
+# raw residues would pile small corpora into layer 0), layer =
+# n DIV 512 (8 layers x 512 slots); each node in layers 0-6 proposes
+# two md5-seeded successors in the next layer (kept iff the target
+# residue is present in the data) with md5 weights 1-9. The forward
+# pass (earliest finish: longest path ENDING at n) and the backward
+# pass (longest path STARTING at n) each relax ONE LAYER PER ROUND —
+# the layered DAG makes 7+7 bounded rounds exact, one vertex-keyed
+# equi-join + max-agg per round, never a frontier explosion. The
+# critical value CP = max(es + ls); slack = CP - es - ls; slack-0
+# nodes are the critical path(s). Oracle: identical layer relaxations
+# as chained CTEs (generated), so every intermediate agrees.
+# ---------------------------------------------------------------------------
+
+CP_W = 512
+CP_L = 8
+
+
+def _cp_md5_spark(prefix: str, *args: str) -> str:
+    from ..functions import md5int_spark
+
+    parts = ", ':', ".join(f"CAST({a} AS STRING)" for a in args)
+    return md5int_spark(f"concat('{prefix}:', {parts})")
+
+
+def _cp_md5_duck(prefix: str, *args: str) -> str:
+    from ..functions import md5int_duck
+
+    parts = " || ':' || ".join(f"CAST({a} AS VARCHAR)" for a in args)
+    return md5int_duck(f"('{prefix}:' || {parts})")
+
+
+def critical_path(parts: DataFrame) -> DataFrame:
+    """(n, layer, es, ls, through, slack, is_critical) per DAG node."""
+    nodes = (
+        parts.selectExpr(
+            f"{_cp_md5_spark('cpn', 'p_partkey')} % {CP_W * CP_L} AS n"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    src = nodes.where(f"n DIV {CP_W} < {CP_L - 1}")
+    cand = None
+    for tag in ("cpa", "cpb"):
+        c = src.selectExpr(
+            "n AS u",
+            f"((n DIV {CP_W}) + 1) * {CP_W}"
+            f" + ({_cp_md5_spark(tag, 'n')} % {CP_W}) AS m",
+        )
+        cand = c if cand is None else cand.union(c)
+    edges = (
+        cand.distinct()
+        .join(nodes.selectExpr("n AS tn"), F.expr("tn = m"))
+        .selectExpr(
+            "u", "m",
+            f"1 + ({_cp_md5_spark('cpw', 'u', 'm')} % 9) AS w",
+        )
+        .localCheckpoint(eager=False)
+    )
+    es = nodes.selectExpr("n", "CAST(0 AS BIGINT) AS es")
+    for l in range(1, CP_L):
+        inc = (
+            edges.where(f"m DIV {CP_W} = {l}")
+            .join(es.selectExpr("n AS pn", "es AS pes"),
+                  F.expr("pn = u"))
+            .groupBy(F.col("m").alias("cn"))
+            .agg(F.expr("CAST(max(pes + w) AS BIGINT)").alias("cand"))
+        )
+        es = (
+            es.join(inc, F.expr("n = cn"), "left")
+            .selectExpr(
+                "n",
+                f"CASE WHEN n DIV {CP_W} = {l}"
+                " THEN coalesce(cand, CAST(0 AS BIGINT))"
+                " ELSE es END AS es",
+            )
+        )
+        if l % 2 == 0:
+            es = es.localCheckpoint(eager=False)
+    ls = nodes.selectExpr("n", "CAST(0 AS BIGINT) AS ls")
+    for l in range(CP_L - 2, -1, -1):
+        out = (
+            edges.where(f"u DIV {CP_W} = {l}")
+            .join(ls.selectExpr("n AS sn", "ls AS sls"),
+                  F.expr("sn = m"))
+            .groupBy(F.col("u").alias("cn"))
+            .agg(F.expr("CAST(max(sls + w) AS BIGINT)").alias("cand"))
+        )
+        ls = (
+            ls.join(out, F.expr("n = cn"), "left")
+            .selectExpr(
+                "n",
+                f"CASE WHEN n DIV {CP_W} = {l}"
+                " THEN coalesce(cand, CAST(0 AS BIGINT))"
+                " ELSE ls END AS ls",
+            )
+        )
+        if l % 2 == 0:
+            ls = ls.localCheckpoint(eager=False)
+    both = es.join(ls.selectExpr("n AS n2", "ls"), F.expr("n = n2")).drop(
+        "n2"
+    )
+    cp = both.agg(F.expr("CAST(max(es + ls) AS BIGINT)").alias("cp"))
+    return both.crossJoin(F.broadcast(cp)).selectExpr(
+        "n", f"n DIV {CP_W} AS layer", "es", "ls",
+        "es + ls AS through", "cp - es - ls AS slack",
+        "CAST(cp - es - ls = 0 AS BIGINT) AS is_critical",
+    )
+
+
+def critical_path_oracle() -> str:
+    """Chained-CTE replica of the layer relaxations."""
+    w, L = CP_W, CP_L
+    ctes = [f"""WITH cp_nodes AS (
+  SELECT DISTINCT {_cp_md5_duck('cpn', 'p_partkey')} % {w * L} AS n
+  FROM part),
+cp_src AS (SELECT n FROM cp_nodes WHERE n // {w} < {L - 1}),
+cp_cand AS (
+  SELECT u, m FROM (
+    SELECT n AS u, ((n // {w}) + 1) * {w}
+           + ({_cp_md5_duck('cpa', 'n')} % {w}) AS m FROM cp_src
+    UNION ALL
+    SELECT n, ((n // {w}) + 1) * {w}
+           + ({_cp_md5_duck('cpb', 'n')} % {w}) FROM cp_src)
+  GROUP BY 1, 2),
+cp_edges AS (
+  SELECT c.u, c.m,
+         1 + ({_cp_md5_duck('cpw', 'c.u', 'c.m')} % 9) AS w
+  FROM cp_cand c JOIN cp_nodes t ON t.n = c.m),
+cp_es0 AS (SELECT n, CAST(0 AS BIGINT) AS es FROM cp_nodes)"""]
+    for l in range(1, L):
+        ctes.append(f"""cp_es{l} AS (
+  SELECT nd.n,
+         CASE WHEN nd.n // {w} = {l}
+              THEN coalesce(c.cand, CAST(0 AS BIGINT))
+              ELSE p.es END AS es
+  FROM cp_nodes nd
+  JOIN cp_es{l - 1} p ON p.n = nd.n
+  LEFT JOIN (
+    SELECT e.m AS n, CAST(max(p.es + e.w) AS BIGINT) AS cand
+    FROM cp_edges e JOIN cp_es{l - 1} p ON p.n = e.u
+    WHERE e.m // {w} = {l} GROUP BY 1) c ON c.n = nd.n)""")
+    ctes.append(
+        f"cp_ls{L - 1} AS (SELECT n, CAST(0 AS BIGINT) AS ls"
+        " FROM cp_nodes)"
+    )
+    for l in range(L - 2, -1, -1):
+        ctes.append(f"""cp_ls{l} AS (
+  SELECT nd.n,
+         CASE WHEN nd.n // {w} = {l}
+              THEN coalesce(c.cand, CAST(0 AS BIGINT))
+              ELSE p.ls END AS ls
+  FROM cp_nodes nd
+  JOIN cp_ls{l + 1} p ON p.n = nd.n
+  LEFT JOIN (
+    SELECT e.u AS n, CAST(max(p.ls + e.w) AS BIGINT) AS cand
+    FROM cp_edges e JOIN cp_ls{l + 1} p ON p.n = e.m
+    WHERE e.u // {w} = {l} GROUP BY 1) c ON c.n = nd.n)""")
+    body = ",\n".join(ctes)
+    return f"""{body},
+cp_both AS (
+  SELECT e.n, e.es, s.ls FROM cp_es{L - 1} e
+  JOIN cp_ls0 s ON s.n = e.n),
+cp_max AS (SELECT CAST(max(es + ls) AS BIGINT) AS cp FROM cp_both)
+SELECT b.n, b.n // {w} AS layer, b.es, b.ls, b.es + b.ls AS through,
+       m.cp - b.es - b.ls AS slack,
+       CAST(m.cp - b.es - b.ls = 0 AS BIGINT) AS is_critical
+FROM cp_both b, cp_max m"""

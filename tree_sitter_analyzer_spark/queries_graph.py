@@ -449,3 +449,20 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.maximal_matching(spark, graph.edges_df(spark, "bfs"))
+
+
+@register(
+    "critical_path",
+    graph.critical_path_oracle(),
+    doc="CPM critical path with slack (Kelley-Walker 1959) over the "
+    "deterministic 8-layer md5-seeded DAG on part-key residues: "
+    "forward pass (longest path ending at n) and backward pass "
+    "(longest path starting at n) each relax ONE LAYER PER ROUND — "
+    "7+7 bounded rounds, one vertex-keyed equi-join + max-agg each, "
+    "never a frontier explosion; CP = max(es + ls), slack = CP - es "
+    "- ls, slack-0 nodes are the critical path(s). Oracle: identical "
+    "layer relaxations as chained CTEs.",
+)
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return graph.critical_path(parts)

@@ -10371,3 +10371,285 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * od_direct) DIV n_orders AS BIGINT) AS w_milli",
         "CAST((1000 * n_orders) DIV 366 AS BIGINT) AS lambda_milli",
     )
+
+
+# --- R333: rescaled-range (R/S) ladder --------------------------------------------------
+#
+# The Hurst/Mandelbrot long-memory diagnostic as a LADDER (the
+# msd_ladder / lacunarity shape — one scan, several scales, the
+# reader fits the log-log slope): the 1996 per-mille daily revenue
+# series is cut into consecutive blocks of w in {30, 60, 90, 180}
+# days; per block the RANGE of cumulative floored-mean deviations
+# R = max C_t - min C_t and the integer dispersion S2 = sum (z-m)^2;
+# per scale the block means leave in milli. Random-walk series show
+# R growing ~ w^0.5, trending/persistent series faster — the ladder
+# ordering itself is the diagnostic. Every window is PARTITIONED BY
+# (scale, block) over the bounded calendar: scale-safe at any SF.
+
+
+@register(
+    "rs_ladder",
+    """
+WITH rs_daily AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+rs_mx AS (SELECT GREATEST(max(v), CAST(1 AS BIGINT)) AS vmax FROM rs_daily),
+rs_cal AS (SELECT unnest(range(1, 367)) AS doy),
+rs_z AS (
+  SELECT c.doy, (1000 * coalesce(d.v, CAST(0 AS BIGINT))) // vmax AS z
+  FROM rs_cal c LEFT JOIN rs_daily d ON d.doy = c.doy, rs_mx),
+rs_w(w) AS (VALUES (30), (60), (90), (180)),
+rs_blk AS (
+  SELECT w.w, (z.doy - 1) // w.w AS blk, z.doy, z.z
+  FROM rs_z z CROSS JOIN rs_w w
+  WHERE z.doy <= (366 // w.w) * w.w),
+rs_m AS (
+  SELECT w, blk, CAST(sum(z) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+  FROM rs_blk GROUP BY 1, 2),
+rs_c AS (
+  SELECT b.w, b.blk, b.z, m.m,
+         CAST(sum(b.z - m.m) OVER (PARTITION BY b.w, b.blk ORDER BY b.doy
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS c
+  FROM rs_blk b JOIN rs_m m ON m.w = b.w AND m.blk = b.blk),
+rs_r AS (
+  SELECT w, blk,
+         CAST(max(c) - min(c) AS BIGINT) AS r,
+         CAST(sum((z - m) * (z - m)) AS BIGINT) AS s2
+  FROM rs_c GROUP BY 1, 2)
+SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(s2) AS BIGINT) AS sum_s2,
+       CAST((1000 * sum(r)) // count(*) AS BIGINT) AS mean_r_milli,
+       CAST(sum(s2) // count(*) AS BIGINT) AS mean_s2
+FROM rs_r GROUP BY 1
+""",
+    doc="Rescaled-range (R/S) ladder over per-mille daily 1996 revenue: "
+    "consecutive blocks of 30/60/90/180 days, per block the range of "
+    "cumulative floored-mean deviations and the integer dispersion; "
+    "per-scale block means in milli — the Hurst long-memory "
+    "diagnostic as a one-scan ladder, windows partitioned by (scale, "
+    "block) on the bounded calendar.",
+)
+def q_rs_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    mx = daily.agg(
+        F.expr("GREATEST(max(v), CAST(1 AS BIGINT))").alias("vmax")
+    )
+    cal = spark.range(1).selectExpr("explode(sequence(1, 366)) AS doy")
+    z = (
+        cal.join(daily, ["doy"], "left")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "doy",
+            "(1000 * coalesce(v, CAST(0 AS BIGINT))) DIV vmax AS z",
+        )
+    )
+    blk = z.selectExpr(
+        "doy", "z", "explode(array(30, 60, 90, 180)) AS w"
+    ).where("doy <= (366 DIV w) * w").selectExpr(
+        "w", "(doy - 1) DIV w AS blk", "doy", "z"
+    )
+    m = blk.groupBy("w", "blk").agg(
+        F.expr(
+            "CAST(sum(z) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("m")
+    ).selectExpr("w AS mw", "blk AS mblk", "m")
+    c = blk.join(
+        m, F.expr("mw = w AND mblk = blk")
+    ).selectExpr(
+        "w", "blk", "z", "m",
+        "CAST(sum(z - m) OVER (PARTITION BY w, blk ORDER BY doy"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS c",
+    )
+    r = c.groupBy("w", "blk").agg(
+        F.expr("CAST(max(c) - min(c) AS BIGINT)").alias("r"),
+        F.expr("CAST(sum((z - m) * (z - m)) AS BIGINT)").alias("s2"),
+    )
+    return r.groupBy("w").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_blocks"),
+        F.expr("CAST(sum(r) AS BIGINT)").alias("sum_r"),
+        F.expr("CAST(sum(s2) AS BIGINT)").alias("sum_s2"),
+        F.expr(
+            "CAST((1000 * sum(r)) DIV count(*) AS BIGINT)"
+        ).alias("mean_r_milli"),
+        F.expr("CAST(sum(s2) DIV count(*) AS BIGINT)").alias("mean_s2"),
+    )
+
+
+# --- R334: md5-seeded randomization (permutation) test ----------------------------------
+#
+# Distribution-free inference by RESAMPLING, made engine-exact the
+# poisson_bootstrap way: the weekend-vs-weekday daily-revenue shift is
+# tested against 64 md5-seeded relabelings of the calendar. The
+# statistic is the CROSS-MULTIPLIED mean difference
+# T = s_we * n_wd - s_wd * n_we (no division, sign carries direction);
+# each draw b relabels day d as "weekend" iff md5('pt:b:d') % 7 < 2
+# (matching the 2/7 weekend mass), and p_milli is the share of draws
+# with |T_b| >= |T_obs|. Every quantity is an exact integer on the
+# bounded calendar x 64-draw dimension; 1996-01-01 is a Monday, so
+# weekend = doy % 7 IN (6, 0).
+
+
+@register(
+    "permutation_test",
+    """
+WITH pt_daily AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+pt_mx AS (SELECT GREATEST(max(v), CAST(1 AS BIGINT)) AS vmax FROM pt_daily),
+pt_cal AS (SELECT unnest(range(1, 367)) AS doy),
+pt_z AS (
+  SELECT c.doy, (1000 * coalesce(d.v, CAST(0 AS BIGINT))) // vmax AS z
+  FROM pt_cal c LEFT JOIN pt_daily d ON d.doy = c.doy, pt_mx),
+pt_obs AS (
+  SELECT CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN z ELSE 0 END)
+           AS BIGINT) AS s_we,
+         CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_we,
+         CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE z END)
+           AS BIGINT) AS s_wd,
+         CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE 1 END)
+           AS BIGINT) AS n_wd
+  FROM pt_z),
+pt_b(b) AS (SELECT unnest(range(1, 65))),
+pt_draw AS (
+  SELECT b.b,
+    CAST(sum(CASE WHEN CAST(('0x' || substr(md5('pt:' ||
+      CAST(b.b AS VARCHAR) || ':' || CAST(z.doy AS VARCHAR)), 1, 8))
+      AS BIGINT) % 7 < 2 THEN z.z ELSE 0 END) AS BIGINT) AS s_we,
+    CAST(sum(CASE WHEN CAST(('0x' || substr(md5('pt:' ||
+      CAST(b.b AS VARCHAR) || ':' || CAST(z.doy AS VARCHAR)), 1, 8))
+      AS BIGINT) % 7 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+    CAST(sum(z.z) AS BIGINT) AS s_all,
+    CAST(count(*) AS BIGINT) AS n_all
+  FROM pt_z z CROSS JOIN pt_b b GROUP BY 1),
+pt_t AS (
+  SELECT b, s_we * (n_all - n_we) - (s_all - s_we) * n_we AS t
+  FROM pt_draw)
+SELECT o.n_we, o.n_wd,
+       o.s_we * o.n_wd - o.s_wd * o.n_we AS t_obs,
+       CAST(64 AS BIGINT) AS n_draws,
+       CAST(sum(CASE WHEN abs(t.t) >=
+         abs(o.s_we * o.n_wd - o.s_wd * o.n_we) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_ge,
+       CAST((1000 * sum(CASE WHEN abs(t.t) >=
+         abs(o.s_we * o.n_wd - o.s_wd * o.n_we) THEN 1 ELSE 0 END))
+         // 64 AS BIGINT) AS p_milli
+FROM pt_t t, pt_obs o
+GROUP BY 1, 2, 3, 4
+""",
+    doc="md5-seeded randomization test of the weekend-vs-weekday daily "
+    "revenue shift: cross-multiplied mean-difference statistic (no "
+    "division), 64 deterministic md5 relabelings at the 2/7 weekend "
+    "mass, p_milli = share of draws at least as extreme — "
+    "distribution-free inference, engine-exact on the bounded "
+    "calendar x draw dimension.",
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import md5int_spark
+
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    mx = daily.agg(
+        F.expr("GREATEST(max(v), CAST(1 AS BIGINT))").alias("vmax")
+    )
+    cal = spark.range(1).selectExpr("explode(sequence(1, 366)) AS doy")
+    z = (
+        cal.join(daily, ["doy"], "left")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "doy",
+            "(1000 * coalesce(v, CAST(0 AS BIGINT))) DIV vmax AS z",
+        )
+        .localCheckpoint(eager=False)
+    )
+    obs = z.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN z ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("s_we"),
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_we"),
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE z END)"
+            " AS BIGINT)"
+        ).alias("s_wd"),
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE 1 END)"
+            " AS BIGINT)"
+        ).alias("n_wd"),
+    )
+    h = md5int_spark(
+        "concat('pt:', CAST(b AS STRING), ':', CAST(doy AS STRING))"
+    )
+    draw = (
+        z.selectExpr("doy", "z", "explode(sequence(1, 64)) AS b")
+        .groupBy("b")
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN {h} % 7 < 2 THEN z ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("s_we_b"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {h} % 7 < 2 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_we_b"),
+            F.expr("CAST(sum(z) AS BIGINT)").alias("s_all"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_all"),
+        )
+        .selectExpr(
+            "b",
+            "s_we_b * (n_all - n_we_b) - (s_all - s_we_b) * n_we_b AS t",
+        )
+    )
+    return (
+        draw.crossJoin(F.broadcast(obs))
+        .groupBy(
+            "n_we", "n_wd",
+            F.expr("s_we * n_wd - s_wd * n_we").alias("t_obs"),
+        )
+        .agg(
+            F.expr("CAST(64 AS BIGINT)").alias("n_draws"),
+            F.expr(
+                "CAST(sum(CASE WHEN abs(t) >="
+                " abs(s_we * n_wd - s_wd * n_we) THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_ge"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN abs(t) >="
+                " abs(s_we * n_wd - s_wd * n_we) THEN 1 ELSE 0 END))"
+                " DIV 64 AS BIGINT)"
+            ).alias("p_milli"),
+        )
+    )
