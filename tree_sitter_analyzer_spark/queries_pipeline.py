@@ -3731,3 +3731,24 @@ from .operators import similarity as _sim_pca  # noqa: E402
 )
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim_pca.pca_power(_emb(spark, sf_dir))
+
+
+@register(
+    "median_denoise",
+    None,  # decoded-pixel op; numpy replay in tests/test_r335_batch.py
+    doc="3x3 median-filter denoise statistics per decoded tile: exact "
+    "9-neighborhood median luma (5th order statistic of an integer "
+    "stack — no interpolation rule), per-kind rollup of how many "
+    "pixels the filter changes, the absolute change mass, and the "
+    "max single-pixel change — the denoisability profile beside "
+    "sobel (edges) and lbp (micro-texture). Rows-only; pytest-gated "
+    "vs the numpy reference.",
+)
+def q_median_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.median3_stats(tiles)

@@ -10653,3 +10653,241 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_milli"),
         )
     )
+
+
+# --- R336: absorbing Markov chain — expected steps to purchase ---------------------------
+#
+# The absorbing-chain calculation (Kemeny-Snell 1960) closes the
+# Markov family (event_transitions = the matrix, markov_stationary =
+# the ergodic limit): with 'purchase' absorbing and the four other
+# event types transient, the expected number of steps to absorption
+# is t = (I - Q)^-1 * 1. The 4x4 inverse is computed EXACTLY by a
+# GENERATED cofactor expansion (24-term determinant, 6-term minors —
+# the same SQL text in both engines): M = 1000*I - Q_milli has
+# entries <= 1000, so det <= 4!*1000^4 < 2^45 and every product is
+# exact; t_milli = 10^6 * (adj(M) * 1)_s DIV det, sign-safe. The
+# det > 0 column is the absorbing-chain certificate (M is an
+# M-matrix; a nonpositive det would mean the chain lost absorption
+# after milli flooring).
+
+_AC_STATES = ["view", "click", "signup", "error"]
+
+
+def _ac_perm_sign(perm: tuple) -> int:
+    inv = sum(
+        1
+        for a in range(len(perm))
+        for b in range(a + 1, len(perm))
+        if perm[a] > perm[b]
+    )
+    return -1 if inv % 2 else 1
+
+
+def _ac_det4(m) -> str:
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        sgn = "+" if _ac_perm_sign(perm) > 0 else "-"
+        prod = " * ".join(m[i][perm[i]] for i in range(4))
+        terms.append(f"{sgn} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ac_minor3(m, dr: int, dc: int) -> str:
+    from itertools import permutations
+
+    rows = [i for i in range(4) if i != dr]
+    cols = [j for j in range(4) if j != dc]
+    terms = []
+    for perm in permutations(range(3)):
+        sgn = "+" if _ac_perm_sign(perm) > 0 else "-"
+        prod = " * ".join(m[rows[i]][cols[perm[i]]] for i in range(3))
+        terms.append(f"{sgn} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ac_rowsum_adj(m, i: int) -> str:
+    """(adj(M) * 1)_i = sum_j (-1)^(i+j) minor(j, i)."""
+    terms = []
+    for j in range(4):
+        sgn = "+" if (i + j) % 2 == 0 else "-"
+        terms.append(f"{sgn} {_ac_minor3(m, j, i)}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ac_sql(div: str) -> str:
+    """Shared query text; div is ' DIV ' (Spark) or ' // ' (DuckDB)."""
+    st = _AC_STATES
+    cnt = ",\n    ".join(
+        f"CAST(sum(CASE WHEN cur = '{a}' AND nxt = '{b}' THEN n ELSE 0"
+        f" END) AS BIGINT) AS c{i}{j}"
+        for i, a in enumerate(st)
+        for j, b in enumerate(st)
+    )
+    tot = ",\n    ".join(
+        f"GREATEST(CAST(sum(CASE WHEN cur = '{a}' THEN n ELSE 0 END)"
+        f" AS BIGINT), CAST(1 AS BIGINT)) AS t{i}"
+        for i, a in enumerate(st)
+    )
+    q = ",\n    ".join(
+        f"(1000 * c{i}{j}){div}t{i} AS q{i}{j}"
+        for i in range(4)
+        for j in range(4)
+    )
+    m = [
+        [
+            f"({1000 if i == j else 0} - q{i}{j})"
+            for j in range(4)
+        ]
+        for i in range(4)
+    ]
+    det = _ac_det4(m)
+    rowsums = ",\n    ".join(
+        f"{_ac_rowsum_adj(m, i)} AS adj1_{i}" for i in range(4)
+    )
+    outs = []
+    for i, a in enumerate(st):
+        outs.append(
+            f"SELECT '{a}' AS state, t{i} AS n_out,"
+            f" 1000 - (q{i}0 + q{i}1 + q{i}2 + q{i}3) AS p_leave_milli,"
+            f" CAST(CASE WHEN det = 0 THEN 0"
+            f" WHEN (adj1_{i} >= 0) = (det >= 0)"
+            f" THEN (1000000 * abs(adj1_{i})){div}abs(det)"
+            f" ELSE -((1000000 * abs(adj1_{i})){div}abs(det)) END"
+            f" AS BIGINT) AS t_milli,"
+            f" CAST(det > 0 AS BIGINT) AS det_pos"
+            f" FROM ac_fin"
+        )
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH ac_seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events),
+ac_pairs AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM ac_seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+ac_wide AS (
+  SELECT
+    {cnt},
+    {tot}
+  FROM ac_pairs),
+ac_q AS (
+  SELECT *,
+    {q}
+  FROM ac_wide),
+ac_fin AS (
+  SELECT *, {det} AS det,
+    {rowsums}
+  FROM ac_q)
+{union}"""
+
+
+@register(
+    "absorbing_chain",
+    _ac_sql(" // "),
+    doc="Expected steps to purchase (absorbing Markov chain, Kemeny-"
+    "Snell): 'purchase' absorbs, the other four event types are "
+    "transient; Q in exact per-mille from per-user consecutive pairs, "
+    "and t = (I-Q)^-1 * 1 computed EXACTLY via a generated 4x4 "
+    "cofactor expansion (24-term determinant, 6-term minors, every "
+    "product < 2^45) — no matrix library; t_milli sign-safe, det > 0 "
+    "as the absorbing-chain certificate.",
+)
+def q_absorbing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_ac_sql(" DIV "))
+
+
+# --- R335: greedy materialized-view selection (Harinarayan cube lattice) -----------------
+#
+# The classic physical-design algorithm (Harinarayan-Rajaraman-Ullman
+# 1996, "Implementing Data Cubes Efficiently"): over the 2^3 group-by
+# lattice of (returnflag, linestatus, ship-year), greedily pick the 2
+# views (beyond the always-materialized top view) that maximize
+# benefit = sum over covered queries of the cost drop. View sizes are
+# exact distinct counts computed NUMERICALLY (dim codes packed into
+# one integer — no string casts whose spelling differs by engine);
+# the greedy rounds, the per-query cost vector, and the tie rule
+# (smaller mask) are all on the BOUNDED 8-row lattice. One shared SQL
+# text drives both engines (only DIV spelling differs).
+
+
+def _vs_sql(div: str) -> str:
+    return f"""
+WITH vs_base AS (
+  SELECT DISTINCT
+    CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS rc,
+    CASE l_linestatus WHEN 'F' THEN 0 ELSE 1 END AS sc,
+    year(l_shipdate) - 1992 AS yc
+  FROM lineitem),
+vs_masks AS (
+  SELECT 0 AS mask UNION ALL SELECT 1 UNION ALL SELECT 2
+  UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+  UNION ALL SELECT 6 UNION ALL SELECT 7),
+vs_sz AS (
+  SELECT m.mask,
+    CAST(count(DISTINCT
+      (CASE WHEN m.mask & 4 > 0 THEN b.rc + 1 ELSE 0 END) * 64
+      + (CASE WHEN m.mask & 2 > 0 THEN b.sc + 1 ELSE 0 END) * 8
+      + (CASE WHEN m.mask & 1 > 0 THEN b.yc + 1 ELSE 0 END))
+      AS BIGINT) AS sz
+  FROM vs_base b CROSS JOIN vs_masks m GROUP BY 1),
+vs_c0 AS (
+  SELECT mask AS w, (SELECT sz FROM vs_sz WHERE mask = 7) AS cost
+  FROM vs_masks),
+vs_ben1 AS (
+  SELECT v.mask AS v, v.sz AS vsz,
+    CAST(sum(CASE WHEN (c.w & v.mask) = c.w AND c.cost > v.sz
+             THEN c.cost - v.sz ELSE 0 END) AS BIGINT) AS benefit
+  FROM vs_sz v CROSS JOIN vs_c0 c WHERE v.mask != 7 GROUP BY 1, 2),
+vs_pick1 AS (
+  SELECT v, vsz, benefit FROM vs_ben1
+  ORDER BY benefit DESC, v LIMIT 1),
+vs_c1 AS (
+  SELECT c.w,
+    LEAST(c.cost, CASE WHEN (c.w & p.v) = c.w THEN p.vsz
+                  ELSE c.cost END) AS cost
+  FROM vs_c0 c CROSS JOIN vs_pick1 p),
+vs_ben2 AS (
+  SELECT v.mask AS v, v.sz AS vsz,
+    CAST(sum(CASE WHEN (c.w & v.mask) = c.w AND c.cost > v.sz
+             THEN c.cost - v.sz ELSE 0 END) AS BIGINT) AS benefit
+  FROM vs_sz v CROSS JOIN vs_c1 c
+  WHERE v.mask != 7 AND v.mask != (SELECT v FROM vs_pick1)
+  GROUP BY 1, 2),
+vs_pick2 AS (
+  SELECT v, vsz, benefit FROM vs_ben2
+  ORDER BY benefit DESC, v LIMIT 1),
+vs_c2 AS (
+  SELECT c.w,
+    LEAST(c.cost, CASE WHEN (c.w & p.v) = c.w THEN p.vsz
+                  ELSE c.cost END) AS cost
+  FROM vs_c1 c CROSS JOIN vs_pick2 p)
+SELECT CAST(1 AS BIGINT) AS round, CAST(p.v AS BIGINT) AS view_mask,
+       p.vsz AS view_size, p.benefit,
+       (SELECT CAST(sum(cost) AS BIGINT) FROM vs_c1) AS total_cost_after
+FROM vs_pick1 p
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(p.v AS BIGINT), p.vsz, p.benefit,
+       (SELECT CAST(sum(cost) AS BIGINT) FROM vs_c2)
+FROM vs_pick2 p"""
+
+
+@register(
+    "view_selection",
+    _vs_sql(" // "),
+    doc="Greedy materialized-view selection over the (returnflag, "
+    "linestatus, ship-year) cube lattice (Harinarayan-Rajaraman-"
+    "Ullman 1996): exact distinct-count view sizes packed "
+    "numerically, two greedy rounds maximizing the summed cost drop "
+    "across all 8 lattice queries, smaller-mask ties — the physical-"
+    "design rung of the systems family beside zonemap_prune and "
+    "compaction_plan. Everything on the bounded 8-row lattice.",
+)
+def q_view_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_vs_sql(" DIV "))

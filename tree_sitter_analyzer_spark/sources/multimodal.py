@@ -1016,3 +1016,75 @@ def moments_stats(df: DataFrame) -> DataFrame:
             "CAST(sum(CASE WHEN mu11 > 0 THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("mu11_pos_tiles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R337: 3x3 median-filter denoise statistics (Tukey 1977 — the classic
+# edge-preserving smoother). Per interior pixel the exact median of
+# the 9-neighborhood luma (9 values: the 5th order statistic of a
+# sorted integer stack — no interpolation rule to disagree on); the
+# per-tile outputs are the count of pixels the filter CHANGES, the
+# total absolute change mass, and the max single-pixel change —
+# the denoisability profile of the corpus. Integer-exact; numpy
+# reference replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+MEDIAN3_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("n_interior", LongType()),
+    StructField("changed", LongType()),
+    StructField("change_mass", LongType()),
+    StructField("max_change", LongType()),
+]
+
+
+def median3_features_np(px: "np.ndarray") -> tuple[int, int, int, int]:
+    """numpy reference: (n_interior, changed, change_mass, max_change)
+    for one decoded (h, w, 3) uint8 image."""
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    stack = np.stack([
+        g[1 + dy:g.shape[0] - 1 + dy, 1 + dx:g.shape[1] - 1 + dx]
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+    med = np.sort(stack, axis=0)[4]
+    diff = np.abs(med - g[1:-1, 1:-1])
+    return (
+        int(diff.size), int((diff > 0).sum()), int(diff.sum()),
+        int(diff.max()) if diff.size else 0,
+    )
+
+
+def median3_stats(df: DataFrame) -> DataFrame:
+    """Per-kind median-filter rollup: (tile_kind, n_tiles, n_interior,
+    changed, changed_milli, change_mass, max_change)."""
+    schema = StructType(MEDIAN3_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + median3_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_kind", "n_interior", "changed",
+                         "change_mass", "max_change"],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(n_interior) AS BIGINT)").alias("n_interior"),
+        F.expr("CAST(sum(changed) AS BIGINT)").alias("changed"),
+        F.expr("CAST(sum(change_mass) AS BIGINT)").alias("change_mass"),
+        F.expr("CAST(max(max_change) AS BIGINT)").alias("max_change"),
+    ).selectExpr(
+        "tile_kind", "n_tiles", "n_interior", "changed",
+        "(1000 * changed) DIV n_interior AS changed_milli",
+        "change_mass", "max_change",
+    )
