@@ -10891,3 +10891,433 @@ FROM vs_pick2 p"""
 def q_view_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_vs_sql(" DIV "))
+
+
+# --- R338: Benjamini-Hochberg FDR over monthly randomization tests ------------------------
+#
+# Multiple-testing control joins the inference family: twelve per-month
+# weekend-effect randomization tests (the permutation_test statistic,
+# 32 md5 draws each) are corrected with the Benjamini-Hochberg 1995
+# step-up procedure at FDR alpha = 0.2. Everything stays integer:
+# p-values live in 1/32 units (n_ge), the BH comparison
+# p_(i) <= alpha*i/m cross-multiplies to 60*n_ge <= 32*rank, the
+# step-up cutoff k = max qualifying rank is a window max on the
+# BOUNDED 12-row frame, and ties rank deterministically by month.
+
+
+@register(
+    "bh_fdr",
+    """
+WITH bh_daily AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         month(CAST(l_shipdate AS DATE)) AS mon,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+bh_mx AS (SELECT GREATEST(max(v), CAST(1 AS BIGINT)) AS vmax
+          FROM bh_daily),
+bh_z AS (
+  SELECT doy, mon, (1000 * v) // vmax AS z FROM bh_daily, bh_mx),
+bh_obs AS (
+  SELECT mon,
+    CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN z ELSE 0 END)
+      AS BIGINT) AS s_we,
+    CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_we,
+    CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE z END)
+      AS BIGINT) AS s_wd,
+    CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE 1 END)
+      AS BIGINT) AS n_wd
+  FROM bh_z GROUP BY 1),
+bh_b(b) AS (SELECT unnest(range(1, 33))),
+bh_draw AS (
+  SELECT z.mon, b.b,
+    CAST(sum(CASE WHEN CAST(('0x' || substr(md5('bh:' ||
+      CAST(b.b AS VARCHAR) || ':' || CAST(z.doy AS VARCHAR)), 1, 8))
+      AS BIGINT) % 7 < 2 THEN z.z ELSE 0 END) AS BIGINT) AS s_we,
+    CAST(sum(CASE WHEN CAST(('0x' || substr(md5('bh:' ||
+      CAST(b.b AS VARCHAR) || ':' || CAST(z.doy AS VARCHAR)), 1, 8))
+      AS BIGINT) % 7 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+    CAST(sum(z.z) AS BIGINT) AS s_all,
+    CAST(count(*) AS BIGINT) AS n_all
+  FROM bh_z z CROSS JOIN bh_b b GROUP BY 1, 2),
+bh_t AS (
+  SELECT mon, b,
+         s_we * (n_all - n_we) - (s_all - s_we) * n_we AS t
+  FROM bh_draw),
+bh_p AS (
+  SELECT o.mon, o.s_we * o.n_wd - o.s_wd * o.n_we AS t_obs,
+    CAST(sum(CASE WHEN abs(t.t) >=
+      abs(o.s_we * o.n_wd - o.s_wd * o.n_we) THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_ge
+  FROM bh_obs o JOIN bh_t t ON t.mon = o.mon
+  GROUP BY 1, 2),
+bh_r AS (
+  SELECT mon, t_obs, n_ge,
+         CAST(row_number() OVER (ORDER BY n_ge, mon) AS BIGINT) AS rnk
+  FROM bh_p),
+bh_k AS (
+  SELECT coalesce(max(CASE WHEN 60 * n_ge <= 32 * rnk THEN rnk END),
+                  CAST(0 AS BIGINT)) AS k
+  FROM bh_r)
+SELECT r.mon, r.t_obs, r.n_ge,
+       CAST((1000 * r.n_ge) // 32 AS BIGINT) AS p_milli, r.rnk,
+       CAST(r.rnk <= k.k AS BIGINT) AS bh_reject
+FROM bh_r r, bh_k k
+""",
+    doc="Benjamini-Hochberg step-up FDR (alpha = 0.2) over twelve "
+    "per-month weekend-effect randomization tests (32 md5 draws "
+    "each): p-values in exact 1/32 units, the BH comparison cross-"
+    "multiplied to 60*n_ge <= 32*rank, deterministic month ties — "
+    "multiple-testing control on the bounded month dimension.",
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import md5int_spark
+
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy"),
+            F.expr("month(CAST(l_shipdate AS DATE))").alias("mon"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    mx = daily.agg(
+        F.expr("GREATEST(max(v), CAST(1 AS BIGINT))").alias("vmax")
+    )
+    z = (
+        daily.crossJoin(F.broadcast(mx))
+        .selectExpr("doy", "mon", "(1000 * v) DIV vmax AS z")
+        .localCheckpoint(eager=False)
+    )
+    obs = z.groupBy("mon").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN z ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("s_we"),
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_we"),
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE z END)"
+            " AS BIGINT)"
+        ).alias("s_wd"),
+        F.expr(
+            "CAST(sum(CASE WHEN doy % 7 IN (6, 0) THEN 0 ELSE 1 END)"
+            " AS BIGINT)"
+        ).alias("n_wd"),
+    ).selectExpr(
+        "mon AS omon", "s_we", "n_we", "s_wd", "n_wd",
+        "s_we * n_wd - s_wd * n_we AS t_obs",
+    )
+    h = md5int_spark(
+        "concat('bh:', CAST(b AS STRING), ':', CAST(doy AS STRING))"
+    )
+    draw = (
+        z.selectExpr("doy", "mon", "z", "explode(sequence(1, 32)) AS b")
+        .groupBy("mon", "b")
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN {h} % 7 < 2 THEN z ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("s_we_b"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {h} % 7 < 2 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_we_b"),
+            F.expr("CAST(sum(z) AS BIGINT)").alias("s_all"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_all"),
+        )
+        .selectExpr(
+            "mon", "b",
+            "s_we_b * (n_all - n_we_b) - (s_all - s_we_b) * n_we_b AS t",
+        )
+    )
+    p = (
+        obs.join(draw, F.expr("mon = omon"))
+        .groupBy("omon", "t_obs")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN abs(t) >= abs(t_obs)"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_ge")
+        )
+        .selectExpr("omon AS mon", "t_obs", "n_ge")
+    )
+    r = p.selectExpr(
+        "mon", "t_obs", "n_ge",
+        "CAST(row_number() OVER (ORDER BY n_ge, mon) AS BIGINT) AS rnk",
+    )
+    k = r.agg(
+        F.expr(
+            "coalesce(max(CASE WHEN 60 * n_ge <= 32 * rnk THEN rnk END),"
+            " CAST(0 AS BIGINT))"
+        ).alias("k")
+    )
+    return r.crossJoin(F.broadcast(k)).selectExpr(
+        "mon", "t_obs", "n_ge",
+        "CAST((1000 * n_ge) DIV 32 AS BIGINT) AS p_milli", "rnk",
+        "CAST(rnk <= k AS BIGINT) AS bh_reject",
+    )
+
+
+# --- R339: distance covariance (Székely) on the weekly dimension --------------------------
+#
+# The modern all-dependence test (Székely-Rizzo-Bakirov 2007): dCov
+# detects ANY dependence between weekly revenue and weekly line
+# count, not just linear (Pearson) or monotone (Kendall/Spearman)
+# association. Exact integer form: per-cent weekly values on the
+# BOUNDED 52-week dimension, pairwise |x_j - x_k| distance matrices
+# double-centered with the n^2 CROSS-MULTIPLICATION (A*n^2 =
+# n^2*a_jk - n*row_j - n*col_k + grand — all integers), then
+# dCov2_n6 = sum (A n^2)(B n^2) <= 2.7e15 exact. The squared
+# distance correlation leaves via the HHI staged double-floor:
+# r1 = (1000*dcov2) DIV dvarx, dcor4_milli = (r1*dcov2) DIV dvary
+# = floor-composed 1000*dCov^4/(dVarX*dVarY), every stage < 2^62.
+
+
+@register(
+    "distance_cov",
+    """
+WITH dc_w AS (
+  SELECT (dayofyear(CAST(l_shipdate AS DATE)) - 1) // 7 AS wk,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS rev,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996
+    AND dayofyear(CAST(l_shipdate AS DATE)) <= 364
+  GROUP BY 1),
+dc_mx AS (
+  SELECT GREATEST(max(rev), CAST(1 AS BIGINT)) AS rmax,
+         GREATEST(max(cnt), CAST(1 AS BIGINT)) AS cmax
+  FROM dc_w),
+dc_z AS (
+  SELECT wk, (100 * rev) // rmax AS x, (100 * cnt) // cmax AS y
+  FROM dc_w, dc_mx),
+dc_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dc_z),
+dc_pairs AS (
+  SELECT a.wk AS j, b.wk AS k,
+         abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay
+  FROM dc_z a CROSS JOIN dc_z b),
+dc_row AS (
+  SELECT j, CAST(sum(ax) AS BIGINT) AS rx, CAST(sum(ay) AS BIGINT) AS ry
+  FROM dc_pairs GROUP BY 1),
+dc_g AS (
+  SELECT CAST(sum(ax) AS BIGINT) AS gx, CAST(sum(ay) AS BIGINT) AS gy
+  FROM dc_pairs),
+dc_c AS (
+  SELECT p.j, p.k,
+         n.n * n.n * p.ax - n.n * rj.rx - n.n * rk.rx + g.gx AS axc,
+         n.n * n.n * p.ay - n.n * rj.ry - n.n * rk.ry + g.gy AS ayc
+  FROM dc_pairs p
+  JOIN dc_row rj ON rj.j = p.j
+  JOIN dc_row rk ON rk.j = p.k, dc_g g, dc_n n),
+dc_s AS (
+  SELECT CAST(sum(axc * ayc) AS BIGINT) AS dcov2,
+         CAST(sum(axc * axc) AS BIGINT) AS dvarx,
+         CAST(sum(ayc * ayc) AS BIGINT) AS dvary,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dc_c)
+SELECT n_pairs, dcov2, dvarx, dvary,
+       CAST(CASE WHEN dcov2 <= 0 OR dvarx = 0 OR dvary = 0 THEN 0
+            ELSE (((1000 * dcov2) // dvarx) * dcov2) // dvary END
+            AS BIGINT) AS dcor4_milli
+FROM dc_s
+""",
+    doc="Distance covariance (Székely 2007) between weekly 1996 revenue "
+    "and weekly line count on the bounded 52-week dimension: per-cent "
+    "values, pairwise distance matrices double-centered via the n^2 "
+    "cross-multiplication (all integers), dCov2/dVar exact, squared "
+    "distance correlation^2 via the staged double-floor — detects ANY "
+    "dependence, not just linear or monotone.",
+)
+def q_distance_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            "year(l_shipdate) = 1996"
+            " AND dayofyear(CAST(l_shipdate AS DATE)) <= 364"
+        )
+        .groupBy(
+            F.expr(
+                "(dayofyear(CAST(l_shipdate AS DATE)) - 1) DIV 7"
+            ).alias("wk")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("rev"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("cnt"),
+        )
+    )
+    mx = w.agg(
+        F.expr("GREATEST(max(rev), CAST(1 AS BIGINT))").alias("rmax"),
+        F.expr("GREATEST(max(cnt), CAST(1 AS BIGINT))").alias("cmax"),
+    )
+    z = (
+        w.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "wk", "(100 * rev) DIV rmax AS x", "(100 * cnt) DIV cmax AS y"
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = z.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+    pairs = (
+        z.selectExpr("wk AS j", "x AS xa", "y AS ya")
+        .crossJoin(z.selectExpr("wk AS k", "x AS xb", "y AS yb"))
+        .selectExpr(
+            "j", "k", "abs(xa - xb) AS ax", "abs(ya - yb) AS ay"
+        )
+        .localCheckpoint(eager=False)
+    )
+    row = pairs.groupBy("j").agg(
+        F.expr("CAST(sum(ax) AS BIGINT)").alias("rx"),
+        F.expr("CAST(sum(ay) AS BIGINT)").alias("ry"),
+    )
+    g = pairs.agg(
+        F.expr("CAST(sum(ax) AS BIGINT)").alias("gx"),
+        F.expr("CAST(sum(ay) AS BIGINT)").alias("gy"),
+    )
+    c = (
+        pairs
+        .join(F.broadcast(row.selectExpr("j AS rj", "rx AS rjx",
+                                         "ry AS rjy")),
+              F.expr("rj = j"))
+        .join(F.broadcast(row.selectExpr("j AS rk", "rx AS rkx",
+                                         "ry AS rky")),
+              F.expr("rk = k"))
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "n * n * ax - n * rjx - n * rkx + gx AS axc",
+            "n * n * ay - n * rjy - n * rky + gy AS ayc",
+        )
+    )
+    s = c.agg(
+        F.expr("CAST(sum(axc * ayc) AS BIGINT)").alias("dcov2"),
+        F.expr("CAST(sum(axc * axc) AS BIGINT)").alias("dvarx"),
+        F.expr("CAST(sum(ayc * ayc) AS BIGINT)").alias("dvary"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"),
+    )
+    return s.selectExpr(
+        "n_pairs", "dcov2", "dvarx", "dvary",
+        "CAST(CASE WHEN dcov2 <= 0 OR dvarx = 0 OR dvary = 0 THEN 0"
+        " ELSE (((1000 * dcov2) DIV dvarx) * dcov2) DIV dvary END"
+        " AS BIGINT) AS dcor4_milli",
+    )
+
+
+# --- R340: Gumbel block-maxima fit via L-moments ------------------------------------------
+#
+# Extreme-value theory joins the family: the twelve monthly maxima of
+# per-mille daily 1996 revenue are fit to a Gumbel distribution by
+# L-MOMENTS (Hosking 1990 — linear in order statistics, so exact
+# integers on the bounded 12-block frame): b1_num = sum (i-1)*x_(i)
+# over ascending ranks, L2*n(n-1) = 2*b1_num - (n-1)*S, then the
+# Gumbel closed form with MILLI CONSTANT LITERALS (ln2 = 693,
+# Euler-Mascheroni = 577, and the 12-month Gumbel quantile
+# -ln(-ln(11/12)) = 2442): scale = L2/ln2, loc = L1 - 0.5772*scale,
+# 12-month return level = loc + 2.442*scale. Zero runtime
+# transcendentals — the hough_lines discipline applied to EVT.
+
+
+@register(
+    "gumbel_maxima",
+    """
+WITH gm_daily AS (
+  SELECT month(CAST(l_shipdate AS DATE)) AS mon,
+         dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+gm_mx AS (SELECT GREATEST(max(v), CAST(1 AS BIGINT)) AS vmax
+          FROM gm_daily),
+gm_m AS (
+  SELECT mon, CAST(max((1000 * v) // vmax) AS BIGINT) AS mx
+  FROM gm_daily, gm_mx GROUP BY 1),
+gm_r AS (
+  SELECT mon, mx,
+         CAST(row_number() OVER (ORDER BY mx, mon) AS BIGINT) AS i
+  FROM gm_m),
+gm_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum((i - 1) * mx) AS BIGINT) AS b1num
+  FROM gm_r),
+gm_f AS (
+  SELECT n, s, b1num,
+         2 * b1num - (n - 1) * s AS l2num,
+         (1000 * s) // n AS l1_mz,
+         (1000000 * (2 * b1num - (n - 1) * s))
+           // (n * (n - 1) * 693) AS scale_mz
+  FROM gm_s)
+SELECT n AS n_blocks, s AS sum_max, b1num, l2num, l1_mz, scale_mz,
+       l1_mz - (577 * scale_mz) // 1000 AS loc_mz,
+       l1_mz - (577 * scale_mz) // 1000
+         + (2442 * scale_mz) // 1000 AS rl12_mz
+FROM gm_f
+""",
+    doc="Gumbel block-maxima fit by L-moments over the twelve monthly "
+    "maxima of per-mille daily 1996 revenue: probability-weighted "
+    "moments exact on the bounded 12-block frame, Gumbel closed form "
+    "with milli constant literals (ln2 = 693, Euler gamma = 577, "
+    "12-month quantile 2442) — extreme-value analysis with zero "
+    "runtime transcendentals.",
+)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("month(CAST(l_shipdate AS DATE))").alias("mon"),
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    mx = daily.agg(
+        F.expr("GREATEST(max(v), CAST(1 AS BIGINT))").alias("vmax")
+    )
+    m = (
+        daily.crossJoin(F.broadcast(mx))
+        .groupBy("mon")
+        .agg(
+            F.expr("CAST(max((1000 * v) DIV vmax) AS BIGINT)").alias("mx")
+        )
+    )
+    r = m.selectExpr(
+        "mon", "mx",
+        "CAST(row_number() OVER (ORDER BY mx, mon) AS BIGINT) AS i",
+    )
+    s = r.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(mx) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum((i - 1) * mx) AS BIGINT)").alias("b1num"),
+    )
+    f = s.selectExpr(
+        "n", "s", "b1num",
+        "2 * b1num - (n - 1) * s AS l2num",
+        "(1000 * s) DIV n AS l1_mz",
+        "(1000000 * (2 * b1num - (n - 1) * s))"
+        " DIV (n * (n - 1) * 693) AS scale_mz",
+    )
+    return f.selectExpr(
+        "n AS n_blocks", "s AS sum_max", "b1num", "l2num", "l1_mz",
+        "scale_mz",
+        "l1_mz - (577 * scale_mz) DIV 1000 AS loc_mz",
+        "l1_mz - (577 * scale_mz) DIV 1000"
+        " + (2442 * scale_mz) DIV 1000 AS rl12_mz",
+    )
