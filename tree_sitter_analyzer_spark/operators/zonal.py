@@ -2821,3 +2821,128 @@ FROM (
          CAST(max(p // 8) AS BIGINT) AS radius2
   FROM kc_p{k} GROUP BY 1) a
 JOIN kc_seeds s ON s.seed_round = a.seed_round"""
+
+
+# ---------------------------------------------------------------------------
+# R341: Moran's I correlogram — global spatial autocorrelation of the
+# per-mille density raster at Chebyshev neighbor rings r = 1, 2, 3
+# (the LADDER shape applied to spatial dependence: local_moran /
+# getis_ord are per-cell at ring 1, the directional_variogram is the
+# continuous analog; the correlogram shows HOW dependence decays with
+# distance). Deviations use the floored mean over occupied cells;
+# I is emitted CROSS-MULTIPLIED and sign-safe:
+#   i_abs_milli = (1000 * n * |sum_ring d_i d_j|) DIV (w_r * sum d^2)
+# with every factor bounded by the SF-invariant raster extent. The
+# ring fan is a generated offset equi-join (8r offsets per ring) —
+# never a distance cross join.
+# ---------------------------------------------------------------------------
+
+MC_RES = 7
+MC_RINGS = (1, 2, 3)
+
+
+def _mc_offsets(r: int) -> list:
+    return [
+        (dx, dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if max(abs(dx), abs(dy)) == r
+    ]
+
+
+def moran_correlogram(tiles: DataFrame, res: int = MC_RES) -> DataFrame:
+    """(ring, n_cells, w_pairs, num, den, i_sign, i_abs_milli)."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    zmax = occ.agg(
+        F.expr("GREATEST(max(n), CAST(1 AS BIGINT))").alias("zmax")
+    )
+    z = occ.crossJoin(F.broadcast(zmax)).selectExpr(
+        "cx", "cy", "CAST((1000 * n) DIV zmax AS BIGINT) AS z"
+    ).localCheckpoint(eager=False)
+    mean = z.agg(
+        F.expr(
+            "CAST(sum(z) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("zbar"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("nc"),
+    )
+    d = z.crossJoin(F.broadcast(mean)).selectExpr(
+        "cx", "cy", "z - zbar AS d", "nc"
+    ).localCheckpoint(eager=False)
+    den = d.agg(
+        F.expr("CAST(sum(d * d) AS BIGINT)").alias("den"),
+        F.expr("max(nc)").alias("nc"),
+    )
+    home = d.selectExpr(f"cx * {_SL_PACK} + cy AS key", "d AS nd")
+    out = None
+    for r in MC_RINGS:
+        offs = ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)" for dx, dy in _mc_offsets(r)
+        )
+        fan = d.withColumn(
+            "o", F.explode(F.expr(f"array({offs})"))
+        ).selectExpr(
+            "d",
+            f"(cx + o.dx) * {_SL_PACK} + (cy + o.dy) AS key",
+        )
+        ring = (
+            fan.join(home, "key")
+            .agg(
+                F.expr("CAST(sum(d * nd) AS BIGINT)").alias("num"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("w_pairs"),
+            )
+            .selectExpr(f"CAST({r} AS BIGINT) AS ring", "num", "w_pairs")
+        )
+        out = ring if out is None else out.unionByName(ring)
+    return out.crossJoin(F.broadcast(den)).selectExpr(
+        "ring", "nc AS n_cells", "w_pairs", "num", "den",
+        "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END"
+        " AS BIGINT) AS i_sign",
+        "CAST(CASE WHEN w_pairs = 0 OR den = 0 THEN 0"
+        " ELSE (1000 * nc * abs(num)) DIV (w_pairs * den) END"
+        " AS BIGINT) AS i_abs_milli",
+    )
+
+
+def moran_correlogram_oracle(res: int = MC_RES) -> str:
+    rings = []
+    for r in MC_RINGS:
+        offs = ", ".join(f"({dx}, {dy})" for dx, dy in _mc_offsets(r))
+        rings.append(f"""
+  SELECT CAST({r} AS BIGINT) AS ring,
+         CAST(sum(a.d * b.d) AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS w_pairs
+  FROM mc_d a
+  CROSS JOIN (VALUES {offs}) o(dx, dy)
+  JOIN mc_d b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy""")
+    ring_union = "\n  UNION ALL".join(rings)
+    return f"""mc_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+mc_z AS (
+  SELECT cx, cy,
+         CAST((1000 * n) // (SELECT GREATEST(max(n), 1) FROM mc_occ)
+           AS BIGINT) AS z
+  FROM mc_occ),
+mc_m AS (
+  SELECT CAST(sum(z) AS BIGINT) // CAST(count(*) AS BIGINT) AS zbar,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM mc_z),
+mc_d AS (SELECT cx, cy, z - zbar AS d FROM mc_z, mc_m),
+mc_den AS (
+  SELECT CAST(sum(d * d) AS BIGINT) AS den FROM mc_d),
+mc_rings AS ({ring_union})
+SELECT r.ring, m.nc AS n_cells, r.w_pairs, r.num, e.den,
+       CAST(CASE WHEN r.num > 0 THEN 1 WHEN r.num < 0 THEN -1
+            ELSE 0 END AS BIGINT) AS i_sign,
+       CAST(CASE WHEN r.w_pairs = 0 OR e.den = 0 THEN 0
+            ELSE (1000 * m.nc * abs(r.num)) // (r.w_pairs * e.den) END
+            AS BIGINT) AS i_abs_milli
+FROM mc_rings r, mc_den e, mc_m m"""

@@ -3752,3 +3752,23 @@ def q_median_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth.tiles_df(spark, sf_dir).where("i <= 8000")
     )
     return multimodal.median3_stats(tiles)
+
+
+@register(
+    "blur_metric",
+    None,  # decoded-pixel op; numpy replay in tests/test_r341_batch.py
+    doc="Variance-of-Laplacian blur metric per decoded tile (the "
+    "standard focus detector): 4-neighbor integer Laplacian on "
+    "interior luma, variance about the floored mean; per-kind rollup "
+    "with sharpest/blurriest tile scores — the image-QA focus screen "
+    "beside vignette_profile (exposure bias) and median_denoise "
+    "(noise). Rows-only; pytest-gated vs the numpy reference.",
+)
+def q_blur_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+    from .sources import codec, multimodal
+
+    tiles = codec.attach_bytes(
+        _synth.tiles_df(spark, sf_dir).where("i <= 8000")
+    )
+    return multimodal.blur_stats(tiles)

@@ -11321,3 +11321,76 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l1_mz - (577 * scale_mz) DIV 1000"
         " + (2442 * scale_mz) DIV 1000 AS rl12_mz",
     )
+
+
+# --- R343: Selinger join-order audit ------------------------------------------------------
+#
+# The System R optimizer move (Selinger 1979) audited the engine's
+# audit-op way: the two connected left-deep orders for the
+# customer-orders-lineitem chain are costed with the TEXTBOOK
+# estimator |A JOIN B| = |A|*|B| DIV max(ndv_A(k), ndv_B(k)), then
+# the TRUE intermediate sizes are computed exactly and the q-error
+# (max/min of est vs actual, in milli) is emitted per plan, plus a
+# chose_right certificate: does picking the cheaper ESTIMATE also
+# pick the cheaper ACTUAL plan? Statistics are exact counts and
+# distinct counts — the same numbers a real catalog would hold.
+
+
+@register(
+    "join_order_audit",
+    """
+WITH jo_stats AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_c,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+      AS ndv_c_ck,
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+      AS ndv_o_ck,
+    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+      AS ndv_o_ok,
+    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+      AS ndv_l_ok,
+    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey) AS act_co,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS act_ol),
+jo_plans AS (
+  SELECT 'co_then_l' AS plan,
+         (n_c * n_o) // GREATEST(ndv_c_ck, ndv_o_ck, 1) AS est_mid,
+         act_co AS act_mid
+  FROM jo_stats
+  UNION ALL
+  SELECT 'ol_then_c',
+         (n_o * n_l) // GREATEST(ndv_o_ok, ndv_l_ok, 1),
+         act_ol
+  FROM jo_stats),
+jo_q AS (
+  SELECT plan, est_mid, act_mid,
+         CAST((1000 * GREATEST(est_mid, act_mid))
+           // GREATEST(LEAST(est_mid, act_mid), 1) AS BIGINT)
+           AS qerror_milli
+  FROM jo_plans),
+jo_pick AS (
+  SELECT
+    (SELECT plan FROM jo_q ORDER BY est_mid, plan LIMIT 1) AS est_pick,
+    (SELECT plan FROM jo_q ORDER BY act_mid, plan LIMIT 1) AS act_pick)
+SELECT q.plan, q.est_mid, q.act_mid, q.qerror_milli,
+       CAST(q.plan = p.est_pick AS BIGINT) AS est_chosen,
+       CAST(p.est_pick = p.act_pick AS BIGINT) AS chose_right
+FROM jo_q q, jo_pick p
+""",
+    doc="Selinger join-order audit for the customer-orders-lineitem "
+    "chain: the two connected left-deep plans costed with the "
+    "textbook |A||B|/max(ndv) estimator, true intermediate sizes "
+    "computed exactly, per-plan q-error in milli, and a chose_right "
+    "certificate (does the estimate pick the truly cheaper plan) — "
+    "cardinality estimation auditing with real catalog statistics.",
+)
+def q_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REG["join_order_audit"].oracle.replace(
+        " // ", " DIV "
+    ))

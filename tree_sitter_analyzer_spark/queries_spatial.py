@@ -2982,3 +2982,18 @@ def q_rle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.kcenter_seeds(_tiles(spark, sf_dir))
+
+
+@register(
+    "moran_correlogram",
+    f"{_CTES},{zonal.moran_correlogram_oracle()}",
+    doc="Moran's I correlogram: global spatial autocorrelation of the "
+    "per-mille density raster at Chebyshev rings 1-3 (8r-offset "
+    "generated equi-join fans, never a distance cross join), floored-"
+    "mean deviations, I cross-multiplied sign-safely — shows how "
+    "spatial dependence decays with distance; the global ladder "
+    "beside local_moran / getis_ord (per-cell, ring 1) and the "
+    "directional_variogram (continuous).",
+)
+def q_moran_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.moran_correlogram(_tiles(spark, sf_dir))

@@ -1088,3 +1088,69 @@ def median3_stats(df: DataFrame) -> DataFrame:
         "(1000 * changed) DIV n_interior AS changed_milli",
         "change_mass", "max_change",
     )
+
+
+# ---------------------------------------------------------------------------
+# R342: blur metric — variance of the Laplacian (the standard focus /
+# blur detector, Pech-Pacheco 2000): 4-neighbor integer Laplacian
+# L = 4g - g_N - g_S - g_E - g_W on interior luma, per-tile variance
+# about the FLOORED mean (python floor semantics — L can be negative,
+# the numpy reference uses // consistently). Sharp tiles score high,
+# smooth/blurred tiles low; the per-kind rollup carries the blurriest
+# and sharpest tile scores so degraded subsets stand out.
+# ---------------------------------------------------------------------------
+
+BLUR_SCHEMA_FIELDS = [
+    StructField("tile_kind", StringType()),
+    StructField("n_interior", LongType()),
+    StructField("var_mean", LongType()),
+    StructField("abs_mass", LongType()),
+]
+
+
+def blur_features_np(px: "np.ndarray") -> tuple[int, int, int]:
+    """numpy reference: (n_interior, var_mean, abs_mass) for one
+    decoded (h, w, 3) uint8 image. var_mean = floor of the Laplacian
+    variance about its floored mean."""
+    g = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    ) // 1000
+    lap = (
+        4 * g[1:-1, 1:-1]
+        - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+    )
+    n = lap.size
+    m = int(lap.sum()) // n
+    var = int(((lap - m) ** 2).sum()) // n
+    return int(n), var, int(np.abs(lap).sum())
+
+
+def blur_stats(df: DataFrame) -> DataFrame:
+    """Per-kind blur rollup: (tile_kind, n_tiles, n_interior,
+    sharpest, blurriest, var_mean_sum, abs_mass)."""
+    schema = StructType(BLUR_SCHEMA_FIELDS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for kind, buf in zip(pdf["tile_kind"], pdf["bytes"]):
+                rows.append((kind,) + blur_features_np(decode_px(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_kind", "n_interior", "var_mean",
+                         "abs_mass"],
+            )
+
+    feats = df.select("tile_kind", "bytes").mapInPandas(gen, schema=schema)
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("tile_kind").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tiles"),
+        F.expr("CAST(sum(n_interior) AS BIGINT)").alias("n_interior"),
+        F.expr("CAST(max(var_mean) AS BIGINT)").alias("sharpest"),
+        F.expr("CAST(min(var_mean) AS BIGINT)").alias("blurriest"),
+        F.expr("CAST(sum(var_mean) AS BIGINT)").alias("var_mean_sum"),
+        F.expr("CAST(sum(abs_mass) AS BIGINT)").alias("abs_mass"),
+    )
