@@ -3209,3 +3209,195 @@ SELECT b.n, b.n // {w} AS layer, b.es, b.ls, b.es + b.ls AS through,
        m.cp - b.es - b.ls AS slack,
        CAST(m.cp - b.es - b.ls = 0 AS BIGINT) AS is_critical
 FROM cp_both b, cp_max m"""
+
+
+# ---------------------------------------------------------------------------
+# R344: DAG path census — exact maximal-path counting over the same
+# md5-seeded layered DAG as critical_path (the Brandes forward/
+# backward shape without the per-source blowup): f(n) = number of
+# maximal paths ENTERING n (1 at in-degree-0 nodes, else the sum over
+# predecessors), b(n) = paths LEAVING n, through(n) = f*b = maximal
+# paths THROUGH n — the DAG-betweenness workload. Both passes relax
+# one layer per round. The audit-op certificate: total maximal paths
+# counted at sources (sum of b over in-degree-0 nodes) must equal the
+# count at sinks (sum of f over out-degree-0 nodes) — two independent
+# tallies of the same quantity in one row of every output group.
+# ---------------------------------------------------------------------------
+
+
+def dag_path_census(parts: DataFrame) -> DataFrame:
+    """(n, layer, f_paths, b_paths, through, total_src, total_snk,
+    totals_match) per DAG node."""
+    nodes = (
+        parts.selectExpr(
+            f"{_cp_md5_spark('cpn', 'p_partkey')} % {CP_W * CP_L} AS n"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    src = nodes.where(f"n DIV {CP_W} < {CP_L - 1}")
+    cand = None
+    for tag in ("cpa", "cpb"):
+        c = src.selectExpr(
+            "n AS u",
+            f"((n DIV {CP_W}) + 1) * {CP_W}"
+            f" + ({_cp_md5_spark(tag, 'n')} % {CP_W}) AS m",
+        )
+        cand = c if cand is None else cand.union(c)
+    edges = (
+        cand.distinct()
+        .join(nodes.selectExpr("n AS tn"), F.expr("tn = m"))
+        .select("u", "m")
+        .localCheckpoint(eager=False)
+    )
+    indeg = edges.groupBy(F.col("m").alias("dn")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("ind")
+    )
+    outdeg = edges.groupBy(F.col("u").alias("dn")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("outd")
+    )
+    base = (
+        nodes.join(indeg, F.expr("n = dn"), "left").drop("dn")
+        .join(outdeg.selectExpr("dn AS dn2", "outd"), F.expr("n = dn2"),
+              "left")
+        .selectExpr(
+            "n",
+            "coalesce(ind, CAST(0 AS BIGINT)) AS ind",
+            "coalesce(outd, CAST(0 AS BIGINT)) AS outd",
+        )
+        .localCheckpoint(eager=False)
+    )
+    f = base.selectExpr(
+        "n", "ind", "outd",
+        "CASE WHEN ind = 0 THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS f",
+    )
+    for l in range(1, CP_L):
+        inc = (
+            edges.where(f"m DIV {CP_W} = {l}")
+            .join(f.selectExpr("n AS pn", "f AS pf"), F.expr("pn = u"))
+            .groupBy(F.col("m").alias("cn"))
+            .agg(F.expr("CAST(sum(pf) AS BIGINT)").alias("cand"))
+        )
+        f = f.join(inc, F.expr("n = cn"), "left").selectExpr(
+            "n", "ind", "outd",
+            f"CASE WHEN n DIV {CP_W} = {l} AND ind > 0"
+            " THEN coalesce(cand, CAST(0 AS BIGINT)) ELSE f END AS f",
+        )
+        if l % 2 == 0:
+            f = f.localCheckpoint(eager=False)
+    b = base.selectExpr(
+        "n",
+        "CASE WHEN outd = 0 THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS b",
+    )
+    for l in range(CP_L - 2, -1, -1):
+        out = (
+            edges.where(f"u DIV {CP_W} = {l}")
+            .join(b.selectExpr("n AS sn", "b AS sb"), F.expr("sn = m"))
+            .groupBy(F.col("u").alias("cn"))
+            .agg(F.expr("CAST(sum(sb) AS BIGINT)").alias("cand"))
+        )
+        # cand is non-null exactly when the node has outgoing edges
+        # (every successor lives in layer l+1 and carries a b value),
+        # so out-degree-0 nodes keep their initial b = 1.
+        b = b.join(out, F.expr("n = cn"), "left").selectExpr(
+            "n",
+            f"CASE WHEN n DIV {CP_W} = {l} AND cand IS NOT NULL"
+            " THEN cand ELSE b END AS b",
+        )
+        if l % 2 == 0:
+            b = b.localCheckpoint(eager=False)
+    both = f.join(b.selectExpr("n AS n2", "b"), F.expr("n = n2")).drop(
+        "n2"
+    )
+    tot = both.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN ind = 0 THEN b ELSE 0 END) AS BIGINT)"
+        ).alias("total_src"),
+        F.expr(
+            "CAST(sum(CASE WHEN outd = 0 THEN f ELSE 0 END) AS BIGINT)"
+        ).alias("total_snk"),
+    )
+    return both.crossJoin(F.broadcast(tot)).selectExpr(
+        "n", f"n DIV {CP_W} AS layer", "f AS f_paths", "b AS b_paths",
+        "f * b AS through", "total_src", "total_snk",
+        "CAST(total_src = total_snk AS BIGINT) AS totals_match",
+    )
+
+
+def dag_path_census_oracle() -> str:
+    """Chained-CTE replica of the layer-relaxed path counts."""
+    w, L = CP_W, CP_L
+    ctes = [f"""WITH dp_nodes AS (
+  SELECT DISTINCT {_cp_md5_duck('cpn', 'p_partkey')} % {w * L} AS n
+  FROM part),
+dp_src AS (SELECT n FROM dp_nodes WHERE n // {w} < {L - 1}),
+dp_cand AS (
+  SELECT u, m FROM (
+    SELECT n AS u, ((n // {w}) + 1) * {w}
+           + ({_cp_md5_duck('cpa', 'n')} % {w}) AS m FROM dp_src
+    UNION ALL
+    SELECT n, ((n // {w}) + 1) * {w}
+           + ({_cp_md5_duck('cpb', 'n')} % {w}) FROM dp_src)
+  GROUP BY 1, 2),
+dp_edges AS (
+  SELECT c.u, c.m FROM dp_cand c JOIN dp_nodes t ON t.n = c.m),
+dp_base AS (
+  SELECT nd.n,
+         coalesce(i.ind, CAST(0 AS BIGINT)) AS ind,
+         coalesce(o.outd, CAST(0 AS BIGINT)) AS outd
+  FROM dp_nodes nd
+  LEFT JOIN (SELECT m, CAST(count(*) AS BIGINT) AS ind
+             FROM dp_edges GROUP BY 1) i ON i.m = nd.n
+  LEFT JOIN (SELECT u, CAST(count(*) AS BIGINT) AS outd
+             FROM dp_edges GROUP BY 1) o ON o.u = nd.n),
+dp_f0 AS (
+  SELECT n, ind, outd,
+         CASE WHEN ind = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS f
+  FROM dp_base)"""]
+    for l in range(1, L):
+        ctes.append(f"""dp_f{l} AS (
+  SELECT p.n, p.ind, p.outd,
+         CASE WHEN p.n // {w} = {l} AND p.ind > 0
+              THEN coalesce(c.cand, CAST(0 AS BIGINT))
+              ELSE p.f END AS f
+  FROM dp_f{l - 1} p
+  LEFT JOIN (
+    SELECT e.m AS n, CAST(sum(p.f) AS BIGINT) AS cand
+    FROM dp_edges e JOIN dp_f{l - 1} p ON p.n = e.u
+    WHERE e.m // {w} = {l} GROUP BY 1) c ON c.n = p.n)""")
+    ctes.append(f"""dp_b{L - 1} AS (
+  SELECT n, CASE WHEN outd = 0 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS b
+  FROM dp_base)""")
+    for l in range(L - 2, -1, -1):
+        ctes.append(f"""dp_b{l} AS (
+  SELECT p.n,
+         CASE WHEN p.n // {w} = {l} AND c.cand IS NOT NULL
+              THEN c.cand
+              WHEN p.n // {w} = {l} AND b2.outd > 0
+              THEN CAST(0 AS BIGINT)
+              ELSE p.b END AS b
+  FROM dp_b{l + 1} p
+  JOIN dp_base b2 ON b2.n = p.n
+  LEFT JOIN (
+    SELECT e.u AS n, CAST(sum(p.b) AS BIGINT) AS cand
+    FROM dp_edges e JOIN dp_b{l + 1} p ON p.n = e.m
+    WHERE e.u // {w} = {l} GROUP BY 1) c ON c.n = p.n)""")
+    body = ",\n".join(ctes)
+    return f"""{body},
+dp_both AS (
+  SELECT f.n, f.ind, f.outd, f.f, b.b
+  FROM dp_f{L - 1} f JOIN dp_b0 b ON b.n = f.n),
+dp_tot AS (
+  SELECT CAST(sum(CASE WHEN ind = 0 THEN b ELSE 0 END) AS BIGINT)
+           AS total_src,
+         CAST(sum(CASE WHEN outd = 0 THEN f ELSE 0 END) AS BIGINT)
+           AS total_snk
+  FROM dp_both)
+SELECT b.n, b.n // {w} AS layer, b.f AS f_paths, b.b AS b_paths,
+       b.f * b.b AS through, t.total_src, t.total_snk,
+       CAST(t.total_src = t.total_snk AS BIGINT) AS totals_match
+FROM dp_both b, dp_tot t"""

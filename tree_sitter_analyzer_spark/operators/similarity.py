@@ -1383,3 +1383,125 @@ pc_v0 AS (
 SELECT CAST(a.vj AS INT) AS j, a.v AS v1, b.v AS v2, c.v AS v3
 FROM pc_v1 a JOIN pc_v2 b ON b.vj = a.vj JOIN pc_v3 c ON c.vj = a.vj
 """
+
+
+# ---------------------------------------------------------------------------
+# R345: Johnson-Lindenstrauss distortion audit — does a 64 -> 16 sign
+# projection preserve pairwise distances? The sign matrix is BAKED AS
+# +/- LITERALS at codegen time (md5int_py seeds, so both engines and
+# the python replay share the exact matrix with zero runtime hashing
+# — the hough_lines literal discipline applied to random projection);
+# each embedding's 16 projection sums and each pair's true/projected
+# squared distances are fully generated integer expressions. For
+# S in {+-1}^{k x d}, E||Sx||^2 = k ||x||^2, so the unbiased per-pair
+# ratio is (1000 * proj_d2) DIV (k * true_d2) — 1000 means perfect.
+# Pairs are the deterministic (2i, 2i+1) coupling of vec_ids. The
+# audit emits the ratio spread and the share within +-30%.
+# ---------------------------------------------------------------------------
+
+JL_K = 16
+JL_DIM = 64
+
+
+def _jl_signs() -> list:
+    from ..functions import md5int_py
+
+    return [
+        [1 if md5int_py(f"jl:{t}:{j}") % 2 else -1 for j in range(JL_DIM)]
+        for t in range(JL_K)
+    ]
+
+
+def _jl_proj_exprs(idx) -> list:
+    """16 generated projection sums; idx(j) spells element access."""
+    out = []
+    for row in _jl_signs():
+        terms = " ".join(
+            f"{'+' if s > 0 else '-'} {idx(j)}" for j, s in enumerate(row)
+        )
+        out.append(f"(0 {terms})")
+    return out
+
+
+def _jl_true_d2(idx_a, idx_b) -> str:
+    terms = " + ".join(
+        f"({idx_a(j)} - {idx_b(j)}) * ({idx_a(j)} - {idx_b(j)})"
+        for j in range(JL_DIM)
+    )
+    return f"({terms})"
+
+
+def jl_distortion(emb: DataFrame) -> DataFrame:
+    """One summary row: (n_pairs, mean_ratio_milli, min_ratio_milli,
+    max_ratio_milli, within30_milli)."""
+    projs = _jl_proj_exprs(lambda j: f"element_at(qv, {j + 1})")
+    v = emb.selectExpr("vec_id", f"{_PCA_QVEC} AS qv").selectExpr(
+        "vec_id", "qv",
+        *[f"{e} AS y{t}" for t, e in enumerate(projs)],
+    )
+    a = v.selectExpr(
+        "vec_id DIV 2 AS pair", "qv AS qa",
+        *[f"y{t} AS ya{t}" for t in range(JL_K)],
+    ).where("vec_id % 2 = 0")
+    b = v.selectExpr(
+        "vec_id DIV 2 AS pairb", "qv AS qb",
+        *[f"y{t} AS yb{t}" for t in range(JL_K)],
+    ).where("vec_id % 2 = 1")
+    proj_d2 = " + ".join(
+        f"(ya{t} - yb{t}) * (ya{t} - yb{t})" for t in range(JL_K)
+    )
+    true_d2 = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pairs = a.join(b, F.expr("pair = pairb")).selectExpr(
+        "pair", f"{true_d2} AS td2", f"({proj_d2}) AS pd2"
+    ).where("td2 > 0").selectExpr(
+        "pair", f"(1000 * pd2) DIV ({JL_K} * td2) AS ratio"
+    )
+    return pairs.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(ratio) DIV count(*) AS BIGINT)"
+        ).alias("mean_ratio_milli"),
+        F.expr("CAST(min(ratio) AS BIGINT)").alias("min_ratio_milli"),
+        F.expr("CAST(max(ratio) AS BIGINT)").alias("max_ratio_milli"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN ratio BETWEEN 700 AND 1300"
+            " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("within30_milli"),
+    )
+
+
+def jl_distortion_oracle() -> str:
+    qv = (
+        f"list_transform(embedding, x -> GREATEST(LEAST(CAST("
+        f"floor(x * {QUANT}e0) AS BIGINT), {QUANT}), -{QUANT}))"
+    )
+    projs = _jl_proj_exprs(lambda j: f"qv[{j + 1}]")
+    ycols = ", ".join(f"{e} AS y{t}" for t, e in enumerate(projs))
+    proj_d2 = " + ".join(
+        f"(a.y{t} - b.y{t}) * (a.y{t} - b.y{t})" for t in range(JL_K)
+    )
+    true_d2 = _jl_true_d2(
+        lambda j: f"a.qv[{j + 1}]", lambda j: f"b.qv[{j + 1}]"
+    )
+    return f"""
+WITH jl_v AS (
+  SELECT vec_id, qv, {ycols}
+  FROM (SELECT vec_id, {qv} AS qv FROM embeddings)),
+jl_p AS (
+  SELECT a.vec_id // 2 AS pair,
+         {true_d2} AS td2, ({proj_d2}) AS pd2
+  FROM jl_v a JOIN jl_v b
+    ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0),
+jl_r AS (
+  SELECT pair, (1000 * pd2) // ({JL_K} * td2) AS ratio
+  FROM jl_p WHERE td2 > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ratio) // count(*) AS BIGINT) AS mean_ratio_milli,
+       CAST(min(ratio) AS BIGINT) AS min_ratio_milli,
+       CAST(max(ratio) AS BIGINT) AS max_ratio_milli,
+       CAST((1000 * sum(CASE WHEN ratio BETWEEN 700 AND 1300
+         THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS within30_milli
+FROM jl_r"""

@@ -466,3 +466,19 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = spark.read.parquet(f"{sf_dir}/part.parquet")
     return graph.critical_path(parts)
+
+
+@register(
+    "dag_path_census",
+    graph.dag_path_census_oracle(),
+    doc="Exact maximal-path counting over the critical_path DAG (the "
+    "Brandes forward/backward shape without per-source blowup): "
+    "f = paths entering, b = paths leaving, through = f*b = paths "
+    "THROUGH each node; one layer relaxed per round. The audit "
+    "certificate counts total maximal paths TWICE independently — "
+    "at sources (sum b) and at sinks (sum f) — and asserts equality "
+    "in every row.",
+)
+def q_dag_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return graph.dag_path_census(parts)

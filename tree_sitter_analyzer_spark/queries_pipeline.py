@@ -3772,3 +3772,19 @@ def q_blur_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth.tiles_df(spark, sf_dir).where("i <= 8000")
     )
     return multimodal.blur_stats(tiles)
+
+
+@register(
+    "jl_distortion",
+    _sim_pca.jl_distortion_oracle(),
+    doc="Johnson-Lindenstrauss distortion audit of a 64 -> 16 sign "
+    "projection over the embedding table: the +-1 matrix is baked as "
+    "LITERALS at codegen (md5-seeded — zero runtime hashing, every "
+    "engine and the replay share it exactly), per-pair ratio "
+    "(1000 * proj_d2) DIV (16 * true_d2) on the deterministic "
+    "(2i, 2i+1) pair coupling, summary = ratio spread + share within "
+    "+-30% — the dimensionality-reduction trust audit behind every "
+    "LSH/ANN tier.",
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim_pca.jl_distortion(_emb(spark, sf_dir))

@@ -11394,3 +11394,126 @@ def q_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REG["join_order_audit"].oracle.replace(
         " // ", " DIV "
     ))
+
+
+# --- R346: skyline depth (onion peeling ladder) -------------------------------------------
+#
+# Data depth via Pareto peeling (the convex "onion" idea applied to
+# the dominance order): peel the part skyline three times — layer 1 =
+# the skyline, layer 2 = the skyline of what remains, layer 3 ditto —
+# and report each layer's size and extent plus the remaining interior
+# mass. Each peel reuses the part_skyline trick: dominance thresholds
+# live on the <= 50-row per-size frame (suffix minima over sizes), so
+# NO self-join of the data ever happens and the plan shape is
+# unchanged at 10^12 rows (one size-keyed agg per peel). Oracle: the
+# quadratic NOT EXISTS peeled three times over shrinking CTEs.
+
+
+def _sky_peel_sql(src: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT q.p_partkey, q.p_size, q.price_cents
+  FROM {src} q
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {src} p
+    WHERE p.p_size >= q.p_size AND p.price_cents <= q.price_cents
+      AND (p.p_size > q.p_size OR p.price_cents < q.price_cents)))"""
+
+
+@register(
+    "skyline_depth",
+    f"""
+WITH sd0 AS (
+  SELECT p_partkey, p_size,
+         CAST(floor(p_retailprice * 100e0) AS BIGINT) AS price_cents
+  FROM part),
+{_sky_peel_sql('sd0', 'sd_l1')},
+sd1 AS (SELECT * FROM sd0 WHERE p_partkey NOT IN
+        (SELECT p_partkey FROM sd_l1)),
+{_sky_peel_sql('sd1', 'sd_l2')},
+sd2 AS (SELECT * FROM sd1 WHERE p_partkey NOT IN
+        (SELECT p_partkey FROM sd_l2)),
+{_sky_peel_sql('sd2', 'sd_l3')}
+SELECT CAST(1 AS BIGINT) AS layer, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+       CAST(max(p_size) AS BIGINT) AS max_size FROM sd_l1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(min(price_cents) AS BIGINT), CAST(max(p_size) AS BIGINT)
+FROM sd_l2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(min(price_cents) AS BIGINT), CAST(max(p_size) AS BIGINT)
+FROM sd_l3
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(min(price_cents) AS BIGINT), CAST(max(p_size) AS BIGINT)
+FROM sd2 WHERE p_partkey NOT IN (SELECT p_partkey FROM sd_l3)
+""",
+    doc="Skyline depth by onion peeling: three successive Pareto peels "
+    "of the (size up, price down) part frontier, each peel via the "
+    "part_skyline bounded per-size threshold trick (suffix minima on "
+    "a <= 50-row frame — never a data self-join), plus the interior "
+    "remainder as layer 0; per layer size and extent. Data depth for "
+    "the dominance order.",
+)
+def q_skyline_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _t(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "p_size",
+        "CAST(floor(p_retailprice * 100e0) AS BIGINT) AS price_cents",
+    ).localCheckpoint(eager=False)
+
+    def peel(frame: DataFrame):
+        per_size = frame.groupBy(F.col("p_size").alias("sz")).agg(
+            F.min("price_cents").alias("m")
+        )
+        w_gt = Window.orderBy(F.desc("sz")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_ge = Window.orderBy(F.desc("sz")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        thr = per_size.select(
+            "sz",
+            F.min("m").over(w_gt).alias("min_gt"),
+            F.min("m").over(w_ge).alias("min_ge"),
+        )
+        j = frame.join(F.broadcast(thr), frame.p_size == F.col("sz"))
+        sky = j.where(
+            "(min_gt IS NULL OR min_gt > price_cents)"
+            " AND min_ge >= price_cents"
+        ).select("p_partkey", "p_size", "price_cents")
+        rest = j.where(
+            "NOT ((min_gt IS NULL OR min_gt > price_cents)"
+            " AND min_ge >= price_cents)"
+        ).select("p_partkey", "p_size", "price_cents")
+        return sky, rest
+
+    rows = []
+    cur = sk
+    for layer in (1, 2, 3):
+        sky, cur = peel(cur)
+        cur = cur.localCheckpoint(eager=False)
+        rows.append(
+            sky.agg(
+                F.expr(f"CAST({layer} AS BIGINT)").alias("layer"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_parts"),
+                F.expr(
+                    "CAST(min(price_cents) AS BIGINT)"
+                ).alias("min_price_cents"),
+                F.expr("CAST(max(p_size) AS BIGINT)").alias("max_size"),
+            )
+        )
+    rows.append(
+        cur.agg(
+            F.expr("CAST(0 AS BIGINT)").alias("layer"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_parts"),
+            F.expr(
+                "CAST(min(price_cents) AS BIGINT)"
+            ).alias("min_price_cents"),
+            F.expr("CAST(max(p_size) AS BIGINT)").alias("max_size"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
