@@ -63,6 +63,19 @@ def register(
 # slot 50 remain fully verified by the in-repo DuckDB oracle-parity pytest
 # suite at sf0.001 and the per-round sf0.01 all-registry sweep.
 GATE_ORDER = [
+    # Continuation-10 rotation (same policy): cell_cusum ->
+    # anova_f (control charts stay via sweep EWMA/XmR/SPRT;
+    # k-sample parametric inference is new), funnel_stages ->
+    # absorbing_chain (funnel mechanics stay via event_sessions +
+    # asof_attribution; Markov hitting times are new),
+    # zone_dissolve -> kcenter_seeds (zonal family stays via
+    # zonal_stats/area_overlay; facility-location seeding is new),
+    # hll_cardinality -> pca_power (sketches stay via
+    # bloom_filter_audit; spectral analytics is new),
+    # skyline_tiles -> critical_path (Pareto stays via the
+    # skyline_depth sweep row; DAG scheduling is new),
+    # token_lift -> distance_cov (association stays via covisit/
+    # repeat-purchase sweep rows; any-dependence testing is new).
     # spatial core (north rule): index → PIP join family → kNN → zonal.
     # Round-3 intra-round rotation: parent_cell_rollup → pyramid_rollup
     # (same hierarchy family, strictly more levels per scan),
@@ -112,18 +125,18 @@ GATE_ORDER = [
     "zonal_stats", "top_tiles_per_zone", "area_overlay",
     "quadtree_leaves", "radius_join",
     "kde_heatmap", "cascade_search", "uncovered_zones",
-    "cell_cusum", "hilbert_layout",
-    "hot_cell_counts_salted", "getis_ord", "cross_k_pairs", "skyline_tiles",
+    "anova_f", "hilbert_layout",
+    "hot_cell_counts_salted", "getis_ord", "cross_k_pairs", "critical_path",
     # relational / event-time / movement operator families
     "pricing_summary", "revenue_by_nation", "event_sessions",
     "colocation_pairs", "cost_distance", "event_props_stats",
-    "asof_attribution", "funnel_stages",
+    "asof_attribution", "absorbing_chain",
     "emerging_hotspots", "traj_stats", "incremental_merge",
     # training-data pipeline suite (task brief first-class)
-    "ingest_summary", "dedup_exact", "dedup_clusters", "hll_cardinality",
+    "ingest_summary", "dedup_exact", "dedup_clusters", "pca_power",
     "semivariogram", "dedup_embedding", "bloom_filter_audit",
     "map_match", "ann_ivf_topk", "text_stats", "caption_search",
-    "token_lift", "epidemic_reach", "zone_dissolve", "phash_hamming_pairs",
+    "distance_cov", "epidemic_reach", "kcenter_seeds", "phash_hamming_pairs",
     "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
     # graph traversal / analytics suite (reachability rotated out late
     # round 3: its transitive-closure family is covered by bfs_khop +
