@@ -3401,3 +3401,137 @@ SELECT b.n, b.n // {w} AS layer, b.f AS f_paths, b.b AS b_paths,
        b.f * b.b AS through, t.total_src, t.total_snk,
        CAST(t.total_src = t.total_snk AS BIGINT) AS totals_match
 FROM dp_both b, dp_tot t"""
+
+
+# ---------------------------------------------------------------------------
+# R348: spectral radius of the fixed graph's adjacency by power
+# iteration — the graph-side sibling of pca_power, and the quantity
+# the epidemic_reach threshold implicitly depends on (an SIS epidemic
+# dies out when beta/gamma < 1/lambda_max). Symmetrized edges, v0 =
+# all-1000, three A*v steps with per-mille renormalization (entries
+# stay positive: nonnegative matrix, positive start — Perron-
+# Frobenius), then the exact Rayleigh quotient cross-multiplied:
+# lambda_milli = (1000 * v'Av) DIV (v'v), with the bound certificate
+# min_ratio <= lambda <= max_ratio (Collatz-Wielandt) emitted beside
+# it — all integers on the bounded vertex frame.
+# ---------------------------------------------------------------------------
+
+SR_ITERS = 3
+
+
+def spectral_radius(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One row: (n_vertices, n_dir_edges, lam_milli, cw_min_milli,
+    cw_max_milli, bound_ok)."""
+    sym = (
+        edges.selectExpr("src AS u", "dst AS v")
+        .union(edges.selectExpr("dst AS u", "src AS v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = sym.selectExpr("u AS n").distinct().localCheckpoint(
+        eager=False
+    )
+    v = verts.selectExpr("n AS vn", "CAST(1000 AS BIGINT) AS val")
+    for _ in range(SR_ITERS):
+        w = (
+            sym.join(v, F.expr("vn = v"))
+            .groupBy(F.col("u").alias("wn"))
+            .agg(F.expr("CAST(sum(val) AS BIGINT)").alias("w"))
+        )
+        wmax = w.agg(
+            F.expr("GREATEST(max(w), CAST(1 AS BIGINT))").alias("wmax")
+        )
+        v = (
+            verts.join(w, F.expr("n = wn"), "left")
+            .crossJoin(F.broadcast(wmax))
+            .selectExpr(
+                "n AS vn",
+                "(1000 * coalesce(w, CAST(0 AS BIGINT))) DIV wmax"
+                " AS val",
+            )
+            .localCheckpoint(eager=False)
+        )
+    av = (
+        sym.join(v, F.expr("vn = v"))
+        .groupBy(F.col("u").alias("an"))
+        .agg(F.expr("CAST(sum(val) AS BIGINT)").alias("av"))
+    )
+    j = (
+        v.join(av, F.expr("vn = an"), "left")
+        .selectExpr(
+            "vn", "val", "coalesce(av, CAST(0 AS BIGINT)) AS av"
+        )
+    )
+    stats = j.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_vertices"),
+        F.expr("CAST(sum(val * av) AS BIGINT)").alias("vav"),
+        F.expr("CAST(sum(val * val) AS BIGINT)").alias("vv"),
+        F.expr(
+            "CAST(min(CASE WHEN val > 0 THEN (1000 * av) DIV val END)"
+            " AS BIGINT)"
+        ).alias("cw_min_milli"),
+        F.expr(
+            "CAST(max(CASE WHEN val > 0 THEN (1000 * av) DIV val END)"
+            " AS BIGINT)"
+        ).alias("cw_max_milli"),
+    )
+    ecnt = sym.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_dir_edges")
+    )
+    return stats.crossJoin(F.broadcast(ecnt)).selectExpr(
+        "n_vertices", "n_dir_edges",
+        "CAST((1000 * vav) DIV GREATEST(vv, 1) AS BIGINT) AS lam_milli",
+        "cw_min_milli", "cw_max_milli",
+        "CAST(cw_min_milli <= (1000 * vav) DIV GREATEST(vv, 1)"
+        " AND (1000 * vav) DIV GREATEST(vv, 1) <= cw_max_milli + 1"
+        " AS BIGINT) AS bound_ok",
+    )
+
+
+def spectral_radius_oracle() -> str:
+    steps = []
+    for r in (1, 2, 3):
+        steps.append(f"""sr_w{r} AS (
+  SELECT e.u AS wn, CAST(sum(v.val) AS BIGINT) AS w
+  FROM sr_sym e JOIN sr_v{r - 1} v ON v.vn = e.v GROUP BY 1),
+sr_m{r} AS (
+  SELECT GREATEST(max(w), CAST(1 AS BIGINT)) AS wmax FROM sr_w{r}),
+sr_v{r} AS (
+  SELECT n.vn,
+         (1000 * coalesce(w.w, CAST(0 AS BIGINT))) // m.wmax AS val
+  FROM (SELECT vn FROM sr_v0) n
+  LEFT JOIN sr_w{r} w ON w.wn = n.vn, sr_m{r} m)""")
+    body = ",\n".join(steps)
+    return f"""
+WITH sr_e AS ({edges_sql('bfs')}),
+sr_sym AS (
+  SELECT src AS u, dst AS v FROM sr_e
+  UNION
+  SELECT dst, src FROM sr_e),
+sr_v0 AS (
+  SELECT u AS vn, CAST(1000 AS BIGINT) AS val
+  FROM (SELECT DISTINCT u FROM sr_sym)),
+{body},
+sr_av AS (
+  SELECT e.u AS an, CAST(sum(v.val) AS BIGINT) AS av
+  FROM sr_sym e JOIN sr_v3 v ON v.vn = e.v GROUP BY 1),
+sr_j AS (
+  SELECT v.vn, v.val, coalesce(a.av, CAST(0 AS BIGINT)) AS av
+  FROM sr_v3 v LEFT JOIN sr_av a ON a.an = v.vn),
+sr_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(val * av) AS BIGINT) AS vav,
+         CAST(sum(val * val) AS BIGINT) AS vv,
+         CAST(min(CASE WHEN val > 0 THEN (1000 * av) // val END)
+           AS BIGINT) AS cw_min_milli,
+         CAST(max(CASE WHEN val > 0 THEN (1000 * av) // val END)
+           AS BIGINT) AS cw_max_milli
+  FROM sr_j),
+sr_ec AS (SELECT CAST(count(*) AS BIGINT) AS n_dir_edges FROM sr_sym)
+SELECT s.n_vertices, e.n_dir_edges,
+       CAST((1000 * s.vav) // GREATEST(s.vv, 1) AS BIGINT) AS lam_milli,
+       s.cw_min_milli, s.cw_max_milli,
+       CAST(s.cw_min_milli <= (1000 * s.vav) // GREATEST(s.vv, 1)
+            AND (1000 * s.vav) // GREATEST(s.vv, 1)
+                <= s.cw_max_milli + 1 AS BIGINT) AS bound_ok
+FROM sr_s s, sr_ec e"""

@@ -482,3 +482,18 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dag_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = spark.read.parquet(f"{sf_dir}/part.parquet")
     return graph.dag_path_census(parts)
+
+
+@register(
+    "spectral_radius",
+    graph.spectral_radius_oracle(),
+    doc="Spectral radius of the fixed graph's adjacency by three "
+    "power-iteration steps (Perron-Frobenius: nonnegative matrix + "
+    "positive start keeps every iterate positive), exact Rayleigh "
+    "quotient cross-multiplied in milli, with the Collatz-Wielandt "
+    "min/max-ratio bounds emitted as a certificate — the epidemic "
+    "threshold 1/lambda quantity behind epidemic_reach, and the "
+    "graph-side sibling of pca_power.",
+)
+def q_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.spectral_radius(spark, graph.edges_df(spark, "bfs"))

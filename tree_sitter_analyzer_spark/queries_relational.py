@@ -11517,3 +11517,193 @@ def q_skyline_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- R347: UCB1 bandit replay over order priorities ---------------------------------------
+#
+# Adaptive decision-making joins the policy family (newsvendor / EOQ
+# are static; the bandit LEARNS): five arms = order priorities, each
+# arm's true reward rate = the exact per-mille share of its orders
+# above $150k (data-derived), and a deterministic UCB1 replay runs 6
+# rounds of 50 md5-coin pulls after a 20-pull warm start. The UCB
+# index is integer-exact: exploitation (1000*wins) DIV pulls plus
+# exploration isqrt((2 * ln(round)_micro) DIV pulls) with ln literals
+# (the zero-transcendentals discipline; isqrt Newton-corrected);
+# argmax ties break to the smaller arm index. One generated SQL text
+# drives both engines; every round's 5-arm state is a chained CTE.
+
+_UCB_LNT_MICRO = [0, 0, 693147, 1098612, 1386294, 1609438, 1791759]
+_UCB_ROUNDS = 6
+_UCB_WARM = 20
+_UCB_BATCH = 50
+
+
+def _ucb_isqrt(x: str) -> str:
+    s0 = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {x} THEN {s0} + 1"
+        f" WHEN {s0} * {s0} > {x} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def _ucb_sql(spark_side: bool) -> str:
+    div = " DIV " if spark_side else " // "
+
+    def md5i(parts: list) -> str:
+        if spark_side:
+            arg = "concat(" + ", ".join(parts) + ")"
+            return f"CAST(conv(substr(md5({arg}),1,8),16,10) AS BIGINT)"
+        arg = " || ".join(parts)
+        return f"CAST(('0x' || substr(md5({arg}),1,8)) AS BIGINT)"
+
+    cast_s = "STRING" if spark_side else "VARCHAR"
+    rng = (
+        "SELECT explode(sequence(1, {n})) AS i"
+        if spark_side
+        else "SELECT unnest(range(1, {n} + 1)) AS i"
+    )
+
+    def coin(arm: str, rnd: str) -> str:
+        return md5i(
+            [f"'ucb:'", f"CAST({arm} AS {cast_s})", "':'",
+             f"CAST({rnd} AS {cast_s})", "':'",
+             f"CAST(i AS {cast_s})"]
+        )
+
+    ctes = [f"""ucb_bias AS (
+  SELECT CASE substr(o_orderpriority, 1, 1)
+           WHEN '1' THEN 0 WHEN '2' THEN 1 WHEN '3' THEN 2
+           WHEN '4' THEN 3 ELSE 4 END AS arm,
+         CAST((1000 * sum(CASE WHEN o_totalprice > 150000e0
+                 THEN 1 ELSE 0 END)){div}count(*) AS BIGINT) AS bias
+  FROM orders GROUP BY 1),
+ucb_warm_i AS ({rng.format(n=_UCB_WARM)}),
+ucb_s0 AS (
+  SELECT b.arm, CAST({_UCB_WARM} AS BIGINT) AS pulls,
+         CAST(sum(CASE WHEN {coin('b.arm', '0')} % 1000 < b.bias
+                  THEN 1 ELSE 0 END) AS BIGINT) AS wins
+  FROM ucb_bias b CROSS JOIN ucb_warm_i GROUP BY 1),
+ucb_batch_i AS ({rng.format(n=_UCB_BATCH)})"""]
+    for r in range(1, _UCB_ROUNDS + 1):
+        lnt = _UCB_LNT_MICRO[r]
+        expl = _ucb_isqrt(f"(2 * {lnt}){div}pulls")
+        ctes.append(f"""ucb_u{r} AS (
+  SELECT arm, pulls, wins,
+         (1000 * wins){div}pulls + {expl} AS ucb
+  FROM ucb_s{r - 1}),
+ucb_c{r} AS (
+  SELECT arm AS carm FROM ucb_u{r} ORDER BY ucb DESC, arm LIMIT 1),
+ucb_w{r} AS (
+  SELECT c.carm,
+         CAST(sum(CASE WHEN {coin('c.carm', str(r))} % 1000 < b.bias
+                  THEN 1 ELSE 0 END) AS BIGINT) AS dw
+  FROM ucb_c{r} c
+  JOIN ucb_bias b ON b.arm = c.carm
+  CROSS JOIN ucb_batch_i GROUP BY 1),
+ucb_s{r} AS (
+  SELECT s.arm,
+         s.pulls + CASE WHEN s.arm = w.carm
+                   THEN CAST({_UCB_BATCH} AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS pulls,
+         s.wins + CASE WHEN s.arm = w.carm THEN w.dw
+                  ELSE CAST(0 AS BIGINT) END AS wins
+  FROM ucb_s{r - 1} s, ucb_w{r} w)""")
+    out = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, u.arm, u.pulls, u.wins,"
+        f" CAST(u.ucb AS BIGINT) AS ucb_milli,"
+        f" CAST(u.arm = c.carm AS BIGINT) AS chosen"
+        f" FROM ucb_u{r} u, ucb_c{r} c"
+        for r in range(1, _UCB_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + out
+
+
+@register(
+    "ucb_bandit",
+    _ucb_sql(spark_side=False),
+    doc="Deterministic UCB1 bandit replay over the five order "
+    "priorities: arm reward rates are the exact per-mille shares of "
+    "high-value orders (data-derived), pulls are md5 coins, the UCB "
+    "index is integer-exact (milli exploitation + Newton-corrected "
+    "isqrt exploration with ln literals), smaller-arm ties; 6 rounds "
+    "x 50 pulls after a 20-pull warm start, per-round 5-arm state as "
+    "chained CTEs — adaptive decision-making beside the static "
+    "newsvendor/EOQ policies.",
+)
+def q_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ucb_sql(spark_side=True))
+
+
+# --- R349: distribution-free median confidence interval -----------------------------------
+#
+# Interval estimation joins the inference family the order-statistic
+# way (no distributional assumption, no resampling): for the n = 366
+# daily revenues, the ~95% CI for the median is [x_(l), x_(u)] with
+# ranks from the binomial normal approximation l = (n - z*sqrt(n))/2,
+# u = (n + z*sqrt(n))/2 + 1. Integer-exact because 1.96^2 * 10^4 =
+# 38416 = 196^2: z*sqrt(n) in centi units IS isqrt(38416 * n)
+# (Newton-corrected), so l = (100n - zs) DIV 200 and u = (100n + zs)
+# DIV 200 + 1 involve no floats at all. Ranks select via the bounded
+# calendar window (ties by doy); the certificate counts days below/
+# above the interval (they must be < l and < n - u + 1 respectively).
+
+
+@register(
+    "median_ci",
+    """
+WITH mc_daily AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+           AS BIGINT)) // 1000 AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+mc_cal AS (SELECT unnest(range(1, 367)) AS doy),
+mc_z AS (
+  SELECT c.doy, coalesce(d.v, CAST(0 AS BIGINT)) AS v
+  FROM mc_cal c LEFT JOIN mc_daily d ON d.doy = c.doy),
+mc_r AS (
+  SELECT doy, v,
+         CAST(row_number() OVER (ORDER BY v, doy) AS BIGINT) AS rn
+  FROM mc_z),
+mc_k AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(38416 * count(*) AS DOUBLE)))
+           AS BIGINT) AS s0
+  FROM mc_r),
+mc_b AS (
+  SELECT n,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= 38416 * n THEN s0 + 1
+              WHEN s0 * s0 > 38416 * n THEN s0 - 1 ELSE s0 END AS zs
+  FROM mc_k),
+mc_lu AS (
+  SELECT n, zs, (100 * n - zs) // 200 AS l_rank,
+         (100 * n + zs) // 200 + 1 AS u_rank
+  FROM mc_b)
+SELECT u.n, u.l_rank, u.u_rank,
+       (SELECT v FROM mc_r, mc_lu WHERE rn = (n + 1) // 2)
+         AS median_lo,
+       (SELECT v FROM mc_r, mc_lu WHERE rn = l_rank) AS ci_lo,
+       (SELECT v FROM mc_r, mc_lu WHERE rn = u_rank) AS ci_hi,
+       (SELECT v FROM mc_r, mc_lu WHERE rn = u_rank)
+         - (SELECT v FROM mc_r, mc_lu WHERE rn = l_rank) AS ci_width,
+       (SELECT CAST(count(*) AS BIGINT) FROM mc_r, mc_lu
+        WHERE rn < l_rank) AS n_below,
+       (SELECT CAST(count(*) AS BIGINT) FROM mc_r, mc_lu
+        WHERE rn > u_rank) AS n_above
+FROM mc_lu u
+""",
+    doc="Distribution-free ~95% confidence interval for the median "
+    "daily revenue via order statistics: binomial-normal rank bounds "
+    "made integer-exact because 196^2 = 38416 (z*sqrt(n) in centi "
+    "units IS a Newton-corrected isqrt — no floats anywhere), ranks "
+    "selected on the bounded densified calendar with doy ties — "
+    "interval estimation without distributions or resampling.",
+)
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    sql = _REG["median_ci"].oracle
+    sql = sql.replace(" // ", " DIV ").replace(
+        "SELECT unnest(range(1, 367)) AS doy",
+        "SELECT explode(sequence(1, 366)) AS doy",
+    )
+    return spark.sql(sql)
