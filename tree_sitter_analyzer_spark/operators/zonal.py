@@ -2946,3 +2946,104 @@ SELECT r.ring, m.nc AS n_cells, r.w_pairs, r.num, e.den,
             ELSE (1000 * m.nc * abs(r.num)) // (r.w_pairs * e.den) END
             AS BIGINT) AS i_abs_milli
 FROM mc_rings r, mc_den e, mc_m m"""
+
+
+# ---------------------------------------------------------------------------
+# R350: James-Stein shrinkage of cell densities (Stein 1956, Efron-
+# Morris 1975 — the baseball-averages estimator): every occupied
+# res-7 cell's raw count is shrunk toward the grand mean by the
+# integer factor B_milli = max(0, 1000 - (1000*(k-3)*vbar) DIV S)
+# with vbar = the grand mean itself (the Poisson count-data variance
+# proxy: var ~ mean) and S = the floored-mean sum of squares. The
+# estimator dominates the raw MLE for k >= 4 under squared loss —
+# here the op emits the shrink factor, the shrunken extremes, and
+# the exact mass drift introduced by integer flooring (an honest
+# audit of what shrinkage moved). Everything on the bounded cell
+# frame; one aggregation pass + one broadcast.
+# ---------------------------------------------------------------------------
+
+JS_RES = 7
+
+
+def js_shrinkage(tiles: DataFrame, res: int = JS_RES) -> DataFrame:
+    """One row: (k_cells, grand_mean, ss, b_milli, raw_min, raw_max,
+    shrunk_min, shrunk_max, mass_drift)."""
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    m = occ.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("k"),
+        F.expr(
+            "CAST(sum(x) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("m"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("tot"),
+    )
+    d = occ.crossJoin(F.broadcast(m))
+    s = d.groupBy("k", "m", "tot").agg(
+        F.expr("CAST(sum((x - m) * (x - m)) AS BIGINT)").alias("ss"),
+    )
+    b = s.selectExpr(
+        "k", "m", "tot", "ss",
+        "GREATEST(CAST(0 AS BIGINT), 1000 -"
+        " (1000 * (k - 3) * m) DIV GREATEST(ss, 1)) AS b_milli",
+    )
+    sh = d.join(
+        F.broadcast(b.selectExpr("k AS bk", "b_milli")),
+        F.expr("k = bk"),
+    ).selectExpr(
+        "x", "m + ((b_milli * (x - m))"
+        " + CASE WHEN x >= m THEN 500 ELSE -500 END) DIV 1000 AS xs",
+    )
+    agg = sh.agg(
+        F.expr("CAST(min(x) AS BIGINT)").alias("raw_min"),
+        F.expr("CAST(max(x) AS BIGINT)").alias("raw_max"),
+        F.expr("CAST(min(xs) AS BIGINT)").alias("shrunk_min"),
+        F.expr("CAST(max(xs) AS BIGINT)").alias("shrunk_max"),
+        F.expr("CAST(sum(xs) AS BIGINT)").alias("sh_tot"),
+    )
+    return b.crossJoin(F.broadcast(agg)).selectExpr(
+        "k AS k_cells", "m AS grand_mean", "ss", "b_milli",
+        "raw_min", "raw_max", "shrunk_min", "shrunk_max",
+        "sh_tot - tot AS mass_drift",
+    )
+
+
+def js_shrinkage_oracle(res: int = JS_RES) -> str:
+    return f"""js_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM tiles GROUP BY 1, 2),
+js_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS tot
+  FROM js_occ),
+js_s AS (
+  SELECT m.k, m.m, m.tot,
+         CAST(sum((o.x - m.m) * (o.x - m.m)) AS BIGINT) AS ss
+  FROM js_occ o, js_m m GROUP BY 1, 2, 3),
+js_b AS (
+  SELECT k, m, tot, ss,
+         GREATEST(CAST(0 AS BIGINT), 1000 -
+           (1000 * (k - 3) * m) // GREATEST(ss, 1)) AS b_milli
+  FROM js_s),
+js_sh AS (
+  SELECT o.x, b.m + ((b.b_milli * (o.x - b.m))
+         + CASE WHEN o.x >= b.m THEN 500 ELSE -500 END) // 1000 AS xs
+  FROM js_occ o, js_b b),
+js_agg AS (
+  SELECT CAST(min(x) AS BIGINT) AS raw_min,
+         CAST(max(x) AS BIGINT) AS raw_max,
+         CAST(min(xs) AS BIGINT) AS shrunk_min,
+         CAST(max(xs) AS BIGINT) AS shrunk_max,
+         CAST(sum(xs) AS BIGINT) AS sh_tot
+  FROM js_sh)
+SELECT b.k AS k_cells, b.m AS grand_mean, b.ss, b.b_milli,
+       a.raw_min, a.raw_max, a.shrunk_min, a.shrunk_max,
+       a.sh_tot - b.tot AS mass_drift
+FROM js_b b, js_agg a"""

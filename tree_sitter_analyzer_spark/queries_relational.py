@@ -11707,3 +11707,177 @@ def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT explode(sequence(1, 366)) AS doy",
     )
     return spark.sql(sql)
+
+
+# --- R351: Huffman coding cost via the merge-sum identity ---------------------------------
+#
+# Source-coding joins the systems family: the optimal prefix-code cost
+# for the five event-type symbols, computed WITHOUT building a tree —
+# Huffman's total weighted code length equals the SUM OF ALL MERGE
+# SUMS (each merge's combined weight is paid once per level it spans),
+# so four chained smallest-two picks (ORDER BY weight, then a stable
+# id tie-break) on the bounded 5-symbol frame produce the exact cost.
+# avg_len_milli = (1000 * cost) DIV total is compared against the
+# 3-bit fixed-length code for the savings certificate (Huffman can
+# never lose to fixed length: savings >= 0 is a theorem and a pin).
+
+
+def _huff_sql(div: str) -> str:
+    ctes = ["""hf_w0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS id,
+         CAST(count(*) AS BIGINT) AS w
+  FROM events GROUP BY event_type)"""]
+    nid = 5
+    for step in (1, 2, 3, 4):
+        nid += 1
+        ctes.append(f"""hf_p{step} AS (
+  SELECT id, w FROM hf_w{step - 1} ORDER BY w, id LIMIT 2),
+hf_w{step} AS (
+  SELECT id, w FROM hf_w{step - 1}
+  WHERE id NOT IN (SELECT id FROM hf_p{step})
+  UNION ALL
+  SELECT CAST({nid} AS BIGINT), CAST(sum(w) AS BIGINT)
+  FROM hf_p{step}),
+hf_m{step} AS (
+  SELECT CAST(sum(w) AS BIGINT) AS msum FROM hf_p{step})""")
+    return f"""
+WITH {",".join(ctes)},
+hf_tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM hf_w0),
+hf_cost AS (
+  SELECT (SELECT msum FROM hf_m1) + (SELECT msum FROM hf_m2)
+       + (SELECT msum FROM hf_m3) + (SELECT msum FROM hf_m4) AS cost)
+SELECT t.total AS n_events, c.cost AS huffman_cost,
+       CAST((1000 * c.cost){div}t.total AS BIGINT) AS avg_len_milli,
+       CAST(3000 AS BIGINT) AS fixed_len_milli,
+       CAST(3000 - (1000 * c.cost){div}t.total AS BIGINT)
+         AS savings_milli,
+       CAST((1000 * c.cost){div}t.total <= 3000 AS BIGINT)
+         AS never_worse
+FROM hf_tot t, hf_cost c
+"""
+
+
+@register(
+    "huffman_cost",
+    _huff_sql(" // "),
+    doc="Optimal prefix-code cost for the five event-type symbols via "
+    "the Huffman merge-sum identity (total weighted code length = sum "
+    "of all merge sums — no tree ever built): four chained smallest-"
+    "two picks on the bounded symbol frame, average code length in "
+    "milli vs the 3-bit fixed code, with the never-worse theorem as a "
+    "pin — compression planning beside rle_profile and "
+    "encoding_audit.",
+)
+def q_huffman_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_huff_sql(" DIV "))
+
+
+# --- R352: exact minimum-variance two-stream portfolio ------------------------------------
+#
+# Portfolio theory joins the finance family (drawdown_stats = risk
+# realized; this is risk PLANNED): treating the daily 1996 revenues
+# of returnflags A and R as two return streams, the minimum-variance
+# mix w* = (s22 - s12) / (s11 + s22 - 2*s12) is an exact rational of
+# floored-mean deviation sums on the bounded calendar; w* leaves
+# clamped to [0, 1000] milli with the unclamped numerator/denominator
+# beside it, plus the variance-reduction certificate: the mixed
+# variance at w* (cross-multiplied, integer) never exceeds the better
+# single stream's variance (denominator > 0 unless perfectly
+# correlated — emitted as a guard column).
+
+
+@register(
+    "min_var_portfolio",
+    """
+WITH mv_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+    CAST(sum(CASE WHEN l_returnflag = 'A'
+      THEN CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)
+      ELSE 0 END) // 1000 AS BIGINT) AS va,
+    CAST(sum(CASE WHEN l_returnflag = 'R'
+      THEN CAST(floor(l_extendedprice * (1e0 - l_discount)) AS BIGINT)
+      ELSE 0 END) // 1000 AS BIGINT) AS vr
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+mv_cal AS (SELECT unnest(range(1, 367)) AS doy),
+mv_z AS (
+  SELECT c.doy, coalesce(d.va, CAST(0 AS BIGINT)) AS x,
+         coalesce(d.vr, CAST(0 AS BIGINT)) AS y
+  FROM mv_cal c LEFT JOIN mv_d d ON d.doy = c.doy),
+mv_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mx,
+         CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS my
+  FROM mv_z),
+mv_s AS (
+  SELECT n,
+    CAST(sum((x - mx) * (x - mx)) AS BIGINT) AS s11,
+    CAST(sum((y - my) * (y - my)) AS BIGINT) AS s22,
+    CAST(sum((x - mx) * (y - my)) AS BIGINT) AS s12
+  FROM mv_z, mv_m GROUP BY n)
+SELECT n AS n_days, s11, s22, s12,
+  s22 - s12 AS w_num, s11 + s22 - 2 * s12 AS w_den,
+  CAST(CASE WHEN s11 + s22 - 2 * s12 <= 0 THEN 500
+       ELSE GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000 AS BIGINT),
+         (1000 * (s22 - s12)) // (s11 + s22 - 2 * s12))) END
+       AS BIGINT) AS w_milli,
+  CAST(s11 + s22 - 2 * s12 > 0 AS BIGINT) AS den_pos,
+  CAST(LEAST(s11, s22) AS BIGINT) AS best_single_var
+FROM mv_s
+""",
+    doc="Exact minimum-variance mix of the A-flag and R-flag daily "
+    "revenue streams (Markowitz two-asset closed form): floored-mean "
+    "deviation sums on the bounded calendar, w* = (s22 - s12) / "
+    "(s11 + s22 - 2 s12) as an exact rational clamped to [0, 1000] "
+    "milli with raw numerator/denominator beside it — risk planning "
+    "beside drawdown_stats (risk realized).",
+)
+def q_min_var_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .where("year(l_shipdate) = 1996")
+        .groupBy(
+            F.expr("dayofyear(CAST(l_shipdate AS DATE))").alias("doy")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'A'"
+                " THEN CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT) ELSE 0 END) DIV 1000 AS BIGINT)"
+            ).alias("va"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R'"
+                " THEN CAST(floor(l_extendedprice * (1e0 - l_discount))"
+                " AS BIGINT) ELSE 0 END) DIV 1000 AS BIGINT)"
+            ).alias("vr"),
+        )
+    )
+    cal = spark.range(1).selectExpr("explode(sequence(1, 366)) AS doy")
+    z = cal.join(d, ["doy"], "left").selectExpr(
+        "doy", "coalesce(va, CAST(0 AS BIGINT)) AS x",
+        "coalesce(vr, CAST(0 AS BIGINT)) AS y",
+    ).localCheckpoint(eager=False)
+    m = z.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(sum(x) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("mx"),
+        F.expr(
+            "CAST(sum(y) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("my"),
+    )
+    s = z.crossJoin(F.broadcast(m)).groupBy("n").agg(
+        F.expr("CAST(sum((x - mx) * (x - mx)) AS BIGINT)").alias("s11"),
+        F.expr("CAST(sum((y - my) * (y - my)) AS BIGINT)").alias("s22"),
+        F.expr("CAST(sum((x - mx) * (y - my)) AS BIGINT)").alias("s12"),
+    )
+    return s.selectExpr(
+        "n AS n_days", "s11", "s22", "s12",
+        "s22 - s12 AS w_num", "s11 + s22 - 2 * s12 AS w_den",
+        "CAST(CASE WHEN s11 + s22 - 2 * s12 <= 0 THEN 500"
+        " ELSE GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000 AS BIGINT),"
+        " (1000 * (s22 - s12)) DIV (s11 + s22 - 2 * s12))) END"
+        " AS BIGINT) AS w_milli",
+        "CAST(s11 + s22 - 2 * s12 > 0 AS BIGINT) AS den_pos",
+        "CAST(LEAST(s11, s22) AS BIGINT) AS best_single_var",
+    )

@@ -2997,3 +2997,17 @@ def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_moran_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.moran_correlogram(_tiles(spark, sf_dir))
+
+
+@register(
+    "js_shrinkage",
+    f"{_CTES},{zonal.js_shrinkage_oracle()}",
+    doc="James-Stein shrinkage of res-7 cell densities toward the "
+    "grand mean (the Efron-Morris estimator; Poisson variance proxy "
+    "vbar = mean): integer shrink factor, shrunken extremes, and the "
+    "exact mass drift introduced by flooring as an honest audit — "
+    "hierarchical/shrinkage estimation for noisy per-cell rates, the "
+    "statistical counterpart of kde_heatmap's kernel smoothing.",
+)
+def q_js_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.js_shrinkage(_tiles(spark, sf_dir))
