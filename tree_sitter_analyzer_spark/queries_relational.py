@@ -11881,3 +11881,254 @@ def q_min_var_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s11 + s22 - 2 * s12 > 0 AS BIGINT) AS den_pos",
         "CAST(LEAST(s11, s22) AS BIGINT) AS best_single_var",
     )
+
+
+# --- R353: distributed ALS half-step (recommender training as a Spark job) ---------------
+#
+# One exact alternating-least-squares half-step over the implicit
+# customer x part rating matrix (r = capped summed quantity): item
+# factors are FIXED md5-seeded integer 2-vectors in [-3,3]; each user's
+# optimal factor pair solves the 2x2 ridge normal equations
+# (Q'Q + lambda I) x = Q'r in closed form by Cramer's rule — all-bigint
+# numerators/denominator (det > 0 because lambda > 0), quantized to
+# milli by truncating division (Spark DIV == DuckDB int //, probed) and
+# clamped to +/-200000 milli. The quantized ridge objective is
+# re-expressed purely in the SAME per-user aggregates
+# (1e6*sse0 + x'Sx - 2000*x'b), so no second join over ratings is ever
+# needed — per-user groupBy with map-side partial agg is the entire
+# plan, the exact shape distributed ALS takes at 10^12 ratings.
+# Mirrors the reference's iterative refinement loops
+# (tree_sitter_analyzer/core/query_service.py analysis passes) as a
+# numeric training operator.
+
+_ALS_LAM = 4
+
+
+def _als_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    div = " DIV " if engine == "spark" else " // "
+    cat1 = (
+        "concat('alsq1_', CAST(item AS STRING))"
+        if engine == "spark"
+        else "'alsq1_' || CAST(item AS VARCHAR)"
+    )
+    cat2 = cat1.replace("alsq1_", "alsq2_")
+    lam = _ALS_LAM
+    return f"""
+WITH als_r AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS item,
+         LEAST(CAST(floor(sum(l.l_quantity)) AS BIGINT),
+               CAST(100 AS BIGINT)) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2),
+als_q AS (
+  SELECT cust, r,
+         ({md5(cat1)} % 7) - 3 AS q1,
+         ({md5(cat2)} % 7) - 3 AS q2
+  FROM als_r),
+als_u AS (
+  SELECT cust, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(q1 * q1) AS BIGINT) AS s11,
+         CAST(sum(q2 * q2) AS BIGINT) AS s22,
+         CAST(sum(q1 * q2) AS BIGINT) AS s12,
+         CAST(sum(q1 * r) AS BIGINT) AS b1,
+         CAST(sum(q2 * r) AS BIGINT) AS b2,
+         CAST(sum(r * r) AS BIGINT) AS sse0
+  FROM als_q GROUP BY 1),
+als_x AS (
+  SELECT cust, n_items, s11, s22, s12, b1, b2, sse0,
+         (s11 + {lam}) * (s22 + {lam}) - s12 * s12 AS det,
+         GREATEST(CAST(-200000 AS BIGINT), LEAST(CAST(200000 AS BIGINT),
+           (1000 * (b1 * (s22 + {lam}) - s12 * b2))
+             {div} ((s11 + {lam}) * (s22 + {lam}) - s12 * s12)))
+           AS x1_milli,
+         GREATEST(CAST(-200000 AS BIGINT), LEAST(CAST(200000 AS BIGINT),
+           (1000 * ((s11 + {lam}) * b2 - s12 * b1))
+             {div} ((s11 + {lam}) * (s22 + {lam}) - s12 * s12)))
+           AS x2_milli
+  FROM als_u)
+SELECT cust, n_items, det, x1_milli, x2_milli, sse0,
+       1000000 * sse0 + x1_milli * x1_milli * s11
+         + x2_milli * x2_milli * s22 + 2 * x1_milli * x2_milli * s12
+         - 2000 * (x1_milli * b1 + x2_milli * b2) AS fit_scaled
+FROM als_x
+"""
+
+
+@register(
+    "als_halfstep",
+    _als_sql("duck"),
+    doc="Exact ALS half-step over the implicit customer x part rating "
+    "matrix: fixed md5-seeded integer item factors, per-user 2x2 ridge "
+    "normal equations solved in closed form (Cramer, all-bigint, "
+    "det > 0 by lambda), factors quantized to clamped milli and the "
+    "quantized ridge objective re-expressed in the SAME per-user "
+    "aggregates so the whole training step is one groupBy with "
+    "map-side partial agg — distributed recommender training beside "
+    "perceptron_train (SGD) and decision_stump (trees).",
+)
+def q_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_als_sql("spark"))
+
+
+# --- R354: regression-discontinuity estimate with placebo ---------------------------------
+#
+# Sharp RDD on the densified 1996 daily-revenue calendar: a known jump
+# (20000 kilocents, planted in the query TEXT so both engines see the
+# same synthetic discontinuity at doy 183) is recovered by two exact
+# side-local OLS fits (60-day bandwidth, integer normal equations on
+# the bounded calendar — the ols_trend machinery localized), tau =
+# intercept difference at the cutoff in milli-kilocents; a placebo
+# cutoff at doy 153 (30-day windows inside the untreated half) is
+# fitted by the same formula as the falsification row every applied
+# RDD reports.
+
+_RDD_CUT, _RDD_JUMP, _RDD_PLACEBO = 183, 20000, 153
+
+
+def _rdd_fit(name: str, lo: int, hi: int, cut: int) -> str:
+    return f"""{name} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(doy - {cut}) AS BIGINT) AS st,
+         CAST(sum((doy - {cut}) * (doy - {cut})) AS BIGINT) AS st2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum((doy - {cut}) * y) AS BIGINT) AS sty
+  FROM rdd_y WHERE doy BETWEEN {lo} AND {hi})"""
+
+
+def _rdd_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(123, 242)) AS doy"
+        if engine == "spark"
+        else "SELECT unnest(range(123, 243)) AS doy"
+    )
+    c, j, p = _RDD_CUT, _RDD_JUMP, _RDD_PLACEBO
+
+    def a(t: str) -> str:
+        return (
+            f"(1000 * ({t}.sy * {t}.st2 - {t}.st * {t}.sty))"
+            f"{div}({t}.n * {t}.st2 - {t}.st * {t}.st)"
+        )
+
+    def b(t: str) -> str:
+        return (
+            f"(1000 * ({t}.n * {t}.sty - {t}.st * {t}.sy))"
+            f"{div}({t}.n * {t}.st2 - {t}.st * {t}.st)"
+        )
+
+    return f"""
+WITH rdd_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+                       AS BIGINT)){div}1000 AS BIGINT) AS y
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+rdd_cal AS ({cal}),
+rdd_y AS (
+  SELECT cc.doy,
+         coalesce(d.y, CAST(0 AS BIGINT))
+           + CASE WHEN cc.doy >= {c} THEN {j} ELSE 0 END AS y
+  FROM rdd_cal cc LEFT JOIN rdd_d d ON d.doy = cc.doy),
+{_rdd_fit("rdd_l", 123, c - 1, c)},
+{_rdd_fit("rdd_r", c, 242, c)},
+{_rdd_fit("rdd_pl", 123, p - 1, p)},
+{_rdd_fit("rdd_pr", p, c - 1, p)}
+SELECT l.n AS n_l, r.n AS n_r,
+       CAST({a('l')} AS BIGINT) AS a_left_milli,
+       CAST({a('r')} AS BIGINT) AS a_right_milli,
+       CAST({b('l')} AS BIGINT) AS slope_left_milli,
+       CAST({b('r')} AS BIGINT) AS slope_right_milli,
+       CAST({a('r')} - ({a('l')}) AS BIGINT) AS tau_milli,
+       CAST({a('pr')} - ({a('pl')}) AS BIGINT) AS placebo_milli,
+       CAST({1000 * j} AS BIGINT) AS jump_milli
+FROM rdd_l l, rdd_r r, rdd_pl pl, rdd_pr pr
+"""
+
+
+@register(
+    "rdd_estimate",
+    _rdd_sql("duck"),
+    doc="Sharp regression discontinuity on the densified 1996 daily "
+    "revenue calendar with a query-text-planted jump at doy 183: two "
+    "exact side-local integer OLS fits (60-day bandwidth) give the "
+    "intercept gap tau in milli, with slopes per side and a placebo "
+    "cutoff inside the untreated half as the falsification row — the "
+    "causal-inference rung beside did_estimator (parallel trends) and "
+    "iv_wald (instruments); all arithmetic on the bounded calendar.",
+)
+def q_rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_rdd_sql("spark"))
+
+
+# --- R355: process-mining conformance replay ----------------------------------------------
+#
+# Token-replay conformance of observed per-(user, day) event traces
+# against a declared process model (the intended funnel DAG, an
+# allowed-transition literal set): every consecutive transition inside
+# a trace — lead() over the UNIQUE (ts, event_id) order within the
+# bounded (user, day) partition, the event_transitions shape — is
+# classified allowed/violating; the 5x5 pair frame carries observation
+# counts, shares, and the model verdict, with the global micro-fitness
+# (allowed transitions per mille) as the envelope. The model lives in
+# the query text so both engines replay the same specification.
+
+_CF_ALLOWED = (
+    "'signup>view'", "'view>view'", "'view>click'",
+    "'click>view'", "'click>purchase'", "'purchase>view'",
+)
+
+
+def _cf_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    eday = (_EPOCH_DAY_SPARK if engine == "spark" else _EPOCH_DAY_DUCK).format(
+        c="ts"
+    )
+    return f"""
+WITH cf_tr AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id, {eday}
+           ORDER BY ts, event_id) AS nxt
+  FROM events),
+cf_p AS (
+  SELECT cur, nxt,
+         CASE WHEN (cur || '>' || nxt)
+                IN ({', '.join(_CF_ALLOWED)}) THEN 1 ELSE 0 END AS ok
+  FROM cf_tr WHERE nxt IS NOT NULL),
+cf_pair AS (
+  SELECT cur, nxt, CAST(max(ok) AS BIGINT) AS allowed,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM cf_p GROUP BY 1, 2),
+cf_g AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n_total,
+         CAST((1000 * sum(allowed * n_obs)){div}sum(n_obs) AS BIGINT)
+           AS fitness_milli
+  FROM cf_pair)
+SELECT p.cur, p.nxt, p.n_obs, p.allowed,
+       CAST((1000 * p.n_obs){div}g.n_total AS BIGINT) AS share_milli,
+       g.n_total, g.fitness_milli
+FROM cf_pair p CROSS JOIN cf_g g
+"""
+
+
+@register(
+    "conformance_replay",
+    _cf_sql("duck"),
+    doc="Process-mining conformance: per-(user, day) event traces "
+    "replayed against the intended funnel DAG declared as an "
+    "allowed-transition literal set in the query text; every observed "
+    "transition (unique (ts, event_id) order inside the bounded trace "
+    "partition) is classified, the pair frame carries counts + shares "
+    "+ the model verdict, and the global micro-fitness per mille is "
+    "the envelope — the conformance-checking rung of the process "
+    "family (event_transitions = discovery, funnel_stages = one path, "
+    "this = specification vs reality).",
+)
+def q_conformance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cf_sql("spark"))
