@@ -12132,3 +12132,265 @@ FROM cf_pair p CROSS JOIN cf_g g
 def q_conformance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cf_sql("spark"))
+
+
+# --- R356: Johnson two-machine flow-shop schedule -----------------------------------------
+#
+# Scheduling-theory joins the operations family: the 25 part brands are
+# jobs on a two-machine flow shop (fabrication time a = scaled summed
+# quantity, packaging time b = scaled revenue), sequenced by Johnson's
+# rule — a < b jobs first by a ascending, the rest by b descending,
+# brand tie-break — which is PROVABLY makespan-optimal for two
+# machines. The makespan of a sequence needs no simulation: Cmax =
+# max_k (prefix_a(k) + suffix_b(k)), two window sums on the bounded
+# 25-job frame. The FIFO (alphabetical) makespan and the classic lower
+# bound max(sum_a + min_b, sum_b + min_a) are computed the same way,
+# so the row carries Johnson's optimality certificate (lb <= opt <=
+# fifo); the pytest replay re-derives both makespans by DIRECT machine
+# simulation — a different algorithm agreeing exactly.
+
+
+def _johnson_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH js_j AS (
+  SELECT p.p_brand AS brand,
+         CAST(floor(sum(l.l_quantity)) AS BIGINT){div}50 + 1 AS a_time,
+         CAST(sum(CAST(floor(l.l_extendedprice) AS BIGINT))
+              AS BIGINT){div}50000 + 1 AS b_time
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1),
+js_seq AS (
+  SELECT brand, a_time, b_time,
+         CAST(row_number() OVER (ORDER BY
+           CASE WHEN a_time < b_time THEN 0 ELSE 1 END,
+           CASE WHEN a_time < b_time THEN a_time ELSE -b_time END,
+           brand) AS BIGINT) AS pos_johnson,
+         CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS pos_fifo
+  FROM js_j),
+js_mj AS (
+  SELECT CAST(max(term) AS BIGINT) AS makespan_johnson FROM (
+    SELECT sum(a_time) OVER (ORDER BY pos_johnson
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + sum(b_time) OVER (ORDER BY pos_johnson
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS term
+    FROM js_seq) t),
+js_mf AS (
+  SELECT CAST(max(term) AS BIGINT) AS makespan_fifo FROM (
+    SELECT sum(a_time) OVER (ORDER BY pos_fifo
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + sum(b_time) OVER (ORDER BY pos_fifo
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS term
+    FROM js_seq) t),
+js_lb AS (
+  SELECT CAST(GREATEST(sum(a_time) + min(b_time),
+                       sum(b_time) + min(a_time)) AS BIGINT)
+           AS lower_bound
+  FROM js_j)
+SELECT s.brand, s.a_time, s.b_time, s.pos_johnson,
+       j.makespan_johnson, f.makespan_fifo, b.lower_bound,
+       CAST((1000 * (f.makespan_fifo - j.makespan_johnson))
+            {div}f.makespan_fifo AS BIGINT) AS savings_milli
+FROM js_seq s CROSS JOIN js_mj j CROSS JOIN js_mf f CROSS JOIN js_lb b
+"""
+
+
+@register(
+    "johnson_schedule",
+    _johnson_sql("duck"),
+    doc="Johnson's two-machine flow-shop rule over the 25 part-brand "
+    "jobs (fabrication = scaled quantity, packaging = scaled revenue): "
+    "the provably optimal sequence, with makespans computed WITHOUT "
+    "simulation via Cmax = max_k (prefix_a + suffix_b) window sums on "
+    "the bounded job frame; FIFO makespan and the classical lower "
+    "bound ride along as the optimality certificate (lb <= opt <= "
+    "fifo) — scheduling beside critical_path (precedence) and "
+    "eoq_policy (lot sizing).",
+)
+def q_johnson_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_johnson_sql("spark"))
+
+
+# --- R357: hourly Lindley queue-depth replay ----------------------------------------------
+#
+# Exact queue simulation at the 10^12-row-correct shape: per-day event
+# arrivals are first collapsed to the bounded (day, hour) histogram
+# (map-side partial agg — the only pass over the raw rows), the
+# per-day service capacity is the mean floor n_day DIV 24, and the
+# FIFO queue depth follows the Lindley recurrence Q_h = max(0,
+# Q_{h-1} + A_h - C). No iteration is needed: with P_h the prefix sum
+# of (A_h - C), Q_h = P_h - min(0, running_min(P)) exactly — one
+# window pair on the bounded 24-hour frame per day. Emits per-day
+# depth/backlog/busy/delay stats; the pytest replay iterates the
+# recurrence DIRECTLY hour by hour — a different algorithm agreeing
+# exactly.
+
+
+def _queue_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    eday = (_EPOCH_DAY_SPARK if engine == "spark" else _EPOCH_DAY_DUCK).format(
+        c="ts"
+    )
+    ehour = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts) DIV 3600000000"
+        if engine == "spark"
+        else "date_diff('microsecond', TIMESTAMP '1970-01-01', ts)"
+        " // 3600000000"
+    )
+    return f"""
+WITH qd_a AS (
+  SELECT {eday} AS day, ({ehour}) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS arr
+  FROM events GROUP BY 1, 2),
+qd_c AS (
+  SELECT day, CAST(sum(arr) AS BIGINT) AS n_events,
+         CAST(sum(arr) AS BIGINT){div}24 AS cap
+  FROM qd_a GROUP BY 1),
+qd_h AS (
+  SELECT c.day, h.hour, coalesce(a.arr, CAST(0 AS BIGINT)) AS arr,
+         c.cap, c.n_events
+  FROM qd_c c
+  CROSS JOIN (SELECT {('explode(sequence(0, 23))'
+                       if engine == 'spark'
+                       else 'unnest(range(0, 24))')} AS hour) h
+  LEFT JOIN qd_a a ON a.day = c.day AND a.hour = h.hour),
+qd_p AS (
+  SELECT day, hour, arr, cap, n_events,
+         sum(arr - cap) OVER (PARTITION BY day ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM qd_h),
+qd_q AS (
+  SELECT day, hour, arr, cap, n_events,
+         p - LEAST(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY day
+               ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q
+  FROM qd_p)
+SELECT day, CAST(max(n_events) AS BIGINT) AS n_events,
+       CAST(max(cap) AS BIGINT) AS cap_per_hour,
+       CAST(max(q) AS BIGINT) AS max_depth,
+       CAST(max(CASE WHEN hour = 23 THEN q END) AS BIGINT)
+         AS end_backlog,
+       CAST(sum(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS busy_hours,
+       CAST(sum(q) AS BIGINT) AS total_delay
+FROM qd_q GROUP BY day
+"""
+
+
+@register(
+    "queue_depth_replay",
+    _queue_sql("duck"),
+    doc="Exact FIFO queue replay per day: raw events collapse to the "
+    "bounded (day, hour) arrival histogram in one map-side pass, "
+    "capacity = daily mean floor, and the Lindley recurrence is "
+    "solved in closed form (Q = P - min(0, running_min P), one window "
+    "pair on the bounded 24-hour frame) — queue dynamics REPLAYED "
+    "beside littles_law (steady-state counting) and rate_policer "
+    "(admission); per-day max depth, end backlog, busy hours and "
+    "total event-hours of delay.",
+)
+def q_queue_depth_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_queue_sql("spark"))
+
+
+# --- R358: chain-ladder reserving triangle ------------------------------------------------
+#
+# Actuarial reserving joins the cohort family: 1995 H1 order months
+# are accident cohorts, the development offset is the month lag from
+# order to line shipment (clamped to 4), and only cells observed at
+# the 1995-08 valuation (cohort + offset <= 8) enter the triangle.
+# Volume-weighted age-to-age factors f_k = sum C_k / sum C_{k-1} over
+# cohorts observing both columns (the Mack chain-ladder estimator) are
+# held in milli; young cohorts roll forward through the remaining
+# factors (bounded CASE unroll, truncating milli product per step) to
+# ultimates, reserve = ultimate - latest cumulative. The replay
+# rebuilds the triangle from raw rows in python.
+
+
+def _chainladder_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH cl_x AS (
+  SELECT month(o.o_orderdate) AS cohort,
+         LEAST((year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate)
+               - month(o.o_orderdate), 4) AS k,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount))
+                       AS BIGINT)){div}1000 AS BIGINT) AS x
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) = 1995 AND month(o.o_orderdate) <= 6
+    AND year(l.l_shipdate) = 1995
+    AND month(l.l_shipdate) <= 8 - 0
+    AND (year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate)
+        - month(o.o_orderdate) >= 0
+  GROUP BY 1, 2
+  HAVING month(o.o_orderdate) + LEAST((year(l.l_shipdate) - 1995) * 12
+         + month(l.l_shipdate) - month(o.o_orderdate), 4) <= 8),
+cl_c AS (
+  SELECT cohort, k,
+         CAST(sum(x) OVER (PARTITION BY cohort ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS c
+  FROM cl_x),
+cl_f AS (
+  SELECT k, CAST((1000 * sum(c)){div}sum(prev) AS BIGINT) AS f_milli
+  FROM (
+    SELECT cohort, k, c,
+           lag(c) OVER (PARTITION BY cohort ORDER BY k) AS prev,
+           lag(k) OVER (PARTITION BY cohort ORDER BY k) AS prev_k
+    FROM cl_c) t
+  WHERE prev IS NOT NULL AND prev_k = k - 1 AND cohort + k <= 8
+  GROUP BY k),
+cl_fp AS (
+  SELECT coalesce(CAST(max(CASE WHEN k = 2 THEN f_milli END) AS BIGINT),
+                  CAST(1000 AS BIGINT)) AS f2,
+         coalesce(CAST(max(CASE WHEN k = 3 THEN f_milli END) AS BIGINT),
+                  CAST(1000 AS BIGINT)) AS f3,
+         coalesce(CAST(max(CASE WHEN k = 4 THEN f_milli END) AS BIGINT),
+                  CAST(1000 AS BIGINT)) AS f4
+  FROM cl_f),
+cl_last AS (
+  SELECT cohort, CAST(max(k) AS BIGINT) AS k_last,
+         CAST(max_by(c, k) AS BIGINT) AS cum_last
+  FROM cl_c GROUP BY cohort)
+SELECT l.cohort, l.k_last, l.cum_last,
+       CAST(CASE
+         WHEN l.k_last >= 4 THEN l.cum_last
+         WHEN l.k_last = 3 THEN (l.cum_last * p.f4){div}1000
+         WHEN l.k_last = 2 THEN
+           (((l.cum_last * p.f3){div}1000) * p.f4){div}1000
+         ELSE (((((l.cum_last * p.f2){div}1000)
+                * p.f3){div}1000) * p.f4){div}1000
+       END AS BIGINT) AS ultimate,
+       CAST(CASE
+         WHEN l.k_last >= 4 THEN l.cum_last
+         WHEN l.k_last = 3 THEN (l.cum_last * p.f4){div}1000
+         WHEN l.k_last = 2 THEN
+           (((l.cum_last * p.f3){div}1000) * p.f4){div}1000
+         ELSE (((((l.cum_last * p.f2){div}1000)
+                * p.f3){div}1000) * p.f4){div}1000
+       END - l.cum_last AS BIGINT) AS reserve,
+       p.f2 AS f2_milli, p.f3 AS f3_milli, p.f4 AS f4_milli
+FROM cl_last l CROSS JOIN cl_fp p
+"""
+
+
+@register(
+    "chain_ladder",
+    _chainladder_sql("duck"),
+    doc="Mack chain-ladder reserving on the 1995-H1 order cohorts: "
+    "month-lag development triangle (clamped offset, 1995-08 "
+    "valuation cut), volume-weighted age-to-age factors in milli over "
+    "cohorts observing both columns, young cohorts rolled to "
+    "ultimates through the remaining factors (bounded unroll, "
+    "truncating milli products), reserve = ultimate - latest "
+    "cumulative — the actuarial counterpart of cohort_retention's "
+    "triangle and forecast_eval's scorecard.",
+)
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_chainladder_sql("spark"))
