@@ -3011,3 +3011,205 @@ def q_moran_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_js_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.js_shrinkage(_tiles(spark, sf_dir))
+
+
+# --- R359-R361: geodesy / projection family -----------------------------------------------
+#
+# The grid (grid.py) is degree-planar — the equirectangular projection
+# every integer tiling scheme lives in. At latitude ~35.6 a degree of
+# longitude is ~19% SHORTER on the ground than a degree of latitude, so
+# planar-degree analytics silently distort areas, densities, and
+# nearest-neighbor decisions. These three operators make the distortion
+# first-class: all trig is PYTHON-computed integer literals baked into
+# the query text (the hillshade/Hough discipline — no SQL cos/sin, both
+# engines parse identical digits), everything else is bigint arithmetic.
+
+import math as _math
+
+_GD_LAT0, _GD_BW, _GD_NB = 35.4, 0.05, 10
+_GD_COS = [
+    int(_math.floor(_math.cos(_math.radians(_GD_LAT0 + _GD_BW * (b + 0.5))) * 1e6))
+    for b in range(_GD_NB)
+]
+# meters per degree of longitude at each band center (WGS84 equatorial
+# circumference / 360 = 111319.49 m scaled by cos(lat)); latitude uses
+# the mid-latitude constant.
+_GD_MLON = [int(_math.floor(111319.49 * c / 1e6)) for c in _GD_COS]
+_GD_MLAT = 111132
+# band ground area in m^2: 0.6 deg of lon x 0.05 deg of lat.
+_GD_AREA_M2 = [(3 * m * _GD_MLAT) // 100 for m in _GD_MLON]
+
+_GD_BAND = (
+    "LEAST(9, GREATEST(0, CAST(floor((lat - 35.4e0) * 20.0e0) AS BIGINT)))"
+)
+
+
+def _gd_case(vals: list[int], col: str = "band") -> str:
+    whens = " ".join(f"WHEN {b} THEN {v}" for b, v in enumerate(vals))
+    return f"(CASE {col} {whens} ELSE {vals[-1]} END)"
+
+
+def _projection_sql(div: str) -> str:
+    return f"""
+gd_n AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_tiles
+  FROM (SELECT {_GD_BAND} AS band FROM tiles) b GROUP BY 1),
+gd_t AS (SELECT CAST(sum(n_tiles) AS BIGINT) AS n_total FROM gd_n),
+gd_d AS (
+  SELECT n.band, n.n_tiles,
+         CAST((1000 * n.n_tiles){div}t.n_total AS BIGINT) AS share_milli,
+         CAST({_gd_case(_GD_MLON)} AS BIGINT) AS m_per_deg_lon,
+         CAST({_gd_case(_GD_AREA_M2)} AS BIGINT) AS band_area_m2,
+         CAST((1000000 * n.n_tiles)
+              {div}({_gd_case(_GD_AREA_M2)}{div}1000) AS BIGINT)
+           AS dens_scaled,
+         CAST((1000000 * ({_GD_MLON[0]} - {_gd_case(_GD_MLON)}))
+              {div}{_GD_MLON[0]} AS BIGINT) AS shrink_ppm
+  FROM gd_n n CROSS JOIN gd_t t)
+SELECT band, n_tiles, share_milli, m_per_deg_lon, band_area_m2,
+       dens_scaled, shrink_ppm,
+       CAST(row_number() OVER (ORDER BY n_tiles DESC, band) AS BIGINT)
+         AS rank_planar,
+       CAST(row_number() OVER (ORDER BY dens_scaled DESC, band)
+            AS BIGINT) AS rank_metric,
+       CAST(CASE WHEN row_number() OVER (ORDER BY n_tiles DESC, band)
+                   <> row_number() OVER (ORDER BY dens_scaled DESC, band)
+            THEN 1 ELSE 0 END AS BIGINT) AS rank_flip
+FROM gd_d
+"""
+
+
+@register(
+    "projection_distortion",
+    f"{_CTES},\n{_projection_sql(' // ')}",
+    doc="Equirectangular-projection distortion ladder: tiles bucketed "
+    "into 0.05-degree latitude bands, ground meters-per-degree and "
+    "true band areas as python-computed integer literals (no SQL "
+    "trig), per-band tile share vs TRUE ground density, longitude "
+    "shrink in ppm vs the southmost band, and the planar-vs-metric "
+    "density rank audit on the bounded band frame — the projection "
+    "bias check every degree-planar tiling analytics stack owes its "
+    "users.",
+)
+def q_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_projection_sql(' DIV ')}")
+
+
+def _metric_cells_sql(div: str) -> str:
+    parts = []
+    for res in (7, 9, 11):
+        parts.append(
+            f"SELECT {res} AS res, {_GD_BAND} AS band,"
+            f" {grid.cell_sql('lon', 'lat', res)} AS cell FROM tiles"
+        )
+    union = "\n  UNION ALL\n  ".join(parts)
+    p2 = "(CASE res WHEN 7 THEN 128 WHEN 9 THEN 512 ELSE 2048 END)"
+    return f"""
+gm_u AS (
+  {union}),
+gm_g AS (
+  SELECT res, band, CAST(count(*) AS BIGINT) AS n_tiles,
+         CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+  FROM gm_u GROUP BY 1, 2),
+gm_m AS (
+  SELECT res, band, n_tiles, n_cells,
+         CAST(({_gd_case(_GD_MLON)} * 1000){div}{p2} AS BIGINT)
+           AS width_mm,
+         CAST({_GD_MLAT * 1000}{div}{p2} AS BIGINT) AS height_mm
+  FROM gm_g)
+SELECT res, band, n_tiles, n_cells,
+       width_mm, height_mm,
+       CAST((1000 * width_mm){div}height_mm AS BIGINT) AS aspect_milli,
+       CAST((width_mm * height_mm){div}1000 AS BIGINT) AS area_m2_milli,
+       CAST((1000 * n_tiles){div}n_cells AS BIGINT)
+         AS tiles_per_cell_milli
+FROM gm_m
+"""
+
+
+@register(
+    "metric_cell_geometry",
+    f"{_CTES},\n{_metric_cells_sql(' // ')}",
+    doc="Ground-truth geometry of the tiling scheme: for res 7/9/11 "
+    "and each latitude band, the physical cell width/height in mm "
+    "(integer-literal meters-per-degree over the power-of-two edge), "
+    "aspect ratio in milli (cells are ~19% narrower than tall here — "
+    "the anisotropy a Chebyshev kNN ring inherits), true cell area, "
+    "and observed occupancy (tiles per occupied cell) — the H3-style "
+    "resolution table computed for THIS domain instead of quoted from "
+    "a constant sheet.",
+)
+def q_metric_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_metric_cells_sql(' DIV ')}")
+
+
+_GF_RES = 8
+
+
+def _geodesic_flip_sql(div: str) -> str:
+    ml = _gd_case(_GD_MLON, col="c.band")
+    return f"""
+gf_c AS (
+  SELECT {grid.ix_sql('lon', _GF_RES)} AS ix,
+         {grid.iy_sql('lat', _GF_RES)} AS iy,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(lon * 1000000e0) AS BIGINT)) AS BIGINT)
+           AS slon,
+         CAST(sum(CAST(floor(lat * 1000000e0) AS BIGINT)) AS BIGINT)
+           AS slat
+  FROM tiles GROUP BY 1, 2),
+gf_p AS (
+  SELECT ix, iy, slon{div}n AS clon, slat{div}n AS clat,
+         LEAST(9, GREATEST(0,
+           ((slat{div}n) - 35400000){div}50000)) AS band
+  FROM gf_c),
+gf_t AS (
+  SELECT c.band,
+         e.clon - c.clon AS dle, e.clat - c.clat AS dae,
+         n2.clon - c.clon AS dln, n2.clat - c.clat AS dan,
+         {ml} AS ml
+  FROM gf_p c
+  JOIN gf_p e ON e.ix = c.ix + 1 AND e.iy = c.iy
+  JOIN gf_p n2 ON n2.ix = c.ix AND n2.iy = c.iy + 1),
+gf_v AS (
+  SELECT band,
+         CASE WHEN dle * dle + dae * dae < dln * dln + dan * dan
+              THEN 1 ELSE 0 END AS p_east,
+         CASE WHEN ((dle * ml){div}1000) * ((dle * ml){div}1000)
+                   + ((dae * {_GD_MLAT}){div}1000)
+                     * ((dae * {_GD_MLAT}){div}1000)
+                 < ((dln * ml){div}1000) * ((dln * ml){div}1000)
+                   + ((dan * {_GD_MLAT}){div}1000)
+                     * ((dan * {_GD_MLAT}){div}1000)
+              THEN 1 ELSE 0 END AS m_east
+  FROM gf_t)
+SELECT band, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(CASE WHEN p_east <> m_east THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flips,
+       CAST((1000 * sum(CASE WHEN p_east <> m_east THEN 1 ELSE 0 END))
+            {div}count(*) AS BIGINT) AS flip_milli,
+       CAST(sum(p_east) AS BIGINT) AS planar_east_wins,
+       CAST(sum(m_east) AS BIGINT) AS metric_east_wins
+FROM gf_v GROUP BY band
+"""
+
+
+@register(
+    "geodesic_nn_flip",
+    f"{_CTES},\n{_geodesic_flip_sql(' // ')}",
+    doc="Planar-vs-metric nearest-neighbor flip audit: res-8 occupied "
+    "cells carry integer micro-degree centroids; for every cell with "
+    "both an east and a north occupied neighbor, the nearer of the "
+    "two is decided twice — in planar degrees and in ground mm "
+    "(longitude scaled by the band's literal meters-per-degree). "
+    "Because a degree of longitude is ~19% shorter on the ground, "
+    "the decisions disagree in a measurable band of anisotropy — the "
+    "per-band flip rate quantifies exactly how wrong a degree-planar "
+    "kNN is HERE, the empirical justification for metric-aware "
+    "ring expansion.",
+)
+def q_geodesic_nn_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_geodesic_flip_sql(' DIV ')}")
