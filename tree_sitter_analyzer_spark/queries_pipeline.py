@@ -3788,3 +3788,87 @@ def q_blur_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim_pca.jl_distortion(_emb(spark, sf_dir))
+
+
+# --- R364: TextRank keyword graph ----------------------------------------------------------
+#
+# Graph-based keyword scoring (Mihalcea & Tarau 2004) beside
+# doc_keywords' frequency-based TF-IDF: adjacent-token co-occurrence
+# edges (lead() over the per-doc token order — the ONLY per-doc pass),
+# collapsed onto the BOUNDED vocabulary graph, then three unrolled
+# integer PageRank iterations in milli (d = 0.85, per-edge
+# contribution (w * r) DIV W_u truncated — engine-identical). The
+# per-document fan dies in the first groupBy; everything after runs
+# on the ~30-node vocabulary frame, which is why the operator is flat
+# at any corpus size.
+
+
+def _tr_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    if engine == "spark":
+        toks = (
+            "SELECT doc_id, pos, tok FROM documents"
+            " LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"
+        )
+    else:
+        toks = (
+            "SELECT doc_id,"
+            " generate_subscripts(string_split(text, ' '), 1) AS pos,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents"
+        )
+    itexpr = []
+    prev = "tr_r0"
+    for it in (1, 2, 3):
+        itexpr.append(f"""tr_r{it} AS (
+  SELECT e.v AS tok,
+         150 + (850 * CAST(sum((e.w * r.r){div}o.w_out) AS BIGINT))
+             {div}1000 AS r
+  FROM tr_e e
+  JOIN {prev} r ON r.tok = e.u
+  JOIN tr_o o ON o.tok = e.u
+  GROUP BY e.v)""")
+        prev = f"tr_r{it}"
+    its = ",\n".join(itexpr)
+    return f"""
+WITH tr_t AS (
+  SELECT doc_id, pos, tok FROM ({toks}) raw WHERE tok <> ''),
+tr_adj AS (
+  SELECT tok AS u,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS v
+  FROM tr_t),
+tr_e0 AS (
+  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM tr_adj WHERE v IS NOT NULL AND u <> v GROUP BY 1, 2),
+tr_e AS (
+  SELECT a AS u, b AS v, w FROM tr_e0
+  UNION ALL
+  SELECT b AS u, a AS v, w FROM tr_e0),
+tr_o AS (
+  SELECT u AS tok, CAST(sum(w) AS BIGINT) AS w_out,
+         CAST(count(*) AS BIGINT) AS degree
+  FROM tr_e GROUP BY 1),
+tr_r0 AS (SELECT tok, CAST(1000 AS BIGINT) AS r FROM tr_o),
+{its}
+SELECT o.tok, o.degree, o.w_out,
+       CAST(r.r AS BIGINT) AS rank_milli,
+       CAST(row_number() OVER (ORDER BY r.r DESC, o.tok) AS BIGINT)
+         AS kw_pos
+FROM tr_o o JOIN tr_r3 r ON r.tok = o.tok
+"""
+
+
+@register(
+    "textrank_keywords",
+    _tr_sql("duck"),
+    doc="TextRank keyword graph: adjacent-token co-occurrence edges "
+    "from one per-doc lead() pass collapse onto the bounded "
+    "vocabulary graph; three unrolled integer PageRank iterations "
+    "(d=0.85, milli, per-edge truncating contribution) score every "
+    "token, with degree/mass/rank-position columns — the "
+    "graph-centrality counterpart of doc_keywords' TF-IDF, flat in "
+    "corpus size because the iteration runs on the vocabulary frame.",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_tr_sql("spark"))

@@ -12394,3 +12394,198 @@ def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_chainladder_sql("spark"))
+
+
+# --- R362: consistent-hash ring audit ------------------------------------------------------
+#
+# Distributed-systems partitioning joins rendezvous_audit (HRW): the
+# classic Chord/Dynamo RING — 8 servers x 16 md5 virtual nodes on the
+# 32-bit circle, every part key assigned to its clockwise successor
+# vnode (wraparound = global minimum point). Assignment is computed
+# against the BOUNDED vnode frame (keys come from the part dimension,
+# vnodes are 128/144 literals-by-construction), so the fan-out is
+# dimension x vnodes, never fact-table-sized. The audit then adds a
+# 9th server and re-assigns: consistent hashing's minimal-disruption
+# theorem says every key that moves must land on the NEW server — the
+# query emits that certificate (n_moved == n_moved_to_new) plus
+# per-server load shares and the movement fraction vs the 1/(S+1)
+# ideal.
+
+_RING_S, _RING_V = 8, 16
+
+
+def _ring_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    div = " DIV " if engine == "spark" else " // "
+    gen = (
+        f"SELECT explode(sequence(0, {(_RING_S + 1) * _RING_V - 1})) AS i"
+        if engine == "spark"
+        else f"SELECT unnest(range(0, {(_RING_S + 1) * _RING_V})) AS i"
+    )
+    scat = (
+        "concat('ring_srv', CAST(i DIV 16 AS STRING), '_v',"
+        " CAST(i % 16 AS STRING))"
+        if engine == "spark"
+        else "'ring_srv' || CAST(i // 16 AS VARCHAR) || '_v'"
+        " || CAST(i % 16 AS VARCHAR)"
+    )
+    kcat = (
+        "concat('ringkey_', CAST(p_partkey AS STRING))"
+        if engine == "spark"
+        else "'ringkey_' || CAST(p_partkey AS VARCHAR)"
+    )
+    return f"""
+WITH rg_pts AS (
+  SELECT i{div}{_RING_V} AS srv, {md5(scat)} AS h,
+         {md5(scat)} * 256 + i AS ho
+  FROM ({gen}) g),
+rg_keys AS (
+  SELECT p_partkey AS k, {md5(kcat)} AS hk,
+         CAST(floor(p_retailprice * 100e0) AS BIGINT) AS load_cents
+  FROM part),
+rg_a8 AS (
+  SELECT k.k, k.hk, k.load_cents,
+         coalesce(min_by(p.srv, CASE WHEN p.h >= k.hk THEN p.ho END),
+                  min_by(p.srv, p.ho)) AS srv8
+  FROM rg_keys k CROSS JOIN (SELECT * FROM rg_pts
+                             WHERE srv < {_RING_S}) p
+  GROUP BY 1, 2, 3),
+rg_a9 AS (
+  SELECT k.k,
+         coalesce(min_by(p.srv, CASE WHEN p.h >= k.hk THEN p.ho END),
+                  min_by(p.srv, p.ho)) AS srv9
+  FROM rg_keys k CROSS JOIN rg_pts p
+  GROUP BY 1),
+rg_j AS (
+  SELECT a.k, a.load_cents, a.srv8, b.srv9,
+         CASE WHEN a.srv8 <> b.srv9 THEN 1 ELSE 0 END AS moved
+  FROM rg_a8 a JOIN rg_a9 b ON b.k = a.k),
+rg_g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys_total,
+         CAST(sum(moved) AS BIGINT) AS n_moved,
+         CAST(sum(CASE WHEN moved = 1 AND srv9 = {_RING_S}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
+         CAST(sum(load_cents) AS BIGINT) AS load_total
+  FROM rg_j)
+SELECT j.srv8 AS srv, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(j.load_cents) AS BIGINT) AS load_cents,
+       CAST((1000 * sum(j.load_cents)){div}g.load_total AS BIGINT)
+         AS load_milli,
+       CAST(sum(j.moved) AS BIGINT) AS n_lost,
+       CAST((1000 * g.n_moved){div}g.n_keys_total AS BIGINT)
+         AS movement_milli,
+       CAST({1000 // (_RING_S + 1)} AS BIGINT) AS ideal_milli,
+       CAST(CASE WHEN g.n_moved = g.n_moved_to_new THEN 1 ELSE 0 END
+            AS BIGINT) AS minimality_ok
+FROM rg_j j CROSS JOIN rg_g g
+GROUP BY j.srv8, g.n_moved, g.n_keys_total, g.load_total,
+         g.n_moved_to_new
+"""
+
+
+@register(
+    "hash_ring_audit",
+    _ring_sql("duck"),
+    doc="Consistent-hash ring audit (Chord/Dynamo shape): 8 servers x "
+    "16 md5 vnodes on the 32-bit circle, part keys assigned to the "
+    "clockwise successor against the BOUNDED vnode frame; adding a "
+    "9th server re-assigns, and the minimal-disruption theorem — "
+    "every moved key lands on the new server — is emitted as a "
+    "certificate column beside per-server load shares and the "
+    "movement fraction vs the 1/(S+1) ideal; the ring's vnode-driven "
+    "balance complements rendezvous_audit's HRW placement.",
+)
+def q_hash_ring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_ring_sql("spark"))
+
+
+# --- R363: A-priori frequent brand triples -------------------------------------------------
+#
+# Frequent-itemset mining at the 3-itemset rung (covisit_topk /
+# repeat_purchase_pairs stop at pairs; seq_patterns is ordered): order
+# baskets over the 25-brand item space, support-pruned in the exact
+# A-priori cascade — frequent items first, frequent pairs from
+# item-pruned baskets, candidate triples ONLY where all three sub-pairs
+# are frequent (two pair-joins + one semi-join on the bounded pair
+# frame), then true triple support counted from pair-pruned baskets.
+# minsup is data-derived (0.1% of baskets, floor 2) so the result is
+# non-vacuous at every sf; the downward-closure prune is the reason
+# the triple fan never explodes at 10^12 baskets.
+
+
+def _apriori_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH ap_b AS (
+  SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+ap_n AS (
+  SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_baskets FROM ap_b),
+ap_f1 AS (
+  SELECT b.item FROM ap_b b CROSS JOIN ap_n m
+  GROUP BY b.item, m.n_baskets
+  HAVING count(*) >= GREATEST(CAST(2 AS BIGINT),
+                              m.n_baskets{div}1000)),
+ap_bf AS (
+  SELECT b.oid, b.item FROM ap_b b
+  WHERE b.item IN (SELECT item FROM ap_f1)),
+ap_sz AS (
+  SELECT oid, CAST(count(*) AS BIGINT) AS k FROM ap_bf GROUP BY oid),
+ap_ms AS (
+  SELECT GREATEST(CAST(2 AS BIGINT),
+           CAST(sum(k * (k - 1)) AS BIGINT){div}600) AS minsup2,
+         GREATEST(CAST(2 AS BIGINT),
+           CAST(sum(k * (k - 1) * (k - 2)) AS BIGINT){div}13800)
+           AS minsup,
+         (SELECT n_baskets FROM ap_n) AS n_baskets
+  FROM ap_sz),
+ap_f2 AS (
+  SELECT a.item AS i1, b.item AS i2
+  FROM ap_bf a JOIN ap_bf b
+    ON b.oid = a.oid AND b.item > a.item
+  CROSS JOIN ap_ms m
+  GROUP BY a.item, b.item, m.minsup2
+  HAVING count(*) >= m.minsup2),
+ap_c3 AS (
+  SELECT p.i1, p.i2, q.i2 AS i3
+  FROM ap_f2 p JOIN ap_f2 q ON q.i1 = p.i1 AND q.i2 > p.i2
+  WHERE EXISTS (SELECT 1 FROM ap_f2 r
+                WHERE r.i1 = p.i2 AND r.i2 = q.i2)),
+ap_s3 AS (
+  SELECT c.i1, c.i2, c.i3, CAST(count(*) AS BIGINT) AS support
+  FROM ap_c3 c
+  JOIN ap_bf a ON a.item = c.i1
+  JOIN ap_bf b ON b.oid = a.oid AND b.item = c.i2
+  JOIN ap_bf d ON d.oid = a.oid AND d.item = c.i3
+  GROUP BY 1, 2, 3)
+SELECT s.i1, s.i2, s.i3, s.support,
+       CAST((1000000 * s.support){div}m.n_baskets AS BIGINT)
+         AS support_ppm,
+       m.minsup, m.n_baskets
+FROM ap_s3 s CROSS JOIN ap_ms m
+WHERE s.support >= m.minsup
+"""
+
+
+@register(
+    "apriori_triples",
+    _apriori_sql("duck"),
+    doc="A-priori frequent 3-itemsets over order baskets in the "
+    "25-brand item space: MEAN-ANCHORED minsup (expected support "
+    "from exact basket-size incidence sums, floor 2 — keeps the "
+    "above-average half of the triple space at EVERY scale instead "
+    "of saturating or going vacuous as absolute thresholds do), "
+    "downward-closure candidate generation (triples only "
+    "where ALL three sub-pairs are frequent — two joins + an EXISTS "
+    "on the bounded pair frame), support counted from item-pruned "
+    "baskets; support ppm + the minsup/n_baskets envelope. The "
+    "3-itemset rung above covisit_topk and repeat_purchase_pairs, "
+    "unordered counterpart of seq_patterns.",
+)
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_apriori_sql("spark"))
