@@ -12589,3 +12589,408 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_apriori_sql("spark"))
+
+
+# --- R365: range-partition planner ---------------------------------------------------------
+#
+# The planner behind repartitionByRange, audited end-to-end: order
+# totals collapse to a bounded $1000-bin histogram (the bounded
+# value-dimension shape — one map-side agg over the fact table), the
+# 16 range-shard boundaries fall out of the exact prefix sums
+# (shard(bin) = 16 * cum_before DIV total), and the resulting
+# contiguous shard loads are compared against md5-hash sharding of the
+# same rows. Range shards admit zone-map pruning (each shard spans a
+# closed bin interval, emitted as lo/hi); the deviation columns price
+# the balance cost of that orderedness.
+
+
+def _rpp_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    div = " DIV " if engine == "spark" else " // "
+    kcat = (
+        "concat('rps_', CAST(o_orderkey AS STRING))"
+        if engine == "spark"
+        else "'rps_' || CAST(o_orderkey AS VARCHAR)"
+    )
+    return f"""
+WITH rp_b AS (
+  SELECT CAST(floor(o_totalprice * 100e0) AS BIGINT){div}100000 AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+rp_t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM rp_b),
+rp_s AS (
+  SELECT b.bin, b.n,
+         LEAST(CAST(15 AS BIGINT),
+           (16 * (sum(b.n) OVER (ORDER BY b.bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - b.n)){div}t.total) AS shard
+  FROM rp_b b CROSS JOIN rp_t t),
+rp_r AS (
+  SELECT shard, CAST(sum(n) AS BIGINT) AS n_range,
+         CAST(min(bin) AS BIGINT) AS lo_bin,
+         CAST(max(bin) AS BIGINT) AS hi_bin
+  FROM rp_s GROUP BY 1),
+rp_h AS (
+  SELECT ({md5(kcat)}) % 16 AS shard, CAST(count(*) AS BIGINT) AS n_hash
+  FROM orders GROUP BY 1),
+rp_g AS (
+  SELECT t.total, t.total{div}16 AS ideal,
+         (SELECT max(n_range) FROM rp_r) AS max_range,
+         (SELECT max(n_hash) FROM rp_h) AS max_hash
+  FROM rp_t t)
+SELECT r.shard, r.lo_bin, r.hi_bin, r.n_range,
+       coalesce(h.n_hash, CAST(0 AS BIGINT)) AS n_hash,
+       CAST((1000 * r.n_range){div}g.ideal AS BIGINT)
+         AS range_load_milli,
+       CAST((1000 * coalesce(h.n_hash, CAST(0 AS BIGINT))){div}g.ideal
+            AS BIGINT) AS hash_load_milli,
+       CAST((1000 * g.max_range){div}g.ideal AS BIGINT)
+         AS range_skew_milli,
+       CAST((1000 * g.max_hash){div}g.ideal AS BIGINT)
+         AS hash_skew_milli
+FROM rp_r r
+LEFT JOIN rp_h h ON h.shard = r.shard
+CROSS JOIN rp_g g
+"""
+
+
+@register(
+    "range_partition_plan",
+    _rpp_sql("duck"),
+    doc="repartitionByRange planner audit: order totals collapse to a "
+    "bounded $1000-bin histogram (one map-side agg), exact prefix "
+    "sums place the 16 range-shard boundaries (shard = 16*cum_before "
+    "DIV total), and the contiguous shard loads — each with its "
+    "zone-map-prunable [lo, hi] bin interval — are priced against "
+    "md5-hash sharding of the same rows; per-shard load and global "
+    "skew in milli of the ideal. The planner the engine's own "
+    "zorder/hilbert writers rely on, made auditable.",
+)
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_rpp_sql("spark"))
+
+# --- R366: parallel Gale-Shapley stable matching -------------------------------------------
+#
+# Two-sided matching joins the market-design family: 8 supplier groups
+# (proposers) and 8 brand groups with ASYMMETRIC data-derived
+# preferences — suppliers rank brands by shipped quantity, brands rank
+# suppliers by revenue, md5 tie-breaks, densified to all 64 pairs.
+# Round-SYNCHRONOUS deferred acceptance: every free proposer proposes
+# to the preference slot his POINTER addresses, each brand keeps the
+# best of fiancé + proposers, and every loser advances his pointer to
+# rank+1. State per round is FIXED-SIZE (8 pointers + <=8 engagements;
+# never a growing rejection union — the frontier-checkpoint
+# discipline), so 24 rounds of tiny localCheckpointed joins implement
+# it Spark-side; the DuckDB oracle unrolls the same 24 rounds as
+# MATERIALIZED CTEs (plain CTEs re-inline the round chain
+# exponentially — the same trap Catalyst has, solved there by the
+# checkpoint loop). By McVitie-Wilson, proposal order cannot change
+# the outcome: the pytest replay runs SEQUENTIAL Gale-Shapley and
+# agrees exactly; the query emits the stability certificate in-result
+# (blocking_pairs counted against the full preference frame must be
+# 0).
+
+_GS_ROUNDS = 24
+
+
+def _gs_setup_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    gen8 = (
+        "SELECT explode(sequence(0, 7))"
+        if engine == "spark"
+        else "SELECT unnest(range(0, 8))"
+    )
+    wcat = (
+        "concat('gsw_', p.p_brand)"
+        if engine == "spark"
+        else "'gsw_' || p.p_brand"
+    )
+    tcat = (
+        "concat('gst_', CAST(p.m AS STRING), '_', CAST(p.w AS STRING))"
+        if engine == "spark"
+        else "'gst_' || CAST(p.m AS VARCHAR) || '_' || CAST(p.w AS VARCHAR)"
+    )
+    return f"""
+gs_sc AS (
+  SELECT l.l_suppkey % 8 AS m, ({md5(wcat)}) % 8 AS w,
+         CAST(floor(sum(l.l_quantity)) AS BIGINT) AS qty,
+         CAST(sum(CAST(floor(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+gs_p AS (
+  SELECT p.m, p.w,
+         coalesce(s.qty, CAST(0 AS BIGINT)) AS qty,
+         coalesce(s.rev, CAST(0 AS BIGINT)) AS rev,
+         {md5(tcat)} AS tb
+  FROM (SELECT mm.m, ww.w FROM ({gen8} AS m) mm
+        CROSS JOIN ({gen8.replace(' AS m', '')} AS w) ww) p
+  LEFT JOIN gs_sc s ON s.m = p.m AND s.w = p.w),
+gs_r AS (
+  SELECT m, w,
+         CAST(row_number() OVER (PARTITION BY m
+           ORDER BY qty DESC, tb, w) AS BIGINT) AS rm,
+         CAST(row_number() OVER (PARTITION BY w
+           ORDER BY rev DESC, tb, m) AS BIGINT) AS rw
+  FROM gs_p)"""
+
+
+def _gs_oracle_sql() -> str:
+    rounds = []
+    for r in range(1, _GS_ROUNDS + 1):
+        q = r - 1
+        rounds.append(f"""gs_pr{r} AS MATERIALIZED (
+  SELECT s.m, r1.w, r1.rm FROM gs_st{q} s
+  JOIN gs_r r1 ON r1.m = s.m AND r1.rm = s.ptr
+  WHERE s.m NOT IN (SELECT m FROM gs_eng{q})),
+gs_pool{r} AS MATERIALIZED (
+  SELECT w, m FROM gs_eng{q}
+  UNION ALL
+  SELECT w, m FROM gs_pr{r}),
+gs_eng{r} AS MATERIALIZED (
+  SELECT pl.w, min_by(pl.m, r2.rw) AS m
+  FROM gs_pool{r} pl JOIN gs_r r2 ON r2.m = pl.m AND r2.w = pl.w
+  GROUP BY pl.w),
+gs_rj{r} AS MATERIALIZED (
+  SELECT r3.m, r3.rm + 1 AS np
+  FROM gs_pool{r} pl
+  LEFT JOIN gs_eng{r} e ON e.w = pl.w AND e.m = pl.m
+  JOIN gs_r r3 ON r3.m = pl.m AND r3.w = pl.w
+  WHERE e.w IS NULL),
+gs_st{r} AS MATERIALIZED (
+  SELECT s.m, coalesce(x.np, s.ptr) AS ptr
+  FROM gs_st{q} s LEFT JOIN gs_rj{r} x ON x.m = s.m)""")
+    rounds_sql = ",\n".join(rounds)
+    R = _GS_ROUNDS
+    return f"""
+WITH {_gs_setup_sql('duck')},
+gs_st0 AS (SELECT DISTINCT m, CAST(1 AS BIGINT) AS ptr FROM gs_r),
+gs_eng0 AS (SELECT m, w FROM gs_r WHERE 1 = 0),
+{rounds_sql},
+gs_m AS (
+  SELECT e.m, e.w, r.rm AS his_rank, r.rw AS her_rank
+  FROM gs_eng{R} e JOIN gs_r r ON r.m = e.m AND r.w = e.w),
+gs_bp AS (
+  SELECT CAST(count(*) AS BIGINT) AS blocking_pairs
+  FROM gs_r x
+  JOIN gs_m mm ON mm.m = x.m
+  JOIN gs_m ww ON ww.w = x.w
+  WHERE x.rm < mm.his_rank AND x.rw < ww.her_rank),
+gs_n AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM gs_m)
+SELECT m.m AS supplier_grp, m.w AS brand_grp,
+       m.his_rank, m.her_rank,
+       n.n_matched, b.blocking_pairs,
+       CAST(CASE WHEN n.n_matched = 8 AND b.blocking_pairs = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS stable_ok
+FROM gs_m m CROSS JOIN gs_bp b CROSS JOIN gs_n n
+"""
+
+
+@register(
+    "gale_shapley",
+    _gs_oracle_sql(),
+    doc="Round-synchronous Gale-Shapley deferred acceptance between 8 "
+    "supplier groups and 8 brand groups with ASYMMETRIC data-derived "
+    "preferences (quantity vs revenue, md5 tie-breaks, densified "
+    "64-pair frame): 24 rounds of fixed-size pointer state — free "
+    "proposers hit their pointer slot, brands keep the best of "
+    "fiance + proposers, losers advance — localCheckpointed "
+    "Spark-side, MATERIALIZED-CTE-unrolled oracle-side. Emits each "
+    "match with both sides' ranks and the STABILITY certificate "
+    "(blocking_pairs counted in-query must be 0); the sequential-GS "
+    "pytest replay agrees via McVitie-Wilson order-independence — "
+    "two-sided market design beside bradley_terry.",
+)
+def q_gale_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    gs_r = spark.sql(
+        f"WITH {_gs_setup_sql('spark')} SELECT * FROM gs_r"
+    ).localCheckpoint(eager=True)
+    men = gs_r.select("m").distinct()
+    st = men.selectExpr("m", "CAST(1 AS BIGINT) AS ptr").localCheckpoint(
+        eager=True
+    )
+    eng = gs_r.selectExpr("w", "m").where("1 = 0").localCheckpoint(
+        eager=True
+    )
+    for _ in range(_GS_ROUNDS):
+        free = st.join(eng.select("m"), "m", "left_anti")
+        prop = free.join(gs_r, ["m"]).where("rm = ptr").select("w", "m")
+        pool = eng.unionByName(prop)
+        poolr = pool.join(gs_r.select("m", "w", "rm", "rw"), ["m", "w"])
+        eng2 = poolr.groupBy("w").agg(
+            F.expr("min_by(m, rw)").alias("m")
+        )
+        rejected = poolr.join(eng2, ["w", "m"], "left_anti").selectExpr(
+            "m", "rm + 1 AS np"
+        )
+        st = (
+            st.join(rejected, "m", "left")
+            .selectExpr("m", "coalesce(np, ptr) AS ptr")
+            .localCheckpoint(eager=True)
+        )
+        eng = eng2.select("w", "m").localCheckpoint(eager=True)
+        # scalar fixpoint probe (the graph-suite discipline): a perfect
+        # matching means no free proposer, so every later round is the
+        # identity — the 24-round oracle unroll reaches the same state.
+        if eng.count() == 8:
+            break
+    match = eng.join(gs_r, ["m", "w"]).selectExpr(
+        "m", "w", "rm AS his_rank", "rw AS her_rank"
+    )
+    mm = match.selectExpr("m AS bm", "his_rank AS m_rank")
+    ww = match.selectExpr("w AS bw", "her_rank AS w_rank")
+    bp = (
+        gs_r.join(F.broadcast(mm), gs_r.m == mm.bm)
+        .join(F.broadcast(ww), gs_r.w == ww.bw)
+        .where("rm < m_rank AND rw < w_rank")
+        .agg(F.count("*").cast("bigint").alias("blocking_pairs"))
+    )
+    nm = match.agg(F.count("*").cast("bigint").alias("n_matched"))
+    return (
+        match.crossJoin(F.broadcast(bp))
+        .crossJoin(F.broadcast(nm))
+        .selectExpr(
+            "m AS supplier_grp", "w AS brand_grp", "his_rank",
+            "her_rank", "n_matched", "blocking_pairs",
+            "CAST(CASE WHEN n_matched = 8 AND blocking_pairs = 0"
+            " THEN 1 ELSE 0 END AS BIGINT) AS stable_ok",
+        )
+    )
+
+
+# --- R367: densest-subgraph peeling (Bahmani et al.) --------------------------------------
+#
+# Graph density mining joins the suite: Charikar's greedy is
+# sequential (one vertex per step), but the Bahmani-Kumar-
+# Vassilvitskii variant removes EVERY vertex of degree <= (1+eps) *
+# density in one synchronized round and still guarantees a
+# 2(1+eps)-approximation in O(log n) rounds — the log-depth shape
+# this engine uses everywhere (eps = 1/2 here: threshold 3E DIV 2N).
+# Runs on the planted-core fixture (300-node dense block inside 2000
+# background nodes) so the ladder actually CLIMBS: peeling strips the
+# sparse background and the density maximum isolates the core.
+# Spark-side: six rounds of degree-groupBy + semi-join with the edge
+# set localCheckpointed per round and a scalar census probe (the
+# BFS-loop discipline); oracle-side: the same six rounds as
+# MATERIALIZED CTEs. Per-round node/edge census, exact density in
+# milli, the threshold used, and the best-round answer flag.
+
+_DSP_ROUNDS = 6
+
+
+def _dsp_oracle_sql() -> str:
+    from .operators import graph as _g
+
+    rounds = []
+    for r in range(1, _DSP_ROUNDS + 1):
+        q = r - 1
+        rounds.append(f"""dsp_d{r} AS MATERIALIZED (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg
+  FROM dsp_e{q} GROUP BY u),
+dsp_s{r} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(deg) AS BIGINT) // 2 AS e
+  FROM dsp_d{r}),
+dsp_k{r} AS MATERIALIZED (
+  SELECT d.u FROM dsp_d{r} d CROSS JOIN dsp_s{r} s
+  WHERE s.n > 0 AND d.deg > (3 * s.e) // (2 * s.n)),
+dsp_e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM dsp_e{q} e
+  WHERE e.u IN (SELECT u FROM dsp_k{r})
+    AND e.v IN (SELECT u FROM dsp_k{r}))""")
+    rounds_sql = ",\n".join(rounds)
+    stats = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS round, s.n, s.e,"
+        f" (SELECT (3 * s2.e) // (2 * s2.n) FROM dsp_s{r} s2"
+        f"  WHERE s2.n > 0) AS threshold"
+        f" FROM dsp_s{r} s" for r in range(1, _DSP_ROUNDS + 1)
+    )
+    return f"""
+WITH dsp_raw AS ({_g._core_edges_sql()}),
+dsp_e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT src AS u, dst AS v FROM dsp_raw WHERE src <> dst
+    UNION
+    SELECT dst AS u, src AS v FROM dsp_raw WHERE src <> dst) t),
+{rounds_sql},
+dsp_all AS (
+  {stats})
+SELECT round, n AS n_nodes, e AS n_edges, threshold,
+       CAST((1000 * e) // n AS BIGINT) AS density_milli,
+       CAST(CASE WHEN (1000 * e) // n
+                   = max((1000 * e) // n) OVER () THEN 1 ELSE 0 END
+            AS BIGINT) AS is_best
+FROM dsp_all WHERE n > 0
+"""
+
+
+@register(
+    "densest_peel",
+    _dsp_oracle_sql(),
+    doc="Densest-subgraph mining by parallel peeling (Bahmani-Kumar-"
+    "Vassilvitskii, eps=1/2): six rounds over the symmetrized "
+    "planted-core graph (the ktruss/kcore fixture), each removing EVERY vertex of degree <= 1.5x density in "
+    "one degree-groupBy + semi-join — the O(log n)-round "
+    "3-approximation whose synchronized-removal shape is what a "
+    "10^12-edge graph permits (Charikar's one-vertex-per-step greedy "
+    "is not parallelizable); per-round census, exact density milli, "
+    "threshold used, and the best-round answer flag. Spark side runs "
+    "the checkpoint-loop, the oracle unrolls MATERIALIZED CTEs.",
+)
+def q_densest_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic planted-core graph is sf-independent (like
+    # ktruss_edges / kcore_community); sf_dir is signature-uniform only.
+    from .operators import graph as _g
+
+    raw = _g.core_edges_df(spark).where("src <> dst")
+    e = (
+        raw.selectExpr("src AS u", "dst AS v")
+        .union(raw.selectExpr("dst AS u", "src AS v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for r in range(1, _DSP_ROUNDS + 1):
+        deg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+        st = deg.agg(
+            F.count("*").cast("bigint"), F.sum("deg").cast("bigint")
+        ).first()
+        n, two_e = int(st[0] or 0), int(st[1] or 0)
+        if n == 0:
+            break
+        ecnt = two_e // 2
+        th = (3 * ecnt) // (2 * n)
+        rows.append((r, n, ecnt, th, (1000 * ecnt) // n))
+        keep = deg.where(F.col("deg") > th).select("u").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    best = max(d for _, _, _, _, d in rows)
+    out = [
+        (r, n, ecnt, th, d, 1 if d == best else 0)
+        for r, n, ecnt, th, d in rows
+    ]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(c, LongType())
+            for c in (
+                "round", "n_nodes", "n_edges", "threshold",
+                "density_milli", "is_best",
+            )
+        ]
+    )
+    return spark.createDataFrame(out, schema)
