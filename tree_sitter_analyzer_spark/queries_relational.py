@@ -12994,3 +12994,170 @@ def q_densest_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# --- R369: Erlang staffing ladder ----------------------------------------------------------
+#
+# Queueing-theory PLANNING beside queue_depth_replay (simulation) and
+# littles_law (conservation): the offered load a = lambda/mu in
+# Erlangs comes from the data (arrivals over the observed span; mu =
+# 30 jobs/hour per server, a literal), and the Erlang-B blocking
+# probability follows the numerically exact recurrence B_k =
+# a*B_{k-1} / (k + a*B_{k-1}), held in milli with truncating integer
+# division at each of the 8 unrolled steps (engine-identical, no
+# factorials, no overflow). Erlang-C waiting probability derives from
+# each B_c when the system is stable (c > a); the ladder emits one
+# row per server count with blocking, waiting, stability, and the
+# min-servers-meeting-SLA verdict (wait prob <= 20%).
+
+_ERL_MU, _ERL_C_MAX, _ERL_SLA_MILLI = 30, 8, 200
+
+
+def _erlang_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    ehour = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts) DIV 3600000000"
+        if engine == "spark"
+        else "date_diff('microsecond', TIMESTAMP '1970-01-01', ts)"
+        " // 3600000000"
+    )
+    ctes = [f"""erl_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         max({ehour}) - min({ehour}) + 1 AS n_hours,
+         (1000 * CAST(count(*) AS BIGINT))
+           {div}((max({ehour}) - min({ehour}) + 1) * {_ERL_MU})
+           AS a_milli
+  FROM events)"""]
+    prev = None
+    for k in range(1, _ERL_C_MAX + 1):
+        bprev = "1000" if k == 1 else f"(SELECT b FROM erl_b{k - 1})"
+        ctes.append(f"""erl_b{k} AS (
+  SELECT (1000 * (a_milli * {bprev}))
+           {div}(1000000 * {k} + a_milli * {bprev}) AS b
+  FROM erl_a)""")
+        prev = f"erl_b{k}"
+    ladder = "\n  UNION ALL\n  ".join(
+        f"SELECT {k} AS c, (SELECT b FROM erl_b{k}) AS b_milli"
+        for k in range(1, _ERL_C_MAX + 1)
+    )
+    return f"""
+WITH {','.join(ctes)},
+erl_l AS (
+  {ladder}),
+erl_c AS (
+  SELECT l.c, a.a_milli, a.n_events, a.n_hours, l.b_milli,
+         CAST(CASE WHEN 1000 * l.c > a.a_milli THEN 1 ELSE 0 END
+              AS BIGINT) AS stable,
+         CAST(CASE WHEN 1000 * l.c > a.a_milli
+              THEN (1000 * (l.c * l.b_milli))
+                   {div}(l.c * 1000 - a.a_milli
+                         + ((a.a_milli * l.b_milli){div}1000))
+              ELSE 1000 END AS BIGINT) AS wait_milli
+  FROM erl_l l CROSS JOIN erl_a a)
+SELECT c, a_milli, n_events, n_hours, b_milli, stable, wait_milli,
+       CAST(min(CASE WHEN wait_milli <= {_ERL_SLA_MILLI} THEN c END)
+            OVER () AS BIGINT) AS min_c_sla
+FROM erl_c
+"""
+
+
+@register(
+    "erlang_audit",
+    _erlang_sql("duck"),
+    doc="Erlang staffing ladder: offered load in milli-Erlangs from "
+    "the observed arrival span (mu = 30/hour literal), Erlang-B "
+    "blocking via the exact 8-step recurrence B_k = aB/(k + aB) in "
+    "truncating milli (no factorials, engine-identical), Erlang-C "
+    "waiting probability where stable (c > a), and the min-servers "
+    "SLA verdict — queueing PLANNING beside queue_depth_replay "
+    "(simulation) and littles_law (conservation).",
+)
+def q_erlang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_erlang_sql("spark"))
+
+
+# --- R370: Soundex phonetic blocking -------------------------------------------------------
+#
+# The phonetic rung of the entity-resolution blocking family
+# (fs_linkage = likelihood weighting, fuzzy_dup_pairs = edit
+# distance): simplified American Soundex — first letter + consonant
+# class digits, runs collapsed, vowels dropped, zero-padded to 4 —
+# spelled entirely in portable SQL (translate + SIX chained
+# run-collapse regexp_replaces, one per digit class, because DuckDB's
+# RE2 has no pattern backreferences; Spark replaces globally by
+# default, DuckDB needs the 'g' flag — both CLAUDE.md spellings).
+# Applied to the first word of part names; emits each block with its
+# sizes and example words plus the blocking-quality envelope: the
+# pair-reduction ratio (candidate pairs inside blocks vs all pairs)
+# every ER pipeline reports.
+
+_SDX_MAP = "01230120022455012623010202"
+
+
+def _sdx_expr(engine: str, w: str) -> str:
+    up = f"upper({w})"
+    first = f"substr({up}, 1, 1)"
+    code = f"translate({up}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SDX_MAP}')"
+    flag = ", 'g'" if engine == "duck" else ""
+    for d in "123456":
+        code = f"regexp_replace({code}, '{d}{d}+', '{d}'{flag})"
+    # drop the leading code digit when it repeats the first letter's class,
+    # then strip vowel zeros and pad
+    tail = (
+        f"CASE WHEN substr({code}, 1, 1) = substr(translate({first},"
+        f" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SDX_MAP}'), 1, 1)"
+        f" THEN substr({code}, 2) ELSE {code} END"
+    )
+    tail = f"replace({tail}, '0', '')"
+    return f"(({first}) || substr(({tail}) || '000', 1, 3))"
+
+
+def _soundex_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    word = (
+        "split(p_name, ' ')[0]"
+        if engine == "spark"
+        else "string_split(p_name, ' ')[1]"
+    )
+    return f"""
+WITH sdx_w AS (
+  SELECT {_sdx_expr(engine, 'w')} AS code, w, CAST(n AS BIGINT) AS n
+  FROM (SELECT {word} AS w, count(*) AS n FROM part GROUP BY 1) t),
+sdx_b AS (
+  SELECT code, CAST(sum(n) AS BIGINT) AS n_parts,
+         CAST(count(*) AS BIGINT) AS n_words,
+         min(w) AS word_a, max(w) AS word_b
+  FROM sdx_w GROUP BY code),
+sdx_g AS (
+  SELECT CAST(sum(n_parts) AS BIGINT) AS total,
+         CAST(sum(n_parts * (n_parts - 1)) AS BIGINT) AS block_pairs2,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM sdx_b)
+SELECT b.code, b.n_parts, b.n_words, b.word_a, b.word_b,
+       CAST(CASE WHEN b.n_words > 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS collision,
+       g.n_blocks,
+       CAST((1000 * g.block_pairs2)
+            {div}GREATEST(g.total * (g.total - 1), CAST(1 AS BIGINT))
+            AS BIGINT) AS pair_ratio_milli
+FROM sdx_b b CROSS JOIN sdx_g g
+"""
+
+
+@register(
+    "soundex_blocks",
+    _soundex_sql("duck"),
+    doc="Simplified American Soundex over first words of part names, "
+    "spelled in portable SQL (translate + six chained run-collapse "
+    "regexp_replaces — RE2 has no pattern backrefs — with the "
+    "global-flag spelling difference handled per engine): each "
+    "phonetic block with sizes, example words and collision flag, "
+    "plus the ER blocking-quality envelope — candidate-pair "
+    "reduction ratio vs all-pairs — the phonetic rung beside "
+    "fs_linkage and fuzzy_dup_pairs.",
+)
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_soundex_sql("spark"))

@@ -3213,3 +3213,95 @@ FROM gf_v GROUP BY band
 def q_geodesic_nn_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
     return spark.sql(f"WITH {_geodesic_flip_sql(' DIV ')}")
+
+
+# --- R368: PIP-join selectivity audit ------------------------------------------------------
+#
+# The spatial analog of selectivity_qerror / join_size_estimate, keyed
+# to the flagship operator: the optimizer-style CARDINALITY ESTIMATE of
+# the tile-in-zone join from res-7 cell summaries (tiles-per-cell
+# histogram x fractional cell/zone bbox overlap, uniformity assumption,
+# all integer nano-degree arithmetic with milli-per-axis fractions) is
+# compared against the EXACT join count per zone, with the classic
+# q-error = max(est/exact, exact/est) verdict. Candidate (cell, zone)
+# pairs come from a broadcast of the bounded zone frame against the
+# occupied-cell histogram — the estimate never touches raw tiles a
+# second time, which is the point: this is what a planner could afford
+# at 10^12 tiles before committing to a join strategy.
+
+_PSA_RES = 7
+_PSA_NANO = 10**9 // (1 << _PSA_RES)  # res-7 cell edge in nano-degrees
+
+
+def _psa_sql(div: str) -> str:
+    nano = _PSA_NANO
+    return f"""
+psa_h AS (
+  SELECT {grid.ix_sql('lon', _PSA_RES)} AS ix,
+         {grid.iy_sql('lat', _PSA_RES)} AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+psa_z AS (
+  SELECT j AS zone,
+         CAST(floor(xmin * 1e9) AS BIGINT) AS zx0,
+         CAST(floor(xmax * 1e9) AS BIGINT) AS zx1,
+         CAST(floor(ymin * 1e9) AS BIGINT) AS zy0,
+         CAST(floor(ymax * 1e9) AS BIGINT) AS zy1
+  FROM zones),
+psa_c AS (
+  SELECT z.zone, h.n,
+         GREATEST(CAST(0 AS BIGINT),
+           LEAST((h.ix + 1) * {nano} - 180000000000, z.zx1)
+           - GREATEST(h.ix * {nano} - 180000000000, z.zx0)) AS ox,
+         GREATEST(CAST(0 AS BIGINT),
+           LEAST((h.iy + 1) * {nano} - 90000000000, z.zy1)
+           - GREATEST(h.iy * {nano} - 90000000000, z.zy0)) AS oy
+  FROM psa_h h JOIN psa_z z
+    ON h.ix * {nano} - 180000000000 < z.zx1
+   AND (h.ix + 1) * {nano} - 180000000000 > z.zx0
+   AND h.iy * {nano} - 90000000000 < z.zy1
+   AND (h.iy + 1) * {nano} - 90000000000 > z.zy0),
+psa_e AS (
+  SELECT zone,
+         CAST(sum(n * (((1000 * ox){div}{nano})
+                       * ((1000 * oy){div}{nano}))){div}1000000
+              AS BIGINT) AS est_n
+  FROM psa_c GROUP BY zone),
+psa_x AS (
+  SELECT z.zone, CAST(count(t.i) AS BIGINT) AS exact_n
+  FROM psa_z z LEFT JOIN (
+    SELECT i, CAST(floor(lon * 1e9) AS BIGINT) AS lx,
+           CAST(floor(lat * 1e9) AS BIGINT) AS ly FROM tiles) t
+    ON t.lx >= z.zx0 AND t.lx < z.zx1
+   AND t.ly >= z.zy0 AND t.ly < z.zy1
+  GROUP BY z.zone)
+SELECT x.zone, x.exact_n,
+       coalesce(e.est_n, CAST(0 AS BIGINT)) AS est_n,
+       CAST(CASE WHEN x.exact_n >= coalesce(e.est_n, 0)
+            THEN (1000 * x.exact_n)
+                 {div}GREATEST(coalesce(e.est_n, CAST(0 AS BIGINT)),
+                               CAST(1 AS BIGINT))
+            ELSE (1000 * coalesce(e.est_n, CAST(0 AS BIGINT)))
+                 {div}GREATEST(x.exact_n, CAST(1 AS BIGINT)) END
+            AS BIGINT) AS qerr_milli
+FROM psa_x x LEFT JOIN psa_e e ON e.zone = x.zone
+"""
+
+
+@register(
+    "pip_selectivity_audit",
+    f"{_CTES},\n{_psa_sql(' // ')}",
+    doc="Cardinality-estimate audit for the flagship tile-in-zone "
+    "join: the planner-affordable estimate (res-7 occupied-cell "
+    "histogram x fractional bbox overlap, integer nano-degree "
+    "bounds, milli-per-axis fractions, uniformity assumption) vs the "
+    "exact per-zone count, with the classic q-error verdict — the "
+    "spatial rung of the optimizer-audit family beside "
+    "selectivity_qerror (predicates) and join_size_estimate "
+    "(equi-joins); the estimate touches only the bounded histogram "
+    "and zone frames.",
+)
+def q_pip_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    synth.zones_df(spark).createOrReplaceTempView("zones")
+    return spark.sql(f"WITH {_psa_sql(' DIV ')}")
