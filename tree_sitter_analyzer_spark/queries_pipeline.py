@@ -3872,3 +3872,74 @@ FROM tr_o o JOIN tr_r3 r ON r.tok = o.tok
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_tr_sql("spark"))
+
+
+# --- R372: cross-source quantile normalization ---------------------------------------------
+#
+# Batch-effect correction for mixed-source corpora (the ML-data
+# pipeline op behind "make source length distributions comparable"):
+# every source's n_chars histogram (bounded 50-char bins) is mapped
+# onto the POOLED distribution by exact mid-rank quantile matching —
+# pct = (2*cum_before + n)/2 / total in ppm, mapped to the smallest
+# pooled bin whose cumulative share covers it (a bounded x bounded
+# band join; never a per-row sort). Emits per-(source, bin) the rank,
+# the mapped bin and the shift, plus each source's mean absolute
+# shift — the "how skewed was this source" scorecard.
+
+
+def _qn_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH qn_b AS (
+  SELECT source, n_chars{div}50 AS bin, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+qn_s AS (
+  SELECT source, bin, n,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS BIGINT) AS cb,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM qn_b),
+qn_r AS (
+  SELECT source, bin, n,
+         ((2 * cb + n) * 500000){div}tot AS pct_ppm
+  FROM qn_s),
+qn_p AS (
+  SELECT bin,
+         CAST(sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cump,
+         CAST(sum(n) OVER () AS BIGINT) AS totp
+  FROM (SELECT bin, CAST(sum(n) AS BIGINT) AS n
+        FROM qn_b GROUP BY bin) t),
+qn_m AS (
+  SELECT r.source, r.bin, r.n, r.pct_ppm,
+         CAST(min(p.bin) AS BIGINT) AS mapped_bin
+  FROM qn_r r JOIN qn_p p
+    ON p.cump * 1000000 >= r.pct_ppm * p.totp
+  GROUP BY r.source, r.bin, r.n, r.pct_ppm)
+SELECT source, bin, n, pct_ppm, mapped_bin,
+       mapped_bin - bin AS shift,
+       CAST((1000 * sum(abs(mapped_bin - bin) * n)
+             OVER (PARTITION BY source))
+            {div}sum(n) OVER (PARTITION BY source) AS BIGINT)
+         AS src_mean_abs_shift_milli
+FROM qn_m
+"""
+
+
+@register(
+    "quantile_normalize",
+    _qn_sql("duck"),
+    doc="Cross-source quantile normalization of document lengths: "
+    "exact mid-rank quantile matching from each source's bounded "
+    "50-char-bin histogram onto the pooled distribution (bounded x "
+    "bounded band join, no per-row sort anywhere); per-(source, bin) "
+    "rank/mapping/shift plus each source's mean absolute shift — the "
+    "batch-effect correction scorecard beside domain_mix_sample "
+    "(composition) and embedding_source_shift (representation "
+    "drift).",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_qn_sql("spark"))

@@ -13161,3 +13161,77 @@ FROM sdx_b b CROSS JOIN sdx_g g
 def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_soundex_sql("spark"))
+
+# --- R373: Young-Daly checkpoint-interval ladder -------------------------------------------
+#
+# The engine ships checkpoint/resume machinery (streaming/checkpoint,
+# I6/I7); this op PLANS it. Checkpoint write cost delta comes from the
+# data (total raster payload bytes at a 200 MB/s writer literal), MTBF
+# is a 1-hour literal, and the first-order expected waste rate
+# waste(W) = delta/W + W/(2M) is evaluated in exact ppm over a
+# geometric 16-step interval ladder anchored at delta (which brackets
+# the Young-Daly optimum W* = sqrt(2*delta*M) whenever 2M >= delta —
+# no square root ever computed; the power-of-two multipliers are a
+# VALUES literal table, no float power). The best rung and the
+# not-at-the-edge bracket certificate are emitted in-result.
+
+_YD_MTBF_MS, _YD_WRITE_BPMS, _YD_STEPS = 3600000, 200000, 16
+
+
+def _yd_body(div: str) -> str:
+    vals = ", ".join(f"({k}, {1 << k})" for k in range(_YD_STEPS))
+    return f"""yd_d AS (
+  SELECT GREATEST(CAST(1 AS BIGINT),
+           CAST(sum(CAST(w AS BIGINT) * CAST(h AS BIGINT) * 3)
+                AS BIGINT){div}{_YD_WRITE_BPMS}) AS delta_ms
+  FROM tiles),
+yd_l AS (
+  SELECT g.k, g.p2, d.delta_ms, d.delta_ms * g.p2 AS w_ms
+  FROM (SELECT * FROM (VALUES {vals}) AS t(k, p2)) g
+  CROSS JOIN yd_d d),
+yd_w AS (
+  SELECT k, delta_ms, w_ms,
+         (1000000 * delta_ms){div}w_ms
+           + (1000000 * w_ms){div}(2 * {_YD_MTBF_MS}) AS waste_ppm
+  FROM yd_l),
+yd_m AS (
+  SELECT k, delta_ms, w_ms, waste_ppm,
+         min(waste_ppm) OVER () AS minwaste
+  FROM yd_w),
+yd_f AS (
+  SELECT k, delta_ms, w_ms, waste_ppm, minwaste,
+         min(CASE WHEN waste_ppm = minwaste THEN k END) OVER ()
+           AS best_k
+  FROM yd_m)
+SELECT k, delta_ms, w_ms, waste_ppm,
+       CAST(CASE WHEN waste_ppm = minwaste THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best,
+       CAST(CASE WHEN best_k NOT IN (0, {_YD_STEPS - 1})
+            THEN 1 ELSE 0 END AS BIGINT) AS bracket_ok
+FROM yd_f"""
+
+
+def _yd_oracle() -> str:
+    from . import synth as _synth
+
+    return f"WITH tiles AS (\n{_synth.tiles_sql()}\n),\n{_yd_body(' // ')}"
+
+
+@register(
+    "youngdaly_checkpoint",
+    _yd_oracle(),
+    doc="Young-Daly checkpoint-interval planner: write cost delta from "
+    "the data (total raster payload at a 200 MB/s writer literal), "
+    "1-hour MTBF, first-order waste rate delta/W + W/(2M) in exact "
+    "ppm over a 16-rung power-of-two ladder anchored at delta (VALUES "
+    "literal multipliers — no float power, no square root; the ladder "
+    "brackets W* = sqrt(2 delta M) by construction, certified by the "
+    "not-at-the-edge flag) — the planning op for the engine's own "
+    "checkpoint/resume machinery (I6/I7) beside compaction_plan and "
+    "snapshot_expiry.",
+)
+def q_youngdaly_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import synth as _synth
+
+    _synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_yd_body(' DIV ')}")

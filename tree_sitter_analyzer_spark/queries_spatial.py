@@ -3305,3 +3305,92 @@ def q_pip_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
     synth.zones_df(spark).createOrReplaceTempView("zones")
     return spark.sql(f"WITH {_psa_sql(' DIV ')}")
+
+
+# --- R371: 1-median facility placement -----------------------------------------------------
+#
+# Facility-location OPTIMIZATION beside kcenter_seeds (coverage
+# seeding): place ONE depot on the res-7 grid minimizing total
+# demand-weighted L1 travel (cell units). The separability theorem
+# makes the true optimum exact and cheap: under L1 the cost splits
+# into independent x and y sums, each minimized at the demand-weighted
+# MEDIAN — computed from the bounded histogram, no search. The query
+# evaluates the 15 densest cells PLUS the median cell against the
+# bounded-histogram fan (occupied cells x 16 candidates), emits the
+# exact cost ladder, and pins the theorem in-result: the median cell's
+# cost must be the minimum (optimal_ok). The densest-cell heuristic's
+# regret in milli is the managerial takeaway.
+
+_P1M_RES = 7
+
+
+def _p1m_sql(div: str) -> str:
+    r = _P1M_RES
+    return f"""
+p1_h AS (
+  SELECT {grid.ix_sql('lon', r)} AS ix, {grid.iy_sql('lat', r)} AS iy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2),
+p1_t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM p1_h),
+p1_mx AS (
+  SELECT min(ix) AS mx FROM (
+    SELECT ix, sum(n) OVER (ORDER BY ix
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM (SELECT ix, CAST(sum(n) AS BIGINT) AS n FROM p1_h GROUP BY ix)
+      x CROSS JOIN p1_t t) s CROSS JOIN p1_t t2
+  WHERE s.c * 2 >= t2.total),
+p1_my AS (
+  SELECT min(iy) AS my FROM (
+    SELECT iy, sum(n) OVER (ORDER BY iy
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM (SELECT iy, CAST(sum(n) AS BIGINT) AS n FROM p1_h GROUP BY iy)
+      y CROSS JOIN p1_t t) s CROSS JOIN p1_t t2
+  WHERE s.c * 2 >= t2.total),
+p1_cand AS (
+  SELECT ix, iy, n, CAST(0 AS BIGINT) AS is_median FROM (
+    SELECT ix, iy, n, row_number() OVER (ORDER BY n DESC, ix, iy) AS rk
+    FROM p1_h) d WHERE rk <= 15
+  UNION
+  SELECT x.mx, y.my, coalesce(h.n, CAST(0 AS BIGINT)),
+         CAST(1 AS BIGINT)
+  FROM p1_mx x CROSS JOIN p1_my y
+  LEFT JOIN p1_h h ON h.ix = x.mx AND h.iy = y.my),
+p1_cost AS (
+  SELECT c.ix, c.iy, max(c.n) AS n_self, max(c.is_median) AS is_median,
+         CAST(sum(h.n * (abs(h.ix - c.ix) + abs(h.iy - c.iy)))
+              AS BIGINT) AS cost
+  FROM p1_cand c CROSS JOIN p1_h h
+  GROUP BY c.ix, c.iy),
+p1_w AS (
+  SELECT ix, iy, n_self, is_median, cost,
+         max(n_self) OVER () AS maxn,
+         min(cost) OVER () AS mincost,
+         max(CASE WHEN is_median = 1 THEN cost END) OVER () AS medcost
+  FROM p1_cost)
+SELECT ix, iy, n_self, is_median, cost,
+       CAST(row_number() OVER (ORDER BY cost, ix, iy) AS BIGINT)
+         AS cost_rank,
+       CAST(CASE WHEN medcost = mincost THEN 1 ELSE 0 END AS BIGINT)
+         AS optimal_ok,
+       CAST((1000 * max(CASE WHEN n_self = maxn THEN cost END)
+                    OVER ()){div}mincost - 1000 AS BIGINT)
+         AS densest_regret_milli
+FROM p1_w
+"""
+
+
+@register(
+    "p1_median_site",
+    f"{_CTES},\n{_p1m_sql(' // ')}",
+    doc="1-median depot placement on the res-7 grid under L1 travel: "
+    "the separability theorem gives the TRUE optimum from two "
+    "weighted medians on the bounded histogram (no search); the "
+    "query ranks it against the 15 densest cells on the exact "
+    "demand-weighted cost fan, pins median-optimality in-result "
+    "(optimal_ok) and prices the densest-cell heuristic's regret — "
+    "facility-location optimization beside kcenter_seeds (coverage) "
+    "and accessibility_2sfca (catchment measurement).",
+)
+def q_p1_median_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_p1m_sql(' DIV ')}")
