@@ -12516,12 +12516,19 @@ def q_hash_ring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the triple fan never explodes at 10^12 baskets.
 
 
-def _apriori_sql(engine: str) -> str:
-    div = " DIV " if engine == "spark" else " // "
-    return f"""
-WITH ap_b AS (
+def _apriori_ctes(div: str, materialized: bool = False) -> str:
+    # Spark inlines every CTE reference; ap_b feeds four downstream
+    # consumers, so the Spark side pre-materializes it (localCheckpoint
+    # + temp view) and splices a view scan here instead of re-running
+    # the join+distinct per consumer. The oracle keeps the inline CTE.
+    base = (
+        "ap_b AS (SELECT oid, item FROM ap_b_mat),"
+        if materialized
+        else """ap_b AS (
   SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),"""
+    )
+    return f"""{base}
 ap_n AS (
   SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_baskets FROM ap_b),
 ap_f1 AS (
@@ -12560,7 +12567,23 @@ ap_s3 AS (
   JOIN ap_bf a ON a.item = c.i1
   JOIN ap_bf b ON b.oid = a.oid AND b.item = c.i2
   JOIN ap_bf d ON d.oid = a.oid AND d.item = c.i3
-  GROUP BY 1, 2, 3)
+  GROUP BY 1, 2, 3)"""
+
+
+def _apriori_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the distinct (order, brand) basket frame once."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+        "SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item"
+        " FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("ap_b_mat")
+
+
+def _apriori_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH {_apriori_ctes(div, materialized=engine == "spark")}
 SELECT s.i1, s.i2, s.i3, s.support,
        CAST((1000000 * s.support){div}m.n_baskets AS BIGINT)
          AS support_ppm,
@@ -12586,8 +12609,7 @@ WHERE s.support >= m.minsup
     "unordered counterpart of seq_patterns.",
 )
 def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _apriori_prepare(spark, sf_dir)
     return spark.sql(_apriori_sql("spark"))
 
 
@@ -13235,3 +13257,230 @@ def q_youngdaly_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
     return spark.sql(f"WITH {_yd_body(' DIV ')}")
+
+
+# --- R374: association rules from frequent triples -----------------------------------------
+#
+# The rule-mining rung above apriori_triples (itemsets say WHAT
+# co-occurs; rules say WHICH WAY the implication is useful): every
+# frequent triple {a,b,c} yields its three pair->item rules, scored
+# with exact integer confidence (s3/s_pair) and lift
+# (s3*N / (s_pair*s_item)) in milli — lift > 1000 means the
+# antecedent genuinely raises the consequent's probability. Pair and
+# item supports come from the same pruned-basket frames the triples
+# were counted on, so the whole derivation shares one A-priori
+# cascade.
+
+
+def _rules_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH {_apriori_ctes(div, materialized=engine == "spark")},
+ar_t AS (
+  SELECT s.i1, s.i2, s.i3, s.support FROM ap_s3 s CROSS JOIN ap_ms m
+  WHERE s.support >= m.minsup),
+ar_ps AS (
+  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS sp
+  FROM ap_bf a JOIN ap_bf b ON b.oid = a.oid AND b.item > a.item
+  GROUP BY 1, 2),
+ar_is AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS si FROM ap_bf GROUP BY 1),
+ar_r AS (
+  SELECT t.i1 AS ante1, t.i2 AS ante2, t.i3 AS cons, t.support,
+         p.sp AS pair_support, i.si AS cons_support
+  FROM ar_t t
+  JOIN ar_ps p ON p.i1 = t.i1 AND p.i2 = t.i2
+  JOIN ar_is i ON i.item = t.i3
+  UNION ALL
+  SELECT t.i1, t.i3, t.i2, t.support, p.sp, i.si
+  FROM ar_t t
+  JOIN ar_ps p ON p.i1 = t.i1 AND p.i2 = t.i3
+  JOIN ar_is i ON i.item = t.i2
+  UNION ALL
+  SELECT t.i2, t.i3, t.i1, t.support, p.sp, i.si
+  FROM ar_t t
+  JOIN ar_ps p ON p.i1 = t.i2 AND p.i2 = t.i3
+  JOIN ar_is i ON i.item = t.i1)
+SELECT r.ante1, r.ante2, r.cons, r.support,
+       CAST((1000 * r.support){div}r.pair_support AS BIGINT)
+         AS conf_milli,
+       CAST((1000 * r.support * m.n_baskets)
+            {div}(r.pair_support * r.cons_support) AS BIGINT)
+         AS lift_milli
+FROM ar_r r CROSS JOIN ap_ms m
+"""
+
+
+@register(
+    "assoc_rules",
+    _rules_sql("duck"),
+    doc="Association rules from the frequent brand triples: each "
+    "triple's three pair->item rules with exact integer confidence "
+    "(triple/pair support) and lift (does the antecedent RAISE the "
+    "consequent's probability — milli, 1000 = independence), pair "
+    "and item supports shared with the same A-priori cascade — the "
+    "directional rung above apriori_triples, completing the "
+    "market-basket story (itemsets -> rules).",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _apriori_prepare(spark, sf_dir)
+    return spark.sql(_rules_sql("spark"))
+
+
+# --- R375: historical VaR / expected shortfall ---------------------------------------------
+#
+# Risk measurement completes the finance triad (drawdown_stats = risk
+# realized path-wise, min_var_portfolio = risk planned, this = risk
+# QUANTIFIED distributionally): day-over-day revenue changes on the
+# bounded densified 1996 calendar, exact order statistics by window
+# rank (365 deltas — a bounded frame, no histogram detour needed),
+# historical VaR at 95/99 as the k-th worst delta with
+# k = ceil(alpha*n), and expected shortfall as the exact mean of the
+# tail at-or-below VaR. The coherence property ES <= VaR (ES is a
+# tail MEAN) is emitted as a certificate column.
+
+
+def _var_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(1, 366)) AS doy"
+        if engine == "spark"
+        else "SELECT unnest(range(1, 367)) AS doy"
+    )
+    return f"""
+WITH vr_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+                       AS BIGINT)){div}1000 AS BIGINT) AS y
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+vr_y AS (
+  SELECT c.doy, coalesce(d.y, CAST(0 AS BIGINT)) AS y
+  FROM ({cal}) c LEFT JOIN vr_d d ON d.doy = c.doy),
+vr_dl AS (
+  SELECT doy, y - lag(y) OVER (ORDER BY doy) AS dl
+  FROM vr_y),
+vr_r AS (
+  SELECT doy, dl,
+         CAST(row_number() OVER (ORDER BY dl, doy) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM vr_dl WHERE dl IS NOT NULL),
+vr_k AS (
+  SELECT n, (5 * n + 99){div}100 AS k95, (1 * n + 99){div}100 AS k99
+  FROM vr_r LIMIT 1),
+vr_v AS (
+  SELECT k.n,
+         max(CASE WHEN r.rk = k.k95 THEN r.dl END) AS var95,
+         max(CASE WHEN r.rk = k.k99 THEN r.dl END) AS var99,
+         CAST(sum(CASE WHEN r.rk <= k.k95 THEN r.dl END)
+              AS BIGINT){div}k.k95 AS es95,
+         CAST(sum(CASE WHEN r.rk <= k.k99 THEN r.dl END)
+              AS BIGINT){div}k.k99 AS es99,
+         min(r.dl) AS worst_delta
+  FROM vr_r r CROSS JOIN vr_k k
+  GROUP BY k.n, k.k95, k.k99)
+SELECT n AS n_deltas, var95, es95, var99, es99, worst_delta,
+       CAST(CASE WHEN es95 <= var95 AND es99 <= var99
+                  AND es99 <= es95 THEN 1 ELSE 0 END AS BIGINT)
+         AS coherent_ok
+FROM vr_v
+"""
+
+
+@register(
+    "var_es_risk",
+    _var_sql("duck"),
+    doc="Historical VaR and expected shortfall of day-over-day 1996 "
+    "revenue changes: exact order statistics by rank on the bounded "
+    "densified calendar (365 deltas), VaR95/99 as the ceil(alpha*n)-"
+    "th worst delta, ES as the exact integer tail mean, with the "
+    "coherence certificate ES <= VaR and ES99 <= ES95 in-result — "
+    "risk QUANTIFIED beside drawdown_stats (realized) and "
+    "min_var_portfolio (planned).",
+)
+def q_var_es_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_var_sql("spark"))
+
+
+# --- R376: Denning working-set ladder ------------------------------------------------------
+#
+# Temporal-locality analysis in the bounded shape (Denning 1968): the
+# (brand, day) presence matrix of 1996 shipments is a bounded 25x366
+# frame; for each window size tau the working set W(tau) = number of
+# distinct brands touched in the trailing tau days, computed as one
+# windowed max-of-presence pass per tau over the DENSIFIED frame
+# (never a per-access reuse-distance scan — at 10^12 accesses only
+# the collapsed presence matrix is affordable). Emits mean/min/max
+# working set per tau (post-warmup) and the marginal gain over the
+# previous rung — the curve a cache/prefetch planner reads.
+
+_WS_TAUS = (1, 7, 14, 30)
+
+
+def _ws_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(1, 366)) AS doy"
+        if engine == "spark"
+        else "SELECT unnest(range(1, 367)) AS doy"
+    )
+    taus = ", ".join(str(t) for t in _WS_TAUS)
+    tgen = (
+        f"SELECT explode(array({taus})) AS tau"
+        if engine == "spark"
+        else f"SELECT unnest([{taus}]) AS tau"
+    )
+    return f"""
+WITH ws_p AS (
+  SELECT p.p_brand AS b, dayofyear(CAST(l.l_shipdate AS DATE)) AS doy,
+         CAST(1 AS BIGINT) AS pres
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) = 1996
+  GROUP BY 1, 2),
+ws_d AS (
+  SELECT b.b, c.doy, coalesce(p.pres, CAST(0 AS BIGINT)) AS pres
+  FROM (SELECT DISTINCT b FROM ws_p) b
+  CROSS JOIN ({cal}) c
+  LEFT JOIN ws_p p ON p.b = b.b AND p.doy = c.doy),
+ws_t AS ({tgen}),
+ws_w AS (
+  SELECT t.tau, d.doy,
+         CAST(sum(CASE t.tau WHEN 1 THEN d.pres WHEN 7 THEN d.s7
+                  WHEN 14 THEN d.s14 ELSE d.s30 END) AS BIGINT) AS ws
+  FROM ws_t t CROSS JOIN (
+    SELECT b, doy, pres,
+           max(pres) OVER (PARTITION BY b ORDER BY doy
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS s30,
+           max(pres) OVER (PARTITION BY b ORDER BY doy
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS s14,
+           max(pres) OVER (PARTITION BY b ORDER BY doy
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7
+    FROM ws_d) d
+  WHERE d.doy >= t.tau
+  GROUP BY t.tau, d.doy)
+SELECT tau,
+       CAST((1000 * sum(ws)){div}count(*) AS BIGINT) AS mean_ws_milli,
+       CAST(min(ws) AS BIGINT) AS min_ws,
+       CAST(max(ws) AS BIGINT) AS max_ws,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM ws_w GROUP BY tau
+"""
+
+
+@register(
+    "working_set_model",
+    _ws_sql("duck"),
+    doc="Denning working-set ladder over the bounded (brand, day) "
+    "presence matrix of 1996 shipments: W(tau) = distinct brands "
+    "touched in the trailing tau days, one windowed max-of-presence "
+    "pass per rung on the DENSIFIED 25x366 frame (never a per-access "
+    "reuse-distance scan — only the collapsed presence matrix is "
+    "affordable at 10^12 accesses); mean/min/max working set per tau "
+    "post-warmup — the temporal-locality curve a cache or prefetch "
+    "planner reads, beside topk_churn (set turnover) and "
+    "seasonal_decomposition (cyclic structure).",
+)
+def q_working_set_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_ws_sql("spark"))
