@@ -3943,3 +3943,101 @@ FROM qn_m
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_qn_sql("spark"))
+
+
+# --- R379: TextTiling topic-boundary detection ---------------------------------------------
+#
+# Discourse segmentation (Hearst 1997) — the boundary-DETECTION rung
+# the chunking pipeline (doc_chunks slices by fixed stride) lacks:
+# at every intra-document gap position the k=8-token windows on each
+# side are compared by exact integer Jaccard (band join of tokens to
+# gaps, +-k positions, bounded per-document work like winnowing), and
+# topic boundaries are the strict local minima of the cohesion curve.
+# Emits per document the gap census, mean cohesion, valley count and
+# the deepest valley (min-id tie-break) — what a RAG ingest would use
+# to cut chunks at topic shifts instead of byte offsets.
+
+_TT_K = 8
+
+
+def _tt_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    if engine == "spark":
+        # posexplode is 0-based, generate_subscripts 1-based; positions
+        # are ABSOLUTE here (deepest_g is an output), so align to 1-based.
+        toks = (
+            "SELECT doc_id, pos + 1 AS pos, tok FROM documents"
+            " LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"
+        )
+    else:
+        toks = (
+            "SELECT doc_id,"
+            " generate_subscripts(string_split(text, ' '), 1) AS pos,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents"
+        )
+    k = _TT_K
+    return f"""
+WITH tt_t AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+  FROM ({toks}) raw WHERE tok <> ''),
+tt_len AS (
+  SELECT doc_id, CAST(max(pos) AS BIGINT) AS mx,
+         CAST(min(pos) AS BIGINT) AS mn
+  FROM tt_t GROUP BY 1),
+tt_g AS (
+  SELECT t.doc_id, t.pos AS g
+  FROM tt_t t JOIN tt_len l ON l.doc_id = t.doc_id
+  WHERE t.pos >= l.mn + {k} - 1 AND t.pos <= l.mx - {k}
+  GROUP BY t.doc_id, t.pos),
+tt_m AS (
+  SELECT g.doc_id, g.g, t.tok,
+         max(CASE WHEN t.pos <= g.g THEN 1 ELSE 0 END) AS inl,
+         max(CASE WHEN t.pos > g.g THEN 1 ELSE 0 END) AS inr
+  FROM tt_g g JOIN tt_t t
+    ON t.doc_id = g.doc_id
+   AND t.pos > g.g - {k} AND t.pos <= g.g + {k}
+  GROUP BY g.doc_id, g.g, t.tok),
+tt_j AS (
+  SELECT doc_id, g,
+         CAST((1000 * sum(CASE WHEN inl = 1 AND inr = 1
+                          THEN 1 ELSE 0 END)){div}count(*) AS BIGINT)
+           AS jac
+  FROM tt_m GROUP BY doc_id, g),
+tt_v AS (
+  SELECT doc_id, g, jac,
+         lag(jac) OVER (PARTITION BY doc_id ORDER BY g) AS pj,
+         lead(jac) OVER (PARTITION BY doc_id ORDER BY g) AS nj
+  FROM tt_j),
+tt_d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST((1000 * sum(jac)){div}(1000 * count(*)) AS BIGINT)
+           AS mean_jac_milli,
+         CAST(sum(CASE WHEN pj IS NOT NULL AND nj IS NOT NULL
+                        AND jac < pj AND jac < nj
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys,
+         CAST(min(jac) AS BIGINT) AS deepest_jac_milli
+  FROM tt_v GROUP BY doc_id)
+SELECT d.doc_id, d.n_gaps, d.mean_jac_milli, d.n_valleys,
+       d.deepest_jac_milli,
+       CAST(min(v.g) AS BIGINT) AS deepest_g
+FROM tt_d d JOIN tt_v v
+  ON v.doc_id = d.doc_id AND v.jac = d.deepest_jac_milli
+GROUP BY d.doc_id, d.n_gaps, d.mean_jac_milli, d.n_valleys,
+         d.deepest_jac_milli
+"""
+
+
+@register(
+    "texttiling_boundaries",
+    _tt_sql("duck"),
+    doc="TextTiling topic-boundary detection: per intra-document gap, "
+    "exact integer Jaccard between the k=8-token windows each side "
+    "(band join, bounded per-doc work); boundaries = strict local "
+    "minima of the cohesion curve; per-doc gap census, mean "
+    "cohesion, valley count and the deepest valley with min-id "
+    "tie-break — the topic-shift chunk cutter beside doc_chunks' "
+    "fixed-stride slicing.",
+)
+def q_texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_tt_sql("spark"))

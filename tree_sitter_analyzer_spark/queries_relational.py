@@ -13484,3 +13484,87 @@ def q_working_set_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_ws_sql("spark"))
+
+
+# --- R377: bullwhip-effect ratio -----------------------------------------------------------
+#
+# Supply-chain signal amplification (Lee et al. 1997): the variance of
+# what flows UPSTREAM (weekly shipment revenue, batched and lagged)
+# over the variance of the demand signal (weekly order totals), each
+# as a squared coefficient of variation so the ratio is unit- and
+# volume-free. Weekly values are SELF-NORMALIZED before squaring —
+# v = (5200 * weekly) DIV yearly puts every week near 100 regardless
+# of SF, so all squares stay tiny at any data scale (the magnitude
+# discipline); CV^2 in ppm, bullwhip ratio in milli (>1000 = the
+# chain amplifies noise). Emits the 52 normalized week pairs plus the
+# envelope.
+
+
+def _bw_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(0, 51)) AS wk"
+        if engine == "spark"
+        else "SELECT unnest(range(0, 52)) AS wk"
+    )
+    return f"""
+WITH bw_o AS (
+  SELECT (dayofyear(CAST(o_orderdate AS DATE)) - 1){div}7 AS wk,
+         CAST(sum(CAST(floor(o_totalprice * 100e0) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders WHERE year(o_orderdate) = 1996
+  GROUP BY 1 HAVING (dayofyear(CAST(o_orderdate AS DATE)) - 1){div}7
+                    <= 51),
+bw_s AS (
+  SELECT (dayofyear(CAST(l_shipdate AS DATE)) - 1){div}7 AS wk,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+              AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem WHERE year(l_shipdate) = 1996
+  GROUP BY 1 HAVING (dayofyear(CAST(l_shipdate AS DATE)) - 1){div}7
+                    <= 51),
+bw_t AS (
+  SELECT (SELECT CAST(sum(v) AS BIGINT) FROM bw_o) AS tot_o,
+         (SELECT CAST(sum(v) AS BIGINT) FROM bw_s) AS tot_s),
+bw_n AS (
+  SELECT c.wk,
+         (5200 * coalesce(o.v, CAST(0 AS BIGINT))){div}t.tot_o AS vo,
+         (5200 * coalesce(s.v, CAST(0 AS BIGINT))){div}t.tot_s AS vs
+  FROM ({cal}) c
+  LEFT JOIN bw_o o ON o.wk = c.wk
+  LEFT JOIN bw_s s ON s.wk = c.wk
+  CROSS JOIN bw_t t),
+bw_cv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vo) AS BIGINT) AS so,
+         CAST(sum(vo * vo) AS BIGINT) AS qo,
+         CAST(sum(vs) AS BIGINT) AS ss,
+         CAST(sum(vs * vs) AS BIGINT) AS qs
+  FROM bw_n),
+bw_r AS (
+  SELECT n,
+         (1000000 * (n * qo - so * so)){div}(so * so) AS cv2_o_ppm,
+         (1000000 * (n * qs - ss * ss)){div}(ss * ss) AS cv2_s_ppm
+  FROM bw_cv)
+SELECT b.wk, b.vo AS demand_norm, b.vs AS upstream_norm,
+       r.cv2_o_ppm, r.cv2_s_ppm,
+       CAST((1000 * r.cv2_s_ppm){div}GREATEST(r.cv2_o_ppm,
+            CAST(1 AS BIGINT)) AS BIGINT) AS bullwhip_milli
+FROM bw_n b CROSS JOIN bw_r r
+"""
+
+
+@register(
+    "bullwhip_ratio",
+    _bw_sql("duck"),
+    doc="Bullwhip-effect measurement: CV^2 of weekly upstream shipment "
+    "revenue over CV^2 of weekly order demand (1996, 52 full weeks), "
+    "each week SELF-NORMALIZED to ~100 via (5200*weekly) DIV yearly "
+    "so every square stays tiny at any SF; CV^2 in exact ppm, "
+    "bullwhip ratio in milli (>1000 = the chain amplifies demand "
+    "noise) — supply-chain dynamics beside forecast_eval and "
+    "excess_stock_suppliers.",
+)
+def q_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_bw_sql("spark"))

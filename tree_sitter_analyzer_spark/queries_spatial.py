@@ -3394,3 +3394,92 @@ FROM p1_w
 def q_p1_median_site(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
     return spark.sql(f"WITH {_p1m_sql(' DIV ')}")
+
+
+# --- R378: metric kNN re-rank audit --------------------------------------------------------
+#
+# The query-level companion of geodesic_nn_flip (R361): for each of
+# the 50 kNN probes, the nearest tile is decided twice — in planar
+# micro-degrees and in ground mm (longitude scaled by the probe's
+# latitude-band literal meters-per-degree) — with exact integer
+# distances and deterministic id tie-breaks (min-id among argmin
+# rows, the two-pass exact pattern). Per-probe verdicts plus the
+# disagreement envelope quantify how often a degree-planar kNN hands
+# back the wrong neighbor HERE; the bounded probe set broadcasts, so
+# the scan shape is the ANN-brute pattern.
+
+
+def _mkr_sql(div: str) -> str:
+    ml = _gd_case(_GD_MLON, col="band")
+    return f"""
+mk_t AS (
+  SELECT i, CAST(floor(lon * 1000000e0) AS BIGINT) AS tx,
+         CAST(floor(lat * 1000000e0) AS BIGINT) AS ty
+  FROM tiles),
+mk_q AS (
+  SELECT query_id,
+         CAST(floor(qlon * 1000000e0) AS BIGINT) AS qx,
+         CAST(floor(qlat * 1000000e0) AS BIGINT) AS qy,
+         LEAST(9, GREATEST(0,
+           CAST(floor((qlat - 35.4e0) * 20.0e0) AS BIGINT))) AS band
+  FROM qpoints),
+mk_d AS (
+  SELECT q.query_id, q.band, t.i,
+         (t.tx - q.qx) * (t.tx - q.qx)
+           + (t.ty - q.qy) * (t.ty - q.qy) AS d2p,
+         (((t.tx - q.qx) * {ml}){div}1000)
+           * (((t.tx - q.qx) * {ml}){div}1000)
+           + (((t.ty - q.qy) * {_GD_MLAT}){div}1000)
+           * (((t.ty - q.qy) * {_GD_MLAT}){div}1000) AS d2m
+  FROM mk_q q CROSS JOIN mk_t t),
+mk_min AS (
+  SELECT query_id, CAST(min(d2p) AS BIGINT) AS mp,
+         CAST(min(d2m) AS BIGINT) AS mm
+  FROM mk_d GROUP BY 1),
+mk_nn AS (
+  SELECT d.query_id,
+         CAST(min(CASE WHEN d.d2p = x.mp THEN d.i END) AS BIGINT)
+           AS planar_nn,
+         CAST(min(CASE WHEN d.d2m = x.mm THEN d.i END) AS BIGINT)
+           AS metric_nn,
+         CAST(min(x.mp) AS BIGINT) AS d2p_min,
+         CAST(min(x.mm) AS BIGINT) AS d2m_min,
+         CAST(min(d.band) AS BIGINT) AS band
+  FROM mk_d d JOIN mk_min x ON x.query_id = d.query_id
+  GROUP BY d.query_id),
+mk_g AS (
+  SELECT CAST(sum(CASE WHEN planar_nn <> metric_nn THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_disagree,
+         CAST(count(*) AS BIGINT) AS n_queries
+  FROM mk_nn)
+SELECT n.query_id, n.band, n.planar_nn, n.metric_nn,
+       CAST(CASE WHEN n.planar_nn <> n.metric_nn THEN 1 ELSE 0 END
+            AS BIGINT) AS flipped,
+       n.d2p_min, n.d2m_min,
+       g.n_disagree,
+       CAST((1000 * g.n_disagree){div}g.n_queries AS BIGINT)
+         AS disagree_milli
+FROM mk_nn n CROSS JOIN mk_g g
+"""
+
+
+@register(
+    "metric_knn_rerank",
+    f"{_CTES},\n{_mkr_sql(' // ')}",
+    doc="Query-level geodesic audit: each of the 50 kNN probes decides "
+    "its nearest tile twice — planar micro-degrees vs ground mm with "
+    "the probe-band literal meters-per-degree — exact integer "
+    "distances, min-id tie-breaks via the two-pass argmin pattern; "
+    "per-probe verdicts + the disagreement envelope say how often "
+    "degree-planar kNN returns the wrong neighbor, the retrieval "
+    "companion of geodesic_nn_flip's cell-level rate.",
+)
+def q_metric_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    spark.range(synth.N_QUERY_POINTS).selectExpr(
+        *[
+            f"{e} AS {n}"
+            for n, e in synth.qpoint_exprs("id").items()
+        ]
+    ).createOrReplaceTempView("qpoints")
+    return spark.sql(f"WITH {_mkr_sql(' DIV ')}")
