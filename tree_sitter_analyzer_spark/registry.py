@@ -364,6 +364,43 @@ _ROTATIONS_C8 = {
 GATE_ORDER = [_ROTATIONS_C8.get(n, n) for n in GATE_ORDER]
 
 
+# Continuation-11 rotation (R353-R379 families in; same policy — every
+# rotated-out query stays sweep- and pytest-oracle-verified):
+# curve_range_plan → pip_selectivity_audit (the LAYOUT family keeps TWO
+#   in-gate rows, range_fragmentation + zonemap_prune; the spatial
+#   cardinality-estimate audit extends the optimizer-audit family onto
+#   the flagship join),
+# directional_variogram → projection_distortion (geostatistics stays
+#   sweep-oracled; the geodesy family — projection bias of the
+#   degree-planar grid itself — is new and north-rule-central),
+# pca_power → als_halfstep (spectral analytics stays sweep-oracled; the
+#   ML-training-as-a-Spark-job family gets its gate row via the
+#   closed-form per-user ridge solve),
+# kaplan_meier → gale_shapley (survival stays sweep-oracled beside
+#   logrank_test; two-sided market design with the in-result stability
+#   certificate is a new family),
+# forecast_eval → chain_ladder (model-eval keeps auc_eval in-gate; the
+#   development-triangle PROJECTION with reserves is the richer
+#   forecasting rung),
+# bradley_terry → queue_depth_replay (preference aggregation stays
+#   sweep-oracled and gale_shapley covers two-sided preferences; exact
+#   Lindley queue dynamics had no gate row),
+# map_match → hash_ring_audit (movement keeps convoy_pairs +
+#   least_cost_path + epidemic_reach in-gate; data-placement/
+#   consistent-hashing with the minimal-disruption certificate is a
+#   new systems family).
+_ROTATIONS_C11 = {
+    "curve_range_plan": "pip_selectivity_audit",
+    "directional_variogram": "projection_distortion",
+    "pca_power": "als_halfstep",
+    "kaplan_meier": "gale_shapley",
+    "forecast_eval": "chain_ladder",
+    "bradley_terry": "queue_depth_replay",
+    "map_match": "hash_ring_audit",
+}
+GATE_ORDER = [_ROTATIONS_C11.get(n, n) for n in GATE_ORDER]
+
+
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side-effect registration),
     returning the registry in gate order (GATE_ORDER first, then any
