@@ -4041,3 +4041,110 @@ GROUP BY d.doc_id, d.n_gaps, d.mean_jac_milli, d.n_valleys,
 def q_texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_tt_sql("spark"))
+
+
+# --- R381: embedding triplet evaluation ----------------------------------------------------
+#
+# Representation-quality eval by exact L2 triplet tests: every vector
+# is an anchor; its positive is the next same-label vector in cyclic
+# vec_id order (deterministic, no sampling), its negative the
+# md5-argmin different-label vector — both resolved by min-key
+# aggregation over the bounded embedding table. Components quantized
+# to integer milli (floor(e*1000), the ANN discipline), squared L2
+# distances summed over exploded (pair, pos) rows, violation =
+# d2(a,p) >= d2(a,n). Per-label violation rates + mean margin in the
+# envelope — the eval rung beside knn_label_noise (labels) and
+# embedding_isotropy (geometry).
+
+
+def _te_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    div = " DIV " if engine == "spark" else " // "
+    if engine == "spark":
+        comp = (
+            "SELECT vec_id, label, pos,"
+            " CAST(floor(c * 1000e0) AS BIGINT) AS q FROM embeddings"
+            " LATERAL VIEW posexplode(embedding) t AS pos, c"
+        )
+        ncat = (
+            "concat('trip_', CAST(a.vec_id AS STRING), '_',"
+            " CAST(b.vec_id AS STRING))"
+        )
+    else:
+        comp = (
+            "SELECT vec_id, label,"
+            " generate_subscripts(embedding, 1) AS pos,"
+            " CAST(floor(unnest(embedding) * 1000e0) AS BIGINT) AS q"
+            " FROM embeddings"
+        )
+        ncat = (
+            "'trip_' || CAST(a.vec_id AS VARCHAR) || '_'"
+            " || CAST(b.vec_id AS VARCHAR)"
+        )
+    return f"""
+WITH te_c AS ({comp}),
+te_v AS (SELECT DISTINCT vec_id, label FROM te_c),
+te_pos AS (
+  SELECT a.vec_id AS aid,
+         coalesce(
+           min(CASE WHEN b.vec_id > a.vec_id THEN b.vec_id END),
+           min(b.vec_id)) AS pid
+  FROM te_v a JOIN te_v b
+    ON b.label = a.label AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id),
+te_neg AS (
+  SELECT a.vec_id AS aid,
+         min_by(b.vec_id, {md5(ncat)}) AS nid
+  FROM te_v a JOIN te_v b ON b.label <> a.label
+  GROUP BY a.vec_id),
+te_tr AS (
+  SELECT p.aid, p.pid, n.nid
+  FROM te_pos p JOIN te_neg n ON n.aid = p.aid),
+te_dp AS (
+  SELECT t.aid,
+         CAST(sum((ca.q - cp.q) * (ca.q - cp.q)) AS BIGINT) AS d2p
+  FROM te_tr t
+  JOIN te_c ca ON ca.vec_id = t.aid
+  JOIN te_c cp ON cp.vec_id = t.pid AND cp.pos = ca.pos
+  GROUP BY t.aid),
+te_dn AS (
+  SELECT t.aid,
+         CAST(sum((ca.q - cn.q) * (ca.q - cn.q)) AS BIGINT) AS d2n
+  FROM te_tr t
+  JOIN te_c ca ON ca.vec_id = t.aid
+  JOIN te_c cn ON cn.vec_id = t.nid AND cn.pos = ca.pos
+  GROUP BY t.aid),
+te_j AS (
+  SELECT v.label, p.d2p, n.d2n,
+         CASE WHEN p.d2p >= n.d2n THEN 1 ELSE 0 END AS viol
+  FROM te_v v
+  JOIN te_dp p ON p.aid = v.vec_id
+  JOIN te_dn n ON n.aid = v.vec_id)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(viol) AS BIGINT) AS n_violations,
+       CAST((1000 * sum(viol)){div}count(*) AS BIGINT)
+         AS violation_milli,
+       CAST(sum(d2n - d2p){div}count(*) AS BIGINT) AS mean_margin
+FROM te_j GROUP BY label
+"""
+
+
+@register(
+    "triplet_eval",
+    _te_sql("duck"),
+    doc="Embedding-quality triplet eval: every vector anchors one "
+    "deterministic triplet (positive = next same-label id in cyclic "
+    "order, negative = md5-argmin different-label id), components "
+    "quantized to integer milli, exact squared-L2 over exploded "
+    "(pair, pos) rows; per-label violation rate (d2_pos >= d2_neg) "
+    "and mean margin — the representation-eval rung beside "
+    "knn_label_noise and embedding_isotropy.",
+)
+def q_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_te_sql("spark"))

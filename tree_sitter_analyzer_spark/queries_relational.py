@@ -13568,3 +13568,264 @@ def q_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_bw_sql("spark"))
+
+
+# --- R380: Markov removal-effect attribution -----------------------------------------------
+#
+# The data-driven attribution model that completes the triad
+# (linear_attribution = position-agnostic, shapley_attribution =
+# cooperative-game, this = Markov removal effect, Anderl et al. 2014):
+# with 'purchase' absorbing, sequence-end the NULL absorber and the
+# four other event types transient, the conversion probability from
+# the 'view' start state is b = ((I-Q)^-1 R)_view — computed EXACTLY
+# by the generated 4x4 cofactor expansion (the absorbing_chain
+# machinery, R-weighted adjugate). Each removable channel is then
+# DELETED (its row/col dropped -> a generated 3x3 cofactor system)
+# and its removal effect is 1 - b_removed/b_base; attribution shares
+# renormalize the effects. All integer, sign-safe, det > 0
+# certificates for every system.
+
+_MA_STATES = ["view", "click", "signup", "error"]  # view = start
+_MA_REMOVABLE = [1, 2, 3]
+
+
+def _ma_det(m, idx) -> str:
+    from itertools import permutations
+
+    n = len(idx)
+    terms = []
+    for perm in permutations(range(n)):
+        sgn = "+" if _ac_perm_sign(perm) > 0 else "-"
+        prod = " * ".join(m[idx[i]][idx[perm[i]]] for i in range(n))
+        terms.append(f"{sgn} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ma_adjr(m, r, idx, i: int) -> str:
+    """((adj(M) R)_i for the subsystem on rows/cols idx; i is a member
+    of idx. (adj(M) R)_i = sum_j (-1)^(pos_i+pos_j) minor(j, i) R_j."""
+    pi = idx.index(i)
+    terms = []
+    for pj, j in enumerate(idx):
+        sub = [k for k in idx if k != j]
+        subc = [k for k in idx if k != i]
+        sgn = "+" if (pi + pj) % 2 == 0 else "-"
+        terms.append(f"{sgn} {_ma_det_rect(m, sub, subc)} * {r[j]}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ma_det_rect(m, rows, cols) -> str:
+    from itertools import permutations
+
+    n = len(rows)
+    if n == 0:
+        return "1"
+    terms = []
+    for perm in permutations(range(n)):
+        sgn = "+" if _ac_perm_sign(perm) > 0 else "-"
+        prod = " * ".join(m[rows[i]][cols[perm[i]]] for i in range(n))
+        terms.append(f"{sgn} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ma_sql(div: str) -> str:
+    st = _MA_STATES
+    cnt = ",\n    ".join(
+        f"CAST(sum(CASE WHEN cur = '{a}' AND nxt = '{b}' THEN n ELSE 0"
+        f" END) AS BIGINT) AS c{i}{j}"
+        for i, a in enumerate(st)
+        for j, b in enumerate(st)
+    )
+    cpur = ",\n    ".join(
+        f"CAST(sum(CASE WHEN cur = '{a}' AND nxt = 'purchase' THEN n"
+        f" ELSE 0 END) AS BIGINT) AS p{i}"
+        for i, a in enumerate(st)
+    )
+    tot = ",\n    ".join(
+        f"GREATEST(CAST(sum(CASE WHEN cur = '{a}' THEN n ELSE 0 END)"
+        f" AS BIGINT), CAST(1 AS BIGINT)) AS t{i}"
+        for i, a in enumerate(st)
+    )
+    q = ",\n    ".join(
+        f"(1000 * c{i}{j}){div}t{i} AS q{i}{j}"
+        for i in range(4)
+        for j in range(4)
+    )
+    r = ",\n    ".join(f"(1000 * p{i}){div}t{i} AS r{i}" for i in range(4))
+    m = [
+        [f"({1000 if i == j else 0} - q{i}{j})" for j in range(4)]
+        for i in range(4)
+    ]
+    rv = [f"r{i}" for i in range(4)]
+    full = list(range(4))
+    base_det = _ma_det(m, full)
+    base_num = _ma_adjr(m, rv, full, 0)
+    systems = [("'(none)'", base_det, base_num)]
+    for k in _MA_REMOVABLE:
+        idx = [i for i in range(4) if i != k]
+        systems.append(
+            (f"'{st[k]}'", _ma_det(m, idx), _ma_adjr(m, rv, idx, 0))
+        )
+    sels = ",\n  ".join(
+        f"{d} AS det_{i}, {n} AS num_{i}"
+        for i, (_, d, n) in enumerate(systems)
+    )
+    outs = []
+    for i, (name, _, _) in enumerate(systems):
+        outs.append(
+            f"SELECT {name} AS removed,"
+            f" CAST(CASE WHEN det_{i} = 0 THEN 0"
+            f" ELSE (1000000 * num_{i}){div}det_{i} END AS BIGINT)"
+            f" AS p_conv_micro,"
+            f" CAST(det_{i} > 0 AS BIGINT) AS det_pos FROM ma_fin"
+        )
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH ma_seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events),
+ma_pairs AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM ma_seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+ma_wide AS (
+  SELECT
+    {cnt},
+    {cpur},
+    {tot}
+  FROM ma_pairs),
+ma_q AS (
+  SELECT *,
+    {q},
+    {r}
+  FROM ma_wide),
+ma_fin AS (
+  SELECT
+  {sels}
+  FROM ma_q),
+ma_p AS (
+  {union}),
+ma_base AS (
+  SELECT p_conv_micro AS base_micro FROM ma_p
+  WHERE removed = '(none)'),
+ma_eff AS (
+  SELECT p.removed, p.p_conv_micro, p.det_pos, b.base_micro,
+         CASE WHEN p.removed = '(none)' THEN 0
+              ELSE GREATEST(CAST(0 AS BIGINT),
+                1000 - (1000 * p.p_conv_micro)
+                       {div}GREATEST(b.base_micro, CAST(1 AS BIGINT)))
+         END AS effect_milli
+  FROM ma_p p CROSS JOIN ma_base b),
+ma_t AS (
+  SELECT CAST(sum(effect_milli) AS BIGINT) AS eff_total FROM ma_eff)
+SELECT e.removed, e.p_conv_micro, e.base_micro, e.effect_milli,
+       CAST(CASE WHEN e.removed = '(none)' OR t.eff_total = 0 THEN 0
+            ELSE (1000 * e.effect_milli){div}t.eff_total END AS BIGINT)
+         AS share_milli,
+       e.det_pos
+FROM ma_eff e CROSS JOIN ma_t t
+"""
+
+
+@register(
+    "markov_attribution",
+    _ma_sql(" // "),
+    doc="Markov removal-effect attribution (Anderl et al.): conversion "
+    "probability from the 'view' start via the EXACT R-weighted 4x4 "
+    "cofactor adjugate (purchase absorbs, sequence-end is the NULL "
+    "absorber), then each removable channel's row/col is deleted — a "
+    "generated 3x3 cofactor system — and its removal effect "
+    "1 - b'/b renormalizes into attribution shares; det > 0 "
+    "certificates per system. Completes the attribution triad with "
+    "linear_attribution and shapley_attribution.",
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ma_sql(" DIV "))
+
+
+# --- R382: learned-index audit (RMI-lite) --------------------------------------------------
+#
+# The learned-index question (Kraska et al. 2018) asked against this
+# data: within each of the 16 range shards (the R365 boundaries), how
+# well does a LINEAR model predict a key's position? Positions are
+# normalized to ppm of the table (SF-proof magnitudes), the per-shard
+# OLS runs on the bounded $1000-bin histogram (never per-row), and
+# the payoff column is the max absolute residual in ppm — the error
+# window a learned index would binary-search inside, vs the shard's
+# own span. A shard where max_err << span is where the model replaces
+# the tree level; the fit is exact integer normal equations with
+# cross-multiplied residuals (no float slope ever materialized).
+
+
+def _li_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""
+WITH li_b AS (
+  SELECT CAST(floor(o_totalprice * 100e0) AS BIGINT){div}100000 AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+li_t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM li_b),
+li_s AS (
+  SELECT b.bin, b.n,
+         (1000000 * (sum(b.n) OVER (ORDER BY b.bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - b.n)){div}t.total AS pos_ppm,
+         LEAST(CAST(15 AS BIGINT),
+           (16 * (sum(b.n) OVER (ORDER BY b.bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - b.n)){div}t.total) AS shard
+  FROM li_b b CROSS JOIN li_t t),
+li_f AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(bin) AS BIGINT) AS sx,
+         CAST(sum(bin * bin) AS BIGINT) AS sxx,
+         CAST(sum(pos_ppm) AS BIGINT) AS sy,
+         CAST(sum(bin * pos_ppm) AS BIGINT) AS sxy,
+         CAST(min(pos_ppm) AS BIGINT) AS lo_ppm,
+         CAST(max(pos_ppm) AS BIGINT) AS hi_ppm
+  FROM li_s GROUP BY shard),
+li_r AS (
+  SELECT s.shard, f.nb, f.lo_ppm, f.hi_ppm,
+         f.nb * f.sxx - f.sx * f.sx AS den,
+         f.nb * f.sxy - f.sx * f.sy AS bnum,
+         f.sy * f.sxx - f.sx * f.sxy AS anum,
+         CAST(max(abs((f.sy * f.sxx - f.sx * f.sxy)
+                      + (f.nb * f.sxy - f.sx * f.sy) * s.bin
+                      - s.pos_ppm * (f.nb * f.sxx - f.sx * f.sx)))
+              AS BIGINT) AS maxr_scaled
+  FROM li_s s JOIN li_f f ON f.shard = s.shard
+  WHERE f.nb * f.sxx - f.sx * f.sx > 0
+  GROUP BY s.shard, f.nb, f.lo_ppm, f.hi_ppm, f.sxx, f.sx, f.sxy,
+           f.sy)
+SELECT shard, nb AS n_bins, lo_ppm, hi_ppm,
+       hi_ppm - lo_ppm AS span_ppm,
+       CAST(CASE WHEN den >= 0 THEN (1000000 * bnum){div}den
+            ELSE -((1000000 * bnum){div}(-den)) END AS BIGINT)
+         AS slope_micro,
+       CAST(maxr_scaled{div}den AS BIGINT) AS max_err_ppm,
+       CAST(CASE WHEN hi_ppm > lo_ppm
+            THEN (1000 * (maxr_scaled{div}den))
+                 {div}GREATEST(hi_ppm - lo_ppm, CAST(1 AS BIGINT))
+            ELSE 0 END AS BIGINT) AS err_vs_span_milli
+FROM li_r
+"""
+
+
+@register(
+    "learned_index_audit",
+    _li_sql("duck"),
+    doc="RMI-lite learned-index audit: within each of the 16 range "
+    "shards a linear model predicts normalized key position (ppm of "
+    "table — SF-proof); exact integer normal equations on the "
+    "bounded $1000-bin histogram with cross-multiplied residuals (no "
+    "float slope), and the payoff column max_err_ppm — the window a "
+    "learned index binary-searches inside — against the shard's own "
+    "span; err_vs_span << 1000 is where the model replaces a tree "
+    "level. Joins zonemap_prune and range_partition_plan in the "
+    "physical-design family.",
+)
+def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_li_sql("spark"))
