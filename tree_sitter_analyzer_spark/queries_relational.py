@@ -13829,3 +13829,281 @@ FROM li_r
 def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_li_sql("spark"))
+
+
+# --- R383: RANSAC consensus trend fit ------------------------------------------------------
+#
+# Robust model fitting by CONSENSUS — the third robustness paradigm
+# beside theil_sen (median of slopes) and huber_location
+# (M-estimation): 64 md5-deterministic minimal samples (day pairs,
+# j forced distinct from i) each propose a line through their two
+# points, every candidate is scored by its exact inlier count over
+# the densified 1996 calendar with a cross-multiplied band test
+# (|dy*den - num*dx| <= T*|den| — no float slope, sign-safe), and
+# the max-consensus model wins (min candidate id on ties). The
+# threshold is data-derived (a fifth of the mean absolute level) so
+# the operator is SF-invariant. 64 x 366 bounded fan — the
+# embarrassingly parallel shape RANSAC takes at scale.
+
+_RANSAC_B = 64
+
+
+def _ransac_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(1, 366)) AS doy"
+        if engine == "spark"
+        else "SELECT unnest(range(1, 367)) AS doy"
+    )
+    gen = (
+        f"SELECT explode(sequence(0, {_RANSAC_B - 1})) AS cand"
+        if engine == "spark"
+        else f"SELECT unnest(range(0, {_RANSAC_B})) AS cand"
+    )
+    acat = (
+        "concat('ransac_a', CAST(cand AS STRING))"
+        if engine == "spark"
+        else "'ransac_a' || CAST(cand AS VARCHAR)"
+    )
+    bcat = acat.replace("ransac_a", "ransac_b")
+    return f"""
+WITH rs_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+                       AS BIGINT)){div}1000 AS BIGINT) AS y
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+rs_y AS (
+  SELECT c.doy, coalesce(d.y, CAST(0 AS BIGINT)) AS y
+  FROM ({cal}) c LEFT JOIN rs_d d ON d.doy = c.doy),
+rs_t AS (
+  SELECT GREATEST(CAST(sum(abs(y)) AS BIGINT){div}(366 * 5),
+                  CAST(1 AS BIGINT)) AS thr
+  FROM rs_y),
+rs_c AS (
+  SELECT cand, 1 + ({md5(acat)}) % 366 AS i,
+         1 + (({md5(acat)}) % 366
+              + 1 + ({md5(bcat)}) % 365) % 366 AS j
+  FROM ({gen}) g),
+rs_m AS (
+  SELECT c.cand, c.i, c.j, yi.y AS yi, yj.y AS yj,
+         yj.y - yi.y AS num, c.j - c.i AS den
+  FROM rs_c c
+  JOIN rs_y yi ON yi.doy = c.i
+  JOIN rs_y yj ON yj.doy = c.j),
+rs_s AS (
+  SELECT m.cand, m.i, m.j, m.num, m.den,
+         CAST(sum(CASE WHEN abs((p.y - m.yi) * m.den
+                                - m.num * (p.doy - m.i))
+                         <= t.thr * abs(m.den)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+         max(t.thr) AS thr
+  FROM rs_m m CROSS JOIN rs_y p CROSS JOIN rs_t t
+  GROUP BY m.cand, m.i, m.j, m.num, m.den),
+rs_b AS (
+  SELECT max(n_inliers) AS best_n FROM rs_s),
+rs_w AS (
+  SELECT min(cand) AS best_cand FROM rs_s s CROSS JOIN rs_b b
+  WHERE s.n_inliers = b.best_n)
+SELECT s.cand, s.i, s.j,
+       CAST(CASE WHEN s.den >= 0 THEN (1000 * s.num){div}s.den
+            ELSE -((1000 * (-s.num)){div}s.den) END AS BIGINT)
+         AS slope_milli,
+       s.n_inliers, s.thr,
+       CAST(CASE WHEN s.cand = w.best_cand THEN 1 ELSE 0 END
+            AS BIGINT) AS is_best,
+       b.best_n
+FROM rs_s s CROSS JOIN rs_b b CROSS JOIN rs_w w
+"""
+
+
+@register(
+    "ransac_trend",
+    _ransac_sql("duck"),
+    doc="RANSAC consensus trend over densified 1996 daily revenue: 64 "
+    "md5-deterministic minimal day-pair samples propose lines, each "
+    "scored by its exact inlier count with a cross-multiplied band "
+    "test (no float slope, sign-safe), data-derived SF-invariant "
+    "threshold, max-consensus winner with min-id tie-break — the "
+    "consensus rung of the robust-fitting family beside theil_sen "
+    "(median of slopes) and huber_location (M-estimation); a 64x366 "
+    "bounded fan, embarrassingly parallel at any scale.",
+)
+def q_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ransac_sql("spark"))
+
+
+# --- R384: energy distance two-sample test -------------------------------------------------
+#
+# The modern two-sample distance beside ks_test (sup of CDF gap) and
+# wasserstein_drift (area between CDFs): energy distance D^2 =
+# 2E|X-Y| - E|X-X'| - E|Y-Y'| over the A-flag vs R-flag daily revenue
+# distributions, computed EXACTLY from bounded value histograms (daily
+# kilocents bucketed to $100k bins) — every pairwise expectation is a
+# bins x bins double sum of count-weighted absolute differences, the
+# scale-correct shape for any sample size. Szekely's theorem makes
+# D^2 >= 0 with equality iff the distributions match; the certificate
+# rides along (>= -3 micro for the three truncating divisions).
+
+
+def _energy_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(1, 366)) AS doy"
+        if engine == "spark"
+        else "SELECT unnest(range(1, 367)) AS doy"
+    )
+
+    def hist(flag: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT c.doy, coalesce(d.y, CAST(0 AS BIGINT)){div}100 AS v
+    FROM ({cal}) c LEFT JOIN (
+      SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+             CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+                           AS BIGINT)){div}1000 AS BIGINT) AS y
+      FROM lineitem WHERE year(l_shipdate) = 1996
+        AND l_returnflag = '{flag}' GROUP BY 1) d ON d.doy = c.doy) t
+  GROUP BY v)"""
+
+    return f"""
+WITH {hist('A', 'en_x')},
+{hist('R', 'en_y')},
+en_nx AS (SELECT CAST(sum(n) AS BIGINT) AS nx FROM en_x),
+en_ny AS (SELECT CAST(sum(n) AS BIGINT) AS ny FROM en_y),
+en_xy AS (
+  SELECT CAST(sum(x.n * y.n * abs(x.v - y.v)) AS BIGINT) AS s,
+         (SELECT nx FROM en_nx) * (SELECT ny FROM en_ny) AS cnt
+  FROM en_x x CROSS JOIN en_y y),
+en_xx AS (
+  SELECT CAST(sum(a.n * b.n * abs(a.v - b.v)) AS BIGINT) AS s,
+         (SELECT nx FROM en_nx) * (SELECT nx FROM en_nx) AS cnt
+  FROM en_x a CROSS JOIN en_x b),
+en_yy AS (
+  SELECT CAST(sum(a.n * b.n * abs(a.v - b.v)) AS BIGINT) AS s,
+         (SELECT ny FROM en_ny) * (SELECT ny FROM en_ny) AS cnt
+  FROM en_y a CROSS JOIN en_y b),
+en_e AS (
+  SELECT (1000000 * xy.s){div}xy.cnt AS exy_micro,
+         (1000000 * xx.s){div}xx.cnt AS exx_micro,
+         (1000000 * yy.s){div}yy.cnt AS eyy_micro
+  FROM en_xy xy CROSS JOIN en_xx xx CROSS JOIN en_yy yy)
+SELECT exy_micro, exx_micro, eyy_micro,
+       2 * exy_micro - exx_micro - eyy_micro AS d2_micro,
+       CAST(CASE WHEN 2 * exy_micro - exx_micro - eyy_micro >= -3
+            THEN 1 ELSE 0 END AS BIGINT) AS nonneg_ok
+FROM en_e
+"""
+
+
+@register(
+    "energy_distance",
+    _energy_sql("duck"),
+    doc="Szekely energy distance between the A-flag and R-flag daily "
+    "revenue distributions: D^2 = 2E|X-Y| - E|X-X'| - E|Y-Y'| exact "
+    "from bounded value histograms (bins x bins count-weighted "
+    "absolute differences — the any-sample-size shape), expectations "
+    "in micro, with the D^2 >= 0 theorem as a certificate (slack 3 "
+    "micro for the three truncations) — the modern two-sample rung "
+    "beside ks_test and wasserstein_drift.",
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_energy_sql("spark"))
+
+
+# --- R385: SLO burn-rate windows -----------------------------------------------------------
+#
+# SRE error-budget monitoring (the Google multi-window multi-burn-rate
+# policy) over the event stream: error share per hour from the bounded
+# densified hour histogram, budget = 250 milli SLO, and the burn rate
+# over trailing 1h/6h/24h windows as exact milli ratios — alerts fire
+# only when the SHORT and the MEDIUM window both exceed their
+# thresholds (fast-burn: 1h AND 6h over 2x budget), which is what
+# keeps single noisy hours from paging. One map-side histogram pass;
+# all windows live on the bounded hour frame.
+
+_SLO_MILLI = 250
+
+
+def _slo_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    ehour = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts) DIV 3600000000"
+        if engine == "spark"
+        else "date_diff('microsecond', TIMESTAMP '1970-01-01', ts)"
+        " // 3600000000"
+    )
+    kgen = (
+        "SELECT explode(sequence(0, 743)) AS k"
+        if engine == "spark"
+        else "SELECT unnest(range(0, 744)) AS k"
+    )
+    return f"""
+WITH sl_a AS (
+  SELECT {ehour} AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1),
+sl_r AS (SELECT min(h) AS h0, max(h) AS h1 FROM sl_a),
+sl_cal AS (
+  SELECT r.h0 + g.k AS h FROM sl_r r CROSS JOIN ({kgen}) g
+  WHERE r.h0 + g.k <= r.h1),
+sl_d AS (
+  SELECT c.h, coalesce(a.n, CAST(0 AS BIGINT)) AS n,
+         coalesce(a.e, CAST(0 AS BIGINT)) AS e
+  FROM sl_cal c LEFT JOIN sl_a a ON a.h = c.h),
+sl_w AS (
+  SELECT h, n, e,
+         CAST(sum(n) OVER (ORDER BY h
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+         CAST(sum(e) OVER (ORDER BY h
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6,
+         CAST(sum(n) OVER (ORDER BY h
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n24,
+         CAST(sum(e) OVER (ORDER BY h
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS e24
+  FROM sl_d),
+sl_b AS (
+  SELECT h, n, e,
+         CAST(CASE WHEN n = 0 THEN 0
+              ELSE (1000 * ((1000 * e){div}n)){div}{_SLO_MILLI} END
+              AS BIGINT) AS burn1_milli,
+         CAST(CASE WHEN n6 = 0 THEN 0
+              ELSE (1000 * ((1000 * e6){div}n6)){div}{_SLO_MILLI} END
+              AS BIGINT) AS burn6_milli,
+         CAST(CASE WHEN n24 = 0 THEN 0
+              ELSE (1000 * ((1000 * e24){div}n24)){div}{_SLO_MILLI} END
+              AS BIGINT) AS burn24_milli
+  FROM sl_w)
+SELECT h AS hour, n AS n_events, e AS n_errors,
+       burn1_milli, burn6_milli, burn24_milli,
+       CAST(CASE WHEN burn1_milli >= 2000 AND burn6_milli >= 2000
+            THEN 1 ELSE 0 END AS BIGINT) AS fast_burn_alert,
+       CAST(CASE WHEN burn6_milli >= 1500 AND burn24_milli >= 1000
+            THEN 1 ELSE 0 END AS BIGINT) AS slow_burn_alert
+FROM sl_b
+"""
+
+
+@register(
+    "slo_burn_rate",
+    _slo_sql("duck"),
+    doc="SRE error-budget burn-rate monitor (multi-window multi-burn "
+    "policy): hourly error share from the bounded densified hour "
+    "histogram, 250-milli SLO, exact burn ratios over trailing "
+    "1h/6h/24h windows, alerts only when short AND medium windows "
+    "agree (fast-burn 1h+6h over 2x, slow-burn 6h+24h) — single "
+    "noisy hours cannot page; the SRE rung of the monitoring family "
+    "beside rate_policer, xmr_chart and sprt_monitor.",
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_slo_sql("spark"))
