@@ -14107,3 +14107,248 @@ FROM sl_b
 def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_slo_sql("spark"))
+
+
+# --- R386: Neyman optimal stratified allocation --------------------------------------------
+#
+# Survey-sampling DESIGN beside stratified_sample (execution): for a
+# budget of 1000 sampled lineitems stratified by the 25 brands, the
+# Neyman-optimal allocation n_h ~ N_h * sd_h is computed exactly —
+# per-stratum variance of floored price cents by the one-pass sum
+# formula, sd by the exact-isqrt discipline (floor(sqrt) + one-step
+# correction), shares in milli, and integer allocations by largest
+# remainder so the budget is hit EXACTLY (rank on the bounded stratum
+# frame, remainder ties by brand). The variance-reduction payoff
+# (Var_prop - Var_neyman >= 0, a Cauchy-Schwarz theorem) is emitted
+# scaled as the certificate.
+
+_NEY_BUDGET = 1000
+
+
+def _ney_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    B = _NEY_BUDGET
+    return f"""
+WITH ny_s AS (
+  SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(CAST(floor(l.l_extendedprice) AS BIGINT){div}100)
+              AS BIGINT) AS sx,
+         CAST(sum((CAST(floor(l.l_extendedprice) AS BIGINT){div}100)
+                  * (CAST(floor(l.l_extendedprice) AS BIGINT){div}100))
+              AS BIGINT) AS sxx
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1),
+ny_v AS (
+  SELECT brand, nh,
+         (nh * sxx - sx * sx){div}(nh * nh) AS v
+  FROM ny_s),
+ny_sd AS (
+  SELECT brand, nh, v,
+         CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+  FROM ny_v),
+ny_d AS (
+  SELECT brand, nh, v,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+              WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sd
+  FROM ny_sd),
+ny_t AS (
+  SELECT CAST(sum(nh * sd) AS BIGINT) AS w_total,
+         CAST(sum(nh) AS BIGINT) AS n_total
+  FROM ny_d),
+ny_a AS (
+  SELECT d.brand, d.nh, d.v, d.sd,
+         ({B} * d.nh * d.sd){div}t.w_total AS floor_alloc,
+         ({B} * d.nh * d.sd) % t.w_total AS rem,
+         (1000 * d.nh * d.sd){div}t.w_total AS share_milli,
+         ({B} * d.nh){div}t.n_total AS prop_alloc
+  FROM ny_d d CROSS JOIN ny_t t),
+ny_r AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY rem DESC, brand) AS BIGINT)
+           AS rem_rank,
+         {B} - CAST(sum(floor_alloc) OVER () AS BIGINT) AS shortfall
+  FROM ny_a),
+ny_f AS (
+  SELECT brand, nh, v, sd, share_milli, prop_alloc,
+         CAST(floor_alloc
+              + CASE WHEN rem_rank <= shortfall THEN 1 ELSE 0 END
+              AS BIGINT) AS neyman_alloc
+  FROM ny_r),
+ny_pay AS (
+  SELECT CAST(sum((f.nh * f.nh * f.v){div}
+                  GREATEST(f.neyman_alloc, CAST(1 AS BIGINT)))
+              AS BIGINT) AS var_ney_scaled,
+         CAST(sum((f.nh * f.nh * f.v){div}
+                  GREATEST(f.prop_alloc, CAST(1 AS BIGINT)))
+              AS BIGINT) AS var_prop_scaled
+  FROM ny_f f)
+SELECT f.brand, f.nh, f.v AS var_cents2, f.sd AS sd_cents,
+       f.share_milli, f.prop_alloc, f.neyman_alloc,
+       p.var_prop_scaled, p.var_ney_scaled,
+       CAST(sum(f.neyman_alloc) OVER () AS BIGINT) AS alloc_total
+FROM ny_f f CROSS JOIN ny_pay p
+"""
+
+
+@register(
+    "neyman_allocation",
+    _ney_sql("duck"),
+    doc="Neyman-optimal stratified allocation of a 1000-row sample "
+    "budget over the 25 brand strata: exact per-stratum variance and "
+    "isqrt sd, shares in milli, integer allocations by largest "
+    "remainder (budget hit EXACTLY, pinned), and the Cauchy-Schwarz "
+    "payoff Var_prop >= Var_neyman emitted scaled — sampling DESIGN "
+    "beside stratified_sample (execution) and dsir_weights "
+    "(importance reweighting).",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_ney_sql("spark"))
+
+
+# --- R387: mean-excess ladder (POT diagnostic) ---------------------------------------------
+#
+# The peaks-over-threshold side of extreme-value theory beside
+# gumbel_maxima (block maxima): the mean-excess function e(u) =
+# E[X - u | X > u] evaluated exactly on a ladder of thresholds (the
+# deciles of the positive daily-revenue distribution, themselves
+# exact order statistics on the bounded calendar). For a GPD tail
+# e(u) is LINEAR in u with slope xi/(1-xi); the ladder's exact
+# integer OLS slope therefore estimates the tail shape: slope <= 0
+# light tail, slope > 0 heavy tail. Everything is bounded-frame
+# arithmetic — 366 days, 9 thresholds.
+
+
+def _mex_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cal = (
+        "SELECT explode(sequence(1, 366)) AS doy"
+        if engine == "spark"
+        else "SELECT unnest(range(1, 367)) AS doy"
+    )
+    return f"""
+WITH mx_d AS (
+  SELECT dayofyear(CAST(l_shipdate AS DATE)) AS doy,
+         CAST(sum(CAST(floor(l_extendedprice * (1e0 - l_discount))
+                       AS BIGINT)){div}1000 AS BIGINT) AS y
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+mx_y AS (
+  SELECT c.doy, coalesce(d.y, CAST(0 AS BIGINT)) AS y
+  FROM ({cal}) c LEFT JOIN mx_d d ON d.doy = c.doy),
+mx_r AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY y, doy) AS BIGINT) AS rk
+  FROM mx_y),
+mx_u AS (
+  SELECT k, max(CASE WHEN rk = (k * 366){div}10 THEN y END) AS u
+  FROM mx_r CROSS JOIN (
+    {'SELECT explode(sequence(1, 9)) AS k' if engine == 'spark'
+     else 'SELECT unnest(range(1, 10)) AS k'}) g
+  GROUP BY k),
+mx_e AS (
+  SELECT u.k, u.u, CAST(count(*) AS BIGINT) AS n_exceed,
+         CAST(sum(y.y - u.u) AS BIGINT){div}
+           GREATEST(CAST(count(*) AS BIGINT), CAST(1 AS BIGINT))
+           AS mean_excess
+  FROM mx_u u JOIN mx_y y ON y.y > u.u
+  GROUP BY u.k, u.u),
+mx_f AS (
+  SELECT CAST(count(*) AS BIGINT) AS nl,
+         CAST(sum(u) AS BIGINT) AS su,
+         CAST(sum(u * u) AS BIGINT) AS suu,
+         CAST(sum(mean_excess) AS BIGINT) AS se,
+         CAST(sum(u * mean_excess) AS BIGINT) AS sue
+  FROM mx_e)
+SELECT e.k, e.u AS threshold, e.n_exceed, e.mean_excess,
+       CAST(CASE WHEN f.nl * f.suu - f.su * f.su > 0
+            THEN (1000 * (f.nl * f.sue - f.su * f.se))
+                 {div}(f.nl * f.suu - f.su * f.su)
+            ELSE 0 END AS BIGINT) AS me_slope_milli,
+       CAST(CASE WHEN f.nl * f.sue - f.su * f.se > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS heavy_tail
+FROM mx_e e CROSS JOIN mx_f f
+"""
+
+
+@register(
+    "mean_excess_ladder",
+    _mex_sql("duck"),
+    doc="Peaks-over-threshold diagnostic: exact mean-excess function "
+    "over the decile-threshold ladder of densified 1996 daily "
+    "revenue (order statistics on the bounded calendar), with the "
+    "ladder's integer OLS slope as the GPD tail-shape readout "
+    "(e(u) linear with slope xi/(1-xi); positive = heavy tail) — "
+    "the POT side of extreme-value theory beside gumbel_maxima's "
+    "block maxima.",
+)
+def q_mean_excess_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_mex_sql("spark"))
+
+
+# --- R388: hash-collision capacity audit ---------------------------------------------------
+#
+# A meta-audit of the md5 bucketing every banded join in this engine
+# rests on: among the part keys hashed into the 32-bit md5int space,
+# the OBSERVED number of colliding keys is compared with the birthday
+# expectation n(n-1)/2^{b+1} (exact integer in micro-collisions).
+# Also audited at 16 bits (where collisions are plentiful at any sf)
+# so the expectation-vs-observation comparison is never vacuous. The
+# certificate is honesty about hash-space headroom: ratio far from
+# 1000 milli at 16 bits would mean md5int is NOT behaving uniformly
+# and every LSH band in the repo would be suspect.
+
+
+def _hc_sql(engine: str) -> str:
+    from .functions import md5int_duck, md5int_spark
+
+    md5 = md5int_spark if engine == "spark" else md5int_duck
+    div = " DIV " if engine == "spark" else " // "
+    kcat = (
+        "concat('hcol_', CAST(o_orderkey AS STRING))"
+        if engine == "spark"
+        else "'hcol_' || CAST(o_orderkey AS VARCHAR)"
+    )
+    parts = []
+    for bits in (16, 24, 32):
+        parts.append(f"""
+  SELECT {bits} AS bits, CAST(sum(c) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS keys_in_collision,
+         CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+           AS excess_keys
+  FROM (SELECT ({md5(kcat)}) % {1 << bits} AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1) t{bits}""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH hc_u AS ({union})
+SELECT bits, n_keys, keys_in_collision, excess_keys,
+       CAST((1000000 * n_keys * (n_keys - 1))
+            {div}(2 * CAST(power(2e0, bits) AS BIGINT)) AS BIGINT)
+         AS expected_excess_micro,
+       CAST(CASE WHEN n_keys * (n_keys - 1)
+                      {div}(2 * CAST(power(2e0, bits) AS BIGINT)) > 0
+            THEN (1000 * excess_keys)
+                 {div}GREATEST(n_keys * (n_keys - 1)
+                      {div}(2 * CAST(power(2e0, bits) AS BIGINT)),
+                      CAST(1 AS BIGINT))
+            ELSE 0 END AS BIGINT) AS obs_vs_expected_milli
+FROM hc_u
+"""
+
+
+@register(
+    "hash_collision_audit",
+    _hc_sql("duck"),
+    doc="Birthday audit of the md5int hash space every banded join "
+    "rests on: observed colliding order keys vs the exact n(n-1)/2^"
+    "(b+1) birthday expectation at 16/24/32 bits (16 bits is never "
+    "vacuous at any sf); an obs/expected ratio far from 1000 milli "
+    "at the dense level would convict md5int of non-uniformity and "
+    "with it every LSH band in the repo — the meta-audit beside "
+    "bloom_filter_audit and f2_sketch_audit.",
+)
+def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_hc_sql("spark"))
