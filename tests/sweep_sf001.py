@@ -65,6 +65,19 @@ def main() -> int:
             cols = sorted(sdf.columns)
             err = None
             try:
+                # Dtype-strict gate (round-4 verdict #2): the driver hashes
+                # values WITHOUT coercion, so an oracle column landing as a
+                # different numpy KIND than Spark's (HUGEINT→float64 vs
+                # int64) is a driver hash-fail even when values are equal.
+                # Assert kind equality BEFORE the astype (which remains only
+                # to align within-kind units, e.g. datetime64[us] vs [ns]).
+                kind_skew = [
+                    f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                    for c in cols
+                    if sdf[c].dtype.kind != odf[c].dtype.kind
+                ]
+                if kind_skew:
+                    raise AssertionError(f"oracle dtype skew {kind_skew}")
                 s = sdf[cols].sort_values(cols).reset_index(drop=True)
                 o = (
                     odf[cols]

@@ -1,0 +1,69 @@
+"""Porter stemmer verification: the classic example vectors from the
+published algorithm (M.F. Porter 1980, public) must stem identically on
+BOTH engines — the real check behind the shared-SQL porter_stems query
+(two-engine parity alone cannot catch a bug in shared text)."""
+
+from __future__ import annotations
+
+from tree_sitter_analyzer_spark.functions.porter import porter_ctes
+
+# (word, expected stem) — drawn from the steps' example lists in the
+# paper plus standard voc/output pairs exercising every step.
+VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "communism": "commun",
+    "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # engine-corpus words (documents.text vocabulary)
+    "merge": "merg", "table": "tabl", "scan": "scan", "batch": "batch",
+}
+
+
+def _vector_sql(engine: str) -> str:
+    vals = ", ".join(f"('{w}')" for w in VECTORS)
+    frag, final = porter_ctes(engine, "pin", "token")
+    src = (
+        f"SELECT * FROM (VALUES {vals}) t(token)"
+        if engine == "duck"
+        else f"SELECT token FROM (VALUES {vals}) AS t(token)"
+    )
+    return f"WITH pin AS ({src}),{frag}\nSELECT token, stem FROM {final}"
+
+
+def test_porter_vectors_duckdb(duck):
+    got = dict(duck.sql(_vector_sql("duck")).fetchall())
+    bad = {w: (got[w], e) for w, e in VECTORS.items() if got[w] != e}
+    assert not bad, bad
+
+
+def test_porter_vectors_spark(spark):
+    rows = spark.sql(_vector_sql("spark")).collect()
+    got = {r["token"]: r["stem"] for r in rows}
+    bad = {w: (got[w], e) for w, e in VECTORS.items() if got[w] != e}
+    assert not bad, bad

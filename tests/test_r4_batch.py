@@ -1,0 +1,157 @@
+"""Round-4 batch: independent python replays + invariants for
+snapshot_diff_full (five-class diff with hash cross-matching) and
+bidir_path (weighted bidirectional search with signature dedup).
+Oracle parity rides test_oracle_parity; these replays recompute the
+operator logic from the raw input frames (CLAUDE.md: two-engine parity
+cannot catch a bug in shared SQL text — the replay can).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+from .conftest import SF_TINY, register_views
+
+
+# ----------------------------------------------------- snapshot_diff_full
+def test_snapshot_diff_full_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        f"WITH tiles AS ({synth.tiles_sql()}) "
+        "SELECT i, image_id, phash FROM tiles"
+    ).fetchall()
+    v1 = {img: (int(i), int(ph)) for i, img, ph in rows}
+
+    # v2 derivation (same residue classes as the operator)
+    v2: dict[str, tuple[int, int]] = {}
+    for i, img, ph in rows:
+        i, ph = int(i), int(ph)
+        if i % 50 == 7:
+            continue
+        key = img + "_rn" if i % 30 == 11 else img
+        pos = i + 1000000 if i % 40 == 21 else i
+        phv = ph + 1 if i % 20 == 3 else ph
+        v2[key] = (pos, phv)
+        if i % 60 == 5:
+            v2[img + "_new"] = (i + 2000000, ph + 777)
+
+    expected = set()
+    gone, new = defaultdict(list), defaultdict(list)
+    for img, (pos, ph) in v1.items():
+        if img in v2:
+            p2, h2 = v2[img]
+            if ph != h2:
+                expected.add((img, img, "changed"))
+            elif pos != p2:
+                expected.add((img, img, "moved"))
+        else:
+            gone[ph].append(img)
+    for img, (pos, ph) in v2.items():
+        if img not in v1:
+            new[ph].append(img)
+    for ph, olds in gone.items():
+        olds.sort()
+        news = sorted(new.get(ph, []))
+        for k, old in enumerate(olds):
+            if k < len(news):
+                expected.add((old, news[k], "renamed"))
+            else:
+                expected.add((old, "", "removed"))
+    for ph, news in new.items():
+        news.sort()
+        n_old = len(gone.get(ph, []))
+        for k, nw in enumerate(news):
+            if k >= n_old:
+                expected.add(("", nw, "added"))
+
+    out = load_all()["snapshot_diff_full"].spark_fn(spark, SF_TINY).toPandas()
+    got = {(r.old_id, r.new_id, r.change) for r in out.itertuples()}
+    assert got == expected
+    # every class must be populated at the tiny sf (anti-vacuous pin)
+    classes = {c for _, _, c in got}
+    assert classes == {"added", "removed", "changed", "moved", "renamed"}
+
+
+# ------------------------------------------------------------- bidir_path
+def _graph_weighted_edges(duck):
+    from tree_sitter_analyzer_spark.operators.graph import weighted_edges_sql
+
+    return [
+        (int(u), int(v), int(w))
+        for u, v, w in duck.sql(weighted_edges_sql()).fetchall()
+    ]
+
+
+def test_bidir_path_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.operators.graph import (
+        BIDIR_DST_LO, BIDIR_HALF,
+    )
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    edges = _graph_weighted_edges(duck)
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+
+    # Dijkstra from 0 — independent of both engines' Bellman-Ford
+    dist: dict[int, int] = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    # shortest-path DAG, then full path enumeration (terminates: DAG)
+    tight = defaultdict(list)
+    for u, v, w in edges:
+        if u in dist and v in dist and dist[u] + w == dist[v]:
+            tight[u].append(v)
+    paths = defaultdict(set)
+
+    def walk(v, sig, hops):
+        paths[v].add((sig, hops))
+        for nx in tight[v]:
+            walk(nx, f"{sig}->{nx}", hops + 1)
+
+    walk(0, "0", 0)
+    cap = 2 * BIDIR_HALF
+    expected = {}
+    for v, sigs in paths.items():
+        if v < BIDIR_DST_LO:
+            continue
+        kept = sorted(s for s, h in sigs if h <= cap)
+        if kept:
+            expected[v] = (dist[v], len(kept), kept[0])
+        # no-truncation pin: the hop cap must not be binding here — a
+        # dropped path would silently understate n_paths in BOTH engines
+        assert all(h <= cap for _, h in sigs), f"dst {v} has a >{cap}-hop path"
+
+    out = load_all()["bidir_path"].spark_fn(spark, SF_TINY).toPandas()
+    got = {
+        int(r.dst): (int(r.dist), int(r.n_paths), r.best_path)
+        for r in out.itertuples()
+    }
+    assert got == expected
+    assert len(got) > 100  # substantial destination layer
+
+
+def test_bidir_path_dist_equals_weighted_sssp(spark):
+    """Verdict #5 pin: the bidirectional distances equal the
+    single-source Bellman-Ford distances on the shared layer."""
+    from tree_sitter_analyzer_spark.operators import graph
+
+    bd = graph.bidir_paths(spark, graph.weighted_edges_df(spark)).toPandas()
+    ss = graph.weighted_sssp(spark, graph.weighted_edges_df(spark), 0).toPandas()
+    ssd = dict(zip(ss.v.astype(int), ss.dist.astype(int)))
+    assert len(bd) > 0
+    for r in bd.itertuples():
+        assert ssd[int(r.dst)] == int(r.dist)

@@ -3535,3 +3535,132 @@ SELECT s.n_vertices, e.n_dir_edges,
             AND (1000 * s.vav) // GREATEST(s.vv, 1)
                 <= s.cw_max_milli + 1 AS BIGINT) AS bound_ok
 FROM sr_s s, sr_ec e"""
+
+
+# --- weighted bidirectional path search with signature dedup -------------------
+#
+# Round-4 verdict #5 (reference call_path.py:210-276, 520-639): the
+# reference's point-to-point search runs simultaneous forward/backward
+# frontier loops and dedups reassembled paths by SIGNATURE, because the
+# same full path reaches the meet-join once per valid split vertex.
+# This is the WEIGHTED completion of `shortest_path` (hop-count MITM):
+# distances come from the exact Bellman-Ford (weighted_sssp); the
+# enumeration walks only TIGHT edges (d[u] + w == d[v] — the
+# shortest-path DAG, standard: every prefix of a shortest path is
+# shortest), so every reassembled signature is a certified shortest
+# path and the fan stays bounded by the SP-DAG, never the full graph.
+# Scale shape: each half-loop is a keyed equi-join against the
+# broadcast SP-DAG (tight-edge frame ≪ edges); the meet is an
+# equi-join on the split vertex; dedup is a per-dst count(DISTINCT) —
+# in-stream, no pair materialization.
+
+BIDIR_DST_LO = 1800
+BIDIR_HALF = 8
+
+
+def bidir_paths(
+    spark: SparkSession,
+    edges_w: DataFrame,
+    src: int = 0,
+    dst_lo: int = BIDIR_DST_LO,
+    half: int = BIDIR_HALF,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """(dst, dist, n_paths, best_path) for every vertex >= ``dst_lo``
+    reachable from ``src``: exact weighted distance, the number of
+    DISTINCT shortest paths (meet-in-the-middle signature dedup, paths
+    up to 2*half hops), and the lexicographically smallest witness."""
+    dist = weighted_sssp(spark, edges_w, src, max_rounds).localCheckpoint(
+        eager=True
+    )
+    du = dist.selectExpr("v AS tu", "dist AS d_u")
+    dv = dist.selectExpr("v AS tv", "dist AS d_v")
+    spdag = (
+        edges_w.join(du, edges_w.src == F.col("tu"))
+        .join(dv, edges_w.dst == F.col("tv"))
+        .where(F.expr("d_u + w = d_v"))
+        .selectExpr("src AS u", "dst AS v")
+        .localCheckpoint(eager=True)
+    )
+    fwd_step = spdag.selectExpr("u AS v", "v AS nxt")
+    f_frames = []
+    fcur = spark.createDataFrame([(int(src), str(src))], "v BIGINT, sig STRING")
+    f_frames.append(fcur)
+    for r in range(half):
+        fcur = fcur.join(F.broadcast(fwd_step), "v").selectExpr(
+            "nxt AS v", "concat(sig, '->', CAST(nxt AS STRING)) AS sig"
+        )
+        if r % 2 == 1:
+            fcur = fcur.localCheckpoint(eager=True)
+        f_frames.append(fcur)
+    bwd_step = spdag.selectExpr("v AS v", "u AS prv")
+    b_frames = []
+    bcur = dist.where(F.col("v") >= dst_lo).selectExpr(
+        "v", "v AS dst", "CAST('' AS STRING) AS tail"
+    )
+    b_frames.append(bcur)
+    for r in range(half):
+        bcur = bcur.join(F.broadcast(bwd_step), "v").selectExpr(
+            "prv AS v",
+            "dst",
+            "concat('->', CAST(v AS STRING), tail) AS tail",
+        )
+        if r % 2 == 1:
+            bcur = bcur.localCheckpoint(eager=True)
+        b_frames.append(bcur)
+    fsig = union_all(f_frames).selectExpr("v AS mv", "sig")
+    bsig = union_all(b_frames).selectExpr("v AS mv", "dst", "tail")
+    full = fsig.join(bsig, "mv").selectExpr(
+        "dst", "concat(sig, tail) AS sig"
+    )
+    return (
+        full.groupBy("dst")
+        .agg(
+            F.countDistinct("sig").alias("n_paths"),
+            F.min("sig").alias("best_path"),
+        )
+        .join(dist.selectExpr("v AS dst", "dist"), "dst")
+        .select("dst", "dist", "n_paths", "best_path")
+    )
+
+
+def bidir_paths_oracle(
+    src: int = 0,
+    dst_lo: int = BIDIR_DST_LO,
+    half: int = BIDIR_HALF,
+    max_rounds: int = 24,
+) -> str:
+    steps = _even_steps(max_rounds)
+    return f"""
+WITH RECURSIVE ew AS ({weighted_edges_sql()}),
+bp_walk(v, d, hops) AS (
+  SELECT CAST({src} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1
+  FROM bp_walk w JOIN ew e ON e.src = w.v
+  WHERE w.hops < {steps}),
+bp_df AS (SELECT v, min(d) AS d FROM bp_walk GROUP BY v),
+bp_dag AS (
+  SELECT e.src AS u, e.dst AS v FROM ew e
+  JOIN bp_df a ON a.v = e.src JOIN bp_df b ON b.v = e.dst
+  WHERE a.d + e.w = b.d),
+bp_f(v, sig, hops) AS (
+  SELECT CAST({src} AS BIGINT), CAST('{src}' AS VARCHAR), 0
+  UNION ALL
+  SELECT g.v, p.sig || '->' || CAST(g.v AS VARCHAR), p.hops + 1
+  FROM bp_f p JOIN bp_dag g ON g.u = p.v WHERE p.hops < {half}),
+bp_b(v, dst, tail, hops) AS (
+  SELECT v, v AS dst, CAST('' AS VARCHAR), 0
+  FROM bp_df WHERE v >= {dst_lo}
+  UNION ALL
+  SELECT g.u, p.dst, '->' || CAST(p.v AS VARCHAR) || p.tail, p.hops + 1
+  FROM bp_b p JOIN bp_dag g ON g.v = p.v WHERE p.hops < {half}),
+bp_full AS (
+  SELECT b.dst, f.sig || b.tail AS sig
+  FROM bp_f f JOIN bp_b b ON b.v = f.v)
+SELECT s.dst, d.d AS dist,
+       CAST(count(DISTINCT s.sig) AS BIGINT) AS n_paths,
+       min(s.sig) AS best_path
+FROM bp_full s JOIN bp_df d ON d.v = s.dst
+GROUP BY 1, 2
+"""

@@ -726,7 +726,7 @@ pq_code AS (
 pq_q AS (SELECT vec_id AS query_id, s, cid, d2 AS qd2 FROM pq_d
          WHERE vec_id < {n_queries}),
 pq_adc AS (
-  SELECT q.query_id, v.vec_id, sum(q.qd2) AS adc_d2
+  SELECT q.query_id, v.vec_id, CAST(sum(q.qd2) AS BIGINT) AS adc_d2
   FROM pq_code v JOIN pq_q q ON q.s = v.s AND q.cid = v.code
   WHERE v.vec_id <> q.query_id
   GROUP BY 1, 2)

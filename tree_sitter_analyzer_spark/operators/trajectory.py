@@ -1085,7 +1085,8 @@ cv_runs AS (
 cv_isl AS (
   SELECT user_a, user_b, island, count(*) AS run_len
   FROM cv_runs GROUP BY 1, 2, 3)
-SELECT user_a, user_b, sum(run_len) AS n_days, max(run_len) AS max_run
+SELECT user_a, user_b, CAST(sum(run_len) AS BIGINT) AS n_days,
+       max(run_len) AS max_run
 FROM cv_isl GROUP BY user_a, user_b
 HAVING max(run_len) >= {min_run}"""
 

@@ -1771,7 +1771,7 @@ fca_rj AS (
   GROUP BY s.cx, s.cy, s.pop)
 SELECT o.cx, o.cy, o.pop,
        count(r.r) AS n_supply,
-       coalesce(sum(r.r), 0) AS a_micro
+       CAST(coalesce(sum(r.r), 0) AS BIGINT) AS a_micro
 FROM fca_occ o LEFT JOIN fca_rj r
   ON abs(r.cx - o.cx) <= {radius} AND abs(r.cy - o.cy) <= {radius}
 GROUP BY 1, 2, 3"""

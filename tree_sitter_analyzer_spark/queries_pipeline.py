@@ -4148,3 +4148,110 @@ def q_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_te_sql("spark"))
+
+
+# --- Porter stemming (round-4 verdict #7) ------------------------------------
+
+def _porter_stems_sql(engine: str) -> str:
+    """Shared-shape stemming query: tokenize documents, aggregate to the
+    DISTINCT-token vocabulary (the scale-correct unit for the ~100-op
+    per-word Porter expression), stem each vocabulary entry with the
+    full generated Porter pipeline (functions/porter.py — verified
+    against the Porter paper vectors on both engines in
+    tests/test_porter.py), and roll token counts up per stem."""
+    from .functions.porter import porter_ctes
+
+    toks = (
+        "SELECT explode(split(text, ' ')) AS token FROM documents"
+        if engine == "spark"
+        else "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+    )
+    frag, final = porter_ctes(engine, "pt_agg", "token")
+    return f"""
+WITH pt_toks AS ({toks}),
+pt_agg AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM pt_toks WHERE token <> '' GROUP BY token),{frag}
+SELECT stem, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(token) AS example_token
+FROM {final}
+GROUP BY stem"""
+
+
+@register(
+    "porter_stems",
+    _porter_stems_sql("duck"),
+    doc="Full Porter stemmer over the document token vocabulary "
+    "(reference FTS5 porter tokenizer, _ast_cache_schema.py:425-434 — "
+    "round-4 verdict #7): the complete 1980 algorithm (steps 1a-5b, "
+    "measure/vowel/double-consonant/cvc conditions) generated as "
+    "cross-engine SQL, applied to the bounded DISTINCT-token frame "
+    "(stem the vocabulary, never the token stream), then token counts "
+    "rolled up per stem. Paper-vector-pinned on both engines.",
+)
+def q_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_porter_stems_sql("spark"))
+
+
+# --- Temperature-scaled mixture quotas (round-4 addition) ---------------------
+
+def _tmix_sql(engine: str, budget: int = 1000) -> str:
+    """Temperature-scaled domain sampling (the multilingual/multi-domain
+    LM mixing rule, public: p_i ~ n_i^(1/T)): per-source quotas for
+    T=1 (proportional), T=2 (sqrt — the common flattening), and T=inf
+    (uniform), each by exact-integer largest-remainder apportionment.
+    n^(1/2) is an EXACT integer sqrt: float seed + two integer
+    corrections, so both engines agree bit-for-bit at any magnitude
+    (floor(sqrt(double)) alone can be off by one ulp near squares).
+    All work lives on the bounded source dimension."""
+    div = " DIV " if engine == "spark" else " // "
+    b = budget
+
+    def quota(w: str, tot: str, tag: str) -> str:
+        return (
+            f"CAST(({b} * {w}){div}{tot}"
+            f" + CASE WHEN row_number() OVER ("
+            f"ORDER BY ({b} * {w}) % {tot} DESC, source)"
+            f" <= {b} - sum(({b} * {w}){div}{tot}) OVER ()"
+            f" THEN 1 ELSE 0 END AS BIGINT) AS quota_{tag}"
+        )
+
+    return f"""
+WITH tm_s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+tm_w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+  FROM tm_s),
+tm_w2 AS (
+  SELECT source, n_docs,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+              WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS w_sqrt
+  FROM tm_w),
+tm_t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tot1,
+         CAST(sum(w_sqrt) AS BIGINT) AS tot2,
+         CAST(count(*) AS BIGINT) AS k FROM tm_w2)
+SELECT source, n_docs, w_sqrt,
+       {quota('n_docs', 'tot1', 't1')},
+       {quota('w_sqrt', 'tot2', 't2')},
+       {quota('1', 'k', 'inf')}
+FROM tm_w2 CROSS JOIN tm_t"""
+
+
+@register(
+    "temperature_mix",
+    _tmix_sql("duck"),
+    doc="Temperature-scaled domain-mixture quotas (p_i ~ n_i^(1/T) for "
+    "T in {{1,2,inf}}, the multilingual LM mixing rule): exact integer "
+    "sqrt weights + largest-remainder apportionment per temperature — "
+    "the flattening curve a data-mix review reads, fully integer and "
+    "computed on the bounded source dimension. Complements "
+    "domain_mix_sample (which draws the actual sample).",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_tmix_sql("spark"))

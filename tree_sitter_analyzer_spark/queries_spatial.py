@@ -3373,7 +3373,8 @@ SELECT ix, iy, n_self, is_median, cost,
        CAST(CASE WHEN medcost = mincost THEN 1 ELSE 0 END AS BIGINT)
          AS optimal_ok,
        CAST((1000 * max(CASE WHEN n_self = maxn THEN cost END)
-                    OVER ()){div}mincost - 1000 AS BIGINT)
+                    OVER ()){div}GREATEST(mincost, CAST(1 AS BIGINT))
+            - 1000 AS BIGINT)
          AS densest_regret_milli
 FROM p1_w
 """
@@ -3483,3 +3484,75 @@ def q_metric_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).createOrReplaceTempView("qpoints")
     return spark.sql(f"WITH {_mkr_sql(' DIV ')}")
+
+
+# --- R393: spatial autoregressive lag ladder (round 4) ------------------------
+
+SAR_RES = 8
+
+
+def _sar_sql(engine: str, res: int = SAR_RES) -> str:
+    """Spatial econometrics' SAR lag model, truncated Neumann series
+    (public: Anselin 1988; LeSage & Pace 2009): over the res-``res``
+    tile-count surface x, the row-normalized rook-adjacency lag Wx and
+    its square W^2x, and the rho=1/2 SAR response x + rho*Wx +
+    rho^2*W^2x — all exact integer milli (rho powers are DIV 2 / DIV 4,
+    row-normalization is one integer division per cell with a
+    zero-degree guard).  Scale shape: aggregate FIRST (tiles -> bounded
+    occupied-cell frame), then two fixed 4-offset equi-join fans over
+    the cell dimension — the focal_mean discipline; tile rows are never
+    touched by the lag arithmetic."""
+    div = " DIV " if engine == "spark" else " // "
+    offs = (
+        "SELECT * FROM VALUES (1, 0), (-1, 0), (0, 1), (0, -1)"
+        " AS t(dx, dy)"
+        if engine == "spark"
+        else "SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))"
+        " t(dx, dy)"
+    )
+    return f"""
+sar_occ AS (
+  SELECT {grid.ix_sql('lon', res)} AS ix, {grid.iy_sql('lat', res)} AS iy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM tiles GROUP BY 1, 2),
+sar_off AS ({offs}),
+sar_n AS (
+  SELECT o.ix, o.iy, o.x,
+         CAST(count(n.x) AS BIGINT) AS deg,
+         CAST(coalesce(sum(n.x), 0) AS BIGINT) AS sx
+  FROM sar_occ o CROSS JOIN sar_off f
+  LEFT JOIN sar_occ n ON n.ix = o.ix + f.dx AND n.iy = o.iy + f.dy
+  GROUP BY 1, 2, 3),
+sar_w1 AS (
+  SELECT ix, iy, x, deg,
+         CAST((1000 * sx){div}GREATEST(deg, CAST(1 AS BIGINT))
+              AS BIGINT) AS wx_milli
+  FROM sar_n),
+sar_n2 AS (
+  SELECT o.ix, o.iy,
+         CAST(coalesce(sum(n.wx_milli), 0) AS BIGINT) AS swx
+  FROM sar_w1 o CROSS JOIN sar_off f
+  LEFT JOIN sar_w1 n ON n.ix = o.ix + f.dx AND n.iy = o.iy + f.dy
+  GROUP BY 1, 2)
+SELECT w.ix, w.iy, w.x AS n_tiles, w.deg, w.wx_milli,
+       CAST(n2.swx{div}GREATEST(w.deg, CAST(1 AS BIGINT))
+            AS BIGINT) AS w2x_milli,
+       CAST(1000 * w.x + w.wx_milli{div}2
+            + (n2.swx{div}GREATEST(w.deg, CAST(1 AS BIGINT))){div}4
+            AS BIGINT) AS sar_milli
+FROM sar_w1 w JOIN sar_n2 n2 ON n2.ix = w.ix AND n2.iy = w.iy"""
+
+
+@register(
+    "sar_lag",
+    f"{_CTES},\n{_sar_sql('duck')}",
+    doc="Spatial autoregressive (SAR) lag ladder per occupied res-8 "
+    "cell: row-normalized rook lag Wx, second power W^2x, and the "
+    "rho=1/2 truncated SAR response in exact integer milli — spatial "
+    "econometrics beside local_moran/getis_ord (which test correlation; "
+    "SAR models it). Two bounded 4-offset cell fans after a single "
+    "tiles aggregation.",
+)
+def q_sar_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_sar_sql('spark')}")

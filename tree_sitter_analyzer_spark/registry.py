@@ -29,6 +29,115 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# ---------------------------------------------------------------------------
+# Oracle output-dtype normalization (round-4 verdict #1/#2).  The driver
+# hashes pandas values WITHOUT dtype coercion: a DuckDB oracle column that
+# lands in pandas as float64 (HUGEINT — produced by sum(BIGINT) and
+# BIGINT*BIGINT arithmetic) hash-mismatches Spark's int64 even when every
+# value is equal (r1→r3 gate slide 49→46→43 was exactly this).  Every
+# column below was flagged by the static planner-type audit
+# (tests/oracle_dtype_audit.py: Spark df.dtypes vs DuckDB relation.types,
+# no execution) and is CAST at registration via DuckDB's `SELECT *
+# REPLACE`, preserving names/order.  HUGEINT→BIGINT is the hash-critical
+# class; the INTEGER/BIGINT width alignments are benign at the driver
+# (proven: chain_ladder/gale_shapley were gate-green with width skew) but
+# are normalized too so the sweep can assert exact dtype equality.
+# tests/test_oracle_dtypes.py re-runs the audit over the FINAL (wrapped)
+# oracle strings so a new HUGEINT can never land silently again.
+_ORACLE_CASTS: dict[str, dict[str, str]] = {
+    "areal_interpolation": {"pop_micro": "BIGINT"},
+    "benford_audit": {"obs_milli": "BIGINT", "dev_milli": "BIGINT"},
+    "bh_fdr": {"mon": "INTEGER"},
+    "bm25_search": {"bm25_micro": "BIGINT"},
+    "bullwhip_ratio": {"wk": "INTEGER"},
+    "cell_cusum": {"cell": "BIGINT", "n_pings": "BIGINT",
+                   "max_abs_cusum": "BIGINT"},
+    "chain_ladder": {"cohort": "INTEGER"},
+    "compaction_plan": {"bin": "BIGINT"},
+    "covisit_topk": {"cx": "BIGINT", "cy": "BIGINT", "rcx": "BIGINT",
+                     "rcy": "BIGINT"},
+    "cross_k_pairs": {"r_micro": "BIGINT"},
+    "densest_peel": {"round": "BIGINT"},
+    "density_gini": {"total_tiles": "BIGINT", "gini_milli": "BIGINT"},
+    "dissimilarity_index": {"d_milli": "BIGINT"},
+    "domain_mix_sample": {"pick_rank": "INTEGER", "quota": "BIGINT"},
+    "dow_profile": {"share_x7000": "BIGINT"},
+    "dsir_weights": {"imp_milli": "BIGINT"},
+    "event_transitions": {"prob_milli": "BIGINT"},
+    "excess_stock_suppliers": {"total_availqty": "BIGINT"},
+    "focal_mean": {"focal_n": "BIGINT"},
+    "gabriel_graph": {"d2": "INTEGER"},
+    "gale_shapley": {"supplier_grp": "INTEGER", "brand_grp": "INTEGER"},
+    "gearys_c": {"ssd": "BIGINT", "c_milli": "BIGINT"},
+    "heavy_hitters_cms": {"rank": "INTEGER"},
+    "hex_density": {"n_hot": "BIGINT"},
+    "hex_smooth": {"hood_n": "BIGINT", "center_share_milli": "BIGINT"},
+    "hits_ranks": {"auth_q": "BIGINT", "hub_q": "BIGINT"},
+    "hll_union_audit": {"union_est_milli": "BIGINT", "err_milli": "BIGINT"},
+    "hotspot_distance_bands": {"n_hot": "BIGINT"},
+    "join_counts": {"expected_milli": "BIGINT"},
+    "join_size_estimate": {"true_join_rows": "BIGINT", "cms_est": "BIGINT",
+                           "overcount": "BIGINT", "est_ratio_milli": "BIGINT"},
+    "kde_heatmap": {"kde": "BIGINT"},
+    "ks_test": {"n1": "BIGINT", "n2": "BIGINT"},
+    "learned_index_audit": {"shard": "BIGINT"},
+    "line_of_sight": {"seed": "BIGINT"},
+    "linear_attribution": {"credit_milli": "BIGINT"},
+    "link_prediction": {"aa_micro": "BIGINT"},
+    "markov_stationary": {"iteration": "BIGINT"},
+    "mean_excess_ladder": {"k": "INTEGER"},
+    "mmr_diversified": {"rank": "INTEGER", "rel_milli": "BIGINT",
+                        "mmr_score": "BIGINT"},
+    "modularity_score": {"deg_sum": "BIGINT"},
+    "ndcg_eval": {"dcg_scaled": "BIGINT", "idcg_scaled": "BIGINT",
+                  "ndcg_milli": "BIGINT"},
+    "nn_distance_stats": {"mean_nn_d2_nano": "BIGINT"},
+    "od_flows": {"origin_cell": "BIGINT", "dest_cell": "BIGINT"},
+    "od_gravity": {"origin_cell": "BIGINT", "dest_cell": "BIGINT",
+                   "o_out": "BIGINT", "d_in": "BIGINT", "exp_micro": "BIGINT",
+                   "ratio_milli": "BIGINT"},
+    "participation_ratios": {"with_b": "BIGINT", "total_a": "BIGINT",
+                             "pr_milli": "BIGINT"},
+    "percolation_profile": {"n_cells": "BIGINT"},
+    "pyramid_rollup": {"px_sum": "BIGINT"},
+    "quadrat_dispersion": {"total": "BIGINT", "mean_milli": "BIGINT",
+                           "vmr": "BIGINT"},
+    "quadtree_leaves": {"n_tiles": "BIGINT"},
+    "radiation_flows": {"origin_cell": "BIGINT", "dest_cell": "BIGINT",
+                        "d2": "BIGINT"},
+    "range_partition_plan": {"shard": "BIGINT"},
+    "ransac_trend": {"cand": "INTEGER"},
+    "raster_change": {"cnt_a": "BIGINT", "cnt_b": "BIGINT",
+                      "delta": "BIGINT"},
+    "repetition_stats": {"n_tokens": "INTEGER"},
+    "ripley_k": {"r_micro": "BIGINT"},
+    "rocchio_expand": {"bm25_micro": "BIGINT"},
+    "rolling_median7": {"doy": "INTEGER"},
+    "seed_catchment": {"n_tiles": "BIGINT"},
+    "semivariogram": {"h": "INTEGER", "sum_sq": "BIGINT",
+                      "gamma_milli": "BIGINT"},
+    "spatial_split": {"share_milli": "BIGINT"},
+    "spearman_acf": {"sum_d2": "BIGINT", "rho_milli": "BIGINT"},
+    "surprisal_filter": {"mean_bits_milli": "BIGINT", "max_bits": "INTEGER"},
+    "traj_gyration": {"n_pings": "BIGINT", "rg2_x100": "BIGINT",
+                      "simpson_num": "BIGINT", "top_share_milli": "BIGINT"},
+    "traj_simplify": {"kept_milli": "BIGINT"},
+    "traj_stats": {"path_cheb": "BIGINT", "net_cheb": "BIGINT"},
+    "traj_stops": {"cell": "BIGINT", "start_seq": "INTEGER"},
+    "trimmed_stats": {"sum_kept_cents": "BIGINT", "mean_kept_cents": "BIGINT"},
+    "watershed_basins": {"n_tiles": "BIGINT"},
+    "zipf_audit": {"bits": "INTEGER"},
+}
+
+
+def _normalize_oracle(name: str, oracle: str | None) -> str | None:
+    """Apply the _ORACLE_CASTS dtype fixes for ``name`` (no-op otherwise)."""
+    casts = _ORACLE_CASTS.get(name)
+    if oracle is None or not casts:
+        return oracle
+    repl = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in casts.items())
+    return f"SELECT * REPLACE ({repl}) FROM (\n{oracle}\n)"
+
 
 def register(
     name: str, oracle: str | None, doc: str = ""
@@ -42,7 +151,10 @@ def register(
                 f"query name {name!r} already registered "
                 f"(by {REGISTRY[name].spark_fn.__module__})"
             )
-        REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = Query(
+            name=name, spark_fn=fn,
+            oracle=_normalize_oracle(name, oracle), doc=doc,
+        )
         return fn
 
     return deco
@@ -399,6 +511,21 @@ _ROTATIONS_C11 = {
     "map_match": "hash_ring_audit",
 }
 GATE_ORDER = [_ROTATIONS_C11.get(n, n) for n in GATE_ORDER]
+
+# Round-4 rotation (verdict #3): stop paying FOUR gate slots for
+# `err: no_oracle` decode rows.  The decode family keeps ingest_summary
+# (flagship fused decode pass) + video_frame_stats (one decode
+# representative); pixel_verify_pairs and audio_feature_stats stay fully
+# numpy-reference-pytest-verified and swept, and their slots go to the
+# two NEW round-4 operator families (both triple-green at the sf0.01
+# gate preflight): the five-class hash-cross-matched snapshot diff
+# (verdict missing #1) and the weighted bidirectional path search with
+# signature dedup (verdict #5).
+_ROTATIONS_R4 = {
+    "pixel_verify_pairs": "snapshot_diff_full",
+    "audio_feature_stats": "bidir_path",
+}
+GATE_ORDER = [_ROTATIONS_R4.get(n, n) for n in GATE_ORDER]
 
 
 def load_all() -> dict[str, Query]:
