@@ -666,3 +666,49 @@ def test_hausdorff_point_fan_is_equi_join(spark):
     pings = traj.pings_df(spark, SF_TINY)
     plan = plan_of(traj.hausdorff_pairs(pings))
     assert "CartesianProduct" not in plan
+
+
+def test_bidir_path_half_loops_broadcast_spdag(spark):
+    """R390's scale contract: every half-loop expansion joins the
+    broadcast tight-edge DAG (frontiers stay small); the meet-join is a
+    plain equi-join — no cartesian, no sort-merge against the SP-DAG."""
+    from tree_sitter_analyzer_spark.operators import graph
+
+    df = graph.bidir_paths(spark, graph.weighted_edges_df(spark))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_full_crossmatch_is_churn_equijoin(spark):
+    """R389: the rename cross-match equi-joins ONLY the key-mismatched
+    (churn) subsets on the content hash — no cartesian anywhere in the
+    five-class plan."""
+    q = load_all()["snapshot_diff_full"]
+    plan = plan_of(q.spark_fn(spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sar_lag_fans_cells_not_tiles(spark):
+    """R393: the lag arithmetic joins the bounded occupied-cell frame to
+    itself (offset equi-join after ONE tiles aggregation) — the tiles
+    relation is scanned once per consumer and never cartesian-fanned."""
+    q = load_all()["sar_lag"]
+    plan = plan_of(q.spark_fn(spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+
+
+def test_porter_stems_runs_on_vocabulary_dimension(spark):
+    """R391: the Porter UDF must sit ABOVE the token aggregation (stem
+    the vocabulary, not the token stream): the Arrow python eval
+    appears in the plan, and the scan side below the token aggregate
+    carries neither the UDF nor any regexp work."""
+    q = load_all()["porter_stems"]
+    df = q.spark_fn(spark, SF_TINY)
+    plan = plan_of(df, mode="simple")
+    assert "ArrowEvalPython" in plan  # Arrow-batched, never row-at-a-time
+    assert "HashAggregate" in plan
+    scan_side = plan.split("HashAggregate")[-1]
+    assert "ArrowEvalPython" not in scan_side
+    assert "regexp_replace" not in scan_side

@@ -67,3 +67,18 @@ def test_porter_vectors_spark(spark):
     got = {r["token"]: r["stem"] for r in rows}
     bad = {w: (got[w], e) for w, e in VECTORS.items() if got[w] != e}
     assert not bad, bad
+
+
+def test_porter_vectors_python():
+    """The python reference implementation (the Spark production path's
+    pandas_udf kernel) must agree with the paper vectors too — so the
+    gate compares two INDEPENDENT implementations (python vs generated
+    SQL)."""
+    from tree_sitter_analyzer_spark.functions.porter import porter_stem_py
+
+    bad = {
+        w: (porter_stem_py(w), e)
+        for w, e in VECTORS.items()
+        if porter_stem_py(w) != e
+    }
+    assert not bad, bad

@@ -155,3 +155,53 @@ def test_bidir_path_dist_equals_weighted_sssp(spark):
     assert len(bd) > 0
     for r in bd.itertuples():
         assert ssd[int(r.dst)] == int(r.dist)
+
+
+# ------------------------------------------------------ home_work_commute
+def test_home_work_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark.operators.trajectory import (
+        HW_RES, _shift, pings_oracle_cte,
+    )
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    s = _shift(HW_RES)
+    rows = duck.sql(
+        f"WITH {pings_oracle_cte()} "
+        "SELECT user_id, CAST(ix AS BIGINT), CAST(iy AS BIGINT), "
+        "date_diff('microsecond', TIMESTAMP '1970-01-01', ts)"
+        " // 3600000000 FROM pings"
+    ).fetchall()
+    counts = defaultdict(int)
+    for uid, ix, iy, eh in rows:
+        # python // is floor-division; SQL DIV truncates — identical only
+        # on non-negative operands, which the walk guarantees (pinned):
+        assert ix >= 0 and iy >= 0
+        night = 1 if (eh % 24 >= 20 or eh % 24 < 6) else 0
+        counts[(int(uid), int(ix) // s, int(iy) // s, night)] += 1
+    best: dict[tuple[int, int], tuple] = {}
+    for (uid, cx, cy, night), n in counts.items():
+        key = (uid, night)
+        cand = (-n, cx, cy)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    expected = {}
+    for uid in {u for u, _ in best}:
+        if (uid, 1) in best and (uid, 0) in best:
+            hn, hcx, hcy = best[(uid, 1)]
+            dn, wcx, wcy = best[(uid, 0)]
+            expected[uid] = (
+                hcx, hcy, wcx, wcy, -hn, -dn,
+                max(abs(hcx - wcx), abs(hcy - wcy)),
+                1 if (hcx, hcy) == (wcx, wcy) else 0,
+            )
+    out = load_all()["home_work_commute"].spark_fn(spark, SF_TINY).toPandas()
+    got = {
+        int(r.user_id): (
+            int(r.home_cx), int(r.home_cy), int(r.work_cx), int(r.work_cy),
+            int(r.n_night), int(r.n_day), int(r.commute_cheb),
+            int(r.colocated),
+        )
+        for r in out.itertuples()
+    }
+    assert got == expected and len(got) > 0

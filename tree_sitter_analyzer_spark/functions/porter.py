@@ -229,3 +229,123 @@ pt5ap AS (SELECT *, {cvpat('w5a', e)} AS p5a FROM pt5a),
 ptf AS (SELECT *, CASE WHEN length(w0) <= 2 THEN w0
                        ELSE {w5b} END AS stem FROM pt5ap)"""
     return frag, "ptf"
+
+
+# --- python reference implementation ------------------------------------------
+#
+# The Spark production path stems via an Arrow pandas_udf over THIS
+# implementation (bounded vocabulary frame): the generated-SQL pipeline
+# above, collapsed by Catalyst into one mega-expression, exceeds the JVM
+# 64KB codegen method limit (whole-stage codegen falls back to
+# interpreted).  Running python here is the right trade: the frame is
+# the distinct-token vocabulary, the UDF is Arrow-batched, and the
+# DuckDB oracle keeps the SQL-generated Porter — so the driver gate
+# compares TWO INDEPENDENT implementations (no shared-text blind spot).
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str, j: int) -> int:
+    """Porter m of w[:j] — number of VC transitions in the collapsed
+    cv-pattern."""
+    m, i, n = 0, 0, j
+    while i < n and _is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(w, i):
+            i += 1
+        if i < n:
+            m += 1
+        while i < n and _is_cons(w, i):
+            i += 1
+    return m
+
+
+def _has_vowel_py(w: str, j: int) -> bool:
+    return any(not _is_cons(w, i) for i in range(j))
+
+
+def _doublec(w: str, j: int) -> bool:
+    return j >= 2 and w[j - 1] == w[j - 2] and _is_cons(w, j - 1)
+
+
+def _cvc(w: str, j: int) -> bool:
+    return (
+        j >= 3
+        and _is_cons(w, j - 1)
+        and not _is_cons(w, j - 2)
+        and _is_cons(w, j - 3)
+        and w[j - 1] not in "wxy"
+    )
+
+
+def _step_table(w: str, rules, cond) -> str:
+    for suf, rep in rules:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if cond(stem, w):
+                return stem + rep
+            return w
+    return w
+
+
+def porter_stem_py(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    for suf, rep in (("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", "")):
+        if w.endswith(suf):
+            w = w[: len(w) - len(suf)] + rep
+            break
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w, len(w) - 3) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel_py(w, len(w) - 2):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and _has_vowel_py(w, len(w) - 3):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _doublec(w, len(w)) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w, len(w)) == 1 and _cvc(w, len(w)):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel_py(w, len(w) - 1):
+        w = w[:-1] + "i"
+    # steps 2-4 (longest suffix first; condition gates the action)
+    w = _step_table(
+        w, _STEP2, lambda s, _w: _measure(s, len(s)) > 0
+    )
+    w = _step_table(
+        w, _STEP3, lambda s, _w: _measure(s, len(s)) > 0
+    )
+    w = _step_table(
+        w,
+        sorted(_STEP4 + [("ion", "")], key=lambda r: -len(r[0])),
+        lambda s, _w: _measure(s, len(s)) > 1
+        and (not _w.endswith("ion") or (s and s[-1] in "st")),
+    )
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w, len(w) - 1)
+        if m > 1 or (m == 1 and not _cvc(w, len(w) - 1)):
+            w = w[:-1]
+    # step 5b
+    if (
+        _measure(w, len(w)) > 1
+        and _doublec(w, len(w))
+        and w.endswith("l")
+    ):
+        w = w[:-1]
+    return w

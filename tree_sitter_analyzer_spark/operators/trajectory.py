@@ -1850,3 +1850,68 @@ SELECT m.lag, m.n_pairs, m.msd_milli,
             ELSE (1000 * m.msd_milli) // p.msd_milli END AS BIGINT)
          AS ratio_milli
 FROM msd_m m LEFT JOIN msd_m p ON p.lag * 2 = m.lag"""
+
+# --- R395: home/work anchor inference + commute profile -----------------------
+#
+# The classic mobility-analytics anchor model (public: Gonzalez 2008 /
+# CDR literature): a user's HOME is the modal night-hour (20:00-06:00)
+# res-8 cell, WORK the modal day-hour cell; the commute is their
+# Chebyshev cell distance.  Determinism: modal cells via row_number
+# ordered (n DESC, cx, cy) — the unique-order-key rule for argmax ties.
+# Scale shape: one (user, cell, night) count aggregation (map-side
+# partial), one user-keyed window, one user-keyed self-join of two
+# one-row-per-user frames.  Hours come from epoch-microseconds on the
+# NTZ timestamp (never a session-TZ cast — the CLAUDE.md rule).
+
+HW_RES = 8
+_HOUR_US = 3_600_000_000
+
+
+def home_work_body(engine: str, res: int = HW_RES) -> str:
+    s = _shift(res)
+    div = " DIV " if engine == "spark" else " // "
+    eus = _EPOCH_US_SPARK if engine == "spark" else _EPOCH_US_DUCK
+    return f"""
+hw_lab AS (
+  SELECT user_id,
+         CAST(ix{div}{s} AS BIGINT) AS cx,
+         CAST(iy{div}{s} AS BIGINT) AS cy,
+         CASE WHEN (({eus}){div}{_HOUR_US}) % 24 >= 20
+                OR (({eus}){div}{_HOUR_US}) % 24 < 6
+              THEN 1 ELSE 0 END AS night
+  FROM pings),
+hw_cnt AS (
+  SELECT user_id, cx, cy, night, CAST(count(*) AS BIGINT) AS n
+  FROM hw_lab GROUP BY 1, 2, 3, 4),
+hw_rank AS (
+  SELECT user_id, cx, cy, night, n,
+         row_number() OVER (PARTITION BY user_id, night
+                            ORDER BY n DESC, cx, cy) AS rk
+  FROM hw_cnt),
+hw_home AS (
+  SELECT user_id, cx AS home_cx, cy AS home_cy, n AS n_night
+  FROM hw_rank WHERE night = 1 AND rk = 1),
+hw_work AS (
+  SELECT user_id, cx AS work_cx, cy AS work_cy, n AS n_day
+  FROM hw_rank WHERE night = 0 AND rk = 1)
+SELECT h.user_id, h.home_cx, h.home_cy, w.work_cx, w.work_cy,
+       h.n_night, w.n_day,
+       GREATEST(abs(h.home_cx - w.work_cx),
+                abs(h.home_cy - w.work_cy)) AS commute_cheb,
+       CAST(CASE WHEN h.home_cx = w.work_cx AND h.home_cy = w.work_cy
+            THEN 1 ELSE 0 END AS BIGINT) AS colocated
+FROM hw_home h JOIN hw_work w ON w.user_id = h.user_id"""
+
+
+def home_work(pings: DataFrame, res: int = HW_RES) -> DataFrame:
+    spark = pings.sparkSession
+    pings.createOrReplaceTempView("pings")
+    return spark.sql(f"WITH {home_work_body('spark', res)}")
+
+
+def home_work_oracle(events_clause: str = "events",
+                     res: int = HW_RES) -> str:
+    return (
+        f"WITH {pings_oracle_cte(events_clause)},"
+        f"{home_work_body('duck', res)}"
+    )

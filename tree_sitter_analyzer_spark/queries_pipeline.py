@@ -4185,14 +4185,40 @@ GROUP BY stem"""
     doc="Full Porter stemmer over the document token vocabulary "
     "(reference FTS5 porter tokenizer, _ast_cache_schema.py:425-434 — "
     "round-4 verdict #7): the complete 1980 algorithm (steps 1a-5b, "
-    "measure/vowel/double-consonant/cvc conditions) generated as "
-    "cross-engine SQL, applied to the bounded DISTINCT-token frame "
-    "(stem the vocabulary, never the token stream), then token counts "
-    "rolled up per stem. Paper-vector-pinned on both engines.",
+    "measure/vowel/double-consonant/cvc conditions), applied to the "
+    "bounded DISTINCT-token frame (stem the vocabulary, never the "
+    "token stream), token counts rolled up per stem. TWO independent "
+    "implementations meet at the gate: Spark runs the python reference "
+    "via an Arrow pandas_udf (the generated-SQL pipeline, collapsed by "
+    "Catalyst, exceeds the JVM 64KB codegen method limit); the DuckDB "
+    "oracle runs the generated SQL — both paper-vector-pinned.",
 )
 def q_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _docs(spark, sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_porter_stems_sql("spark"))
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .functions.porter import porter_stem_py
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # pd.Series hints into strings, which breaks hint inference
+    porter_udf = pandas_udf(
+        lambda s: s.map(porter_stem_py), "string", PandasUDFType.SCALAR
+    )
+
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("explode(split(text, ' ')) AS token")
+        .where("token <> ''")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+        .withColumn("stem", porter_udf("token"))
+        .groupBy("stem")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("token").alias("example_token"),
+        )
+        .select("stem", "n_distinct_tokens", "n_tokens", "example_token")
+    )
 
 
 # --- Temperature-scaled mixture quotas (round-4 addition) ---------------------

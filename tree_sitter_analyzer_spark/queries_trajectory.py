@@ -318,3 +318,17 @@ def q_spatial_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_msd_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj.msd_ladder(_pings(spark, sf_dir))
+
+
+@register(
+    "home_work_commute",
+    traj.home_work_oracle(),
+    doc="Home/work anchor inference (the CDR mobility anchor model): "
+    "modal night-hour vs day-hour res-8 cell per user (deterministic "
+    "argmax via n DESC, cx, cy), Chebyshev commute distance, colocated "
+    "flag. One counted aggregation + one user-keyed window + a "
+    "one-row-per-user self-join; hours from epoch-micros on the NTZ "
+    "timestamp (session-TZ-proof).",
+)
+def q_home_work_commute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return traj.home_work(_pings(spark, sf_dir))
