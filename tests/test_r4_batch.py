@@ -205,3 +205,61 @@ def test_home_work_matches_python_replay(spark, duck):
         for r in out.itertuples()
     }
     assert got == expected and len(got) > 0
+
+
+# ------------------------------------------------------- set_cover_greedy
+def test_set_cover_greedy_matches_python_replay(spark, duck):
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.grid import ix_sql, iy_sql
+    from tree_sitter_analyzer_spark.operators.zonal import (
+        SC_CANDS, SC_RADIUS, SC_RES, SC_ROUNDS,
+    )
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    register_views(duck, SF_TINY)
+    rows = duck.sql(
+        f"WITH tiles AS ({synth.tiles_sql()}) "
+        f"SELECT {ix_sql('lon', SC_RES)}, {iy_sql('lat', SC_RES)}, count(*)"
+        " FROM tiles GROUP BY 1, 2"
+    ).fetchall()
+    occ = {(int(x), int(y)): int(n) for x, y, n in rows}
+    cand = sorted(occ, key=lambda c: (-occ[c], c))[:SC_CANDS]
+    fids = {c: i + 1 for i, c in enumerate(cand)}
+    uncovered = set(occ)
+    expected, covered_total, picked = [], 0, set()
+    for r in range(1, SC_ROUNDS + 1):
+        gains = {}
+        for c in cand:
+            if fids[c] in picked:
+                continue
+            g = sum(
+                1
+                for dx in range(-SC_RADIUS, SC_RADIUS + 1)
+                for dy in range(-SC_RADIUS, SC_RADIUS + 1)
+                if (c[0] + dx, c[1] + dy) in uncovered
+            )
+            if g > 0:
+                gains[c] = g
+        if not gains:
+            break
+        best = min(gains, key=lambda c: (-gains[c], fids[c]))
+        g = gains[best]
+        picked.add(fids[best])
+        covered_total += g
+        uncovered = {
+            u for u in uncovered
+            if not (abs(u[0] - best[0]) <= SC_RADIUS
+                    and abs(u[1] - best[1]) <= SC_RADIUS)
+        }
+        expected.append((r, fids[best], best[0], best[1], g,
+                         covered_total, len(occ) - covered_total))
+    out = load_all()["set_cover_greedy"].spark_fn(spark, SF_TINY).toPandas()
+    got = [
+        (int(r.round), int(r.fid), int(r.fcx), int(r.fcy), int(r.gain),
+         int(r.covered_total), int(r.uncovered_left))
+        for r in out.sort_values("round").itertuples()
+    ]
+    assert got == expected
+    # greedy gains are non-increasing — the submodularity witness
+    gains_seq = [g for _, _, _, _, g, _, _ in got]
+    assert gains_seq == sorted(gains_seq, reverse=True)

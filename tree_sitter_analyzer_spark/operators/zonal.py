@@ -3047,3 +3047,154 @@ SELECT b.k AS k_cells, b.m AS grand_mean, b.ss, b.b_milli,
        a.raw_min, a.raw_max, a.shrunk_min, a.shrunk_max,
        a.sh_tot - b.tot AS mass_drift
 FROM js_b b, js_agg a"""
+
+
+# --- R396: greedy set cover (facility coverage optimization) ------------------
+#
+# The third facility-location objective beside kcenter_seeds (minimize
+# max distance) and p1_median_site (minimize total distance): MAXIMIZE
+# COVERAGE — the classic greedy set-cover/max-coverage algorithm
+# (Chvatal 1979; (1-1/e) guarantee), over the res-7 occupied-cell
+# universe with candidate facilities = the 40 densest cells and
+# coverage radius 2 (Chebyshev).  Each round picks the candidate
+# covering the most still-uncovered cells (ties: rank id), marks its
+# disk covered, repeats for 5 rounds.  Scale shape: candidates expand
+# by the FIXED 5x5 offset fan (40x25 = 1000 broadcast rows) and
+# equi-join the uncovered frame — never a band join against the
+# universe; per-round driver state is one argmax row (the kcenter
+# one-row-pick pattern).
+
+SC_RES = 7
+SC_RADIUS = 2
+SC_ROUNDS = 5
+SC_CANDS = 40
+
+
+def set_cover_greedy(
+    tiles: DataFrame,
+    res: int = SC_RES,
+    radius: int = SC_RADIUS,
+    rounds: int = SC_ROUNDS,
+    n_cands: int = SC_CANDS,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    spark = tiles.sparkSession
+    occ = (
+        tiles.groupBy(
+            F.expr(grid.ix_sql("lon", res)).alias("cx"),
+            F.expr(grid.iy_sql("lat", res)).alias("cy"),
+        )
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    universe_n = occ.count()
+    w = Window.orderBy(F.desc("n"), "cx", "cy")
+    cand = (
+        occ.withColumn("fid", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fid") <= n_cands)
+        .selectExpr("fid", "cx AS fcx", "cy AS fcy")
+        .localCheckpoint(eager=False)
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    )
+    cover = cand.selectExpr(
+        "fid", "fcx", "fcy", f"inline(array({offs}))"
+    ).selectExpr("fid", "fcx", "fcy", "fcx + dx AS cx", "fcy + dy AS cy")
+    uncovered = occ.select("cx", "cy")
+    picks: list[tuple] = []
+    covered_total = 0
+    for r in range(1, rounds + 1):
+        gains = (
+            cover.where(
+                ~F.col("fid").isin([p[1] for p in picks])
+                if picks else F.lit(True)
+            )
+            .join(uncovered, ["cx", "cy"])
+            .groupBy("fid", "fcx", "fcy")
+            .agg(F.expr("CAST(count(*) AS BIGINT)").alias("gain"))
+        )
+        top = gains.orderBy(F.desc("gain"), "fid").limit(1).collect()
+        if not top:  # every remaining candidate has zero gain
+            break
+        b = top[0]
+        covered_total += int(b.gain)
+        picks.append((r, int(b.fid), int(b.fcx), int(b.fcy), int(b.gain),
+                      covered_total, universe_n - covered_total))
+        uncovered = uncovered.where(
+            f"NOT (abs(cx - {int(b.fcx)}) <= {radius}"
+            f" AND abs(cy - {int(b.fcy)}) <= {radius})"
+        ).localCheckpoint(eager=False)
+    structs = ", ".join(
+        "struct("
+        f"CAST({r} AS BIGINT) AS round, CAST({fid} AS BIGINT) AS fid,"
+        f" CAST({fx} AS BIGINT) AS fcx, CAST({fy} AS BIGINT) AS fcy,"
+        f" CAST({g} AS BIGINT) AS gain,"
+        f" CAST({ct} AS BIGINT) AS covered_total,"
+        f" CAST({ul} AS BIGINT) AS uncovered_left)"
+        for r, fid, fx, fy, g, ct, ul in picks
+    )
+    return spark.range(1).selectExpr(f"inline(array({structs}))")
+
+
+def set_cover_oracle(
+    res: int = SC_RES,
+    radius: int = SC_RADIUS,
+    rounds: int = SC_ROUNDS,
+    n_cands: int = SC_CANDS,
+) -> str:
+    """Chained-CTE greedy recomputed from scratch (no Spark-derived
+    values): per round a MATERIALIZED uncovered frame, a per-candidate
+    gain aggregate, and a one-row deterministic pick."""
+    ctes = [
+        f"""sc_occ AS MATERIALIZED (
+  SELECT {grid.ix_sql('lon', res)} AS cx, {grid.iy_sql('lat', res)} AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tiles GROUP BY 1, 2)""",
+        "sc_tot AS (SELECT CAST(count(*) AS BIGINT) AS un FROM sc_occ)",
+        f"""sc_cand AS MATERIALIZED (
+  SELECT fid, cx AS fcx, cy AS fcy FROM (
+    SELECT cx, cy,
+           CAST(row_number() OVER (ORDER BY n DESC, cx, cy) AS BIGINT)
+             AS fid
+    FROM sc_occ) t WHERE fid <= {n_cands})""",
+        f"""sc_cover AS MATERIALIZED (
+  SELECT c.fid, c.fcx, c.fcy, c.fcx + dx.x AS cx, c.fcy + dy.y AS cy
+  FROM sc_cand c
+  CROSS JOIN (SELECT unnest(range(-{radius}, {radius + 1})) AS x) dx
+  CROSS JOIN (SELECT unnest(range(-{radius}, {radius + 1})) AS y) dy)""",
+        "sc_u0 AS MATERIALIZED (SELECT cx, cy FROM sc_occ)",
+    ]
+    for r in range(1, rounds + 1):
+        prev_picks = ", ".join(f"(SELECT fid FROM sc_p{i})"
+                               for i in range(1, r))
+        notin = f"WHERE v.fid NOT IN ({prev_picks})" if prev_picks else ""
+        ctes.append(f"""sc_g{r} AS (
+  SELECT v.fid, v.fcx, v.fcy, CAST(count(u.cx) AS BIGINT) AS gain
+  FROM sc_cover v JOIN sc_u{r - 1} u
+    ON u.cx = v.cx AND u.cy = v.cy
+  {notin}
+  GROUP BY 1, 2, 3)""")
+        ctes.append(f"""sc_p{r} AS MATERIALIZED (
+  SELECT fid, fcx, fcy, gain FROM sc_g{r}
+  ORDER BY gain DESC, fid LIMIT 1)""")
+        ctes.append(f"""sc_u{r} AS MATERIALIZED (
+  SELECT u.cx, u.cy FROM sc_u{r - 1} u, sc_p{r} p
+  WHERE NOT (abs(u.cx - p.fcx) <= {radius}
+             AND abs(u.cy - p.fcy) <= {radius}))""")
+    rows = []
+    for r in range(1, rounds + 1):
+        cum = " + ".join(f"p{i}.gain" for i in range(1, r + 1))
+        froms = ", ".join(f"sc_p{i} p{i}" for i in range(1, r + 1))
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, p{r}.fid,"
+            f" p{r}.fcx, p{r}.fcy, p{r}.gain,"
+            f" CAST({cum} AS BIGINT) AS covered_total,"
+            f" CAST(t.un - ({cum}) AS BIGINT) AS uncovered_left"
+            f" FROM {froms}, sc_tot t"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return ",\n".join(ctes) + "\n" + body

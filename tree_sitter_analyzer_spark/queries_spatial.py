@@ -3556,3 +3556,19 @@ FROM sar_w1 w JOIN sar_n2 n2 ON n2.ix = w.ix AND n2.iy = w.iy"""
 def q_sar_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tiles(spark, sf_dir).createOrReplaceTempView("tiles")
     return spark.sql(f"WITH {_sar_sql('spark')}")
+
+
+@register(
+    "set_cover_greedy",
+    f"{_CTES},\n{zonal.set_cover_oracle()}",
+    doc="Greedy maximum-coverage facility placement (Chvatal set cover, "
+    "the (1-1/e) classic): 5 rounds over the res-7 occupied-cell "
+    "universe, candidates = 40 densest cells, radius-2 Chebyshev disks; "
+    "per round the candidate covering the most uncovered cells wins "
+    "(gain DESC, fid ties). Third facility-location objective beside "
+    "kcenter_seeds (minimax) and p1_median_site (minisum). Candidate "
+    "disks are a fixed 25-offset broadcast fan equi-joined to the "
+    "uncovered frame; per-round driver state is one argmax row.",
+)
+def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal.set_cover_greedy(_tiles(spark, sf_dir))
