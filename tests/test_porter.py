@@ -82,3 +82,33 @@ def test_porter_vectors_python():
         if porter_stem_py(w) != e
     }
     assert not bad, bad
+
+
+def test_porter_python_vs_duckdb_sql_fuzz(duck):
+    """Cross-implementation fuzz: the python reference (Spark's UDF
+    kernel) and the generated DuckDB SQL must agree on arbitrary words,
+    not just the paper vectors — 500 seeded-random lowercase words
+    covering y-edge-cases, short words, and suffix pileups."""
+    import random
+
+    from tree_sitter_analyzer_spark.functions.porter import porter_stem_py
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    sufs = ["", "s", "es", "ed", "ing", "ation", "iveness", "ously",
+            "ement", "izer", "ies", "eed", "y", "ly", "ful", "ness",
+            "al", "e", "ll"]
+    words = set()
+    while len(words) < 500:
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        words.add(base + rng.choice(sufs))
+    words = sorted(words)
+    vals = ", ".join(f"('{w}')" for w in words)
+    frag, final = porter_ctes("duck", "pin", "token")
+    got = dict(duck.sql(
+        f"WITH pin AS (SELECT * FROM (VALUES {vals}) t(token)),{frag}\n"
+        f"SELECT token, stem FROM {final}"
+    ).fetchall())
+    bad = {w: (porter_stem_py(w), got[w])
+           for w in words if porter_stem_py(w) != got[w]}
+    assert not bad, f"{len(bad)} disagreements: {dict(list(bad.items())[:8])}"

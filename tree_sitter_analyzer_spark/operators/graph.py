@@ -3582,12 +3582,21 @@ def bidir_paths(
         .selectExpr("src AS u", "dst AS v")
         .localCheckpoint(eager=True)
     )
+    # Broadcast guard (the bfs_khop discipline): the tight-edge DAG is
+    # usually a sliver of the graph, but on a 100x-denser graph it can
+    # outgrow executor memory — fall back to a shuffled equi-join then.
+    # One count on the checkpointed frame decides for all 2*half joins.
+    small_dag = spdag.count() <= BROADCAST_FRONTIER_MAX
+
+    def bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_dag else df
+
     fwd_step = spdag.selectExpr("u AS v", "v AS nxt")
     f_frames = []
     fcur = spark.createDataFrame([(int(src), str(src))], "v BIGINT, sig STRING")
     f_frames.append(fcur)
     for r in range(half):
-        fcur = fcur.join(F.broadcast(fwd_step), "v").selectExpr(
+        fcur = fcur.join(bcast(fwd_step), "v").selectExpr(
             "nxt AS v", "concat(sig, '->', CAST(nxt AS STRING)) AS sig"
         )
         if r % 2 == 1:
@@ -3600,7 +3609,7 @@ def bidir_paths(
     )
     b_frames.append(bcur)
     for r in range(half):
-        bcur = bcur.join(F.broadcast(bwd_step), "v").selectExpr(
+        bcur = bcur.join(bcast(bwd_step), "v").selectExpr(
             "prv AS v",
             "dst",
             "concat('->', CAST(v AS STRING), tail) AS tail",
