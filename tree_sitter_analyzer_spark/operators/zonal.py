@@ -3077,8 +3077,6 @@ def set_cover_greedy(
     rounds: int = SC_ROUNDS,
     n_cands: int = SC_CANDS,
 ) -> DataFrame:
-    from pyspark.sql.window import Window
-
     spark = tiles.sparkSession
     occ = (
         tiles.groupBy(
@@ -3089,13 +3087,19 @@ def set_cover_greedy(
         .localCheckpoint(eager=False)
     )
     universe_n = occ.count()
-    w = Window.orderBy(F.desc("n"), "cx", "cy")
-    cand = (
-        occ.withColumn("fid", F.row_number().over(w).cast("bigint"))
-        .where(F.col("fid") <= n_cands)
-        .selectExpr("fid", "cx AS fcx", "cy AS fcy")
-        .localCheckpoint(eager=False)
+    # Distributed top-k (TakeOrderedAndProject), NOT a global-order
+    # window — a single-partition row_number over every occupied cell
+    # would serialize the candidate pick at 100x scale.  The k winners
+    # are bounded (n_cands) and get their rank ids driver-side, the
+    # kcenter_seeds pattern.
+    top = occ.orderBy(F.desc("n"), "cx", "cy").limit(n_cands).collect()
+    cstructs = ", ".join(
+        f"struct(CAST({i + 1} AS BIGINT) AS fid,"
+        f" CAST({int(r.cx)} AS BIGINT) AS fcx,"
+        f" CAST({int(r.cy)} AS BIGINT) AS fcy)"
+        for i, r in enumerate(top)
     )
+    cand = spark.range(1).selectExpr(f"inline(array({cstructs}))")
     offs = ", ".join(
         f"struct({dx} AS dx, {dy} AS dy)"
         for dx in range(-radius, radius + 1)
