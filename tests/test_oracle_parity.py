@@ -83,6 +83,8 @@ def test_event_time_queries_are_session_tz_robust(spark, duck):
                 "data_profile",
                 # R198: (epoch day+4)%7 weekday buckets
                 "chi2_dow",
+                # R395: night/day hour buckets from NTZ epoch-micros
+                "home_work_commute",
             ):
                 q = QUERIES[name]
                 sdf = q.spark_fn(spark, SF_TINY).toPandas()

@@ -4272,7 +4272,7 @@ FROM tm_w2 CROSS JOIN tm_t"""
     "temperature_mix",
     _tmix_sql("duck"),
     doc="Temperature-scaled domain-mixture quotas (p_i ~ n_i^(1/T) for "
-    "T in {{1,2,inf}}, the multilingual LM mixing rule): exact integer "
+    "T in {1,2,inf}, the multilingual LM mixing rule): exact integer "
     "sqrt weights + largest-remainder apportionment per temperature — "
     "the flattening curve a data-mix review reads, fully integer and "
     "computed on the bounded source dimension. Complements "
