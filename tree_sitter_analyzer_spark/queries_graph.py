@@ -513,3 +513,64 @@ def q_dag_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.spectral_radius(spark, graph.edges_df(spark, "bfs"))
+
+
+# --- R397: FW-BW pivot SCC decomposition (directed) ---------------------------
+
+_SCC_CAP = 24
+
+
+def _scc_oracle() -> str:
+    return f"""
+WITH RECURSIVE scc_e0 AS ({graph.edges_sql("bfs")}),
+scc_e AS (SELECT src, dst FROM scc_e0 WHERE (src * 31 + dst) % 2 = 0),
+scc_f(v, d) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT x.dst, f.d + 1 FROM scc_f f JOIN scc_e x ON x.src = f.v
+  WHERE f.d < {_SCC_CAP}),
+scc_b(v, d) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT x.src, b.d + 1 FROM scc_b b JOIN scc_e x ON x.dst = b.v
+  WHERE b.d < {_SCC_CAP}),
+scc_f2 AS (SELECT v, CAST(min(d) AS INT) AS fd FROM scc_f GROUP BY v),
+scc_b2 AS (SELECT v, CAST(min(d) AS INT) AS bd FROM scc_b GROUP BY v)
+SELECT coalesce(f.v, b.v) AS v,
+       CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'scc'
+            WHEN f.v IS NOT NULL THEN 'descendant'
+            ELSE 'ancestor' END AS cls,
+       coalesce(f.fd, -1) AS fd, coalesce(b.bd, -1) AS bd
+FROM scc_f2 f FULL OUTER JOIN scc_b2 b ON b.v = f.v"""
+
+
+@register(
+    "scc_pivot",
+    _scc_oracle(),
+    doc="FW-BW pivot SCC decomposition (Fleischer et al. 2000 — THE "
+    "distributed strongly-connected-components algorithm) on the "
+    "half-density directed event graph: forward and backward BFS from "
+    "pivot 0, SCC(0) = the intersection, and the remaining reachable "
+    "vertices classified descendant/ancestor — the three-way partition "
+    "the recursive algorithm peels. Directed completion of the "
+    "undirected connected_components; both frontier loops inherit "
+    "bfs_khop's broadcast guard + two-hop checkpoint discipline.",
+)
+def q_scc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.edges_df(spark, "bfs").where("(src * 31 + dst) % 2 = 0")
+    fwd = graph.bfs_khop(spark, edges, [0], _SCC_CAP).selectExpr(
+        "v AS fv", "CAST(depth AS INT) AS fd"
+    )
+    rev = edges.selectExpr("dst AS src", "src AS dst")
+    bwd = graph.bfs_khop(spark, rev, [0], _SCC_CAP).selectExpr(
+        "v AS bv", "CAST(depth AS INT) AS bd"
+    )
+    j = fwd.join(bwd, fwd.fv == bwd.bv, "full_outer")
+    return j.selectExpr(
+        "coalesce(fv, bv) AS v",
+        "CASE WHEN fv IS NOT NULL AND bv IS NOT NULL THEN 'scc' "
+        "WHEN fv IS NOT NULL THEN 'descendant' "
+        "ELSE 'ancestor' END AS cls",
+        "coalesce(fd, -1) AS fd",
+        "coalesce(bd, -1) AS bd",
+    )
