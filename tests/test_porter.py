@@ -102,6 +102,14 @@ def test_porter_python_vs_duckdb_sql_fuzz(duck):
     while len(words) < 500:
         base = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
         words.add(base + rng.choice(sufs))
+    # y-run vectors (round-4 advice): long consecutive-y runs pin the
+    # cvpat fixpoint pass count — each pass resolves ~2 y's, and the
+    # 8-pass bound must cover the longest run the SQL will ever see.
+    for k in range(1, 17):
+        words.add("b" + "y" * k)
+        words.add("a" + "y" * k)
+        words.add("y" * k)
+        words.add("b" + "y" * k + "ing")
     words = sorted(words)
     vals = ", ".join(f"('{w}')" for w in words)
     frag, final = porter_ctes("duck", "pin", "token")

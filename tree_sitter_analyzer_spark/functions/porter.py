@@ -38,10 +38,13 @@ def cvpat(e: str, engine: str) -> str:
     Uppercase placeholders — a lowercase marker like 'v' would collide
     with the literal letter v in the word (the revival/activate bug).
     Porter's y-rule: y is a vowel iff preceded by a consonant (leading y
-    is a consonant).  Resolved left-to-right via a 3-pass fixpoint
-    (covers runs of up to 3 consecutive y's)."""
+    is a consonant).  Resolved left-to-right via an 8-pass fixpoint:
+    each pass resolves at least 2 consecutive y's (round-4 advice pinned
+    the empirical rate), so 8 passes cover runs of 16+ y's — beyond any
+    token the fuzz or a real corpus produces; the y-run fuzz vectors in
+    tests/test_porter.py pin the bound against the python kernel."""
     x = _rre(e, f"[{VOWELS}]", "Q", engine)
-    for _ in range(3):
+    for _ in range(8):
         x = _rre(x, "Qy", "QK", engine)          # y after vowel -> consonant
         x = f"regexp_replace({x}, '^y', 'K')" if engine == "spark" else \
             f"regexp_replace({x}, '^y', 'K', 'g')"  # leading y -> consonant

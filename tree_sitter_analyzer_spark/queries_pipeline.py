@@ -4194,15 +4194,15 @@ GROUP BY stem"""
     "oracle runs the generated SQL — both paper-vector-pinned.",
 )
 def q_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     from .functions.porter import porter_stem_py
 
-    # explicit functionType: `from __future__ import annotations` turns
-    # pd.Series hints into strings, which breaks hint inference
-    porter_udf = pandas_udf(
-        lambda s: s.map(porter_stem_py), "string", PandasUDFType.SCALAR
-    )
+    # returnType-only form (no deprecated PandasUDFType enum): a lambda
+    # has no type hints, so pandas_udf infers SCALAR from the returnType
+    # alone — immune to the `from __future__ import annotations`
+    # string-hint problem and warning-free on PySpark 4.
+    porter_udf = pandas_udf(lambda s: s.map(porter_stem_py), "string")
 
     return (
         _docs(spark, sf_dir)

@@ -363,9 +363,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ast_diff.py:318-474) classifies added/removed/changed/MOVED/RENAMED
 # via name+hash cross-matching; the original snapshot_diff stopped at
 # three classes.  v2 here derives every class arithmetically from the
-# tiles frame (CRT-disjoint residue classes — no row lands in two
-# classes; renamed rows keep their phash byte-identical so the hash
-# cross-match is exact):
+# tiles frame (residue classes pairwise CRT-disjoint EXCEPT renamed∧moved,
+# which overlap at i ≡ 101 (mod 120) — those rows get BOTH the '_rn' key
+# suffix and pos+1000000 and deterministically classify as 'renamed',
+# since the key mismatch routes them through the hash cross-match; every
+# other pair has no common solution by CRT on the gcd of the moduli.
+# Renamed rows keep their phash byte-identical so the hash cross-match
+# is exact):
 #   i%50==7  -> row dropped              (removed, unless rename-matched)
 #   i%20==3  -> phash+1                  (changed)
 #   i%30==11 -> image_id||'_rn', same phash  (renamed: old key gone, new

@@ -167,365 +167,43 @@ def register(
 # operator family and the whole task-brief pipeline suite (dedup tiers,
 # ANN, text stats, multimodal, graph) gets a driver row. The slots ROTATE
 # between rounds (round-2 verdict): in-gate variants whose operator family
-# is already represented by another in-gate query (round 3 rotated out
-# pip_semi/pip_anti → covered by pip_join + the uncovered_zones anti-join,
-# zone_assignment_full → zone_assignment, first_tile_per_cell →
-# top_tiles_per_zone windows, interval_join → asof_attribution's band/
-# as-of family) yield their slots to newer operator families. Queries past
-# slot 50 remain fully verified by the in-repo DuckDB oracle-parity pytest
-# suite at sf0.001 and the per-round sf0.01 all-registry sweep.
+# is already represented by another in-gate query yield their slots to
+# newer operator families. Queries past slot 50 remain fully verified by
+# the in-repo DuckDB oracle-parity pytest suite at sf0.001 and the
+# per-round sf0.01 all-registry sweep (tests/sweep_sf001.py).
+#
+# This is ONE literal 50-name list (round-4 verdict #3 flattened the
+# seven stacked rotation dicts; rotation HISTORY lives in ROUND*.md).
+# load_all() asserts every name resolves to a registered query, so a
+# typo'd rotation fails loudly at import instead of silently no-opping.
 GATE_ORDER = [
-    # Continuation-10 rotation (same policy): cell_cusum ->
-    # anova_f (control charts stay via sweep EWMA/XmR/SPRT;
-    # k-sample parametric inference is new), funnel_stages ->
-    # absorbing_chain (funnel mechanics stay via event_sessions +
-    # asof_attribution; Markov hitting times are new),
-    # zone_dissolve -> kcenter_seeds (zonal family stays via
-    # zonal_stats/area_overlay; facility-location seeding is new),
-    # hll_cardinality -> pca_power (sketches stay via
-    # bloom_filter_audit; spectral analytics is new),
-    # skyline_tiles -> critical_path (Pareto stays via the
-    # skyline_depth sweep row; DAG scheduling is new),
-    # token_lift -> distance_cov (association stays via covisit/
-    # repeat-purchase sweep rows; any-dependence testing is new).
     # spatial core (north rule): index → PIP join family → kNN → zonal.
-    # Round-3 intra-round rotation: parent_cell_rollup → pyramid_rollup
-    # (same hierarchy family, strictly more levels per scan),
-    # union_hot_or_large → radius_join (U-family mechanics also covered
-    # by snapshot_diff + the anti-join slots; distance-band is a new
-    # family), dedup_fingerprint → dedup_clusters (fingerprint grouping
-    # is the same plan family as dedup_exact; clustering composes LSH
-    # with the graph suite).
-    # Late round-3 rotation (new operator families in, same-family
-    # redundancy out): cell_density_heatmap → kde_heatmap (A4 heatmap,
-    # kernel-smoothed superset), median_order_per_segment → traj_stats
-    # (W2 deterministic ranking stays via cascade_search; trajectory
-    # windows are a new family), rolling_order_activity →
-    # colocation_pairs (W4 frames stay via event_sessions +
-    # session_window_stats; the spacetime contact join is new),
-    # snapshot_diff → cost_distance (diff/classify mechanics stay via
-    # incremental_merge; raster-graph cost propagation is new).
-    # Final round-3 rotation (R49-R55 families): zone_assignment →
-    # area_overlay (J9 zonal write-back family stays via zonal_stats +
-    # zonal_weighted + incremental_merge; polygon→grid overlay transfer
-    # is new), fmt_kind_cube → skyline_tiles (A11 cube/pivot verified by
-    # the sweep via orders_rollup/order_status_pivot; Pareto-front is a
-    # new family), simhash_dups → getis_ord (banded-hamming dedup stays
-    # via minhash_lsh + phash_hamming_pairs + dedup_embedding; spatial
-    # autocorrelation had no gate row), shortest_path_trace → ripley_k
-    # (graph traversal stays via bfs_khop + connected_components +
-    # pagerank3; point-pattern statistics had no gate row).
-    # Continuation-2 rotation (R70-R82 families), same policy — every
-    # rotated-out query remains sweep- and pytest-oracle-verified:
-    # pyramid_rollup → quadtree_leaves (fixed-level hierarchy stays via
-    # parent_cell_rollup/compact_cover; ADAPTIVE tiling is new),
-    # ripley_k → cross_k_pairs (the bivariate ladder subsumes the
-    # univariate mechanics), session_window_stats → funnel_stages
-    # (session windows stay via event_sessions; ordered funnels are
-    # new), hybrid_search → token_lift (retrieval stays via
-    # caption_search + ann_ivf_topk; association mining had no row),
-    # byte_budget_batch → cell_cusum (running-sum budgeting is plain
-    # window mechanics; change-point detection is new),
-    # minhash_lsh → semivariogram (the LSH band join is exercised by
-    # dedup_clusters, which composes it; geostatistics had no row),
-    # zonal_weighted → hilbert_layout (weighted zonal stays via
-    # zonal_stats + area_overlay; the LAYOUT family had no gate row),
-    # winnow_dups → epidemic_reach (fingerprint dedup stays via
-    # dedup_clusters + dedup_exact + phash_hamming_pairs; the temporal
-    # contact closure is a new family).
     "tile_manifest", "pip_join", "knn",
-    "zonal_stats", "top_tiles_per_zone", "area_overlay",
-    "quadtree_leaves", "radius_join",
-    "kde_heatmap", "cascade_search", "uncovered_zones",
-    "anova_f", "hilbert_layout",
-    "hot_cell_counts_salted", "getis_ord", "cross_k_pairs", "critical_path",
+    "zonal_stats", "matrix_profile_daily", "area_overlay",
+    "pip_selectivity_audit", "projection_distortion",
+    "pii_scrub", "auc_eval", "zonemap_prune",
+    "anova_f", "range_fragmentation",
+    "hot_cell_counts_salted", "fs_linkage", "accessibility_2sfca",
+    "critical_path",
     # relational / event-time / movement operator families
-    "pricing_summary", "revenue_by_nation", "event_sessions",
-    "colocation_pairs", "cost_distance", "event_props_stats",
+    "chain_ladder", "product_profit", "queue_depth_replay",
+    "convoy_pairs", "least_cost_path", "sprt_monitor",
     "asof_attribution", "absorbing_chain",
-    "emerging_hotspots", "traj_stats", "incremental_merge",
+    "emerging_hotspots", "vocab_coverage", "merkle_diff",
     # training-data pipeline suite (task brief first-class)
-    "ingest_summary", "dedup_exact", "dedup_clusters", "pca_power",
-    "semivariogram", "dedup_embedding", "bloom_filter_audit",
-    "map_match", "ann_ivf_topk", "text_stats", "caption_search",
-    "distance_cov", "epidemic_reach", "kcenter_seeds", "phash_hamming_pairs",
-    "thumbnail_stats", "video_frame_stats", "audio_feature_stats",
-    # graph traversal / analytics suite (reachability rotated out late
-    # round 3: its transitive-closure family is covered by bfs_khop +
-    # connected_components; the slot goes to the new density-clustering
-    # family)
-    # Round-3 continuation rotation (R57-R66 families in, in-gate
-    # redundancy out; every rotated-out query stays sweep+pytest-oracled):
-    # ann_cosine_topk → bloom_filter_audit and ann_lsh_topk → map_match
-    # (ANN keeps ann_ivf_topk, the sanctioned scale path; the sketch trio
-    # and point→polyline matching had no gate row), ngram_jaccard →
-    # hll_cardinality (near-dup keeps minhash_lsh + dedup_embedding +
-    # winnow_dups + phash_hamming_pairs + dedup_clusters), dedup_prefix →
-    # zone_dissolve (exact-dedup family keeps dedup_exact; the dissolve
-    # overlay/CC composition is new), event_hopping_counts →
-    # emerging_hotspots (time windows keep session_window_stats +
-    # event_sessions; space-time trend is new).
-    # Continuation-3 rotation (R114-R126 families in, in-gate redundancy
-    # out; every rotated-out query stays sweep+pytest-oracled):
-    # colocation_pairs → convoy_pairs (the convoy is the contact join
-    # PLUS gaps-and-islands persistence — a strict superset of the
-    # co-location mechanics), revenue_by_nation → product_profit (simple
-    # star joins stay via pricing_summary; TPC-H Q9's both-key
-    # fact⋈partsupp is new), cost_distance → least_cost_path (surface +
-    # backlink raster + corridor trace supersets the plain surface),
-    # token_lift → mmr_diversified (pair-fan association mechanics stay
-    # via cross_k_pairs; the greedy diversified rerank composes BM25 +
-    # Jaccard — a new retrieval family), getis_ord → fuzzy_dup_pairs
-    # (Gi* stays via emerging_hotspots, the same statistic over time;
-    # edit-distance ER blocking is a new dedup tier), dedup_exact →
-    # repetition_stats (dedup_exact is legitimately VACUOUS at the
-    # gate's sf0.01 — a wasted slot; exact dedup stays via
-    # dedup_clusters + the sf0.1-pinned sweep row, and the Gopher
-    # repetition rules are a new first-class pipeline family).
-    "bfs_khop",
-    "connected_components", "pagerank3",
+    "ingest_summary", "block_dedup", "knn_label_noise", "als_halfstep",
+    "gale_shapley", "lsh_recall_audit", "bloom_filter_audit",
+    "hash_ring_audit", "ann_ivf_topk", "bigram_surprisal",
+    "ann_pq_topk", "distance_cov", "epidemic_reach", "kcenter_seeds",
+    "snapshot_diff_full", "decontamination",
+    "video_frame_stats", "bidir_path",
+    # graph traversal / analytics suite
+    "stress_centrality", "connected_components", "pagerank3",
     "dbscan_clusters",
 ]
-
-_ROTATIONS = {
-    "colocation_pairs": "convoy_pairs",
-    "revenue_by_nation": "product_profit",
-    "cost_distance": "least_cost_path",
-    "token_lift": "mmr_diversified",
-    "getis_ord": "fuzzy_dup_pairs",
-    "dedup_exact": "repetition_stats",
-}
-GATE_ORDER = [_ROTATIONS.get(n, n) for n in GATE_ORDER]
-
-# Continuation-4 rotation (R127-R136 families in; same policy — every
-# rotated-out query stays sweep- and pytest-oracle-verified):
-# radius_join → gabriel_graph (the Gabriel pair-gen IS the distance-band
-#   fan join PLUS a witness anti-join — a strict superset of the
-#   radius_join mechanics; bands also exercised by knn/knox),
-# cross_k_pairs → accessibility_2sfca (point-pattern statistics keep
-#   semivariogram; the two-step catchment composition is a new family),
-# text_stats → surprisal_filter (doc-quality classification keeps
-#   repetition_stats in-gate; the unigram-surprisal band filter is the
-#   CCNet-shaped pipeline op),
-# phash_hamming_pairs → pixel_verify_pairs (strict superset: the same
-#   banded phash join plus exact decoded-pixel SSE/PSNR verification —
-#   the input-contract invariant as a gate row),
-# dedup_clusters → dedup_survivors (strict superset: the LSH∘CC
-#   clustering plus quality-argmax canonical selection),
-# caption_search → ann_pq_topk (ranked retrieval keeps mmr_diversified,
-#   whose BM25 stage subsumes the posting-list join; PQ completes the
-#   in-gate ANN story beside ann_ivf_topk),
-# hll_cardinality → dsir_weights (the sketch quartet keeps
-#   bloom_filter_audit in-gate; DSIR importance resampling is a new
-#   first-class training-pipeline family),
-# thumbnail_stats → decontamination (the decode family keeps
-#   ingest_summary + video/audio + pixel_verify_pairs — four rows-only
-#   slots stay; this swaps a fifth rows-only row for a triple-green
-#   oracled row in a brand-new family).
-_ROTATIONS_C4 = {
-    "radius_join": "gabriel_graph",
-    "cross_k_pairs": "accessibility_2sfca",
-    "text_stats": "surprisal_filter",
-    "phash_hamming_pairs": "pixel_verify_pairs",
-    "dedup_clusters": "dedup_survivors",
-    "caption_search": "ann_pq_topk",
-    "hll_cardinality": "dsir_weights",
-    "thumbnail_stats": "decontamination",
-}
-GATE_ORDER = [_ROTATIONS_C4.get(n, n) for n in GATE_ORDER]
-
-# Continuation-5 rotation (R156-R177 families in; same policy — every
-# rotated-out query stays sweep- and pytest-oracle-verified):
-# hilbert_layout → range_fragmentation (the fragmentation metric IS the
-#   reason the Hilbert layout exists, and its plan computes Hilbert keys
-#   — a strict conceptual superset of the layout audit),
-# dedup_embedding → lsh_recall_audit (the audit composes the minhash
-#   candidate tier AND the exact-Jaccard ground truth — strictly more
-#   dedup machinery per row; embedding-space mechanics keep ann_ivf_topk
-#   + ann_pq_topk in-gate),
-# event_props_stats → watermark_lateness (F5 JSON aggregation is plain
-#   column functions, sweep-covered; the watermark tuning ladder is the
-#   streaming-semantics audit — a new family),
-# cascade_search → decile_drift (T2 early-exit retrieval keeps
-#   mmr_diversified + the ANN tiers in-gate; train/serve drift
-#   monitoring is a brand-new ML-ops family),
-# kde_heatmap → pii_scrub (density surfaces keep emerging_hotspots +
-#   cell_cusum in-gate; the PII compliance scrub is a first-class
-#   training-pipeline op per the task brief),
-# traj_stats → doc_chunks (movement analytics keeps convoy_pairs +
-#   least_cost_path + epidemic_reach in-gate; overlapping chunking is
-#   the retrieval-ingest pipeline op).
-_ROTATIONS_C5 = {
-    "hilbert_layout": "range_fragmentation",
-    "dedup_embedding": "lsh_recall_audit",
-    "event_props_stats": "watermark_lateness",
-    "cascade_search": "decile_drift",
-    "kde_heatmap": "pii_scrub",
-    "traj_stats": "doc_chunks",
-}
-GATE_ORDER = [_ROTATIONS_C5.get(n, n) for n in GATE_ORDER]
-
-# Continuation-6 rotation (R178-R189 families in; same policy — every
-# rotated-out query stays sweep- and pytest-oracle-verified):
-# incremental_merge → merkle_diff (same I1 incremental-sync family; the
-#   partition-digest planner is what DECIDES the rows the MERGE touches
-#   at 100 TB — the at-scale representative; row-level classify stays
-#   sweep-oracled via incremental_merge + snapshot_diff),
-# bfs_khop → stress_centrality (strict superset: the forward pass IS
-#   the BFS frontier expansion PLUS shortest-path counts, and the
-#   backward fold adds the centrality; plain k-hop reach also stays
-#   in-gate inside epidemic_reach),
-# fuzzy_dup_pairs → fs_linkage (strict upgrade of the entity-resolution
-#   representative: blocked candidates + per-field likelihood-ratio
-#   odds supersede plain edit-distance thresholding; the DP edit
-#   distance stays sweep-oracled),
-# repetition_stats → block_dedup (the sub-document-duplication family's
-#   stronger rung: cross-doc block dedup carries a byte-exact
-#   reconstruction witness; intra-doc n-gram repetition stays sweep),
-# decile_drift → auc_eval (same ML-ops model-quality family; the exact
-#   Mann-Whitney harness + its calibration companion are the richer
-#   readout; drift stays sweep-oracled),
-# pricing_summary → forecast_eval (A2 conditional aggregates stay via
-#   product_profit + the TPC-H sweep tail; the MASE scorecard is a new
-#   eval family),
-# event_sessions → rate_policer (gaps-and-islands session mechanics
-#   stay in-gate via convoy_pairs and sweep via session_window_stats;
-#   the Lindley admission meter is a new streaming-semantics family).
-_ROTATIONS_C6 = {
-    "incremental_merge": "merkle_diff",
-    "bfs_khop": "stress_centrality",
-    "fuzzy_dup_pairs": "fs_linkage",
-    "repetition_stats": "block_dedup",
-    "decile_drift": "auc_eval",
-    "pricing_summary": "forecast_eval",
-    "event_sessions": "rate_policer",
-}
-GATE_ORDER = [_ROTATIONS_C6.get(n, n) for n in GATE_ORDER]
-
-# Continuation-7 rotation (R207-R229 families in; same policy — every
-# rotated-out query stays sweep- and pytest-oracle-verified):
-# top_tiles_per_zone → matrix_profile_daily (A6 per-group top-k window
-#   mechanics stay in-gate via skyline_tiles and the retrieval rankers;
-#   the distance-profile anomaly/motif detector is a new time-series
-#   family beside cell_cusum's thresholds),
-# uncovered_zones → zonemap_prune (A8 dimension-keyed gap analysis stays
-#   sweep-oracled via sparse_zones + pip_audit; the zone-map audit gives
-#   the LAYOUT family its end-to-end I/O number — the at-scale reason
-#   range_fragmentation is already in-gate),
-# quadtree_leaves → curve_range_plan (adaptive tiling stays sweep-
-#   oracled; the bbox→key-range covering is what a curve-sorted layout
-#   is FOR, and its plan computes both curves' keys),
-# semivariogram → kaplan_meier (geostatistics keeps emerging_hotspots +
-#   accessibility_2sfca in-gate and idw/kriging-adjacent ops in the
-#   sweep; survival analysis had no representative anywhere),
-# watermark_lateness → sprt_monitor (streaming-semantics keeps
-#   rate_policer in-gate; the always-valid sequential decision is a new
-#   streaming family rung),
-# surprisal_filter → bigram_surprisal (strict upgrade: the add-1 bigram
-#   LM subsumes the unigram surprisal band filter; unigram stays
-#   sweep-oracled),
-# dedup_survivors → knn_label_noise (the dedup family keeps block_dedup
-#   + lsh_recall_audit + pixel_verify_pairs + decontamination in-gate;
-#   the kNN-vote label audit opens the training-label-QA family, and its
-#   gate row exercises the banded sign-LSH join too).
-_ROTATIONS_C7 = {
-    "top_tiles_per_zone": "matrix_profile_daily",
-    "uncovered_zones": "zonemap_prune",
-    "quadtree_leaves": "curve_range_plan",
-    "semivariogram": "kaplan_meier",
-    "watermark_lateness": "sprt_monitor",
-    "surprisal_filter": "bigram_surprisal",
-    "dedup_survivors": "knn_label_noise",
-}
-GATE_ORDER = [_ROTATIONS_C7.get(n, n) for n in GATE_ORDER]
-
-# Continuation-8 rotation (R245-R274 families in; same policy — every
-# rotated-out query stays sweep- and pytest-oracle-verified):
-# cell_cusum → poisson_bootstrap (sequential monitoring keeps
-#   sprt_monitor + matrix_profile_daily in-gate; the one-pass Poisson
-#   bootstrap opens the uncertainty-quantification family — the only
-#   bootstrap shape that exists at 10^12 rows),
-# doc_chunks → vocab_coverage (retrieval-ingest chunking stays
-#   sweep-oracled; Chao1/Good-Turing unseen-vocabulary estimation is a
-#   new corpus-planning family, cross-checked by capture_recapture),
-# mmr_diversified → watermark_detect (reranking keeps ann_ivf/pq +
-#   lsh_recall_audit + bigram_surprisal in-gate; LLM-watermark
-#   provenance screening is a new pipeline family),
-# gabriel_graph → directional_variogram (proximity-graph mechanics stay
-#   via knn + dbscan_clusters in-gate; geostatistics lost its only gate
-#   row when kaplan_meier took semivariogram's slot — the anisotropic
-#   ladder restores it with strictly more machinery),
-# zone_dissolve → spatial_markov (overlay/CC composition stays via
-#   area_overlay + connected_components in-gate; neighbor-conditioned
-#   spatio-temporal class dynamics is a new family),
-# funnel_stages → seq_patterns (ordered-event conversion stays
-#   sweep-oracled via funnel_stages + event_transitions; the any-gap
-#   GSP/PrefixSpan support is the general sequence-mining primitive),
-# rate_policer → bradley_terry (streaming admission control stays
-#   sweep-oracled beside sprt_monitor in-gate; pairwise-preference
-#   ranking — the arena-leaderboard aggregation — had no row anywhere).
-_ROTATIONS_C8 = {
-    "cell_cusum": "poisson_bootstrap",
-    "doc_chunks": "vocab_coverage",
-    "mmr_diversified": "watermark_detect",
-    "gabriel_graph": "directional_variogram",
-    "zone_dissolve": "spatial_markov",
-    "funnel_stages": "seq_patterns",
-    "rate_policer": "bradley_terry",
-}
-GATE_ORDER = [_ROTATIONS_C8.get(n, n) for n in GATE_ORDER]
-
-
-# Continuation-11 rotation (R353-R379 families in; same policy — every
-# rotated-out query stays sweep- and pytest-oracle-verified):
-# curve_range_plan → pip_selectivity_audit (the LAYOUT family keeps TWO
-#   in-gate rows, range_fragmentation + zonemap_prune; the spatial
-#   cardinality-estimate audit extends the optimizer-audit family onto
-#   the flagship join),
-# directional_variogram → projection_distortion (geostatistics stays
-#   sweep-oracled; the geodesy family — projection bias of the
-#   degree-planar grid itself — is new and north-rule-central),
-# pca_power → als_halfstep (spectral analytics stays sweep-oracled; the
-#   ML-training-as-a-Spark-job family gets its gate row via the
-#   closed-form per-user ridge solve),
-# kaplan_meier → gale_shapley (survival stays sweep-oracled beside
-#   logrank_test; two-sided market design with the in-result stability
-#   certificate is a new family),
-# forecast_eval → chain_ladder (model-eval keeps auc_eval in-gate; the
-#   development-triangle PROJECTION with reserves is the richer
-#   forecasting rung),
-# bradley_terry → queue_depth_replay (preference aggregation stays
-#   sweep-oracled and gale_shapley covers two-sided preferences; exact
-#   Lindley queue dynamics had no gate row),
-# map_match → hash_ring_audit (movement keeps convoy_pairs +
-#   least_cost_path + epidemic_reach in-gate; data-placement/
-#   consistent-hashing with the minimal-disruption certificate is a
-#   new systems family).
-_ROTATIONS_C11 = {
-    "curve_range_plan": "pip_selectivity_audit",
-    "directional_variogram": "projection_distortion",
-    "pca_power": "als_halfstep",
-    "kaplan_meier": "gale_shapley",
-    "forecast_eval": "chain_ladder",
-    "bradley_terry": "queue_depth_replay",
-    "map_match": "hash_ring_audit",
-}
-GATE_ORDER = [_ROTATIONS_C11.get(n, n) for n in GATE_ORDER]
-
-# Round-4 rotation (verdict #3): stop paying FOUR gate slots for
-# `err: no_oracle` decode rows.  The decode family keeps ingest_summary
-# (flagship fused decode pass) + video_frame_stats (one decode
-# representative); pixel_verify_pairs and audio_feature_stats stay fully
-# numpy-reference-pytest-verified and swept, and their slots go to the
-# two NEW round-4 operator families (both triple-green at the sf0.01
-# gate preflight): the five-class hash-cross-matched snapshot diff
-# (verdict missing #1) and the weighted bidirectional path search with
-# signature dedup (verdict #5).
-_ROTATIONS_R4 = {
-    "pixel_verify_pairs": "snapshot_diff_full",
-    "audio_feature_stats": "bidir_path",
-}
-GATE_ORDER = [_ROTATIONS_R4.get(n, n) for n in GATE_ORDER]
+assert len(GATE_ORDER) == 50 and len(set(GATE_ORDER)) == 50, (
+    "GATE_ORDER must be exactly 50 unique names"
+)
 
 
 def load_all() -> dict[str, Query]:
@@ -538,7 +216,9 @@ def load_all() -> dict[str, Query]:
     from . import queries_graph  # noqa: F401
     from . import queries_trajectory  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in GATE_ORDER if n in REGISTRY}
+    missing = [n for n in GATE_ORDER if n not in REGISTRY]
+    assert not missing, f"GATE_ORDER names not in registry: {missing}"
+    ordered = {n: REGISTRY[n] for n in GATE_ORDER}
     for n, q in REGISTRY.items():
         if n not in ordered:
             ordered[n] = q
