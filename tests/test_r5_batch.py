@@ -104,3 +104,23 @@ def test_temperature_mix_matches_python_replay(spark, duck):
     expected = {s: (n_docs[s], w_sqrt[s], q1[s], q2[s], qi[s])
                 for s in n_docs}
     assert got == expected and len(got) > 1
+
+
+# ------------------------------------------------- least_cost_path rounds
+def test_least_cost_path_trace_rounds_logarithmic(spark):
+    """Plan pin (round-4 verdict "What's wrong" #1): the corridor trace
+    must cost O(log L) materialized Spark rounds via pointer-doubling on
+    the backlink table — never the old O(L/2) pointer-chase. For the
+    24-step budget that is at most ceil(log2(24)) + 1 = 6 rounds."""
+    import math
+
+    from tree_sitter_analyzer_spark import synth
+    from tree_sitter_analyzer_spark.operators import cost_distance as cd
+
+    tiles = synth.tiles_df(spark, SF_TINY)
+    path = cd.least_cost_path(spark, tiles).toPandas()
+    cap = math.ceil(math.log2(cd.TRACE_MAX_STEPS)) + 1
+    assert 1 <= cd.LAST_TRACE_ROUNDS <= cap, cd.LAST_TRACE_ROUNDS
+    # the trace is still the real corridor: contiguous steps from 0
+    steps = sorted(path.step.tolist())
+    assert steps == list(range(len(steps))) and len(steps) > 2

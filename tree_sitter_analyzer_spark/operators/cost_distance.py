@@ -364,6 +364,7 @@ LEFT JOIN los_hits h ON h.seed = p.seed AND h.tx = p.tx AND h.ty = p.ty"""
 # ---------------------------------------------------------------------------
 
 TRACE_MAX_STEPS = _even_steps(MAX_ROUNDS)
+LAST_TRACE_ROUNDS = 0  # materialized rounds of the last trace (plan pin)
 
 
 def least_cost_path(spark: SparkSession, tiles: DataFrame) -> DataFrame:
@@ -396,37 +397,70 @@ def least_cost_path(spark: SparkSession, tiles: DataFrame) -> DataFrame:
         .where(F.col("du") + F.col("w") == F.col("dist"))
         .groupBy("cell")
         .agg(F.min("u").alias("pred"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    cur = (
+    # Pointer-doubling trace (round-4 verdict "What's wrong" #1): the
+    # backlink table is a FUNCTION (cell -> pred), so SQUARING it gives
+    # 2^r-step jumps after r materializations — the corridor trace costs
+    # O(log L) Spark rounds instead of the old O(L/2) pointer-chase,
+    # and on a 100x-diameter raster the driver-side round count grows
+    # logarithmically, not linearly.  jump(cell, dest, len): follow
+    # min(k, remaining) backlinks; a partial jump (len < k) marks a
+    # chain that ends (at a seed) within k steps and survives squaring
+    # unchanged via the left join.  Invariant: before applying the
+    # k-step jump the path holds steps {0..k-1} (clipped at the chain
+    # end), and applying it to EVERY path row yields steps {k..2k-1}
+    # (clipped, duplicates collapsing on the terminal step).
+    start = (
         dist.orderBy(F.desc("dist"), "cell")
         .limit(1)
-        .select("cell", F.lit(0).alias("step"))
-        .localCheckpoint(eager=True)
+        .select("cell", F.lit(0).cast("bigint").alias("step"))
+        .localCheckpoint(eager=False)
     )
-    def follow(frontier: DataFrame) -> DataFrame:
-        return frontier.join(bl, "cell").select(
-            F.col("pred").alias("cell"), (F.col("step") + 1).alias("step")
+    jump = bl.select(
+        "cell",
+        F.col("pred").alias("dest"),
+        F.lit(1).cast("bigint").alias("len"),
+    ).localCheckpoint(eager=False)
+    path, n_rows, k, rounds = start, 1, 1, 0
+    while k < TRACE_MAX_STEPS:
+        rounds += 1
+        nxt = path.join(jump, "cell").select(
+            F.col("dest").alias("cell"),
+            (F.col("step") + F.col("len")).alias("step"),
         )
-
-    path, n_rows = cur, 1
-    for _ in range(TRACE_MAX_STEPS // 2):
-        # two pointer-follows per materialization (bfs_khop discipline);
-        # BOTH hops join the path — the intermediate odd step is a row too
-        s1 = follow(cur)
-        s2 = follow(s1)
-        path = path.unionByName(s1).unionByName(s2).localCheckpoint(
-            eager=True
+        path = (
+            path.unionByName(nxt)
+            .dropDuplicates(["step"])
+            .localCheckpoint(eager=True)
         )
-        n = path.count()
-        if n - n_rows < 2:
-            break  # the chain reached a seed (s1 or s2 found no backlink)
-        # re-derive the frontier from the checkpointed path so lineage
-        # stays O(1) across rounds
+        n = path.count()  # scalar convergence probe (CLAUDE.md rule)
+        if n == n_rows:
+            break  # no new steps: the chain end is already in the path
         n_rows = n
-        cur = path.orderBy(F.desc("step")).limit(1)
+        # square the jump table: J_2k[c] = J_k ∘ J_k, keeping partial
+        # jumps (ambiguous-self-join rule: rename keys per side FIRST)
+        ja = jump.selectExpr("cell AS jcell", "dest AS jdest",
+                             "len AS jlen")
+        jb = jump.selectExpr("cell AS c2", "dest AS d2", "len AS l2")
+        jump = (
+            ja.join(jb, F.col("jdest") == F.col("c2"), "left")
+            .select(
+                F.col("jcell").alias("cell"),
+                F.coalesce("d2", "jdest").alias("dest"),
+                (F.col("jlen") + F.coalesce(F.col("l2"), F.lit(0)))
+                .alias("len"),
+            )
+            # lazy: materializes inside the next path action — truncates
+            # lineage without paying a separate driver round-trip
+            .localCheckpoint(eager=False)
+        )
+        k *= 2
+    global LAST_TRACE_ROUNDS
+    LAST_TRACE_ROUNDS = rounds
     return (
-        path.join(dist, "cell")
+        path.where(F.col("step") <= TRACE_MAX_STEPS)  # oracle's step cap
+        .join(dist, "cell")
         .select("step", "cell", "dist")
         .dropDuplicates(["step"])
     )
