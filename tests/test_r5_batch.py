@@ -124,3 +124,154 @@ def test_least_cost_path_trace_rounds_logarithmic(spark):
     # the trace is still the real corridor: contiguous steps from 0
     steps = sorted(path.step.tolist())
     assert steps == list(range(len(steps))) and len(steps) > 2
+
+
+# ----------------------------------------------------- charset family (R398/9)
+def _enc_plant(doc_id: int, text: str) -> bytes:
+    """Replay of the planted-encoding synthesis from raw text."""
+    b = text.encode("utf-8")
+    cls = doc_id % 7
+    if cls == 3:
+        return b"\xef\xbb\xbf" + b
+    if cls == 4:
+        return b"\xff\xfe" + text.encode("utf-16-le")
+    if cls == 5:
+        return b"\xe9" + b + b"\x93"
+    if cls == 6:
+        return b"\xc2\x92" + b + b"\xef\xbf\xbd"
+    return b
+
+
+def _enc_detect(raw: bytes):
+    """Independent detection: python's own codec machinery decides
+    validity (not a reimplementation of the SQL DFA regex)."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        bom, body = "utf8", raw[3:]
+    elif raw.startswith(b"\xff\xfe"):
+        bom, body = "utf16le", raw[2:]
+    elif raw.startswith(b"\xfe\xff"):
+        bom, body = "utf16be", raw[2:]
+    else:
+        bom, body = "none", raw
+    try:
+        body.decode("utf-8", errors="strict")
+        valid = 1
+    except UnicodeDecodeError:
+        valid = 0
+    return bom, body, valid
+
+
+def _scan_count(body: bytes, pat: bytes) -> int:
+    """Left-to-right aligned scan count (the regex alternation
+    semantics: match pat or consume one byte)."""
+    n = i = 0
+    while i <= len(body) - len(pat):
+        if body[i:i + len(pat)] == pat:
+            n += 1
+            i += len(pat)
+        else:
+            i += 1
+    return n
+
+
+def _scan_c1(body: bytes) -> int:
+    n = i = 0
+    while i < len(body) - 1:
+        if body[i] == 0xC2 and 0x80 <= body[i + 1] <= 0x9F:
+            n += 1
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+def test_charset_audit_matches_python_replay(spark, duck):
+    register_views(duck, SF_TINY)
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    expected = {}
+    for doc_id, text in docs:
+        doc_id = int(doc_id)
+        raw = _enc_plant(doc_id, text)
+        bom, body, valid = _enc_detect(raw)
+        n_ascii = sum(1 for b in body if b < 0x80)
+        n_cont = sum(1 for b in body if 0x80 <= b <= 0xBF)
+        n_lead = sum(1 for b in body if b >= 0xC0)
+        n_c1 = _scan_c1(body)
+        n_repl = _scan_count(body, b"\xef\xbf\xbd")
+        n_nul = sum(1 for b in body if b == 0)
+        moji = (1000 * (2 * n_c1 + 3 * n_repl)) // len(body) + (
+            0 if bom in ("utf16le", "utf16be") or valid else 200
+        )
+        guess = {
+            "utf8": "utf-8-sig", "utf16le": "utf-16-le",
+            "utf16be": "utf-16-be",
+        }.get(bom, "utf-8" if valid else "latin-1")
+        expected[doc_id] = (bom, valid, len(body), n_ascii, n_cont,
+                            n_lead, n_c1, n_repl, n_nul, moji, guess)
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    out = load_all()["charset_audit"].spark_fn(spark, SF_TINY).toPandas()
+    got = {
+        int(r.doc_id): (r.bom, int(r.utf8_valid), int(r.n_bytes),
+                        int(r.n_ascii), int(r.n_cont), int(r.n_lead),
+                        int(r.n_c1), int(r.n_repl), int(r.n_nul),
+                        int(r.mojibake_milli), r.enc_guess)
+        for r in out.itertuples()
+    }
+    assert got == expected and len(got) == len(docs)
+
+
+def test_charset_normalize_matches_python_replay(spark, duck):
+    register_views(duck, SF_TINY)
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    expected = {}
+    for doc_id, text in docs:
+        doc_id = int(doc_id)
+        raw = _enc_plant(doc_id, text)
+        bom, body, valid = _enc_detect(raw)
+        if bom == "utf8" and valid:
+            action, out = "strip_bom", body
+        elif bom == "utf16le" and all(
+            body[i + 1] == 0 and body[i] < 0x80
+            for i in range(0, len(body), 2)
+        ):
+            # python's own utf-16 codec is the independent path
+            action = "utf16le_to_utf8"
+            out = body.decode("utf-16-le").encode("utf-8")
+        elif bom in ("utf16le", "utf16be"):
+            action, out = "unsupported", body
+        elif not valid:
+            # reference fallback codec: decode latin-1, re-encode utf-8
+            action = "latin1_transcode"
+            out = body.decode("latin-1").encode("utf-8")
+        elif _scan_c1(body) > 0:
+            action = "scrub_c1"
+            # replace each C1 pair with U+FFFD (aligned scan)
+            pieces, i = [], 0
+            while i < len(body):
+                if (i < len(body) - 1 and body[i] == 0xC2
+                        and 0x80 <= body[i + 1] <= 0x9F):
+                    pieces.append(b"\xef\xbf\xbd")
+                    i += 2
+                else:
+                    pieces.append(body[i:i + 1])
+                    i += 1
+            out = b"".join(pieces)
+        else:
+            action, out = "none", body
+        expected[doc_id] = (action, len(raw), len(out),
+                            int(out != raw), out.hex().upper())
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    res = load_all()["charset_normalize"].spark_fn(
+        spark, SF_TINY
+    ).toPandas()
+    got = {
+        int(r.doc_id): (r.action, int(r.n_bytes_in), int(r.n_bytes_out),
+                        int(r.changed), r.out_hex)
+        for r in res.itertuples()
+    }
+    assert got == expected and len(got) == len(docs)
+    # round-trip invariant: every normalized body decodes as clean UTF-8
+    for doc_id, (_a, _bi, _bo, _ch, oh) in expected.items():
+        bytes.fromhex(oh).decode("utf-8", errors="strict")

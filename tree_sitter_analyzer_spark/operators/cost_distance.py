@@ -483,5 +483,5 @@ lcp_trace(cell, step) AS (
   SELECT b.pred, t.step + 1
   FROM lcp_trace t JOIN lcp_bl b ON b.cell = t.cell
   WHERE t.step < {TRACE_MAX_STEPS})
-SELECT t.step, t.cell, d.dist
+SELECT CAST(t.step AS BIGINT) AS step, t.cell, d.dist
 FROM lcp_trace t JOIN dists d ON d.cell = t.cell"""

@@ -4281,3 +4281,42 @@ FROM tm_w2 CROSS JOIN tm_t"""
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_tmix_sql("spark"))
+
+
+# --- R398/R399: charset & encoding family (round 5) ---------------------------
+
+from .operators import encoding as enc_ops
+
+
+@register(
+    "charset_audit",
+    enc_ops.audit_sql("duck"),
+    doc="Charset/encoding audit (distinct from the RLE layout 'encoding_audit') over the planted-encoding corpus "
+    "(doc_id % 7 classes: clean UTF-8, UTF-8/UTF-16LE BOM, stray "
+    "Latin-1 bytes, C1-control mojibake): BOM class, strict RFC-3629 "
+    "UTF-8 validity via an anchored aligned-hex DFA regex (overlongs, "
+    "surrogates and range overflows all fail), per-byte-class "
+    "histograms from the high-nibble projection, C1/U+FFFD/NUL "
+    "counts, an integer-milli mojibake score, and the detect-fallback "
+    "encoding guess (utf-8-sig / utf-16-le / utf-8 / latin-1) — the "
+    "engine analog of the reference's _encoding_detection.py:7-100 "
+    "detect_encoding chain.",
+)
+def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(enc_ops.audit_sql("spark"))
+
+
+@register(
+    "charset_normalize",
+    enc_ops.normalize_sql("duck"),
+    doc="Safe-convert normalization pass (reference "
+    "_encoding_conversion.py / encoding_utils.py convert chain): every "
+    "document lands as clean UTF-8 hex with an action tag — BOM "
+    "stripping, ASCII-range UTF-16LE folding, Latin-1 transcoding of "
+    "invalid bodies (per-byte bounded explode + ordered re-agg, "
+    "invalid docs only), and C1-control scrubbing to U+FFFD.",
+)
+def q_charset_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(enc_ops.normalize_sql("spark"))
