@@ -4320,3 +4320,252 @@ def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_charset_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(enc_ops.normalize_sql("spark"))
+
+
+# --- R400-R406: oracled metadata cores for the rows-only decode family -------
+#
+# Round-4 verdict #4: the 17 decode queries are rows-only wholesale, but
+# their framing — group keys, key-filtered input sets, payload byte
+# accounting, candidate generation — is decode-free and fully
+# SQL-expressible. Each query below is the oracled metadata core of one
+# rows-only companion (or of a whole family sharing one input frame):
+# a driver-green DuckDB row now pins the part of the decode pipeline
+# that ISN'T pixels, and pytest cross-checks tie the two halves
+# together (the meta numbers must match the decode query's own output).
+
+
+def _ingest_meta_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    cap_ok = "caption = 'tile ' || CAST(i AS STRING) || ' kind=' || tile_kind"
+    return f"""SELECT fmt,
+  CAST(count(*) AS BIGINT) AS n_tiles,
+  CAST(sum(CASE WHEN {cap_ok} THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_caption_violations,
+  CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash,
+  CAST(sum(12 + 3 * CAST(w AS BIGINT) * h) AS BIGINT)
+    AS sum_payload_bytes,
+  CAST(sum(CAST(w AS BIGINT) * h){div}count(*) AS BIGINT) AS avg_px
+FROM tiles GROUP BY fmt"""
+
+
+@register(
+    "ingest_meta",
+    f"{_synth.oracle_ctes()}\n{_ingest_meta_sql('duck')}",
+    doc="Oracled metadata core of ingest_summary (rows-only decode "
+    "audit): per-fmt tile counts, the caption invariant as a SQL "
+    "check (target 0 violations — the miswire-audit pattern), distinct "
+    "stored phash, and exact encoded-payload byte accounting "
+    "(GPNG/GJPG: 12-byte header + 3wh) — everything the extraction "
+    "audit reports that does not require touching pixels.",
+)
+def q_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(_ingest_meta_sql("spark"))
+
+
+def _thumb_meta_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""SELECT fmt,
+  CAST(count(*) AS BIGINT) AS n_tiles,
+  CAST(sum(12 + 3 * CAST(w AS BIGINT) * h) AS BIGINT) AS bytes_in,
+  CAST(count(*) * 204 AS BIGINT) AS bytes_out,
+  CAST((1000 * count(*) * 204)
+       {div}sum(12 + 3 * CAST(w AS BIGINT) * h) AS BIGINT)
+    AS shrink_milli
+FROM tiles WHERE i <= 8000 GROUP BY fmt"""
+
+
+@register(
+    "thumbnail_meta",
+    f"{_synth.oracle_ctes()}\n{_thumb_meta_sql('duck')}",
+    doc="Oracled metadata core of thumbnail_stats: the resize pass "
+    "always lands 8x8x3 lossless GPNG (204 bytes — pinned cross-check "
+    "in pytest against the decode query's own min/max/avg), so input "
+    "payload bytes, output bytes and the shrink ratio are exact "
+    "integer SQL over the same key-filtered tile set (i <= 8000).",
+)
+def q_thumbnail_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(_thumb_meta_sql("spark"))
+
+
+def _video_meta_sql(engine: str) -> str:
+    div = " DIV " if engine == "spark" else " // "
+    return f"""WITH clips AS (
+  SELECT CAST(o_orderkey % 3 AS BIGINT) AS codec,
+         CAST(8 + (o_orderkey % 56) AS BIGINT) AS n_frames
+  FROM orders WHERE o_orderkey <= 8000)
+SELECT codec,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+  CAST(sum((n_frames + 9){div}10) AS BIGINT) AS sum_sampled,
+  CAST(min(n_frames) AS BIGINT) AS min_frames,
+  CAST(max(n_frames) AS BIGINT) AS max_frames
+FROM clips GROUP BY codec"""
+
+
+@register(
+    "video_frame_meta",
+    _video_meta_sql("duck"),
+    doc="Oracled metadata core of video_frame_stats: the clip table "
+    "derivation (codec = k%3, n_frames = 8 + k%56 over the same "
+    "key-filtered orders) and the every-10th sampling contract "
+    "(ceil(n/10) frames per clip) as exact integer SQL — pytest "
+    "cross-checks sum_sampled against the real decoder's "
+    "n_sampled_frames.",
+)
+def q_video_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_video_meta_sql("spark"))
+
+
+def _audio_meta_sql(engine: str) -> str:
+    return """WITH clips AS (
+  SELECT CAST(CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS BIGINT) AS sample_rate
+  FROM orders WHERE o_orderkey <= 8000)
+SELECT sample_rate,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(sum(sample_rate) AS BIGINT) AS sum_samples,
+  CAST(sum(44 + 2 * sample_rate) AS BIGINT) AS sum_wav_bytes
+FROM clips GROUP BY sample_rate"""
+
+
+@register(
+    "audio_feature_meta",
+    _audio_meta_sql("duck"),
+    doc="Oracled metadata core of audio_feature_stats: sample-rate "
+    "classes over the same key-filtered orders, expected PCM16 sample "
+    "counts (rate x 1s) and exact WAV payload bytes (44-byte canonical "
+    "header + 2 bytes/sample) — pytest cross-checks the byte "
+    "accounting against the real stdlib wave payloads.",
+)
+def q_audio_feature_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_audio_meta_sql("spark"))
+
+
+def _pvm_sql(engine: str) -> str:
+    from .operators.dedup import (
+        PHASH_BANDS, PHASH_MAX_HAMMING, _phash_band_duck, _phash_band_spark,
+    )
+
+    band = _phash_band_spark if engine == "spark" else _phash_band_duck
+    ham = (
+        "bit_count(pa ^ pb)" if engine == "spark"
+        else "bit_count(xor(pa, pb))"
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT image_id, phash, {b} AS b, {band(b)} AS v FROM tiles"
+        for b in range(PHASH_BANDS)
+    )
+    return f"""bandrows AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.image_id AS image_a, c.image_id AS image_b,
+         a.phash AS pa, c.phash AS pb
+  FROM bandrows a JOIN bandrows c
+    ON a.b = c.b AND a.v = c.v AND a.image_id < c.image_id),
+pairs AS (
+  SELECT image_a, image_b, CAST({ham} AS BIGINT) AS hamming
+  FROM cand WHERE {ham} <= {PHASH_MAX_HAMMING})
+SELECT p.hamming,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN ta.fmt = tb.fmt THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_same_fmt,
+  CAST(sum(24 + 3 * (CAST(ta.w AS BIGINT) * ta.h
+                     + CAST(tb.w AS BIGINT) * tb.h)) AS BIGINT)
+    AS sum_decode_bytes
+FROM pairs p
+JOIN tiles ta ON ta.image_id = p.image_a
+JOIN tiles tb ON tb.image_id = p.image_b
+GROUP BY p.hamming"""
+
+
+@register(
+    "pixel_verify_meta",
+    f"{_synth.oracle_ctes()},\n{_pvm_sql('duck')}",
+    doc="Oracled metadata core of pixel_verify_pairs: the banded-phash "
+    "candidate generation (the same 4x12-bit band join), per-hamming "
+    "pair counts, same-fmt shares, and the exact decode workload in "
+    "bytes the verify phase will pull (both payloads per pair) — the "
+    "candidate half of the north-rule invariant check, driver-green "
+    "without touching pixels.",
+)
+def q_pixel_verify_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(f"WITH {_pvm_sql('spark')}")
+
+
+def _cvc_sql(engine: str) -> str:
+    return """SELECT tile_kind, fmt,
+  CAST(count(*) AS BIGINT) AS n_tiles,
+  CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_px,
+  CAST(min(CAST(w AS BIGINT) * h) AS BIGINT) AS min_px,
+  CAST(max(CAST(w AS BIGINT) * h) AS BIGINT) AS max_px,
+  CAST(sum(CASE WHEN w = 128 OR h = 128 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_large
+FROM tiles WHERE i <= 8000 GROUP BY tile_kind, fmt"""
+
+
+@register(
+    "cv_input_census",
+    f"{_synth.oracle_ctes()}\n{_cvc_sql('duck')}",
+    doc="Oracled input census shared by the whole per-tile CV family "
+    "(edge_stats, glcm_texture, otsu_threshold, sobel_edge_stats, "
+    "vignette_profile, blob_census, harris_corners, lbp_texture, "
+    "image_moments, median_denoise, blur_metric): the key-filtered "
+    "tile frame (i <= 8000) with per-(kind, fmt) counts and exact "
+    "pixel-workload sums — the group keys and row counts every CV "
+    "rollup inherits, driver-verifiable without decoding.",
+)
+def q_cv_input_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _synth.tiles_df(spark, sf_dir).createOrReplaceTempView("tiles")
+    return spark.sql(_cvc_sql("spark"))
+
+
+def _emb_census_sql(engine: str) -> str:
+    if engine == "spark":
+        comp = (
+            "SELECT vec_id, label,"
+            " CAST(floor(c * 1000e0) AS BIGINT) AS q FROM embeddings"
+            " LATERAL VIEW posexplode(embedding) t AS pos, c"
+        )
+    else:
+        comp = (
+            "SELECT vec_id, label,"
+            " CAST(floor(unnest(embedding) * 1000e0) AS BIGINT) AS q"
+            " FROM embeddings"
+        )
+    return f"""WITH ec_c AS ({comp}),
+ec_v AS (
+  SELECT vec_id, label,
+         CAST(count(*) AS BIGINT) AS dim,
+         CAST(sum(q * q) AS BIGINT) AS norm2_q
+  FROM ec_c GROUP BY vec_id, label)
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(min(dim) AS BIGINT) AS min_dim,
+  CAST(max(dim) AS BIGINT) AS max_dim,
+  CAST(min(norm2_q) AS BIGINT) AS min_norm2_q,
+  CAST(max(norm2_q) AS BIGINT) AS max_norm2_q,
+  CAST(sum(norm2_q) AS BIGINT) AS sum_norm2_q
+FROM ec_v GROUP BY label"""
+
+
+@register(
+    "embedding_census",
+    _emb_census_sql("duck"),
+    doc="Oracled metadata core of ann_ivf_kmeans (the Spark-ML IVF "
+    "variant stays rows-only — learned centroids aren't "
+    "SQL-reachable): per-label vector counts, dimensionality bounds, "
+    "and exact milli-quantized squared-norm sums over the embeddings "
+    "table — the input-frame contract every ANN tier shares, in the "
+    "established integer-quantization spelling.",
+)
+def q_embedding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(_emb_census_sql("spark"))
