@@ -176,6 +176,25 @@ def register(
 # seven stacked rotation dicts; rotation HISTORY lives in ROUND*.md).
 # load_all() asserts every name resolves to a registered query, so a
 # typo'd rotation fails loudly at import instead of silently no-opping.
+# Round-5 rotation (round-4 verdict #3 + #1; history in ROUND5.md —
+# every rotated-out query stays sweep- and pytest-oracle-verified):
+# emerging_hotspots → sar_lag (spatial autocorrelation keeps its gate
+#   presence with the MODEL rung — the SAR lag ladder — instead of a
+#   second Gi*-family statistic; the space-time trend stays sweep),
+# video_frame_stats → charset_audit (the decode family keeps
+#   ingest_summary in-gate plus seven NEW oracled metadata cores in the
+#   sweep; the slot buys the brand-new charset/encoding family its
+#   driver row — the round-4 verdict's #1 capability gap),
+# ann_pq_topk → temperature_mix (ANN keeps ann_ivf_topk, the sanctioned
+#   scale path; the temperature-quota mixing rule — a first-class
+#   training-mix family — had no driver row),
+# kcenter_seeds → set_cover_greedy (facility-location seeding yields to
+#   the richer coverage-optimization rung: greedy set cover composes
+#   per-round coverage joins + an argmax pick with an in-result
+#   optimality certificate),
+# connected_components → scc_pivot (undirected CC machinery is composed
+#   and exercised by scc_pivot's FW-BW decomposition and by
+#   dedup_clusters; directed SCC had no driver row).
 GATE_ORDER = [
     # spatial core (north rule): index → PIP join family → kNN → zonal.
     "tile_manifest", "pip_join", "knn",
@@ -189,16 +208,16 @@ GATE_ORDER = [
     "chain_ladder", "product_profit", "queue_depth_replay",
     "convoy_pairs", "least_cost_path", "sprt_monitor",
     "asof_attribution", "absorbing_chain",
-    "emerging_hotspots", "vocab_coverage", "merkle_diff",
+    "sar_lag", "vocab_coverage", "merkle_diff",
     # training-data pipeline suite (task brief first-class)
     "ingest_summary", "block_dedup", "knn_label_noise", "als_halfstep",
     "gale_shapley", "lsh_recall_audit", "bloom_filter_audit",
     "hash_ring_audit", "ann_ivf_topk", "bigram_surprisal",
-    "ann_pq_topk", "distance_cov", "epidemic_reach", "kcenter_seeds",
-    "snapshot_diff_full", "decontamination",
-    "video_frame_stats", "bidir_path",
+    "temperature_mix", "distance_cov", "epidemic_reach",
+    "set_cover_greedy", "snapshot_diff_full", "decontamination",
+    "charset_audit", "bidir_path",
     # graph traversal / analytics suite
-    "stress_centrality", "connected_components", "pagerank3",
+    "stress_centrality", "scc_pivot", "pagerank3",
     "dbscan_clusters",
 ]
 assert len(GATE_ORDER) == 50 and len(set(GATE_ORDER)) == 50, (
