@@ -69,19 +69,28 @@ def _hs_case(i: str, coords: list[float]) -> str:
 TILE_KINDS = ["aerial", "street", "marine", "park", "urban", "rural", "mixed"]
 
 
-def tile_exprs(i: str = "i") -> dict[str, str]:
-    """Column-name → portable SQL expression for the tiles table."""
-    hot = f"(({i}) % 5 = 0)"
+def tile_exprs(i: str = "i", dense: bool = False) -> dict[str, str]:
+    """Column-name → portable SQL expression for the tiles table.
+
+    ``dense=True`` is the stretch-density stress knob (round-4 verdict
+    #8): SAME row count, but every row lands in a hotspot and the
+    jitter halves — per-cell concentration rises ~20x (5x hot fraction
+    x 4x area density), the regime where a materialized pair list goes
+    quadratic. Smoke-only (tests/smoke_dense.py via SPARK_GRAFT_DENSE);
+    correctness runs and every oracle always use the default geometry.
+    """
+    hot = "TRUE" if dense else f"(({i}) % 5 = 0)"
+    jit = "0.01e0" if dense else "0.02e0"
     hs_lon = _hs_case(i, [h[0] for h in HOTSPOTS])
     hs_lat = _hs_case(i, [h[1] for h in HOTSPOTS])
     u_lon = u01(i, 48271)
     u_lat = u01(i, 16807)
     lon = (
-        f"(CASE WHEN {hot} THEN {hs_lon} + ({u_lon} - 0.5e0) * 0.02e0 "
+        f"(CASE WHEN {hot} THEN {hs_lon} + ({u_lon} - 0.5e0) * {jit} "
         f"ELSE {dlit(LON0)} + {u_lon} * {dlit(LON_SPAN)} END)"
     )
     lat = (
-        f"(CASE WHEN {hot} THEN {hs_lat} + ({u_lat} - 0.5e0) * 0.02e0 "
+        f"(CASE WHEN {hot} THEN {hs_lat} + ({u_lat} - 0.5e0) * {jit} "
         f"ELSE {dlit(LAT0)} + {u_lat} * {dlit(LAT_SPAN)} END)"
     )
     kind = "(CASE " + " ".join(
@@ -133,6 +142,9 @@ def tiles_df(
 
     if amplify is None:
         amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
+    # Stretch-density smoke knob (see tile_exprs): never set by the
+    # driver or any oracle path.
+    dense = os.environ.get("SPARK_GRAFT_DENSE", "") == "1"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # The seed parquet is one small file → one input split. Real tile data
     # would arrive pre-partitioned; the synthetic table must be spread
@@ -149,7 +161,10 @@ def tiles_df(
         )
     df = seed.select(
         F.col("o_orderkey").alias("i"),
-        *[F.expr(f"{e} AS {n}") for n, e in tile_exprs("o_orderkey").items()],
+        *[
+            F.expr(f"{e} AS {n}")
+            for n, e in tile_exprs("o_orderkey", dense=dense).items()
+        ],
     )
     if with_bytes:
         from .sources.codec import attach_bytes
