@@ -113,6 +113,17 @@ def run_pipeline_job(cpus: int) -> dict:
 
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8))
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()  # warm
+
+    def _gc_ms() -> int:
+        # Total JVM GC time (local mode = one JVM): the weak-scaling
+        # root-cause probe (round-4 verdict #7) — records how much of a
+        # wide run's wall is collector time, directly in the artifact.
+        beans = spark._jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime()
+                   for i in range(beans.size()))
+
+    gc0 = _gc_ms()
     t0 = time.time()
     ext = ingest.extract_tiles(spark, SF_DIR, res=9)
     zc = F.broadcast(zone_cover(synth.zones_df(spark), res=9))
@@ -139,6 +150,7 @@ def run_pipeline_job(cpus: int) -> dict:
         F.sum("n_tiles").alias("joined"), F.sum("violations").alias("viol")
     ).collect()[0]
     wall = round(time.time() - t0, 3)
+    gc_ms = _gc_ms() - gc0
     amp = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
     n_tiles = spark.read.parquet(f"{SF_DIR}/orders.parquet").count() * amp
     spark.stop()
@@ -150,6 +162,7 @@ def run_pipeline_job(cpus: int) -> dict:
         "cpus": cpus,
         "tiles": n_tiles,
         "join_rows": rows["joined"],
+        "gc_ms": gc_ms,
         "tiles_plus_join_rows_per_sec": round((n_tiles + rows["joined"]) / wall, 1),
     }
 
@@ -306,10 +319,12 @@ def run_weak_scaling() -> None:
         f.write(
             f"\n## Weak-scaling run {time.strftime('%Y-%m-%d %H:%M')} — "
             f"fixed work per core (local[8]@amplify=4 vs local[32]@amplify=16)\n\n"
-            f"| parallelism | tiles | pipeline wall (s) | control wall (s) |\n"
-            f"|---|---|---|---|\n"
-            f"| local[8] | {results[8]['tiles']} | {w8} | {c8:.1f} |\n"
-            f"| local[32] | {results[32]['tiles']} | {w32} | {c32:.1f} |\n\n"
+            f"| parallelism | tiles | pipeline wall (s) | GC (ms) | control wall (s) |\n"
+            f"|---|---|---|---|---|\n"
+            f"| local[8] | {results[8]['tiles']} | {w8} | "
+            f"{results[8].get('gc_ms', '?')} | {c8:.1f} |\n"
+            f"| local[32] | {results[32]['tiles']} | {w32} | "
+            f"{results[32].get('gc_ms', '?')} | {c32:.1f} |\n\n"
             f"Weak-scaling efficiency (wall8/wall32, 1.0 = perfect): **{eff}** "
             f"(target ≥0.8). Hardware control (same per-image kernel, raw "
             f"multiprocessing, fixed work per proc): {ctl_eff} — the box's "
