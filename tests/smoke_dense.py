@@ -22,7 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["SPARK_GRAFT_DENSE"] = "1"
+# NOTE: the dense env knob is set inside main(), NOT at module level —
+# test_dense_guard.py imports ROW_CAP from here, and a module-level
+# os.environ write would leak dense geometry into every later test in
+# the pytest process (it DID: test_golden failed suite-wide until this
+# moved).
 
 # The pair-generating families the density regime stresses (the
 # round-4 verdict's list): eps-disk joins, space-time contact joins,
@@ -50,6 +54,7 @@ ROW_CAP = 2_000_000  # a pair query emitting more than this at sf0.01
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ["SPARK_GRAFT_DENSE"] = "1"
     from pyspark.sql import functions as F
 
     from tree_sitter_analyzer_spark import synth
