@@ -26,12 +26,11 @@ byte-for-byte), and every classifier is plain column algebra:
 - **Normalization** (the reference's safe-convert): strip BOMs, fold
   ASCII-range UTF-16LE to UTF-8, transcode invalid bodies as Latin-1
   (the reference's fallback codec) via a bounded per-byte explode →
-  ordered re-agg (the only non-regex branch — rows die in the re-agg),
+  ordered re-agg (the only non-regex branch — a pure flatMap, rows die in the re-agg),
   and scrub C1 controls to U+FFFD.
 
 Scale shape: everything is per-row column work over `documents` except
-the transcode branch, which explodes ONLY invalid docs (bounded by
-`TRANSCODE_CAP` bytes) and re-aggregates immediately — map-side, no
+the transcode branch, which explodes ONLY invalid/scrub docs and re-aggregates immediately — map-side, no
 shuffle amplification. Corpus synthesis plants one of 7 encoding
 classes per doc (doc_id % 7) with the SAME shared SQL in both engines,
 so the whole family is DuckDB-oracled end to end.
@@ -44,10 +43,6 @@ validate → convert fallback chain), _encoding_detection.py:7-100 (BOM
 from __future__ import annotations
 
 HEXA = "0123456789ABCDEF"
-TRANSCODE_CAP = 4096  # bytes; docs longer than this keep a truncated
-# transcode tail — flagged nowhere at current SFs (max doc ~600 B), and
-# a real crawl would raise it or chunk (documented, not silent: the
-# audit's n_bytes column exposes any doc at the cap).
 
 # RFC 3629 UTF-8 DFA as an anchored regex over aligned hex pairs.
 UTF8_DFA = (
@@ -197,19 +192,40 @@ def normalize_sql(engine: str) -> str:
     dropnul = _rre("body", "(..)00", "$1", engine)
     hi, lo = "substr(pr, 1, 1)", "substr(pr, 2, 1)"
     v = f"(instr('{HEXA}', {hi}) - 1) * 16 + instr('{HEXA}', {lo}) - 1"
+    # Per-byte rows come from splitting the hex into pairs (the aligned
+    # '(..)' -> '$1,' comma insertion) and exploding the list — a pure
+    # per-row flatMap with NO generator join and NO length cap (the
+    # earlier 4096-row sequence join planned as a nested loop: 7.2 s at
+    # sf0.01; this shape is sub-second). The split leaves one trailing
+    # empty token; it is filtered, and k is only ever used for ORDERING
+    # (posexplode is 0-based, generate_subscripts 1-based — safe per the
+    # CLAUDE.md positional rule because k never leaves the query).
+    pairs = _rre("body", "(..)", "$1,", engine)
     if engine == "spark":
         gen = (
-            f"(SELECT explode(sequence(0, {TRANSCODE_CAP - 1})) AS k)"
+            f"LATERAL VIEW posexplode(split({pairs}, ',')) t AS k, pr"
         )
         agg = (
             "array_join(transform(array_sort(collect_list("
             "struct(k, piece))), x -> x.piece), '')"
         )
     else:
-        gen = (
-            f"(SELECT unnest(range(0, {TRANSCODE_CAP})) AS k)"
-        )
+        gen = ""  # duck uses the enc_sp list CTE below
         agg = "string_agg(piece, '' ORDER BY k)"
+    if engine == "spark":
+        bytes_cte = f"""enc_bytes AS (
+  SELECT doc_id, action, k, pr FROM enc_n
+  {gen}
+  WHERE action IN ('latin1_transcode', 'scrub_c1') AND pr <> '')"""
+    else:
+        bytes_cte = f"""enc_sp AS (
+  SELECT doc_id, action, string_split({pairs}, ',') AS prs
+  FROM enc_n WHERE action IN ('latin1_transcode', 'scrub_c1')),
+enc_bytes AS (
+  SELECT * FROM (
+    SELECT doc_id, action, generate_subscripts(prs, 1) AS k,
+           unnest(prs) AS pr
+    FROM enc_sp) u WHERE pr <> '')"""
     return f"""WITH {raw_cte_sql(engine)},
 {_det_cte_sql(engine)},
 enc_n AS (
@@ -229,11 +245,7 @@ enc_plain AS (
            ELSE body END AS out_hex
   FROM enc_n
   WHERE action NOT IN ('latin1_transcode', 'scrub_c1')),
-enc_bytes AS (
-  SELECT n.doc_id, n.action, g.k, substr(n.body, 2 * g.k + 1, 2) AS pr
-  FROM enc_n n JOIN {gen} g
-    ON g.k < length(n.body){div}2
-  WHERE n.action IN ('latin1_transcode', 'scrub_c1')),
+{bytes_cte},
 enc_ctx AS (
   SELECT doc_id, action, k, pr,
          lag(pr)  OVER (PARTITION BY doc_id ORDER BY k) AS prv,
