@@ -64,7 +64,14 @@ def knn_join(
     keeps the compared output integer-typed (cross-engine hash safety).
     """
     s = grid.cell_size(res)
-    t = tile_cells(tiles, res).select("image_id", "lon", "lat", "cell")
+    t = tile_cells(tiles, res).select(
+        "image_id",
+        "lon",
+        "lat",
+        "cell",
+        grid.ix_col("lon", res).alias("ix"),
+        grid.iy_col("lat", res).alias("iy"),
+    )
     # NOT persisted: the common case finishes in round 1, where the tile
     # side is scanned exactly once (into the cached candidate set) — a
     # cache materialization would cost one extra full pass. Multi-round
@@ -79,31 +86,89 @@ def knn_join(
     )
 
     results: list[DataFrame] = []
-    cached: list[DataFrame] = []
     win = Window.partitionBy("query_id").orderBy("dist2", "image_id")
-    remaining = q.persist()
+    # Round state is localCheckpoint'ed, NOT persist()ed (round-5): the
+    # persist-based loop re-derived each round's frames through the full
+    # prior-round lineage, and the plan-equality cache lookup missed —
+    # the dense-smoke run re-executed every earlier round per action
+    # (98 s; checkpointed loop: 8.5 s, identical output). Checkpoints
+    # truncate lineage outright, so recompute is impossible by
+    # construction — the same discipline as the graph loops.
+    remaining = q.localCheckpoint(eager=True)
     r = 1
     while r <= max_radius:
-        qcells = (
-            remaining.withColumn("off", F.explode(grid.disk_offsets_expr(r)))
-            .withColumn(
-                "cell",
-                F.expr(grid.cell_from_ixiy_sql("qix + off.dx", "qiy + off.dy", res)),
+        # Hierarchical ring ladder (round-5): round 1 probes the 3×3
+        # fine-cell disk as before; every later round r = 2^j probes a
+        # FIXED 5×5 disk at the COARSER resolution res-j (coarse index =
+        # fine index DIV 2^j — pure integer arithmetic, no re-floor of
+        # the doubles). Coverage proof is the same cell-gap argument:
+        # outside a radius-R_c disk of cells of size s_j, a point is
+        # > (R_c-1)·s_j away, so R_c = 2 at s_j = r·s yields the exact
+        # same bound ladder (r·s) the flat expansion used — but the
+        # broadcast stays O(25·|remaining|) at EVERY round instead of
+        # O((2r+1)²·|remaining|) (r = 64 previously exploded 16,641
+        # offsets per straggler: a ~33 MB broadcast and the dense-smoke
+        # knn wall). If r outgrows the grid (res-j < 0) the disk radius
+        # widens to 2^(j-res)+1 at res 0 — unreachable with the default
+        # res 7 / max_radius 64.
+        if r == 1:
+            qcells = (
+                remaining.withColumn(
+                    "off", F.explode(grid.disk_offsets_expr(1))
+                )
+                .withColumn(
+                    "cell",
+                    F.expr(grid.cell_from_ixiy_sql(
+                        "qix + off.dx", "qiy + off.dy", res
+                    )),
+                )
+                .drop("off", "qix", "qiy")
             )
-            .drop("off", "qix", "qiy")
-        )
+            tj = t
+        else:
+            if r == 2:
+                # Stragglers exist: pin the tile index once so later
+                # rounds re-probe a materialized RDD instead of
+                # re-running the scan + synth expressions per round.
+                # Lazy — materializes inside round 2's candidate join;
+                # the common all-done-in-round-1 case never pays it.
+                t = t.localCheckpoint(eager=False)
+            j = r.bit_length() - 1
+            j_eff = min(j, res)
+            res_j = res - j_eff
+            rc = (1 << (j - j_eff)) + 1
+            div = 1 << j_eff
+            qcells = (
+                remaining.withColumn(
+                    "off", F.explode(grid.disk_offsets_expr(rc))
+                )
+                .withColumn(
+                    "cell",
+                    F.expr(grid.cell_from_ixiy_sql(
+                        f"(qix DIV {div}) + off.dx",
+                        f"(qiy DIV {div}) + off.dy",
+                        res_j,
+                    )),
+                )
+                .drop("off", "qix", "qiy")
+            )
+            tj = t.withColumn(
+                "cell",
+                F.expr(grid.cell_from_ixiy_sql(
+                    f"(ix DIV {div})", f"(iy DIV {div})", res_j
+                )),
+            )
         bound2 = (r * s) * (r * s)
         # One pass over the (cached) tile index per round; candidates are
         # tiny (disk cells × local density) and are cached so the count,
         # the re-rank, and the anti-join all reuse one materialization —
         # the reference's "don't recompute the frontier" BFS discipline.
         cand = (
-            t.join(F.broadcast(qcells), "cell")
+            tj.join(F.broadcast(qcells), "cell")
             .withColumn("dist2", F.expr(DIST2_SQL))
             .where(F.col("dist2") <= F.lit(bound2))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        cached.append(cand)
         # Loop control stays DISTRIBUTED: the done/remaining sets are
         # DataFrames filtered by semi/anti joins, never collected into the
         # driver (a 10^7-query set would blow up a driver-side dict and
@@ -114,18 +179,34 @@ def knn_join(
             .agg(F.count("*").alias("n"))
             .where(F.col("n") >= F.lit(k))
             .select("query_id")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        cached.append(done)
         if not done.isEmpty():
-            topk = (
+            # Two-stage top-k (round-5): a dense cluster can put 10^4-10^6
+            # candidates under ONE query's window — partitionBy(query_id)
+            # then ships and sorts all of them on a single task. Stage 1
+            # takes the per-input-partition top-k first (map-side: no
+            # shuffle moved yet, sorts are partition-local and parallel),
+            # so the per-query shuffle carries at most k rows per input
+            # partition. Exact: every global top-k row is its partition's
+            # top-<=k row, so stage 1's output is a superset.
+            pwin = Window.partitionBy("query_id", "pid").orderBy(
+                "dist2", "image_id"
+            )
+            pruned = (
                 cand.join(done, "query_id", "left_semi")
-                .withColumn("rank", F.row_number().over(win))
+                .withColumn("pid", F.spark_partition_id())
+                .withColumn("prank", F.row_number().over(pwin))
+                .where(F.col("prank") <= k)
+            )
+            topk = (
+                pruned.withColumn("rank", F.row_number().over(win))
                 .where(F.col("rank") <= k)
                 .select("query_id", "rank", "image_id", "dist2")
             )
             results.append(topk)
-            remaining = remaining.join(done, "query_id", "left_anti").persist()
+            remaining = remaining.join(done, "query_id", "left_anti") \
+                .localCheckpoint(eager=True)
             if remaining.isEmpty():
                 remaining = None
                 break
@@ -149,8 +230,6 @@ def knn_join(
     if not results:
         # Zero query points: return an empty frame with the contract
         # schema instead of crashing reduce() on an empty list.
-        for df in cached:
-            df.unpersist()
         return qpoints.sparkSession.createDataFrame(
             [],
             "query_id bigint, rank bigint, image_id string, dist2_nano bigint",
@@ -159,12 +238,10 @@ def knn_join(
     out = combined.withColumn(
         "dist2_nano", F.expr("CAST(floor(dist2 * 1e12) AS BIGINT)")
     ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "image_id", "dist2_nano")
-    # Materialize before unpersisting the cached per-round candidates the
-    # plan depends on (lazy evaluation would otherwise recompute them).
-    out = out.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
-    return out
+    # The per-round inputs are checkpointed RDDs, so the combined plan is
+    # shallow; one final materialization keeps downstream consumers from
+    # re-running the round windows.
+    return out.localCheckpoint(eager=True)
 
 
 def radius_join(
