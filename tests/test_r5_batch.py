@@ -275,3 +275,38 @@ def test_charset_normalize_matches_python_replay(spark, duck):
     # round-trip invariant: every normalized body decodes as clean UTF-8
     for doc_id, (_a, _bi, _bo, _ch, oh) in expected.items():
         bytes.fromhex(oh).decode("utf-8", errors="strict")
+
+
+def test_charset_confusion_matches_python_replay(spark, duck):
+    register_views(duck, SF_TINY)
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    from collections import Counter
+
+    planted_name = {0: "utf8", 1: "utf8", 2: "utf8", 3: "utf8_bom",
+                    4: "utf16le", 5: "latin1", 6: "mojibake_utf8"}
+    expect_guess = {"utf8": "utf-8", "utf8_bom": "utf-8-sig",
+                    "utf16le": "utf-16-le", "latin1": "latin-1",
+                    "mojibake_utf8": "utf-8"}
+    cnt, correct = Counter(), Counter()
+    for doc_id, text in docs:
+        doc_id = int(doc_id)
+        raw = _enc_plant(doc_id, text)
+        bom, body, valid = _enc_detect(raw)
+        guess = {"utf8": "utf-8-sig", "utf16le": "utf-16-le",
+                 "utf16be": "utf-16-be"}.get(
+            bom, "utf-8" if valid else "latin-1")
+        planted = planted_name[doc_id % 7]
+        cnt[(planted, guess)] += 1
+        if guess == expect_guess[planted]:
+            correct[(planted, guess)] += 1
+    from tree_sitter_analyzer_spark.registry import load_all
+
+    out = load_all()["charset_confusion"].spark_fn(
+        spark, SF_TINY
+    ).toPandas()
+    got = {(r.planted, r.enc_guess): (int(r.n_docs), int(r.n_correct))
+           for r in out.itertuples()}
+    expected = {k: (cnt[k], correct[k]) for k in cnt}
+    assert got == expected
+    # the synthetic corpus detects perfectly: diagonal matrix
+    assert all(n == c for n, c in got.values())

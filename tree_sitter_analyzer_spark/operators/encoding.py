@@ -284,3 +284,36 @@ SELECT doc_id, action,
          AS changed,
        out_hex
 FROM enc_all"""
+
+
+PLANTED_CASE = (
+    "CASE doc_id % 7 WHEN 3 THEN 'utf8_bom' WHEN 4 THEN 'utf16le'"
+    " WHEN 5 THEN 'latin1' WHEN 6 THEN 'mojibake_utf8'"
+    " ELSE 'utf8' END"
+)
+# detector output that correctly recovers each planted class (mojibake
+# is VALID UTF-8 by construction — 'utf-8' is the right call; the C1
+# scrub is normalize's job, not detection's)
+EXPECTED_GUESS = (
+    "CASE planted WHEN 'utf8_bom' THEN 'utf-8-sig'"
+    " WHEN 'utf16le' THEN 'utf-16-le' WHEN 'latin1' THEN 'latin-1'"
+    " ELSE 'utf-8' END"
+)
+
+
+def confusion_sql(engine: str) -> str:
+    """charset_confusion: the detector graded against the planted
+    ground truth — (planted, guessed) matrix with correct counts. The
+    planted class is recomputable in SQL (doc_id % 7), so detection
+    QUALITY is itself an oracled row: a regression that misroutes a
+    class changes the matrix, not just a per-doc field someone has to
+    eyeball."""
+    audit = audit_sql(engine)
+    return f"""WITH enc_a AS ({audit}),
+enc_g AS (
+  SELECT doc_id, enc_guess, {PLANTED_CASE} AS planted FROM enc_a)
+SELECT planted, enc_guess,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN enc_guess = {EXPECTED_GUESS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM enc_g GROUP BY planted, enc_guess"""

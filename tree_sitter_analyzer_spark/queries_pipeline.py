@@ -4569,3 +4569,18 @@ FROM ec_v GROUP BY label"""
 def q_embedding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb(spark, sf_dir).createOrReplaceTempView("embeddings")
     return spark.sql(_emb_census_sql("spark"))
+
+
+@register(
+    "charset_confusion",
+    enc_ops.confusion_sql("duck"),
+    doc="R407: the charset detector graded against the planted ground "
+    "truth — a (planted-class, guessed-encoding) confusion matrix with "
+    "correct counts, fully oracled because the planted class is "
+    "recomputable in SQL (doc_id % 7). On the synthetic corpus the "
+    "matrix is diagonal (every class detected correctly); a detection "
+    "regression moves mass off the diagonal and fails the hash.",
+)
+def q_charset_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(enc_ops.confusion_sql("spark"))
